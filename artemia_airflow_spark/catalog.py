@@ -1,0 +1,56 @@
+"""Table catalog: parquet scans over the fixture star schema (B1).
+
+Reference parity: the reference has no table abstraction at all (its
+data lives in an external scraper pipeline, dags/update_tr_from_ex_dag.py:88-90);
+this catalog is the engine's replacement for "named data the pipeline
+operates on".
+
+Scale notes: ``spark.read.parquet`` gives the vectorized parquet reader
+with predicate pushdown + column pruning for free — every downstream
+operator keeps filters/projections declarative so they reach the scan
+(verify with df.explain(): PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """B1: load one fixture table. Single-file parquet at test SF; at
+    100 TB the same call points at a partitioned directory and Spark
+    parallelizes by row-group splits (spark.sql.files.maxPartitionBytes).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which
+        # Spark 4 refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]).
+        # Read it as raw nanos and rebuild the µs-truncated timestamp —
+        # integer `div` (not /) because ns-since-epoch exceeds 2^53.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: scan(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so SQL-surface operators
+    (subqueries B38-B39, rollups) can use spark.sql directly."""
+    for t in TABLES:
+        scan(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,51 @@
+"""Determinism-hardened column helpers (SURVEY.md §7 hazards H1-H3).
+
+Floating-point SUM is partition-order dependent on any distributed
+engine; these helpers route money/quantity aggregation through
+DECIMAL(18,2) (exact, order-independent, partial-aggregatable) and cast
+the final value back to DOUBLE so the result is bit-stable across
+Spark AND matches the DuckDB oracle computing the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def dec_sum(col: Column | str) -> Column:
+    """Order-independent SUM of a money/quantity double.
+
+    Exact decimal partial sums combine associatively, so map-side
+    combine + final merge give identical results at any partitioning —
+    this is what makes the value-hash stable at 32 or 32,000 partitions.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def dec_avg(col: Column | str) -> Column:
+    """Deterministic AVG: exact decimal sum divided by count, in double.
+
+    One IEEE division on exact operands — identical in Spark and DuckDB
+    (`CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)`).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1))
+
+
+def ts_second(col: Column | str) -> Column:
+    """Truncate an event-time column to whole seconds (hazard H1: the
+    events fixture stores timestamp[ns]; Spark reads µs, DuckDB ns —
+    both agree after second truncation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_trunc("second", c)
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Timestamp → epoch seconds as BIGINT (timezone-independent wire
+    format for oracle comparison; avoids tz/precision surface entirely)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("long")

@@ -1,0 +1,190 @@
+"""Text-analysis operators for LLM training-data pipelines (B43 +
+north-star text analysis: language-ID, quality scoring, token counting,
+fingerprinting).
+
+Everything is built-in-expression based (split/explode/regexp/xxhash64)
+— no Python in the hot path — so token pipelines run at parquet scan
+speed and shuffle only compact aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.plans.registry import declared
+from artemia_airflow_spark.session import ensure_engine_conf
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic
+# language ID (deterministic, dependency-free).  Real deployments swap
+# in fastText/CLD3 behind the same column contract.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# BPE-ish word-piece segmentation: letter runs, digit runs, single
+# punctuation — the standard pre-tokenizer regex family.
+_WORDPIECE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokenize(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace tokenization -> one row per token."""
+    return df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"))
+
+
+def wordpiece_count(text_col) -> "F.Column":
+    """BPE-ish token count: number of regexp word-piece matches."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(F.lower(c), F.lit(_WORDPIECE_RE))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Quality-scoring features: token count, char stats, stopword
+    ratio, alpha ratio — the classic cheap filters before expensive
+    model-based scoring."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS])))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "text_len": F.length(F.col(text_col)),
+            "chars_per_token": F.length(F.col(text_col)).cast("double") / n_tokens,
+            "stopword_ratio": stop_hits.cast("double") / n_tokens,
+            "alpha_ratio": alpha_chars.cast("double") / F.length(F.col(text_col)),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic language ID: argmax of marker-lexicon hit counts
+    (greatest-of-structs trick keeps it one expression, no shuffle)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    scored = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.greatest(*scored)
+    return df.withColumn(
+        "lang_pred", F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, *, window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: min rolling-window hash
+    over token 4-gram hashes (robust to small edits; used for
+    plagiarism-style containment checks)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.greatest(F.size(toks) - 3, F.lit(1))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 4))),
+    )
+    return df.withColumn("doc_fingerprint", F.array_min(gram_hashes))
+
+
+# --------------------------------------------------------------------------
+# Declared queries
+# --------------------------------------------------------------------------
+
+@declared(
+    "q_text_tokens",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def q_text_tokens(spark, sf_dir):
+    """B43: token frequency top-20 (count desc, token asc tiebreak)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@declared(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS text_len,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """B43/north-star: cheap quality features (fixture text is strictly
+    single-spaced, so ' '-split == \\s+-split in both engines)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+@declared("q_text_langid")
+def q_text_langid(spark, sf_dir):
+    """North-star language-ID (rows-only: heuristic lexicon argmax) —
+    confusion counts of predicted vs labeled lang."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return (
+        language_id(d, "text")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@declared("q_text_fingerprint")
+def q_text_fingerprint(spark, sf_dir):
+    """North-star fingerprinting (rows-only: xxhash64 internals differ
+    from any DuckDB hash) — distinct fingerprint count per source."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return (
+        fingerprint(d, "text")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_fingerprint").alias("n_fingerprints"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@declared("q_text_wordpiece")
+def q_text_wordpiece(spark, sf_dir):
+    """North-star token counting (rows-only: BPE-ish regex pre-tokenizer
+    count per doc, aggregated per lang)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return (
+        d.select("lang", wordpiece_count("text").alias("n_pieces"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_pieces").alias("total_pieces"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

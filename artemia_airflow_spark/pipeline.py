@@ -1,0 +1,403 @@
+"""Spark-native pipeline orchestration (SURVEY.md §2-A, A1-A12).
+
+Re-implements the reference's Airflow surface as a small driver-side
+library whose unit of data exchange is the DataFrame:
+
+- A1  Pipeline(name, schedule, tags)            <- DAG(...)
+- A2  ``a >> b`` / ``a >> [b, c]`` on Stage     <- dependency edges
+- A3  HttpStage (injectable transport)          <- HttpOperator
+- A4  SensorStage (poll loop w/ 3-way predicate)<- HttpSensor(poke)
+- A6  PythonStage (arbitrary callable)          <- PythonOperator
+- A7  upstream results dict ("XCom" = DataFrame/scalar handoff)
+- A8  RetryPolicy (fixed/exponential, capped)   <- retries/backoff
+- A9  trigger rules all_success|one_failed|all_failed
+- A10 schedule string (cron held for an external ticker; `run()` is
+      one DagRun — catchup=False semantics)
+- A11 run_timeout_s watchdog
+- A12 Connections registry (never logged)
+
+Spark itself replaces the Celery/Redis substrate (A13): intra-query
+distribution is the executors' job; this layer only sequences queries.
+Independent ready stages run concurrently on driver threads so
+independent Spark jobs overlap (FAIR-pool friendly), mirroring the
+reference's fan-out at dags/update_tr_from_ex_dag.py:154.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+# ---------------------------------------------------------------------------
+# Retry policy (A8)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Reference defaults: 1 retry / 5 min (update_tr_from_ex_dag.py:72-76);
+    azure task: 3 retries, exponential 3min -> cap 10min
+    (hello_function_dag.py:30-33)."""
+
+    retries: int = 0
+    retry_delay_s: float = 300.0
+    exponential_backoff: bool = False
+    max_retry_delay_s: float | None = None
+
+    def delays(self) -> list[float]:
+        out = []
+        for attempt in range(self.retries):
+            d = self.retry_delay_s * (2**attempt if self.exponential_backoff else 1)
+            if self.max_retry_delay_s is not None:
+                d = min(d, self.max_retry_delay_s)
+            out.append(d)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Connections (A12)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Connection:
+    """Named credentialed endpoint (reference: github_api_conn etc.,
+    update_tr_from_ex_dag.py:47-51).  ``repr`` hides the secret."""
+
+    conn_id: str
+    base_url: str = ""
+    login: str = ""
+    password: str = ""
+
+    def __repr__(self) -> str:  # never leak secrets into logs
+        return f"Connection(conn_id={self.conn_id!r}, base_url={self.base_url!r})"
+
+
+class Connections:
+    def __init__(self) -> None:
+        self._store: dict[str, Connection] = {}
+
+    def register(self, conn: Connection) -> None:
+        self._store[conn.conn_id] = conn
+
+    def get(self, conn_id: str) -> Connection:
+        if conn_id not in self._store:
+            raise KeyError(f"unknown connection {conn_id!r}")
+        return self._store[conn_id]
+
+
+# ---------------------------------------------------------------------------
+# Stages (A2/A3/A4/A6) & trigger rules (A9)
+# ---------------------------------------------------------------------------
+
+TRIGGER_RULES = ("all_success", "one_failed", "all_failed", "all_done")
+
+
+class Stage:
+    """A node in the pipeline DAG.  ``fn(ctx)`` receives a StageContext
+    and may return anything; DataFrame returns are the idiomatic
+    "XCom" (A7) — a scalar XCom is just its 1x1 degenerate case."""
+
+    def __init__(
+        self,
+        task_id: str,
+        fn: Callable[["StageContext"], Any],
+        *,
+        retry: RetryPolicy | None = None,
+        trigger_rule: str = "all_success",
+    ) -> None:
+        if trigger_rule not in TRIGGER_RULES:
+            raise ValueError(f"trigger_rule must be one of {TRIGGER_RULES}")
+        self.task_id = task_id
+        self.fn = fn
+        self.retry = retry or RetryPolicy()
+        self.trigger_rule = trigger_rule
+        self.upstream: list[Stage] = []
+        self.downstream: list[Stage] = []
+
+    def __rshift__(self, other: "Stage | list[Stage]") -> "Stage | list[Stage]":
+        targets = other if isinstance(other, list) else [other]
+        for t in targets:
+            self.downstream.append(t)
+            t.upstream.append(self)
+        return other
+
+    def __lshift__(self, other: "Stage | list[Stage]") -> "Stage | list[Stage]":
+        sources = other if isinstance(other, list) else [other]
+        for s in sources:
+            s >> self
+        return other
+
+    def __repr__(self) -> str:
+        return f"Stage({self.task_id!r})"
+
+
+@dataclass
+class StageContext:
+    """What a stage sees at execute time: the session, upstream results
+    keyed by task_id (A7), connections, and the pipeline params."""
+
+    spark: SparkSession
+    results: Mapping[str, Any]
+    connections: Connections
+    params: Mapping[str, Any]
+
+    def xcom_pull(self, task_id: str) -> Any:
+        """Airflow-parity accessor (reference: ti.xcom_pull,
+        update_tr_from_ex_dag.py:121)."""
+        return self.results[task_id]
+
+
+def http_stage(
+    task_id: str,
+    *,
+    conn_id: str,
+    endpoint: Callable[[StageContext], str] | str,
+    method: str = "POST",
+    body: Callable[[StageContext], str] | str | None = None,
+    transport: Callable[[str, str, str, Connection], Any],
+    retry: RetryPolicy | None = None,
+    trigger_rule: str = "all_success",
+) -> Stage:
+    """A3: HTTP task with late-bound endpoint/body templating — the
+    engine's f-string analogue of Jinja `{{ ti.xcom_pull(...) }}`
+    (update_tr_from_ex_dag.py:121).  ``transport(method, url, body,
+    conn)`` is injected so tests run offline."""
+
+    def fn(ctx: StageContext) -> Any:
+        conn = ctx.connections.get(conn_id)
+        ep = endpoint(ctx) if callable(endpoint) else endpoint
+        bd = body(ctx) if callable(body) else body
+        return transport(method, conn.base_url + ep, bd or "", conn)
+
+    return Stage(task_id, fn, retry=retry, trigger_rule=trigger_rule)
+
+
+def sensor_stage(
+    task_id: str,
+    *,
+    predicate: Callable[[StageContext], bool],
+    poke_interval_s: float = 60.0,
+    timeout_s: float = 3600.0,
+    retry: RetryPolicy | None = None,
+    trigger_rule: str = "all_success",
+    clock: Callable[[], float] = time.monotonic,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Stage:
+    """A4: poke-mode sensor with the reference's 3-way outcome
+    (update_tr_from_ex_dag.py:18-39): predicate True -> success, False
+    -> keep poking, raise -> immediate failure.  Injectable clock/sleep
+    keep tests instant."""
+
+    def fn(ctx: StageContext) -> int:
+        from artemia_airflow_spark.streaming.sensor import SensorTimeout
+
+        deadline = clock() + timeout_s
+        pokes = 0
+        while clock() < deadline:
+            pokes += 1
+            if predicate(ctx):
+                return pokes
+            sleep(poke_interval_s)
+        raise SensorTimeout(f"{task_id}: not done after {timeout_s}s ({pokes} pokes)")
+
+    return Stage(task_id, fn, retry=retry, trigger_rule=trigger_rule)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline (A1) + runner (A9/A11, replaces scheduler+Celery)
+# ---------------------------------------------------------------------------
+
+class StageFailed(RuntimeError):
+    pass
+
+
+class PipelineTimeout(TimeoutError):
+    pass
+
+
+@dataclass
+class StageResult:
+    state: str  # success | failed | skipped | upstream_failed
+    value: Any = None
+    error: BaseException | None = None
+    attempts: int = 0
+
+
+class Pipeline:
+    """A1: named, schedulable DAG of stages.
+
+    ``run()`` executes one DagRun: topological order, trigger-rule
+    gating, per-stage retries, optional wall-clock budget (A11 —
+    reference dagrun_timeout=2h, hello_function_dag.py:13).  Failure
+    branches (`one_failed`/`all_failed` stages) let a run end
+    "successfully handled" exactly like the reference's notify_failure
+    path (update_tr_from_ex_dag.py:143-152).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        *,
+        schedule: str | None = None,
+        tags: tuple[str, ...] = (),
+        default_retry: RetryPolicy | None = None,
+        run_timeout_s: float | None = None,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> None:
+        self.name = name
+        self.schedule = schedule  # cron string, driven by an external ticker (A10)
+        self.tags = tags
+        self.default_retry = default_retry
+        self.run_timeout_s = run_timeout_s
+        self._sleep = sleep
+        self.stages: dict[str, Stage] = {}
+        self.connections = Connections()
+
+    # -- construction -------------------------------------------------
+    def add(self, stage: Stage) -> Stage:
+        if stage.task_id in self.stages:
+            raise ValueError(f"duplicate task_id {stage.task_id!r}")
+        if self.default_retry is not None and stage.retry == RetryPolicy():
+            stage.retry = self.default_retry
+        self.stages[stage.task_id] = stage
+        return stage
+
+    def stage(
+        self,
+        task_id: str,
+        *,
+        retry: RetryPolicy | None = None,
+        trigger_rule: str = "all_success",
+    ) -> Callable[[Callable[[StageContext], Any]], Stage]:
+        """Decorator sugar: ``@pipe.stage("t")`` over a ctx->Any fn (A6)."""
+
+        def deco(fn: Callable[[StageContext], Any]) -> Stage:
+            return self.add(Stage(task_id, fn, retry=retry, trigger_rule=trigger_rule))
+
+        return deco
+
+    # -- execution ----------------------------------------------------
+    def _toposort(self) -> list[Stage]:
+        order: list[Stage] = []
+        seen: dict[str, int] = {}  # 0=visiting, 1=done
+
+        def visit(s: Stage) -> None:
+            mark = seen.get(s.task_id)
+            if mark == 0:
+                raise ValueError(f"cycle detected at {s.task_id!r}")
+            if mark == 1:
+                return
+            seen[s.task_id] = 0
+            for up in s.upstream:
+                visit(up)
+            seen[s.task_id] = 1
+            order.append(s)
+
+        for s in self.stages.values():
+            visit(s)
+        return order
+
+    def _should_run(self, stage: Stage, results: dict[str, StageResult]) -> bool:
+        ups = [results[u.task_id] for u in stage.upstream]
+        if not ups:
+            return True
+        n_failed = sum(1 for r in ups if r.state in ("failed", "upstream_failed"))
+        n_success = sum(1 for r in ups if r.state == "success")
+        rule = stage.trigger_rule
+        if rule == "all_success":
+            return n_failed == 0 and n_success == len(ups)
+        if rule == "one_failed":
+            return n_failed >= 1
+        if rule == "all_failed":
+            return n_failed == len(ups)
+        return True  # all_done
+
+    def _run_stage(self, stage: Stage, ctx: StageContext) -> StageResult:
+        delays = [0.0, *stage.retry.delays()]
+        last: BaseException | None = None
+        for attempt, delay in enumerate(delays, start=1):
+            if delay:
+                self._sleep(delay)
+            try:
+                return StageResult("success", value=stage.fn(ctx), attempts=attempt)
+            except Exception as exc:  # noqa: BLE001 — retry boundary
+                last = exc
+        return StageResult("failed", error=last, attempts=len(delays))
+
+    def run(
+        self,
+        spark: SparkSession,
+        params: Mapping[str, Any] | None = None,
+        *,
+        raise_on_failure: bool = True,
+    ) -> dict[str, StageResult]:
+        """Execute one DagRun; returns per-stage results.
+
+        Ready stages at the same depth execute concurrently (driver
+        threads -> overlapping Spark jobs), matching the reference's
+        parallel fan-out semantics (A2 list RHS).
+        """
+        start = time.monotonic()
+        order = self._toposort()
+        results: dict[str, StageResult] = {}
+        values: dict[str, Any] = {}
+        pending = list(order)
+        lock = threading.Lock()
+
+        while pending:
+            if self.run_timeout_s is not None and time.monotonic() - start > self.run_timeout_s:
+                raise PipelineTimeout(f"pipeline {self.name!r} exceeded {self.run_timeout_s}s")
+            ready = [
+                s for s in pending if all(u.task_id in results for u in s.upstream)
+            ]
+            if not ready:
+                raise RuntimeError("deadlock: no ready stages (bug in toposort?)")
+
+            def execute(s: Stage) -> None:
+                if not self._should_run(s, results):
+                    ups = [results[u.task_id] for u in s.upstream]
+                    state = (
+                        "upstream_failed"
+                        if any(r.state in ("failed", "upstream_failed") for r in ups)
+                        and s.trigger_rule == "all_success"
+                        else "skipped"
+                    )
+                    with lock:
+                        results[s.task_id] = StageResult(state)
+                    return
+                ctx = StageContext(spark, dict(values), self.connections, dict(params or {}))
+                res = self._run_stage(s, ctx)
+                with lock:
+                    results[s.task_id] = res
+                    if res.state == "success":
+                        values[s.task_id] = res.value
+
+            if len(ready) == 1:
+                execute(ready[0])
+            else:
+                threads = [threading.Thread(target=execute, args=(s,)) for s in ready]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+            pending = [s for s in pending if s.task_id not in results]
+
+        if raise_on_failure:
+            hard_failures = [
+                t
+                for t, r in results.items()
+                if r.state == "failed"
+                and not any(
+                    d.trigger_rule in ("one_failed", "all_failed")
+                    and results.get(d.task_id, StageResult("missing")).state == "success"
+                    for d in self.stages[t].downstream
+                )
+            ]
+            if hard_failures:
+                first = hard_failures[0]
+                raise StageFailed(f"stage {first!r} failed") from results[first].error
+        return results

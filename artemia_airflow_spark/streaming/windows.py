@@ -1,0 +1,157 @@
+"""Streaming operators over the `events` table (B45-B49).
+
+`F.window` / `F.session_window` / `dropDuplicates` behave identically
+on static DataFrames and streams, so each operator ships two faces:
+
+- a batch-mode declared query (oracle-checkable where DuckDB can
+  reproduce the bucketing deterministically), and
+- a true Structured Streaming runner (``stream_*`` functions) used by
+  tests/ to replay `events` through readStream with watermarks.
+
+Scale notes: windowed aggregation state is keyed by (key, window) and
+bounded by the watermark; `availableNow` triggers make replay runs
+batch-shaped.  At 100 TB the file source is swapped for Kafka with the
+same transformation graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.functions.core import DEC, dec_sum
+from artemia_airflow_spark.plans.registry import declared
+from artemia_airflow_spark.session import ensure_engine_conf
+
+
+# --------------------------------------------------------------------------
+# Transformation graphs (shared batch/stream)
+# --------------------------------------------------------------------------
+
+def tumbling_counts(events: DataFrame, *, width: str = "1 hour") -> DataFrame:
+    """B47: tumbling event-time window — count + exact value sum."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, *, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """B47: sliding window variant (each event lands in width/slide buckets)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("long").alias("bucket_start"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """B48: gap-based session windows per user."""
+    return (
+        events.groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# True streaming faces (used by tests/test_streaming.py)
+# --------------------------------------------------------------------------
+
+def stream_events(spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int = 1) -> DataFrame:
+    """B45: replay the events parquet as a file-source stream."""
+    schema = scan(spark, sf_dir, "events").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str, *, watermark: str = "10 minutes") -> DataFrame:
+    """B46+B47: watermarked streaming tumbling aggregation.  Watermark
+    bounds state: windows older than max(event time) - watermark are
+    finalized and evicted."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    return tumbling_counts(ev)
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str, *, watermark: str = "10 minutes") -> DataFrame:
+    """B49: stateful streaming dedup on event_id within the watermark
+    horizon (exactly-once per id under replay)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    return ev.dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_s: int = 120) -> DataFrame:
+    """Drive a streaming query with Trigger.AvailableNow into an
+    in-memory sink and return the materialized result (test harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(name)
+
+
+# --------------------------------------------------------------------------
+# Declared queries (batch faces)
+# --------------------------------------------------------------------------
+
+@declared(
+    "q_stream_tumble",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumble(spark, sf_dir):
+    """B47 in batch mode — identical code path (`F.window`) as the
+    streaming face; epoch-aligned 1h tumbling == date_trunc('hour')."""
+    ensure_engine_conf(spark)
+    return tumbling_counts(scan(spark, sf_dir, "events"))
+
+
+@declared("q_stream_slide")
+def q_stream_slide(spark, sf_dir):
+    """B47 sliding variant (rows-only: DuckDB has no multi-assignment
+    window unnest equivalent worth hand-rolling)."""
+    ensure_engine_conf(spark)
+    return sliding_counts(scan(spark, sf_dir, "events"))
+
+
+@declared("q_stream_session")
+def q_stream_session(spark, sf_dir):
+    """B48 in batch mode (rows-only: session boundary semantics vs a
+    DuckDB gaps-and-islands reconstruction differ on inclusivity —
+    hazard H6; equivalence is asserted in tests instead)."""
+    ensure_engine_conf(spark)
+    return session_counts(scan(spark, sf_dir, "events"))
+
+
+@declared("q_stream_dedup")
+def q_stream_dedup(spark, sf_dir):
+    """B49 batch face: event_id dedup then per-type counts."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events").dropDuplicates(["event_id"])
+    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

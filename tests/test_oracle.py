@@ -1,0 +1,83 @@
+"""Differential correctness: every oracle-declared query must match
+DuckDB exactly (row count, schema arity, and order-insensitive values)
+at sf0.01 — a strictly stronger local replica of the driver's t2 gate,
+using exact value comparison instead of a hash.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def _normalize(rows, colnames):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    idx = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def canon(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("f", "nan")
+            return ("f", repr(v))  # repr = exact double round-trip
+        if hasattr(v, "isoformat"):
+            return ("t", v.isoformat())
+        if isinstance(v, (list, tuple)):
+            return ("l", tuple(canon(x) for x in v))
+        return (type(v).__name__[0], v)
+
+    return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+
+
+def _all_oracle_cases():
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    return sorted(o), q, o
+
+
+NAMES, _QUERIES, _ORACLE = _all_oracle_cases()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_match(spark, duck, name):
+    sdf = _QUERIES[name](spark, SF_ORACLE)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(_ORACLE[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} (spark) != {len(duck_rows)} (duckdb)"
+    )
+    assert sorted(c.lower() for c in spark_cols) == sorted(c.lower() for c in duck_cols), (
+        f"{name}: columns {spark_cols} != {duck_cols}"
+    )
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: first value mismatch {mismatches[0]}"
+
+
+def test_rows_only_queries_run(spark):
+    """Every declared query without an oracle must still execute and
+    return a stable schema (the driver's weaker rows-only check)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    for name in sorted(set(q) - set(o)):
+        df = q[name](spark, SF_ORACLE)
+        assert df.columns, f"{name}: empty schema"
+        assert df.count() >= 0, f"{name}: count failed"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
