@@ -44,6 +44,22 @@ def ts_second(col: Column | str) -> Column:
     return F.date_trunc("second", c)
 
 
+def spread_for_compute(df, min_partitions: int | None = None):
+    """Round-robin repartition a DataFrame up to the cluster's core
+    count before a CPU-bound (pandas-UDF) stage.
+
+    Small single-file parquet inputs arrive as ONE partition, which
+    serializes an expensive kernel onto one core; the repartition
+    shuffle of the raw rows is cheap relative to the compute.  No-op
+    when the input already has enough partitions (the 100 TB case —
+    real inputs arrive with thousands of splits).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def epoch_seconds(col: Column | str) -> Column:
     """Timestamp → epoch seconds as BIGINT (timezone-independent wire
     format for oracle comparison; avoids tz/precision surface entirely)."""

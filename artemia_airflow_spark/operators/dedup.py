@@ -19,10 +19,14 @@ candidate join linear-ish in corpus size instead of O(n^2).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.functions.core import spread_for_compute
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
 
@@ -54,43 +58,60 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _normalize_py(text: str) -> list[str]:
+    """Python twin of :func:`normalized_text` (lower/trim/collapse) --
+    must stay in lockstep so expression- and UDF-side keys agree."""
+    import re
+
+    return re.sub(r"\s+", " ", (text or "").strip().lower()).split(" ")
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str, *, num_hashes: int = 32, shingle_size: int = 3
+    df: DataFrame, text_col: str, *, num_hashes: int = 64, shingle_size: int = 3
 ) -> DataFrame:
     """Word-shingle MinHash signature per row (adds ``__minhash``:
     array<bigint> of length ``num_hashes``).
 
-    Signature = per-permutation min over shingle hashes, computed with
-    built-in expressions only: shingles via sliding slice, base hash via
-    xxhash64, permutations via (a*h+b) mod p — all inside whole-stage
-    codegen, no Python in the loop.
+    Implemented as an Arrow-batched pandas UDF over numpy, NOT as
+    Catalyst higher-order functions: HOF lambdas (transform/aggregate)
+    evaluate interpreted (outside whole-stage codegen), and the
+    measured cost of the expression formulation was ~50x this one at
+    sf0.1 (260s -> a few s).  The UDF is a pure map stage: Arrow
+    batches in, Arrow batches out, scales with cores.
+
+    signature_i = min over shingles of ((2i+1)*crc32(shingle) +
+    7919*(i+1)) mod (2^31-1) -- crc32 keeps it deterministic across
+    workers (no PYTHONHASHSEED dependence).
     """
-    tokens = F.split(normalized_text(text_col), " ")
-    n_sh = F.greatest(F.size(tokens) - (shingle_size - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i + 1, shingle_size))),
-    )
-    def perm(i: int):
-        # universal-hash permutation i: (a_i * h + b_i) mod p, on the
-        # non-negative projection of xxhash64.  Factory (not a default
-        # arg!) — a 2-arg lambda would make F.transform bind the array
-        # index over `i`.
-        def apply(h):
-            return (
-                F.lit(2 * i + 1) * F.pmod(h, F.lit(_MERSENNE)) + F.lit(7919 * (i + 1))
-            ) % F.lit(_MERSENNE)
+    from pyspark.sql.functions import pandas_udf
 
-        return apply
+    a = (2 * np.arange(num_hashes, dtype="int64") + 1).reshape(-1, 1)
+    b = (7919 * (np.arange(num_hashes, dtype="int64") + 1)).reshape(-1, 1)
 
-    sig = F.array(
-        *[F.array_min(F.transform(shingles, perm(i))) for i in range(num_hashes)]
-    )
-    return df.withColumn("__minhash", sig)
+    @pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts:
+            toks = _normalize_py(t)
+            n = max(len(toks) - (shingle_size - 1), 1)
+            hs = np.fromiter(
+                (
+                    zlib.crc32(" ".join(toks[i : i + shingle_size]).encode("utf-8"))
+                    for i in range(n)
+                ),
+                dtype="int64",
+                count=n,
+            ) % _MERSENNE
+            out.append(((a * hs + b) % _MERSENNE).min(axis=1))
+        return pd.Series(out)
+
+    return spread_for_compute(df).withColumn("__minhash", sig(F.col(text_col)))
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, id_col: str, *, num_hashes: int = 32, bands: int = 8
+    df: DataFrame, id_col: str, *, num_hashes: int = 64, bands: int = 8
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows keyed by
     (band_idx, hash(band slice)); docs sharing any band key are
@@ -117,9 +138,15 @@ def minhash_lsh_candidates(
 
 
 def minhash_dedup(
-    df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 32, bands: int = 8
+    df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 64, bands: int = 8
 ) -> DataFrame:
     """B41: near-dedup — min-id survivor per LSH cluster.
+
+    Default banding 64 hashes / 8 bands (8 rows per band): collision
+    threshold s* = (1/b)^(1/r) ~ 0.77 Jaccard.  Narrower bands (r=4)
+    measured catastrophic false-positive merging on high-base-similarity
+    corpora (small shared vocabulary): 90% of a dup-free corpus got
+    "deduplicated".
 
     Cluster rule (single-link lite): a row is dropped if ANY of its
     band buckets contains a smaller id; the corpus-wide min of each
@@ -130,9 +157,12 @@ def minhash_dedup(
     """
     sigs = minhash_signatures(df, text_col, num_hashes=num_hashes)
     cand = minhash_lsh_candidates(sigs, id_col, num_hashes=num_hashes, bands=bands)
-    min_per_bucket = cand.groupBy("band", "band_hash").agg(F.min(id_col).alias("__bucket_min"))
+    # bucket-min via window (not groupBy + self-join back): the
+    # candidate relation is consumed exactly once, so the signature-UDF
+    # subtree executes once — no cache, no duplicate shuffle.
+    w = Window.partitionBy("band", "band_hash")
     keep = (
-        cand.join(min_per_bucket, ["band", "band_hash"])
+        cand.withColumn("__bucket_min", F.min(id_col).over(w))
         .groupBy(id_col)
         .agg(F.min("__bucket_min").alias("__cluster_min"))
         .filter(F.col(id_col) == F.col("__cluster_min"))
@@ -144,31 +174,44 @@ def minhash_dedup(
 def simhash(df: DataFrame, text_col: str, *, bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprint per row (adds ``__simhash`` bigint).
 
-    Each token votes +1/-1 on each bit of its xxhash64; the sign of the
-    per-bit total is the fingerprint bit.  Pure expression pipeline:
-    explode-free (aggregate over the token array), codegen-friendly.
+    Each token votes +1/-1 on each fingerprint bit of its 64-bit hash;
+    the sign of the per-bit total is the fingerprint bit.  Arrow-batched
+    numpy kernel (same rationale as minhash_signatures: interpreted HOF
+    aggregation measured ~15s at sf0.1, this runs in well under 1s).
+    Token hash = crc32(token) | crc32(token + salt) << 32 --
+    deterministic across workers.
     """
-    tokens = F.split(normalized_text(text_col), " ")
-    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    from pyspark.sql.functions import pandas_udf
 
-    def vote(i: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+    shifts = np.arange(bits, dtype="uint64")
 
-        return merge
+    @pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        import zlib
 
-    bit_votes = [F.aggregate(th, F.lit(0), vote(i)) for i in range(bits)]
-    fp = None
-    for i, v in enumerate(bit_votes):
-        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return df.withColumn("__simhash", fp)
+        out = np.empty(len(texts), dtype="int64")
+        for j, t in enumerate(texts):
+            toks = _normalize_py(t)
+            h = np.fromiter(
+                (
+                    zlib.crc32(tok.encode("utf-8"))
+                    | (zlib.crc32((tok + "#s").encode("utf-8")) << 32)
+                    for tok in toks
+                ),
+                dtype="uint64",
+                count=len(toks),
+            )
+            votes = ((h[:, None] >> shifts) & 1).astype("int32")
+            bitvec = (votes.sum(axis=0) * 2 > len(toks)).astype("uint64")
+            out[j] = (bitvec << shifts).sum().astype("int64").item()
+        return pd.Series(out)
+
+    return spread_for_compute(df).withColumn("__simhash", fp(F.col(text_col)))
 
 
-def simhash_dedup(df: DataFrame, text_col: str, id_col: str, *, prefix_bits: int = 16) -> DataFrame:
+def simhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, *, prefix_bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
     """B41 variant: SimHash near-dedup by 4-band prefix blocking —
     fingerprints within hamming distance <= 3 share at least one intact
     16-bit band (pigeonhole), so banding finds all such pairs without a
@@ -187,40 +230,41 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str, *, prefix_bits: int
             ]
         )
     )
-    cand = fp.select(id_col, bands.alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.band_val").alias("band_val")
+    cand = fp.select(id_col, "__simhash", bands.alias("b")).select(
+        id_col, "__simhash", F.col("b.band").alias("band"), F.col("b.band_val").alias("band_val")
     )
-    min_per_bucket = cand.groupBy("band", "band_val").agg(F.min(id_col).alias("__bucket_min"))
-    keep = (
-        cand.join(min_per_bucket, ["band", "band_val"])
-        .groupBy(id_col)
-        .agg(F.min("__bucket_min").alias("__cluster_min"))
-        .filter(F.col(id_col) == F.col("__cluster_min"))
-        .select(id_col)
+    # Banding only GENERATES candidates (any hamming<=3 pair shares a
+    # band by pigeonhole, but a shared band does NOT imply closeness);
+    # verify real hamming distance before dropping — without this,
+    # high-base-similarity corpora get mass false-positive deletion.
+    w = Window.partitionBy("band", "band_val")
+    bucketed = cand.select(
+        F.col(id_col),
+        "__simhash",
+        F.min(id_col).over(w).alias("__bucket_min"),
+        F.first("__simhash").over(w.orderBy(id_col)).alias("__min_fp"),
+    ).filter(F.col(id_col) > F.col("__bucket_min"))
+    near = bucketed.filter(
+        F.bit_count(F.col("__simhash").bitwiseXOR(F.col("__min_fp"))) <= max_hamming
     )
-    return df.join(keep, id_col, "left_semi")
+    drop = near.select(id_col).distinct()
+    return df.join(drop, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, *, n: int = 3, threshold: float = 0.8,
-    num_hashes: int = 32, bands: int = 8,
+    num_hashes: int = 64, bands: int = 8,
 ) -> DataFrame:
     """B41 verify stage: exact word-``n``-gram Jaccard over LSH candidate
     pairs only.  Returns (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= threshold.
 
     The candidate join is keyed on LSH buckets, so the quadratic blow-up
-    is confined to same-bucket groups (bounded by band width at scale).
+    is confined to same-bucket groups (bounded by band width at scale),
+    and shingle sets are materialized only for docs that appear in some
+    candidate pair (semi-join pre-filter) — at 100 TB the verify stage
+    touches a tiny fraction of the corpus.
     """
-    tokens = F.split(normalized_text(text_col), " ")
-    n_sh = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
-    shingle_set = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-        )
-    )
-    base = df.select(F.col(id_col), shingle_set.alias("__shingles"))
     sigs = minhash_signatures(df, text_col, num_hashes=num_hashes)
     cand = minhash_lsh_candidates(sigs, id_col, num_hashes=num_hashes, bands=bands)
     a = cand.alias("a")
@@ -234,6 +278,28 @@ def ngram_jaccard_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        # consumed 3x below (involved-ids union + both shingle joins);
+        # without a MATERIALIZED cache the whole LSH candidate pipeline
+        # (signature UDF included) re-executes per consumer — lazily
+        # cached subtrees used 3x inside one job still compute ~3x.
+        .cache()
+    )
+    pairs.count()  # eager materialization barrier (pairs is tiny: id pairs only)
+    involved = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    tokens = F.split(normalized_text(text_col), " ")
+    n_sh = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+    shingle_set = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+    base = df.join(involved, id_col, "left_semi").select(
+        F.col(id_col), shingle_set.alias("__shingles")
     )
     sa = base.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("sh_a"))
     sb = base.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("sh_b"))
@@ -299,7 +365,9 @@ def q_dedup_simhash(spark, sf_dir):
 @declared("q_dedup_ngram")
 def q_dedup_ngram(spark, sf_dir):
     """B41 (rows-only): n-gram Jaccard verification pairs over LSH
-    candidates (threshold 0.8)."""
+    candidates (threshold 0.8).  Default banding (64 hashes / 8 bands,
+    8 rows per band) keeps candidate generation near the 0.8 target so
+    the exact-Jaccard verify stage sees few false candidates."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)

@@ -20,6 +20,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -57,23 +60,34 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def srp_bucket(vec_col, planes: list[list[float]]) -> "F.Column":
-    """Signed-random-projection bucket id for one LSH table: bit i =
-    sign(<vec, plane_i>), packed into a long.  Pure expression — the
-    plane matrix rides along as literals in the plan (no UDF)."""
+def srp_buckets(vec_col, *, dim: int, bits: int, tables: int, seed: int) -> "F.Column":
+    """Signed-random-projection bucket ids, all tables at once:
+    returns array<long> of length ``tables``; bit i of table t =
+    sign(<vec, plane_{t,i}>).
+
+    Arrow-batched numpy matmul ((batch x dim) @ (dim x tables*bits)) —
+    one BLAS call per batch instead of tables*bits interpreted
+    expression folds per row; the plane matrix is generated from the
+    seed inside the executor (tiny, deterministic)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_hyperplanes(dim, bits, seed + t) for t in range(tables)], dtype="float64"
+    )  # (tables, bits, dim)
+    proj_mat = planes.reshape(tables * bits, dim).T  # (dim, tables*bits)
+    weights = (1 << np.arange(bits, dtype="int64"))  # bit packing
+
+    @pandas_udf("array<long>")
+    def bucketize(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        signs = (mat @ proj_mat >= 0).astype("int64").reshape(len(vecs), tables, bits)
+        ids = (signs * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(ids))
+
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        proj = F.aggregate(
-            F.zip_with(c, lit_plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket.bitwiseOR(
-            F.shiftleft(F.when(proj >= 0, F.lit(1).cast("long")).otherwise(0), i)
-        )
-    return bucket
+    return bucketize(c)
 
 
 def lsh_topk(
@@ -89,15 +103,15 @@ def lsh_topk(
     candidates.  Expected candidate fraction per table ~ 1/2^bits for
     random data; tables trade recall vs cost.
     """
-    c_keys, p_keys = [], []
-    for t in range(tables):
-        planes = _hyperplanes(dim, bits, seed + t)
-        c_keys.append(F.struct(F.lit(t).alias("tbl"), srp_bucket(vec_col, planes).alias("b")))
-        p_keys.append(
-            F.struct(F.lit(t).alias("tbl"), srp_bucket(probe_vec_col, planes).alias("b"))
-        )
-    ce = corpus.select(id_col, vec_col, F.explode(F.array(*c_keys)).alias("key"))
-    pe = probes.select(probe_id_col, probe_vec_col, F.explode(F.array(*p_keys)).alias("key"))
+    buckets = dict(dim=dim, bits=bits, tables=tables, seed=seed)
+    ce = corpus.select(
+        id_col, vec_col,
+        F.posexplode(srp_buckets(vec_col, **buckets)).alias("tbl", "b"),
+    ).withColumn("key", F.struct("tbl", "b"))
+    pe = probes.select(
+        probe_id_col, probe_vec_col,
+        F.posexplode(srp_buckets(probe_vec_col, **buckets)).alias("tbl", "b"),
+    ).withColumn("key", F.struct("tbl", "b"))
     cand = (
         ce.join(pe, ce.key == pe.key)
         .select(probe_id_col, id_col, vec_col, probe_vec_col)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.functions.core import spread_for_compute
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
 
@@ -91,7 +92,7 @@ def fingerprint(df: DataFrame, text_col: str, *, window: int = 8) -> DataFrame:
         F.sequence(F.lit(0), n - 1),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 4))),
     )
-    return df.withColumn("doc_fingerprint", F.array_min(gram_hashes))
+    return spread_for_compute(df).withColumn("doc_fingerprint", F.array_min(gram_hashes))
 
 
 # --------------------------------------------------------------------------
