@@ -57,12 +57,14 @@ def run_sensor_stream(
         except Exception as exc:  # noqa: BLE001 — 3-way predicate contract
             state["error"] = exc
 
-    ticks = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", max(1.0 / poke_interval_s, 0.001))
-        .load()
+    ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    # poke cadence = micro-batch trigger cadence (rate rowsPerSecond is
+    # integer-only, so sub-1Hz poking is expressed via the trigger)
+    query = (
+        ticks.writeStream.foreachBatch(poke)
+        .trigger(processingTime=f"{max(int(poke_interval_s * 1000), 50)} milliseconds")
+        .start()
     )
-    query = ticks.writeStream.foreachBatch(poke).start()
     try:
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:

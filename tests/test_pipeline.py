@@ -1,0 +1,275 @@
+"""Orchestration-semantics tests (SURVEY.md §5.2 item 3, FIXTURES.md §2):
+behavioral parity with the reference DAGs using a mock HTTP transport —
+no network, no real sleeping.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from artemia_airflow_spark.pipeline import (
+    Pipeline,
+    PipelineTimeout,
+    RetryPolicy,
+    Stage,
+    StageFailed,
+)
+from artemia_airflow_spark.pipelines.reference_dags import (
+    build_azure_pipeline,
+    build_update_pipeline,
+    check_github_action_run_status,
+)
+from artemia_airflow_spark.streaming.sensor import SensorTimeout
+
+
+class FakeTransport:
+    """Scripted HTTP transport; records every call."""
+
+    def __init__(self):
+        self.calls: list[tuple[str, str]] = []
+        self.run_status_sequence: list[dict] = []
+        self.fail_urls: set[str] = set()
+
+    def __call__(self, method, url, body, conn):
+        self.calls.append((method, url))
+        if any(frag in url for frag in self.fail_urls):
+            raise ConnectionError(f"scripted failure for {url}")
+        if url.endswith("/dispatches"):
+            return {"status_code": 204}
+        if "actions/runs?" in url or "actions/runs?" in url:
+            return {"workflow_runs": [{"id": 4242}]}
+        if "/actions/runs/" in url:
+            return self.run_status_sequence.pop(0)
+        return {"ok": True}
+
+
+def no_sleep(_s: float) -> None:
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Sensor predicate: the reference's 3-way truth table
+# (dags/update_tr_from_ex_dag.py:18-39)
+# ---------------------------------------------------------------------------
+
+def test_predicate_completed_success_is_true():
+    assert check_github_action_run_status({"status": "completed", "conclusion": "success"})
+
+
+def test_predicate_in_progress_keeps_polling():
+    assert not check_github_action_run_status({"status": "in_progress"})
+    assert not check_github_action_run_status({})  # missing fields -> keep polling
+
+
+def test_predicate_completed_failure_raises():
+    with pytest.raises(RuntimeError):
+        check_github_action_run_status({"status": "completed", "conclusion": "failure"})
+
+
+# ---------------------------------------------------------------------------
+# Main pipeline end-to-end traces (§3.2)
+# ---------------------------------------------------------------------------
+
+def test_update_pipeline_success_trace():
+    t = FakeTransport()
+    t.run_status_sequence = [
+        {"status": "queued"},
+        {"status": "in_progress"},
+        {"status": "completed", "conclusion": "success"},
+    ]
+    pipe = build_update_pipeline(transport=t, sleep=no_sleep)
+    results = pipe.run(spark=None)
+
+    assert results["trigger_github_action"].state == "success"
+    assert results["get_latest_run_id"].value == 4242  # XCom
+    assert results["wait_for_github_action"].state == "success"
+    assert results["wait_for_github_action"].value == 3  # pokes
+    assert results["notify_success"].state == "success"
+    assert results["notify_failure"].state == "skipped"
+    # XCom run id was interpolated into the poll URL (reference :121)
+    assert any(url.endswith("/actions/runs/4242") for _, url in t.calls)
+    # exactly one notification went out
+    notify_calls = [u for _, u in t.calls if u.endswith("/notify")]
+    assert len(notify_calls) == 1
+
+
+def test_update_pipeline_failure_branch():
+    t = FakeTransport()
+    t.run_status_sequence = [
+        {"status": "in_progress"},
+        {"status": "completed", "conclusion": "failure"},
+    ]
+    pipe = build_update_pipeline(transport=t, sleep=no_sleep)
+    results = pipe.run(spark=None)  # failure is HANDLED by notify_failure
+
+    assert results["wait_for_github_action"].state == "failed"
+    assert results["notify_success"].state == "upstream_failed"
+    assert results["notify_failure"].state == "success"
+
+
+def test_update_pipeline_sensor_timeout():
+    t = FakeTransport()
+    t.run_status_sequence = [{"status": "in_progress"}] * 1000
+    fake_now = {"t": 0.0}
+
+    def clock():
+        return fake_now["t"]
+
+    def tick(s):
+        fake_now["t"] += s
+
+    pipe = build_update_pipeline(
+        transport=t, sleep=tick, clock=clock, poke_interval_s=60, sensor_timeout_s=3600
+    )
+    results = pipe.run(spark=None)
+    res = results["wait_for_github_action"]
+    assert res.state == "failed"
+    assert isinstance(res.error, SensorTimeout)
+    # 3600s budget / 60s poke -> ~60 pokes plus the settle sleep offset
+    assert any(u.endswith("/actions/runs/4242") for _, u in t.calls)
+    assert results["notify_failure"].state == "success"
+
+
+# ---------------------------------------------------------------------------
+# Azure pipeline: retry/backoff schedule (hello_function_dag.py:30-33)
+# ---------------------------------------------------------------------------
+
+def test_azure_pipeline_retry_backoff_schedule():
+    sleeps: list[float] = []
+
+    t = FakeTransport()
+    t.fail_urls = {"/api/hello1"}
+    pipe = build_azure_pipeline(transport=t, sleep=sleeps.append)
+    results = pipe.run(spark=None)
+
+    assert results["call_azure_function"].state == "failed"
+    assert results["call_azure_function"].attempts == 4  # 1 + 3 retries
+    # exponential 180 -> 360 -> 720 capped at 600
+    assert sleeps == [180.0, 360.0, 600.0]
+    assert results["notify_failure"].state == "success"
+    assert results["notify_success"].state == "upstream_failed"
+
+
+def test_azure_pipeline_success_path():
+    t = FakeTransport()
+    pipe = build_azure_pipeline(transport=t, sleep=no_sleep)
+    results = pipe.run(spark=None)
+    assert results["call_azure_function"].state == "success"
+    assert results["notify_success"].state == "success"
+    assert results["notify_failure"].state == "skipped"
+
+
+# ---------------------------------------------------------------------------
+# Trigger-rule truth table (A9)
+# ---------------------------------------------------------------------------
+
+def _two_upstream_pipeline(fail_a: bool, fail_b: bool, rule: str):
+    pipe = Pipeline("truth", sleep=no_sleep)
+
+    def mk(fail):
+        def fn(ctx):
+            if fail:
+                raise ValueError("boom")
+            return "ok"
+
+        return fn
+
+    a = pipe.add(Stage("a", mk(fail_a)))
+    b = pipe.add(Stage("b", mk(fail_b)))
+    c = pipe.add(Stage("c", lambda ctx: "ran", trigger_rule=rule))
+    a >> c
+    b >> c
+    return pipe
+
+
+@pytest.mark.parametrize(
+    "fail_a,fail_b,rule,expected",
+    [
+        (False, False, "all_success", "success"),
+        (True, False, "all_success", "upstream_failed"),
+        (False, False, "one_failed", "skipped"),
+        (True, False, "one_failed", "success"),
+        (True, True, "one_failed", "success"),
+        (True, False, "all_failed", "skipped"),
+        (True, True, "all_failed", "success"),
+        (True, True, "all_done", "success"),
+    ],
+)
+def test_trigger_rule_truth_table(fail_a, fail_b, rule, expected):
+    pipe = _two_upstream_pipeline(fail_a, fail_b, rule)
+    results = pipe.run(spark=None, raise_on_failure=False)
+    assert results["c"].state == expected
+
+
+# ---------------------------------------------------------------------------
+# Core pipeline mechanics
+# ---------------------------------------------------------------------------
+
+def test_xcom_dataframe_handoff(spark):
+    pipe = Pipeline("xcom", sleep=no_sleep)
+
+    @pipe.stage("produce")
+    def produce(ctx):
+        return ctx.spark.range(10)
+
+    @pipe.stage("consume")
+    def consume(ctx):
+        return ctx.xcom_pull("produce").count()
+
+    produce >> consume
+    results = pipe.run(spark)
+    assert results["consume"].value == 10
+
+
+def test_cycle_detection():
+    pipe = Pipeline("cyclic", sleep=no_sleep)
+    a = pipe.add(Stage("a", lambda ctx: 1))
+    b = pipe.add(Stage("b", lambda ctx: 2))
+    a >> b
+    b >> a
+    with pytest.raises(ValueError, match="cycle"):
+        pipe.run(spark=None)
+
+
+def test_run_timeout():
+    pipe = Pipeline("slow", run_timeout_s=0.0, sleep=no_sleep)
+    a = pipe.add(Stage("a", lambda ctx: 1))
+    b = pipe.add(Stage("b", lambda ctx: 2))
+    a >> b
+    with pytest.raises(PipelineTimeout):
+        pipe.run(spark=None)
+
+
+def test_unhandled_failure_raises():
+    pipe = Pipeline("boom", sleep=no_sleep)
+    pipe.add(Stage("a", lambda ctx: 1 / 0))
+    with pytest.raises(StageFailed):
+        pipe.run(spark=None)
+
+
+def test_parallel_fanout_executes_all():
+    pipe = Pipeline("fan", sleep=no_sleep)
+    seen = []
+    root = pipe.add(Stage("root", lambda ctx: seen.append("root")))
+    kids = [pipe.add(Stage(f"k{i}", lambda ctx, i=i: seen.append(i))) for i in range(4)]
+    root >> kids
+    pipe.run(spark=None)
+    assert seen[0] == "root" and sorted(seen[1:]) == [0, 1, 2, 3]
+
+
+def test_default_retry_applies():
+    calls = {"n": 0}
+    pipe = Pipeline("defretry", default_retry=RetryPolicy(retries=2, retry_delay_s=1), sleep=no_sleep)
+
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ValueError("flaky")
+        return "ok"
+
+    pipe.add(Stage("f", flaky))
+    results = pipe.run(spark=None)
+    assert results["f"].state == "success"
+    assert results["f"].attempts == 3

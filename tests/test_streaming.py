@@ -1,0 +1,170 @@
+"""True Structured-Streaming tests (B45-B50): replay the events fixture
+through readStream and assert stream/batch equivalence, watermark
+late-row dropping, stateful dedup, and the sensor-as-stream operator.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.streaming.sensor import (
+    SensorFailed,
+    SensorTimeout,
+    run_sensor_stream,
+)
+from artemia_airflow_spark.streaming.windows import session_counts, tumbling_counts
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def chunked_events_dir(request):
+    """events split into 4 time-ordered parquet chunks so a file-source
+    stream with maxFilesPerTrigger=1 yields multiple micro-batches."""
+    spark = request.getfixturevalue("spark")
+    out = tempfile.mkdtemp(prefix="aas_stream_")
+    ev = scan(spark, SF_SMOKE, "events").orderBy("ts").coalesce(1)
+    rows = ev.count()
+    chunk = rows // 4 + 1
+    pdf = ev.toPandas()
+    for i in range(4):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            spark.createDataFrame(part, schema=ev.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"chunk={i}"))
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _read_chunks(spark, path):
+    schema = scan(spark, SF_SMOKE, "events").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path + "/chunk=*")
+    )
+
+
+def _run_stream(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_stream_tumbling_equals_batch(spark, chunked_events_dir):
+    """B45+B47: streaming tumbling agg over the replay == batch agg over
+    the static table (same transformation graph)."""
+    stream = tumbling_counts(_read_chunks(spark, chunked_events_dir))
+    _run_stream(stream, "t_tumble", "complete")
+    got = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("t_tumble").collect()
+    }
+    want = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_counts(scan(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == want
+
+
+def test_stream_watermark_append_drops_open_windows(spark, chunked_events_dir):
+    """B46: with a watermark in append mode, only windows older than the
+    final watermark are emitted — the tail stays open (bounded state)."""
+    ev = _read_chunks(spark, chunked_events_dir).withWatermark("ts", "10 minutes")
+    agg = tumbling_counts(ev)
+    _run_stream(agg, "t_wm", "append")
+    emitted = spark.table("t_wm")
+    batch = tumbling_counts(scan(spark, SF_SMOKE, "events"))
+    n_emitted, n_batch = emitted.count(), batch.count()
+    assert 0 < n_emitted < n_batch  # closed windows only
+    # every emitted window must match the batch result exactly
+    got = {(r.bucket_start, r.event_type): (r.n_events, r.sum_value) for r in emitted.collect()}
+    want = {(r.bucket_start, r.event_type): (r.n_events, r.sum_value) for r in batch.collect()}
+    assert all(want[k] == v for k, v in got.items())
+
+
+def test_stream_stateful_dedup(spark, chunked_events_dir):
+    """B49: duplicate event_ids across micro-batches are dropped within
+    the watermark horizon."""
+    schema = scan(spark, SF_SMOKE, "events").schema
+    # duplicate chunk 0 as chunk 4 -> same event_ids arrive twice
+    src = tempfile.mkdtemp(prefix="aas_dedup_")
+    try:
+        for i in (0, 1):
+            shutil.copytree(
+                os.path.join(chunked_events_dir, "chunk=0") if i == 0
+                else os.path.join(chunked_events_dir, "chunk=1"),
+                os.path.join(src, f"chunk={i}"),
+            )
+        shutil.copytree(os.path.join(chunked_events_dir, "chunk=0"), os.path.join(src, "chunk=9"))
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/chunk=*")
+            .withWatermark("ts", "2 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        _run_stream(ev, "t_dedup", "append")
+        total = spark.table("t_dedup").count()
+        uniq = spark.table("t_dedup").select("event_id").distinct().count()
+        assert total == uniq  # no id emitted twice despite the replayed chunk
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_session_window_batch_semantics(spark):
+    """B48: session windows merge events with gaps < 30min; sanity-check
+    invariants against a lag-based gap reconstruction."""
+    ev = scan(spark, SF_SMOKE, "events")
+    sessions = session_counts(ev)
+    # per-user session event counts must sum to the user's event count
+    per_user = {
+        r.user_id: r.total
+        for r in sessions.groupBy("user_id").agg(F.sum("n_events").alias("total")).collect()
+    }
+    want = {r.user_id: r.cnt for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert per_user == want
+    # sessions of one user never overlap
+    rows = sessions.orderBy("user_id", "session_start").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_sensor_stream_succeeds_after_pokes(spark):
+    state = {"n": 0}
+
+    def pred():
+        state["n"] += 1
+        return state["n"] >= 3
+
+    pokes = run_sensor_stream(spark, pred, poke_interval_s=0.2, timeout_s=60)
+    assert pokes >= 3
+
+
+def test_sensor_stream_timeout(spark):
+    with pytest.raises(SensorTimeout):
+        run_sensor_stream(spark, lambda: False, poke_interval_s=0.2, timeout_s=2)
+
+
+def test_sensor_stream_predicate_failure(spark):
+    def pred():
+        raise ValueError("hard failure")
+
+    with pytest.raises(SensorFailed):
+        run_sensor_stream(spark, pred, poke_interval_s=0.2, timeout_s=30)
