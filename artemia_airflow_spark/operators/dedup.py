@@ -371,3 +371,73 @@ def q_dedup_ngram(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
+
+def dedup_clusters(
+    df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 64, bands: int = 8,
+    max_iters: int = 5,
+) -> DataFrame:
+    """Full connected components over LSH candidate edges via iterative
+    min-label propagation (alternating large/small-star condensed to
+    plain min-exchange on an edge list).
+
+    Returns (id, cluster_id).  The driver loop runs at most
+    ``max_iters`` rounds and stops early when labels converge; each
+    round is two shuffles over the edge list — the standard
+    no-graph-library CC at scale (edge count is LSH-bounded, not
+    O(n^2)).
+    """
+    sigs = minhash_signatures(df, text_col, num_hashes=num_hashes)
+    cand = minhash_lsh_candidates(sigs, id_col, num_hashes=num_hashes, bands=bands)
+    a, b = cand.alias("a"), cand.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst"))
+        .distinct()
+        .cache()
+    )
+    edges.count()  # materialize once; reused every iteration
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        # propagate: each node takes min(label) over itself + neighbors
+        sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        neighbor_labels = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+@declared("q_dedup_clusters")
+def q_dedup_clusters(spark, sf_dir):
+    """B41 (rows-only): full connected-component cluster ids over LSH
+    edges — cluster size histogram (n_clusters per size)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    clusters = dedup_clusters(d, "text", "doc_id")
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )

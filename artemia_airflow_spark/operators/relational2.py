@@ -1,0 +1,186 @@
+"""Relational surface, second batch: pivot, grouping sets, right join,
+correlated EXISTS, multi-column distinct, range window frames.
+
+Same determinism contract as operators/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.functions.core import DEC, dec_sum
+from artemia_airflow_spark.plans.registry import declared
+from artemia_airflow_spark.session import ensure_engine_conf
+
+
+@declared(
+    "q_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS qty_A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS qty_N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): quantities by return flag.  Explicit value
+    list — at scale never let pivot infer values (that's an extra
+    distinct scan + unbounded column count)."""
+    ensure_engine_conf(spark)
+    li = scan(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+    )
+    return p.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+@declared(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS n,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+           CAST(GROUPING(c_nationkey) AS INT) AS g_nat
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: explicit GROUPING SETS with GROUPING() indicators (SQL
+    surface — identical text parses on both engines)."""
+    ensure_engine_conf(spark)
+    scan(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS n,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+               CAST(GROUPING(c_nationkey) AS INT) AS g_nat
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@declared(
+    "q_join_right",
+    oracle="""
+    SELECT o_orderkey, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey AND o_orderstatus = 'P'
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 (right): join condition includes a non-key predicate, so
+    customers with no 'P' orders null-extend."""
+    ensure_engine_conf(spark)
+    o = scan(spark, sf_dir, "orders")
+    c = scan(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "P")
+    return o.join(c, cond, "right").select("o_orderkey", "c_name")
+
+
+_SUBQ_EXISTS_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+)
+"""
+
+
+@declared("q_subq_exists", oracle=_SUBQ_EXISTS_SQL)
+def q_subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39: correlated EXISTS with an extra predicate — Catalyst
+    decorrelates to a semi-join; same SQL text on both engines."""
+    ensure_engine_conf(spark)
+    scan(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    scan(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SUBQ_EXISTS_SQL)
+
+
+@declared(
+    "q_distinct_cols",
+    oracle="""
+    SELECT DISTINCT lang, source FROM documents
+    """,
+)
+def q_distinct_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: multi-column DISTINCT (dropDuplicates on a projection)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return d.select("lang", "source").dropDuplicates()
+
+
+@declared(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch_days
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_30d
+    FROM (SELECT *, CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS epoch_days FROM orders) t
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: RANGE frame over a numeric day offset — trailing-30-day
+    spend per customer (value-based frame, not row-based; ties in
+    o_orderdate all enter the frame together, so no tiebreak needed
+    for determinism)."""
+    ensure_engine_conf(spark)
+    o = scan(spark, sf_dir, "orders").withColumn(
+        "epoch_days",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).cast(
+            "long"
+        ),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_days")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@declared(
+    "q_fn_string2",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+           CAST(strpos(p_name, ' ') AS INT) AS space_pos,
+           reverse(p_type) AS type_rev
+    FROM part
+    """,
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31 extension: regexp_extract / lpad / instr / reverse."""
+    ensure_engine_conf(spark)
+    p = scan(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.instr("p_name", " ").alias("space_pos"),
+        F.reverse("p_type").alias("type_rev"),
+    )

@@ -199,3 +199,24 @@ def q_embed_stats(spark, sf_dir):
         F.min(e1).alias("min_e1"),
         F.max(e1).alias("max_e1"),
     )
+
+@declared("q_embed_centroid")
+def q_embed_centroid(spark, sf_dir):
+    """Rows-only (float-sum order sensitivity): per-label centroid via
+    posexplode -> (label, dim) mean -> reassembled vector; the classic
+    distributed centroid (shuffle carries (label, dim) partial sums,
+    never whole vectors)."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    per_dim = dims.groupBy("label", "dim").agg(F.avg("v").alias("mean_v"))
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda p: p.mean_v).alias("centroid"),
+        )
+    )

@@ -189,3 +189,40 @@ def q_text_wordpiece(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """TF-IDF per (doc, token) with pure DataFrame ops: explode tokens,
+    per-doc term counts, corpus doc-frequency join, idf = ln((N+1)/(df+1))+1
+    (smoothed).  Two shuffles (doc-term agg + df agg) and a broadcast of
+    the doc-frequency table when it fits — at 100 TB swap the broadcast
+    for a shuffle join on token.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()  # scalar, driver-side (one number, not data)
+    dfreq = toks.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    return tf.join(F.broadcast(dfreq), "token").select(
+        id_col, "token", "tf", (F.col("tf") * idf).alias("tf_idf")
+    )
+
+
+@declared("q_text_tfidf")
+def q_text_tfidf(spark, sf_dir):
+    """B43 (rows-only: ln() differs across libm implementations, so no
+    value oracle): top tf-idf terms aggregated per lang."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    scores = tf_idf(d, "text", "doc_id")
+    return (
+        scores.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.max("tf_idf").alias("max_tfidf"),
+            F.count(F.lit(1)).alias("n_doc_terms"),
+        )
+    )

@@ -44,6 +44,7 @@ def load_all_query_modules() -> None:
     import artemia_airflow_spark.operators.dedup  # noqa: F401
     import artemia_airflow_spark.operators.multimodal  # noqa: F401
     import artemia_airflow_spark.operators.relational  # noqa: F401
+    import artemia_airflow_spark.operators.relational2  # noqa: F401
     import artemia_airflow_spark.operators.similarity  # noqa: F401
     import artemia_airflow_spark.operators.text  # noqa: F401
     import artemia_airflow_spark.sources.files  # noqa: F401

@@ -149,3 +149,26 @@ def q_source_http(spark, sf_dir):
     return df.groupBy("status").agg(
         F.max("id").alias("latest_id"), F.count(F.lit(1)).alias("n")
     )
+
+
+@declared("q_source_http_ds")
+def q_source_http_ds(spark, sf_dir):
+    """B3 (rows-only): same read through the Spark 4 Python DataSource
+    (``format("httpjson")``) — page fetches run executor-side, one
+    input partition per page (sources/http_datasource.py)."""
+    ensure_engine_conf(spark)
+    from artemia_airflow_spark.sources.http_datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("httpjson")
+        .schema("id long, status string, conclusion string")
+        .option("url", "https://api.example.test/runs")
+        .option("pages", "3")
+        .option("records_key", "workflow_runs")
+        .option("transport_module", "artemia_airflow_spark.sources._canned_http")
+        .load()
+    )
+    return df.groupBy("status", "conclusion").agg(
+        F.max("id").alias("latest_id"), F.count(F.lit(1)).alias("n")
+    )
