@@ -184,3 +184,61 @@ def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", " ").alias("space_pos"),
         F.reverse("p_type").alias("type_rev"),
     )
+
+@declared(
+    "q_fn_date2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS weekday_mon0
+    FROM orders
+    """,
+)
+def q_fn_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32 extension: calendar arithmetic — add_months (with end-of-
+    month clamping, same rule both engines), last_day, quarter, and
+    Monday-zero weekday (Spark weekday() == DuckDB isodow()-1; plain
+    dayofweek numbering differs between engines)."""
+    ensure_engine_conf(spark)
+    o = scan(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3m"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekday(F.col("o_orderdate").cast("date")).alias("weekday_mon0"),
+    )
+
+
+@declared(
+    "q_udtf",
+    oracle="""
+    SELECT doc_id, token, CAST(length(token) AS INT) AS token_len
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+    WHERE length(token) >= 8
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B54: real Python UDTF (Spark 3.5+ table function) via LATERAL
+    join — one doc row fans out to one row per long token.  Arrow-
+    optimized UDTF path; the oracle is the unnest formulation."""
+    ensure_engine_conf(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, token_len int")
+    class Tokenize:
+        def eval(self, text: str):
+            for t in (text or "").split(" "):
+                if len(t) >= 8:
+                    yield t, len(t)
+
+    spark.udtf.register("aas_tokenize", Tokenize)
+    scan(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.token_len
+        FROM documents d, LATERAL aas_tokenize(d.text) t
+        """
+    )

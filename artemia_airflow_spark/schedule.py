@@ -1,0 +1,143 @@
+"""Cron scheduling for pipelines (A10).
+
+The reference schedules DAGs with cron strings / aliases and
+``catchup=False`` (dags/update_tr_from_ex_dag.py:82-84,
+dags/hello_function_dag.py:16-18); Airflow's scheduler service
+evaluates them.  Here a dependency-free 5-field cron evaluator plus a
+driver-side ticker loop replace that service — Spark executes the work,
+so the "scheduler" is just next-fire computation + a loop.
+
+Supported field syntax: ``*``, ``N``, ``N-M``, ``*/S``, ``N-M/S``,
+comma lists; aliases ``@daily``/``@hourly``/``@weekly``/``@midnight``.
+Day-of-week: 0=Sunday (cron convention).  catchup=False semantics: the
+ticker always schedules from *now*, never backfills missed windows.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from datetime import datetime, timedelta
+
+ALIASES = {
+    "@daily": "0 0 * * *",
+    "@midnight": "0 0 * * *",
+    "@hourly": "0 * * * *",
+    "@weekly": "0 0 * * 0",
+    "@monthly": "0 0 1 * *",
+    "@yearly": "0 0 1 1 *",
+    "@annually": "0 0 1 1 *",
+}
+
+_FIELD_RANGES = ((0, 59), (0, 23), (1, 31), (1, 12), (0, 6))
+
+
+def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
+    out: set[int] = set()
+    for part in spec.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+            if step <= 0:
+                raise ValueError(f"cron step must be positive: {spec!r}")
+        if part == "*" or part == "":
+            start, end = lo, hi
+        elif "-" in part:
+            a, b = part.split("-", 1)
+            start, end = int(a), int(b)
+        else:
+            start = end = int(part)
+            if "/" in spec and part != "*":
+                end = hi  # "N/S" means start at N, every S
+        if not (lo <= start <= hi and lo <= end <= hi):
+            raise ValueError(f"cron field value out of range [{lo},{hi}]: {spec!r}")
+        out.update(range(start, end + 1, step))
+    return out
+
+
+class Cron:
+    """Parsed 5-field cron expression with next-fire computation."""
+
+    def __init__(self, expr: str) -> None:
+        self.expr = expr
+        expr = ALIASES.get(expr.strip(), expr).strip()
+        fields = expr.split()
+        if len(fields) != 5:
+            raise ValueError(f"cron needs 5 fields (or a known @alias): {self.expr!r}")
+        self.minute, self.hour, self.dom, self.month, self.dow = (
+            _parse_field(f, lo, hi) for f, (lo, hi) in zip(fields, _FIELD_RANGES)
+        )
+        self._dom_restricted = fields[2] != "*"
+        self._dow_restricted = fields[4] != "*"
+
+    def _day_matches(self, dt: datetime) -> bool:
+        dom_ok = dt.day in self.dom
+        dow_ok = (dt.weekday() + 1) % 7 in self.dow  # python Mon=0 -> cron Sun=0
+        if self._dom_restricted and self._dow_restricted:
+            return dom_ok or dow_ok  # standard cron OR rule
+        return dom_ok and dow_ok
+
+    def matches(self, dt: datetime) -> bool:
+        return (
+            dt.minute in self.minute
+            and dt.hour in self.hour
+            and dt.month in self.month
+            and self._day_matches(dt)
+        )
+
+    def next_fire(self, after: datetime) -> datetime:
+        """Smallest minute-aligned time strictly after ``after`` that
+        matches.  Minute-stepped scan bounded to 4 years (cron always
+        fires within that on a valid spec)."""
+        dt = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
+        limit = after + timedelta(days=4 * 366)
+        while dt <= limit:
+            if dt.month not in self.month:
+                # jump to the 1st of the next month (fast-forward)
+                dt = (dt.replace(day=1, hour=0, minute=0) + timedelta(days=32)).replace(day=1)
+                continue
+            if not self._day_matches(dt):
+                dt = dt.replace(hour=0, minute=0) + timedelta(days=1)
+                continue
+            if dt.hour not in self.hour:
+                dt = dt.replace(minute=0) + timedelta(hours=1)
+                continue
+            if dt.minute not in self.minute:
+                dt += timedelta(minutes=1)
+                continue
+            return dt
+        raise ValueError(f"cron {self.expr!r} never fires")
+
+
+def run_scheduler(
+    pipelines: list,
+    spark,
+    *,
+    now: Callable[[], datetime] = datetime.now,
+    sleep: Callable[[float], None] = time.sleep,
+    max_runs: int | None = None,
+    on_run=None,
+) -> int:
+    """Driver-side ticker (replaces the Airflow scheduler service).
+
+    Runs each pipeline at its cron next-fire, always computed from the
+    current time — catchup=False semantics, matching the reference.
+    ``max_runs`` bounds total executions (tests / bounded batch use);
+    None runs forever.  Returns the number of runs executed.
+    """
+    crons = {p.name: Cron(p.schedule) for p in pipelines if p.schedule}
+    nxt = {name: crons[name].next_fire(now()) for name in crons}
+    executed = 0
+    while nxt and (max_runs is None or executed < max_runs):
+        name, when = min(nxt.items(), key=lambda kv: (kv[1], kv[0]))  # name tiebreak: deterministic
+        delay = (when - now()).total_seconds()
+        if delay > 0:
+            sleep(delay)
+        pipe = next(p for p in pipelines if p.name == name)
+        result = pipe.run(spark)
+        executed += 1
+        if on_run is not None:
+            on_run(name, when, result)
+        nxt[name] = crons[name].next_fire(max(when, now()))
+    return executed

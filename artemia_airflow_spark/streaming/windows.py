@@ -132,21 +132,55 @@ def q_stream_tumble(spark, sf_dir):
     return tumbling_counts(scan(spark, sf_dir, "events"))
 
 
-@declared("q_stream_slide")
+@declared(
+    "q_stream_slide",
+    oracle="""
+    SELECT bucket_start, COUNT(*) AS n_events FROM (
+      SELECT CAST(FLOOR(epoch(ts) / 900) * 900 - 900 * k AS BIGINT) AS bucket_start
+      FROM events CROSS JOIN range(4) t(k)
+    ) GROUP BY bucket_start
+    """,
+)
 def q_stream_slide(spark, sf_dir):
-    """B47 sliding variant (rows-only: DuckDB has no multi-assignment
-    window unnest equivalent worth hand-rolling)."""
+    """B47 sliding variant (1h window / 15min slide).  Oracle expands
+    each event into its 4 containing epoch-aligned window starts —
+    exactly Spark's assignment rule (start = floor(t/slide)*slide - k*slide)."""
     ensure_engine_conf(spark)
     return sliding_counts(scan(spark, sf_dir, "events"))
 
 
-@declared("q_stream_session")
+@declared(
+    "q_stream_session",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS tsec, value FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN lag(tsec) OVER w IS NULL
+                       OR tsec >= lag(tsec) OVER w + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec)
+    ), sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsec
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT CAST(epoch(MIN(tsec)) AS BIGINT) AS session_start,
+           CAST(epoch(MAX(tsec)) + 1800 AS BIGINT) AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
 def q_stream_session(spark, sf_dir):
-    """B48 in batch mode (rows-only: session boundary semantics vs a
-    DuckDB gaps-and-islands reconstruction differ on inclusivity —
-    hazard H6; equivalence is asserted in tests instead)."""
+    """B48 in batch mode, ORACLE-CHECKED (hazard H6 resolved): both
+    engines session-ize on second-truncated event time, so the Spark
+    merge rule (merge iff next < last + gap) and the oracle's
+    gaps-and-islands reconstruction (new session iff diff >= gap) are
+    exactly complementary."""
     ensure_engine_conf(spark)
-    return session_counts(scan(spark, sf_dir, "events"))
+    ev = scan(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", "ts"))
+    return session_counts(ev)
 
 
 @declared("q_stream_dedup")

@@ -15,8 +15,11 @@ SF_ORACLE = os.environ.get("AAS_TEST_SF_DIR", "/root/testdata/sf0.01")
 def spark():
     from artemia_airflow_spark.session import build_session
 
+    import tempfile
+
     s = build_session("aas-tests", master="local[8]", extra_conf={
         "spark.sql.shuffle.partitions": "8",
+        "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="aas_warehouse_"),
     })
     yield s
     s.stop()

@@ -1,0 +1,84 @@
+"""Cron evaluator + scheduler ticker tests (A10)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from artemia_airflow_spark.pipeline import Pipeline, Stage
+from artemia_airflow_spark.schedule import Cron, run_scheduler
+
+
+@pytest.mark.parametrize(
+    "expr,after,want",
+    [
+        # the reference's main schedule: daily at midnight (:82)
+        ("0 0 * * *", datetime(2026, 8, 13, 10, 30), datetime(2026, 8, 14, 0, 0)),
+        ("@daily", datetime(2026, 8, 13, 0, 0), datetime(2026, 8, 14, 0, 0)),
+        ("*/15 * * * *", datetime(2026, 8, 13, 10, 7), datetime(2026, 8, 13, 10, 15)),
+        ("30 9 * * *", datetime(2026, 8, 13, 9, 31), datetime(2026, 8, 14, 9, 30)),
+        ("0 12 1 * *", datetime(2026, 8, 13, 0, 0), datetime(2026, 9, 1, 12, 0)),
+        # day-of-week: 2026-08-13 is a Thursday; next Sunday is 08-16
+        ("0 0 * * 0", datetime(2026, 8, 13, 5, 0), datetime(2026, 8, 16, 0, 0)),
+        ("5,35 * * * *", datetime(2026, 8, 13, 10, 6), datetime(2026, 8, 13, 10, 35)),
+        ("0 9-17 * * *", datetime(2026, 8, 13, 17, 30), datetime(2026, 8, 14, 9, 0)),
+        # Feb 30 never exists -> clamps forward to next valid month day
+        ("0 0 30 2 *", datetime(2026, 1, 1, 0, 0), None),
+    ],
+)
+def test_cron_next_fire(expr, after, want):
+    c = Cron(expr)
+    if want is None:
+        with pytest.raises(ValueError):
+            c.next_fire(after)
+    else:
+        assert c.next_fire(after) == want
+
+
+def test_cron_rejects_garbage():
+    with pytest.raises(ValueError):
+        Cron("not a cron")
+    with pytest.raises(ValueError):
+        Cron("61 * * * *")
+    with pytest.raises(ValueError):
+        Cron("*/0 * * * *")
+
+
+def test_cron_matches_minute_grid():
+    c = Cron("*/20 6 * * *")
+    assert c.matches(datetime(2026, 8, 13, 6, 0))
+    assert c.matches(datetime(2026, 8, 13, 6, 40))
+    assert not c.matches(datetime(2026, 8, 13, 6, 10))
+    assert not c.matches(datetime(2026, 8, 13, 7, 0))
+
+
+def test_scheduler_ticker_runs_pipelines_in_fire_order():
+    """Simulated clock: two pipelines on different cadences; the ticker
+    must interleave them by next-fire time with catchup=False."""
+    fake = {"now": datetime(2026, 8, 13, 0, 0, 30)}
+    ran = []
+
+    def now():
+        return fake["now"]
+
+    def sleep(s):
+        from datetime import timedelta
+
+        fake["now"] += timedelta(seconds=s)
+
+    fast = Pipeline("fast", schedule="*/10 * * * *", sleep=sleep)
+    fast.add(Stage("t", lambda ctx: "fast"))
+    slow = Pipeline("slow", schedule="0 * * * *", sleep=sleep)
+    slow.add(Stage("t", lambda ctx: "slow"))
+
+    n = run_scheduler(
+        [fast, slow], spark=None, now=now, sleep=sleep, max_runs=8,
+        on_run=lambda name, when, res: ran.append((name, when.strftime("%H:%M"))),
+    )
+    assert n == 8
+    assert ran == [
+        ("fast", "00:10"), ("fast", "00:20"), ("fast", "00:30"),
+        ("fast", "00:40"), ("fast", "00:50"),
+        ("fast", "01:00"), ("slow", "01:00"), ("fast", "01:10"),
+    ]
