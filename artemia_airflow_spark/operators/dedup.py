@@ -402,6 +402,7 @@ def dedup_clusters(
     )
     edges.count()  # materialize once; reused every iteration
     labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iters):
         # propagate: each node takes min(label) over itself + neighbors
         sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -414,6 +415,10 @@ def dedup_clusters(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
+        # truncate lineage each round: without this the label DAG
+        # doubles per iteration and the convergence check re-executes
+        # the full history (measured 12s -> ~4s at sf0.1)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -21,6 +21,7 @@ def asof_join(
     right_time: str,
     tiebreak: str,
     how: str = "inner",
+    left_id: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the same
     key and the greatest ``right_time <= left_time`` (ties broken by the
@@ -40,7 +41,10 @@ def asof_join(
     """
     cond = (left[left_on] == right[right_on]) & (right[right_time] <= left[left_time])
     joined = left.join(right, cond, how)
-    w = Window.partitionBy(*left.columns).orderBy(
+    # Window key: a unique left id if the caller has one (narrow shuffle
+    # key), else all left columns (correct but wider exchange).
+    part_cols = [left_id] if left_id else list(left.columns)
+    w = Window.partitionBy(*part_cols).orderBy(
         F.col(right_time).desc(), F.col(tiebreak).desc()
     )
     return (

@@ -314,7 +314,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, o,
         left_on="user_id", right_on="o_custkey",
         left_time="ts_sec", right_time="o_orderdate",
-        tiebreak="o_orderkey",
+        tiebreak="o_orderkey", left_id="event_id",
     )
     return joined.select(
         "event_id", "user_id", "o_orderkey",

@@ -88,6 +88,28 @@ class Connections:
             raise KeyError(f"unknown connection {conn_id!r}")
         return self._store[conn_id]
 
+    @classmethod
+    def from_spark_conf(cls, spark, prefix: str = "engine.conn.") -> "Connections":
+        """A12: resolve connections from the Spark conf namespace
+        ``engine.conn.<name>.{base_url,login,password}`` — the engine's
+        analogue of the reference's secrets-backed connection store
+        (dags/update_tr_from_ex_dag.py:47-51); values never logged."""
+        out = cls()
+        try:
+            entries = spark.sparkContext.getConf().getAll()
+        except Exception:
+            entries = []
+        by_name: dict[str, dict] = {}
+        for k, v in entries:
+            if k.startswith("spark." + prefix) or k.startswith(prefix):
+                rest = k.split(prefix, 1)[1]
+                name, _, field = rest.partition(".")
+                if field in ("base_url", "login", "password"):
+                    by_name.setdefault(name, {})[field] = v
+        for name, fields in by_name.items():
+            out.register(Connection(conn_id=name, **fields))
+        return out
+
 
 # ---------------------------------------------------------------------------
 # Stages (A2/A3/A4/A6) & trigger rules (A9)

@@ -47,6 +47,7 @@ def load_all_query_modules() -> None:
     import artemia_airflow_spark.operators.relational2  # noqa: F401
     import artemia_airflow_spark.operators.similarity  # noqa: F401
     import artemia_airflow_spark.operators.text  # noqa: F401
+    import artemia_airflow_spark.pipelines.analytics_demo  # noqa: F401
     import artemia_airflow_spark.sources.files  # noqa: F401
     import artemia_airflow_spark.sources.http  # noqa: F401
     import artemia_airflow_spark.streaming.windows  # noqa: F401

@@ -33,7 +33,10 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Small dims (region/nation/supplier/part at test SF) broadcast.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local mode = driver and executors share one JVM; a long session
+    # running the whole declared-query suite degrades under GC pressure
+    # at 8g (measured: late queries 5-10x slower), so default higher.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.ui.enabled": "false",
 }
 

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): the determinism contracts that
+the oracle suite relies on, checked on adversarial random data rather
+than the fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.functions.core import dec_sum
+
+money = st.decimals(
+    min_value=-10**9, max_value=10**9, places=2, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(money, min_size=1, max_size=60), st.integers(min_value=1, max_value=7))
+def test_dec_sum_is_partitioning_invariant(spark, values, nparts):
+    """dec_sum must give the bit-identical double for ANY partitioning —
+    the property that makes distributed money aggregation reproducible
+    (plain float sum fails this)."""
+    doubles = [float(v) for v in values]
+    df1 = spark.createDataFrame([(x,) for x in doubles], "v double").coalesce(1)
+    dfn = spark.createDataFrame([(x,) for x in doubles], "v double").repartition(nparts)
+    a = df1.agg(dec_sum("v").alias("s")).collect()[0].s
+    b = dfn.agg(dec_sum("v").alias("s")).collect()[0].s
+    assert a == b  # bit-exact, not approx
+    want = float(sum(values))  # exact decimal sum in Python
+    assert math.isclose(a, want, rel_tol=1e-12)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=100), # left time
+        ),
+        min_size=1, max_size=20,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=100), # right time
+        ),
+        min_size=1, max_size=20,
+    ),
+)
+def test_asof_join_matches_python_reference(spark, left_rows, right_rows):
+    """asof_join == the obvious per-row Python maximization: for each
+    left row, the right row with same key, max time <= left time,
+    ties -> max unique id."""
+    from artemia_airflow_spark.operators.joins import asof_join
+
+    left = [(i, k, t) for i, (k, t) in enumerate(left_rows)]
+    right = [(j, k, t) for j, (k, t) in enumerate(right_rows)]
+    ldf = spark.createDataFrame(left, "lid long, k long, lt long")
+    rdf = spark.createDataFrame(right, "rid long, rk long, rt long")
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            ldf, rdf,
+            left_on="k", right_on="rk", left_time="lt", right_time="rt",
+            tiebreak="rid", left_id="lid",
+        ).collect()
+    }
+    want = {}
+    for lid, k, lt in left:
+        cands = [(rt, rid) for rid, rk, rt in right if rk == k and rt <= lt]
+        if cands:
+            want[lid] = max(cands)[1]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=15))
+def test_exact_dedup_keeps_one_per_normalized_text(spark, texts):
+    """exact_dedup keeps exactly the min-id row per normalized text,
+    including on whitespace-degenerate inputs."""
+    import re
+
+    from artemia_airflow_spark.operators.dedup import exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in exact_dedup(df, "text", "doc_id").collect())
+    norm = lambda t: re.sub(r"\s+", " ", t.strip().lower())  # noqa: E731
+    want_keys = {}
+    for i, t in rows:
+        want_keys.setdefault(norm(t), i)  # first occurrence = min id
+    assert kept == sorted(want_keys.values())
