@@ -133,3 +133,79 @@ def q_multimodal(spark, sf_dir):
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+RESIZED_SCHEMA = "doc_id long, media_type string, width int, height int, payload binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_checksum bigint"
+
+
+def resize_media(df: DataFrame, *, max_side: int = 256) -> DataFrame:
+    """Resize stage (STUB kernel, real Spark plumbing): recompute
+    dimensions clamped to ``max_side`` keeping aspect ratio; payload
+    passed through opaque.  A real deployment swaps the dimension
+    arithmetic for PIL/ffmpeg inside the same mapInPandas contract."""
+
+    def run(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            scale = (max_side / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": (pdf["width"] * scale).astype("int32").clip(lower=1),
+                    "height": (pdf["height"] * scale).astype("int32").clip(lower=1),
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stage (STUB kernel): emit up to ``max_frames``
+    "frames" per video payload — deterministic byte-window checksums
+    standing in for decoded frames.  One row in -> many rows out, the
+    UDTF shape for video at scale (frames explode row counts; keep the
+    stage AFTER filters so only surviving videos decode)."""
+    import zlib
+
+    def run(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(min(max_frames, max(len(data) // every_n_bytes, 1))):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_checksum"].append(
+                        zlib.crc32(data[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAMES_SCHEMA)
+
+
+@declared("q_multimodal_pipeline")
+def q_multimodal_pipeline(spark, sf_dir):
+    """North-star multimodal (rows-only): the full chain — attach
+    binary payloads -> decode (stub) -> resize -> frame-sample videos
+    only -> per-type frame stats.  Every hop is Arrow-batched; filters
+    run before the expensive stages."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    media = attach_fake_media(d, "doc_id", "text")
+    decoded = decode_media(media)
+    enriched = decoded.join(media.select("doc_id", "payload"), "doc_id")
+    resized = resize_media(enriched)
+    videos = resized.filter(F.col("media_type") == "video/mp4")
+    frames = sample_frames(videos)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("frame_checksum").alias("n_distinct_frames"),
+    ).groupBy("n_frames").agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum("n_distinct_frames").alias("total_distinct"),
+    )

@@ -220,3 +220,75 @@ def q_embed_centroid(spark, sf_dir):
             F.transform(F.col("pairs"), lambda p: p.mean_v).alias("centroid"),
         )
     )
+
+def ivf_topk(
+    corpus: DataFrame, probes: DataFrame, *, id_col: str, probe_id_col: str,
+    vec_col: str = "embedding", probe_vec_col: str = "probe_vec",
+    k: int = 10, n_cells: int = 16, n_probe_cells: int = 3, seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization —
+    the other classic ANN scale path next to LSH.
+
+    Train a KMeans coarse quantizer (MLlib, distributed), assign every
+    corpus vector to its nearest centroid (the "cell"), and search each
+    probe only in its ``n_probe_cells`` nearest cells.  The candidate
+    join is an equi-join on the cell id; exact cosine re-ranks.  At
+    100 TB the cell assignment is written once (partitioned/bucketed by
+    cell) and amortized across queries — each query touches
+    n_probe_cells/n_cells of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_v = corpus.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select(id_col, vec_col, "__cell")
+
+    # probe -> its n_probe_cells nearest centroids (centroid list is
+    # tiny: compute distances as a literal-array expression per cell)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def dist2(cell_idx: int):
+        lit = F.array(*[F.lit(x) for x in centers[cell_idx]])
+        return F.aggregate(
+            F.zip_with(F.col(probe_vec_col).cast("array<double>"), lit,
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    cells_ranked = F.array_sort(
+        F.array(*[F.struct(dist2(i).alias("d"), F.lit(i).alias("cell"))
+                  for i in range(len(centers))])
+    )
+    probe_cells = probes.select(
+        probe_id_col, probe_vec_col,
+        F.explode(
+            F.transform(F.slice(cells_ranked, 1, n_probe_cells), lambda s: s.cell)
+        ).alias("__cell"),
+    )
+    cand = assigned.join(probe_cells, "__cell")
+    sim = cosine_similarity(vec_col, probe_vec_col)
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        cand.select(F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@declared("q_sim_ivf")
+def q_sim_ivf(spark, sf_dir):
+    """B42 (rows-only): IVF coarse-quantized ANN for 5 probes — cell
+    assignment via distributed KMeans, probes search their 3 nearest of
+    16 cells."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec"))
+    )
+    return ivf_topk(
+        emb.filter(F.col("vec_id") >= 5), probes,
+        id_col="vec_id", probe_id_col="probe_id", k=10,
+    )

@@ -226,3 +226,27 @@ def q_text_tfidf(spark, sf_dir):
             F.count(F.lit(1)).alias("n_doc_terms"),
         )
     )
+
+@declared("q_text_quality_full")
+def q_text_quality_full(spark, sf_dir):
+    """North-star quality scoring (rows-only: stopword/alpha ratios are
+    fixture-language-dependent): full cheap-filter feature set per doc,
+    rolled up per source."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    feats = quality_features(d, "text")
+    keep = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("chars_per_token") < 12)
+        & (F.col("alpha_ratio") > 0.5)
+    )
+    return (
+        feats.withColumn("keep", keep.cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("chars_per_token").alias("max_cpt"),
+        )
+    )
