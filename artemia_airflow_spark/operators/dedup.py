@@ -385,6 +385,13 @@ def dedup_clusters(
     round is two shuffles over the edge list — the standard
     no-graph-library CC at scale (edge count is LSH-bounded, not
     O(n^2)).
+
+    Only nodes incident to at least one edge iterate: every isolated
+    node (the overwhelming majority of a deduped corpus) already has
+    its final label, so the per-round shuffles are sized by the
+    near-duplicate subgraph, not the corpus — at 100 TB that is the
+    difference between shuffling a few million edge-nodes and
+    re-shuffling every document five times.
     """
     sigs = minhash_signatures(df, text_col, num_hashes=num_hashes)
     cand = minhash_lsh_candidates(sigs, id_col, num_hashes=num_hashes, bands=bands)
@@ -401,7 +408,12 @@ def dedup_clusters(
         .cache()
     )
     edges.count()  # materialize once; reused every iteration
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    involved = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = involved.select("node", F.col("node").alias("label"))
     labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iters):
         # propagate: each node takes min(label) over itself + neighbors
@@ -430,6 +442,9 @@ def dedup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    # isolated nodes: cluster of one, label = own id — no iteration needed
+    rest = df.select(F.col(id_col).alias("node")).join(involved, "node", "left_anti")
+    labels = labels.unionByName(rest.select("node", F.col("node").alias("label")))
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
@@ -446,3 +461,123 @@ def q_dedup_clusters(spark, sf_dir):
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str = "embedding", *,
+    threshold: float = 0.4, blocking_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
+    with id_a < id_b and round(cosine, 6) >= threshold.
+
+    The per-vector L2 norm is projected ONCE before the self-join, so
+    each candidate pair costs a single 64-element fold (dot product)
+    instead of three; the operation order (dot / (norm_a * norm_b),
+    sequential double accumulation) is kept identical to DuckDB's
+    list_cosine_similarity so the 6-dp rounded value oracle-matches.
+
+    All-pairs is O(n^2) — correct for a blocked partition or a small
+    corpus.  At 100 TB pass ``blocking_col`` (a cheap equality blocking
+    key: language, topic shard) or use ``embedding_neardup_lsh``, which
+    generates candidates from SRP buckets instead.
+    """
+    from artemia_airflow_spark.functions.vectors import dot, l2_norm
+
+    cols = [F.col(id_col), F.col(vec_col).alias("__v"), l2_norm(vec_col).alias("__n")]
+    if blocking_col:
+        cols.append(F.col(blocking_col))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if blocking_col:
+        cond = cond & (F.col(f"a.{blocking_col}") == F.col(f"b.{blocking_col}"))
+    sim = F.round(
+        dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")), 6
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame, id_col: str, vec_col: str = "embedding", *,
+    threshold: float = 0.4, dim: int = 64, bits: int = 6, tables: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale path for embedding near-dup: SRP-LSH bucket blocking.
+
+    Vectors are hashed into 2^bits buckets per table (signed random
+    projections — collision probability rises with cosine), candidate
+    pairs are generated by an equi-join on (table, bucket), and exact
+    cosine re-verifies.  Expected work is O(n * bucket_size) instead of
+    O(n^2): at 1000 executors the bucket join shuffles on a compact
+    (table, bucket) key, never on the vectors' full cross product.
+    """
+    from artemia_airflow_spark.functions.vectors import dot, l2_norm
+    from artemia_airflow_spark.operators.similarity import srp_buckets
+
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v"), l2_norm(vec_col).alias("__n"),
+        F.posexplode(
+            srp_buckets(vec_col, dim=dim, bits=bits, tables=tables, seed=seed)
+        ).alias("__table", "__bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sim = F.round(
+        dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__table") == F.col("b.__table"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        # a pair colliding in several tables must survive exactly once
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+@declared(
+    "q_dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+)
+def q_dedup_embed(spark, sf_dir):
+    """North-star embedding-cosine near-dup (exact tier): all pairs of
+    embeddings with cosine >= 0.4, value-checked against DuckDB
+    list_cosine_similarity at 6 dp."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@declared("q_dedup_embed_lsh")
+def q_dedup_embed_lsh(spark, sf_dir):
+    """North-star embedding-cosine near-dup (scale tier, rows-only:
+    SRP recall is probabilistic): LSH-blocked candidate pairs -> exact
+    cosine verify -> greedy min-id survivor stats per label."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_lsh(emb, "vec_id", "embedding", threshold=0.4)
+    removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    kept = emb.join(removed, "vec_id", "left_anti")
+    return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
