@@ -470,37 +470,64 @@ def embedding_cosine_pairs(
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
     with id_a < id_b and round(cosine, 6) >= threshold.
 
-    The per-vector L2 norm is projected ONCE before the self-join, so
-    each candidate pair costs a single 64-element fold (dot product)
-    instead of three; the operation order (dot / (norm_a * norm_b),
-    sequential double accumulation) is kept identical to DuckDB's
-    list_cosine_similarity so the 6-dp rounded value oracle-matches.
+    Physical shape: broadcast the comparison-side matrix (ids, vectors,
+    norms — a few MB for any broadcastable corpus) and ``mapInPandas``
+    over the scan, so the O(n^2) pair space is *computed* blockwise in
+    a numpy kernel but never materialized as rows; only surviving pairs
+    leave the executor.  Accumulation order is the sequential left-fold
+    (see ``_embed_pairs``) so the 6-dp rounded value oracle-matches
+    DuckDB's list_cosine_similarity; the kernel pre-filters with a
+    1e-9 slack and the EXACT threshold is re-applied Spark-side on
+    ``F.round`` (decimal HALF_UP, same as DuckDB — numpy's half-even
+    round never decides membership).
 
-    All-pairs is O(n^2) — correct for a blocked partition or a small
-    corpus.  At 100 TB pass ``blocking_col`` (a cheap equality blocking
-    key: language, topic shard) or use ``embedding_neardup_lsh``, which
+    A Catalyst-expression formulation was tried and rejected twice: the
+    HOF fold is interpreted (35s at sf0.1) and a 64-term unrolled
+    expression overflows the JIT method limit back to interpreted
+    (76s); this kernel runs the same pairs in well under a second.
+
+    All-pairs is O(n^2) flops — right for a broadcastable corpus or a
+    blocked partition.  At 100 TB pass ``blocking_col`` (a cheap
+    equality blocking key: language, topic shard — the kernel then only
+    compares same-block pairs) or use ``embedding_neardup_lsh``, which
     generates candidates from SRP buckets instead.
     """
-    from artemia_airflow_spark.functions.vectors import dot, l2_norm
+    from artemia_airflow_spark.operators._embed_pairs import (
+        seq_dot_block, seq_matrix, seq_norms,
+    )
 
-    cols = [F.col(id_col), F.col(vec_col).alias("__v"), l2_norm(vec_col).alias("__n")]
-    if blocking_col:
-        cols.append(F.col(blocking_col))
-    base = df.select(*cols)
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if blocking_col:
-        cond = cond & (F.col(f"a.{blocking_col}") == F.col(f"b.{blocking_col}"))
-    sim = F.round(
-        dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")), 6
+    sel = [id_col, vec_col] + ([blocking_col] if blocking_col else [])
+    side = df.select(*sel).collect()
+    ids_b = np.array([r[0] for r in side], dtype="int64")
+    mat_b = seq_matrix(r[1] for r in side)
+    norms_b = seq_norms(mat_b)
+    blocks_b = np.array([r[2] for r in side]) if blocking_col else None
+    bc = df.sparkSession.sparkContext.broadcast((ids_b, mat_b, norms_b, blocks_b))
+    slack = threshold - 1e-9
+
+    def kernel(batches):
+        b_ids, b_mat, b_norms, b_blocks = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_mat = seq_matrix(pdf[vec_col])
+            cos = seq_dot_block(a_mat, b_mat) / (
+                seq_norms(a_mat)[:, None] * b_norms[None, :]
+            )
+            a_ids = pdf[id_col].to_numpy()
+            mask = (a_ids[:, None] < b_ids[None, :]) & (cos >= slack)
+            if blocking_col:
+                mask &= pdf[blocking_col].to_numpy()[:, None] == b_blocks[None, :]
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids[bi], "__raw": cos[ai, bi]}
+            )
+
+    pairs = spread_for_compute(df.select(*sel)).mapInPandas(
+        kernel, "id_a long, id_b long, __raw double"
     )
     return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("cos_sim"),
-        )
+        pairs.select("id_a", "id_b", F.round("__raw", 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -518,21 +545,27 @@ def embedding_neardup_lsh(
     cosine re-verifies.  Expected work is O(n * bucket_size) instead of
     O(n^2): at 1000 executors the bucket join shuffles on a compact
     (table, bucket) key, never on the vectors' full cross product.
+
+    The candidate join and the pair-dedup shuffle carry ONLY id pairs
+    (16 bytes/row) — vectors are re-attached afterwards via broadcast
+    join, and the exact-cosine verify runs in a row-aligned sequential
+    numpy kernel (same value semantics as ``embedding_cosine_pairs``).
     """
-    from artemia_airflow_spark.functions.vectors import dot, l2_norm
+    from pyspark.sql.functions import pandas_udf
+
+    from artemia_airflow_spark.operators._embed_pairs import (
+        seq_dot_pairs, seq_matrix, seq_norms,
+    )
     from artemia_airflow_spark.operators.similarity import srp_buckets
 
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col).alias("__v"), l2_norm(vec_col).alias("__n"),
+        F.col(id_col),
         F.posexplode(
             srp_buckets(vec_col, dim=dim, bits=bits, tables=tables, seed=seed)
         ).alias("__table", "__bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    sim = F.round(
-        dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")), 6
-    )
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.__table") == F.col("b.__table"))
@@ -542,10 +575,27 @@ def embedding_neardup_lsh(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("cos_sim"),
         )
         # a pair colliding in several tables must survive exactly once
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @pandas_udf("double")
+    def seq_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma, mb = seq_matrix(va), seq_matrix(vb)
+        return pd.Series(seq_dot_pairs(ma, mb) / (seq_norms(ma) * seq_norms(mb)))
+
+    vecs = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    withv = (
+        cand.join(F.broadcast(vecs.withColumnRenamed(id_col, "id_a")
+                                  .withColumnRenamed("__v", "__va")), "id_a")
+        .join(F.broadcast(vecs.withColumnRenamed(id_col, "id_b")
+                              .withColumnRenamed("__v", "__vb")), "id_b")
+    )
+    return (
+        withv.select(
+            "id_a", "id_b", F.round(seq_cos("__va", "__vb"), 6).alias("cos_sim")
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 

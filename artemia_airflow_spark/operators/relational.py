@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
-from artemia_airflow_spark.functions.core import DEC, dec_avg, dec_sum, ts_second
+from artemia_airflow_spark.functions.core import DEC, dec_avg, dec_sum, spread_for_compute, ts_second
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
 
@@ -394,13 +394,22 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> 6-row shuffle -> final HashAggregate.  The shuffle volume is
     O(groups x partitions) regardless of input size — exactly the shape
     that survives 100 TB.
+
+    The 128-bit decimal sums are the CPU cost here, and the fixture
+    files carry a single parquet row group (scan parallelism 1), so the
+    partial agg is spread across cores first; `spread_for_compute` is a
+    no-op on real multi-split inputs.
     """
     ensure_engine_conf(spark)
     li = scan(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    li = li.select(
+        "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        spread_for_compute(li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),

@@ -241,7 +241,9 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     corpus_v = corpus.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    # a coarse quantizer only needs rough cells — a few Lloyd rounds;
+    # extra iterations buy recall nothing once cells are stable-ish
+    km = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="__v", predictionCol="__cell")
     model = km.fit(corpus_v)
     assigned = model.transform(corpus_v).select(id_col, vec_col, "__cell")
 
