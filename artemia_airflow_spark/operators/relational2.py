@@ -242,3 +242,68 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL aas_tokenize(d.text) t
         """
     )
+
+
+@declared(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    `percentile` == DuckDB `quantile_cont`: both sort and interpolate
+    x_lo + frac*(x_hi - x_lo); 4-dp rounding absorbs last-ulp drift).
+
+    Exact percentile is a full sort per group — fine for bounded
+    groups; the 100 TB path is `approx_percentile` (t-digest, one pass,
+    mergeable across partitions), exercised rows-only in
+    q_agg_approx_percentile.
+    """
+    ensure_engine_conf(spark)
+    li = scan(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@declared("q_agg_approx_percentile")
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path percentiles (rows-only: sketch, not exact):
+    approx_percentile builds mergeable sketches partition-locally —
+    one pass, no per-group sort, bounded memory at any scale."""
+    ensure_engine_conf(spark)
+    li = scan(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("med_qty"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("p90_price"),
+    )
+
+
+@declared("q_sample_stratified")
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data subsampling: per-stratum Bernoulli sampling with a
+    fixed seed (`sampleBy`) — downsample over-represented languages
+    without a shuffle (filter-only, scan-parallel; rows-only: RNG
+    streams are engine-specific).  Returns per-lang kept counts next to
+    the stratum's target fraction."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.8, "fr": 0.8, "es": 1.0, "ja": 1.0}
+    langs = [r[0] for r in d.select("lang").distinct().collect()]
+    full = {lang: fractions.get(lang, 0.25) for lang in langs}
+    sampled = d.sampleBy("lang", full, seed=42)
+    frac_col = F.create_map(
+        *[x for lang, fr in sorted(full.items()) for x in (F.lit(lang), F.lit(fr))]
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .withColumn("target_fraction", frac_col[F.col("lang")])
+    )
