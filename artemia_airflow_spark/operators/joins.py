@@ -1,7 +1,7 @@
 """Custom join operators Spark lacks natively (SURVEY.md §4.2).
 
-Currently: as-of join (B16).  Implemented as a composition of built-in
-DataFrame ops (equi-join + window top-1) so Catalyst still owns the
+Currently: as-of join (B16) and skew-salted equi-join.  Both are
+compositions of built-in DataFrame ops so Catalyst still owns the
 physical plan.
 """
 
@@ -52,3 +52,43 @@ def asof_join(
         .filter(F.col("__asof_rn") == 1)
         .drop("__asof_rn")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: explode the hot-key concentration by
+    salting the LEFT (large, skewed) side with a random shard id and
+    replicating the RIGHT side once per shard.
+
+    A shuffled equi-join hashes each key to ONE reducer — a key holding
+    10% of 100 TB lands 10 TB on a single task.  Salting splits every
+    key's rows uniformly across ``salt`` shards (join key becomes
+    (key, shard)), bounding any task's share of a hot key to 1/salt of
+    it.  The right side is replicated ``salt``× via an exploded
+    literal range — acceptable when the right side is much smaller
+    than the skewed left (the usual shape: fact × medium dim that is
+    too big to broadcast but small enough to replicate 8×).
+
+    AQE's skew-join split (`spark.sql.adaptive.skewJoin`) handles most
+    cases at runtime and should be tried first; explicit salting is
+    for the pathological single-key hotspots AQE re-splitting cannot
+    fix (e.g. one key larger than executor memory), and for
+    deterministic plan shapes in recurring production jobs.
+
+    The salt uses a hash of the left row's full tuple, not `rand()`,
+    so the result is deterministic and retry-safe (a recomputed task
+    re-derives identical shards).
+    """
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_salted = left.withColumn("__shard", shard)
+    r_salted = right.withColumn(
+        "__shard", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    joined = l_salted.join(r_salted, [on, "__shard"], how)
+    return joined.drop("__shard")

@@ -111,3 +111,18 @@ def test_sample_frames_bounded_and_deterministic(spark):
     s1 = sorted(map(tuple, f1.collect()))
     s2 = sorted(map(tuple, sample_frames(videos, max_frames=4).collect()))
     assert s1 == s2
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be value-equivalent to the plain equi-join and
+    spread each key across multiple shards before the shuffle."""
+    from artemia_airflow_spark.operators.joins import salted_join
+
+    orders = scan(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    cust = scan(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    right = cust.withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(right, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, right, "o_custkey", salt=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
