@@ -57,3 +57,40 @@ def test_no_cartesian_in_equi_joins(spark):
         p = _formatted_plan(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_embed_pairs_never_shuffles_vectors(spark):
+    """q_dedup_embed: the O(n^2) pair space must be computed inside the
+    numpy kernel — the plan has the mapInPandas stage but NO join and
+    no exchange carrying the embedding column (only the cheap
+    round-robin spread of the scan itself)."""
+    p = _formatted_plan(spark, "q_dedup_embed")
+    assert "MapInPandas" in p
+    assert "Join" not in p, p
+
+
+def test_percentile_prunes_to_referenced_columns(spark):
+    p = _formatted_plan(spark, "q_agg_percentile")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_returnflag", "l_quantity", "l_extendedprice"}
+
+
+def test_lsh_neardup_shuffle_carries_ids_not_vectors(spark):
+    """q_dedup_embed_lsh: the candidate self-join and pair dedup must
+    not carry the embedding arrays — vectors re-attach afterwards via
+    broadcast join (plan shows BroadcastHashJoin for the re-attach,
+    and the hash-partitioned exchanges' output columns contain no
+    embedding/vector column)."""
+    p = _formatted_plan(spark, "q_dedup_embed_lsh")
+    assert "BroadcastHashJoin" in p
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", p):
+        assert "__v" not in m.group(0), m.group(0)
+
+
+def test_stratified_sample_is_filter_only(spark):
+    """sampleBy compiles to a per-row filter on rand(seed) — no
+    Exchange before the aggregation's own shuffle, no join."""
+    p = _formatted_plan(spark, "q_sample_stratified")
+    assert "Join" not in p
+    assert "Sample" in p or "rand" in p
