@@ -1,0 +1,84 @@
+"""Semantic unit tests for the corpus-curation operators
+(decontamination, sharding, mixing weights, repetition scoring)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.operators.curation import decontaminate, word_ngrams
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return scan(spark, SF_SMOKE, "documents").cache()
+
+
+def test_word_ngrams_basic(spark):
+    df = spark.createDataFrame([("a b c d",), ("x",)], ["text"])
+    rows = df.select(word_ngrams("text", 3).alias("g")).collect()
+    assert rows[0].g == ["a b c", "b c d"]
+    # shorter than n: single truncated gram (list_slice convention)
+    assert rows[1].g == ["x"]
+
+
+def test_decontaminate_flags_verbatim_copy(spark, docs):
+    """A training doc that IS an eval doc (verbatim) must be flagged."""
+    eval_df = docs.limit(1)
+    train = eval_df.withColumn("doc_id", F.col("doc_id") + 10_000_000).unionByName(
+        spark.createDataFrame(
+            [(10_000_001, "zz yy xx ww vv uu tt ss", "en", "srcX", 23)],
+            docs.schema,
+        )
+    )
+    out = {r.doc_id: r.contaminated for r in
+           decontaminate(train, eval_df, "text", "doc_id").collect()}
+    copied_id = eval_df.first().doc_id + 10_000_000
+    assert out[copied_id] is True
+    assert out[10_000_001] is False
+
+
+def test_shard_partitions_the_corpus(spark, docs):
+    from artemia_airflow_spark.plans.registry import QUERIES
+
+    out = QUERIES["q_shard"](spark, SF_SMOKE).collect()
+    assert 1 <= len(out) <= 16
+    assert all(r.shard in "0123456789abcdef" for r in out)
+    assert sum(r.n_docs for r in out) == docs.count()
+
+
+def test_mix_weights_bounded_and_fair(spark):
+    from artemia_airflow_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q_mix_weights"](spark, SF_SMOKE).collect()
+    total = sum(r.n_tokens for r in rows)
+    fair = total / len(rows)
+    for r in rows:
+        assert 0.0 < r.weight <= 1.0
+        # weight hits 1 exactly for under-represented sources
+        if r.n_tokens <= fair:
+            assert r.weight == 1.0
+
+
+def test_repetition_in_unit_interval(spark):
+    from artemia_airflow_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q_text_repetition"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.avg_repetition < 1.0
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-gram semi-join must be broadcast (map-side), never a
+    shuffled join of the exploded training grams."""
+    from artemia_airflow_spark.plans.registry import QUERIES
+
+    df = QUERIES["q_decontaminate"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
