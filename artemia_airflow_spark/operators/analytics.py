@@ -1,0 +1,260 @@
+"""Composite analytic queries: full TPC-H-style multi-join reports plus
+unpivot and calendar gap-fill.
+
+The single-operator queries (relational.py / relational2.py) prove each
+primitive; these prove the primitives COMPOSE — multi-way join trees
+where Catalyst must pick broadcast vs shuffle per edge, aggregate above
+them, and take deterministic top-k.  This is the shape of every real
+report a user of the reference's externalized pipeline would run
+(dags/update_tr_from_ex_dag.py:88-90 delegates exactly this kind of
+batch analytics to an external repo).
+
+Scale notes: every dim side (customer/supplier/nation/region) is tiny
+relative to the fact tables and broadcasts (AQE does this from stats;
+the explicit F.broadcast marks it deterministically); the only big
+shuffles are the fact-side aggregations, which partial-aggregate
+map-side because decimal sums are associative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.functions.core import spread_for_compute
+from artemia_airflow_spark.plans.registry import declared
+from artemia_airflow_spark.session import ensure_engine_conf
+
+_REVENUE_DEC = "decimal(28,6)"
+
+
+def _revenue() -> "F.Column":
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_REVENUE_DEC)
+
+
+@declared(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): 3-way join, revenue agg, top-10.
+
+    Plan shape: lineitem (fact) never shuffles for the joins — customer
+    and the filtered orders side broadcast — so the only wide exchange
+    is the per-orderkey aggregation, then TakeOrderedAndProject.
+    Deterministic top-k: l_orderkey is unique per group (H3).
+    """
+    ensure_engine_conf(spark)
+    c = scan(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = scan(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = scan(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@declared(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                                AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-way join including the
+    customer-nation == supplier-nation locality predicate.
+
+    All five non-lineitem sides broadcast (region prunes nation prunes
+    supplier); the fact table is read once and shuffles only for the
+    25-group final aggregate.
+    """
+    ensure_engine_conf(spark)
+    c = scan(spark, sf_dir, "customer")
+    o = scan(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = scan(spark, sf_dir, "lineitem")
+    s = scan(spark, sf_dir, "supplier")
+    n = scan(spark, sf_dir, "nation")
+    r = scan(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@declared(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): lost revenue per customer
+    over a quarter+, top-20.  Returnflag filter pushes to the lineitem
+    scan; dims broadcast; c_custkey tiebreaks the top-k (H3)."""
+    ensure_engine_conf(spark)
+    c = scan(spark, sf_dir, "customer")
+    o = scan(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = scan(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = scan(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@declared(
+    "q_unpivot",
+    oracle="""
+    WITH long AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM long GROUP BY metric
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (DataFrame.unpivot / melt) + per-metric
+    rollup.  Unpivot is a zero-shuffle map-side expansion (x4 rows);
+    the only exchange is the 4-group aggregate."""
+    ensure_engine_conf(spark)
+    li = scan(spark, sf_dir, "lineitem")
+    return (
+        spread_for_compute(li)
+        .unpivot(
+            [],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "value",
+        )
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(_REVENUE_DEC)).cast("double").alias("total"),
+        )
+    )
+
+
+@declared(
+    "q_gapfill",
+    oracle="""
+    WITH cal AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY day
+    )
+    SELECT cal.day, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders
+    FROM cal LEFT JOIN daily USING (day)
+    """,
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: dense daily calendar (sequence + explode)
+    left-joined to per-day order counts, missing days as 0.
+
+    The calendar is generated, not scanned — one row exploded into the
+    date range, broadcast against the aggregated (already tiny) daily
+    counts.  The standard resample/asfreq primitive for time-series
+    feature pipelines."""
+    ensure_engine_conf(spark)
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        scan(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cal.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_orders")
+    )

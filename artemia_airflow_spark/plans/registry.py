@@ -41,6 +41,7 @@ def declared(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all_query_modules() -> None:
     """Import every module that declares queries (idempotent)."""
+    import artemia_airflow_spark.operators.analytics  # noqa: F401
     import artemia_airflow_spark.operators.curation  # noqa: F401
     import artemia_airflow_spark.operators.dedup  # noqa: F401
     import artemia_airflow_spark.operators.multimodal  # noqa: F401

@@ -94,3 +94,30 @@ def test_stratified_sample_is_filter_only(spark):
     p = _formatted_plan(spark, "q_sample_stratified")
     assert "Join" not in p
     assert "Sample" in p or "rand" in p
+
+
+def test_tpch_composites_broadcast_all_dims(spark):
+    """q_tpch_q3/q5/q10: every join edge must be a broadcast — the
+    fact table shuffles only for its aggregation, never for a join
+    (no SortMergeJoin / ShuffledHashJoin in any plan)."""
+    for name in ("q_tpch_q3", "q_tpch_q5", "q_tpch_q10"):
+        p = _formatted_plan(spark, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "ShuffledHashJoin" not in p, name
+
+
+def test_tpch_topk_plans_as_take_ordered(spark):
+    """LIMIT-over-ORDER BY must compile to TakeOrderedAndProject
+    (per-partition top-k + driver merge), not a global sort."""
+    for name in ("q_tpch_q3", "q_tpch_q10"):
+        p = _formatted_plan(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_gapfill_calendar_is_generated_not_scanned(spark):
+    """q_gapfill: exactly one parquet scan (orders) — the calendar
+    side comes from explode(sequence), and the join broadcasts."""
+    p = _formatted_plan(spark, "q_gapfill")
+    assert p.count("Location: InMemoryFileIndex") == 1
+    assert "BroadcastHashJoin" in p
