@@ -67,6 +67,42 @@ def session_counts(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def attribution_join(events: DataFrame, *, horizon: str = "1 hour") -> DataFrame:
+    """B49: view->purchase attribution — every (view, purchase) pair of
+    the same user with the purchase inside ``horizon`` after the view.
+
+    Shared batch/stream graph: on streams, both filtered sides carry
+    watermarks and the time-range predicate lets Spark bound the join
+    state (view-side rows expire once the purchase-side watermark
+    passes view.ts + horizon).  Event time is second-truncated (H1) so
+    batch face and DuckDB oracle agree."""
+    e = events.withColumn("tsec", F.date_trunc("second", "ts"))
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event"),
+        F.col("user_id"),
+        F.col("tsec").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event"),
+        F.col("user_id").alias("p_user"),
+        F.col("tsec").alias("p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        )
+        .select(
+            "view_event",
+            "purchase_event",
+            "user_id",
+            (F.col("p_ts").cast("long") - F.col("v_ts").cast("long")).alias("lag_s"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # True streaming faces (used by tests/test_streaming.py)
 # --------------------------------------------------------------------------
@@ -181,6 +217,27 @@ def q_stream_session(spark, sf_dir):
     ensure_engine_conf(spark)
     ev = scan(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", "ts"))
     return session_counts(ev)
+
+
+@declared(
+    "q_stream_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, date_trunc('second', ts) AS tsec, user_id, event_type
+      FROM events
+    )
+    SELECT v.event_id AS view_event, p.event_id AS purchase_event, v.user_id,
+           CAST(epoch(p.tsec) - epoch(v.tsec) AS BIGINT) AS lag_s
+    FROM e v JOIN e p ON v.user_id = p.user_id
+      AND v.event_type = 'view' AND p.event_type = 'purchase'
+      AND p.tsec >= v.tsec AND p.tsec <= v.tsec + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_join(spark, sf_dir):
+    """B49 batch face of the stream-stream attribution join (same
+    transformation graph as the watermarked streaming face)."""
+    ensure_engine_conf(spark)
+    return attribution_join(scan(spark, sf_dir, "events"))
 
 
 @declared("q_stream_dedup")

@@ -168,3 +168,23 @@ def test_sensor_stream_predicate_failure(spark):
 
     with pytest.raises(SensorFailed):
         run_sensor_stream(spark, pred, poke_interval_s=0.2, timeout_s=30)
+
+
+def test_stream_stream_join_equals_batch(spark, chunked_events_dir):
+    """B49: watermarked stream-stream attribution join over the replay
+    emits exactly the batch pairs (inner join + time bound => every
+    matched pair is emitted once the watermark passes)."""
+    from artemia_airflow_spark.streaming.windows import attribution_join
+
+    ev = _read_chunks(spark, chunked_events_dir).withWatermark("ts", "2 hours")
+    _run_stream(attribution_join(ev), "t_ssjoin", "append")
+    got = {
+        (r.view_event, r.purchase_event): (r.user_id, r.lag_s)
+        for r in spark.table("t_ssjoin").collect()
+    }
+    want = {
+        (r.view_event, r.purchase_event): (r.user_id, r.lag_s)
+        for r in attribution_join(scan(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == want
+    assert want, "fixture should contain attributed pairs"
