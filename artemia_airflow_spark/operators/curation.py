@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.functions.core import spread_for_compute
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
 
@@ -59,7 +60,8 @@ def decontaminate(
         eval_df.select(F.explode(word_ngrams(text_col, n)).alias("gram")).distinct()
     )
     hits = (
-        train.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
+        spread_for_compute(train)
+        .select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
         .join(F.broadcast(eval_grams), "gram", "left_semi")
         .select(id_col)
         .distinct()
@@ -213,7 +215,8 @@ def q_text_repetition(spark, sf_dir):
     grams = word_ngrams("text", 2)
     rep = 1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
     return (
-        d.select("lang", rep.alias("rep"))
+        spread_for_compute(d)
+        .select("lang", rep.alias("rep"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
