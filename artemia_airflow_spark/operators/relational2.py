@@ -307,3 +307,57 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .withColumn("target_fraction", frac_col[F.col("lang")])
     )
+
+
+@declared(
+    "q_agg_filtered",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (SQL FILTER clause ≡ count/sum over CASE):
+    several differently-predicated aggregates in ONE pass over the
+    fact table — the alternative (one scan per predicate) multiplies
+    I/O by the number of metrics at 100 TB."""
+    ensure_engine_conf(spark)
+    o = scan(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice").cast(DEC))
+        ).cast("double").alias("open_revenue"),
+    )
+
+
+@declared(
+    "q_window_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) per
+    nation with a unique-key tiebreak (H3); both are rank arithmetic —
+    one partition-parallel sort, no extra shuffle beyond the window's
+    own."""
+    ensure_engine_conf(spark)
+    c = scan(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
