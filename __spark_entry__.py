@@ -15,7 +15,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from artemia_airflow_spark.plans.registry import ORACLE, QUERIES, load_all_query_modules
+from artemia_airflow_spark.plans.registry import (
+    ORACLE,
+    QUERIES,
+    load_all_query_modules,
+    ordered_queries,
+)
 
 load_all_query_modules()
 
@@ -27,8 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    queries still needing a driver CORRECTNESS row come first."""
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -9,11 +9,13 @@ report a user of the reference's externalized pipeline would run
 (dags/update_tr_from_ex_dag.py:88-90 delegates exactly this kind of
 batch analytics to an external repo).
 
-Scale notes: every dim side (customer/supplier/nation/region) is tiny
-relative to the fact tables and broadcasts (AQE does this from stats;
-the explicit F.broadcast marks it deterministically); the only big
-shuffles are the fact-side aggregations, which partial-aggregate
-map-side because decimal sums are associative.
+Scale notes: broadcast hints are pinned ONLY on true dims
+(supplier/nation/region — bounded or sf*10k rows); orders and customer
+are fact-scale in TPC-H (sf*1.5M / sf*150k rows) and must NOT be
+hint-broadcast — those edges shuffle on their join keys, and AQE's
+runtime join-strategy switch upgrades them to broadcast only when a
+filter actually leaves a small side.  Fact-side aggregations
+partial-aggregate map-side because decimal sums are associative.
 """
 
 from __future__ import annotations
@@ -54,10 +56,13 @@ def _revenue() -> "F.Column":
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): 3-way join, revenue agg, top-10.
 
-    Plan shape: lineitem (fact) never shuffles for the joins — customer
-    and the filtered orders side broadcast — so the only wide exchange
-    is the per-orderkey aggregation, then TakeOrderedAndProject.
-    Deterministic top-k: l_orderkey is unique per group (H3).
+    Plan shape: orders and customer are FACT-SCALE tables (orders is
+    10x customer; ~1.5B rows at sf1000) so neither carries a broadcast
+    hint — the fact edges shuffle on their join keys and AQE converts
+    to broadcast at runtime when a filtered side turns out small.  The
+    only other wide exchange is the per-orderkey aggregation, then
+    TakeOrderedAndProject.  Deterministic top-k: l_orderkey is unique
+    per group (H3).
     """
     ensure_engine_conf(spark)
     c = scan(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -68,8 +73,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
@@ -104,9 +109,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): 6-way join including the
     customer-nation == supplier-nation locality predicate.
 
-    All five non-lineitem sides broadcast (region prunes nation prunes
-    supplier); the fact table is read once and shuffles only for the
-    25-group final aggregate.
+    Broadcast hints only on the TRUE dims — supplier (sf*10k rows),
+    nation (25), region (5).  Orders and customer are fact-scale
+    (sf*1.5M / sf*150k rows) so those edges shuffle on their keys;
+    AQE may still broadcast them at runtime when the date filter
+    leaves a small side.  The final aggregate is 25 groups.
     """
     ensure_engine_conf(spark)
     c = scan(spark, sf_dir, "customer")
@@ -119,8 +126,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = scan(spark, sf_dir, "nation")
     r = scan(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -153,7 +160,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): lost revenue per customer
     over a quarter+, top-20.  Returnflag filter pushes to the lineitem
-    scan; dims broadcast; c_custkey tiebreaks the top-k (H3)."""
+    scan; only nation (25 rows) carries a broadcast hint — orders and
+    customer are fact-scale and shuffle on their keys (AQE upgrades to
+    broadcast at runtime if the quarter filter leaves a small side);
+    c_custkey tiebreaks the top-k (H3)."""
     ensure_engine_conf(spark)
     c = scan(spark, sf_dir, "customer")
     o = scan(spark, sf_dir, "orders").filter(
@@ -163,8 +173,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = scan(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = scan(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))

@@ -23,6 +23,48 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
+# in insertion order and may not reach every declared query in one round
+# (round 1 recorded the first 50 of 93).  ``PRIORITY`` front-loads the
+# queries that did NOT get a CORRECTNESS row in round 1 plus everything
+# new this round, so rounds 1+2 jointly cover the whole registry; the
+# already-checked round-1 set follows after.
+PRIORITY: list[str] = [
+    # new in round 2
+    "q_sink_partitioned",
+    "q_dedup_substring",
+    "q_decontaminate_substring",
+    # relational tail (unchecked in round 1)
+    "q_fn_map", "q_fn_json", "q_fn_null",
+    "q_subq_scalar", "q_subq_in", "q_udf_scalar", "q_pandas_norm",
+    # relational2 (all unchecked in round 1)
+    "q_pivot", "q_agg_grouping_sets", "q_join_right", "q_subq_exists",
+    "q_distinct_cols", "q_window_range_frame", "q_fn_string2", "q_fn_date2",
+    "q_udtf", "q_agg_percentile", "q_agg_approx_percentile",
+    "q_sample_stratified", "q_agg_filtered", "q_window_dist",
+    # similarity / embeddings
+    "q_sim_topk", "q_sim_ann_lsh", "q_embed_stats", "q_embed_centroid",
+    "q_sim_ivf",
+    # text family
+    "q_text_tokens", "q_text_quality", "q_text_langid",
+    "q_text_fingerprint", "q_text_wordpiece", "q_text_tfidf",
+    "q_text_quality_full",
+    # orchestration-driven query + sources/sinks
+    "q_pipeline", "q_sink_parquet", "q_source_json", "q_source_http",
+    "q_source_http_ds",
+    # streaming batch faces
+    "q_stream_tumble", "q_stream_slide", "q_stream_session",
+    "q_stream_join", "q_stream_dedup",
+]
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """Registry in driver-check order: PRIORITY names first (those that
+    still need a CORRECTNESS row), then the rest in registration order."""
+    front = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
+    rest = {n: f for n, f in QUERIES.items() if n not in front}
+    return {**front, **rest}
+
 
 def declared(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a declared query; ``oracle=None`` marks the weaker
