@@ -187,6 +187,161 @@ def q_mix_weights(spark, sf_dir):
     )
 
 
+def substring_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 25, w: int = 16
+) -> DataFrame:
+    """Winnowed exact-substring fingerprints: (id, gram) rows where
+    ``gram`` is a verbatim ``k``-char substring selected by winnowing
+    (Schleimer et al., SIGMOD'03) — in every window of ``w`` consecutive
+    k-gram hashes, the minimum-hash gram is kept.
+
+    Guarantee: any substring of length >= k + w - 1 (40 chars with
+    defaults) shared VERBATIM by two documents yields at least one
+    identical selected gram in both — so grouping on ``gram`` finds all
+    long exact-substring overlaps, the suffix-array-style escalation
+    beyond word-n-gram overlap for training corpora.
+
+    Physical shape: one Arrow-batched ``mapInPandas`` stage (the same
+    kernel pattern as the minhash/simhash signatures — a pure
+    expression formulation was tried first and rejected: nested
+    HOF slice-per-window evaluation is interpreted and O(len*w) array
+    copies, ~100x slower than the vectorized rolling hash here).  The
+    kernel is numpy-vectorized per document: byte-level polynomial
+    k-gram hashes via Horner (k fused array ops), winnow minima via
+    stride-tricks sliding windows.  Only the winnowed ~2/(w+1) density
+    of (id, k-char gram) rows ever leaves the stage, so the downstream
+    shuffle is a bounded fraction of corpus bytes, not O(text x
+    positions).  Matching groups on the gram STRING itself, so hash
+    collisions can never create false matches.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list = []
+            grams: list[str] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                norm = " ".join(str(text).lower().split())
+                data = norm.encode("utf-8", "ignore")
+                if len(data) < k:
+                    continue
+                arr = np.frombuffer(data, dtype=np.uint8)
+                win = np.lib.stride_tricks.sliding_window_view(arr, k)
+                h = np.zeros(win.shape[0], dtype=np.uint64)
+                for i in range(k):  # Horner fold, uint64 wraparound hashing
+                    h = h * np.uint64(1099511628211) + win[:, i]
+                if h.shape[0] >= w:
+                    hw = np.lib.stride_tricks.sliding_window_view(h, w)
+                    pos = np.unique(hw.argmin(axis=1) + np.arange(hw.shape[0]))
+                else:
+                    pos = np.array([int(h.argmin())])
+                for p in pos:
+                    ids.append(doc_id)
+                    grams.append(data[p : p + k].decode("utf-8", "ignore"))
+            yield pd.DataFrame({id_col: ids, "gram": grams})
+
+    id_field = df.schema[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} {id_field.dataType.simpleString()}, gram string"
+    )
+
+
+def exact_substring_overlap(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 25, w: int = 16
+) -> DataFrame:
+    """Cross-document exact-substring dedup signal: documents sharing
+    any verbatim substring of length >= k + w - 1 with another document.
+
+    Returns (id, n_shared_grams) for every involved document.  The
+    heavy lifting is one groupBy on the winnowed gram string; gram
+    groups hit by >= 2 distinct docs mark all their members.  At 100 TB
+    the gram-group cardinality is corpus-sized but each row is ~40
+    bytes, and the per-gram doc lists are exploded, never collected.
+    """
+    fps = substring_fingerprints(df, text_col, id_col, k=k, w=w)
+    shared = (
+        fps.groupBy("gram")
+        .agg(F.collect_set(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return shared
+
+
+def decontaminate_substrings(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 25,
+    w: int = 16,
+) -> DataFrame:
+    """Substring-level decontamination: flag training documents that
+    contain any verbatim >= (k+w-1)-char substring of the eval set —
+    the published escalation beyond word-n-gram overlap (exact-substring
+    / suffix-array decontamination for pretraining corpora).
+
+    Eval fingerprints reduce to DISTINCT grams and broadcast (eval
+    benchmarks are MBs against a TB-scale train side); the train corpus
+    is touched once map-side, then a broadcast semi-join on the gram
+    string.  Returns ``train`` plus a boolean ``substr_contaminated``.
+    """
+    eval_grams = (
+        substring_fingerprints(eval_df, text_col, id_col, k=k, w=w)
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        substring_fingerprints(spread_for_compute(train), text_col, id_col, k=k, w=w)
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("substr_contaminated", F.lit(True))
+    )
+    return train.join(hits, id_col, "left").fillna(False, ["substr_contaminated"])
+
+
+@declared("q_dedup_substring")
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring dedup tier (rows-only: winnowing selection is
+    hash-order-dependent, not SQL-reproducible): per-lang count of
+    documents sharing a verbatim >= 40-char substring with any other
+    document, against total docs."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    overlap = exact_substring_overlap(d, "text", "doc_id")
+    return (
+        d.join(overlap, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.col("n_shared_grams")).alias("n_overlap_docs"),
+        )
+    )
+
+
+@declared("q_decontaminate_substring")
+def q_decontaminate_substring(spark, sf_dir):
+    """Substring-level decontamination rollup (rows-only): train docs
+    (doc_id % 20 != 0) flagged for verbatim >= 40-char overlap with the
+    held-out eval split; per-lang counts."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    eval_df = d.filter(F.col("doc_id") % 20 == 0)
+    flagged = decontaminate_substrings(train, eval_df, "text", "doc_id")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("substr_contaminated"), 1)).alias("n_contaminated"),
+    )
+
+
 @declared(
     "q_text_repetition",
     oracle="""

@@ -466,47 +466,85 @@ def q_dedup_clusters(spark, sf_dir):
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str = "embedding", *,
     threshold: float = 0.4, blocking_col: str | None = None,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
     with id_a < id_b and round(cosine, 6) >= threshold.
 
-    Physical shape: broadcast the comparison-side matrix (ids, vectors,
-    norms — a few MB for any broadcastable corpus) and ``mapInPandas``
-    over the scan, so the O(n^2) pair space is *computed* blockwise in
-    a numpy kernel but never materialized as rows; only surviving pairs
-    leave the executor.  Accumulation order is the sequential left-fold
-    (see ``_embed_pairs``) so the 6-dp rounded value oracle-matches
-    DuckDB's list_cosine_similarity; the kernel pre-filters with a
-    1e-9 slack and the EXACT threshold is re-applied Spark-side on
-    ``F.round`` (decimal HALF_UP, same as DuckDB — numpy's half-even
-    round never decides membership).
+    Two tiers, chosen by ``blocking_col``:
+
+    - **blocked (scale tier, the default for registered queries)**:
+      ``groupBy(blocking_col).applyInPandas`` — each block's all-pairs
+      space is computed block-locally in a numpy kernel.  The shuffle
+      carries (id, vector, block) rows hash-partitioned on the blocking
+      key; NOTHING collects to the driver, so this runs at any corpus
+      size where individual blocks (language, topic shard, ...) stay
+      executor-sized.  Cross-block near-dups are by definition out of
+      scope of the blocking key — use ``embedding_neardup_lsh`` when no
+      equality blocking key exists.
+    - **broadcast (small-N exact tier)**: collect (ids, matrix, norms)
+      to the driver, sc.broadcast, and ``mapInPandas`` over the scan so
+      the O(n^2) space is computed blockwise but never materialized as
+      rows.  This is a driver-side bottleneck by construction, so it is
+      CAPPED: more than ``max_broadcast_rows`` rows raises immediately
+      with a pointer at the scale tiers instead of OOMing the driver.
+
+    Both tiers accumulate with the sequential left-fold (see
+    ``_embed_pairs``) so the 6-dp rounded value oracle-matches DuckDB's
+    list_cosine_similarity; kernels pre-filter with a 1e-9 slack and the
+    EXACT threshold is re-applied Spark-side on ``F.round`` (decimal
+    HALF_UP, same as DuckDB — numpy's half-even round never decides
+    membership).
 
     A Catalyst-expression formulation was tried and rejected twice: the
     HOF fold is interpreted (35s at sf0.1) and a 64-term unrolled
     expression overflows the JIT method limit back to interpreted
-    (76s); this kernel runs the same pairs in well under a second.
-
-    All-pairs is O(n^2) flops — right for a broadcastable corpus or a
-    blocked partition.  At 100 TB pass ``blocking_col`` (a cheap
-    equality blocking key: language, topic shard — the kernel then only
-    compares same-block pairs) or use ``embedding_neardup_lsh``, which
-    generates candidates from SRP buckets instead.
+    (76s); these kernels run the same pairs in well under a second.
     """
     from artemia_airflow_spark.operators._embed_pairs import (
         seq_dot_block, seq_matrix, seq_norms,
     )
 
-    sel = [id_col, vec_col] + ([blocking_col] if blocking_col else [])
-    side = df.select(*sel).collect()
+    slack = threshold - 1e-9
+
+    if blocking_col is not None:
+        def block_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            mat = seq_matrix(pdf[vec_col])
+            norms = seq_norms(mat)
+            cos = seq_dot_block(mat, mat) / (norms[:, None] * norms[None, :])
+            ids = pdf[id_col].to_numpy()
+            mask = (ids[:, None] < ids[None, :]) & (cos >= slack)
+            ai, bi = np.nonzero(mask)
+            return pd.DataFrame(
+                {"id_a": ids[ai], "id_b": ids[bi], "__raw": cos[ai, bi]}
+            )
+
+        pairs = (
+            df.select(id_col, vec_col, blocking_col)
+            .groupBy(blocking_col)
+            .applyInPandas(block_kernel, "id_a long, id_b long, __raw double")
+        )
+        return (
+            pairs.select("id_a", "id_b", F.round("__raw", 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
+
+    n = df.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_cosine_pairs broadcast tier: {n} rows exceeds the "
+            f"{max_broadcast_rows}-row driver-collect cap. Pass blocking_col "
+            "(block-local applyInPandas, fully distributed) or use "
+            "embedding_neardup_lsh (SRP-bucketed candidates) at scale."
+        )
+    side = df.select(id_col, vec_col).collect()
     ids_b = np.array([r[0] for r in side], dtype="int64")
     mat_b = seq_matrix(r[1] for r in side)
     norms_b = seq_norms(mat_b)
-    blocks_b = np.array([r[2] for r in side]) if blocking_col else None
-    bc = df.sparkSession.sparkContext.broadcast((ids_b, mat_b, norms_b, blocks_b))
-    slack = threshold - 1e-9
+    bc = df.sparkSession.sparkContext.broadcast((ids_b, mat_b, norms_b))
 
     def kernel(batches):
-        b_ids, b_mat, b_norms, b_blocks = bc.value
+        b_ids, b_mat, b_norms = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -516,14 +554,12 @@ def embedding_cosine_pairs(
             )
             a_ids = pdf[id_col].to_numpy()
             mask = (a_ids[:, None] < b_ids[None, :]) & (cos >= slack)
-            if blocking_col:
-                mask &= pdf[blocking_col].to_numpy()[:, None] == b_blocks[None, :]
             ai, bi = np.nonzero(mask)
             yield pd.DataFrame(
                 {"id_a": a_ids[ai], "id_b": b_ids[bi], "__raw": cos[ai, bi]}
             )
 
-    pairs = spread_for_compute(df.select(*sel)).mapInPandas(
+    pairs = spread_for_compute(df.select(id_col, vec_col)).mapInPandas(
         kernel, "id_a long, id_b long, __raw double"
     )
     return (
@@ -606,18 +642,27 @@ def embedding_neardup_lsh(
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.label = b.label
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     """,
 )
 def q_dedup_embed(spark, sf_dir):
-    """North-star embedding-cosine near-dup (exact tier): all pairs of
-    embeddings with cosine >= 0.4, value-checked against DuckDB
-    list_cosine_similarity at 6 dp."""
+    """North-star embedding-cosine near-dup (blocked exact tier):
+    same-label pairs of embeddings with cosine >= 0.4, value-checked
+    against DuckDB list_cosine_similarity at 6 dp.
+
+    Registered on the scale path: label-blocked applyInPandas (no
+    driver collect, shuffle partitioned on the blocking key) — the
+    plan that still runs when the embeddings table is 100 TB and
+    blocks are executor-sized.  The unblocked broadcast tier remains
+    available as a capped small-N utility on embedding_cosine_pairs."""
     ensure_engine_conf(spark)
     emb = scan(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, blocking_col="label"
+    )
 
 
 @declared("q_dedup_embed_lsh")

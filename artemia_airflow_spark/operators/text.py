@@ -192,22 +192,31 @@ def q_text_wordpiece(spark, sf_dir):
 
 def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """TF-IDF per (doc, token) with pure DataFrame ops: explode tokens,
-    per-doc term counts, corpus doc-frequency join, idf = ln((N+1)/(df+1))+1
-    (smoothed).  Two shuffles (doc-term agg + df agg) and a broadcast of
-    the doc-frequency table when it fits — at 100 TB swap the broadcast
-    for a shuffle join on token.
+    per-doc term counts, corpus doc-frequency join,
+    idf = ln((N+1)/(df+1))+1 (smoothed).
+
+    Scale shape: the doc-frequency table is VOCABULARY-sized, which
+    does not broadcast at corpus scale, so the tf x dfreq join is a
+    plain shuffle join on ``token`` (both sides are already
+    hash-partitioned on token by their own aggregations, so Catalyst
+    reuses the partitioning and the join adds no extra exchange).  The
+    corpus doc count N enters the plan as a broadcast 1-row aggregate
+    (crossJoin) instead of a driver-blocking ``count()`` action — the
+    whole lineage stays lazy with no mid-plan driver round-trip.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.count()  # scalar, driver-side (one number, not data)
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))  # 1-row, stays in-plan
     dfreq = toks.select(id_col, "token").distinct().groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
     )
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
-    return tf.join(F.broadcast(dfreq), "token").select(
-        id_col, "token", "tf", (F.col("tf") * idf).alias("tf_idf")
+    idf = F.log((F.col("__n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "token", "tf", (F.col("tf") * idf).alias("tf_idf"))
     )
 
 

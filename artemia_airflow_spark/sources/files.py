@@ -56,6 +56,40 @@ def q_sink_parquet(spark, sf_dir):
     return back.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
 
 
+def write_partitioned_by_month(
+    spark: SparkSession, sf_dir: str, out: str
+) -> None:
+    """Write orders in the shard-by-date layout a 100 TB corpus lives
+    on: one directory per month (~80 partitions over the 1992-1998
+    span — low cardinality, directory-sized files)."""
+    o = scan(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    write_parquet(o, out, partition_by=["o_month"])
+
+
+@declared("q_sink_partitioned")
+def q_sink_partitioned(spark, sf_dir):
+    """B4/§4.2 (rows-only): partitioned write + partition-pruned read.
+
+    Writes orders partitioned by month, re-reads with a month-range
+    partition filter — the scan's PartitionFilters prune to the 12
+    matching directories (asserted in tests/test_plans.py) so the read
+    cost is proportional to the queried window, not the table.  This is
+    the layout dynamic partition pruning (DPP) rides on; the DPP join
+    itself is pinned by test_partitioned_read_dynamic_pruning."""
+    ensure_engine_conf(spark)
+    out = os.path.join(tempfile.gettempdir(), "aas_sink_partitioned")
+    write_partitioned_by_month(spark, sf_dir, out)
+    back = spark.read.parquet(out).filter(
+        (F.col("o_month") >= "1995-01") & (F.col("o_month") <= "1995-12")
+    )
+    return back.groupBy("o_month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
 @declared("q_source_json")
 def q_source_json(spark, sf_dir):
     """B2 (rows-only): JSON round-trip — events -> JSON-lines on disk ->

@@ -26,7 +26,13 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Queries that write real output or drive non-query machinery; excluded
 # from the headline timing set (they bench I/O, not the engine).
-SKIP = {"q_sink_parquet", "q_source_json", "q_source_http", "q_source_http_ds"}
+SKIP = {
+    "q_sink_parquet",
+    "q_sink_partitioned",
+    "q_source_json",
+    "q_source_http",
+    "q_source_http_ds",
+}
 
 
 def main() -> None:

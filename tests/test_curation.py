@@ -82,3 +82,67 @@ def test_decontaminate_broadcasts_eval_side(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---- exact-substring tier (winnowed fingerprints) ----
+
+_PAD_A = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon")
+_PAD_B = ("one two three four five six seven eight nine ten eleven "
+          "twelve thirteen fourteen fifteen sixteen seventeen")
+_SHARED = "the quick brown fox jumps over the lazy dog near the river bank"
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_substring_overlap_detects_long_shared_substring(spark):
+    from artemia_airflow_spark.operators.curation import exact_substring_overlap
+
+    df = _docs_df(
+        spark,
+        [
+            (1, f"{_PAD_A} {_SHARED} more trailing words here"),
+            (2, f"{_PAD_B} {_SHARED} and a different ending"),
+            (3, _PAD_A + " completely unrelated continuation text"),
+        ],
+    )
+    hit_ids = {r.doc_id for r in exact_substring_overlap(df, "text", "doc_id").collect()}
+    assert {1, 2} <= hit_ids
+    # doc 3 shares _PAD_A with doc 1 (>=40 chars) so it may legitimately
+    # appear; the essential property is 1 and 2 are caught via _SHARED.
+
+
+def test_substring_overlap_no_false_positives(spark):
+    from artemia_airflow_spark.operators.curation import exact_substring_overlap
+
+    df = _docs_df(spark, [(1, _PAD_A), (2, _PAD_B)])
+    assert exact_substring_overlap(df, "text", "doc_id").collect() == []
+
+
+def test_substring_decontaminate_flags_containing_doc(spark):
+    from artemia_airflow_spark.operators.curation import decontaminate_substrings
+
+    eval_df = _docs_df(spark, [(100, _SHARED)])
+    train = _docs_df(
+        spark,
+        [
+            (1, f"{_PAD_A} {_SHARED} trailing"),  # contains eval substring
+            (2, _PAD_B),                            # clean
+        ],
+    )
+    out = {r.doc_id: r.substr_contaminated
+           for r in decontaminate_substrings(train, eval_df, "text", "doc_id").collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_substring_fingerprints_whitespace_normalized(spark):
+    """Winnowing runs on whitespace-collapsed lowercase text, so
+    formatting differences don't defeat exact-substring matching."""
+    from artemia_airflow_spark.operators.curation import decontaminate_substrings
+
+    eval_df = _docs_df(spark, [(100, _SHARED)])
+    train = _docs_df(spark, [(1, f"{_PAD_A}  {_SHARED.upper()}  trailing")])
+    out = decontaminate_substrings(train, eval_df, "text", "doc_id").collect()
+    assert out[0].substr_contaminated is True

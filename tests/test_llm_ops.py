@@ -52,6 +52,13 @@ def test_embedding_pairs_blocking_is_subset(emb):
     assert blocked == {(a, b) for a, b in full if labels[a] == labels[b]}
 
 
+def test_embedding_pairs_broadcast_tier_row_cap(emb):
+    """The unblocked tier collects to the driver, so it must refuse
+    oversized inputs with a clear error instead of OOMing."""
+    with pytest.raises(ValueError, match="driver-collect cap"):
+        embedding_cosine_pairs(emb, "vec_id", threshold=0.4, max_broadcast_rows=5)
+
+
 def test_embedding_lsh_recall_is_subset_of_exact(emb):
     """SRP-LSH candidates re-verified by exact cosine: every reported
     pair must be a true pair (no false positives after verify), and

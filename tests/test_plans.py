@@ -59,13 +59,13 @@ def test_no_cartesian_in_equi_joins(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
-def test_embed_pairs_never_shuffles_vectors(spark):
-    """q_dedup_embed: the O(n^2) pair space must be computed inside the
-    numpy kernel — the plan has the mapInPandas stage but NO join and
-    no exchange carrying the embedding column (only the cheap
-    round-robin spread of the scan itself)."""
+def test_embed_pairs_block_local_no_join_no_collect(spark):
+    """q_dedup_embed (label-blocked scale tier): the O(n_block^2) pair
+    space must be computed inside the per-group numpy kernel — the plan
+    is a FlatMapGroupsInPandas over ONE hash exchange on the blocking
+    key, with no join and no driver-side collect anywhere."""
     p = _formatted_plan(spark, "q_dedup_embed")
-    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" in p
     assert "Join" not in p, p
 
 
@@ -132,6 +132,66 @@ def test_tpch_topk_plans_as_take_ordered(spark):
     for name in ("q_tpch_q3", "q_tpch_q10"):
         p = _formatted_plan(spark, name)
         assert "TakeOrderedAndProject" in p, name
+
+
+def test_tfidf_shuffle_joins_dfreq_and_keeps_lineage_lazy(spark):
+    """q_text_tfidf: the vocabulary-sized doc-frequency table must NOT
+    be pinned broadcast — with auto-broadcast disabled the tf x dfreq
+    edge plans as a shuffle join; the only broadcast left is the 1-row
+    corpus-count aggregate (BroadcastNestedLoopJoin from the hinted
+    crossJoin), which replaced the old mid-plan df.count() action."""
+    p = _plan_without_autobroadcast(spark, "q_text_tfidf")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 0, p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1, p
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """q_sink_partitioned: the month-range filter must land in the
+    scan's PartitionFilters (directory pruning — 12 of ~80 month
+    partitions read), not be evaluated post-scan."""
+    p = _formatted_plan(spark, "q_sink_partitioned")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m, p
+    assert "o_month" in m.group(1), m.group(1)
+
+
+def test_partitioned_read_dynamic_pruning(spark):
+    """DPP (§4.2): joining the month-partitioned orders to a small
+    filtered dim on the partition column must inject a runtime
+    dynamicpruning subquery into the scan's PartitionFilters, so only
+    the dim-selected month directories are read."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.sources.files import write_partitioned_by_month
+    from tests.conftest import SF_ORACLE
+
+    out = os.path.join(tempfile.gettempdir(), "aas_dpp_orders")
+    write_partitioned_by_month(spark, SF_ORACLE, out)
+    fact = spark.read.parquet(out)
+    dim = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(12))
+            ).alias("m")
+        )
+        .select(F.format_string("1995-%02d", "m").alias("o_month"))
+        .filter(F.col("o_month") <= "1995-03")
+    )
+    old = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        joined = fact.join(F.broadcast(dim), "o_month").groupBy("o_month").count()
+        p = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", old)
+    assert "dynamicpruning" in p.lower(), p
 
 
 def test_gapfill_calendar_is_generated_not_scanned(spark):
