@@ -372,6 +372,78 @@ def q_dedup_ngram(spark, sf_dir):
     d = scan(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
 
+def connected_components(edges: DataFrame, *, max_iters: int = 5) -> DataFrame:
+    """Iterative min-label propagation + pointer jumping over an edge
+    list ``(src, dst)``; returns ``(node, label)`` for every node with
+    at least one edge (label = component-min node id).
+
+    Each round is: min over neighbors' labels, then label-of-label
+    shortcut — so convergence is O(log diameter) rounds, each round
+    a constant number of shuffles sized by the edge list.  Raises on
+    non-convergence rather than returning silently-split components.
+    ``edges`` should be cheap to recompute or already materialized;
+    this function caches it for the duration of the loop.
+    """
+    edges = edges.select("src", "dst").cache()
+    edges.count()  # materialize once; reused every iteration
+    involved = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = involved.select("node", F.col("node").alias("label"))
+    labels = labels.localCheckpoint(eager=False)
+    changed = 0
+    for _ in range(max_iters):
+        # propagate: each node takes min(label) over itself + neighbors
+        sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        neighbor_labels = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping (label = label-of-label): plain min-exchange
+        # needs O(component diameter) rounds, so a chain of D near-dups
+        # would be silently split at max_iters; the shortcut halves the
+        # remaining diameter each round -> O(log D) convergence.  Every
+        # label is itself a node id, so the self-join is total.
+        jump = new_labels.select(
+            F.col("node").alias("j_node"), F.col("label").alias("j_label")
+        )
+        new_labels = (
+            new_labels.join(jump, new_labels.label == jump.j_node)
+            .select("node", F.col("j_label").alias("label"))
+        )
+        # truncate lineage each round: without this the label DAG
+        # doubles per iteration and the convergence check re-executes
+        # the full history (measured 12s -> ~4s at sf0.1)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    if changed != 0:
+        # stale labels would silently split one duplicate cluster into
+        # several cluster_ids — fail loudly instead
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"in {max_iters} rounds despite pointer jumping (component "
+            f"diameter > ~2^{max_iters}); raise max_iters"
+        )
+    return labels
+
+
 def dedup_clusters(
     df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 64, bands: int = 8,
     max_iters: int = 5,
@@ -405,45 +477,13 @@ def dedup_clusters(
         )
         .select(F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst"))
         .distinct()
-        .cache()
     )
-    edges.count()  # materialize once; reused every iteration
-    involved = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    labels = involved.select("node", F.col("node").alias("label"))
-    labels = labels.localCheckpoint(eager=False)
-    for _ in range(max_iters):
-        # propagate: each node takes min(label) over itself + neighbors
-        sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        neighbor_labels = (
-            sym.join(labels, sym.dst == labels.node)
-            .select(F.col("src").alias("node"), "label")
-        )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # truncate lineage each round: without this the label DAG
-        # doubles per iteration and the convergence check re-executes
-        # the full history (measured 12s -> ~4s at sf0.1)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
+    labels = connected_components(edges, max_iters=max_iters)
     # isolated nodes: cluster of one, label = own id — no iteration needed
-    rest = df.select(F.col(id_col).alias("node")).join(involved, "node", "left_anti")
+    rest = (
+        df.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), "node", "left_anti")
+    )
     labels = labels.unionByName(rest.select("node", F.col("node").alias("label")))
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 

@@ -84,7 +84,21 @@ def salted_join(
     The salt uses a hash of the left row's full tuple, not `rand()`,
     so the result is deterministic and retry-safe (a recomputed task
     re-derives identical shards).
+
+    Supported ``how``: inner / left / left_semi / left_anti — shapes
+    where every output row is driven by a left row, which lives in
+    exactly one shard.  right/full outer are rejected: an unmatched
+    RIGHT row exists in all ``salt`` replicas and would be emitted
+    ``salt`` times (one null-extended row per shard).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right/full outer would "
+            f"emit each unmatched right row {salt}x (one per salt replica); "
+            "use AQE skew-join handling for outer-right shapes"
+        )
     shard = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l_salted = left.withColumn("__shard", shard)
     r_salted = right.withColumn(

@@ -398,14 +398,33 @@ class Pipeline:
                     if res.state == "success":
                         values[s.task_id] = res.value
 
-            if len(ready) == 1:
+            if self.run_timeout_s is None and len(ready) == 1:
                 execute(ready[0])
             else:
-                threads = [threading.Thread(target=execute, args=(s,)) for s in ready]
+                # Run stages in worker threads and join against the
+                # remaining run budget so a single hung stage (sensor
+                # with a longer poke timeout, blocking transport, ...)
+                # still trips the A11 deadline — Airflow kills the
+                # dagrun at dagrun_timeout regardless of task state.
+                # Python cannot forcibly kill the stage thread; it is
+                # daemonized and abandoned, the run itself fails fast.
+                threads = [
+                    threading.Thread(target=execute, args=(s,), daemon=True)
+                    for s in ready
+                ]
                 for t in threads:
                     t.start()
                 for t in threads:
-                    t.join()
+                    if self.run_timeout_s is None:
+                        t.join()
+                        continue
+                    remaining = self.run_timeout_s - (time.monotonic() - start)
+                    t.join(max(remaining, 0.0))
+                    if t.is_alive():
+                        raise PipelineTimeout(
+                            f"pipeline {self.name!r} exceeded {self.run_timeout_s}s "
+                            "(stage still running; thread abandoned)"
+                        )
             pending = [s for s in pending if s.task_id not in results]
 
         if raise_on_failure:

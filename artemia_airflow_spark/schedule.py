@@ -35,10 +35,10 @@ _FIELD_RANGES = ((0, 59), (0, 23), (1, 31), (1, 12), (0, 6))
 def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
     out: set[int] = set()
     for part in spec.split(","):
-        step = 1
+        step, had_step = 1, False
         if "/" in part:
             part, step_s = part.split("/", 1)
-            step = int(step_s)
+            step, had_step = int(step_s), True
             if step <= 0:
                 raise ValueError(f"cron step must be positive: {spec!r}")
         if part == "*" or part == "":
@@ -48,7 +48,7 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
             start, end = int(a), int(b)
         else:
             start = end = int(part)
-            if "/" in spec and part != "*":
+            if had_step:
                 end = hi  # "N/S" means start at N, every S
         if not (lo <= start <= hi and lo <= end <= hi):
             raise ValueError(f"cron field value out of range [{lo},{hi}]: {spec!r}")

@@ -132,17 +132,27 @@ def stream_dedup(spark: SparkSession, sf_dir: str, *, watermark: str = "10 minut
     return ev.dropDuplicatesWithinWatermark(["event_id"])
 
 
-def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_s: int = 120) -> DataFrame:
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, timeout_s: int = 120, *,
+    output_mode: str = "append",
+) -> DataFrame:
     """Drive a streaming query with Trigger.AvailableNow into an
-    in-memory sink and return the materialized result (test harness)."""
+    in-memory sink and return the materialized result (test harness).
+
+    ``output_mode`` defaults to 'append' (valid for every streaming
+    plan); pass 'complete' for aggregated streams where the full result
+    table is wanted — 'complete' on a non-aggregating stream (e.g.
+    dropDuplicatesWithinWatermark) is an AnalysisException in Spark.
+    """
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode if stream_df.isStreaming else "append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_s)
+    q.stop()
     return stream_df.sparkSession.table(name)
 
 

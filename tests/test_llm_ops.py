@@ -133,3 +133,38 @@ def test_salted_join_matches_plain_join(spark):
         "o_orderkey", "c_name"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Right/full outer would emit each unmatched right row salt x
+    (one null-extended row per salt replica) — must be rejected."""
+    from artemia_airflow_spark.operators.joins import salted_join
+
+    orders = scan(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    right = scan(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(orders, right, "o_custkey", how=how)
+    # left-driven shapes stay supported (every output row is driven by a
+    # left row, which lives in exactly one shard)
+    for how in ("left_semi", "left_anti"):
+        got = salted_join(orders, right, "o_custkey", how=how).count()
+        want = orders.join(right, "o_custkey", how).count()
+        assert got == want
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 20-node chain (diameter 19) must collapse to ONE component
+    within the default 5-round budget: pointer jumping gives O(log D)
+    convergence where plain min-exchange would need 19 rounds and
+    silently split the chain."""
+    from artemia_airflow_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)] + [(100, 101)], "src: long, dst: long"
+    )
+    labels = {r.node: r.label for r in connected_components(edges).collect()}
+    assert all(labels[i] == 0 for i in range(20))
+    assert labels[100] == labels[101] == 100

@@ -273,3 +273,20 @@ def test_default_retry_applies():
     results = pipe.run(spark=None)
     assert results["f"].state == "success"
     assert results["f"].attempts == 3
+
+
+def test_run_timeout_bounds_hung_stage():
+    """A11: a stage that blocks past the deadline trips PipelineTimeout
+    mid-wave — the reference kills the dagrun at dagrun_timeout
+    regardless of task state, not only between task waves."""
+    import threading
+    import time as _time
+
+    gate = threading.Event()
+    pipe = Pipeline("hung", run_timeout_s=0.3, sleep=no_sleep)
+    pipe.add(Stage("a", lambda ctx: gate.wait(30)))
+    t0 = _time.monotonic()
+    with pytest.raises(PipelineTimeout):
+        pipe.run(spark=None)
+    assert _time.monotonic() - t0 < 5  # did not wait out the stage
+    gate.set()  # release the abandoned daemon thread

@@ -82,3 +82,14 @@ def test_scheduler_ticker_runs_pipelines_in_fire_order():
         ("fast", "00:40"), ("fast", "00:50"),
         ("fast", "01:00"), ("slow", "01:00"), ("fast", "01:10"),
     ]
+
+
+def test_cron_step_scoped_to_comma_part():
+    """'5,10-20/2': the /2 step belongs only to the 10-20 part — the
+    plain 5 must stay a single minute, not expand to 5..59."""
+    c = Cron("5,10-20/2 * * * *")
+    assert c.minute == {5, 10, 12, 14, 16, 18, 20}
+    # a stepped bare start still expands to the field's end: 10/15
+    assert Cron("10/15 * * * *").minute == {10, 25, 40, 55}
+    # and a stepped range after a plain value leaves a later plain value alone
+    assert Cron("1,20-30/5,45 * * * *").minute == {1, 20, 25, 30, 45}

@@ -18,7 +18,11 @@ from artemia_airflow_spark.streaming.sensor import (
     SensorTimeout,
     run_sensor_stream,
 )
-from artemia_airflow_spark.streaming.windows import session_counts, tumbling_counts
+from artemia_airflow_spark.streaming.windows import (
+    run_to_memory_sink,
+    session_counts,
+    tumbling_counts,
+)
 from tests.conftest import SF_SMOKE
 
 
@@ -52,15 +56,9 @@ def _read_chunks(spark, path):
 
 
 def _run_stream(df, name, mode):
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    q.stop()
+    # thin shim over the library helper so the engine's own harness
+    # (including its output-mode handling) is what the tests exercise
+    run_to_memory_sink(df, name, output_mode=mode)
 
 
 def test_stream_tumbling_equals_batch(spark, chunked_events_dir):
