@@ -13,7 +13,7 @@ whole-stage codegen and the only shuffles are the final aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
@@ -377,4 +377,185 @@ def q_text_repetition(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("rep"), 6).alias("avg_repetition"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Ordered (pattern, replacement) chain.  Patterns restricted to the
+# Java-regex/RE2 common subset (no backrefs, no lookaround) so the
+# DuckDB oracle can apply the identical chain.  SSN runs before PHONE:
+# both are digit-dash shapes and the chain must be order-deterministic.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str, *, out_col: str | None = None) -> DataFrame:
+    """Corpus-curation PII scrub: chained ``regexp_replace`` over the
+    standard identifier shapes (email, SSN, IPv4, NANP phone).
+
+    Pure Catalyst expressions — the whole chain runs inside whole-stage
+    codegen, map-side only, no shuffle, no Python: at 100 TB this is a
+    single scan-speed pass.  Replacement is global per pattern (Spark
+    ``regexp_replace`` replaces every match)."""
+    c = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col or text_col, c)
+
+
+@declared(
+    "q_pii_redact",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example ssn 123-45-6789 ip 10.0.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || ' tel 555-123-4567' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g') AS clean_text
+    FROM seeded
+    """,
+)
+def q_pii_redact(spark, sf_dir):
+    """PII redaction, oracle-checked end to end: the fixture text is
+    synthetic word-soup, so each document is seeded with deterministic
+    doc_id-derived PII (an email, an SSN, an IP, a phone number) before
+    the scrub — the oracle seeds and scrubs identically."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example ssn 123-45-6789 ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel 555-123-4567"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded, "text", out_col="clean_text").select("doc_id", "clean_text")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (training-batch construction)
+# --------------------------------------------------------------------------
+
+def pack_sequences_budget(
+    df: DataFrame, text_col: str, id_col: str, *, capacity: int = 2048, shards: int = 32
+) -> DataFrame:
+    """Token-budget sequence packing, fully declarative: documents are
+    ordered by id within ``shards`` hash shards and assigned
+    ``seq_id = floor(prev-cumulative-tokens / capacity)`` — each
+    sequence holds ~``capacity`` whitespace tokens (a doc straddling a
+    boundary stays in the sequence where it started).
+
+    Scale shape: ONE window per shard (``partitionBy(shard)``), so the
+    sort is shard-parallel, never a global order-by; ``shards`` is
+    sized to the cluster.  Adds (shard, seq_id, n_tokens) per doc."""
+    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    shard = (F.col(id_col) % shards).alias("shard")
+    base = df.select(F.col(id_col), shard, toks.alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.withColumn("seq_id", F.floor(cum_prev / F.lit(float(capacity))))
+
+
+def pack_sequences_firstfit(
+    df: DataFrame, text_col: str, id_col: str, *, capacity: int = 2048, shards: int = 32
+) -> DataFrame:
+    """Greedy sequential first-fit packing: within each shard, walk docs
+    in id order and open a new sequence whenever the current one would
+    overflow ``capacity`` (an oversize doc gets a sequence of its own).
+
+    Unlike the budget strategy no sequence ever exceeds ``capacity``
+    (except single oversize docs), at the cost of per-shard sequential
+    state — implemented as one Arrow-batched ``applyInPandas`` per
+    shard, so parallelism = ``shards``, state = one int per group."""
+    import pandas as pd
+
+    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    base = df.select(
+        F.col(id_col), (F.col(id_col) % shards).alias("shard"), toks.alias("n_tokens")
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq_ids, seq, used = [], 0, 0
+        for n in pdf.n_tokens:
+            if used > 0 and used + n > capacity:
+                seq, used = seq + 1, 0
+            seq_ids.append(seq)
+            used += n
+        return pdf.assign(seq_id=seq_ids)
+
+    return base.groupBy("shard").applyInPandas(
+        pack, f"{id_col} long, shard long, n_tokens int, seq_id long"
+    )
+
+
+@declared(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 32 AS shard,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM t
+    )
+    SELECT shard, CAST(FLOOR(cum_prev / 2048.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget packing (2048-token sequences, 32 shards) —
+    per-sequence doc count and token total, oracle-checked."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    packed = pack_sequences_budget(d, "text", "doc_id", capacity=2048, shards=32)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
+@declared("q_pack_firstfit")
+def q_pack_firstfit(spark, sf_dir):
+    """First-fit packing (rows-only: per-shard sequential state is not
+    SQL-expressible) — sequences per shard plus the largest sequence
+    fill, which must stay <= capacity for multi-doc sequences (unit
+    tests pin the exact packing on constructed cases)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    packed = pack_sequences_firstfit(d, "text", "doc_id", capacity=512, shards=16)
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").alias("seq_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return per_seq.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.max("seq_tokens").alias("max_seq_tokens"),
     )

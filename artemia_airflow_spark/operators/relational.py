@@ -923,10 +923,23 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", token_count("text").alias("n_tokens"))
 
 
-@declared("q_pandas_norm")
+@declared(
+    "q_pandas_norm",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY lang)) /
+                 CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) = 0
+                      THEN 1.0
+                      ELSE stddev_pop(n_chars) OVER (PARTITION BY lang) END,
+                 6) AS z_chars
+    FROM documents
+    """,
+)
 def q_pandas_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B53 (rows-only): grouped applyInPandas — per-lang z-score of doc
-    length (Arrow-batched; each group processed as one pandas frame)."""
+    """B53: grouped applyInPandas — per-lang z-score of doc length
+    (Arrow-batched; each group processed as one pandas frame).  Rounded
+    to 6dp so the pandas kernel is value-comparable to the SQL window
+    formulation (population std, degenerate groups -> divide by 1)."""
     ensure_engine_conf(spark)
     import pandas as pd
 
@@ -935,7 +948,7 @@ def q_pandas_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     def znorm(pdf: "pd.DataFrame") -> "pd.DataFrame":
         std = pdf.n_chars.std(ddof=0)
         z = (pdf.n_chars - pdf.n_chars.mean()) / (std if std else 1.0)
-        return pdf.assign(z_chars=z)
+        return pdf.assign(z_chars=z.round(6))
 
     return d.groupBy("lang").applyInPandas(
         znorm, "doc_id long, lang string, n_chars long, z_chars double"

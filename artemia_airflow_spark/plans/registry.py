@@ -32,8 +32,12 @@ ORACLE: dict[str, str] = {}
 PRIORITY: list[str] = [
     # new in round 2
     "q_sink_partitioned",
+    "q_sink_bucketed",
     "q_dedup_substring",
     "q_decontaminate_substring",
+    "q_pii_redact",
+    "q_pack_sequences",
+    "q_pack_firstfit",
     # relational tail (unchecked in round 1)
     "q_fn_map", "q_fn_json", "q_fn_null",
     "q_subq_scalar", "q_subq_in", "q_udf_scalar", "q_pandas_norm",

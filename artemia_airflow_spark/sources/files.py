@@ -90,6 +90,70 @@ def q_sink_partitioned(spark, sf_dir):
     )
 
 
+def write_bucketed_table(
+    df: DataFrame, table: str, *, bucket_col: str, num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """B4 scale tier: bucketed (and optionally sorted) parquet table.
+
+    Bucketing pre-shuffles the table ONCE at write time: rows are hashed
+    on ``bucket_col`` into ``num_buckets`` files per partition, and the
+    bucket spec is recorded in the catalog.  Every later join or
+    aggregation on that column reads bucket i against bucket i with no
+    Exchange on that side — at 100 TB the difference between
+    re-shuffling two fact tables on every query and a map-side merge.
+    ``sort_col`` additionally sorts within buckets so sort-merge joins
+    skip their sort."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a fresh session's in-memory catalog does not know about a table
+    # directory left in the warehouse by an earlier session; saveAsTable
+    # then fails with LOCATION_ALREADY_EXISTS — clear the local location
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("file", ""):
+        import shutil
+
+        shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+@declared(
+    "q_sink_bucketed",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q_sink_bucketed(spark, sf_dir):
+    """B4/§4.2: bucketed co-located fact⋈fact join.  orders and lineitem
+    are both written bucketed 16 ways on the order key; the join plan
+    has NO shuffle on either input (asserted in tests/test_plans.py —
+    the only Exchange left is the small post-join aggregation)."""
+    ensure_engine_conf(spark)
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(o, "aas_orders_bkt", bucket_col="o_orderkey", sort_col="o_orderkey")
+    write_bucketed_table(li, "aas_lineitem_bkt", bucket_col="l_orderkey", sort_col="l_orderkey")
+    ob = spark.table("aas_orders_bkt")
+    lb = spark.table("aas_lineitem_bkt")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
 @declared("q_source_json")
 def q_source_json(spark, sf_dir):
     """B2 (rows-only): JSON round-trip — events -> JSON-lines on disk ->

@@ -146,3 +146,49 @@ def test_substring_fingerprints_whitespace_normalized(spark):
     train = _docs_df(spark, [(1, f"{_PAD_A}  {_SHARED.upper()}  trailing")])
     out = decontaminate_substrings(train, eval_df, "text", "doc_id").collect()
     assert out[0].substr_contaminated is True
+
+
+def test_redact_pii_constructed_cases(spark):
+    from artemia_airflow_spark.operators.curation import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@x-y.example.org end"),
+        (2, "ssn 123-45-6789 phone 555-123-4567 both"),
+        (3, "ip 192.168.1.255 ok"),
+        (4, "clean text stays untouched"),
+        (5, "two mails a@b.co c@d.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r.text for r in redact_pii(df, "text").collect()}
+    assert got[1] == "mail [EMAIL] end"
+    assert got[2] == "ssn [SSN] phone [PHONE] both"
+    assert got[3] == "ip [IP] ok"
+    assert got[4] == "clean text stays untouched"
+    assert got[5] == "two mails [EMAIL] [EMAIL]"
+
+
+def test_pack_firstfit_respects_capacity(spark):
+    """Constructed shard: docs of 300/300/300/500/900/1200 tokens with
+    capacity 1000 must pack first-fit as [300+300+300], [500], [900],
+    [1200] (oversize doc alone in its own sequence)."""
+    from artemia_airflow_spark.operators.curation import pack_sequences_firstfit
+
+    sizes = [300, 300, 300, 500, 900, 1200]
+    rows = [(i * 16, " ".join(["w"] * n)) for i, n in enumerate(sizes)]  # all shard 0
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    packed = pack_sequences_firstfit(df, "text", "doc_id", capacity=1000, shards=16)
+    got = {r.doc_id: r.seq_id for r in packed.collect()}
+    assert [got[i * 16] for i in range(6)] == [0, 0, 0, 1, 2, 3]
+
+
+def test_pack_budget_matches_manual_cumsum(spark):
+    """Budget strategy: seq_id == floor(prev-cumsum / capacity) within
+    the shard, docs straddling a boundary stay in the earlier seq."""
+    from artemia_airflow_spark.operators.curation import pack_sequences_budget
+
+    sizes = [600, 600, 600, 600]  # cum_prev: 0, 600, 1200, 1800 / cap 1000
+    rows = [(i * 8, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    packed = pack_sequences_budget(df, "text", "doc_id", capacity=1000, shards=8)
+    got = {r.doc_id: r.seq_id for r in packed.collect()}
+    assert [got[i * 8] for i in range(4)] == [0, 0, 1, 1]

@@ -200,3 +200,26 @@ def test_gapfill_calendar_is_generated_not_scanned(spark):
     p = _formatted_plan(spark, "q_gapfill")
     assert p.count("Location: InMemoryFileIndex") == 1
     assert "BroadcastHashJoin" in p
+
+
+def test_bucketed_join_has_no_input_shuffle(spark):
+    """q_sink_bucketed: both fact tables are bucketed 16 ways on the
+    order key, so the join must read bucket i against bucket i with no
+    Exchange below the join — the only exchange left is the small
+    post-join aggregation.  At fixture scale size-based auto-broadcast
+    would hide the bucketed join, so it is disabled — at 100 TB neither
+    side broadcasts and the bucketed shuffle-free plan is what runs."""
+    p = _plan_without_autobroadcast(spark, "q_sink_bucketed")
+    join = re.search(r"SortMergeJoin|ShuffledHashJoin", p)
+    assert join, p
+    # no Exchange may feed the join: every Exchange in the plan must sit
+    # ABOVE it (formatted plans list operators leaves-last, so exchanges
+    # feeding the join would appear after the join line with higher ids)
+    tree = p.split("\n\n")[0]
+    join_line = next(
+        i for i, ln in enumerate(tree.splitlines())
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    )
+    below = "\n".join(tree.splitlines()[join_line:])
+    assert "Exchange" not in below, below
+    assert "SelectedBucketsCount" in p or "Bucketed: true" in p, p
