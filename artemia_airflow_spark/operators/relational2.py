@@ -361,3 +361,25 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@declared("q_agg_hll")
+def q_agg_hll(spark, sf_dir):
+    """B21 scale tier (rows-only: sketch estimates are
+    engine-specific): Datasketches HLL per-group distinct-user counts.
+
+    Unlike approx_count_distinct, ``hll_sketch_agg`` produces a
+    MERGEABLE binary sketch: partial sketches computed per shard / per
+    day can be stored and unioned later (``hll_union_agg``) without
+    touching raw data — the pre-aggregation pattern 100 TB rollup
+    tables live on.  Here each event_type's daily sketches are unioned
+    into an overall estimate to exercise both halves."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"))
+    )

@@ -38,6 +38,8 @@ PRIORITY: list[str] = [
     "q_pii_redact",
     "q_pack_sequences",
     "q_pack_firstfit",
+    "q_stream_first",
+    "q_agg_hll",
     # relational tail (unchecked in round 1)
     "q_fn_map", "q_fn_json", "q_fn_null",
     "q_subq_scalar", "q_subq_in", "q_udf_scalar", "q_pandas_norm",

@@ -256,3 +256,93 @@ def q_stream_dedup(spark, sf_dir):
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events").dropDuplicates(["event_id"])
     return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState (B49+)
+# --------------------------------------------------------------------------
+
+def stateful_first_event(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user novelty detection — emit each user's FIRST event (by
+    (ts, event_id)) exactly once across the whole stream, with one
+    boolean of state per user.
+
+    This is the escape hatch for stateful semantics the built-in
+    operators can't express (the built-ins cover dedup/session/window;
+    arbitrary per-key state machines need this API).  State is one
+    tuple per key, Arrow-batched per micro-batch — at 100 TB the state
+    store is RocksDB-backed and sized by #distinct keys, not events.
+
+    Emission is first-by-processing-order across micro-batches; it
+    equals the event-time first when the source replays in time order
+    (log/Kafka streams are time-ordered per partition — asserted
+    against the batch face in tests/test_streaming.py).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, first_ts_s long, first_event_id long, first_value double"
+
+    def first_fn(key, pdf_iter, state):
+        if state.exists:
+            for _ in pdf_iter:  # drain: user already emitted
+                pass
+            return
+        best = None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            row = pdf.iloc[0]
+            if best is None or (row.ts, row.event_id) < (best.ts, best.event_id):
+                best = row
+        if best is not None:
+            state.update((True,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "first_ts_s": [int(best.ts.timestamp())],
+                    "first_event_id": [int(best.event_id)],
+                    "first_value": [float(best.value)],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        first_fn, out_schema, "done boolean", "append", GroupStateTimeout.NoTimeout
+    )
+
+
+@declared(
+    "q_stream_first",
+    oracle="""
+    SELECT user_id,
+           CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT)
+             AS first_ts_s,
+           event_id AS first_event_id,
+           value AS first_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_first(spark, sf_dir):
+    """B49+ batch face of the custom stateful first-event operator:
+    per-user first event by (ts, event_id) — window top-1, the
+    declarative equivalent of the applyInPandasWithState stream face
+    (equivalence asserted by test_stream_first_equals_batch)."""
+    ensure_engine_conf(spark)
+    ev = scan(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("first_ts_s"),
+            F.col("event_id").alias("first_event_id"),
+            F.col("value").alias("first_value"),
+        )
+    )

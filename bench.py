@@ -29,6 +29,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SKIP = {
     "q_sink_parquet",
     "q_sink_partitioned",
+    "q_sink_bucketed",
     "q_source_json",
     "q_source_http",
     "q_source_http_ds",

@@ -168,3 +168,22 @@ def test_connected_components_long_chain_converges(spark):
     labels = {r.node: r.label for r in connected_components(edges).collect()}
     assert all(labels[i] == 0 for i in range(20))
     assert labels[100] == labels[101] == 100
+
+
+def test_hll_union_estimate_close_to_exact(spark):
+    """q_agg_hll: daily HLL sketches unioned per event_type must land
+    within 5% of the exact distinct-user count (lgK=12 default ~1.6%
+    relative error)."""
+    from artemia_airflow_spark.operators.relational2 import q_agg_hll
+
+    got = {r.event_type: r.approx_users for r in q_agg_hll(spark, SF_SMOKE).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in scan(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])

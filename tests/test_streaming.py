@@ -186,3 +186,19 @@ def test_stream_stream_join_equals_batch(spark, chunked_events_dir):
     }
     assert got == want
     assert want, "fixture should contain attributed pairs"
+
+
+def test_stream_first_event_equals_batch(spark, chunked_events_dir):
+    """B49+: the custom stateful operator (applyInPandasWithState) over
+    the time-ordered replay must equal the declarative batch top-1 face
+    — each user's first event emitted exactly once."""
+    from artemia_airflow_spark.streaming.windows import (
+        q_stream_first,
+        stateful_first_event,
+    )
+
+    stream = stateful_first_event(_read_chunks(spark, chunked_events_dir))
+    _run_stream(stream, "t_first", "append")
+    got = {tuple(r) for r in spark.table("t_first").collect()}
+    want = {tuple(r) for r in q_stream_first(spark, SF_SMOKE).collect()}
+    assert got == want
