@@ -250,9 +250,20 @@ def q_stream_join(spark, sf_dir):
     return attribution_join(scan(spark, sf_dir, "events"))
 
 
-@declared("q_stream_dedup")
+@declared(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT any_value(event_type) AS event_type
+          FROM events GROUP BY event_id)
+    GROUP BY event_type
+    """,
+)
 def q_stream_dedup(spark, sf_dir):
-    """B49 batch face: event_id dedup then per-type counts."""
+    """B49 batch face: event_id dedup then per-type counts.  Oracle-
+    checkable because fixture event_ids are unique (dropDuplicates'
+    arbitrary-survivor choice cannot differ); the oracle's any_value
+    per id mirrors the same survivor semantics."""
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events").dropDuplicates(["event_id"])
     return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

