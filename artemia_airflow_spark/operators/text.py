@@ -220,10 +220,30 @@ def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-@declared("q_text_tfidf")
+@declared(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT d.lang,
+           round(MAX(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1.0)) + 1)), 6)
+             AS max_tfidf,
+           COUNT(*) AS n_doc_terms
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+      JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
 def q_text_tfidf(spark, sf_dir):
-    """B43 (rows-only: ln() differs across libm implementations, so no
-    value oracle): top tf-idf terms aggregated per lang."""
+    """B43, oracle-checked: top tf-idf terms aggregated per lang.
+    JVM ln() and libm ln() agree far below the 6dp round applied to
+    the per-lang max, so the value hash is stable cross-engine."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     scores = tf_idf(d, "text", "doc_id")
@@ -231,7 +251,7 @@ def q_text_tfidf(spark, sf_dir):
         scores.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
         .agg(
-            F.max("tf_idf").alias("max_tfidf"),
+            F.round(F.max("tf_idf"), 6).alias("max_tfidf"),
             F.count(F.lit(1)).alias("n_doc_terms"),
         )
     )

@@ -40,6 +40,7 @@ PRIORITY: list[str] = [
     "q_pack_firstfit",
     "q_stream_first",
     "q_agg_hll",
+    "q_merge_upsert",
     # relational tail (unchecked in round 1)
     "q_fn_map", "q_fn_json", "q_fn_null",
     "q_subq_scalar", "q_subq_in", "q_udf_scalar", "q_pandas_norm",
@@ -90,6 +91,7 @@ def declared(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all_query_modules() -> None:
     """Import every module that declares queries (idempotent)."""
     import artemia_airflow_spark.operators.analytics  # noqa: F401
+    import artemia_airflow_spark.operators.cdc  # noqa: F401
     import artemia_airflow_spark.operators.curation  # noqa: F401
     import artemia_airflow_spark.operators.dedup  # noqa: F401
     import artemia_airflow_spark.operators.multimodal  # noqa: F401

@@ -339,21 +339,20 @@ def stateful_first_event(events: DataFrame) -> DataFrame:
 )
 def q_stream_first(spark, sf_dir):
     """B49+ batch face of the custom stateful first-event operator:
-    per-user first event by (ts, event_id) — window top-1, the
-    declarative equivalent of the applyInPandasWithState stream face
-    (equivalence asserted by test_stream_first_equals_batch)."""
+    per-user first event by (ts, event_id), as min(struct(...)) —
+    lexicographic struct-min == the composite ordering, and unlike a
+    row_number window it PARTIAL-aggregates map-side: the shuffle
+    carries one candidate row per (partition, user), not every event.
+    Equivalence with the stream face is asserted by
+    test_stream_first_equals_batch."""
     ensure_engine_conf(spark)
     ev = scan(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("ts").cast("long").alias("first_ts_s"),
-            F.col("event_id").alias("first_event_id"),
-            F.col("value").alias("first_value"),
-        )
+    m = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.col("m.ts").cast("long").alias("first_ts_s"),
+        F.col("m.event_id").alias("first_event_id"),
+        F.col("m.value").alias("first_value"),
     )
