@@ -126,3 +126,112 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+def scd2_history(
+    changes: DataFrame, key: str, ts_col: str, *, tiebreak: str
+) -> DataFrame:
+    """SCD type-2: turn a stream of per-key change rows into validity
+    intervals — each row becomes [valid_from, valid_to) with valid_to =
+    the next change's timestamp (NULL while current).
+
+    One window per key (lead), shard-parallel on the key hash — the
+    standard dimension-history build; ``tiebreak`` must be unique per
+    (key, ts) so interval edges are deterministic (H3)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+    return changes.withColumn("valid_to", F.lead(ts_col).over(w)).withColumn(
+        "is_current", F.col("valid_to").isNull()
+    )
+
+
+@declared(
+    "q_scd2",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, value,
+             date_trunc('second', CAST(ts AS TIMESTAMP)) AS tsec
+      FROM events
+    )
+    SELECT user_id, event_id, value,
+           CAST(epoch(tsec) AS BIGINT) AS valid_from_s,
+           CAST(epoch(lead(tsec) OVER w) AS BIGINT) AS valid_to_s,
+           lead(tsec) OVER w IS NULL AS is_current
+    FROM c WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B62 companion: SCD2 dimension history — per-user value change
+    intervals from the events stream, oracle-checked (second-truncated
+    event time, event_id tiebreak)."""
+    ensure_engine_conf(spark)
+    ev = scan(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.date_trunc("second", "ts").alias("tsec")
+    )
+    hist = scd2_history(ev, "user_id", "tsec", tiebreak="event_id")
+    return hist.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("tsec").cast("long").alias("valid_from_s"),
+        F.col("valid_to").cast("long").alias("valid_to_s"),
+        "is_current",
+    )
+
+
+def merge_rollup(
+    base_agg: DataFrame, delta_agg: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a delta's partial
+    aggregates into an existing rollup table without rescanning the
+    base data.  Both inputs carry the SAME associative measure columns
+    (counts as BIGINT, sums as exact DECIMAL partials); the merge is a
+    union + re-aggregation — shuffle sized by the ROLLUP keyspace, not
+    the fact table.  This is how a 100 TB daily rollup absorbs a new
+    day: aggregate the new partition only, merge partials."""
+    measures = [c for c in base_agg.columns if c not in keys]
+    return (
+        base_agg.unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(*[F.sum(m).alias(m) for m in measures])
+    )
+
+
+@declared(
+    "q_rollup_incremental",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance, oracle-checked by EQUIVALENCE:
+    the base rollup (events before Jan 15) merged with the delta's
+    partial aggregates (events from Jan 15 on) must equal the full
+    recompute over all events — which is exactly what the oracle runs.
+    Partial sums stay DECIMAL(18,2) (exact, order-insensitive) until
+    the final cast."""
+    ensure_engine_conf(spark)
+    ev = scan(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    merged = merge_rollup(base, delta, ["event_type", "day"])
+    return merged.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

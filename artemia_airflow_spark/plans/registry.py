@@ -41,6 +41,8 @@ PRIORITY: list[str] = [
     "q_stream_first",
     "q_agg_hll",
     "q_merge_upsert",
+    "q_scd2",
+    "q_rollup_incremental",
     # relational tail (unchecked in round 1)
     "q_fn_map", "q_fn_json", "q_fn_null",
     "q_subq_scalar", "q_subq_in", "q_udf_scalar", "q_pandas_norm",
