@@ -84,3 +84,52 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     n_all = spark.read.parquet(out).count()
     n_f = back.count()
     assert 0 < n_f < n_all
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling, demonstrated at runtime: a join where 99%
+    of left rows share one hot key must come back with the skewed
+    partition split (skew=true in the executed plan) instead of one
+    straggler task owning the whole key — the runtime complement to the
+    explicit salted_join operator."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        # per-row high-entropy payload: a constant literal would be
+        # projected after the join (constant folding) and the bare join
+        # keys compress below the skew threshold in the shuffle files
+        pad = F.md5(F.col("id").cast("string"))
+        left = spark.range(100_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            pad.alias("payload"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), pad.alias("rpad"))
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's QueryExecution (a write or count()
+        # spawns its own) so its adaptive plan finalizes before
+        # inspection; the collected rows are discarded
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
