@@ -30,16 +30,14 @@ ORACLE: dict[str, str] = {}
 # new this round, so rounds 1+2 jointly cover the whole registry; the
 # already-checked round-1 set follows after.
 PRIORITY: list[str] = [
-    # new in round 2
-    "q_sink_partitioned",
+    # new ORACLE-CHECKED queries in round 2 — a driver hash row is the
+    # strongest signal, so these go first (the new rows-only queries sit
+    # after the round-1 backlog: their driver row adds little beyond the
+    # local semantic tests, and r1's cut was 50 entries — 7 + 43 == 50)
     "q_sink_bucketed",
-    "q_dedup_substring",
-    "q_decontaminate_substring",
     "q_pii_redact",
     "q_pack_sequences",
-    "q_pack_firstfit",
     "q_stream_first",
-    "q_agg_hll",
     "q_merge_upsert",
     "q_scd2",
     "q_rollup_incremental",
@@ -64,6 +62,10 @@ PRIORITY: list[str] = [
     # streaming batch faces
     "q_stream_tumble", "q_stream_slide", "q_stream_session",
     "q_stream_join", "q_stream_dedup",
+    # new rows-only queries in round 2 (weaker driver signal; full
+    # semantics pinned by unit/plan tests)
+    "q_sink_partitioned", "q_dedup_substring", "q_decontaminate_substring",
+    "q_pack_firstfit", "q_agg_hll",
 ]
 
 
