@@ -559,3 +559,54 @@ def q_pack_firstfit(spark, sf_dir):
         F.count(F.lit(1)).alias("n_seqs"),
         F.max("seq_tokens").alias("max_seq_tokens"),
     )
+
+
+def length_buckets(df: DataFrame, text_col: str) -> DataFrame:
+    """Smart-batching length buckets: assign each document to its
+    power-of-two token-length bucket (bucket = bit-length of the token
+    count) — the standard padding-bucket scheme for building
+    fixed-shape training batches from variable-length docs.
+
+    Integer bit-length via ``length(bin(n))`` instead of
+    ``floor(log2(n))``: libm log2 at exact powers of two is
+    engine/rounding-mode dependent, the binary-string length is exact
+    everywhere.  Pure map-side expression + one bucket-sized agg."""
+    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    return df.withColumn("n_tokens", toks).withColumn(
+        "bucket", F.length(F.bin(F.col("n_tokens"))).cast("int")
+    )
+
+
+@declared(
+    "q_length_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT len(regexp_split_to_array(text, '\\s+')) AS n_tokens FROM documents
+    )
+    SELECT CAST(length(bin(n_tokens)) AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           round(1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                     / (COUNT(*) * MAX(n_tokens)), 6) AS padding_waste
+    FROM t GROUP BY 1
+    """,
+)
+def q_length_buckets(spark, sf_dir):
+    """Per-bucket doc count and padding waste (1 - sum/(n*max)): the
+    fraction of a padded batch that would be wasted if every doc in
+    the bucket were padded to the bucket max."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    b = length_buckets(d, "text")
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.round(
+            1.0
+            - F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.max("n_tokens")),
+            6,
+        ).alias("padding_waste"),
+    )
