@@ -114,8 +114,10 @@ def test_tpch_composites_broadcast_dims_only(spark):
     in TPC-H, so with auto-broadcast disabled their join edges must
     plan as shuffle joins (SortMergeJoin) — a pinned broadcast there is
     the plan that dies at 100x scale.  Expected hint counts: q3 none,
-    q5 three (supplier, nation, region), q10 one (nation)."""
-    expected_hinted = {"q_tpch_q3": 0, "q_tpch_q5": 3, "q_tpch_q10": 1}
+    q5 three (supplier, nation, region), q10 one (nation), q7 three
+    (supplier + two nation aliases)."""
+    expected_hinted = {"q_tpch_q3": 0, "q_tpch_q5": 3, "q_tpch_q10": 1,
+                       "q_tpch_q7": 3}
     for name, n_hints in expected_hinted.items():
         p = _plan_without_autobroadcast(spark, name)
         # formatted explain shows each node twice (tree + detail); count
