@@ -209,3 +209,133 @@ def q_multimodal_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_videos"),
         F.sum("n_distinct_frames").alias("total_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Media perceptual near-dup (pHash-style over binary payloads)
+# --------------------------------------------------------------------------
+
+PHASH_SCHEMA = "doc_id long, media_type string, phash long"
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """64-bit perceptual-hash fingerprint per media payload.
+
+    STUB kernel (no codec libs in this container): a byte-level SimHash
+    — sliding 8-byte windows (stride 4) each vote ±1 per bit of their
+    64-bit window hash, the vote signs are the fingerprint.  Identical
+    payloads collide exactly, locally-edited payloads land within a few
+    bits, unrelated payloads sit ~32 bits apart — the distance profile
+    a real pHash (grayscale resize -> DCT -> median threshold) gives on
+    images; that kernel drops into the same function with the identical
+    64-bit output contract.
+
+    Arrow-batched ``mapInPandas``: payload bytes stay in Arrow buffers,
+    the kernel emits 8-byte hashes — the 100 TB shuffle carries
+    fingerprints, never media."""
+    import numpy as np
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        import zlib
+
+        shifts = np.arange(64, dtype="uint64")
+        for pdf in it:
+            out = np.empty(len(pdf), dtype="int64")
+            for j, p in enumerate(pdf["payload"]):
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                if len(b) < 8:
+                    b = np.pad(b, (0, 8 - len(b)))
+                win = np.lib.stride_tricks.sliding_window_view(b, 8)[::4]
+                hs = np.fromiter(
+                    (
+                        zlib.crc32(w.tobytes())
+                        | (zlib.crc32(w.tobytes() + b"#s") << 32)
+                        for w in win
+                    ),
+                    dtype="uint64",
+                    count=len(win),
+                )
+                votes = ((hs[:, None] >> shifts) & 1).astype("int32").sum(axis=0)
+                bits = (votes * 2 > len(hs)).astype("uint64")
+                out[j] = int((bits << shifts).sum()) & ((1 << 63) - 1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_meta"].map(lambda m: m["media_type"]),
+                    "phash": out,
+                }
+            )
+
+    return media.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def media_neardup_pairs(
+    media: DataFrame, *, prefix_bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate media pairs by pHash banding + hamming verify.
+
+    Same scale shape as text SimHash dedup (operators/dedup.py): any
+    pair within hamming <= 3 shares an intact 16-bit band (pigeonhole),
+    so the self-join runs per (media_type, band, band_val) bucket —
+    near-linear, never all-pairs — and ``bit_count(xor)`` verifies the
+    real distance before a pair is reported.  Returns
+    (media_type, id_a, id_b, hamming)."""
+    ph = media_phash(media)
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("phash"), i * prefix_bits)
+                    .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                    .alias("band_val"),
+                )
+                for i in range(64 // prefix_bits)
+            ]
+        )
+    )
+    cand = ph.select("doc_id", "media_type", "phash", bands.alias("b")).select(
+        "doc_id",
+        "media_type",
+        "phash",
+        F.col("b.band").alias("band"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.media_type") == F.col("b.media_type"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.media_type").alias("media_type"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+@declared("q_multimodal_neardup")
+def q_multimodal_neardup(spark, sf_dir):
+    """North-star multimodal near-dup (rows-only: kernel is the stub
+    pHash): banded fingerprint pairs per media type with verified
+    hamming distance — per-type pair count + distance spread."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    media = attach_fake_media(d, "doc_id", "text")
+    pairs = media_neardup_pairs(media)
+    return pairs.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("hamming").alias("min_hamming"),
+        F.max("hamming").alias("max_hamming"),
+    )

@@ -69,7 +69,7 @@ PRIORITY: list[str] = [
     # new rows-only queries in round 2 (weaker driver signal; full
     # semantics pinned by unit/plan tests)
     "q_sink_partitioned", "q_dedup_substring", "q_decontaminate_substring",
-    "q_pack_firstfit", "q_agg_hll",
+    "q_pack_firstfit", "q_agg_hll", "q_multimodal_neardup",
 ]
 
 

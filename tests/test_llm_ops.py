@@ -187,3 +187,25 @@ def test_hll_union_estimate_close_to_exact(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_media_neardup_finds_identical_payloads(spark):
+    """pHash near-dup: identical payloads (hamming 0) must pair; a
+    payload with a very different byte histogram must not pair with
+    them at max_hamming=3."""
+    from artemia_airflow_spark.operators.multimodal import (
+        attach_fake_media,
+        media_neardup_pairs,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+        (3, "alpha beta gamma delta epsilon zeta eta theta " * 4),  # dup of 0
+        (6, "0123456789" * 40),  # digits only: different histogram
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    media = attach_fake_media(df, "doc_id", "text")  # all ids %3==0 -> image/png
+    pairs = media_neardup_pairs(media).collect()
+    keyed = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert keyed.get((0, 3)) == 0
+    assert (0, 6) not in keyed and (3, 6) not in keyed
