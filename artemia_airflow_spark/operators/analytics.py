@@ -327,3 +327,47 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
     )
+
+
+@declared(
+    "q_tpch_q14",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           round(CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                 ELSE CAST(0 AS DECIMAL(28,6)) END)
+              / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+              AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY ship_month
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share by ship month): fact ⋈
+    broadcast(part) — part is a true dim — with a conditional DECIMAL
+    aggregate; the division happens on the exact decimal sums so the
+    ratio hashes identically cross-engine."""
+    ensure_engine_conf(spark)
+    li = scan(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    p = scan(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _revenue()
+    zero = F.lit(0).cast("decimal(28,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                    / F.sum(rev)
+                ).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )

@@ -65,7 +65,7 @@ PRIORITY: list[str] = [
     # late round-2 oracle queries (positions 51+: kept out of the first
     # 50 so the round-1 backlog completes its driver coverage; these
     # have local exact-value oracle evidence and rotate up in round 3)
-    "q_tpch_q7", "q_length_buckets",
+    "q_tpch_q7", "q_tpch_q14", "q_length_buckets",
     # new rows-only queries in round 2 (weaker driver signal; full
     # semantics pinned by unit/plan tests)
     "q_sink_partitioned", "q_dedup_substring", "q_decontaminate_substring",

@@ -94,3 +94,46 @@ def test_exact_dedup_keeps_one_per_normalized_text(spark, texts):
     for i, t in rows:
         want_keys.setdefault(norm(t), i)  # first occurrence = min id
     assert kept == sorted(want_keys.values())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=-100, max_value=100),
+        min_size=0, max_size=10,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),
+            st.booleans(),  # is_delete
+        ),
+        min_size=0, max_size=10,
+    ),
+)
+def test_merge_upsert_matches_dict_reference(spark, target_map, change_map):
+    """merge_upsert == the obvious dict semantics: apply updates/
+    inserts, drop deletes, keep everything else — on random key/value
+    change sets including deletes of absent keys."""
+    from artemia_airflow_spark.operators.cdc import merge_upsert
+
+    want = dict(target_map)
+    for k, (v, is_del) in change_map.items():
+        if is_del:
+            want.pop(k, None)
+        else:
+            want[k] = v
+
+    target = spark.createDataFrame(
+        [(k, v) for k, v in target_map.items()] or [(None, None)], "k: long, v: long"
+    ).filter(F.col("k").isNotNull())
+    changes = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in change_map.items()] or [(None, None, None)],
+        "k: long, v: long, d: boolean",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r.k: r.v
+        for r in merge_upsert(target, changes, "k", delete_col="d").collect()
+    }
+    assert got == want
