@@ -96,3 +96,70 @@ def test_stateful_running_stats_converges_to_batch(spark):
             assert math.isclose(gs, s, rel_tol=1e-9)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_transform_with_state_converges_to_batch(spark):
+    """State-v2 (transformWithStateInPandas / StatefulProcessor): the
+    same running-stats semantics as the applyInPandasWithState operator
+    must converge to the batch aggregate; requires the RocksDB state
+    store provider AND protobuf (Spark's TWS Python runner speaks
+    protobuf to the JVM — absent in this sandbox, so the test skips
+    there and runs wherever protobuf is installed)."""
+    from artemia_airflow_spark.streaming.stateful2 import (
+        HAS_PROTOBUF,
+        ROCKSDB_PROVIDER,
+        running_user_stats_tws,
+    )
+
+    if not HAS_PROTOBUF:
+        pytest.skip("google.protobuf unavailable: transformWithState runner cannot start")
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(conf_key)
+    except Exception:
+        old = None
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    ev = scan(spark, SF_SMOKE, "events").select("user_id", "value", "ts").orderBy("ts")
+    src = tempfile.mkdtemp(prefix="aas_state2_")
+    try:
+        pdf = ev.toPandas()
+        chunk = len(pdf) // 3 + 1
+        for i in range(3):
+            part = pdf.iloc[i * chunk : (i + 1) * chunk]
+            if len(part):
+                spark.createDataFrame(part, schema=ev.schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(src, f"chunk={i}"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/chunk=*")
+        )
+        q = (
+            running_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_state2")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        final = {}
+        for r in spark.table("t_state2").collect():
+            if r.user_id not in final or r.n_events > final[r.user_id][0]:
+                final[r.user_id] = (r.n_events, r.sum_value, r.max_value)
+        want = {
+            r.user_id: (r.n_events, r.sum_value, r.max_value)
+            for r in running_user_stats_batch(
+                scan(spark, SF_SMOKE, "events").select("user_id", "value")
+            ).collect()
+        }
+        assert final == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
