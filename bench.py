@@ -61,13 +61,14 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Best-of-2 per query: one measurement is hostage to transient
-    # machine noise (observed 20x outliers on an idle box); the min of
-    # two runs is a far better estimator of the plan's true cost.
+    # Best-of-3 per query: one measurement is hostage to transient
+    # machine noise (observed 20x outliers on an idle box, and 3-7x
+    # outliers that survived best-of-2); the min of three runs is a
+    # far better estimator of the plan's true cost.
     timings: dict[str, float] = {}
     for name in sorted(qs):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
