@@ -782,7 +782,12 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared("q_fn_map")
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35 (rows-only): map/struct constructors + field access — DuckDB
-    map syntax differs, so this stays rows-only by design."""
+    map syntax differs, so this stays rows-only by design.
+
+    The declared face emits only scalar columns (``meta_keys`` is
+    ``array_join``-flattened): the driver canonicalizer sorts result
+    columns with pandas and raw array cells are unhashable (r2 driver
+    error `TypeError: unhashable type: 'list'`)."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return d.select(
@@ -793,7 +798,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(
         "doc_id",
-        F.map_keys("meta").alias("meta_keys"),
+        F.array_join(F.map_keys("meta"), ",").alias("meta_keys"),
         F.col("meta")["lang"].alias("meta_lang"),
         F.col("info.n_chars").alias("info_chars"),
     )

@@ -200,25 +200,38 @@ def q_embed_stats(spark, sf_dir):
         F.max(e1).alias("max_e1"),
     )
 
-@declared("q_embed_centroid")
-def q_embed_centroid(spark, sf_dir):
-    """Rows-only (float-sum order sensitivity): per-label centroid via
-    posexplode -> (label, dim) mean -> reassembled vector; the classic
-    distributed centroid (shuffle carries (label, dim) partial sums,
-    never whole vectors)."""
-    ensure_engine_conf(spark)
-    emb = scan(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "label", F.posexplode("embedding").alias("dim", "v")
-    )
-    per_dim = dims.groupBy("label", "dim").agg(F.avg("v").alias("mean_v"))
+def embed_centroid(emb: DataFrame, *, label_col: str = "label",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid via posexplode -> (label, dim) mean ->
+    reassembled vector; the classic distributed centroid (shuffle
+    carries (label, dim) partial sums, never whole vectors).  Returns
+    the array-native ``(label, centroid: array<double>)`` shape for
+    library callers."""
+    dims = emb.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
+    per_dim = dims.groupBy(label_col, "dim").agg(F.avg("v").alias("mean_v"))
     return (
-        per_dim.groupBy("label")
+        per_dim.groupBy(label_col)
         .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v"))).alias("pairs"))
         .select(
-            "label",
+            label_col,
             F.transform(F.col("pairs"), lambda p: p.mean_v).alias("centroid"),
         )
+    )
+
+
+@declared("q_embed_centroid")
+def q_embed_centroid(spark, sf_dir):
+    """Rows-only (float-sum order sensitivity): distributed per-label
+    centroid.  The declared face emits exploded scalar rows
+    ``(label, dim, mean_v)`` rather than the array-native shape from
+    :func:`embed_centroid` — the driver canonicalizer sorts columns
+    with pandas and array cells are unhashable (r2 driver error)."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        dims.groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("mean_v"))
     )
 
 def ivf_topk(

@@ -24,52 +24,40 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 # Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
-# in insertion order and may not reach every declared query in one round
-# (round 1 recorded the first 50 of 93).  ``PRIORITY`` front-loads the
-# queries that did NOT get a CORRECTNESS row in round 1 plus everything
-# new this round, so rounds 1+2 jointly cover the whole registry; the
-# already-checked round-1 set follows after.
+# in insertion order and caps at ~50 entries per round (round 1 recorded
+# the first 50 of 93; round 2 the first 50 of 109).  Rounds 1+2 jointly
+# produced a clean CORRECTNESS row for 98 of 109 declared queries.
+# ``PRIORITY`` front-loads round 3 with (a) the 9 queries that still have
+# NO driver row, (b) the 2 queries whose round-2 row was a canonicalizer
+# error (array columns — now projected to hashable shapes), and (c)
+# queries new in round 3; the already-checked set follows after.
 PRIORITY: list[str] = [
-    # new ORACLE-CHECKED queries in round 2 — a driver hash row is the
-    # strongest signal, so these go first (the new rows-only queries sit
-    # after the round-1 backlog: their driver row adds little beyond the
-    # local semantic tests, and r1's cut was 50 entries — 7 + 43 == 50)
-    "q_sink_bucketed",
-    "q_pii_redact",
-    "q_pack_sequences",
-    "q_stream_first",
-    "q_merge_upsert",
-    "q_scd2",
-    "q_rollup_incremental",
-    # relational tail (unchecked in round 1)
-    "q_fn_map", "q_fn_json", "q_fn_null",
+    # (a) no CORRECTNESS row in any round — oracle-declared first
+    "q_tpch_q7", "q_tpch_q14", "q_length_buckets",
+    "q_sink_partitioned", "q_dedup_substring", "q_decontaminate_substring",
+    "q_pack_firstfit", "q_agg_hll", "q_multimodal_neardup",
+    # (b) round-2 driver errors, fixed this round (hashable projections)
+    "q_fn_map", "q_embed_centroid",
+    # (c) new in round 3
+    "q_tpch_q17", "q_tpch_q4", "q_sample_stratified",
+    "q_stream_session_state",
+    # round-2 oracle set (already green; cheap re-confirmation)
+    "q_sink_bucketed", "q_pii_redact", "q_pack_sequences",
+    "q_stream_first", "q_merge_upsert", "q_scd2", "q_rollup_incremental",
+    "q_fn_json", "q_fn_null",
     "q_subq_scalar", "q_subq_in", "q_udf_scalar", "q_pandas_norm",
-    # relational2 (all unchecked in round 1)
     "q_pivot", "q_agg_grouping_sets", "q_join_right", "q_subq_exists",
     "q_distinct_cols", "q_window_range_frame", "q_fn_string2", "q_fn_date2",
     "q_udtf", "q_agg_percentile", "q_agg_approx_percentile",
-    "q_sample_stratified", "q_agg_filtered", "q_window_dist",
-    # similarity / embeddings
-    "q_sim_topk", "q_sim_ann_lsh", "q_embed_stats", "q_embed_centroid",
-    "q_sim_ivf",
-    # text family
+    "q_agg_filtered", "q_window_dist",
+    "q_sim_topk", "q_sim_ann_lsh", "q_embed_stats", "q_sim_ivf",
     "q_text_tokens", "q_text_quality", "q_text_langid",
     "q_text_fingerprint", "q_text_wordpiece", "q_text_tfidf",
     "q_text_quality_full",
-    # orchestration-driven query + sources/sinks
     "q_pipeline", "q_sink_parquet", "q_source_json", "q_source_http",
     "q_source_http_ds",
-    # streaming batch faces
     "q_stream_tumble", "q_stream_slide", "q_stream_session",
     "q_stream_join", "q_stream_dedup",
-    # late round-2 oracle queries (positions 51+: kept out of the first
-    # 50 so the round-1 backlog completes its driver coverage; these
-    # have local exact-value oracle evidence and rotate up in round 3)
-    "q_tpch_q7", "q_tpch_q14", "q_length_buckets",
-    # new rows-only queries in round 2 (weaker driver signal; full
-    # semantics pinned by unit/plan tests)
-    "q_sink_partitioned", "q_dedup_substring", "q_decontaminate_substring",
-    "q_pack_firstfit", "q_agg_hll", "q_multimodal_neardup",
 ]
 
 
