@@ -33,15 +33,25 @@ def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which
-        # Spark 4 refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]).
-        # Read it as raw nanos and rebuild the µs-truncated timestamp —
-        # integer `div` (not /) because ns-since-epoch exceeds 2^53.
+        # events.ts has shipped in two physical encodings across fixture
+        # generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses to
+        # read as a timestamp — [PARQUET_TYPE_ILLEGAL]) and plain
+        # TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ).
+        # Normalize both to a session-UTC TimestampType so every
+        # downstream operator (watermarks, window(), epoch math) sees one
+        # stable type regardless of fixture vintage.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # raw nanos; integer `div` (not /): ns-since-epoch > 2^53.
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP_NTZ (or already TIMESTAMP): NTZ->TIMESTAMP is a
+        # wall-clock identity under the engine's pinned UTC session tz.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
