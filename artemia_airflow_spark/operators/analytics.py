@@ -9,12 +9,12 @@ report a user of the reference's externalized pipeline would run
 (dags/update_tr_from_ex_dag.py:88-90 delegates exactly this kind of
 batch analytics to an external repo).
 
-Scale notes: broadcast hints are pinned ONLY on true dims
-(supplier/nation/region — bounded or sf*10k rows); orders and customer
-are fact-scale in TPC-H (sf*1.5M / sf*150k rows) and must NOT be
-hint-broadcast — those edges shuffle on their join keys, and AQE's
-runtime join-strategy switch upgrades them to broadcast only when a
-filter actually leaves a small side.  Fact-side aggregations
+Scale notes: broadcast hints are pinned ONLY on true dims — nation (25
+rows) and region (5 rows), bounded at every sf.  Orders, customer AND
+supplier are sf-linear in TPC-H (sf*1.5M / sf*150k / sf*10k rows) and
+must NOT be hint-broadcast — those edges shuffle on their join keys,
+and AQE's runtime join-strategy switch upgrades them to broadcast only
+when a filter actually leaves a small side.  Fact-side aggregations
 partial-aggregate map-side because decimal sums are associative.
 """
 
@@ -109,10 +109,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): 6-way join including the
     customer-nation == supplier-nation locality predicate.
 
-    Broadcast hints only on the TRUE dims — supplier (sf*10k rows),
-    nation (25), region (5).  Orders and customer are fact-scale
-    (sf*1.5M / sf*150k rows) so those edges shuffle on their keys;
-    AQE may still broadcast them at runtime when the date filter
+    Broadcast hints only on the TRUE dims — nation (25 rows) and
+    region (5).  Orders, customer and supplier are sf-linear
+    (sf*1.5M / sf*150k / sf*10k rows) so those edges shuffle on their
+    keys; AQE may still broadcast them at runtime when a filter
     leaves a small side.  The final aggregate is 25 groups.
     """
     ensure_engine_conf(spark)
@@ -128,10 +128,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
+        # supplier grows linearly with sf (~10M rows / >1GB at sf1000), so
+        # no pinned broadcast hint: the edge shuffles on its key and AQE
+        # upgrades to broadcast at runtime only when it actually fits
+        # under autoBroadcastJoinThreshold.
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -293,9 +294,9 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping between two nations by year):
-    5-way join where ONLY the true dims broadcast (supplier, both
-    nation aliases); the lineitem⋈orders⋈customer fact edges shuffle
-    on their keys — the plan that survives sf1000."""
+    5-way join where ONLY the true dims broadcast (the two nation
+    aliases); the lineitem⋈supplier⋈orders⋈customer sf-linear edges
+    shuffle on their keys — the plan that survives sf1000."""
     ensure_engine_conf(spark)
     li = scan(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(
@@ -314,7 +315,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier: no pinned broadcast (sf-linear table; AQE decides).
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -369,5 +371,105 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double"),
                 6,
             ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@declared(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS over
+    the fact-fact orders⋈lineitem edge, counted by priority.
+
+    The fixture's lineitem has no l_commitdate/l_receiptdate, so the
+    "late order" predicate is adapted to l_shipdate > o_orderdate + 30d
+    — same plan shape as spec Q4: a LEFT SEMI join on the orderkey
+    (equi key + residual non-equi condition), which at sf1000 shuffles
+    both facts on l_orderkey/o_orderkey once and never materializes the
+    multiplicity of matching lineitems.  The quarter filter on orders
+    reaches the parquet scan (PushedFilters) and prunes before the
+    shuffle; the final aggregate is 5 groups.
+    """
+    ensure_engine_conf(spark)
+    o = scan(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "q_tpch_q17",
+    oracle="""
+    SELECT CAST(CAST(SUM(l_extendedprice) AS DECIMAL(28,6)) / 7.0 AS DOUBLE)
+             AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated
+    scalar subquery — per-part average quantity — against the same
+    fact table.
+
+    The fixture's part has no p_container, so the dim filter is
+    p_brand alone.  Spark-first decorrelation: (1) semi-join lineitem
+    down to the filtered parts FIRST (brand selects ~1/25 of parts, so
+    the per-part AVG is computed over ~1/25 of lineitem, not all of
+    it); (2) groupBy(l_partkey).avg as the threshold table — one row
+    per qualifying part; (3) rejoin and filter l_quantity < 0.2*avg.
+    No pinned broadcasts: the brand's part list and the threshold
+    table are sf-linear (|part|/25 rows), so AQE upgrades those edges
+    to broadcast at runtime only while they actually fit — at any sf
+    the worst case is one shuffle of the brand-pruned fact on
+    l_partkey, reused by both the threshold and probe sides.
+    """
+    ensure_engine_conf(spark)
+    p = scan(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
+        "p_partkey"
+    )
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # prune the fact to the brand's parts once; reuse for threshold + probe
+    pruned = li.join(p, li.l_partkey == p.p_partkey, "left_semi")
+    thresh = pruned.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        pruned.alias("l")
+        .join(thresh.alias("t"), F.col("l.l_partkey") == F.col("t.l_partkey"))
+        .filter(F.col("l.l_quantity") < F.col("qty_cap"))
+        .agg(
+            (F.sum("l.l_extendedprice").cast("decimal(28,6)") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
         )
     )

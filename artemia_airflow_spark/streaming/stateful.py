@@ -67,3 +67,167 @@ def running_user_stats_batch(events: DataFrame) -> DataFrame:
         F.sum("value").alias("sum_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful sessionization (the PRIORITY "q_stream_session_state" op)
+# ---------------------------------------------------------------------------
+
+SESSION_ROLLUP_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start_s long, last_s long, n long"
+
+
+def _make_session_fn(gap_s: int):
+    """Build the applyInPandasWithState update fn for gap sessionization.
+
+    Within each micro-batch the split into sessions is vectorized
+    (numpy diff >= gap), so the per-row Python loop the naive version
+    would need never runs; state carries only the OPEN session
+    (start, last, n) per user, and closed sessions are emitted either
+    by an in-batch gap or by event-time timeout once the watermark
+    passes last_event + gap.
+    """
+    import numpy as np
+
+    def fn(key, pdf_iter, state: GroupState):
+        uid = int(key[0])
+        if state.hasTimedOut:
+            start_s, last_s, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [start_s],
+                    "session_end": [last_s + gap_s],
+                    "n_events": [n],
+                }
+            )
+            return
+        cur = list(state.get) if state.exists else None
+        out: list[tuple[int, int, int]] = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            ts = np.sort(pdf["ts"].to_numpy().astype("datetime64[s]").astype("int64"))
+            # boundary i: event i starts a new session (gap from i-1)
+            boundaries = np.flatnonzero(np.diff(ts) >= gap_s) + 1
+            seg_starts = np.concatenate(([0], boundaries))
+            seg_ends = np.concatenate((boundaries, [len(ts)]))
+            for a, b in zip(seg_starts, seg_ends):
+                first, last, n = int(ts[a]), int(ts[b - 1]), int(b - a)
+                if cur is not None and first < cur[1] + gap_s:
+                    cur = [cur[0], max(cur[1], last), cur[2] + n]
+                else:
+                    if cur is not None:
+                        out.append(tuple(cur))
+                    cur = [first, last, n]
+        if cur is not None:
+            state.update(tuple(int(x) for x in cur))
+            state.setTimeoutTimestamp((cur[1] + gap_s) * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(out),
+                    "session_start": [s for s, _, _ in out],
+                    "session_end": [l + gap_s for _, l, _ in out],
+                    "n_events": [n for _, _, n in out],
+                }
+            )
+
+    return fn
+
+
+def stateful_sessionize(events: DataFrame, *, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful streaming sessionization via
+    ``applyInPandasWithState`` + event-time timeout — the from-scratch
+    twin of the built-in ``session_window`` (B48), for semantics the
+    built-in can't host (per-session state machines, mid-session
+    emission policies).
+
+    Sessions are emitted as they CLOSE: by an observed in-batch gap, or
+    by timeout once the watermark passes last_event + gap.  State per
+    user is a single (start, last, n) tuple — at 100 TB the state store
+    is RocksDB-backed and sized by #active users in the gap horizon,
+    not by events.  Event time is second-truncated (H1) so the emitted
+    rows equal ``session_counts``'s (start, end, n) exactly.
+    """
+    e = events.select(
+        "user_id", F.date_trunc("second", "ts").alias("ts")
+    ).withWatermark("ts", "1 second")
+    return e.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(gap_s),
+        outputStructType=SESSION_ROLLUP_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _declare_session_state_query() -> None:
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_stream_session_state",
+        oracle="""
+        WITH e AS (
+          SELECT user_id, date_trunc('second', ts) AS tsec FROM events
+        ), marked AS (
+          SELECT *, CASE WHEN lag(tsec) OVER w IS NULL
+                           OR tsec >= lag(tsec) OVER w + INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec)
+        ), sess AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsec
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        ), per AS (
+          SELECT user_id, sid, COUNT(*) AS n_events,
+                 CAST(epoch(MAX(tsec)) - epoch(MIN(tsec)) AS BIGINT) AS span_s
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS total_events,
+               MAX(span_s) AS max_span_s
+        FROM per GROUP BY user_id
+        """,
+    )
+    def q_stream_session_state(spark, sf_dir):
+        """Batch face of the custom stateful sessionizer: per-user
+        session rollup (how many sessions, how many events, longest
+        span).  Declarative twin: built-in session_window does the
+        gap-merge, then a per-user re-aggregation — two shuffles on
+        user-sized keys, both partial-aggregated map-side.  Stream/batch
+        equivalence of the underlying sessionization is asserted by
+        tests/test_streaming.py::test_stateful_sessionize_equals_batch.
+        """
+        ensure_engine_conf(spark)
+        ev = scan(spark, sf_dir, "events").withColumn(
+            "ts", F.date_trunc("second", "ts")
+        )
+        per = (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                "n_events",
+                # session_window end = last + gap; span = last - first
+                (
+                    F.col("w.end").cast("long")
+                    - F.col("w.start").cast("long")
+                    - F.lit(1800)
+                ).alias("span_s"),
+            )
+        )
+        return per.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.max("span_s").alias("max_span_s"),
+        )
+
+
+_declare_session_state_query()

@@ -110,14 +110,14 @@ def _plan_without_autobroadcast(spark, name: str) -> str:
 
 def test_tpch_composites_broadcast_dims_only(spark):
     """q_tpch_q3/q5/q10: broadcast hints must be pinned ONLY on true
-    dims (supplier/nation/region).  Orders and customer are fact-scale
-    in TPC-H, so with auto-broadcast disabled their join edges must
-    plan as shuffle joins (SortMergeJoin) — a pinned broadcast there is
-    the plan that dies at 100x scale.  Expected hint counts: q3 none,
-    q5 three (supplier, nation, region), q10 one (nation), q7 three
-    (supplier + two nation aliases)."""
-    expected_hinted = {"q_tpch_q3": 0, "q_tpch_q5": 3, "q_tpch_q10": 1,
-                       "q_tpch_q7": 3}
+    dims (nation/region — bounded at 25/5 rows at every sf).  Orders,
+    customer AND supplier are sf-linear, so with auto-broadcast
+    disabled their join edges must plan as shuffle joins
+    (SortMergeJoin) — a pinned broadcast there is the plan that dies
+    at 100x scale.  Expected hint counts: q3 none, q5 two (nation,
+    region), q10 one (nation), q7 two (the two nation aliases)."""
+    expected_hinted = {"q_tpch_q3": 0, "q_tpch_q5": 2, "q_tpch_q10": 1,
+                       "q_tpch_q7": 2, "q_tpch_q4": 0, "q_tpch_q17": 0}
     for name, n_hints in expected_hinted.items():
         p = _plan_without_autobroadcast(spark, name)
         # formatted explain shows each node twice (tree + detail); count

@@ -202,3 +202,30 @@ def test_stream_first_event_equals_batch(spark, chunked_events_dir):
     got = {tuple(r) for r in spark.table("t_first").collect()}
     want = {tuple(r) for r in q_stream_first(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_stateful_sessionize_equals_batch(spark, chunked_events_dir):
+    """B48+/B50: the custom applyInPandasWithState sessionizer over the
+    time-ordered replay emits exactly the CLOSED sessions — every
+    emitted (user, start, end, n) row appears in the batch
+    session_counts result, and every batch session that ends safely
+    before the final watermark was emitted."""
+    from artemia_airflow_spark.streaming.stateful import stateful_sessionize
+
+    stream = stateful_sessionize(_read_chunks(spark, chunked_events_dir))
+    _run_stream(stream, "t_sess_state", "append")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("t_sess_state").collect()
+    }
+    ev = scan(spark, SF_SMOKE, "events").withColumn("ts", F.date_trunc("second", "ts"))
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_counts(ev).collect()
+    }
+    assert got, "no sessions emitted"
+    assert got <= batch, f"stream emitted rows absent from batch: {sorted(got - batch)[:3]}"
+    final_wm = ev.agg(F.max("ts").cast("long")).collect()[0][0] - 1
+    must_emit = {s for s in batch if s[2] + 2 < final_wm}
+    missing = must_emit - got
+    assert not missing, f"closed sessions never emitted: {sorted(missing)[:3]}"
