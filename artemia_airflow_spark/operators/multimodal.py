@@ -29,6 +29,9 @@ if TYPE_CHECKING:
 DECODED_SCHEMA = (
     "doc_id long, media_type string, n_bytes int, width int, height int, checksum bigint"
 )
+# Decode stage with the raw payload carried through (for pipelines whose
+# next stage needs the bytes — saves a doc_id re-join of the media table).
+DECODED_WITH_PAYLOAD_SCHEMA = DECODED_SCHEMA + ", payload binary"
 
 
 def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -57,13 +60,19 @@ def _decode_stub(media_type: str, payload: bytes) -> tuple[int, int]:
     return (n % 640 + 16, (n // 7) % 480 + 16)
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, *, keep_payload: bool = False) -> DataFrame:
     """Arrow-batched decode/feature-extraction over (payload, meta).
 
     ``mapInPandas`` streams column batches — each worker sees a pandas
     frame of a few thousand rows, never the whole partition, so 100 MB
     media blobs don't blow executor memory (tune via
     spark.sql.execution.arrow.maxRecordsPerBatch).
+
+    ``keep_payload=True`` carries the raw bytes through the stage for
+    pipelines that decode further downstream (resize, frame-sample) —
+    cheaper than re-joining the media table on doc_id afterwards (the
+    payload already crossed the Arrow boundary; a re-join shuffles it
+    a second time at 100 TB).
     """
     import zlib
 
@@ -75,18 +84,20 @@ def decode_media(df: DataFrame) -> DataFrame:
                 _decode_stub(mt, bytes(pl))
                 for mt, pl in zip(pdf["media_meta"].map(lambda m: m["media_type"]), pdf["payload"])
             ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_meta"].map(lambda m: m["media_type"]),
-                    "n_bytes": pdf["payload"].map(len).astype("int32"),
-                    "width": [w for w, _ in dims],
-                    "height": [h for _, h in dims],
-                    "checksum": [zlib.crc32(bytes(p)) for p in pdf["payload"]],
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_meta"].map(lambda m: m["media_type"]),
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "width": [w for w, _ in dims],
+                "height": [h for _, h in dims],
+                "checksum": [zlib.crc32(bytes(p)) for p in pdf["payload"]],
+            }
+            if keep_payload:
+                cols["payload"] = pdf["payload"]
+            yield pd.DataFrame(cols)
 
-    return df.mapInPandas(batches, DECODED_SCHEMA)
+    schema = DECODED_WITH_PAYLOAD_SCHEMA if keep_payload else DECODED_SCHEMA
+    return df.mapInPandas(batches, schema)
 
 
 @declared("q_multimodal_decode")
@@ -197,9 +208,9 @@ def q_multimodal_pipeline(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     media = attach_fake_media(d, "doc_id", "text")
-    decoded = decode_media(media)
-    enriched = decoded.join(media.select("doc_id", "payload"), "doc_id")
-    resized = resize_media(enriched)
+    # payload rides through the decode stage — no doc_id re-join
+    decoded = decode_media(media, keep_payload=True)
+    resized = resize_media(decoded)
     videos = resized.filter(F.col("media_type") == "video/mp4")
     frames = sample_frames(videos)
     return frames.groupBy("doc_id").agg(

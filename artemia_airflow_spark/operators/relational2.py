@@ -288,25 +288,34 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared("q_sample_stratified")
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data subsampling: per-stratum Bernoulli sampling with a
-    fixed seed (`sampleBy`) — downsample over-represented languages
-    without a shuffle (filter-only, scan-parallel; rows-only: RNG
-    streams are engine-specific).  Returns per-lang kept counts next to
-    the stratum's target fraction."""
+    """Training-data subsampling: per-stratum sampling via a
+    deterministic hash threshold — keep a row iff
+    hash(doc_id) mod 1e6 < fraction(lang) * 1e6, with the fraction map
+    a STATIC config (unlisted strata fall to the default via the map
+    lookup's coalesce).  Filter-only and scan-parallel: no shuffle, no
+    mid-plan driver round-trip (the old `sampleBy` face needed a
+    distinct-lang collect to build its fraction dict — a full extra
+    scan at 100 TB), and hash sampling is reproducible across runs and
+    engines where an RNG stream is not (rows-only: hash function is
+    engine-specific).  Returns per-lang kept counts next to the
+    stratum's target fraction."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 0.8, "fr": 0.8, "es": 1.0, "ja": 1.0}
-    langs = [r[0] for r in d.select("lang").distinct().collect()]
-    full = {lang: fractions.get(lang, 0.25) for lang in langs}
-    sampled = d.sampleBy("lang", full, seed=42)
-    frac_col = F.create_map(
-        *[x for lang, fr in sorted(full.items()) for x in (F.lit(lang), F.lit(fr))]
+    default_fraction = 0.25
+    frac_col = F.coalesce(
+        F.create_map(
+            *[x for lang, fr in sorted(fractions.items()) for x in (F.lit(lang), F.lit(fr))]
+        )[F.col("lang")],
+        F.lit(default_fraction),
     )
-    return (
-        sampled.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .withColumn("target_fraction", frac_col[F.col("lang")])
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(42)), F.lit(1_000_000))
+    sampled = d.withColumn("target_fraction", frac_col).filter(
+        bucket < (F.col("target_fraction") * 1_000_000).cast("long")
     )
+    return sampled.groupBy("lang", "target_fraction").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    ).select("lang", "n_sampled", "target_fraction")
 
 
 @declared(

@@ -200,17 +200,24 @@ def q_embed_stats(spark, sf_dir):
         F.max(e1).alias("max_e1"),
     )
 
+def per_dim_means(emb: DataFrame, *, label_col: str = "label",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-(label, dim) component means — the shared distributed stage
+    under both centroid faces: posexplode so the shuffle carries
+    (label, dim) partial sums, never whole vectors."""
+    dims = emb.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
+    return dims.groupBy(label_col, "dim").agg(F.avg("v").alias("mean_v"))
+
+
 def embed_centroid(emb: DataFrame, *, label_col: str = "label",
                    vec_col: str = "embedding") -> DataFrame:
-    """Per-label centroid via posexplode -> (label, dim) mean ->
-    reassembled vector; the classic distributed centroid (shuffle
-    carries (label, dim) partial sums, never whole vectors).  Returns
-    the array-native ``(label, centroid: array<double>)`` shape for
-    library callers."""
-    dims = emb.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
-    per_dim = dims.groupBy(label_col, "dim").agg(F.avg("v").alias("mean_v"))
+    """Per-label centroid: :func:`per_dim_means` reassembled into the
+    array-native ``(label, centroid: array<double>)`` shape for library
+    callers.  Means are UNROUNDED here; the declared-query face rounds
+    to 6dp (see :func:`q_embed_centroid` for why)."""
     return (
-        per_dim.groupBy(label_col)
+        per_dim_means(emb, label_col=label_col, vec_col=vec_col)
+        .groupBy(label_col)
         .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v"))).alias("pairs"))
         .select(
             label_col,
@@ -222,16 +229,17 @@ def embed_centroid(emb: DataFrame, *, label_col: str = "label",
 @declared("q_embed_centroid")
 def q_embed_centroid(spark, sf_dir):
     """Rows-only (float-sum order sensitivity): distributed per-label
-    centroid.  The declared face emits exploded scalar rows
-    ``(label, dim, mean_v)`` rather than the array-native shape from
-    :func:`embed_centroid` — the driver canonicalizer sorts columns
-    with pandas and array cells are unhashable (r2 driver error)."""
+    centroid over the shared :func:`per_dim_means` stage.  Two
+    deliberate divergences from the library face: (1) emits exploded
+    scalar rows ``(label, dim, mean_v)`` rather than the array-native
+    shape — the driver canonicalizer sorts columns with pandas and
+    array cells are unhashable (r2 driver error); (2) rounds mean_v to
+    6dp to damp float-sum partition-order sensitivity so the emitted
+    rows are stable across runs/partitionings."""
     ensure_engine_conf(spark)
     emb = scan(spark, sf_dir, "embeddings")
-    dims = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-    return (
-        dims.groupBy("label", "dim")
-        .agg(F.round(F.avg("v"), 6).alias("mean_v"))
+    return per_dim_means(emb).select(
+        "label", "dim", F.round("mean_v", 6).alias("mean_v")
     )
 
 def ivf_topk(

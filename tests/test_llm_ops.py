@@ -209,3 +209,19 @@ def test_media_neardup_finds_identical_payloads(spark):
     keyed = {(r.id_a, r.id_b): r.hamming for r in pairs}
     assert keyed.get((0, 3)) == 0
     assert (0, 6) not in keyed and (3, 6) not in keyed
+
+
+def test_embed_centroid_array_face_matches_per_dim_stage(emb):
+    """The library (array-native) centroid face must reassemble exactly
+    the shared per_dim_means stage's values, in dim order."""
+    from artemia_airflow_spark.operators.similarity import (
+        embed_centroid,
+        per_dim_means,
+    )
+
+    flat = {
+        (r.label, r.dim): r.mean_v for r in per_dim_means(emb).collect()
+    }
+    for row in embed_centroid(emb).collect():
+        for dim, v in enumerate(row.centroid):
+            assert v == pytest.approx(flat[(row.label, dim)], abs=0.0)
