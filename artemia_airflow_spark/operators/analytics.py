@@ -473,3 +473,178 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+@declared(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN-subquery with
+    HAVING over the same fact table, top-100.
+
+    Spark-first decorrelation: the per-order quantity sum is computed
+    ONCE (groupBy l_orderkey — one fact shuffle, map-side partial agg),
+    filtered to big orders, and reused as BOTH the IN-subquery filter
+    and the output's total_qty — the naive plan scans/aggregates
+    lineitem twice.  The surviving orders (rare: HAVING > 250 keeps a
+    few % at any sf) join orders then customer; AQE broadcasts the
+    tiny filtered side at runtime.  o_orderkey tiebreaks the top-k
+    (H3).
+    """
+    ensure_engine_conf(spark)
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty"))
+        .filter(F.col("__qty") > 250)
+    )
+    o = scan(spark, sf_dir, "orders")
+    c = scan(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@declared(
+    "q_tpch_q19",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    OR-of-ANDs across both join sides.
+
+    The fixture's part has no p_container, so the clauses branch on
+    p_brand/p_size.  Catalyst extracts the common implied predicates:
+    the part side prunes to the three brands at the SCAN
+    (PushedFilters on p_brand IN), the lineitem side to the quantity
+    hull [1,40] — so the join's input is pre-filtered on both sides
+    and only the residual OR evaluates post-join.  One fact shuffle on
+    l_partkey at worst; AQE broadcasts the brand-pruned part side when
+    it fits.
+    """
+    ensure_engine_conf(spark)
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = scan(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@declared(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the double
+    correlated subquery — EXISTS(another supplier in the order) AND
+    NOT EXISTS(another LATE supplier in the order).
+
+    The fixture's lineitem has no l_commitdate/l_receiptdate, so
+    "late" is adapted to l_shipdate > o_orderdate + 60d (the residual
+    references the ORDER's date, which is why the naive plan scans
+    lineitem three times with a correlated probe each).  Spark-first
+    decorrelation: join lineitem⋈orders('F') ONCE, then a single
+    per-order aggregate computes both existence tests at the same
+    time — n_supp >= 2 ⟺ the EXISTS, and n_late_supp == 1 (given l1
+    itself is late) ⟺ the NOT EXISTS.  Two shuffles of the pruned
+    fact on l_orderkey total, no correlated re-scans; the supplier
+    name attach is an sf-linear edge left to AQE.  s_name tiebreaks
+    the top-k (H3).
+    """
+    ensure_engine_conf(spark)
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "__late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = lo.groupBy("o_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late_supp"
+        ),
+    )
+    waiting = (
+        lo.filter(F.col("__late"))
+        .join(
+            per_order.filter(
+                (F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1)
+            ),
+            "o_orderkey",
+        )
+        .select("l_suppkey")
+    )
+    s = scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

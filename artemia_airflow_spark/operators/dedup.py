@@ -716,3 +716,70 @@ def q_dedup_embed_lsh(spark, sf_dir):
     removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     kept = emb.join(removed, "vec_id", "left_anti")
     return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def semantic_dedup(
+    df: DataFrame, id_col: str, vec_col: str = "embedding", *,
+    n_cells: int = 16, threshold: float = 0.95, seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, then drop
+    near-identical pairs WITHIN each cluster, keeping the min-id
+    representative per duplicate set (greedy min-suppression, same
+    policy as the other dedup tiers).
+
+    Spark-first composition of parts this engine already has: the IVF
+    coarse quantizer (distributed MLlib KMeans, a few Lloyd rounds)
+    supplies the blocking key, and the blocked
+    :func:`embedding_cosine_pairs` tier supplies the within-cell pair
+    kernel — each cell's all-pairs space is computed cell-locally in a
+    numpy kernel; the shuffle carries (id, vector, cell) rows hash-
+    partitioned on the cell id, and cross-cell pairs are out of scope
+    BY DESIGN (that is SemDeDup's accuracy/cost trade: near-identical
+    copies land in the same cell with overwhelming probability, and
+    the O(n²/k) cell-local cost replaces the corpus-wide O(n²)).  At
+    100 TB: n_cells scales with the corpus so cells stay
+    executor-sized; the quantizer is trained on a sample and the cell
+    assignment is one map stage.
+
+    Returns the surviving rows of ``df`` (duplicates removed).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=8, featuresCol="__v", predictionCol="__cell"
+    )
+    cells = km.fit(with_vec).transform(with_vec).drop("__v")
+    pairs = embedding_cosine_pairs(
+        cells, id_col, vec_col, threshold=threshold, blocking_col="__cell"
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return cells.join(dropped, id_col, "left_anti").drop("__cell")
+
+
+@declared("q_dedup_semantic")
+def q_dedup_semantic(spark, sf_dir):
+    """North-star SemDeDup (rows-only: k-means cell boundaries are
+    float-order sensitive, so the exact survivor set is stable only
+    per-environment): per-label document counts before/after semantic
+    dedup at cosine >= 0.95."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(emb, "vec_id", "embedding", n_cells=16, threshold=0.95)
+    return (
+        emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept")),
+            "label",
+            "left",
+        )
+        .select(
+            "label",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -22,6 +22,7 @@ def asof_join(
     tiebreak: str,
     how: str = "inner",
     left_id: str | None = None,
+    strategy: str = "agg",
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the same
     key and the greatest ``right_time <= left_time`` (ties broken by the
@@ -33,17 +34,48 @@ def asof_join(
 
     Physical shape: equi-join on the key (hash/SMJ — Catalyst decides,
     broadcast if the right side is small) with the time bound as a join
-    residual, then a per-left-row window top-1.  At 100 TB this is
-    shuffle-on-key + window — both partition-parallel.  If the right
-    side has many rows per key (unbounded history), pre-reduce it with
-    the same window *before* the join or bucket both sides on the key;
-    the dominant cost is the join fan-out, not the window.
+    residual, then a per-left-row top-1.  Two top-1 strategies:
+
+    - ``"agg"`` (default): ``max(struct(right_time, tiebreak, ...))``
+      per left row — lexicographic struct-max equals the (time desc,
+      tiebreak desc) ordering, and unlike a window it PARTIAL-
+      aggregates map-side: the post-join exchange carries one candidate
+      per (partition, left row) instead of the full join fan-out.  At
+      100 TB with deep per-key right history this is the difference
+      between shuffling every matched pair and shuffling ~|left| rows.
+    - ``"window"``: ``row_number`` over (left row) ordered by
+      (time desc, tiebreak desc) — the original formulation; use when a
+      right column's type is not orderable inside a struct (map
+      columns) since those can't ride the agg's ordering struct.
+
+    If the right side has many rows per key (unbounded history),
+    pre-reduce it with the same top-1 *before* the join or bucket both
+    sides on the key; the dominant cost is the join fan-out itself.
     """
     cond = (left[left_on] == right[right_on]) & (right[right_time] <= left[left_time])
     joined = left.join(right, cond, how)
-    # Window key: a unique left id if the caller has one (narrow shuffle
+    # Top-1 key: a unique left id if the caller has one (narrow shuffle
     # key), else all left columns (correct but wider exchange).
     part_cols = [left_id] if left_id else list(left.columns)
+    if strategy == "agg":
+        rcols = list(right.columns)
+        # ordering fields first: struct comparison is field-by-field, and
+        # tiebreak uniqueness means later fields never decide the max
+        ordered = [right_time, tiebreak] + [
+            c for c in rcols if c not in (right_time, tiebreak)
+        ]
+        other_left = [c for c in left.columns if c not in part_cols]
+        out = joined.groupBy(*part_cols).agg(
+            # left cols are functionally dependent on the grouping key
+            # (unique id, or the key IS all left cols): first() is
+            # deterministic in value
+            *[F.first(c).alias(c) for c in other_left],
+            F.max(F.struct(*ordered)).alias("__pick"),
+        )
+        return out.select(
+            *list(left.columns),
+            *[F.col(f"__pick.{c}").alias(c) for c in rcols],
+        )
     w = Window.partitionBy(*part_cols).orderBy(
         F.col(right_time).desc(), F.col(tiebreak).desc()
     )

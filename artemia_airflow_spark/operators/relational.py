@@ -779,10 +779,23 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("q_fn_map")
+@declared(
+    "q_fn_map",
+    oracle="""
+    SELECT doc_id,
+           'lang,source' AS meta_keys,
+           lang AS meta_lang,
+           n_chars AS info_chars
+    FROM documents
+    """,
+)
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B35 (rows-only): map/struct constructors + field access — DuckDB
-    map syntax differs, so this stays rows-only by design.
+    """B35: map/struct constructors + field access.  The Spark side
+    genuinely round-trips through MAP and STRUCT values; the oracle
+    states the expected post-access scalars directly (DuckDB's map
+    construction syntax differs, but the OUTPUT contract is plain
+    columns, so the differential check still pins construction, key
+    order, and field access).
 
     The declared face emits only scalar columns (``meta_keys`` is
     ``array_join``-flattened): the driver canonicalizer sorts result

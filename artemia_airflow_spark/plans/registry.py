@@ -35,7 +35,8 @@ PRIORITY: list[str] = [
     "q_agg_hll", "q_stream_first", "q_scd2", "q_rollup_incremental",
     "q_fn_json",
     # (b) new in round 4
-    "q_tpch_q4", "q_tpch_q17", "q_stream_session_state",
+    "q_tpch_q4", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q21",
+    "q_stream_session_state", "q_dedup_semantic",
     # (c) oracle re-confirmation on the regenerated fixtures
     "q_tpch_q7", "q_tpch_q14", "q_length_buckets",
     "q_sink_bucketed", "q_pii_redact", "q_pack_sequences",

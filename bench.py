@@ -70,6 +70,13 @@ def main() -> None:
     for name in sorted(qs):
         best = float("inf")
         try:
+            # Explicit full GC between queries: a single long-lived
+            # local JVM accumulates heap pressure over the 100+ query
+            # suite, and late-suite queries were measured 3-10x their
+            # isolated cost purely from position (SCALE.md bench
+            # methodology note).  One System.gc() per query resets that
+            # so per-query numbers approximate isolated runs.
+            spark._jvm.System.gc()
             for _ in range(3):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()

@@ -225,3 +225,24 @@ def test_embed_centroid_array_face_matches_per_dim_stage(emb):
     for row in embed_centroid(emb).collect():
         for dim, v in enumerate(row.centroid):
             assert v == pytest.approx(flat[(row.label, dim)], abs=0.0)
+
+
+def test_semantic_dedup_drops_constructed_near_copies(spark, emb):
+    """SemDeDup: inject exact copies of existing vectors under new ids —
+    every copy must be dropped (same cell, cosine 1.0), and no original
+    loses its min-id survivor status to a copy (copies get higher ids)."""
+    from artemia_airflow_spark.operators.dedup import semantic_dedup
+
+    base_max = emb.agg(F.max("vec_id")).collect()[0][0]
+    copies = emb.limit(10).select(
+        (F.col("vec_id") + F.lit(base_max)).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = emb.unionByName(copies)
+    kept = semantic_dedup(corpus, "vec_id", "embedding", threshold=0.999)
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    copy_ids = {r.vec_id for r in copies.select("vec_id").collect()}
+    assert not (kept_ids & copy_ids), "exact copies survived semantic dedup"
+    # survivors are a subset of the corpus and nonempty
+    assert kept_ids and kept_ids <= {r.vec_id for r in corpus.select("vec_id").collect()}

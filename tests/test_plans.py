@@ -89,11 +89,13 @@ def test_lsh_neardup_shuffle_carries_ids_not_vectors(spark):
 
 
 def test_stratified_sample_is_filter_only(spark):
-    """sampleBy compiles to a per-row filter on rand(seed) — no
-    Exchange before the aggregation's own shuffle, no join."""
+    """Hash-threshold stratified sampling compiles to a per-row filter
+    on xxhash64(doc_id) — no join, no mid-plan driver collect (the old
+    sampleBy face needed a distinct-lang round-trip), deterministic
+    across runs."""
     p = _formatted_plan(spark, "q_sample_stratified")
     assert "Join" not in p
-    assert "Sample" in p or "rand" in p
+    assert "xxhash64" in p, p
 
 
 def _plan_without_autobroadcast(spark, name: str) -> str:
@@ -117,7 +119,8 @@ def test_tpch_composites_broadcast_dims_only(spark):
     at 100x scale.  Expected hint counts: q3 none, q5 two (nation,
     region), q10 one (nation), q7 two (the two nation aliases)."""
     expected_hinted = {"q_tpch_q3": 0, "q_tpch_q5": 2, "q_tpch_q10": 1,
-                       "q_tpch_q7": 2, "q_tpch_q4": 0, "q_tpch_q17": 0}
+                       "q_tpch_q7": 2, "q_tpch_q4": 0, "q_tpch_q17": 0,
+                       "q_tpch_q18": 0, "q_tpch_q19": 0, "q_tpch_q21": 0}
     for name, n_hints in expected_hinted.items():
         p = _plan_without_autobroadcast(spark, name)
         # formatted explain shows each node twice (tree + detail); count
@@ -225,3 +228,16 @@ def test_bucketed_join_has_no_input_shuffle(spark):
     below = "\n".join(tree.splitlines()[join_line:])
     assert "Exchange" not in below, below
     assert "SelectedBucketsCount" in p or "Bucketed: true" in p, p
+
+
+def test_asof_join_plans_as_partial_agg_not_window(spark):
+    """q_join_asof (agg strategy): the per-left-row top-1 must compile
+    to a partial/final aggregate pair around the exchange (map-side
+    combine of the join fan-out — struct max plans as SortAggregate
+    since a struct buffer isn't hash-aggregable), not a Window (which
+    shuffles every joined row)."""
+    import re
+
+    p = _formatted_plan(spark, "q_join_asof")
+    assert "Window" not in p, p
+    assert len(re.findall(r"(?:Sort|Hash)Aggregate", p)) >= 2, p
