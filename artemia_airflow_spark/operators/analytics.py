@@ -648,3 +648,110 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+@declared(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left OUTER
+    join with a predicate in the JOIN CONDITION (not WHERE — zero-order
+    customers must survive with c_count = 0), then two stacked
+    aggregations.
+
+    The fixture's orders has no o_comment, so the spec's NOT LIKE
+    comment filter becomes an o_orderpriority exclusion — same plan
+    shape.  At scale: one fact-fact outer shuffle on the customer key;
+    the first aggregate collapses to |customer| rows (COUNT(col)
+    correctly skips the outer join's null-extended rows), the second to
+    the tiny distinct-count domain.  Both partial-aggregate map-side.
+    """
+    ensure_engine_conf(spark)
+    c = scan(spark, sf_dir, "customer").select("c_custkey")
+    o = scan(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@declared(
+    "q_tpch_q22",
+    oracle="""
+    SELECT c_nationkey AS cntry,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY cntry
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): uncorrelated scalar
+    subquery (positive-balance average) + NOT EXISTS anti-join against
+    the fact, aggregated by country.
+
+    Fixture adaptations: customer has no c_phone, so "country code" is
+    c_nationkey directly; and every fixture customer has at least one
+    order, so the spec's "never ordered" anti-join becomes "never
+    placed an URGENT order" (same anti-join shape, non-degenerate
+    selectivity).  Plan: the scalar average is a 1-row
+    aggregate broadcast into the filter (no driver round-trip — it
+    stays a subquery in the plan); customers above it anti-join orders
+    on the customer key (shuffle carries only c_custkey + grouping
+    cols), then a 25-group aggregate.  The threshold is computed as
+    exact-DECIMAL sum (associative, partitioning-independent) cast to
+    double, divided by the integer count — bit-identical in both
+    engines at any partitioning, so the filter boundary can never
+    flip a customer between engines (a plain double AVG could differ
+    in the last ulp and would, eventually, land on a customer).
+    """
+    ensure_engine_conf(spark)
+    c = scan(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg")
+    )
+    o = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )

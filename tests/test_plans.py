@@ -120,7 +120,8 @@ def test_tpch_composites_broadcast_dims_only(spark):
     region), q10 one (nation), q7 two (the two nation aliases)."""
     expected_hinted = {"q_tpch_q3": 0, "q_tpch_q5": 2, "q_tpch_q10": 1,
                        "q_tpch_q7": 2, "q_tpch_q4": 0, "q_tpch_q17": 0,
-                       "q_tpch_q18": 0, "q_tpch_q19": 0, "q_tpch_q21": 0}
+                       "q_tpch_q18": 0, "q_tpch_q19": 0, "q_tpch_q21": 0,
+                       "q_tpch_q13": 0}
     for name, n_hints in expected_hinted.items():
         p = _plan_without_autobroadcast(spark, name)
         # formatted explain shows each node twice (tree + detail); count
