@@ -20,7 +20,7 @@ partial-aggregate map-side because decimal sums are associative.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
@@ -606,13 +606,16 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late" is adapted to l_shipdate > o_orderdate + 60d (the residual
     references the ORDER's date, which is why the naive plan scans
     lineitem three times with a correlated probe each).  Spark-first
-    decorrelation: join lineitem⋈orders('F') ONCE, then a single
-    per-order aggregate computes both existence tests at the same
-    time — n_supp >= 2 ⟺ the EXISTS, and n_late_supp == 1 (given l1
-    itself is late) ⟺ the NOT EXISTS.  Two shuffles of the pruned
-    fact on l_orderkey total, no correlated re-scans; the supplier
-    name attach is an sf-linear edge left to AQE.  s_name tiebreaks
-    the top-k (H3).
+    decorrelation: join lineitem⋈orders('F') ONCE, then per-order
+    WINDOW aggregates compute both existence tests in the same pass —
+    n_supp >= 2 ⟺ the EXISTS, and n_late_supp == 1 (given l1 itself
+    is late) ⟺ the NOT EXISTS.  Windows (not groupBy + rejoin)
+    because Catalyst does not dedupe common subplans: an agg + rejoin
+    of the same join re-EXECUTES the join twice (verified in the
+    formatted plan), while the two windows share one exchange on
+    l_orderkey — one fact join, one shuffle, no correlated re-scans.
+    The supplier name attach is an sf-linear edge left to AQE.
+    s_name tiebreaks the top-k (H3).
     """
     ensure_engine_conf(spark)
     o = scan(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
@@ -624,19 +627,19 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "__late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
-    per_order = lo.groupBy("o_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
-            "__n_late_supp"
-        ),
-    )
+    w = Window.partitionBy("o_orderkey")
     waiting = (
-        lo.filter(F.col("__late"))
-        .join(
-            per_order.filter(
-                (F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1)
+        lo.withColumn(
+            "__n_supp", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .withColumn(
+            "__n_late_supp",
+            F.size(
+                F.collect_set(F.when(F.col("__late"), F.col("l_suppkey"))).over(w)
             ),
-            "o_orderkey",
+        )
+        .filter(
+            F.col("__late") & (F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1)
         )
         .select("l_suppkey")
     )
