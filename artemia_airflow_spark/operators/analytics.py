@@ -758,3 +758,180 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+@declared(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    filter-heavy single-table aggregate.  Every predicate reaches the
+    parquet scan (PushedFilters on shipdate/discount/quantity — the
+    plan test pins this), so row-groups failing min/max stats never
+    decompress; what survives feeds a map-side DECIMAL partial sum and
+    a 1-row exchange.  The I/O-bound query whose whole cost at 100 TB
+    is how much the scan can skip.
+    """
+    ensure_engine_conf(spark)
+    li = scan(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_REVENUE_DEC))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@declared(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): argmax over an aggregate — the
+    per-supplier quarterly revenue, then the supplier(s) achieving the
+    global maximum.
+
+    The revenue aggregate is DECIMAL (exact), so the equality against
+    its own MAX is engine-safe — no float-boundary hazard.  Plan: one
+    fact shuffle to the per-supplier aggregate (sf*10k rows), a 1-row
+    MAX broadcast back onto it (scalar-subquery shape, no driver
+    round-trip), and an sf-linear supplier attach left to AQE.  Like
+    Q21, the revenue subplan feeds two consumers (itself and its MAX);
+    at |suppliers| rows the re-execution is a rounding error — but the
+    same argmax over a FACT-sized aggregate should localCheckpoint or
+    rewrite via a rank window instead.
+    """
+    ensure_engine_conf(spark)
+    li = scan(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max"))
+    s = scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("__max"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@declared(
+    "q_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                               ELSE CAST(0 AS DECIMAL(28,6)) END)
+                      / SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS volume,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        AND p_type = 'PROMO'
+    ) t
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest spec join
+    tree — part, lineitem, supplier, orders, customer, two nation
+    aliases, region — with a conditional share ratio per year.
+
+    The fixture's p_type is a single word, so the spec's
+    'ECONOMY ANODIZED STEEL' filter becomes p_type = 'PROMO'.  Plan:
+    the p_type filter prunes part at the scan and that edge joins
+    FIRST, so lineitem is cut to ~1/6 before touching the wider
+    orders/customer edges; nation×2 and region broadcast (bounded
+    dims); part, supplier, orders, customer all shuffle (sf-linear,
+    no pinned hints — AQE upgrades at runtime).  The share is
+    DECIMAL-sum / DECIMAL-sum, divided as doubles and rounded to 6dp
+    identically in both engines (same pattern as Q14).
+    """
+    ensure_engine_conf(spark)
+    p = scan(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = scan(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = scan(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = scan(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = scan(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = scan(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    zero = F.lit(0).cast(_REVENUE_DEC)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("volume", _revenue())
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(zero))
+                    / F.sum("volume")
+                ).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

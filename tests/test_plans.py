@@ -121,7 +121,7 @@ def test_tpch_composites_broadcast_dims_only(spark):
     expected_hinted = {"q_tpch_q3": 0, "q_tpch_q5": 2, "q_tpch_q10": 1,
                        "q_tpch_q7": 2, "q_tpch_q4": 0, "q_tpch_q17": 0,
                        "q_tpch_q18": 0, "q_tpch_q19": 0, "q_tpch_q21": 0,
-                       "q_tpch_q13": 0}
+                       "q_tpch_q13": 0, "q_tpch_q8": 3}
     for name, n_hints in expected_hinted.items():
         p = _plan_without_autobroadcast(spark, name)
         # formatted explain shows each node twice (tree + detail); count
@@ -242,3 +242,15 @@ def test_asof_join_plans_as_partial_agg_not_window(spark):
     p = _formatted_plan(spark, "q_join_asof")
     assert "Window" not in p, p
     assert len(re.findall(r"(?:Sort|Hash)Aggregate", p)) >= 2, p
+
+
+def test_tpch_q6_pushes_every_predicate(spark):
+    """q_tpch_q6: all three predicates (shipdate range, discount range,
+    quantity bound) must reach the parquet scan — the query's whole
+    100 TB cost model is row-group skipping."""
+    p = _formatted_plan(spark, "q_tpch_q6")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m, p
+    f = m.group(1)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in f, (frag, f)
