@@ -610,3 +610,110 @@ def q_length_buckets(spark, sf_dir):
             6,
         ).alias("padding_waste"),
     )
+
+
+def decontaminate_bloom(
+    train: DataFrame, eval_df: DataFrame, text_col: str, id_col: str, *,
+    n: int = 4, num_bits: int = 1 << 23, k: int = 5,
+) -> DataFrame:
+    """Bloom-filter decontamination tier: the constant-size-sketch
+    scale path next to :func:`decontaminate`'s exact broadcast set.
+
+    Build: each partition of the eval side folds its gram hashes into
+    a PARTIAL bitmap (numpy ``mapInPandas`` kernel emitting one
+    ``num_bits/8``-byte row), partials OR-merge on the driver (a few
+    dozen fixed-size rows — not data-sized), and the final bitmap is
+    ``sc.broadcast`` to every executor.  Probe: gram hashes are
+    computed Spark-side (codegen xxhash64 over the n-gram array), and
+    an Arrow-batched kernel tests ``k`` double-hashed bit positions
+    per gram against the broadcast bitmap; per-doc OR partial-
+    aggregates map-side, so the only shuffle carries (id, bool).
+
+    Versus the exact tier: shipped state is ``num_bits/8`` bytes (1 MB
+    default, ~0.1% FPP at 1M grams with k=5) REGARDLESS of eval-set
+    size — this tier keeps working when the "eval" side is itself
+    huge, e.g. decontaminating against an entire prior training
+    corpus.  Bloom semantics: false positives possible (tunable), a
+    contaminated doc is NEVER missed — the test pins the superset
+    property against the exact tier.
+
+    Returns ``train`` plus a boolean ``contaminated_bloom`` column.
+    """
+    import numpy as np
+    import pandas as pd
+
+    nbytes = num_bits // 8
+
+    def positions(h: "np.ndarray") -> "np.ndarray":
+        # double hashing (Kirsch-Mitzenmacher): pos_i = h1 + i*h2 mod m
+        h1 = (h.astype("uint64")) % num_bits
+        h2 = ((h.astype("uint64") >> np.uint64(17)) | np.uint64(1)) % num_bits
+        return np.stack(
+            [(h1 + np.uint64(i) * h2) % num_bits for i in range(k)]
+        ).astype("int64")
+
+    def build_partial(it):
+        bm = np.zeros(nbytes, dtype="uint8")
+        seen = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            seen = True
+            pos = positions(pdf["h"].to_numpy()).ravel()
+            np.bitwise_or.at(bm, pos // 8, (1 << (pos % 8)).astype("uint8"))
+        if seen:
+            yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    eval_hashes = eval_df.select(
+        F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).select(F.xxhash64("gram").alias("h"))
+    partials = eval_hashes.mapInPandas(build_partial, "bitmap binary").collect()
+    final = np.zeros(nbytes, dtype="uint8")
+    for r in partials:
+        final |= np.frombuffer(r.bitmap, dtype="uint8")
+    bc = train.sparkSession.sparkContext.broadcast(final.tobytes())
+
+    def probe(it):
+        bm = np.frombuffer(bc.value, dtype="uint8")
+        for pdf in it:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy()
+            pos = positions(h)                       # (k, n_rows)
+            bits = (bm[pos // 8] >> (pos % 8)) & 1   # (k, n_rows)
+            yield pd.DataFrame({"id": pdf["id"], "hit": bits.all(axis=0).astype(bool)})
+
+    gram_hits = (
+        spread_for_compute(train)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(text_col, n)).alias("gram"),
+        )
+        .select("id", F.xxhash64("gram").alias("h"))
+        .mapInPandas(probe, "id long, hit boolean")
+        .groupBy("id")
+        .agg(F.max("hit").alias("contaminated_bloom"))
+        .withColumnRenamed("id", id_col)
+    )
+    return train.join(gram_hits, id_col, "left").fillna(
+        False, ["contaminated_bloom"]
+    )
+
+
+@declared("q_decontaminate_bloom")
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-sketch decontamination rollup (rows-only: the flagged set
+    includes hash-dependent false positives): same train/eval split as
+    q_decontaminate, flagged via the 1 MB constant-size sketch instead
+    of the exact gram set.  The semantic guarantee (bloom flags ⊇
+    exact flags, zero false negatives) is pinned by
+    tests/test_curation.py."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    eval_df = d.filter(F.col("doc_id") % 20 == 0)
+    flagged = decontaminate_bloom(train, eval_df, "text", "doc_id", n=4)
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("contaminated_bloom"), 1)).alias("n_flagged"),
+    )

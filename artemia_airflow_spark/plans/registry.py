@@ -37,7 +37,7 @@ PRIORITY: list[str] = [
     # (b) new in round 4
     "q_tpch_q4", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q21",
     "q_tpch_q13", "q_tpch_q22", "q_tpch_q6", "q_tpch_q15", "q_tpch_q8",
-    "q_stream_session_state", "q_dedup_semantic",
+    "q_stream_session_state", "q_dedup_semantic", "q_decontaminate_bloom",
     # (c) oracle re-confirmation on the regenerated fixtures
     "q_tpch_q7", "q_tpch_q14", "q_length_buckets",
     "q_sink_bucketed", "q_pii_redact", "q_pack_sequences",

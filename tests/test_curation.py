@@ -192,3 +192,32 @@ def test_pack_budget_matches_manual_cumsum(spark):
     packed = pack_sequences_budget(df, "text", "doc_id", capacity=1000, shards=8)
     got = {r.doc_id: r.seq_id for r in packed.collect()}
     assert [got[i * 8] for i in range(4)] == [0, 0, 1, 1]
+
+
+def test_bloom_decontamination_never_misses(spark):
+    """Bloom tier guarantee: flags ⊇ exact tier's flags (false
+    positives allowed, false negatives never)."""
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.operators.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = scan(spark, SF_SMOKE, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    exact = {
+        r.doc_id
+        for r in decontaminate(train, ev, "text", "doc_id", n=4)
+        .filter("contaminated").select("doc_id").collect()
+    }
+    bloom = {
+        r.doc_id
+        for r in decontaminate_bloom(train, ev, "text", "doc_id", n=4)
+        .filter("contaminated_bloom").select("doc_id").collect()
+    }
+    assert exact, "fixture should contain contaminated docs"
+    assert exact <= bloom, f"bloom missed: {sorted(exact - bloom)[:5]}"
