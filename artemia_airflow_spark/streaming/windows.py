@@ -356,3 +356,32 @@ def q_stream_first(spark, sf_dir):
         F.col("m.event_id").alias("first_event_id"),
         F.col("m.value").alias("first_value"),
     )
+
+
+def stream_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, *, timeout_s: int = 120
+) -> None:
+    """Exactly-once streaming parquet sink (B45+): file sink + WAL
+    checkpoint, driven with Trigger.AvailableNow (drain everything
+    available, then stop — the batch-like face of a continuous sink).
+
+    Exactly-once mechanics at any scale: the file sink commits each
+    micro-batch's files atomically through the checkpoint's write-ahead
+    metadata log, so a restart after ANY failure point either replays
+    an uncommitted batch (its part-files were never registered — the
+    re-read ignores orphans) or skips a committed one.  Readers see
+    each input row exactly once, verified across a kill/restart by
+    tests/test_streaming.py::test_stream_parquet_sink_exactly_once.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream_to_parquet did not drain in {timeout_s}s")

@@ -229,3 +229,33 @@ def test_stateful_sessionize_equals_batch(spark, chunked_events_dir):
     must_emit = {s for s in batch if s[2] + 2 < final_wm}
     missing = must_emit - got
     assert not missing, f"closed sessions never emitted: {sorted(missing)[:3]}"
+
+
+def test_stream_parquet_sink_exactly_once(spark, chunked_events_dir, tmp_path):
+    """B45+: the checkpointed file sink delivers each event exactly once
+    across TWO separate runs over a growing source — the second run's
+    checkpoint skips everything the first run committed."""
+    from artemia_airflow_spark.streaming.windows import stream_to_parquet
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = scan(spark, SF_SMOKE, "events").schema
+    # run 1: only chunk 0 available
+    shutil.copytree(os.path.join(chunked_events_dir, "chunk=0"), os.path.join(src, "c0"))
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    stream_to_parquet(stream.select("event_id", "user_id"), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    # run 2: chunk 1 arrives; same checkpoint resumes, never re-emits chunk 0
+    shutil.copytree(os.path.join(chunked_events_dir, "chunk=1"), os.path.join(src, "c1"))
+    stream2 = spark.readStream.schema(schema).parquet(src + "/*")
+    stream_to_parquet(stream2.select("event_id", "user_id"), out, ckpt)
+    got = [r.event_id for r in spark.read.parquet(out).collect()]
+    assert len(got) == len(set(got)), "duplicate events after restart"
+    want = {
+        r.event_id
+        for r in spark.read.schema(schema).parquet(src + "/*").collect()
+    }
+    assert set(got) == want, "missing or extra events after restart"
