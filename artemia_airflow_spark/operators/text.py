@@ -146,10 +146,45 @@ def q_text_quality(spark, sf_dir):
     )
 
 
-@declared("q_text_langid")
+@declared(
+    "q_text_langid",
+    oracle="""
+    WITH h AS (
+      SELECT lang,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['the','and','of','to','in'])) AS h_en,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['el','la','de','que','los'])) AS h_es,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['le','la','les','des','est'])) AS h_fr,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['der','die','das','und','ist'])) AS h_de,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['de5','shi4','le5','zai4','he2'])) AS h_zh
+      FROM documents
+    ), p AS (
+      SELECT lang,
+             greatest(h_en, h_es, h_fr, h_de, h_zh) AS m,
+             CASE WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'und'
+                  WHEN h_zh = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'zh'
+                  WHEN h_fr = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM h
+    )
+    SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY lang, lang_pred
+    """,
+)
 def q_text_langid(spark, sf_dir):
-    """North-star language-ID (rows-only: heuristic lexicon argmax) —
-    confusion counts of predicted vs labeled lang."""
+    """North-star language-ID, ORACLE-CHECKED (round-4 upgrade):
+    confusion counts of predicted vs labeled lang.  The Spark side's
+    greatest-of-(hits, lang)-structs argmax ties to the
+    lexicographically LARGER lang; the oracle replicates that with a
+    descending-ordered CASE chain (zh > fr > es > en > de), and both
+    engines dedup the marker intersection (array_intersect /
+    list_intersect both return distinct elements — probed)."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return (
@@ -256,11 +291,33 @@ def q_text_tfidf(spark, sf_dir):
         )
     )
 
-@declared("q_text_quality_full")
+@declared(
+    "q_text_quality_full",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+             CAST(length(text) AS DOUBLE)
+               / len(regexp_split_to_array(lower(text), '\\s+')) AS cpt,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tokens >= 10 AND cpt < 12 AND alpha_ratio > 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           MIN(n_tokens) AS min_tokens,
+           MAX(cpt) AS max_cpt
+    FROM f GROUP BY source
+    """,
+)
 def q_text_quality_full(spark, sf_dir):
-    """North-star quality scoring (rows-only: stopword/alpha ratios are
-    fixture-language-dependent): full cheap-filter feature set per doc,
-    rolled up per source."""
+    """North-star quality scoring, ORACLE-CHECKED (round-4 upgrade):
+    full cheap-filter feature set per doc, rolled up per source.  The
+    ratio thresholds are double comparisons on values computed from
+    identical integers in both engines (length/count division), so the
+    keep boundary cannot diverge."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     feats = quality_features(d, "text")
