@@ -210,10 +210,22 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
-@declared("q_text_wordpiece")
+@declared(
+    "q_text_wordpiece",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_pieces,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
 def q_text_wordpiece(spark, sf_dir):
-    """North-star token counting (rows-only: BPE-ish regex pre-tokenizer
-    count per doc, aggregated per lang)."""
+    """North-star token counting, ORACLE-CHECKED (round-4 upgrade):
+    BPE-ish regex pre-tokenizer count per doc, aggregated per lang.
+    The pre-tokenizer pattern uses only literal classes/alternation, so
+    Java (Spark regexp_count) and RE2 (DuckDB regexp_extract_all)
+    agree on every match boundary."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return (
