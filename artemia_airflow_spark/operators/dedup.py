@@ -420,7 +420,11 @@ def connected_components(edges: DataFrame, *, max_iters: int = 5) -> DataFrame:
         )
         # truncate lineage each round: without this the label DAG
         # doubles per iteration and the convergence check re-executes
-        # the full history (measured 12s -> ~4s at sf0.1)
+        # the full history (measured 12s -> ~4s at sf0.1).  MUST be
+        # eager: a lazy checkpoint materialized by the limit(1)
+        # convergence count below would cache only the partitions that
+        # count touched, and later rounds would re-derive the rest
+        # from the doubled lineage.
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
