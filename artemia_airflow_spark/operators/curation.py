@@ -717,3 +717,67 @@ def q_decontaminate_bloom(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(F.col("contaminated_bloom"), 1)).alias("n_flagged"),
     )
+
+
+def apply_mixture(
+    df: DataFrame, *, source_col: str = "source", id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize a token-equalizing data mixture: compute each
+    source's sampling weight IN-PLAN (same arithmetic as
+    ``q_mix_weights``: weight = min(1, fair_share_tokens / tokens)) and
+    keep each row iff its deterministic hash bucket falls under the
+    source's weight.
+
+    This closes the curation loop from "compute the mixture" to
+    "produce the mixed corpus": one per-source aggregate (|sources|
+    rows), one 1-row totals broadcast, then a map-side hash-threshold
+    filter — the corpus is read once and never shuffled, and the same
+    seed reproduces the same sample on any cluster (hash sampling, not
+    RNG).  At 100 TB the output feeds ``write.partitionBy`` /
+    bucketing directly.
+    """
+    per_src = df.groupBy(source_col).agg(
+        F.sum(F.size(_tokens("text"))).alias("__n_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("__n_tokens").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__n_src"),
+    )
+    weights = per_src.crossJoin(F.broadcast(totals)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("__total") / F.col("__n_src")) / F.col("__n_tokens"),
+        ).alias("__weight"),
+    )
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(weights), source_col)
+        .filter(bucket < (F.col("__weight") * 1_000_000).cast("long"))
+        .drop("__weight")
+    )
+
+
+@declared("q_mix_apply")
+def q_mix_apply(spark, sf_dir):
+    """Mixture application rollup (rows-only: hash sampling is
+    engine-specific): per-source kept-vs-total doc counts after
+    materializing the token-equalizing mixture.  The statistical
+    contract (kept fraction tracks the computed weight; full-weight
+    sources keep everything; determinism across runs) is pinned by
+    tests/test_curation.py."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    kept = apply_mixture(d)
+    return (
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
+            "source",
+            "left",
+        )
+        .select(
+            "source", "n_docs", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+        )
+    )

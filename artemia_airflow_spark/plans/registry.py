@@ -38,6 +38,7 @@ PRIORITY: list[str] = [
     "q_tpch_q4", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q21",
     "q_tpch_q13", "q_tpch_q22", "q_tpch_q6", "q_tpch_q15", "q_tpch_q8",
     "q_stream_session_state", "q_dedup_semantic", "q_decontaminate_bloom",
+    "q_mix_apply",
     # (b') rows-only -> oracle upgrades in round 4: their oracle status
     # is new, so they need a fresh driver row inside the ~50 cut
     "q_fn_map", "q_text_langid", "q_text_quality_full", "q_text_wordpiece",

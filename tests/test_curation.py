@@ -221,3 +221,42 @@ def test_bloom_decontamination_never_misses(spark):
     }
     assert exact, "fixture should contain contaminated docs"
     assert exact <= bloom, f"bloom missed: {sorted(exact - bloom)[:5]}"
+
+
+def test_apply_mixture_tracks_weights_and_is_deterministic(spark):
+    """apply_mixture: full-weight sources keep every doc; downsampled
+    sources keep ~weight fraction (binomial tolerance); identical
+    seed -> identical sample."""
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.operators.curation import apply_mixture
+    from tests.conftest import SF_ORACLE
+
+    d = scan(spark, SF_ORACLE, "documents")
+    kept = apply_mixture(d)
+    # recompute the weights independently
+    stats = {
+        r.source: r.n_tokens
+        for r in d.groupBy("source")
+        .agg(F.sum(F.size(F.split(F.lower("text"), r"\s+"))).alias("n_tokens"))
+        .collect()
+    }
+    fair = sum(stats.values()) / len(stats)
+    n_total = {r.source: r.n for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_kept = {r.source: r.n for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, toks in stats.items():
+        w = min(1.0, fair / toks)
+        got = n_kept.get(src, 0) / n_total[src]
+        if w == 1.0:
+            assert n_kept[src] == n_total[src], src
+        else:
+            # binomial 4-sigma tolerance
+            import math
+
+            sigma = math.sqrt(w * (1 - w) / n_total[src])
+            assert abs(got - w) < 4 * sigma + 0.02, (src, got, w)
+    # determinism: second invocation yields the identical id set
+    ids1 = {r.doc_id for r in kept.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in apply_mixture(d).select("doc_id").collect()}
+    assert ids1 == ids2
