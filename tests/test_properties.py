@@ -137,3 +137,33 @@ def test_merge_upsert_matches_dict_reference(spark, target_map, change_map):
         for r in merge_upsert(target, changes, "k", delete_col="d").collect()
     }
     assert got == want
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1, max_size=12,
+    ),
+)
+def test_asof_join_strategies_agree(spark, left_rows, right_rows):
+    """The partial-agg (default) and window formulations of asof_join
+    must produce identical results — the agg path is a pure physical
+    optimization."""
+    from artemia_airflow_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "lid long, k long, lt long"
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, t) for j, (k, t) in enumerate(right_rows)], "rid long, rk long, rt long"
+    )
+    kw = dict(left_on="k", right_on="rk", left_time="lt", right_time="rt",
+              tiebreak="rid", left_id="lid")
+    agg = {tuple(r) for r in asof_join(ldf, rdf, strategy="agg", **kw).collect()}
+    win = {tuple(r) for r in asof_join(ldf, rdf, strategy="window", **kw).collect()}
+    assert agg == win
