@@ -152,6 +152,13 @@ def stateful_sessionize(events: DataFrame, *, gap_s: int = 1800) -> DataFrame:
     is RocksDB-backed and sized by #active users in the gap horizon,
     not by events.  Event time is second-truncated (H1) so the emitted
     rows equal ``session_counts``'s (start, end, n) exactly.
+
+    Like :func:`~artemia_airflow_spark.streaming.windows.stateful_first_event`,
+    correctness of the per-user merge assumes the source replays in
+    event-time order per key (log/Kafka streams are time-ordered per
+    partition); an event arriving AFTER the watermark closed its
+    session is dropped by the watermark itself, and intra-batch
+    disorder is handled by the kernel's sort.
     """
     e = events.select(
         "user_id", F.date_trunc("second", "ts").alias("ts")
