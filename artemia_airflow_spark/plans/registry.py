@@ -24,45 +24,49 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 # Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
-# in insertion order and caps at ~50 entries per round.  Rounds 1-3
-# jointly produced a clean row for every declared query EXCEPT the five
-# whose round-3 row was the events.ts fixture-encoding error (fixed in
-# catalog.scan this round).  ``PRIORITY`` front-loads round 4 with
-# (a) those five, (b) the queries new in round 4, then (c) the rest of
-# the oracle-declared set for cheap re-confirmation on the new fixtures.
+# in insertion order and caps at ~50 entries per round.  After round 4,
+# 73 queries' newest driver row predates the round-3/4 fixture
+# regeneration (42 oracle rows last passed in r1, 5 in r2, 4 in r3,
+# plus 22 rows-only).  ``PRIORITY`` front-loads round 5 with
+# (a) this round's rows-only -> oracle upgrades, (b) queries whose
+# implementation changed this round (need a fresh green row), then
+# (c) the stale oracle rows oldest-first (r1, then r2, then r3), with
+# the stale rows-only set at the tail for round 6.
 PRIORITY: list[str] = [
-    # (a) round-3 driver errors: events.ts TIMESTAMP_NTZ breakage, fixed
-    "q_agg_hll", "q_stream_first", "q_scd2", "q_rollup_incremental",
-    "q_fn_json",
-    # (b) new in round 4
-    "q_tpch_q4", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q21",
-    "q_tpch_q13", "q_tpch_q22", "q_tpch_q6", "q_tpch_q15", "q_tpch_q8",
-    "q_stream_session_state", "q_dedup_semantic", "q_decontaminate_bloom",
-    "q_mix_apply",
-    # (b') rows-only -> oracle upgrades in round 4: their oracle status
-    # is new, so they need a fresh driver row inside the ~50 cut
-    "q_fn_map", "q_text_langid", "q_text_quality_full", "q_text_wordpiece",
-    # (c) oracle re-confirmation on the regenerated fixtures
-    "q_tpch_q7", "q_tpch_q14", "q_length_buckets",
-    "q_sink_bucketed", "q_pii_redact", "q_pack_sequences",
-    "q_merge_upsert", "q_fn_null",
-    "q_subq_scalar", "q_subq_in", "q_udf_scalar", "q_pandas_norm",
-    "q_pivot", "q_agg_grouping_sets", "q_join_right", "q_subq_exists",
-    "q_distinct_cols", "q_window_range_frame", "q_fn_string2", "q_fn_date2",
-    "q_udtf", "q_agg_percentile", "q_agg_approx_percentile",
-    "q_agg_filtered", "q_window_dist",
-    "q_sim_topk", "q_sim_ann_lsh", "q_embed_stats", "q_sim_ivf",
-    "q_text_tokens", "q_text_quality", "q_text_langid",
-    "q_text_fingerprint", "q_text_wordpiece", "q_text_tfidf",
-    "q_text_quality_full",
-    "q_pipeline", "q_sink_parquet", "q_source_json", "q_source_http",
-    "q_source_http_ds",
+    # (a) rows-only -> oracle upgrades in round 5
+    "q_text_fingerprint", "q_sample_stratified", "q_multimodal_decode",
+    "q_sink_parquet",
+    # (b) implementation changed in round 5 (perf fixes / decimal casts)
+    "q_fn_array", "q_text_langid", "q_tpch_q17", "q_sim_ivf",
+    # (c) stale oracle rows, last confirmed r1 (pre-regeneration fixtures)
+    "q_scan", "q_project", "q_filter", "q_filter_pred", "q_case",
+    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_full",
+    "q_join_semi", "q_join_anti", "q_join_range", "q_join_asof",
+    "q_join_cross",
+    "q_agg_global", "q_agg_group", "q_agg_distinct", "q_agg_rollup",
+    "q_agg_cube",
+    "q_window_rank", "q_window_lag", "q_window_running", "q_topk",
+    "q_set_union", "q_set_intersect", "q_set_except",
+    "q_fn_string", "q_fn_date", "q_fn_math",
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
+    "q_unpivot", "q_gapfill", "q_decontaminate", "q_shard",
+    "q_mix_weights", "q_text_repetition", "q_dedup_exact",
+    "q_dedup_embed", "q_multimodal",
+    # (c) stale oracle rows, last confirmed r2
     "q_stream_tumble", "q_stream_slide", "q_stream_session",
     "q_stream_join", "q_stream_dedup",
-    "q_sink_partitioned", "q_dedup_substring", "q_decontaminate_substring",
-    "q_pack_firstfit", "q_multimodal_neardup", "q_fn_map",
-    "q_embed_centroid", "q_sample_stratified",
+    # (c) stale oracle rows, last confirmed r3
+    "q_embed_stats", "q_text_tokens", "q_text_quality", "q_text_tfidf",
+    # tail: stale rows-only set (weaker check; refresh round 6)
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram",
+    "q_dedup_clusters", "q_dedup_embed_lsh", "q_multimodal_pipeline",
+    "q_multimodal_neardup", "q_agg_approx", "q_embed_centroid",
+    "q_pipeline", "q_sink_partitioned", "q_source_json", "q_source_http",
+    "q_source_http_ds", "q_dedup_substring", "q_decontaminate_substring",
+    "q_pack_firstfit",
 ]
+
+assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"
 
 
 def ordered_queries() -> dict[str, QueryFn]:
