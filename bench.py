@@ -67,16 +67,39 @@ def main() -> None:
     # far better estimator of the plan's true cost.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def _reset(spark) -> None:
+        """Return the JVM to an isolated-run state between queries.
+
+        System.gc() alone is not enough: the iterative queries
+        (q_dedup_clusters et al.) leave eager-localCheckpoint RDD
+        blocks pinned in the block manager for as long as Python holds
+        DataFrame references, and that heap pressure inflated the
+        queries that happen to run right after them (q_fn_array read
+        6.4x in-suite vs 1.8x isolated in r4).  Order matters:
+        unpersist leftover RDDs, drop Python-side refs so py4j frees
+        the JVM handles, then full GC.
+        """
+        import gc
+
+        spark.catalog.clearCache()
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:  # noqa: BLE001 — cleanup must never kill the bench
+            pass
+        gc.collect()
+        spark._jvm.System.gc()
+
     for name in sorted(qs):
         best = float("inf")
         try:
-            # Explicit full GC between queries: a single long-lived
+            # Explicit full reset between queries: a single long-lived
             # local JVM accumulates heap pressure over the 100+ query
             # suite, and late-suite queries were measured 3-10x their
             # isolated cost purely from position (SCALE.md bench
-            # methodology note).  One System.gc() per query resets that
-            # so per-query numbers approximate isolated runs.
-            spark._jvm.System.gc()
+            # methodology note).
+            _reset(spark)
             for _ in range(3):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
