@@ -100,11 +100,28 @@ def decode_media(df: DataFrame, *, keep_payload: bool = False) -> DataFrame:
     return df.mapInPandas(batches, schema)
 
 
-@declared("q_multimodal_decode")
+@declared(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text)) % 640 + 16) AS INT) AS max_width
+    FROM documents
+    GROUP BY media_type
+    """,
+)
 def q_multimodal_decode(spark, sf_dir):
-    """North-star multimodal (rows-only): binary payload -> mapInPandas
-    decode stub -> per-media-type stats.  Exercises the full plumbing:
-    binary column, struct metadata, Arrow batching, post-decode agg."""
+    """North-star multimodal, ORACLE-CHECKED (round-5 upgrade): binary
+    payload -> mapInPandas decode stub -> per-media-type stats.
+    Exercises the full plumbing: binary column, struct metadata, Arrow
+    batching, post-decode agg.  The decode stub is deterministic
+    arithmetic on payload length, so the whole mapInPandas path is
+    differentially checkable: the oracle recomputes media_type from
+    doc_id % 3, n_bytes as the UTF-8 octet length, and the stub's
+    width formula (n % 640 + 16) directly in SQL."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     media = attach_fake_media(d, "doc_id", "text")

@@ -286,19 +286,41 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("q_sample_stratified")
+@declared(
+    "q_sample_stratified",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CAST(COALESCE(CASE lang WHEN 'de' THEN 0.8 WHEN 'en' THEN 0.5
+                                     WHEN 'es' THEN 1.0 WHEN 'fr' THEN 0.8
+                                     WHEN 'ja' THEN 1.0 END,
+                           0.25) AS DOUBLE) AS target_fraction
+      FROM documents
+      WHERE ((doc_id % 2147483647) * 48271 + 42) % 2147483647 % 1000000
+            < CAST(COALESCE(CASE lang WHEN 'de' THEN 0.8 WHEN 'en' THEN 0.5
+                                      WHEN 'es' THEN 1.0 WHEN 'fr' THEN 0.8
+                                      WHEN 'ja' THEN 1.0 END,
+                            0.25) * 1000000 AS BIGINT)
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled, target_fraction
+    FROM s GROUP BY lang, target_fraction
+    """,
+)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data subsampling: per-stratum sampling via a
-    deterministic hash threshold — keep a row iff
-    hash(doc_id) mod 1e6 < fraction(lang) * 1e6, with the fraction map
-    a STATIC config (unlisted strata fall to the default via the map
-    lookup's coalesce).  Filter-only and scan-parallel: no shuffle, no
-    mid-plan driver round-trip (the old `sampleBy` face needed a
-    distinct-lang collect to build its fraction dict — a full extra
-    scan at 100 TB), and hash sampling is reproducible across runs and
-    engines where an RNG stream is not (rows-only: hash function is
-    engine-specific).  Returns per-lang kept counts next to the
-    stratum's target fraction."""
+    """Training-data subsampling, ORACLE-CHECKED (round-5 upgrade):
+    per-stratum sampling via a deterministic hash threshold — keep a
+    row iff hash(doc_id) mod 1e6 < fraction(lang) * 1e6, with the
+    fraction map a STATIC config (unlisted strata fall to the default
+    via the map lookup's coalesce).  Filter-only and scan-parallel: no
+    shuffle, no mid-plan driver round-trip (the old `sampleBy` face
+    needed a distinct-lang collect to build its fraction dict — a full
+    extra scan at 100 TB), and hash sampling is reproducible across
+    runs AND engines: the Lehmer-style multiplicative hash
+    ((id % 2^31-1) * 48271 + 42) % 2^31-1 uses only BIGINT arithmetic
+    (max intermediate < 2^47, no overflow under ANSI mode) that Spark
+    and DuckDB evaluate identically — unlike xxhash64, whose internals
+    no other engine replicates.  Returns per-lang kept counts next to
+    the stratum's target fraction."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 0.8, "fr": 0.8, "es": 1.0, "ja": 1.0}
@@ -309,7 +331,8 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[F.col("lang")],
         F.lit(default_fraction),
     )
-    bucket = F.pmod(F.xxhash64("doc_id", F.lit(42)), F.lit(1_000_000))
+    m31 = F.lit(2147483647)
+    bucket = (((F.col("doc_id") % m31) * F.lit(48271) + F.lit(42)) % m31) % F.lit(1_000_000)
     sampled = d.withColumn("target_fraction", frac_col).filter(
         bucket < (F.col("target_fraction") * 1_000_000).cast("long")
     )

@@ -82,15 +82,26 @@ def language_id(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, text_col: str, *, window: int = 8) -> DataFrame:
+def fingerprint(
+    df: DataFrame, text_col: str, *, window: int = 8, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """Winnowing-style document fingerprint: min rolling-window hash
     over token 4-gram hashes (robust to small edits; used for
-    plagiarism-style containment checks)."""
+    plagiarism-style containment checks).
+
+    ``hash_fn="xxhash64"`` (default) is the scale path: 8-byte LONG
+    fingerprints, cheapest shuffle.  ``hash_fn="md5"`` is the
+    engine-portable path (identical hex in Spark and DuckDB, so the
+    result is differentially checkable) at the cost of a 32-char
+    fingerprint — pick it when cross-engine reproducibility matters
+    more than shuffle width.
+    """
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     n = F.greatest(F.size(toks) - 3, F.lit(1))
+    hasher = F.xxhash64 if hash_fn == "xxhash64" else F.md5
     gram_hashes = F.transform(
         F.sequence(F.lit(0), n - 1),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 4))),
+        lambda i: hasher(F.concat_ws(" ", F.slice(toks, i + 1, 4))),
     )
     return spread_for_compute(df).withColumn("doc_fingerprint", F.array_min(gram_hashes))
 
@@ -194,14 +205,35 @@ def q_text_langid(spark, sf_dir):
     )
 
 
-@declared("q_text_fingerprint")
+@declared(
+    "q_text_fingerprint",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             list_min(list_transform(range(greatest(len(toks) - 3, 1)),
+                 i -> md5(concat_ws(' ', toks[i+1], toks[i+2],
+                                         toks[i+3], toks[i+4])))) AS fp
+      FROM (SELECT source, string_split(lower(text), ' ') AS toks
+            FROM documents) t
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM f GROUP BY source
+    """,
+)
 def q_text_fingerprint(spark, sf_dir):
-    """North-star fingerprinting (rows-only: xxhash64 internals differ
-    from any DuckDB hash) — distinct fingerprint count per source."""
+    """North-star fingerprinting, ORACLE-CHECKED (round-5 upgrade):
+    distinct winnowing-fingerprint count per source, on the md5
+    portable hash tier so both engines hash identical gram strings
+    (Spark md5 and DuckDB md5 emit the same lowercase hex; min over
+    hex strings is plain ASCII ordering in both).  Boundary grams
+    (< 4 tokens) agree too: Spark's short slice and DuckDB's
+    NULL-padded subscripts both concat_ws to the same string."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return (
-        fingerprint(d, "text")
+        fingerprint(d, "text", hash_fn="md5")
         .groupBy("source")
         .agg(
             F.countDistinct("doc_fingerprint").alias("n_fingerprints"),

@@ -43,11 +43,22 @@ def write_parquet(
     w.parquet(path)
 
 
-@declared("q_sink_parquet")
+@declared(
+    "q_sink_parquet",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
 def q_sink_parquet(spark, sf_dir):
-    """B4 (rows-only): write orders partitioned by status to a temp dir,
-    re-read one partition — exercises partition pruning on read (the
-    scan touches only the o_orderstatus=F directory)."""
+    """B4, ORACLE-CHECKED (round-5 upgrade): write orders partitioned
+    by status to a temp dir, re-read one partition — exercises
+    partition pruning on read (the scan touches only the
+    o_orderstatus=F directory).  The write-then-read round-trip is
+    differentially checkable because parquet round-trips these types
+    losslessly: the oracle computes the same aggregate straight from
+    the source table."""
     ensure_engine_conf(spark)
     out = os.path.join(tempfile.gettempdir(), "aas_sink_parquet")
     o = scan(spark, sf_dir, "orders")

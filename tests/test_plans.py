@@ -90,12 +90,13 @@ def test_lsh_neardup_shuffle_carries_ids_not_vectors(spark):
 
 def test_stratified_sample_is_filter_only(spark):
     """Hash-threshold stratified sampling compiles to a per-row filter
-    on xxhash64(doc_id) — no join, no mid-plan driver collect (the old
-    sampleBy face needed a distinct-lang round-trip), deterministic
-    across runs."""
+    on a Lehmer-style multiplicative hash of doc_id (portable BIGINT
+    arithmetic, round-5 oracle upgrade) — no join, no mid-plan driver
+    collect (the old sampleBy face needed a distinct-lang round-trip),
+    deterministic across runs."""
     p = _formatted_plan(spark, "q_sample_stratified")
     assert "Join" not in p
-    assert "xxhash64" in p, p
+    assert "48271" in p, p
 
 
 def _plan_without_autobroadcast(spark, name: str) -> str:
