@@ -84,7 +84,22 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
     """Stateful per-user running stats on the state-v2 API (update
     mode; emits the running totals for each key touched by a batch).
     The session must use the RocksDB state store provider — see
-    ``ROCKSDB_PROVIDER``."""
+    ``ROCKSDB_PROVIDER``.
+
+    Gated at call time on ``HAS_PROTOBUF``: Spark's transformWithState
+    Python runner cannot start without ``google.protobuf``, and the
+    failure surfaces only at stream start
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE) — so rather than
+    ship a path that dies mid-query, fall back to the
+    applyInPandasWithState twin (streaming/stateful.py), which has the
+    identical output contract (STATS_SCHEMA, update mode, running
+    totals per key per batch).  Callers get the state-v2 features
+    (TTL, timers, RocksDB) wherever protobuf exists and the same
+    semantics everywhere else."""
+    if not HAS_PROTOBUF:
+        from artemia_airflow_spark.streaming.stateful import running_user_stats_stream
+
+        return running_user_stats_stream(events)
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
