@@ -41,6 +41,12 @@ def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # downstream operator (watermarks, window(), epoch math) sees one
         # stable type regardless of fixture vintage.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ->TIMESTAMP cast below is a wall-clock identity ONLY
+        # under a UTC session tz.  Declared queries pin it via
+        # ensure_engine_conf, but direct library/test callers on a
+        # non-UTC session would silently get shifted epochs — pin it
+        # here too (idempotent with ensure_engine_conf).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 

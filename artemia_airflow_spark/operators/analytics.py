@@ -424,13 +424,14 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q_tpch_q17",
     oracle="""
-    SELECT CAST(CAST(SUM(l_extendedprice) AS DECIMAL(28,6)) / 7.0 AS DOUBLE)
-             AS avg_yearly
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#4'
       AND l_quantity < (
-        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
-        WHERE l2.l_partkey = p_partkey
+        SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
       )
     """,
 )
@@ -450,6 +451,13 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     to broadcast at runtime only while they actually fit — at any sf
     the worst case is one shuffle of the brand-pruned fact on
     l_partkey, reused by both the threshold and probe sides.
+
+    Determinism (mirrors q_tpch_q18/q22): both aggregates cast per-row
+    to DECIMAL(18,2) before summing — the decimal sum is exact at any
+    sf and partition order, and the remaining double ops (one
+    division, one multiply) are single correctly-rounded IEEE steps
+    both engines evaluate identically.  A plain double SUM here would
+    accumulate partition-order-dependent ulps at scale.
     """
     ensure_engine_conf(spark)
     p = scan(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
@@ -461,14 +469,23 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prune the fact to the brand's parts once; reuse for threshold + probe
     pruned = li.join(p, li.l_partkey == p.p_partkey, "left_semi")
     thresh = pruned.groupBy("l_partkey").agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_cap")
     )
     return (
         pruned.alias("l")
         .join(thresh.alias("t"), F.col("l.l_partkey") == F.col("t.l_partkey"))
         .filter(F.col("l.l_quantity") < F.col("qty_cap"))
         .agg(
-            (F.sum("l.l_extendedprice").cast("decimal(28,6)") / F.lit(7.0))
+            (
+                F.sum(F.col("l.l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            )
             .cast("double")
             .alias("avg_yearly")
         )

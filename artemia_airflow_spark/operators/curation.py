@@ -630,8 +630,9 @@ def decontaminate_bloom(
     aggregates map-side, so the only shuffle carries (id, bool).
 
     Versus the exact tier: shipped state is ``num_bits/8`` bytes (1 MB
-    default, ~0.1% FPP at 1M grams with k=5) REGARDLESS of eval-set
-    size — this tier keeps working when the "eval" side is itself
+    default — (1-e^(-kn/m))^k gives ~1.8% FPP at n=1M grams, m=2^23,
+    k=5; size num_bits to ~2^25 (4 MB) for sub-0.1% at that n, ~10
+    bits/element per decade of FPP) REGARDLESS of eval-set size — this tier keeps working when the "eval" side is itself
     huge, e.g. decontaminating against an entire prior training
     corpus.  Bloom semantics: false positives possible (tunable), a
     contaminated doc is NEVER missed — the test pins the superset

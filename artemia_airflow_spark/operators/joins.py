@@ -51,6 +51,15 @@ def asof_join(
     If the right side has many rows per key (unbounded history),
     pre-reduce it with the same top-1 *before* the join or bucket both
     sides on the key; the dominant cost is the join fan-out itself.
+
+    ``left_id`` MUST be unique per left row when given: the "agg"
+    strategy recovers the other left columns with ``first()``, which is
+    value-deterministic only because they are functionally dependent on
+    a unique grouping id.  A non-unique ``left_id`` would collapse
+    distinct left rows into one group and mix their attribute values
+    silently — pass ``left_id=None`` (group by all left columns) for
+    non-unique keys; the window strategy has the same requirement for
+    one-row-per-left-row output.
     """
     cond = (left[left_on] == right[right_on]) & (right[right_time] <= left[left_time])
     joined = left.join(right, cond, how)
