@@ -257,6 +257,17 @@ def ivf_topk(
     100 TB the cell assignment is written once (partitioned/bucketed by
     cell) and amortized across queries — each query touches
     n_probe_cells/n_cells of the corpus.
+
+    Probe->cell routing is an Arrow-batched pandas-UDF argmin over a
+    BROADCAST numpy centroid matrix, not per-cell literal-array
+    expressions: the literal form bakes O(n_cells x dim) constants
+    into the plan, which at production quantizer sizes (4k+ cells)
+    blows plan compile time and codegen.  The UDF form keeps plan size
+    constant in n_cells (tests/test_plans.py pins this), stays
+    map-side (no probe-vector shuffle — a JVM-only formulation needs
+    either the literal plan or a crossJoin+window that shuffles
+    |probes| x n_cells rows), and the distance kernel is one BLAS
+    matmul per Arrow batch with O(batch x n_cells) memory.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -268,26 +279,34 @@ def ivf_topk(
     model = km.fit(corpus_v)
     assigned = model.transform(corpus_v).select(id_col, vec_col, "__cell")
 
-    # probe -> its n_probe_cells nearest centroids (centroid list is
-    # tiny: compute distances as a literal-array expression per cell)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    # probe -> its n_probe_cells nearest centroids: broadcast the
+    # centroid matrix (model.clusterCenters() is already driver-side,
+    # so this collects nothing new) and argmin in an Arrow batch
+    import numpy as np
+    import pandas as pd
 
-    def dist2(cell_idx: int):
-        lit = F.array(*[F.lit(x) for x in centers[cell_idx]])
-        return F.aggregate(
-            F.zip_with(F.col(probe_vec_col).cast("array<double>"), lit,
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-
-    cells_ranked = F.array_sort(
-        F.array(*[F.struct(dist2(i).alias("d"), F.lit(i).alias("cell"))
-                  for i in range(len(centers))])
+    centers_matrix = np.array(
+        [list(map(float, c)) for c in model.clusterCenters()], dtype=np.float64
     )
+    bc_centers = corpus.sparkSession.sparkContext.broadcast(centers_matrix)
+    n_probe = n_probe_cells
+
+    @F.pandas_udf("array<int>")
+    def nearest_cells(vecs: pd.Series) -> pd.Series:
+        M = bc_centers.value  # (n_cells, dim)
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        # expanded ||v-c||^2: one BLAS matmul, O(batch x n_cells) memory
+        # (the naive (V-M)^2 broadcast is O(batch x n_cells x dim))
+        d = (V * V).sum(1)[:, None] - 2.0 * (V @ M.T) + (M * M).sum(1)[None, :]
+        # stable sort on distance == (distance, cell-id) ascending — the
+        # same tiebreak the literal-expression form used
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
     probe_cells = probes.select(
         probe_id_col, probe_vec_col,
         F.explode(
-            F.transform(F.slice(cells_ranked, 1, n_probe_cells), lambda s: s.cell)
+            nearest_cells(F.col(probe_vec_col).cast("array<double>"))
         ).alias("__cell"),
     )
     cand = assigned.join(probe_cells, "__cell")

@@ -88,6 +88,18 @@ def test_lsh_neardup_shuffle_carries_ids_not_vectors(spark):
         assert "__v" not in m.group(0), m.group(0)
 
 
+def test_ivf_routing_plan_constant_in_cells(spark):
+    """q_sim_ivf probe->cell routing must not bake per-cell literal
+    centroid arrays into the plan (O(n_cells x dim) plan growth that
+    blows compile/codegen at production quantizer sizes): routing is an
+    Arrow-batched argmin over a broadcast centroid matrix, so the plan
+    carries at most the cosine re-rank's zip_with — constant in
+    n_cells."""
+    p = _formatted_plan(spark, "q_sim_ivf")
+    assert p.count("zip_with") <= 3, p.count("zip_with")
+    assert "ArrowEvalPython" in p or "BatchEvalPython" in p, p
+
+
 def test_stratified_sample_is_filter_only(spark):
     """Hash-threshold stratified sampling compiles to a per-row filter
     on a Lehmer-style multiplicative hash of doc_id (portable BIGINT
