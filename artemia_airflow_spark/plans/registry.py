@@ -36,8 +36,10 @@ PRIORITY: list[str] = [
     # (a) rows-only -> oracle upgrades in round 5
     "q_text_fingerprint", "q_sample_stratified", "q_multimodal_decode",
     "q_sink_parquet",
-    # (b) implementation changed in round 5 (perf fixes / decimal casts)
+    # (b) implementation changed in round 5 (perf fixes / decimal casts /
+    # ANN config retune per the recall harness)
     "q_fn_array", "q_text_langid", "q_tpch_q17", "q_sim_ivf",
+    "q_sim_ann_lsh",
     # (c) stale oracle rows, last confirmed r1 (pre-regeneration fixtures)
     "q_scan", "q_project", "q_filter", "q_filter_pred", "q_case",
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_full",

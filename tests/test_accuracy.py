@@ -1,0 +1,186 @@
+"""Accuracy harness for the approximate/probabilistic tiers (VERDICT r4
+item 6): the rows-only operators carry a QUANTIFIED guarantee, not just
+"it returns rows".
+
+- recall@k of the SRP-LSH and IVF ANN tiers against the exact cosine
+  top-k, on the fixture embeddings.  NOTE the fixtures are i.i.d.
+  gaussian vectors — the ADVERSARIAL case for ANN (true neighbors are
+  barely closer than random points, so hash/cell collisions carry
+  almost no signal).  The floors below are what the tuned configs
+  achieve on that worst case; clustered real-world corpora reach the
+  same recall at far lower candidate cost.  The harness also pins the
+  tuning directions (more tables -> more recall; more probed cells ->
+  more recall) so a regression in either tier's math shows up as a
+  recall cliff, not a silent quality loss.
+- precision/recall of the MinHash-LSH banding tier against exact
+  shingle Jaccard on a seeded corpus with constructed near-duplicates.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.catalog import scan
+from tests.conftest import SF_SMOKE
+
+K = 10
+
+
+def _topk_sets(rows):
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.probe_id, set()).add(r.vec_id)
+    return out
+
+
+@pytest.fixture(scope="module")
+def ann_fixture(spark):
+    emb = scan(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    from artemia_airflow_spark.operators.similarity import cosine_topk
+
+    exact = _topk_sets(
+        cosine_topk(
+            corpus, probes, id_col="vec_id", probe_id_col="probe_id", k=K
+        ).collect()
+    )
+    return corpus, probes, exact
+
+
+def _mean_recall(approx_rows, exact: dict[int, set[int]]) -> float:
+    got = _topk_sets(approx_rows)
+    return sum(
+        len(exact[p] & got.get(p, set())) / len(exact[p]) for p in exact
+    ) / len(exact)
+
+
+def test_lsh_recall_floor_and_tuning_direction(spark, ann_fixture):
+    """SRP-LSH at bits=4/tables=16 holds mean recall@10 >= 0.75 on the
+    adversarial random fixture (measured 0.9), and adding tables must
+    not hurt recall vs the 8-table config (the multi-probe knob works
+    in the documented direction)."""
+    from artemia_airflow_spark.operators.similarity import lsh_topk
+
+    corpus, probes, exact = ann_fixture
+    r16 = _mean_recall(
+        lsh_topk(
+            corpus, probes, id_col="vec_id", probe_id_col="probe_id",
+            k=K, bits=4, tables=16,
+        ).collect(),
+        exact,
+    )
+    r8 = _mean_recall(
+        lsh_topk(
+            corpus, probes, id_col="vec_id", probe_id_col="probe_id",
+            k=K, bits=4, tables=8,
+        ).collect(),
+        exact,
+    )
+    assert r16 >= 0.75, f"lsh b4/t16 mean recall@10 = {r16}"
+    assert r16 >= r8 - 0.05, (r16, r8)
+
+
+def test_ivf_recall_floor_and_tuning_direction(spark, ann_fixture):
+    """IVF probing 8 of 16 cells holds mean recall@10 >= 0.75 on the
+    adversarial random fixture (measured 0.9), and probing more cells
+    must not hurt recall vs the 3-cell default."""
+    from artemia_airflow_spark.operators.similarity import ivf_topk
+
+    corpus, probes, exact = ann_fixture
+    r8 = _mean_recall(
+        ivf_topk(
+            corpus, probes, id_col="vec_id", probe_id_col="probe_id",
+            k=K, n_probe_cells=8,
+        ).collect(),
+        exact,
+    )
+    r3 = _mean_recall(
+        ivf_topk(
+            corpus, probes, id_col="vec_id", probe_id_col="probe_id",
+            k=K, n_probe_cells=3,
+        ).collect(),
+        exact,
+    )
+    assert r8 >= 0.75, f"ivf 8/16 mean recall@10 = {r8}"
+    assert r8 >= r3 - 0.05, (r8, r3)
+
+
+# ---------------------------------------------------------------------------
+# MinHash banding vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+_SHINGLE = 3
+
+
+def _shingles(words: list[str]) -> set[str]:
+    n = max(len(words) - (_SHINGLE - 1), 1)
+    return {" ".join(words[i : i + _SHINGLE]) for i in range(n)}
+
+
+def _jaccard(a: set[str], b: set[str]) -> float:
+    return len(a & b) / len(a | b)
+
+
+def test_minhash_banding_precision_recall(spark):
+    """MinHash-LSH (64 hashes / 8 bands, collision threshold s*~0.77)
+    on a seeded corpus of 40 bases + 30 one-word-edit near-dups:
+    >=90% of pairs with exact shingle Jaccard >= 0.8 must land in a
+    shared band bucket (theory: per-pair collision prob >= 0.97 at
+    J=0.8), and low-similarity pairs (J < 0.3) must stay out of the
+    candidate set (banding precision — <= 5% of candidates)."""
+    from artemia_airflow_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    docs: list[tuple[int, list[str]]] = []
+    for i in range(40):
+        docs.append((i, [rng.choice(vocab) for _ in range(60)]))
+    # 30 near-dups: copy a base, swap one word (J on 3-shingles ~0.86)
+    for j in range(30):
+        base = list(docs[j][1])
+        base[rng.randrange(len(base))] = rng.choice(vocab)
+        docs.append((100 + j, base))
+
+    sh = {i: _shingles(w) for i, w in docs}
+    ids = sorted(sh)
+    true_pairs = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if _jaccard(sh[a], sh[b]) >= 0.8
+    }
+    assert len(true_pairs) >= 25  # the construction really makes near-dups
+
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs], "doc_id long, text string"
+    )
+    cand_rows = minhash_lsh_candidates(
+        minhash_signatures(df, "text"), "doc_id"
+    ).collect()
+    buckets: dict[tuple[int, int], set[int]] = {}
+    for r in cand_rows:
+        buckets.setdefault((r.band, r.band_hash), set()).add(r.doc_id)
+    cand_pairs = {
+        (a, b)
+        for members in buckets.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+
+    recall = len(cand_pairs & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"banding recall on J>=0.8 pairs = {recall}"
+
+    low_sim = [p for p in cand_pairs if _jaccard(sh[p[0]], sh[p[1]]) < 0.3]
+    fp_rate = len(low_sim) / max(len(cand_pairs), 1)
+    assert fp_rate <= 0.05, f"{len(low_sim)}/{len(cand_pairs)} candidates have J<0.3"
