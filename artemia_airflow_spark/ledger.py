@@ -1,0 +1,124 @@
+"""Atomic run-ledger: the engine's replacement for the reference's
+Postgres metadata DB (``docker-compose.yaml:58``, SURVEY.md §1.2 —
+"DagRun/TaskInstance state" -> "a small parquet table the engine owns").
+
+Every completed DagRun is recorded as one immutable parquet directory
+under the ledger root, committed with WRITE-TEMP-THEN-RENAME:
+
+    <root>/_tmp_<uuid>/part-*.parquet      (in flight, invisible)
+    <root>/run_id=<pipeline>__<uuid>/      (committed, atomic rename)
+
+``os.rename`` of a directory is atomic on POSIX (and HDFS); readers
+glob only ``run_id=*`` directories, so a reader NEVER sees a
+half-written run and two concurrent writers NEVER collide (each run
+owns a unique directory; there is no shared file to append to — the
+classic parquet-append lost-update problem is designed out rather than
+locked around).  On S3-style object stores, where rename is
+copy+delete, swap the commit step for a real table-format commit
+protocol (Delta/Iceberg) behind the same ``record()`` signature.
+
+The ledger is sized for metadata, not data: one row per stage per run,
+one small file per run.  Compaction (coalescing old run directories)
+can run offline without blocking writers — committed directories are
+immutable.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import TYPE_CHECKING, Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+if TYPE_CHECKING:
+    from artemia_airflow_spark.pipeline import StageResult
+
+RUN_SCHEMA = (
+    "pipeline string, run_id string, stage string, state string, "
+    "attempts int, error string, started_at double, finished_at double"
+)
+
+
+class RunLedger:
+    """Append-only DagRun history with atomic per-run commits."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- write ---------------------------------------------------------
+    def record(
+        self,
+        spark: SparkSession,
+        pipeline: str,
+        results: Mapping[str, "StageResult"],
+        *,
+        started_at: float = 0.0,
+        finished_at: float = 0.0,
+    ) -> str:
+        """Commit one run's per-stage outcomes; returns the run_id.
+
+        The parquet write lands in a ``_tmp_`` directory; the single
+        ``os.rename`` at the end is the commit point — before it the
+        run is invisible to :meth:`read`, after it the run is complete.
+        A writer dying mid-write leaves only a ``_tmp_`` orphan (safe
+        to sweep), never a torn run.
+        """
+        run_id = f"{pipeline}__{uuid.uuid4().hex}"
+        rows = [
+            (
+                pipeline,
+                run_id,
+                stage,
+                r.state,
+                int(r.attempts),
+                str(r.error) if r.error is not None else None,
+                float(started_at),
+                float(finished_at),
+            )
+            for stage, r in results.items()
+        ]
+        tmp = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
+        final = os.path.join(self.root, f"run_id={run_id}")
+        df = spark.createDataFrame(rows, RUN_SCHEMA).coalesce(1)
+        # drop the run_id data column: it rides the directory name as a
+        # partition column, so read() recovers it without storing it twice
+        df.drop("run_id").write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)  # COMMIT (atomic on POSIX/HDFS)
+        return run_id
+
+    # -- read ----------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        """All committed runs (committed = renamed into ``run_id=*``).
+
+        Returns an empty frame with the full schema when no run has
+        committed yet.
+        """
+        committed = [
+            os.path.join(self.root, d)
+            for d in os.listdir(self.root)
+            if d.startswith("run_id=")
+        ]
+        if not committed:
+            return spark.createDataFrame([], RUN_SCHEMA)
+        return spark.read.option("basePath", self.root).parquet(
+            os.path.join(self.root, "run_id=*")
+        )
+
+    def runs(self, spark: SparkSession, pipeline: str | None = None) -> DataFrame:
+        """One row per committed run with aggregate state (``success``
+        iff no stage failed)."""
+        from pyspark.sql import functions as F
+
+        df = self.read(spark)
+        if pipeline is not None:
+            df = df.filter(F.col("pipeline") == pipeline)
+        return df.groupBy("pipeline", "run_id").agg(
+            F.count(F.lit(1)).alias("n_stages"),
+            F.max(
+                F.when(F.col("state").isin("failed", "upstream_failed"), 1).otherwise(0)
+            ).alias("any_failed"),
+            F.min("started_at").alias("started_at"),
+            F.max("finished_at").alias("finished_at"),
+        )

@@ -269,6 +269,7 @@ class Pipeline:
         default_retry: RetryPolicy | None = None,
         run_timeout_s: float | None = None,
         sleep: Callable[[float], None] = time.sleep,
+        ledger: "Any | None" = None,
     ) -> None:
         self.name = name
         self.schedule = schedule  # cron string, driven by an external ticker (A10)
@@ -278,6 +279,10 @@ class Pipeline:
         self._sleep = sleep
         self.stages: dict[str, Stage] = {}
         self.connections = Connections()
+        # optional RunLedger (ledger.py): the engine's metadata-DB face
+        # (SURVEY §1.2) — every run() commits its per-stage outcomes
+        # atomically, success or failure
+        self.ledger = ledger
 
     # -- construction -------------------------------------------------
     def add(self, stage: Stage) -> Stage:
@@ -426,6 +431,17 @@ class Pipeline:
                             "(stage still running; thread abandoned)"
                         )
             pending = [s for s in pending if s.task_id not in results]
+
+        if self.ledger is not None:
+            # record BEFORE raise_on_failure: failed runs belong in the
+            # history exactly like Airflow's metadata DB keeps them
+            self.ledger.record(
+                spark,
+                self.name,
+                results,
+                started_at=time.time() - (time.monotonic() - start),
+                finished_at=time.time(),
+            )
 
         if raise_on_failure:
             hard_failures = [
