@@ -782,3 +782,149 @@ def q_mix_apply(spark, sf_dir):
             "source", "n_docs", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Web-noise scrubbing + per-source quota capping (round 5)
+# --------------------------------------------------------------------------
+
+# Web boilerplate shapes every crawl-derived corpus scrubs before
+# training: URLs, bare emails, HTML tags, and punctuation runs.  Only
+# literal classes / bounded quantifiers, so Java (Spark) and RE2
+# (DuckDB) agree on every match boundary.
+WEB_NOISE_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "[URL]"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"<[^>]*>", " "),
+    (r"[!?.,;:]{3,}", " "),
+)
+
+
+def scrub_web_noise(df: DataFrame, text_col: str, *, out_col: str | None = None) -> DataFrame:
+    """Crawl-corpus scrub: chained ``regexp_replace`` over the standard
+    web-noise shapes, then whitespace re-collapse.  Same execution
+    shape as :func:`redact_pii`: pure Catalyst expressions, whole-stage
+    codegen, map-side only — a scan-speed pass at 100 TB."""
+    c = F.col(text_col)
+    for pat, repl in WEB_NOISE_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col or text_col, c)
+
+
+@declared(
+    "q_text_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' see https://ex' || CAST(doc_id AS VARCHAR)
+                  || '.example/a?b=1 or <b>bold</b> mail root'
+                  || CAST(doc_id AS VARCHAR) || '@spam.example now!!!' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, 'https?://[^\\s]+', '[URL]', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '[!?.,;:]{3,}', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS clean_text,
+           CAST(length(text) - length(regexp_replace(text, 'https?://[^\\s]+', '', 'g'))
+                AS INT) AS url_chars
+    FROM seeded
+    """,
+)
+def q_text_scrub(spark, sf_dir):
+    """North-star curation: web-noise scrubbing, oracle-checked end to
+    end.  Fixture text is clean word-soup, so each doc is seeded with
+    deterministic doc_id-derived noise (URL, HTML tag, email,
+    punctuation run) before the scrub — the oracle seeds and scrubs
+    identically, pinning every regex's match boundaries across engines
+    plus a removed-URL-chars measure."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://ex"), F.col("doc_id").cast("string"),
+            F.lit(".example/a?b=1 or <b>bold</b> mail root"),
+            F.col("doc_id").cast("string"),
+            F.lit("@spam.example now!!!"),
+        ).alias("text"),
+    )
+    url_chars = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"https?://[^\s]+", ""))
+    ).cast("int")
+    return (
+        scrub_web_noise(seeded, "text", out_col="clean_text")
+        .withColumn("url_chars", url_chars)
+        .select("doc_id", "clean_text", "url_chars")
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, id_col: str, *, max_rows: int, seed: int = 42
+) -> DataFrame:
+    """Per-group quota cap: keep at most ``max_rows`` rows per group,
+    chosen by deterministic hash-rank (Lehmer multiplicative hash of
+    the id, id tiebreak) — the "no single domain dominates the corpus"
+    curation step.
+
+    Hash-rank (not first-N-by-id) makes the kept subset an unbiased,
+    reproducible sample of each group; the same Lehmer arithmetic as
+    stratified sampling keeps it engine-portable.  Execution: one
+    shuffle on ``group_col`` + a windowed rank — rank-per-group cannot
+    partial-aggregate, so this is the canonical shape; skewed groups
+    are bounded by the cap itself on output, and AQE handles input
+    skew."""
+    h = ((F.col(id_col) % F.lit(2147483647)) * F.lit(48271) + F.lit(seed)) % F.lit(
+        2147483647
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= max_rows)
+        .drop("__rank")
+    )
+
+
+@declared(
+    "q_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id % 2147483647) * 48271 + 42) % 2147483647,
+                        doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked WHERE rnk <= 10
+    GROUP BY source
+    """,
+)
+def q_source_cap(spark, sf_dir):
+    """North-star curation: per-source quota cap (keep <=10 docs per
+    source by deterministic hash-rank), oracle-checked — kept_id_sum
+    pins WHICH rows survive, not just how many."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return (
+        cap_per_group(d, "source", "doc_id", max_rows=10)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )

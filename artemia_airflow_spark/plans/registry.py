@@ -40,6 +40,8 @@ PRIORITY: list[str] = [
     # ANN config retune per the recall harness)
     "q_fn_array", "q_text_langid", "q_tpch_q17", "q_sim_ivf",
     "q_sim_ann_lsh",
+    # (b') new declared queries in round 5
+    "q_text_scrub", "q_source_cap",
     # (c) stale oracle rows, last confirmed r1 (pre-regeneration fixtures)
     "q_scan", "q_project", "q_filter", "q_filter_pred", "q_case",
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_full",

@@ -260,3 +260,35 @@ def test_apply_mixture_tracks_weights_and_is_deterministic(spark):
     ids1 = {r.doc_id for r in kept.select("doc_id").collect()}
     ids2 = {r.doc_id for r in apply_mixture(d).select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_cap_per_group_caps_and_is_deterministic(spark):
+    from artemia_airflow_spark.operators.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 47 else "small") for i in range(50)],
+        "doc_id long, source string",
+    )
+    kept = cap_per_group(df, "source", "doc_id", max_rows=5)
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("doc_id").alias("n")
+    ).collect()}
+    assert counts["big"] == 5          # capped
+    assert counts["small"] == 3        # under the cap: keep everything
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in cap_per_group(df, "source", "doc_id", max_rows=5).collect())
+    assert a == b                      # hash-rank pick is reproducible
+
+
+def test_scrub_web_noise_removes_noise_keeps_text(spark):
+    from artemia_airflow_spark.operators.curation import scrub_web_noise
+
+    df = spark.createDataFrame(
+        [(1, "keep this https://x.example/path <div>tag</div> a@b.example wow!!!! end")],
+        "doc_id long, text string",
+    )
+    out = scrub_web_noise(df, "text", out_col="clean").collect()[0].clean
+    assert "https://" not in out and "<div>" not in out and "a@b.example" not in out
+    assert "!!!!" not in out
+    assert out.startswith("keep this") and out.endswith("end")
+    assert "  " not in out             # whitespace re-collapsed
