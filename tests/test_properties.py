@@ -167,3 +167,65 @@ def test_asof_join_strategies_agree(spark, left_rows, right_rows):
     agg = {tuple(r) for r in asof_join(ldf, rdf, strategy="agg", **kw).collect()}
     win = {tuple(r) for r in asof_join(ldf, rdf, strategy="window", **kw).collect()}
     assert agg == win
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
+            ),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scrub_web_noise_is_idempotent(spark, words):
+    """scrub(scrub(x)) == scrub(x): every replacement token ([URL],
+    [EMAIL], single spaces) is itself noise-free, so a second pass must
+    be a no-op — the property that makes the scrub safe to re-run in a
+    resumed pipeline."""
+    from artemia_airflow_spark.operators.curation import scrub_web_noise
+
+    text = " ".join(
+        ["https://a.example/x?q=1", *words, "<p>tag</p>", "u@d.example", "!!!!"]
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    once = scrub_web_noise(df, "text", out_col="clean").select(
+        F.col("clean").alias("text")
+    )
+    twice = scrub_web_noise(once, "text", out_col="clean")
+    row = twice.select(F.col("text").alias("once"), "clean").collect()[0]
+    assert row.once == row.clean
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),  # id
+            st.integers(min_value=0, max_value=4),      # group
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_cap_per_group_keeps_min_of_cap_and_group_size(spark, rows, cap):
+    """|kept per group| == min(cap, |group|) for arbitrary id/group
+    data, and the kept set is stable across recomputation."""
+    from collections import Counter
+
+    from artemia_airflow_spark.operators.curation import cap_per_group
+
+    df = spark.createDataFrame(rows, "doc_id long, source int")
+    kept = cap_per_group(df, "source", "doc_id", max_rows=cap).collect()
+    sizes = Counter(r.source for r in kept)
+    want = Counter(g for _, g in rows)
+    for g, n in want.items():
+        assert sizes[g] == min(cap, n), (g, sizes[g], n, cap)
+    again = cap_per_group(df, "source", "doc_id", max_rows=cap).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
