@@ -36,8 +36,21 @@ if TYPE_CHECKING:
 
 RUN_SCHEMA = (
     "pipeline string, run_id string, stage string, state string, "
-    "attempts int, error string, started_at double, finished_at double"
+    "attempts int, error string, value_json string, "
+    "started_at double, finished_at double"
 )
+
+
+def _to_json(value: Any) -> str | None:
+    """JSON-encode a stage's XCom value if it is cleanly serializable
+    (Airflow's XCom contract); None otherwise — a non-serializable
+    value simply makes that stage non-resumable, never an error."""
+    import json
+
+    try:
+        return json.dumps(value)
+    except (TypeError, ValueError):
+        return None
 
 
 class RunLedger:
@@ -74,6 +87,7 @@ class RunLedger:
                 r.state,
                 int(r.attempts),
                 str(r.error) if r.error is not None else None,
+                _to_json(r.value) if r.state == "success" else None,
                 float(started_at),
                 float(finished_at),
             )
@@ -105,6 +119,27 @@ class RunLedger:
         return spark.read.option("basePath", self.root).parquet(
             os.path.join(self.root, "run_id=*")
         )
+
+    def resumable_values(self, spark: SparkSession, run_id: str) -> dict[str, Any]:
+        """XCom values of the stages that SUCCEEDED in ``run_id`` with a
+        JSON-serializable value — the state a resumed run can skip
+        re-computing.  Succeeded stages whose value didn't serialize are
+        absent (they re-execute on resume; correct, just not free)."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.read(spark)
+            .filter(
+                (F.col("run_id") == run_id)
+                & (F.col("state") == "success")
+                & F.col("value_json").isNotNull()
+            )
+            .select("stage", "value_json")
+            .collect()
+        )
+        return {r.stage: json.loads(r.value_json) for r in rows}
 
     def runs(self, spark: SparkSession, pipeline: str | None = None) -> DataFrame:
         """One row per committed run with aggregate state (``success``

@@ -361,18 +361,33 @@ class Pipeline:
         params: Mapping[str, Any] | None = None,
         *,
         raise_on_failure: bool = True,
+        resume_from: str | None = None,
     ) -> dict[str, StageResult]:
         """Execute one DagRun; returns per-stage results.
 
         Ready stages at the same depth execute concurrently (driver
         threads -> overlapping Spark jobs), matching the reference's
         parallel fan-out semantics (A2 list RHS).
+
+        ``resume_from=<run_id>`` is the engine's "clear failed tasks
+        and re-run" (Airflow parity): stages that SUCCEEDED in the
+        referenced ledger run with a JSON-serializable XCom value are
+        skipped and their recorded values injected downstream; failed /
+        skipped / non-serializable-value stages re-execute.  Requires
+        the pipeline to have been constructed with a ledger.
         """
         start = time.monotonic()
         order = self._toposort()
         results: dict[str, StageResult] = {}
         values: dict[str, Any] = {}
-        pending = list(order)
+        if resume_from is not None:
+            if self.ledger is None:
+                raise ValueError("resume_from requires a ledger-backed pipeline")
+            for task_id, value in self.ledger.resumable_values(spark, resume_from).items():
+                if task_id in self.stages:
+                    results[task_id] = StageResult("success", value=value, attempts=0)
+                    values[task_id] = value
+        pending = [s for s in order if s.task_id not in results]
         lock = threading.Lock()
 
         while pending:

@@ -108,3 +108,81 @@ def test_empty_ledger_reads_empty_with_schema(spark, root):
     df = RunLedger(root).read(spark)
     assert df.count() == 0
     assert "run_id" in df.columns and "state" in df.columns
+
+
+def test_resume_skips_recorded_successes(spark, root):
+    """Airflow-parity 'clear failed and re-run': the flaky stage fails
+    once, the rerun resumes from the recorded run — upstream executes
+    exactly once across both runs, its XCom value is injected from the
+    ledger, and the rerun goes green."""
+    led = RunLedger(root)
+    calls = {"a": 0, "b": 0}
+    flaky = {"fail": True}
+
+    def build():
+        pipe = Pipeline("resume_demo", ledger=led)
+
+        @pipe.stage("a")
+        def a(ctx):
+            calls["a"] += 1
+            return {"n": 41}
+
+        @pipe.stage("b")
+        def b(ctx):
+            calls["b"] += 1
+            if flaky["fail"]:
+                raise RuntimeError("transient")
+            return ctx.xcom_pull("a")["n"] + 1
+
+        pipe.stages["a"] >> pipe.stages["b"]
+        return pipe
+
+    with pytest.raises(StageFailed):
+        build().run(spark)
+    run1 = led.runs(spark, "resume_demo").collect()[0].run_id
+
+    flaky["fail"] = False
+    results = build().run(spark, resume_from=run1)
+    assert results["a"].state == "success" and results["a"].attempts == 0
+    assert results["b"].value == 42
+    assert calls == {"a": 1, "b": 2}  # a never re-ran; b: 1 fail + 1 success
+
+
+def test_resume_reruns_non_serializable_values(spark, root):
+    """A succeeded stage whose XCom value is not JSON-serializable is
+    not resumable — it must re-execute on resume (correct, just not
+    free) rather than resurface as None."""
+    led = RunLedger(root)
+    calls = {"obj": 0}
+
+    def build():
+        pipe = Pipeline("resume_obj", ledger=led)
+
+        @pipe.stage("obj")
+        def obj(ctx):
+            calls["obj"] += 1
+            return object()  # not JSON-serializable
+
+        @pipe.stage("use")
+        def use(ctx):
+            return ctx.xcom_pull("obj") is not None
+
+        pipe.stages["obj"] >> pipe.stages["use"]
+        return pipe
+
+    build().run(spark)
+    run1 = led.runs(spark, "resume_obj").collect()[0].run_id
+    results = build().run(spark, resume_from=run1)
+    assert calls["obj"] == 2  # re-executed: its value never hit the ledger
+    assert results["use"].value is True
+
+
+def test_resume_requires_ledger(spark):
+    pipe = Pipeline("no_ledger")
+
+    @pipe.stage("x")
+    def x(ctx):
+        return 1
+
+    with pytest.raises(ValueError, match="ledger"):
+        pipe.run(spark, resume_from="whatever")
