@@ -373,8 +373,9 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_dist",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
+           CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS pct_rank_e6,
+           CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cume_e6
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -383,15 +384,27 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (percent_rank / cume_dist) per
     nation with a unique-key tiebreak (H3); both are rank arithmetic —
     one partition-parallel sort, no extra shuffle beyond the window's
-    own."""
+    own.
+
+    Emitted as half-up-scaled integers (floor(x*1e6 + 0.5)), not
+    round(x, 6): cume_dist = k/n lands on EXACT decimal midpoints
+    whenever n divides a power of 10·2 (n=640 at sf0.1 gives exact
+    0.0640625), and there Spark's BigDecimal HALF_UP and DuckDB's
+    half-even round() legitimately disagree.  floor(x*1e6+0.5) is the
+    same two correctly-rounded IEEE ops in both engines — identical at
+    every sf by construction."""
     ensure_engine_conf(spark)
     c = scan(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("pct_rank_e6"),
+        F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("cume_e6"),
     )
 
 

@@ -111,13 +111,17 @@ def _make_session_fn(gap_s: int):
             if not len(pdf):
                 continue
             ts = np.sort(pdf["ts"].to_numpy().astype("datetime64[s]").astype("int64"))
-            # boundary i: event i starts a new session (gap from i-1)
-            boundaries = np.flatnonzero(np.diff(ts) >= gap_s) + 1
+            # boundary i: event i starts a new session — STRICTLY more
+            # than gap after i-1.  session_window (the built-in twin)
+            # merges windows that meet (diff == gap), so the kernel
+            # must too or the stream/batch faces disagree on exact-gap
+            # pairs (first observed at sf0.1).
+            boundaries = np.flatnonzero(np.diff(ts) > gap_s) + 1
             seg_starts = np.concatenate(([0], boundaries))
             seg_ends = np.concatenate((boundaries, [len(ts)]))
             for a, b in zip(seg_starts, seg_ends):
                 first, last, n = int(ts[a]), int(ts[b - 1]), int(b - a)
-                if cur is not None and first < cur[1] + gap_s:
+                if cur is not None and first <= cur[1] + gap_s:
                     cur = [cur[0], max(cur[1], last), cur[2] + n]
                 else:
                     if cur is not None:
@@ -184,7 +188,7 @@ def _declare_session_state_query() -> None:
           SELECT user_id, date_trunc('second', ts) AS tsec FROM events
         ), marked AS (
           SELECT *, CASE WHEN lag(tsec) OVER w IS NULL
-                           OR tsec >= lag(tsec) OVER w + INTERVAL 30 MINUTE
+                           OR tsec > lag(tsec) OVER w + INTERVAL 30 MINUTE
                          THEN 1 ELSE 0 END AS new_s
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec)
         ), sess AS (

@@ -202,7 +202,7 @@ def q_stream_slide(spark, sf_dir):
       SELECT user_id, date_trunc('second', ts) AS tsec, value FROM events
     ), marked AS (
       SELECT *, CASE WHEN lag(tsec) OVER w IS NULL
-                       OR tsec >= lag(tsec) OVER w + INTERVAL 30 MINUTE
+                       OR tsec > lag(tsec) OVER w + INTERVAL 30 MINUTE
                      THEN 1 ELSE 0 END AS new_s
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec)
     ), sess AS (
@@ -221,9 +221,10 @@ def q_stream_slide(spark, sf_dir):
 def q_stream_session(spark, sf_dir):
     """B48 in batch mode, ORACLE-CHECKED (hazard H6 resolved): both
     engines session-ize on second-truncated event time, so the Spark
-    merge rule (merge iff next < last + gap) and the oracle's
-    gaps-and-islands reconstruction (new session iff diff >= gap) are
-    exactly complementary."""
+    merge rule (merge iff next <= last + gap — session_window merges
+    windows that MEET, verified empirically on an exact-gap pair at
+    sf0.1) and the oracle's gaps-and-islands reconstruction (new
+    session iff diff > gap, strictly) are exactly complementary."""
     ensure_engine_conf(spark)
     ev = scan(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", "ts"))
     return session_counts(ev)

