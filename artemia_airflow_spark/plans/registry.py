@@ -45,7 +45,7 @@ PRIORITY: list[str] = [
     # (b'') sf0.1-robustness fixes in round 5: session-boundary rule
     # aligned to session_window (merge at == gap) and q_window_dist's
     # engine-portable scaled-int rounding — need fresh rows
-    "q_window_dist", "q_stream_session_state",
+    "q_window_dist", "q_stream_session_state", "q_stream_session",
     # (c) stale oracle rows, last confirmed r1 (pre-regeneration fixtures)
     "q_scan", "q_project", "q_filter", "q_filter_pred", "q_case",
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_full",
