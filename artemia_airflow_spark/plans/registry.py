@@ -61,7 +61,7 @@ PRIORITY: list[str] = [
     "q_mix_weights", "q_text_repetition", "q_dedup_exact",
     "q_dedup_embed", "q_multimodal",
     # (c) stale oracle rows, last confirmed r2
-    "q_stream_tumble", "q_stream_slide", "q_stream_session",
+    "q_stream_tumble", "q_stream_slide",
     "q_stream_join", "q_stream_dedup",
     # (c) stale oracle rows, last confirmed r3
     "q_embed_stats", "q_text_tokens", "q_text_quality", "q_text_tfidf",
