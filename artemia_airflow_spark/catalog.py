@@ -29,6 +29,15 @@ def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """B1: load one fixture table. Single-file parquet at test SF; at
     100 TB the same call points at a partitioned directory and Spark
     parallelizes by row-group splits (spark.sql.files.maxPartitionBytes).
+
+    Session-conf side effect (engine contract): scanning ``events``
+    pins ``spark.sql.session.timeZone=UTC`` (and the parquet
+    nanos-as-long legacy flag) for the WHOLE session — the ts
+    normalization below is only an identity under UTC.  The engine
+    declares UTC globally (session.py/ensure_engine_conf); callers who
+    deliberately run a non-UTC session should convert display
+    timezones at the edge (from_utc_timestamp) rather than re-setting
+    the session zone after touching events.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

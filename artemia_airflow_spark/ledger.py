@@ -77,8 +77,17 @@ class RunLedger:
         run is invisible to :meth:`read`, after it the run is complete.
         A writer dying mid-write leaves only a ``_tmp_`` orphan (safe
         to sweep), never a torn run.
+
+        A zero-stage run (empty ``results``) is NOT committed: an empty
+        DataFrame write produces a ``run_id=*`` directory with no part
+        files, which passes :meth:`read`'s listdir check but breaks
+        ``spark.read.parquet`` ('unable to infer schema') for the whole
+        ledger root when such runs are the only committed ones.  The
+        run_id is still returned; there is simply nothing to record.
         """
         run_id = f"{pipeline}__{uuid.uuid4().hex}"
+        if not results:
+            return run_id
         rows = [
             (
                 pipeline,

@@ -619,15 +619,22 @@ def decontaminate_bloom(
     """Bloom-filter decontamination tier: the constant-size-sketch
     scale path next to :func:`decontaminate`'s exact broadcast set.
 
-    Build: each partition of the eval side folds its gram hashes into
-    a PARTIAL bitmap (numpy ``mapInPandas`` kernel emitting one
-    ``num_bits/8``-byte row), partials OR-merge on the driver (a few
-    dozen fixed-size rows — not data-sized), and the final bitmap is
-    ``sc.broadcast`` to every executor.  Probe: gram hashes are
-    computed Spark-side (codegen xxhash64 over the n-gram array), and
-    an Arrow-batched kernel tests ``k`` double-hashed bit positions
-    per gram against the broadcast bitmap; per-doc OR partial-
-    aggregates map-side, so the only shuffle carries (id, bool).
+    Build: bit positions are computed ENTIRELY JVM-side — codegen
+    xxhash64 over the eval n-grams, Kirsch-Mitzenmacher double hashing
+    as a ``transform`` expression, then ``groupBy(chunk).agg(bit_or)``
+    folds the set bits into at most ``num_bits/64`` (chunk, long)
+    rows.  Map-side partial aggregation means each executor ships at
+    most one bounded chunk set; the driver collects ≤ ``num_bits/64``
+    rows (≈1 MB at the default) REGARDLESS of eval size or partition
+    count — no per-partition bitmaps through the driver.  The
+    assembled bitmap is ``sc.broadcast`` once.
+
+    Probe: one Arrow-batched kernel over per-doc hash ARRAYS (codegen
+    ``transform(ngrams, xxhash64)`` — no explode, so Arrow carries one
+    row per doc, not per gram).  The kernel tests ``k`` bit positions
+    per gram against the broadcast bitmap and reduces to a per-doc
+    boolean in the same pass, so the probe side needs NO shuffle at
+    all — the only shuffle left is the final id-join back to train.
 
     Versus the exact tier: shipped state is ``num_bits/8`` bytes (1 MB
     default — (1-e^(-kn/m))^k gives ~1.8% FPP at n=1M grams, m=2^23,
@@ -643,60 +650,87 @@ def decontaminate_bloom(
     import numpy as np
     import pandas as pd
 
-    nbytes = num_bits // 8
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    m = num_bits
 
-    def positions(h: "np.ndarray") -> "np.ndarray":
-        # double hashing (Kirsch-Mitzenmacher): pos_i = h1 + i*h2 mod m
-        h1 = (h.astype("uint64")) % num_bits
-        h2 = ((h.astype("uint64") >> np.uint64(17)) | np.uint64(1)) % num_bits
-        return np.stack(
-            [(h1 + np.uint64(i) * h2) % num_bits for i in range(k)]
-        ).astype("int64")
+    # --- build: JVM-codegen positions -> bit_or chunk agg -> bounded collect
+    # pos_i = pmod(h, m) + i * pmod((h >>> 17) | 1, m)  (mod m)
+    eval_pos = (
+        eval_df.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .select(F.xxhash64("gram").alias("h"))
+        .select(
+            F.pmod(F.col("h"), F.lit(m)).alias("h1"),
+            F.pmod(
+                F.shiftrightunsigned(F.col("h"), 17).bitwiseOR(F.lit(1)),
+                F.lit(m),
+            ).alias("h2"),
+        )
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda i: F.pmod(F.col("h1") + i * F.col("h2"), F.lit(m)),
+                )
+            ).alias("pos")
+        )
+    )
+    chunk_rows = (
+        eval_pos.groupBy(F.shiftright("pos", 6).alias("chunk"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = np.zeros(m // 64, dtype="<u8")
+    mask64 = (1 << 64) - 1
+    for r in chunk_rows:
+        words[r.chunk] = r.bits & mask64
+    bc = train.sparkSession.sparkContext.broadcast(words.tobytes())
 
-    def build_partial(it):
-        bm = np.zeros(nbytes, dtype="uint8")
-        seen = False
-        for pdf in it:
-            if not len(pdf):
-                continue
-            seen = True
-            pos = positions(pdf["h"].to_numpy()).ravel()
-            np.bitwise_or.at(bm, pos // 8, (1 << (pos % 8)).astype("uint8"))
-        if seen:
-            yield pd.DataFrame({"bitmap": [bm.tobytes()]})
-
-    eval_hashes = eval_df.select(
-        F.explode(word_ngrams(text_col, n)).alias("gram")
-    ).select(F.xxhash64("gram").alias("h"))
-    partials = eval_hashes.mapInPandas(build_partial, "bitmap binary").collect()
-    final = np.zeros(nbytes, dtype="uint8")
-    for r in partials:
-        final |= np.frombuffer(r.bitmap, dtype="uint8")
-    bc = train.sparkSession.sparkContext.broadcast(final.tobytes())
-
+    # --- probe: per-doc hash arrays through ONE Arrow kernel, no shuffle
     def probe(it):
-        bm = np.frombuffer(bc.value, dtype="uint8")
+        bm = np.frombuffer(bc.value, dtype="uint8")  # little-endian words
         for pdf in it:
             if not len(pdf):
                 continue
-            h = pdf["h"].to_numpy()
-            pos = positions(h)                       # (k, n_rows)
-            bits = (bm[pos // 8] >> (pos % 8)) & 1   # (k, n_rows)
-            yield pd.DataFrame({"id": pdf["id"], "hit": bits.all(axis=0).astype(bool)})
+            hs = [
+                np.asarray(x, dtype="int64")
+                for x in pdf["hs"]
+                if x is not None and len(x)
+            ]
+            lens = np.fromiter(
+                (0 if x is None else len(x) for x in pdf["hs"]),
+                dtype="int64",
+                count=len(pdf),
+            )
+            doc_hit = np.zeros(len(pdf), dtype=bool)
+            if hs:
+                flat = np.concatenate(hs)
+                h1 = flat % m  # numpy floored mod == Spark pmod for m > 0
+                h2 = (((flat.astype("uint64") >> np.uint64(17)) | np.uint64(1)) % m).astype("int64")
+                gram_hit = np.ones(len(flat), dtype=bool)
+                for i in range(k):
+                    pos = (h1 + i * h2) % m
+                    gram_hit &= ((bm[pos >> 3] >> (pos & 7)) & 1).astype(bool)
+                idx = np.repeat(np.arange(len(pdf)), lens)
+                doc_hit = np.bincount(idx[gram_hit], minlength=len(pdf)) > 0
+            yield pd.DataFrame({"id": pdf["id"], "contaminated_bloom": doc_hit})
 
-    gram_hits = (
+    hits = (
         spread_for_compute(train)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(word_ngrams(text_col, n)).alias("gram"),
+            F.transform(
+                word_ngrams(text_col, n), lambda g: F.xxhash64(g)
+            ).alias("hs"),
         )
-        .select("id", F.xxhash64("gram").alias("h"))
-        .mapInPandas(probe, "id long, hit boolean")
-        .groupBy("id")
-        .agg(F.max("hit").alias("contaminated_bloom"))
+        .mapInPandas(probe, "id long, contaminated_bloom boolean")
         .withColumnRenamed("id", id_col)
     )
-    return train.join(gram_hits, id_col, "left").fillna(
+    return train.join(hits, id_col, "left").fillna(
         False, ["contaminated_bloom"]
     )
 

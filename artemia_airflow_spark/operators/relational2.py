@@ -333,8 +333,13 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m31 = F.lit(2147483647)
     bucket = (((F.col("doc_id") % m31) * F.lit(48271) + F.lit(42)) % m31) % F.lit(1_000_000)
+    # Round-half-up threshold (ADVICE r5): a plain .cast('long')
+    # truncates the double product (0.3 * 1e6 = 299999.99999999994 ->
+    # 299999) while the oracle's DECIMAL cast rounds exactly (300000);
+    # floor(x*1e6 + 0.5) matches the decimal semantics for any fraction.
     sampled = d.withColumn("target_fraction", frac_col).filter(
-        bucket < (F.col("target_fraction") * 1_000_000).cast("long")
+        bucket
+        < F.floor(F.col("target_fraction") * 1_000_000 + F.lit(0.5)).cast("long")
     )
     return sampled.groupBy("lang", "target_fraction").agg(
         F.count(F.lit(1)).alias("n_sampled")

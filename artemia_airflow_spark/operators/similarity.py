@@ -239,20 +239,56 @@ def embed_centroid(emb: DataFrame, *, label_col: str = "label",
     )
 
 
-@declared("q_embed_centroid")
+@declared(
+    "q_embed_centroid",
+    oracle="""
+    WITH d AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(floor(CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                                    AS BIGINT)) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS mean_e6
+    FROM d GROUP BY label, dim
+    """,
+)
 def q_embed_centroid(spark, sf_dir):
-    """Rows-only (float-sum order sensitivity): distributed per-label
-    centroid over the shared :func:`per_dim_means` stage.  Two
-    deliberate divergences from the library face: (1) emits exploded
-    scalar rows ``(label, dim, mean_v)`` rather than the array-native
-    shape — the driver canonicalizer sorts columns with pandas and
-    array cells are unhashable (r2 driver error); (2) rounds mean_v to
-    6dp to damp float-sum partition-order sensitivity so the emitted
-    rows are stable across runs/partitionings."""
+    """Per-label centroid stage, ORACLE-CHECKED (round-6 upgrade from
+    rows-only): emits exploded scalar rows ``(label, dim, sum_e6,
+    n_vecs, mean_e6)`` in engine-portable scaled-integer form.  Two
+    deliberate divergences from the array-native library face
+    (:func:`embed_centroid`): (1) exploded scalars because the driver
+    canonicalizer sorts columns with pandas and array cells are
+    unhashable (r2 driver error); (2) each float component is widened
+    to double (exact) and rounded half-up to a 1e-6-scaled BIGINT
+    before summing — integer sums are exact and ORDER-INDEPENDENT, so
+    the result is bit-stable across partitionings AND engines, unlike
+    the double-sum mean that kept this query rows-only (float addition
+    is non-associative; Spark's partial-agg order is
+    partitioning-dependent).  mean_e6 divides the two exact integers
+    in double (both < 2^53, division exact-deterministic) and rounds
+    half-up — identical in both engines."""
     ensure_engine_conf(spark)
     emb = scan(spark, sf_dir, "embeddings")
-    return per_dim_means(emb).select(
-        "label", "dim", F.round("mean_v", 6).alias("mean_v")
+    v_e6 = F.floor(F.col("v").cast("double") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    dims = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return dims.groupBy("label", "dim").agg(
+        F.sum(v_e6).cast("bigint").alias("sum_e6"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+    ).select(
+        "label",
+        "dim",
+        "sum_e6",
+        "n_vecs",
+        F.floor(
+            F.col("sum_e6").cast("double") / F.col("n_vecs") + F.lit(0.5)
+        ).cast("bigint").alias("mean_e6"),
     )
 
 def ivf_topk(

@@ -55,11 +55,25 @@ def build_analytics_pipeline(sf_dir: str) -> Pipeline:
     return pipe
 
 
-@declared("q_pipeline")
+@declared(
+    "q_pipeline",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
 def q_pipeline(spark, sf_dir):
-    """Rows-only: run the full orchestration stack (parallel extract
-    stages -> XCom DataFrame handoff -> gated transform) and return the
-    final stage's DataFrame."""
+    """ORACLE-CHECKED (round-6 upgrade from rows-only): run the full
+    orchestration stack (parallel extract stages -> XCom DataFrame
+    handoff -> gated transform) and return the final stage's
+    DataFrame.  The orchestration layer adds no nondeterminism — the
+    final stage IS a deterministic join+decimal-agg, so the oracle is
+    the equivalent plain SQL; a hash match proves both the engine
+    result and that the DAG run (trigger rules, XCom plumbing) handed
+    the right frames through."""
     ensure_engine_conf(spark)
     pipe = build_analytics_pipeline(sf_dir)
     results = pipe.run(spark)

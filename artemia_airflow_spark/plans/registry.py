@@ -24,54 +24,38 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 # Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
-# in insertion order and caps at ~50 entries per round.  After round 4,
-# 73 queries' newest driver row predates the round-3/4 fixture
-# regeneration (42 oracle rows last passed in r1, 5 in r2, 4 in r3,
-# plus 22 rows-only).  ``PRIORITY`` front-loads round 5 with
-# (a) this round's rows-only -> oracle upgrades, (b) queries whose
-# implementation changed this round (need a fresh green row), then
-# (c) the stale oracle rows oldest-first (r1, then r2, then r3), with
-# the stale rows-only set at the tail for round 6.
+# in insertion order and caps at ~50 entries per round.  After round 5,
+# 30 queries' newest driver row predates the round-3/4 fixture
+# regeneration (12 from r1, 7 from r2, 11 from r3 — VERDICT r5 item 1)
+# and are green-but-stale.  ``PRIORITY`` front-loads round 6 with
+# (a) queries whose implementation changed this round (need a fresh
+# green row), then (b) the stale rows oldest-first (r1, r2, r3), then
+# (c) the oldest r4 rows to use the rest of the ~50-query window.
 PRIORITY: list[str] = [
-    # (a) rows-only -> oracle upgrades in round 5
-    "q_text_fingerprint", "q_sample_stratified", "q_multimodal_decode",
-    "q_sink_parquet",
-    # (b) implementation changed in round 5 (perf fixes / decimal casts /
-    # ANN config retune per the recall harness)
-    "q_fn_array", "q_text_langid", "q_tpch_q17", "q_sim_ivf",
-    "q_sim_ann_lsh",
-    # (b') new declared queries in round 5
-    "q_text_scrub", "q_source_cap",
-    # (b'') sf0.1-robustness fixes in round 5: session-boundary rule
-    # aligned to session_window (merge at == gap) and q_window_dist's
-    # engine-portable scaled-int rounding — need fresh rows
-    "q_window_dist", "q_stream_session_state", "q_stream_session",
-    # (c) stale oracle rows, last confirmed r1 (pre-regeneration fixtures)
-    "q_scan", "q_project", "q_filter", "q_filter_pred", "q_case",
-    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_full",
-    "q_join_semi", "q_join_anti", "q_join_range", "q_join_asof",
-    "q_join_cross",
-    "q_agg_global", "q_agg_group", "q_agg_distinct", "q_agg_rollup",
-    "q_agg_cube",
-    "q_window_rank", "q_window_lag", "q_window_running", "q_topk",
-    "q_set_union", "q_set_intersect", "q_set_except",
-    "q_fn_string", "q_fn_date", "q_fn_math",
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
-    "q_unpivot", "q_gapfill", "q_decontaminate", "q_shard",
-    "q_mix_weights", "q_text_repetition", "q_dedup_exact",
-    "q_dedup_embed", "q_multimodal",
-    # (c) stale oracle rows, last confirmed r2
-    "q_stream_tumble", "q_stream_slide",
-    "q_stream_join", "q_stream_dedup",
-    # (c) stale oracle rows, last confirmed r3
-    "q_embed_stats", "q_text_tokens", "q_text_quality", "q_text_tfidf",
-    # tail: stale rows-only set (weaker check; refresh round 6)
-    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram",
-    "q_dedup_clusters", "q_dedup_embed_lsh", "q_multimodal_pipeline",
-    "q_multimodal_neardup", "q_agg_approx", "q_embed_centroid",
-    "q_pipeline", "q_sink_partitioned", "q_source_json", "q_source_http",
-    "q_source_http_ds", "q_dedup_substring", "q_decontaminate_substring",
-    "q_pack_firstfit",
+    # (a) implementation changed in round 6: bloom rebuilt (JVM bit_or
+    # build + per-doc probe kernel), stratified threshold switched to
+    # round-half-up (ADVICE r5), oracle upgrades for centroid /
+    # partitioned-sink / pipeline
+    "q_decontaminate_bloom", "q_sample_stratified",
+    "q_embed_centroid", "q_sink_partitioned", "q_pipeline",
+    # (b) stale rows, last confirmed r1 (pre-regeneration fixtures)
+    "q_agg_approx", "q_dedup_clusters", "q_dedup_embed",
+    "q_dedup_embed_lsh", "q_dedup_exact", "q_dedup_minhash",
+    "q_dedup_ngram", "q_dedup_simhash", "q_mix_weights", "q_multimodal",
+    "q_multimodal_pipeline", "q_text_repetition",
+    # (b) stale rows, last confirmed r2
+    "q_source_http", "q_source_http_ds", "q_source_json",
+    "q_stream_dedup", "q_stream_join", "q_stream_slide", "q_stream_tumble",
+    # (b) stale rows, last confirmed r3
+    "q_decontaminate_substring", "q_dedup_substring", "q_embed_stats",
+    "q_multimodal_neardup", "q_pack_firstfit",
+    "q_text_quality", "q_text_tfidf", "q_text_tokens",
+    # (c) oldest r4 rows, filling the window to ~50
+    "q_agg_approx_percentile", "q_agg_filtered", "q_agg_grouping_sets",
+    "q_agg_hll", "q_agg_percentile", "q_dedup_semantic",
+    "q_distinct_cols", "q_fn_date2", "q_fn_json", "q_fn_map",
+    "q_fn_null", "q_fn_string2", "q_join_right", "q_length_buckets",
+    "q_merge_upsert", "q_mix_apply", "q_pack_sequences", "q_pandas_norm",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"

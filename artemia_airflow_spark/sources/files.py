@@ -79,16 +79,31 @@ def write_partitioned_by_month(
     write_parquet(o, out, partition_by=["o_month"])
 
 
-@declared("q_sink_partitioned")
+@declared(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'
+    GROUP BY 1
+    """,
+)
 def q_sink_partitioned(spark, sf_dir):
-    """B4/§4.2 (rows-only): partitioned write + partition-pruned read.
+    """B4/§4.2, ORACLE-CHECKED (round-6 upgrade from rows-only):
+    partitioned write + partition-pruned read.
 
     Writes orders partitioned by month, re-reads with a month-range
     partition filter — the scan's PartitionFilters prune to the 12
     matching directories (asserted in tests/test_plans.py) so the read
     cost is proportional to the queried window, not the table.  This is
     the layout dynamic partition pruning (DPP) rides on; the DPP join
-    itself is pinned by test_partitioned_read_dynamic_pruning."""
+    itself is pinned by test_partitioned_read_dynamic_pruning.
+    Differentially checkable because the parquet round-trip is lossless
+    for these types: the oracle computes the identical aggregate
+    straight from the source table (o_month string == the partition
+    directory value Spark reads back)."""
     ensure_engine_conf(spark)
     out = os.path.join(tempfile.gettempdir(), "aas_sink_partitioned")
     write_partitioned_by_month(spark, sf_dir, out)

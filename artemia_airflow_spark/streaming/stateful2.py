@@ -97,6 +97,16 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
     (TTL, timers, RocksDB) wherever protobuf exists and the same
     semantics everywhere else."""
     if not HAS_PROTOBUF:
+        import warnings
+
+        warnings.warn(
+            "transformWithState unavailable (google.protobuf missing); "
+            "falling back to applyInPandasWithState — same output "
+            "contract, but state-v2 features (TTL, timers, RocksDB "
+            "named state) are NOT active",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         from artemia_airflow_spark.streaming.stateful import running_user_stats_stream
 
         return running_user_stats_stream(events)

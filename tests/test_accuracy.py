@@ -184,3 +184,39 @@ def test_minhash_banding_precision_recall(spark):
     low_sim = [p for p in cand_pairs if _jaccard(sh[p[0]], sh[p[1]]) < 0.3]
     fp_rate = len(low_sim) / max(len(cand_pairs), 1)
     assert fp_rate <= 0.05, f"{len(low_sim)}/{len(cand_pairs)} candidates have J<0.3"
+
+
+def test_lsh_candidate_pair_count_pinned(spark):
+    """Cost pin for q_dedup_ngram (VERDICT r5 item 3): the LSH candidate
+    join at sf0.01 with the q_dedup_ngram defaults (64 hashes / 8 bands)
+    produces exactly 28 distinct candidate pairs.  The verify stage's
+    cost is proportional to this count, so any banding/signature change
+    that widens the candidate set (the suspected cause of r5's
+    committed-bench doubling) must surface here as an explicit diff,
+    not as a silent bench drift."""
+    import pyspark.sql.functions as F
+
+    from artemia_airflow_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    cand = minhash_lsh_candidates(
+        minhash_signatures(df, "text", num_hashes=64), "doc_id",
+        num_hashes=64, bands=8,
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    n_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .count()
+    )
+    assert n_pairs == 28, f"LSH candidate set changed: {n_pairs} pairs (was 28)"

@@ -110,6 +110,52 @@ def test_empty_ledger_reads_empty_with_schema(spark, root):
     assert "run_id" in df.columns and "state" in df.columns
 
 
+def test_zero_stage_run_does_not_poison_ledger(spark, root):
+    """ADVICE r5: recording an EMPTY results mapping used to commit a
+    run_id=* directory with no part files; when that was the only
+    committed run, read() passed the listdir check but
+    spark.read.parquet failed with 'unable to infer schema', breaking
+    the whole ledger root.  record() now short-circuits: the run_id is
+    returned but nothing is committed, and read()/runs() keep working."""
+    led = RunLedger(root)
+    run_id = led.record(spark, "noop_pipeline", {})
+    assert run_id.startswith("noop_pipeline__")
+    assert not [d for d in os.listdir(root) if d.startswith("run_id=")]
+    assert led.read(spark).count() == 0  # would have raised before the fix
+    assert led.runs(spark).count() == 0
+
+    # a real run afterwards still commits normally
+    led.record(
+        spark, "p", {"s": StageResult(state="success", value=1, attempts=1)}
+    )
+    assert led.read(spark).count() == 1
+
+
+def test_tws_fallback_warns(spark):
+    """ADVICE r5: the silent protobuf fallback in running_user_stats_tws
+    is no longer silent — callers see a RuntimeWarning naming the
+    downgrade (state-v2 TTL/timers inactive).  Only meaningful where
+    protobuf is absent; skipped otherwise (the real TWS path warns
+    nothing)."""
+    import warnings
+
+    import pytest
+
+    from artemia_airflow_spark.streaming import stateful2
+
+    if stateful2.HAS_PROTOBUF:
+        pytest.skip("protobuf present: no fallback to warn about")
+    ev = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        stateful2.running_user_stats_tws(ev)
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "applyInPandasWithState" in str(w.message)
+        for w in caught
+    )
+
+
 def test_resume_skips_recorded_successes(spark, root):
     """Airflow-parity 'clear failed and re-run': the flaky stage fails
     once, the rerun resumes from the recorded run — upstream executes

@@ -99,18 +99,32 @@ def test_stateful_running_stats_converges_to_batch(spark):
 
 
 def test_transform_with_state_converges_to_batch(spark):
-    """State-v2 (transformWithStateInPandas / StatefulProcessor): the
-    same running-stats semantics as the applyInPandasWithState operator
-    must converge to the batch aggregate.  The TWS runner needs
-    protobuf (absent in this sandbox); ``running_user_stats_tws``
-    detects that at call time and falls back to the
-    applyInPandasWithState twin with the identical contract — so this
-    test always exercises exactly the path the operator ships in the
-    current environment, protobuf or not."""
+    """State-v2 surface (``running_user_stats_tws``) converges to the
+    batch aggregate on whatever path ships in this environment.
+
+    Path-coverage marker (ADVICE r5): when protobuf is ABSENT the
+    operator silently runs its applyInPandasWithState fallback, so a
+    green here does NOT cover the transformWithState code — the
+    ``HAS_PROTOBUF`` skip below makes that explicit instead of letting
+    the fallback masquerade as state-v2 coverage.  The fallback path
+    itself is covered by test_streaming's applyInPandasWithState
+    tests; when protobuf IS importable this test runs the REAL
+    transformWithStateInPandas runner (RocksDB provider) and pins
+    equality with the batch aggregate."""
+    import pytest
+
     from artemia_airflow_spark.streaming.stateful2 import (
+        HAS_PROTOBUF,
         ROCKSDB_PROVIDER,
         running_user_stats_tws,
     )
+
+    if not HAS_PROTOBUF:
+        pytest.skip(
+            "google.protobuf missing: running_user_stats_tws would fall "
+            "back to applyInPandasWithState (already covered elsewhere) — "
+            "the transformWithState path is NOT exercised in this env"
+        )
 
     conf_key = "spark.sql.streaming.stateStore.providerClass"
     try:
