@@ -45,6 +45,28 @@ def _default_fetch(url: str) -> str:
 
 
 class HttpJsonReader(DataSourceReader):
+    """Error contract (mirrors the reference's defensive ``.get()``
+    handling, dags/update_tr_from_ex_dag.py:59-63, at the right layer
+    for a table source):
+
+    - transport failure: retried ``max_retries`` times per page with
+      ``retry_backoff_sec`` exponential backoff (the reference retries
+      at the Airflow-task layer; a paged scan retries per PAGE so one
+      flaky page doesn't re-fetch the whole scan).  Exhausted retries
+      raise the last transport error wrapped with the page URL.
+    - malformed JSON body: ValueError naming the page URL (never a bare
+      json decode traceback from deep inside an executor).
+    - ``records_key`` absent from the response: ValueError naming the
+      missing key and the keys that ARE present (the reference's
+      ``.get(...) -> explicit AirflowException`` move).
+    - records not a list: ValueError with the actual type.
+    - an EMPTY page yields no rows and is NOT an error: for a table
+      source an empty page is a valid (exhausted) pagination tail —
+      the reference errors on empty because its function is a sensor
+      ("wait for a run to exist"), which maps to HttpSensor/
+      sensor-as-stream in this engine, not to the scan.
+    """
+
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
         self.url = options.get("url")
@@ -53,10 +75,28 @@ class HttpJsonReader(DataSourceReader):
         self.pages = int(options.get("pages", "1"))
         self.records_key = options.get("records_key")
         self.transport_module = options.get("transport_module")
+        self.max_retries = int(options.get("max_retries", "2"))
+        self.retry_backoff_sec = float(options.get("retry_backoff_sec", "1.0"))
 
     def partitions(self) -> list[InputPartition]:
         # one partition per page -> executor-parallel fetch
         return [_PagePartition(p) for p in range(1, self.pages + 1)]
+
+    def _fetch_with_retry(self, fetch, page_url: str) -> str:
+        import time
+
+        last: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                return fetch(page_url)
+            except Exception as e:  # noqa: BLE001 — transport errors are opaque
+                last = e
+                if attempt < self.max_retries:
+                    time.sleep(self.retry_backoff_sec * (2**attempt))
+        raise IOError(
+            f"httpjson: fetch failed after {self.max_retries + 1} attempts "
+            f"for {page_url!r}: {last}"
+        ) from last
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
         if self.transport_module:
@@ -66,9 +106,29 @@ class HttpJsonReader(DataSourceReader):
         else:
             fetch = _default_fetch
         sep = "&" if "?" in self.url else "?"
-        body = fetch(f"{self.url}{sep}page={partition.page}")
-        doc = json.loads(body)
-        records = doc[self.records_key] if self.records_key else doc
+        page_url = f"{self.url}{sep}page={partition.page}"
+        body = self._fetch_with_retry(fetch, page_url)
+        try:
+            doc = json.loads(body)
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"httpjson: malformed JSON from {page_url!r}: {e}"
+            ) from e
+        if self.records_key:
+            if not isinstance(doc, dict) or self.records_key not in doc:
+                present = sorted(doc) if isinstance(doc, dict) else type(doc).__name__
+                raise ValueError(
+                    f"httpjson: records_key {self.records_key!r} absent from "
+                    f"{page_url!r} response (present: {present})"
+                )
+            records = doc[self.records_key]
+        else:
+            records = doc
+        if not isinstance(records, list):
+            raise ValueError(
+                f"httpjson: records at {page_url!r} are "
+                f"{type(records).__name__}, expected a list"
+            )
         fields = [f.name for f in self.schema.fields]
         for rec in records:
             yield tuple(rec.get(f) for f in fields)
