@@ -38,6 +38,8 @@ PRIORITY: list[str] = [
     # partitioned-sink / pipeline
     "q_decontaminate_bloom", "q_sample_stratified",
     "q_embed_centroid", "q_sink_partitioned", "q_pipeline",
+    # (a') new declared query in round 6: ACID MERGE storage tier
+    "q_merge_acid",
     # (b) stale rows, last confirmed r1 (pre-regeneration fixtures)
     "q_agg_approx", "q_dedup_clusters", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_exact", "q_dedup_minhash",
@@ -98,5 +100,6 @@ def load_all_query_modules() -> None:
     import artemia_airflow_spark.pipelines.analytics_demo  # noqa: F401
     import artemia_airflow_spark.sources.files  # noqa: F401
     import artemia_airflow_spark.sources.http  # noqa: F401
+    import artemia_airflow_spark.sources.txtable  # noqa: F401
     import artemia_airflow_spark.streaming.stateful  # noqa: F401
     import artemia_airflow_spark.streaming.windows  # noqa: F401

@@ -1,0 +1,218 @@
+"""Transactional parquet table (sources/txtable.py, B89): ACID merge,
+snapshot isolation, time travel, optimistic concurrency, file pruning,
+torn-write invisibility, vacuum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.sources.txtable import CommitConflict, TxTable
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="aas_txtable_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk(spark, root, n=100, files=4):
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).cast("double").alias("v"),
+            F.concat(F.lit("s"), (F.col("id") % 5)).alias("tag"),
+        )
+        .repartition(files)
+    )
+    return TxTable.create(spark, df, root, key_col="k")
+
+
+def test_create_and_snapshot(spark, root):
+    t = _mk(spark, root)
+    assert t.version() == 0
+    snap = t.snapshot()
+    assert snap.count() == 100
+    assert {f.name for f in snap.schema.fields} == {"k", "v", "tag"}
+    assert len(t.files()) >= 1
+    # every file carries footer key stats
+    assert all(m["key_min"] is not None for m in t.files())
+
+
+def test_merge_updates_inserts_deletes(spark, root):
+    t = _mk(spark, root)
+    changes = spark.createDataFrame(
+        [(5, 999.0, "upd", False), (200, 1.0, "new", False), (7, 0.0, "x", True)],
+        "k long, v double, tag string, is_del boolean",
+    )
+    v = t.merge(changes, delete_col="is_del")
+    assert v == 1
+    rows = {r.k: (r.v, r.tag) for r in t.snapshot().collect()}
+    assert rows[5] == (999.0, "upd")  # matched -> updated
+    assert rows[200] == (1.0, "new")  # unmatched -> inserted
+    assert 7 not in rows  # delete applied
+    assert len(rows) == 100  # 100 - 1 delete + 1 insert
+    # time travel: version 0 still shows the pre-merge state
+    old = {r.k: r.v for r in t.snapshot(0).collect()}
+    assert old[5] == 50.0 and 7 in old and 200 not in old
+
+
+def test_merge_rewrites_only_touched_files(spark, root):
+    """The 100 TB property: a merge touching keys in ONE file's range
+    rewrites that file only; every other file carries forward
+    byte-identical (same path in the new snapshot)."""
+    t = _mk(spark, root, n=1000, files=8)
+    before = {m["path"] for m in t.files()}
+    # keys 0..4 land in the file(s) whose range covers them
+    changes = spark.createDataFrame(
+        [(k, -1.0, "upd") for k in range(5)], "k long, v double, tag string"
+    )
+    covering = {
+        m["path"] for m in t.files() if m["key_min"] <= 4 and m["key_max"] >= 0
+    }
+    t.merge(changes)
+    after = {m["path"] for m in t.files()}
+    assert before - after == covering  # exactly the covering files rewritten
+    assert before & after == before - covering  # the rest carried forward
+    assert t.snapshot().filter("v = -1.0").count() == 5
+
+
+def test_merge_outside_all_ranges_is_pure_insert(spark, root):
+    t = _mk(spark, root, n=100, files=4)
+    before = {m["path"] for m in t.files()}
+    ch = spark.createDataFrame(
+        [(10_000, 1.0, "new")], "k long, v double, tag string"
+    )
+    t.merge(ch)
+    # no existing file covers key 10000 -> nothing rewritten, one file added
+    assert before <= {m["path"] for m in t.files()}
+    assert t.snapshot().count() == 101
+
+
+def test_append_and_concurrent_appends_both_land(spark, root):
+    t = _mk(spark, root, n=10, files=1)
+    errs, versions = [], []
+
+    def add(lo):
+        try:
+            df = spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"),
+                F.lit(0.0).alias("v"),
+                F.lit("app").alias("tag"),
+            )
+            versions.append(TxTable(spark, t.root).append(df))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=add, args=(100 * (i + 1),)) for i in range(3)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    assert sorted(versions) == [1, 2, 3]  # all rebased onto distinct versions
+    assert t.snapshot().count() == 40
+
+
+def test_rewrite_conflict_detected(spark, root):
+    """Two merges from the same snapshot: the loser must raise
+    CommitConflict, not silently clobber the winner."""
+    t = _mk(spark, root, n=50, files=2)
+    ch1 = spark.createDataFrame([(1, -1.0, "a")], "k long, v double, tag string")
+    ch2 = spark.createDataFrame([(2, -2.0, "b")], "k long, v double, tag string")
+    t.merge(ch1)
+
+    # simulate the loser: a handle that read version 0, then commits after
+    # the winner landed — stage its commit at the stale read_version
+    stale = TxTable(spark, t.root)
+    with pytest.raises(CommitConflict):
+        stale._try_commit(
+            {
+                "operation": "merge",
+                "add": [],
+                "remove": [t.files()[0]["path"]],
+                "schema": stale._commits()[-1]["schema"],
+                "key_col": "k",
+            },
+            read_version=0,
+        )
+    # winner's state intact
+    assert t.snapshot().filter("v = -1.0").count() == 1
+
+
+def test_delete_predicate(spark, root):
+    t = _mk(spark, root, n=100, files=4)
+    v = t.delete("tag = 's0'")  # k % 5 == 0 -> 20 rows
+    assert v == 1
+    assert t.snapshot().count() == 80
+    assert t.snapshot().filter("tag = 's0'").count() == 0
+    assert t.snapshot(0).count() == 100  # time travel unaffected
+    # no-op delete commits nothing
+    assert t.delete("tag = 'nope'") == 1
+    assert t.version() == 1
+
+
+def test_torn_writer_is_invisible(spark, root):
+    """Data files without a commit (dead writer) never surface; a staged
+    _tmp_ commit never surfaces; vacuum sweeps both."""
+    t = _mk(spark, root, n=10, files=1)
+    # orphan data file (writer died before commit)
+    orphan = os.path.join(root, "part-deadbeef.parquet")
+    spark.range(5).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v"), F.lit("x").alias("tag")
+    ).coalesce(1).write.mode("overwrite").parquet(root + "_stage")
+    src = next(
+        n for n in os.listdir(root + "_stage") if n.endswith(".parquet")
+    )
+    shutil.move(os.path.join(root + "_stage", src), orphan)
+    shutil.rmtree(root + "_stage", ignore_errors=True)
+    # staged commit orphan
+    with open(os.path.join(root, "_log", "_tmp_dead.json"), "w") as f:
+        json.dump({"operation": "merge", "add": [], "remove": []}, f)
+
+    assert t.snapshot().count() == 10  # orphan invisible
+    assert t.version() == 0
+    swept = t.vacuum()
+    assert "part-deadbeef.parquet" in swept
+    assert "_log/_tmp_dead.json" in swept
+    assert t.snapshot().count() == 10
+
+
+def test_vacuum_keeps_live_files(spark, root):
+    t = _mk(spark, root, n=100, files=4)
+    ch = spark.createDataFrame([(1, -1.0, "a")], "k long, v double, tag string")
+    t.merge(ch)
+    swept = t.vacuum()  # rewritten-away files are swept
+    assert swept
+    assert t.snapshot().count() == 100  # head intact
+    with pytest.raises(Exception):
+        t.snapshot(0).count()  # time travel to vacuumed version now fails
+
+
+def test_merge_matches_dataframe_level_merge(spark, root):
+    """Differential: storage MERGE == operators/cdc.merge_upsert on the
+    same inputs (the txtable path adds atomicity, not new semantics)."""
+    from artemia_airflow_spark.operators.cdc import merge_upsert
+
+    t = _mk(spark, root, n=200, files=4)
+    base = t.snapshot(0)
+    changes = spark.createDataFrame(
+        [(k, float(-k), "m", k % 3 == 0) for k in range(150, 260, 7)],
+        "k long, v double, tag string, is_del boolean",
+    )
+    t.merge(changes, delete_col="is_del")
+    got = sorted((r.k, r.v, r.tag) for r in t.snapshot().collect())
+    want = sorted(
+        (r.k, r.v, r.tag)
+        for r in merge_upsert(base, changes, "k", delete_col="is_del").collect()
+    )
+    assert got == want
