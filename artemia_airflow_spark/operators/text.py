@@ -380,3 +380,83 @@ def q_text_quality_full(spark, sf_dir):
             F.max("chars_per_token").alias("max_cpt"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str, id_col: str, *,
+    max_tokens: int = 128, overlap: int = 16,
+) -> DataFrame:
+    """Document chunking for context-window-bounded training/indexing:
+    split each document's whitespace tokens into windows of
+    ``max_tokens`` advancing by ``max_tokens - overlap`` (so adjacent
+    chunks share ``overlap`` tokens — the standard RAG/pretraining
+    convention that keeps sentences straddling a boundary learnable).
+
+    Pure codegen (split -> sequence -> transform(slice) -> explode):
+    chunking runs at scan speed with zero Python and zero shuffle —
+    each row explodes into its own chunks map-side, so at 100 TB the
+    operator is embarrassingly parallel and the output can flow
+    straight into sequence packing (operators/curation.py,
+    pack_sequences) or an embedding stage.  The last chunk is the
+    (possibly shorter) tail; a doc shorter than ``max_tokens`` yields
+    exactly one chunk.  Returns (id, chunk_id, n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)) / F.lit(float(step))).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.size(F.slice(toks, i * step + 1, max_tokens)).alias("n_tokens"),
+            F.array_join(F.slice(toks, i * step + 1, max_tokens), " ").alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("__c")).select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+    )
+
+
+@declared(
+    "q_text_chunk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(range(greatest(1,
+               CAST(ceil((len(toks) - 16) / 112.0) AS BIGINT)))) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id*112 + 1, chunk_id*112 + 128))
+                AS INT) AS n_tokens,
+           array_to_string(
+             list_slice(toks, chunk_id*112 + 1, chunk_id*112 + 128), ' '
+           ) AS chunk_text
+    FROM c
+    """,
+)
+def q_text_chunk(spark, sf_dir):
+    """Overlapping document chunking (max_tokens=128, overlap=16,
+    stride 112) over the documents table — one output row per chunk
+    with its token count and text.  The oracle reproduces the same
+    windows with DuckDB list_slice (both engines clip the tail slice
+    identically), so chunk boundaries, counts AND reassembled text are
+    hash-checked."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", max_tokens=128, overlap=16)

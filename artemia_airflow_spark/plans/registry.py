@@ -38,8 +38,9 @@ PRIORITY: list[str] = [
     # partitioned-sink / pipeline
     "q_decontaminate_bloom", "q_sample_stratified",
     "q_embed_centroid", "q_sink_partitioned", "q_pipeline",
-    # (a') new declared query in round 6: ACID MERGE storage tier
-    "q_merge_acid",
+    # (a') new declared queries in round 6: ACID MERGE storage tier,
+    # overlapping document chunking
+    "q_merge_acid", "q_text_chunk",
     # (b) stale rows, last confirmed r1 (pre-regeneration fixtures)
     "q_agg_approx", "q_dedup_clusters", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_exact", "q_dedup_minhash",

@@ -331,7 +331,79 @@ class TxTable:
             read_version=read_version,
         )
 
+    # -- incremental consumption ---------------------------------------
+    def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Change feed: rows ADDED by commits in
+        ``(since_version, to_version]`` — the incremental-consumption
+        face (downstream rollups re-read only new/rewritten files, not
+        the table; pair with operators/cdc.py incremental_rollup).
+        Each row carries ``_commit_version`` and ``_change_type``
+        (``insert`` for append/create, ``update_or_insert`` for
+        merge-rewritten files — a rewritten file mixes carried-forward
+        and changed rows, which is exactly the granularity a file-level
+        log can attest; row-level CDF needs write-path row tracking,
+        out of scope as documented above)."""
+        from functools import reduce
+
+        from pyspark.sql.types import StructType
+
+        commits = self._commits(upto=to_version)
+        if since_version >= len(commits):
+            raise ValueError(
+                f"since_version {since_version} is beyond head {len(commits) - 1}"
+            )
+        head_schema = StructType.fromJson(json.loads(commits[-1]["schema"]))
+        parts = []
+        for v in range(since_version + 1, len(commits)):
+            c = commits[v]
+            paths = [os.path.join(self.root, a["path"]) for a in c["add"]]
+            if not paths:
+                continue
+            change_type = (
+                "insert" if c["operation"] in ("create", "append")
+                else "update_or_insert"
+            )
+            parts.append(
+                self.spark.read.schema(head_schema).parquet(*paths)
+                .withColumn("_commit_version", F.lit(v))
+                .withColumn("_change_type", F.lit(change_type))
+            )
+        if not parts:
+            return (
+                self.spark.createDataFrame([], head_schema)
+                .withColumn("_commit_version", F.lit(0))
+                .withColumn("_change_type", F.lit(""))
+                .limit(0)
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     # -- maintenance ---------------------------------------------------
+    def compact(self, *, target_files: int = 1, min_files: int = 2) -> int:
+        """Bin-pack small files into ``target_files`` (the 100 TB
+        small-file fix: a long append/merge history accretes one file
+        per commit per partition, and at some point the NameNode/
+        object-store listing and per-file scan setup dominate the
+        read).  Pure rewrite — row content is unchanged, so it commits
+        like any rewrite (conflicts with concurrent commits) and old
+        versions still time-travel until vacuum.  No-op (no commit)
+        below ``min_files``."""
+        read_version = self.version()
+        live, head = self._live()
+        if len(live) < min_files:
+            return read_version
+        snap = self.snapshot().repartition(target_files)
+        adds = _write_data_files(snap, self.root, self._key_col())
+        return self._try_commit(
+            {
+                "operation": "compact",
+                "add": adds,
+                "remove": [m["path"] for m in live],
+                "schema": head["schema"],
+                "key_col": self._key_col(),
+            },
+            read_version=read_version,
+        )
+
     def vacuum(self) -> list[str]:
         """Delete data files no commit references anymore (rewritten or
         orphaned by a dead writer) plus staged-commit orphans.  Safe for

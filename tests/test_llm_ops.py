@@ -246,3 +246,42 @@ def test_semantic_dedup_drops_constructed_near_copies(spark, emb):
     assert not (kept_ids & copy_ids), "exact copies survived semantic dedup"
     # survivors are a subset of the corpus and nonempty
     assert kept_ids and kept_ids <= {r.vec_id for r in corpus.select("vec_id").collect()}
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunking invariants: short doc -> 1 chunk; exact-window doc -> 1
+    chunk; every token index covered; adjacent chunks share exactly
+    `overlap` tokens except a clipped tail; reassembly preserves the
+    token stream."""
+    import pytest as _pytest
+
+    from artemia_airflow_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(5))),     # short: 1 chunk
+            (2, " ".join(f"t{i}" for i in range(10))),    # exact window
+            (3, " ".join(f"t{i}" for i in range(23))),    # 3 chunks + tail
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "text", "doc_id", max_tokens=10, overlap=2)
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text.split(" "))
+        for r in out.collect()
+    )
+    by_doc = {}
+    for d, c, n, toks in rows:
+        by_doc.setdefault(d, []).append((c, n, toks))
+    assert len(by_doc[1]) == 1 and by_doc[1][0][1] == 5
+    assert len(by_doc[2]) == 1 and by_doc[2][0][1] == 10
+    # doc 3: stride 8 -> starts 0, 8, 16 -> sizes 10, 10, 7
+    assert [(c, n) for c, n, _ in by_doc[3]] == [(0, 10), (1, 10), (2, 7)]
+    # overlap: chunk k's last 2 tokens == chunk k+1's first 2
+    c0, c1, c2 = (t for _, _, t in by_doc[3])
+    assert c0[-2:] == c1[:2] and c1[-2:] == c2[:2]
+    # full coverage: de-overlapped reassembly is the original stream
+    reassembled = c0 + c1[2:] + c2[2:]
+    assert reassembled == [f"t{i}" for i in range(23)]
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "text", "doc_id", max_tokens=8, overlap=8)

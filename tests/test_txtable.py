@@ -216,3 +216,48 @@ def test_merge_matches_dataframe_level_merge(spark, root):
         for r in merge_upsert(base, changes, "k", delete_col="is_del").collect()
     )
     assert got == want
+
+
+def test_compact_binpacks_without_changing_rows(spark, root):
+    t = _mk(spark, root, n=100, files=1)
+    for lo in (1000, 2000, 3000):
+        t.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"),
+                F.lit(0.0).alias("v"),
+                F.lit("app").alias("tag"),
+            )
+        )
+    assert len(t.files()) >= 4
+    before = sorted(r.k for r in t.snapshot().collect())
+    v = t.compact(target_files=1)
+    assert len(t.files()) == 1
+    assert sorted(r.k for r in t.snapshot().collect()) == before
+    assert t.history()[-1]["operation"] == "compact"
+    # below min_files it is a no-op with no commit
+    assert t.compact() == v and t.version() == v
+
+
+def test_change_feed_incremental_read(spark, root):
+    t = _mk(spark, root, n=10, files=1)  # v0: create, keys 0..9
+    t.append(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("v"), F.lit("a").alias("tag")
+        )
+    )  # v1: insert 100..104
+    t.merge(
+        spark.createDataFrame([(3, -3.0, "m")], "k long, v double, tag string")
+    )  # v2: rewrite of the file containing key 3
+    ch = t.changes(0)
+    types = {r._commit_version: r._change_type for r in ch.collect()}
+    assert types == {1: "insert", 2: "update_or_insert"}
+    # v1 slice carries exactly the appended keys
+    assert sorted(
+        r.k for r in ch.filter("_commit_version = 1").collect()
+    ) == [100, 101, 102, 103, 104]
+    # the merge rewrite contains the updated row
+    assert ch.filter("_commit_version = 2 AND v = -3.0").count() == 1
+    # empty window
+    assert t.changes(t.version()).count() == 0
+    with pytest.raises(ValueError):
+        t.changes(99)
