@@ -39,8 +39,8 @@ PRIORITY: list[str] = [
     "q_decontaminate_bloom", "q_sample_stratified",
     "q_embed_centroid", "q_sink_partitioned", "q_pipeline",
     # (a') new declared queries in round 6: ACID MERGE storage tier,
-    # overlapping document chunking
-    "q_merge_acid", "q_text_chunk",
+    # overlapping document chunking, stream-static enrichment join
+    "q_merge_acid", "q_text_chunk", "q_stream_enrich",
     # (b) stale rows, last confirmed r1 (pre-regeneration fixtures)
     "q_agg_approx", "q_dedup_clusters", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_exact", "q_dedup_minhash",

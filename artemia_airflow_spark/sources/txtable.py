@@ -404,6 +404,36 @@ class TxTable:
             read_version=read_version,
         )
 
+    def cluster(self, *, num_files: int = 8) -> int:
+        """Range-cluster the table on its key: ``repartitionByRange`` +
+        ``sortWithinPartitions`` rewrite that gives every data file a
+        DISJOINT key range.  This is what makes the footer-stat merge
+        pruning actually bite: files written from an unclustered source
+        each span nearly the whole key range (every merge touches every
+        file); after clustering, a merge whose change keys hit one range
+        rewrites one file.  Run it periodically (like OPTIMIZE ZORDER
+        with a single key) — at 100 TB, clustering cost amortizes over
+        every subsequent merge.  Commits like any rewrite."""
+        read_version = self.version()
+        live, head = self._live()
+        key = self._key_col()
+        snap = (
+            self.snapshot()
+            .repartitionByRange(num_files, F.col(key))
+            .sortWithinPartitions(key)
+        )
+        adds = _write_data_files(snap, self.root, key)
+        return self._try_commit(
+            {
+                "operation": "cluster",
+                "add": adds,
+                "remove": [m["path"] for m in live],
+                "schema": head["schema"],
+                "key_col": key,
+            },
+            read_version=read_version,
+        )
+
     def vacuum(self) -> list[str]:
         """Delete data files no commit references anymore (rewritten or
         orphaned by a dead writer) plus staged-commit orphans.  Safe for

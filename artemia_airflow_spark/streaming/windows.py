@@ -270,6 +270,55 @@ def q_stream_dedup(spark, sf_dir):
     return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, *,
+    stream_key: str = "user_id", dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment", "c_nationkey"),
+) -> DataFrame:
+    """B91: stream-static enrichment join — the standard "attach the
+    dimension" streaming pattern.  The static side is explicitly
+    broadcast, so every micro-batch joins map-side against a local
+    copy: NO join state, NO watermark requirement (stream-stream joins
+    need both), and the stream never shuffles.  At 100 TB/day the
+    stream side stays partition-parallel and the dim refresh cadence
+    is a re-broadcast, not a reshuffle.  Left join keeps stream rows
+    whose key misses the dim (slowly-arriving dimension rows — route
+    to a fixup path downstream rather than dropping events).
+
+    Works identically on a batch frame (same transformation graph) —
+    that batch face is what the oracle checks; the streaming face is
+    pinned stream==batch by tests/test_streaming.py."""
+    d = dim.select(F.col(dim_key).alias(stream_key), *dim_cols)
+    return events.join(F.broadcast(d), stream_key, "left")
+
+
+@declared(
+    "q_stream_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich(spark, sf_dir):
+    """B91 batch face of the stream-static enrichment join: events
+    enriched with the customer dimension (broadcast), rolled up per
+    (segment, event_type)."""
+    ensure_engine_conf(spark)
+    ev = scan(spark, sf_dir, "events")
+    cust = scan(spark, sf_dir, "customer")
+    return (
+        enrich_with_dim(ev, cust)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Custom stateful operator: applyInPandasWithState (B49+)
 # --------------------------------------------------------------------------

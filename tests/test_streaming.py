@@ -310,3 +310,25 @@ def test_sessionize_exact_gap_boundary_merges(spark, tmp_path):
     # watermark (max ts - 1s) passes end=1800+1800 -- it does not here,
     # so assert the kernel did NOT emit a split single-event session
     assert (1, 1) not in emitted, "kernel split the exact-gap pair"
+
+
+def test_stream_enrich_equals_batch(spark, chunked_events_dir):
+    """B91: stream-static enrichment join over the replay == the same
+    broadcast join on the static table, and the batch plan really is a
+    broadcast join (no shuffle on the stream side)."""
+    from artemia_airflow_spark.streaming.windows import enrich_with_dim
+
+    cust = scan(spark, SF_SMOKE, "customer")
+    stream = enrich_with_dim(_read_chunks(spark, chunked_events_dir), cust)
+    _run_stream(stream, "t_enrich", "append")
+    got = sorted(
+        (r.event_id, r.c_mktsegment, r.c_nationkey)
+        for r in spark.table("t_enrich").collect()
+    )
+    batch = enrich_with_dim(scan(spark, SF_SMOKE, "events"), cust)
+    want = sorted(
+        (r.event_id, r.c_mktsegment, r.c_nationkey) for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -261,3 +261,31 @@ def test_change_feed_incremental_read(spark, root):
     assert t.changes(t.version()).count() == 0
     with pytest.raises(ValueError):
         t.changes(99)
+
+
+def test_cluster_makes_pruning_effective(spark, root):
+    """Range clustering turns footer stats into real pruning: the _mk
+    round-robin layout gives every file ~the whole key range (a narrow
+    merge touches all of them); after cluster(), file ranges are
+    disjoint and the same merge rewrites exactly one file."""
+    t = _mk(spark, root, n=1000, files=8)  # round-robin: ranges overlap
+    narrow = spark.createDataFrame(
+        [(k, -1.0, "u") for k in range(10, 15)], "k long, v double, tag string"
+    )
+    covering_before = {
+        m["path"] for m in t.files() if m["key_min"] <= 14 and m["key_max"] >= 10
+    }
+    assert len(covering_before) >= 6  # unclustered: ~every file covers 10..14
+
+    t.cluster(num_files=8)
+    files = t.files()
+    assert len(files) == 8
+    # disjoint ranges
+    spans = sorted((m["key_min"], m["key_max"]) for m in files)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    before = {m["path"] for m in files}
+    t.merge(narrow)
+    rewritten = before - {m["path"] for m in t.files()}
+    assert len(rewritten) == 1  # pruning now touches exactly one file
+    assert t.snapshot().filter("v = -1.0").count() == 5
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(1000))
