@@ -33,6 +33,7 @@ SKIP = {
     "q_source_json",
     "q_source_http",
     "q_source_http_ds",
+    "q_merge_acid",  # creates + merges a real on-disk table (benches I/O)
 }
 
 

@@ -289,3 +289,45 @@ def test_cluster_makes_pruning_effective(spark, root):
     assert len(rewritten) == 1  # pruning now touches exactly one file
     assert t.snapshot().filter("v = -1.0").count() == 5
     assert sorted(r.k for r in t.snapshot().collect()) == list(range(1000))
+
+
+def test_change_feed_drives_incremental_rollup(spark, root):
+    """Closing the incremental loop (B64 x B89): a rollup maintained by
+    folding ONLY the change feed's new rows equals a full recompute
+    over the table head.  Valid for append-only windows — the test
+    asserts every consumed commit is an 'insert' (a merge's rewritten
+    files mix carried-forward rows and would double-count; consumers
+    must re-aggregate touched keys for those, which is what
+    _change_type is for)."""
+    from artemia_airflow_spark.operators.cdc import merge_rollup
+
+    t = _mk(spark, root, n=100, files=2)
+
+    def partial(df):
+        return df.groupBy("tag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("sv"),
+        )
+
+    base = partial(t.snapshot()).cache()
+    base.count()
+    v0 = t.version()
+    for lo in (1000, 2000):
+        t.append(
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2.0).alias("v"),
+                F.concat(F.lit("s"), (F.col("id") % 5)).alias("tag"),
+            )
+        )
+    feed = t.changes(v0)
+    assert {r._change_type for r in feed.select("_change_type").distinct().collect()} == {"insert"}
+    maintained = merge_rollup(base, partial(feed), ["tag"])
+    got = sorted(
+        (r.tag, r.n, float(r.sv)) for r in maintained.collect()
+    )
+    want = sorted(
+        (r.tag, r.n, float(r.sv)) for r in partial(t.snapshot()).collect()
+    )
+    assert got == want
+    base.unpersist()
