@@ -123,7 +123,7 @@ class TxTable:
     def _commits(self, upto: int | None = None) -> list[dict]:
         names = sorted(
             n for n in os.listdir(_log_dir(self.root)) if n.endswith(".json")
-            and not n.startswith("_tmp_")
+            and not n.startswith(("_tmp_", "checkpoint-"))
         )
         commits = []
         for n in names:
@@ -151,16 +151,69 @@ class TxTable:
             for i, c in enumerate(self._commits())
         ]
 
+    def _latest_checkpoint(self, upto: int) -> dict | None:
+        best = None
+        for n in os.listdir(_log_dir(self.root)):
+            if n.startswith("checkpoint-") and n.endswith(".json"):
+                v = int(n[len("checkpoint-"): -len(".json")])
+                if v <= upto and (best is None or v > best[0]):
+                    best = (v, n)
+        if best is None:
+            return None
+        with open(os.path.join(_log_dir(self.root), best[1])) as f:
+            return json.load(f)
+
     def _live(self, version: int | None = None) -> tuple[list[dict], dict]:
-        """(live file metas, head commit) at ``version`` (default head)."""
-        commits = self._commits(upto=version)
-        live: dict[str, dict] = {}
+        """(live file metas, head commit) at ``version`` (default head).
+        Replays from the newest checkpoint ≤ version when one exists, so
+        resolution cost is O(commits since checkpoint), not O(log)."""
+        head_v = self.version() if version is None else version
+        cp = self._latest_checkpoint(head_v)
+        if cp is None:
+            commits = self._commits(upto=head_v)
+            live: dict[str, dict] = {}
+            start_head = None
+        else:
+            live = {m["path"]: m for m in cp["live"]}
+            commits = []
+            for v in range(cp["version"] + 1, head_v + 1):
+                with open(_version_path(self.root, v)) as f:
+                    commits.append(json.load(f))
+            start_head = {"schema": cp["schema"], "key_col": cp["key_col"]}
         for c in commits:
             for p in c["remove"]:
                 live.pop(p, None)
             for a in c["add"]:
                 live[a["path"]] = a
-        return list(live.values()), commits[-1]
+        head = commits[-1] if commits else start_head
+        assert head is not None  # version() validated head_v exists
+        return list(live.values()), head
+
+    def checkpoint(self) -> int:
+        """Write a log checkpoint at the current head: the full live
+        file set + schema in one file, so readers replay only commits
+        AFTER it (long-log fix — a table with 10^5 commits resolves a
+        snapshot from one checkpoint + a handful of tail commits).
+        Derived data, deterministic per version: rewriting it is
+        idempotent, so a plain atomic rename suffices (no put-if-absent
+        needed) and it never conflicts with writers."""
+        v = self.version()
+        live, head = self._live(v)
+        cp = {
+            "version": v,
+            "live": live,
+            "schema": head["schema"],
+            "key_col": head["key_col"],
+        }
+        staged = os.path.join(_log_dir(self.root), f"_tmp_cp_{uuid.uuid4().hex}")
+        with open(staged, "w") as f:
+            json.dump(cp, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(
+            staged, os.path.join(_log_dir(self.root), f"checkpoint-{v:0{_VERSION_DIGITS}d}.json")
+        )
+        return v
 
     # -- read ----------------------------------------------------------
     def snapshot(self, version: int | None = None) -> DataFrame:
@@ -209,17 +262,54 @@ class TxTable:
                     ) from None
                 version += 1  # append: commutes, rebase and retry
 
-    def append(self, df: DataFrame) -> int:
-        """Atomic append; auto-rebases (appends conflict with nothing)."""
+    def append(self, df: DataFrame, *, merge_schema: bool = False) -> int:
+        """Atomic append; auto-rebases (appends conflict with nothing).
+
+        Schema evolution: with ``merge_schema=True``, columns of ``df``
+        not in the table schema WIDEN it (appended to the head schema;
+        old files read back with nulls in the new columns — the
+        parquet-with-explicit-schema contract), and the commit carries
+        the widened schema so every later snapshot sees it.  Same-name
+        columns must keep their type (type changes raise).  Without
+        the flag, a frame with unknown columns raises — silent schema
+        drift is how 100 TB tables rot.
+
+        Known limit (documented, not hidden): each commit records the
+        FULL schema, so two CONCURRENT widening appends are
+        last-writer-wins on the schema (the loser's column stays in
+        its files but leaves the visible schema until re-widened);
+        sequential widenings compose fine.  Full concurrent-evolution
+        merge needs schema-delta commits — out of scope with the other
+        ceilings in the module docstring."""
+        from pyspark.sql.types import StructType
+
         v = self.version()
+        _, head = self._live(v)
+        table_schema = StructType.fromJson(json.loads(head["schema"]))
+        by_name = {f.name: f for f in table_schema.fields}
+        extra = [f for f in df.schema.fields if f.name not in by_name]
+        for f in df.schema.fields:
+            if f.name in by_name and f.dataType != by_name[f.name].dataType:
+                raise ValueError(
+                    f"column {f.name!r} type change "
+                    f"{by_name[f.name].dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()} is not supported"
+                )
+        if extra and not merge_schema:
+            raise ValueError(
+                f"append frame has columns not in the table schema "
+                f"({[f.name for f in extra]}); pass merge_schema=True to widen"
+            )
+        new_schema = (
+            StructType(table_schema.fields + extra) if extra else table_schema
+        )
         adds = _write_data_files(df, self.root, self._key_col())
-        head = self._commits()[-1]
         return self._try_commit(
             {
                 "operation": "append",
                 "add": adds,
                 "remove": [],
-                "schema": head["schema"],
+                "schema": new_schema.json(),
                 "key_col": self._key_col(),
             },
             read_version=v,

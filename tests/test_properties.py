@@ -229,3 +229,83 @@ def test_cap_per_group_keeps_min_of_cap_and_group_size(spark, rows, cap):
         assert sizes[g] == min(cap, n), (g, sizes[g], n, cap)
     again = cap_per_group(df, "source", "doc_id", max_rows=cap).collect()
     assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(
+            # (op, keys, payload)
+            st.tuples(
+                st.just("append"),
+                st.lists(st.integers(0, 49), min_size=1, max_size=5, unique=True),
+            ),
+            st.tuples(
+                st.just("merge"),
+                st.lists(st.integers(0, 59), min_size=1, max_size=5, unique=True),
+            ),
+            st.tuples(
+                st.just("delete_even"),
+                st.just([]),
+            ),
+            st.tuples(st.just("compact"), st.just([])),
+            st.tuples(st.just("checkpoint"), st.just([])),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_txtable_model_based(spark, ops):
+    """Model-based check for the transactional table: a random sequence
+    of append/merge/delete/compact/checkpoint against TxTable must
+    agree with a plain Python dict model after EVERY operation.
+    Catches cross-operation interactions (merge after compact,
+    checkpoint mid-history, delete of merged keys) that single-op
+    tests cannot."""
+    import shutil
+    import tempfile
+
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    root = tempfile.mkdtemp(prefix="aas_txmodel_")
+    try:
+        seed = [(k, float(k)) for k in range(10)]
+        t = TxTable.create(
+            spark,
+            spark.createDataFrame(seed, "k long, v double"),
+            root,
+            key_col="k",
+        )
+        model = dict(seed)
+        step = 0
+        for op, keys in ops:
+            step += 1
+            if op == "append":
+                # appends must be fresh keys (MERGE precondition: keys
+                # unique per side) — offset into a disjoint range per step
+                fresh = [k + 1000 * step for k in keys]
+                t.append(
+                    spark.createDataFrame(
+                        [(k, float(-k)) for k in fresh], "k long, v double"
+                    )
+                )
+                model.update({k: float(-k) for k in fresh})
+            elif op == "merge":
+                t.merge(
+                    spark.createDataFrame(
+                        [(k, float(k * 100 + step)) for k in keys],
+                        "k long, v double",
+                    )
+                )
+                model.update({k: float(k * 100 + step) for k in keys})
+            elif op == "delete_even":
+                t.delete("k % 2 = 0")
+                model = {k: v for k, v in model.items() if k % 2 != 0}
+            elif op == "compact":
+                t.compact(target_files=1)
+            elif op == "checkpoint":
+                t.checkpoint()
+            got = {r.k: r.v for r in t.snapshot().collect()}
+            assert got == model, f"diverged after step {step} ({op})"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -331,3 +331,59 @@ def test_change_feed_drives_incremental_rollup(spark, root):
     )
     assert got == want
     base.unpersist()
+
+
+def test_checkpoint_resolves_identically(spark, root):
+    """A checkpoint changes resolution cost, never results: snapshot,
+    files, time travel and post-checkpoint commits all agree with the
+    checkpoint-free replay."""
+    t = _mk(spark, root, n=50, files=2)
+    t.append(
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("v"), F.lit("a").alias("tag")
+        )
+    )
+    t.merge(spark.createDataFrame([(1, -1.0, "m")], "k long, v double, tag string"))
+    pre_files = sorted(m["path"] for m in t.files())
+    pre_rows = sorted(r.k for r in t.snapshot().collect())
+
+    cp_v = t.checkpoint()
+    assert cp_v == 2
+    assert sorted(m["path"] for m in t.files()) == pre_files
+    assert sorted(r.k for r in t.snapshot().collect()) == pre_rows
+    # time travel BEFORE the checkpoint still replays the raw log
+    assert t.snapshot(0).count() == 50
+    # commits after the checkpoint replay on top of it
+    t.append(
+        spark.range(200, 210).select(
+            F.col("id").alias("k"), F.lit(2.0).alias("v"), F.lit("b").alias("tag")
+        )
+    )
+    assert t.snapshot().count() == 80
+    assert t.snapshot().filter("v = -1.0").count() == 1
+
+
+def test_schema_evolution_on_append(spark, root):
+    t = _mk(spark, root, n=10, files=1)
+    wide = spark.range(100, 105).select(
+        F.col("id").alias("k"),
+        F.lit(0.0).alias("v"),
+        F.lit("w").alias("tag"),
+        F.lit("extra").alias("note"),
+    )
+    # unknown column without the flag -> explicit error, no commit
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(wide)
+    assert t.version() == 0
+    t.append(wide, merge_schema=True)
+    snap = t.snapshot()
+    assert [f.name for f in snap.schema.fields] == ["k", "v", "tag", "note"]
+    # old rows read back with nulls in the new column
+    assert snap.filter("note IS NULL").count() == 10
+    assert snap.filter("note = 'extra'").count() == 5
+    # type change always refuses
+    bad = spark.range(1).select(
+        F.col("id").alias("k"), F.lit("oops").alias("v"), F.lit("t").alias("tag")
+    )
+    with pytest.raises(ValueError, match="type change"):
+        t.append(bad, merge_schema=True)
