@@ -771,6 +771,13 @@ def apply_mixture(
     seed reproduces the same sample on any cluster (hash sampling, not
     RNG).  At 100 TB the output feeds ``write.partitionBy`` /
     bucketing directly.
+
+    Round-6 portability upgrade: the bucket hash is the same
+    Lehmer-style multiplicative hash the stratified sampler and quota
+    cap use (plain BIGINT arithmetic, max intermediate < 2^47 — no
+    ANSI overflow) instead of xxhash64, and the threshold rounds
+    half-up — so WHICH rows survive is reproducible in ANY engine and
+    q_mix_apply is oracle-checked, not just statistically tested.
     """
     per_src = df.groupBy(source_col).agg(
         F.sum(F.size(_tokens("text"))).alias("__n_tokens")
@@ -786,22 +793,56 @@ def apply_mixture(
             (F.col("__total") / F.col("__n_src")) / F.col("__n_tokens"),
         ).alias("__weight"),
     )
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    m31 = F.lit(2147483647)
+    bucket = (
+        ((F.col(id_col) % m31) * F.lit(48271) + F.lit(seed)) % m31
+    ) % F.lit(1_000_000)
     return (
         df.join(F.broadcast(weights), source_col)
-        .filter(bucket < (F.col("__weight") * 1_000_000).cast("long"))
+        .filter(
+            bucket
+            < F.floor(F.col("__weight") * 1_000_000 + F.lit(0.5)).cast("long")
+        )
         .drop("__weight")
     )
 
 
-@declared("q_mix_apply")
+@declared(
+    "q_mix_apply",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(lower(text), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS DOUBLE) AS n_src
+      FROM per_src
+    ), w AS (
+      SELECT source,
+             least(CAST(1.0 AS DOUBLE), (total / n_src) / n_tokens) AS weight
+      FROM per_src CROSS JOIN tot
+    ), kept AS (
+      SELECT d.source
+      FROM documents d JOIN w USING (source)
+      WHERE ((d.doc_id % 2147483647) * 48271 + 42) % 2147483647 % 1000000
+            < CAST(floor(weight * 1000000 + 0.5) AS BIGINT)
+    )
+    SELECT a.source, a.n_docs, COALESCE(b.n_kept, 0) AS n_kept
+    FROM (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source) a
+    LEFT JOIN (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source) b
+      USING (source)
+    """,
+)
 def q_mix_apply(spark, sf_dir):
-    """Mixture application rollup (rows-only: hash sampling is
-    engine-specific): per-source kept-vs-total doc counts after
-    materializing the token-equalizing mixture.  The statistical
-    contract (kept fraction tracks the computed weight; full-weight
-    sources keep everything; determinism across runs) is pinned by
-    tests/test_curation.py."""
+    """Mixture application rollup, ORACLE-CHECKED (round-6 upgrade from
+    rows-only): per-source kept-vs-total doc counts after materializing
+    the token-equalizing mixture.  The portable Lehmer bucket hash +
+    half-up threshold make WHICH rows survive identical across engines,
+    so the oracle pins the exact kept set — the statistical contract
+    (kept fraction tracks weight; full-weight sources keep everything;
+    determinism) remains pinned by tests/test_curation.py."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     kept = apply_mixture(d)

@@ -180,10 +180,20 @@ def q_sink_bucketed(spark, sf_dir):
     )
 
 
-@declared("q_source_json")
+@declared(
+    "q_source_json",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, CAST(MIN(event_id) AS BIGINT) AS min_id
+    FROM events GROUP BY event_type
+    """,
+)
 def q_source_json(spark, sf_dir):
-    """B2 (rows-only): JSON round-trip — events -> JSON-lines on disk ->
-    schema-applied read-back -> per-type counts."""
+    """B2, ORACLE-CHECKED (round-6 upgrade from rows-only): JSON
+    round-trip — events -> JSON-lines on disk -> schema-applied
+    read-back -> per-type counts.  Differentially checkable because
+    the round-trip is lossless for these columns (ids/strings exact;
+    the aggregate uses only them), so the oracle computes the same
+    aggregate straight from the source table."""
     ensure_engine_conf(spark)
     out = os.path.join(tempfile.gettempdir(), "aas_source_json")
     e = scan(spark, sf_dir, "events").select(

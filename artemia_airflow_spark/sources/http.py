@@ -132,11 +132,27 @@ def _canned_fetch(url: str) -> str:
     return json.dumps({"workflow_runs": runs})
 
 
-@declared("q_source_http")
+@declared(
+    "q_source_http",
+    oracle="""
+    WITH runs AS (
+      SELECT p * 100 + i AS id,
+             CASE WHEN i % 3 <> 0 THEN 'completed' ELSE 'in_progress' END
+               AS status
+      FROM range(1, 4) t(p), range(10) u(i)
+    )
+    SELECT status, CAST(MAX(id) AS BIGINT) AS latest_id, COUNT(*) AS n
+    FROM runs GROUP BY status
+    """,
+)
 def q_source_http(spark, sf_dir):
-    """B3 (rows-only): paged HTTP JSON source with canned transport —
-    top-1-by-recency per status (the reference's per_page=1 pattern,
-    dags/update_tr_from_ex_dag.py:53,63)."""
+    """B3, ORACLE-CHECKED (round-6 upgrade from rows-only): paged HTTP
+    JSON source with canned transport — top-1-by-recency per status
+    (the reference's per_page=1 pattern,
+    dags/update_tr_from_ex_dag.py:53,63).  The canned pages are pure
+    arithmetic in (page, i), so the oracle REGENERATES them in SQL and
+    the hash match certifies the whole fetch→parse→schema→aggregate
+    path against an independent expectation."""
     ensure_engine_conf(spark)
     df = http_json_source(
         spark,
@@ -151,11 +167,29 @@ def q_source_http(spark, sf_dir):
     )
 
 
-@declared("q_source_http_ds")
+@declared(
+    "q_source_http_ds",
+    oracle="""
+    WITH runs AS (
+      SELECT p * 100 + i AS id,
+             CASE WHEN i % 3 <> 0 THEN 'completed' ELSE 'in_progress' END
+               AS status,
+             CASE WHEN i % 2 <> 0 THEN 'success' ELSE 'failure' END
+               AS conclusion
+      FROM range(1, 4) t(p), range(10) u(i)
+    )
+    SELECT status, conclusion, CAST(MAX(id) AS BIGINT) AS latest_id,
+           COUNT(*) AS n
+    FROM runs GROUP BY status, conclusion
+    """,
+)
 def q_source_http_ds(spark, sf_dir):
-    """B3 (rows-only): same read through the Spark 4 Python DataSource
-    (``format("httpjson")``) — page fetches run executor-side, one
-    input partition per page (sources/http_datasource.py)."""
+    """B3, ORACLE-CHECKED (round-6 upgrade from rows-only): same read
+    through the Spark 4 Python DataSource (``format("httpjson")``) —
+    page fetches run executor-side, one input partition per page
+    (sources/http_datasource.py).  Oracle regenerates the canned pages
+    arithmetically, certifying partitions() fan-out + read() parsing
+    end-to-end."""
     ensure_engine_conf(spark)
     from artemia_airflow_spark.sources.http_datasource import register
 
