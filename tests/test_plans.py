@@ -267,3 +267,31 @@ def test_tpch_q6_pushes_every_predicate(spark):
     f = m.group(1)
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in f, (frag, f)
+
+
+def test_chunking_is_codegen_no_shuffle_no_python(spark):
+    """B90 scale claim: document chunking is a pure map-side codegen
+    pipeline — no Exchange (shuffle), no Python eval node, and the
+    scan reads only the two referenced columns."""
+    p = _formatted_plan(spark, "q_text_chunk")
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_stream_enrich_broadcasts_and_reads_minimal_dim(spark):
+    """B91 scale claim: the dimension side is broadcast (stream side
+    never shuffles for the join) and the dim scan is pruned to the
+    join key + attached columns."""
+    p = _formatted_plan(spark, "q_stream_enrich")
+    assert "BroadcastHashJoin" in p, p
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    dim_side = [s for s in m if "c_custkey" in s]
+    # pruned BELOW the operator's attach set: the query only consumes
+    # c_mktsegment, so Catalyst drops c_nationkey from the dim scan too
+    assert dim_side and {
+        c.split(":")[0] for c in dim_side[0].split(",")
+    } == {"c_custkey", "c_mktsegment"}
