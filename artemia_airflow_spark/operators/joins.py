@@ -147,3 +147,44 @@ def salted_join(
     )
     joined = l_salted.join(r_salted, [on, "__shard"], how)
     return joined.drop("__shard")
+
+
+def _register_queries() -> None:
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_join_salted",
+        oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """,
+    )
+    def q_join_salted(spark, sf_dir):
+        """Skew-salted equi-join, ORACLE-CHECKED: salting is a pure
+        execution-layer rewrite (key -> (key, deterministic shard),
+        right side replicated salt x), so the result must be
+        value-identical to the plain join — which is exactly what the
+        oracle runs.  A hash match certifies the whole salting
+        machinery (shard derivation, replica explode, shard-key join)
+        changes WHERE rows meet, never WHAT joins."""
+        ensure_engine_conf(spark)
+        o = scan(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+        c = scan(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        joined = salted_join(
+            o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", salt=8
+        )
+        return joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+
+
+_register_queries()

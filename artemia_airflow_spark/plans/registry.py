@@ -39,8 +39,9 @@ PRIORITY: list[str] = [
     "q_decontaminate_bloom", "q_sample_stratified",
     "q_embed_centroid", "q_sink_partitioned", "q_pipeline",
     # (a') new declared queries in round 6: ACID MERGE storage tier,
-    # overlapping document chunking, stream-static enrichment join
-    "q_merge_acid", "q_text_chunk", "q_stream_enrich",
+    # overlapping document chunking, stream-static enrichment join,
+    # skew-salted join certification
+    "q_merge_acid", "q_text_chunk", "q_stream_enrich", "q_join_salted",
     # (b) stale rows, last confirmed r1 (pre-regeneration fixtures)
     "q_agg_approx", "q_dedup_clusters", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_exact", "q_dedup_minhash",
@@ -93,6 +94,7 @@ def load_all_query_modules() -> None:
     import artemia_airflow_spark.operators.cdc  # noqa: F401
     import artemia_airflow_spark.operators.curation  # noqa: F401
     import artemia_airflow_spark.operators.dedup  # noqa: F401
+    import artemia_airflow_spark.operators.joins  # noqa: F401
     import artemia_airflow_spark.operators.multimodal  # noqa: F401
     import artemia_airflow_spark.operators.relational  # noqa: F401
     import artemia_airflow_spark.operators.relational2  # noqa: F401
