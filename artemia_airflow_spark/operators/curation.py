@@ -187,6 +187,66 @@ def q_mix_weights(spark, sf_dir):
     )
 
 
+@declared(
+    "q_mix_temperature",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(lower(text), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), m AS (
+      SELECT CAST(MAX(n_tokens) AS BIGINT) AS max_tokens FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT) AS sqrt_tokens_e6,
+           CAST(floor(sqrt(CAST(max_tokens AS DOUBLE) / n_tokens) * 1000000
+                      + 0.5) AS BIGINT) AS upsample_e6
+    FROM s, m
+    """,
+)
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-based mixture weights (sqrt / alpha=0.5 sampling —
+    the multilingual up-sampling schedule of the XLM-R family at its
+    engine-portable exponent): per-source unnormalized sampling mass
+    sqrt(n_tokens) and the up-sampling factor vs the HEAD source
+    sqrt(max_tokens/n_tokens), both as 1e6-scaled ints.
+
+    Engine-portability is the design constraint here: a general
+    pow(x, alpha) is not correctly rounded and differs across libm
+    implementations (a silent oracle divergence), but IEEE-754 sqrt IS
+    correctly rounded everywhere — and every other input is an exact
+    integer aggregate, so the doubles fed to sqrt are bit-identical in
+    both engines and no double SUM (partial-order-sensitive) appears
+    anywhere.  Consumers normalize sqrt_tokens_e6 to probabilities
+    client-side (|sources| rows).  Same two tiny shuffles as
+    q_mix_weights; the corpus is read once."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(_tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    m = s.agg(F.max("n_tokens").cast("bigint").alias("max_tokens"))
+    return s.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sqrt_tokens_e6"),
+        F.floor(
+            F.sqrt(F.col("max_tokens").cast("double") / F.col("n_tokens"))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("upsample_e6"),
+    )
+
+
 def substring_fingerprints(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 25, w: int = 16
 ) -> DataFrame:
