@@ -38,6 +38,7 @@ PRIORITY: list[str] = [
     # partitioned-sink / pipeline
     "q_decontaminate_bloom", "q_sample_stratified",
     "q_embed_centroid", "q_sink_partitioned", "q_pipeline",
+    "q_mix_apply",  # bucket hash switched to portable Lehmer in r6
     # (a') new declared queries in round 6: ACID MERGE storage tier,
     # overlapping document chunking, stream-static enrichment join,
     # skew-salted join certification
@@ -60,7 +61,7 @@ PRIORITY: list[str] = [
     "q_agg_hll", "q_agg_percentile", "q_dedup_semantic",
     "q_distinct_cols", "q_fn_date2", "q_fn_json", "q_fn_map",
     "q_fn_null", "q_fn_string2", "q_join_right", "q_length_buckets",
-    "q_merge_upsert", "q_mix_apply", "q_pack_sequences", "q_pandas_norm",
+    "q_merge_upsert", "q_pack_sequences", "q_pandas_norm",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"
