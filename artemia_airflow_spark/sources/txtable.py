@@ -120,11 +120,14 @@ class TxTable:
         return TxTable(spark, root)
 
     # -- log plumbing --------------------------------------------------
-    def _commits(self, upto: int | None = None) -> list[dict]:
-        names = sorted(
+    def _commit_names(self) -> list[str]:
+        return sorted(
             n for n in os.listdir(_log_dir(self.root)) if n.endswith(".json")
             and not n.startswith(("_tmp_", "checkpoint-"))
         )
+
+    def _commits(self, upto: int | None = None) -> list[dict]:
+        names = self._commit_names()
         commits = []
         for n in names:
             v = int(n[: -len(".json")])
@@ -137,7 +140,12 @@ class TxTable:
         return commits
 
     def version(self) -> int:
-        return len(self._commits()) - 1
+        # listdir-only (no json parse): the head version is the highest
+        # committed file name — O(#files) directory scan, not O(log) I/O
+        names = self._commit_names()
+        if not names:
+            raise ValueError(f"no commits at {self.root!r}")
+        return int(names[-1][: -len(".json")])
 
     def history(self) -> list[dict]:
         """One dict per commit: operation + files added/removed counts."""
@@ -167,7 +175,11 @@ class TxTable:
         """(live file metas, head commit) at ``version`` (default head).
         Replays from the newest checkpoint ≤ version when one exists, so
         resolution cost is O(commits since checkpoint), not O(log)."""
-        head_v = self.version() if version is None else version
+        actual_head = self.version()
+        head_v = actual_head if version is None else version
+        if head_v > actual_head or head_v < 0:
+            # same contract on both the checkpoint and raw-replay paths
+            raise ValueError(f"version {head_v} does not exist at {self.root!r}")
         cp = self._latest_checkpoint(head_v)
         if cp is None:
             commits = self._commits(upto=head_v)
@@ -236,29 +248,36 @@ class TxTable:
     def _key_col(self) -> str:
         return self._commits()[0]["key_col"]
 
+    # operations whose output depends on the SNAPSHOT they read (the
+    # read-set): update-vs-insert decisions, delete matching, live-set
+    # capture.  They must conflict on ANY collision — classifying by
+    # "did it remove files" is wrong because a merge that prunes ZERO
+    # files (pure-insert change set) still decided "insert" by
+    # observing those keys absent.
+    _READ_SET_OPS = frozenset({"merge", "delete", "overwrite", "compact", "cluster"})
+
     def _try_commit(self, commit: dict, *, read_version: int) -> int:
         """Optimistic commit: publish at read_version+1.  On collision,
-        APPENDS rebase freely (they remove nothing and add only
-        fresh-named files, so they commute with any concurrent commit);
-        REWRITES (merge/delete/overwrite — non-empty ``remove``) raise
-        :class:`CommitConflict` on ANY collision: a concurrent commit
-        may have added keys this operation's read-set decisions
-        (update-vs-insert, delete matching) should have seen, so the
-        only serializable answer is to re-run on the new head.  This is
+        APPENDS rebase freely (they remove nothing, add only
+        fresh-named files, and decide nothing from the snapshot — they
+        commute with any concurrent commit); READ-SET operations
+        (:attr:`_READ_SET_OPS`) raise :class:`CommitConflict` on ANY
+        collision: a concurrent commit may have added keys this
+        operation's decisions should have seen, so the only
+        serializable answer is to re-run on the new head.  This is
         strictly more conservative than Delta's WriteSerializable
         default — correctness over availability for the engine-owned
         tier."""
-        removed = set(commit["remove"])
         version = read_version + 1
         while True:
             try:
                 _publish(self.root, version, commit)
                 return version
             except FileExistsError:
-                if removed:
+                if commit["operation"] in self._READ_SET_OPS:
                     raise CommitConflict(
                         f"concurrent commit at version {version} invalidated "
-                        "this rewrite's snapshot — re-run against the new head"
+                        "this operation's snapshot — re-run against the new head"
                     ) from None
                 version += 1  # append: commutes, rebase and retry
 
@@ -319,7 +338,12 @@ class TxTable:
         return self._try_commit(commit, read_version=v)
 
     def overwrite(self, df: DataFrame) -> int:
-        live, head = self._live()
+        # capture read_version BEFORE resolving the live set and writing
+        # data files: a concurrent commit landing during the (slow) data
+        # write must surface as CommitConflict, not be silently kept
+        # alongside the "overwritten" table
+        read_version = self.version()
+        live, head = self._live(read_version)
         adds = _write_data_files(df, self.root, self._key_col())
         return self._try_commit(
             {
@@ -329,7 +353,7 @@ class TxTable:
                 "schema": df.schema.json(),
                 "key_col": self._key_col(),
             },
-            read_version=self.version(),
+            read_version=read_version,
         )
 
     def merge(self, changes: DataFrame, *, delete_col: str | None = None) -> int:
@@ -340,7 +364,7 @@ class TxTable:
         file's range become inserts in the rewritten output."""
         key = self._key_col()
         read_version = self.version()
-        live, head = self._live()
+        live, head = self._live(read_version)
 
         stats_rows = [
             (m["path"], m["key_min"], m["key_max"])
@@ -370,13 +394,19 @@ class TxTable:
             touched = set()
         touched |= {m["path"] for m in unstatted}  # no stats -> conservative
 
+        from pyspark.sql.types import StructType
+
+        # schema comes from the head commit already in hand — a second
+        # _live() replay via snapshot() just to read .schema is wasted
+        # log I/O on the hot merge path
+        table_schema = StructType.fromJson(json.loads(head["schema"]))
         touched_metas = [m for m in live if m["path"] in touched]
         if touched_metas:
-            base = self.spark.read.schema(
-                self.snapshot().schema
-            ).parquet(*[os.path.join(self.root, m["path"]) for m in touched_metas])
+            base = self.spark.read.schema(table_schema).parquet(
+                *[os.path.join(self.root, m["path"]) for m in touched_metas]
+            )
         else:
-            base = self.snapshot().limit(0)
+            base = self.spark.createDataFrame([], table_schema)
         merged = merge_upsert(base, changes, key, delete_col=delete_col)
         adds = _write_data_files(merged, self.root, key)
         return self._try_commit(
@@ -396,8 +426,8 @@ class TxTable:
         rows — the Delta-published shape for deletes without per-column
         stats on the predicate columns."""
         read_version = self.version()
-        live, head = self._live()
-        snap = self.snapshot()
+        live, head = self._live(read_version)
+        snap = self.snapshot(read_version)
         hit_files = {
             os.path.basename(r.f)
             for r in snap.filter(predicate)
@@ -411,7 +441,12 @@ class TxTable:
         base = self.spark.read.schema(snap.schema).parquet(
             *[os.path.join(self.root, m["path"]) for m in touched]
         )
-        kept = base.filter(f"NOT ({predicate})")
+        # keep every row the predicate does NOT match — including rows
+        # where it evaluates to NULL.  A plain NOT(pred) filter drops
+        # NULL-evaluating rows (NOT(NULL) is NULL), silently deleting
+        # rows the delete never matched; DELETE semantics remove only
+        # rows where the predicate is TRUE.
+        kept = base.filter(f"NOT coalesce(({predicate}), false)")
         adds = _write_data_files(kept, self.root, self._key_col())
         return self._try_commit(
             {
@@ -427,13 +462,21 @@ class TxTable:
     # -- streaming sink -------------------------------------------------
     def committed_stream_batches(self, sink_id: str) -> set[int]:
         """Batch ids already committed by :func:`stream_to_txtable` for
-        ``sink_id`` (scans commit metadata — O(commits), metadata-sized)."""
-        out = set()
-        for c in self._commits():
-            m = c.get("meta") or {}
+        ``sink_id``.  Incrementally cached per handle: only commit files
+        NEWER than the last scan are parsed, so a long-running stream's
+        per-batch idempotence check is O(new commits), not O(log) —
+        without the cache a 10k-batch stream would re-parse the whole
+        log every micro-batch (quadratic total work)."""
+        cache = self.__dict__.setdefault("_batch_cache", {})
+        scanned_upto, known = cache.get(sink_id, (-1, set()))
+        head = self.version()
+        for v in range(scanned_upto + 1, head + 1):
+            with open(_version_path(self.root, v)) as f:
+                m = json.load(f).get("meta") or {}
             if m.get("sink_id") == sink_id and "batch_id" in m:
-                out.add(int(m["batch_id"]))
-        return out
+                known.add(int(m["batch_id"]))
+        cache[sink_id] = (head, known)
+        return set(known)
 
     # -- incremental consumption ---------------------------------------
     def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
@@ -446,7 +489,12 @@ class TxTable:
         merge-rewritten files — a rewritten file mixes carried-forward
         and changed rows, which is exactly the granularity a file-level
         log can attest; row-level CDF needs write-path row tracking,
-        out of scope as documented above)."""
+        out of scope as documented above).  Commits marked
+        ``data_change: false`` (compact/cluster — pure physical
+        rewrites) are SKIPPED: their added files re-contain the whole
+        table with zero logical change, and emitting them would make
+        every incremental consumer double-count the table after each
+        compaction (the Delta CDF dataChange=false behavior)."""
         from functools import reduce
 
         from pyspark.sql.types import StructType
@@ -460,6 +508,8 @@ class TxTable:
         parts = []
         for v in range(since_version + 1, len(commits)):
             c = commits[v]
+            if c.get("data_change") is False:
+                continue  # physical-only rewrite: no logical change
             paths = [os.path.join(self.root, a["path"]) for a in c["add"]]
             if not paths:
                 continue
@@ -492,10 +542,10 @@ class TxTable:
         versions still time-travel until vacuum.  No-op (no commit)
         below ``min_files``."""
         read_version = self.version()
-        live, head = self._live()
+        live, head = self._live(read_version)
         if len(live) < min_files:
             return read_version
-        snap = self.snapshot().repartition(target_files)
+        snap = self.snapshot(read_version).repartition(target_files)
         adds = _write_data_files(snap, self.root, self._key_col())
         return self._try_commit(
             {
@@ -504,6 +554,7 @@ class TxTable:
                 "remove": [m["path"] for m in live],
                 "schema": head["schema"],
                 "key_col": self._key_col(),
+                "data_change": False,  # physical rewrite: changes() skips it
             },
             read_version=read_version,
         )
@@ -519,10 +570,10 @@ class TxTable:
         with a single key) — at 100 TB, clustering cost amortizes over
         every subsequent merge.  Commits like any rewrite."""
         read_version = self.version()
-        live, head = self._live()
+        live, head = self._live(read_version)
         key = self._key_col()
         snap = (
-            self.snapshot()
+            self.snapshot(read_version)
             .repartitionByRange(num_files, F.col(key))
             .sortWithinPartitions(key)
         )
@@ -534,30 +585,45 @@ class TxTable:
                 "remove": [m["path"] for m in live],
                 "schema": head["schema"],
                 "key_col": key,
+                "data_change": False,  # physical rewrite: changes() skips it
             },
             read_version=read_version,
         )
 
-    def vacuum(self) -> list[str]:
-        """Delete data files no commit references anymore (rewritten or
-        orphaned by a dead writer) plus staged-commit orphans.  Safe for
-        snapshot readers of the CURRENT head; time travel to versions
-        whose files were vacuumed stops working (same contract Delta
-        documents for VACUUM)."""
-        referenced = {
-            a["path"] for c in self._commits() for a in c["add"]
-        }
+    def vacuum(self, *, retention_sec: float = 3600.0) -> list[str]:
+        """Delete non-live data files and staged-commit orphans OLDER
+        than ``retention_sec`` (rewritten-away files and dead writers'
+        leftovers).  Safe for snapshot readers of the CURRENT head;
+        time travel to versions whose files were vacuumed stops working
+        (the contract Delta documents for VACUUM).
+
+        The retention window is the live-writer guard: an IN-FLIGHT
+        commit stages its data files into the root BEFORE publishing
+        its log entry, so a zero-retention vacuum racing it would
+        delete files the about-to-publish commit references — a
+        committed-but-unreadable table.  Default 1 h bounds that window
+        far above any real commit's write time (Delta defaults to 7
+        days for the same reason); pass ``retention_sec=0`` only when
+        no writer can be active (tests, offline maintenance)."""
+        import time
+
         live = {m["path"] for m in self._live()[0]}
+        cutoff = time.time() - retention_sec
         removed = []
         for n in os.listdir(self.root):
-            if n.endswith(".parquet") and n not in live:
-                os.remove(os.path.join(self.root, n))
+            p = os.path.join(self.root, n)
+            if (
+                n.endswith(".parquet")
+                and n not in live
+                and os.path.getmtime(p) <= cutoff
+            ):
+                os.remove(p)
                 removed.append(n)
         for n in os.listdir(_log_dir(self.root)):
-            if n.startswith("_tmp_"):
-                os.remove(os.path.join(_log_dir(self.root), n))
+            p = os.path.join(_log_dir(self.root), n)
+            if n.startswith("_tmp_") and os.path.getmtime(p) <= cutoff:
+                os.remove(p)
                 removed.append(f"_log/{n}")
-        del referenced  # kept for clarity: live ⊆ referenced
         return removed
 
 
@@ -725,10 +791,15 @@ def stream_to_txtable(
             batch_df, meta={"sink_id": sink_id, "batch_id": int(batch_id)}
         )
 
+    # append mode, deliberately: this is an append-only sink, and with
+    # an aggregating stream_df "update" mode would hand foreachBatch the
+    # RE-EMITTED rows of every changed key each micro-batch — appended
+    # as duplicates while the function claims exactly-once.  Append mode
+    # makes Spark reject unsupported aggregation shapes up front.
     q = (
         stream_df.writeStream.foreachBatch(commit_batch)
         .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

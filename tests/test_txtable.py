@@ -181,7 +181,7 @@ def test_torn_writer_is_invisible(spark, root):
 
     assert t.snapshot().count() == 10  # orphan invisible
     assert t.version() == 0
-    swept = t.vacuum()
+    swept = t.vacuum(retention_sec=0)
     assert "part-deadbeef.parquet" in swept
     assert "_log/_tmp_dead.json" in swept
     assert t.snapshot().count() == 10
@@ -191,7 +191,7 @@ def test_vacuum_keeps_live_files(spark, root):
     t = _mk(spark, root, n=100, files=4)
     ch = spark.createDataFrame([(1, -1.0, "a")], "k long, v double, tag string")
     t.merge(ch)
-    swept = t.vacuum()  # rewritten-away files are swept
+    swept = t.vacuum(retention_sec=0)  # rewritten-away files are swept
     assert swept
     assert t.snapshot().count() == 100  # head intact
     with pytest.raises(Exception):
@@ -439,3 +439,102 @@ def test_stream_to_txtable_exactly_once(spark, root, tmp_path):
     commit_batch(t.snapshot().limit(5), dup_batch)
     assert t.version() == v_before, "redelivered batch must be a no-op"
     del _m
+
+
+def test_delete_keeps_null_predicate_rows(spark, root):
+    """Code-review regression (r6): DELETE removes only rows where the
+    predicate is TRUE — rows where it evaluates to NULL must survive
+    the rewrite (a plain NOT(pred) filter silently dropped them)."""
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, None, "b"), (3, 20.0, "c")],
+        "k long, v double, tag string",
+    )
+    t = TxTable.create(spark, df, root, key_col="k")
+    t.delete("v > 10")
+    rows = {r.k for r in t.snapshot().collect()}
+    assert rows == {1, 2}, rows  # k=2 (NULL predicate) survives
+
+
+def test_compact_is_invisible_to_change_feed(spark, root):
+    """Code-review regression (r6): compact/cluster are physical-only
+    rewrites (data_change=false) — the change feed must skip them, or
+    every incremental consumer double-counts the table after each
+    compaction."""
+    t = _mk(spark, root, n=50, files=4)
+    v0 = t.version()
+    t.append(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"),
+            F.lit(1.0).alias("v"),
+            F.lit("a").alias("tag"),
+        )
+    )
+    t.compact(target_files=1)
+    t.cluster(num_files=2)
+    feed = t.changes(v0)
+    assert feed.count() == 10  # only the appended rows, not 2x60 rewrites
+    assert {r._change_type for r in feed.select("_change_type").distinct().collect()} == {"insert"}
+
+
+def test_zero_prune_merge_conflicts_not_rebases(spark, root):
+    """Code-review regression (r6): a merge whose change keys prune ZERO
+    files (pure-insert change set) still made its insert decision from
+    the snapshot — on collision it must raise CommitConflict, never
+    silently rebase past a concurrent commit that may hold those keys."""
+    t = _mk(spark, root, n=20, files=1)
+    with pytest.raises(CommitConflict):
+        t._try_commit(
+            {
+                "operation": "merge",
+                "add": [],
+                "remove": [],  # zero files pruned
+                "schema": t._commits()[-1]["schema"],
+                "key_col": "k",
+            },
+            read_version=t.version() - 1,  # stale snapshot
+        )
+
+
+def test_overwrite_conflicts_on_concurrent_commit(spark, root):
+    """Code-review regression (r6): overwrite captures its read version
+    BEFORE writing data files, so a commit landing mid-write surfaces
+    as CommitConflict instead of surviving the 'overwrite'."""
+    t = _mk(spark, root, n=10, files=1)
+    df_new = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(9.0).alias("v"), F.lit("o").alias("tag")
+    )
+    # simulate: another writer commits between overwrite's read and publish
+    import artemia_airflow_spark.sources.txtable as mod
+
+    saved = mod._write_data_files
+    raced = []
+
+    def racing_write(df, root_, key_col):
+        adds = saved(df, root_, key_col)
+        if not raced:  # fire the race exactly once (nested append reuses it)
+            raced.append(True)
+            TxTable(spark, root_).append(
+                spark.range(500, 505).select(
+                    F.col("id").alias("k"),
+                    F.lit(0.0).alias("v"),
+                    F.lit("x").alias("tag"),
+                )
+            )
+        return adds
+
+    mod._write_data_files = racing_write
+    try:
+        with pytest.raises(CommitConflict):
+            t.overwrite(df_new)
+    finally:
+        mod._write_data_files = saved
+
+
+def test_vacuum_retention_spares_fresh_files(spark, root):
+    """Code-review regression (r6): vacuum's retention window spares
+    recently-written non-live files — the in-flight-writer guard."""
+    t = _mk(spark, root, n=20, files=1)
+    ch = spark.createDataFrame([(1, -1.0, "a")], "k long, v double, tag string")
+    t.merge(ch)  # old file becomes non-live, but was JUST written
+    assert t.vacuum() == []  # default 1h retention: nothing swept
+    assert t.vacuum(retention_sec=0) != []  # explicit zero sweeps it
