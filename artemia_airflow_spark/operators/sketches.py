@@ -1,0 +1,174 @@
+"""Mergeable quantile sketch (B92): bounded-error percentiles whose
+partial state merges associatively — the quantile analogue of the HLL
+rollup (B61, relational2.py) for 100 TB dashboards.
+
+Exact percentiles need a global sort (or Spark's approx_percentile,
+whose internal GK sketch is not exposed as a mergeable COLUMN you can
+store and fold later).  This module uses the classic fixed-bin
+histogram sketch in RELATIONAL form: the partial state for a group is
+its (bin, count) rows — integer counts, so merging partials is
+union + sum (exact, associative, order-independent), and a day's 100 TB
+partition folds into a running rollup without rescanning history
+(pair with merge_rollup, operators/cdc.py).  Quantile estimates
+interpolate within the crossing bin; the error is bounded by one bin
+width of the declared [lo, hi) domain — a QUANTIFIED guarantee
+(tests/test_accuracy.py) rather than a black-box approximation.
+
+Every step is codegen expressions over exact integers (bin ids,
+counts) and deterministic double arithmetic derived from them, so the
+declared query is ORACLE-CHECKED — DuckDB reproduces the identical
+histogram and interpolation bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_partials(
+    df: DataFrame, value_col: str, group_cols: list[str], *,
+    lo: float, hi: float, bins: int = 256,
+) -> DataFrame:
+    """Per-group histogram partial state: (group..., bin, cnt) rows.
+
+    ``bin`` 0..bins-1 covers [lo, hi) uniformly; values outside clamp
+    into the edge bins (so totals are preserved — the estimate for
+    quantiles that land there degrades to the domain edge, which is
+    the documented contract of a bounded-domain sketch).  One
+    map-side-combined shuffle of at most |groups| x bins rows."""
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / bins
+    bin_col = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        df.select(*group_cols, bin_col.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def merge_histogram_partials(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold two partial states: union + sum (exact integer counts —
+    associative and order-independent at any partitioning)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def quantile_estimate(
+    partials: DataFrame, group_cols: list[str], q: float, *,
+    lo: float, hi: float, bins: int = 256, out_col: str = "quantile_est",
+) -> DataFrame:
+    """Per-group quantile estimate from partial state.
+
+    Deterministic crossing rule: target rank r = max(1, ceil(q * n))
+    (exact integers), the estimate interpolates inside the first bin
+    whose cumulative count reaches r:
+        est = lo + (bin + (r - cum_before) / cnt) * width
+    All inputs to the double arithmetic are exact integers, so the
+    result is bit-identical across engines and partitionings.  Error
+    bound: |est - true quantile| <= (hi-lo)/bins for in-domain values.
+    """
+    width = (hi - lo) / bins
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = Window.partitionBy(*group_cols)
+    cum = partials.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(totals).alias("n"),
+    )
+    r = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("bigint"))
+    crossing = cum.filter(F.col("cum") >= r).withColumn(
+        "__rk",
+        F.row_number().over(Window.partitionBy(*group_cols).orderBy("bin")),
+    ).filter(F.col("__rk") == 1)
+    frac = (r - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt")
+    return crossing.select(
+        *group_cols,
+        (F.lit(lo) + (F.col("bin") + frac) * F.lit(width)).alias(out_col),
+    )
+
+
+def _register_queries() -> None:
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    LO, HI, BINS = 0.0, 600_000.0, 256
+
+    @declared(
+        "q_quantile_sketch",
+        oracle=f"""
+        WITH part AS (
+          SELECT o_orderpriority,
+                 least({BINS - 1}, greatest(0,
+                   CAST(floor(CAST(o_totalprice AS DOUBLE)
+                              / ({HI!r} / {BINS})) AS INT))) AS bin,
+                 COUNT(*) AS cnt
+          FROM orders GROUP BY 1, 2
+        ), cum AS (
+          SELECT o_orderpriority, bin, cnt,
+                 SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+          FROM part
+        ), est AS (
+          SELECT o_orderpriority, CAST(qq AS DOUBLE) AS q,
+                 CAST(0.0 + (bin + CAST(greatest(1, CAST(ceil(qq * n) AS BIGINT))
+                                        - (cum - cnt) AS DOUBLE) / cnt)
+                      * ({HI!r} / {BINS}) AS DOUBLE) AS est,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority, qq
+                                    ORDER BY bin) AS rk
+          FROM cum CROSS JOIN (VALUES (0.5), (0.95)) t(qq)
+          WHERE cum >= greatest(1, CAST(ceil(qq * n) AS BIGINT))
+        )
+        SELECT o_orderpriority, q,
+               CAST(floor(est * 100 + 0.5) AS BIGINT) AS est_cents
+        FROM est WHERE rk = 1
+        """,
+    )
+    def q_quantile_sketch(spark, sf_dir):
+        """B92, ORACLE-CHECKED: p50/p95 of o_totalprice per order
+        priority estimated from the mergeable fixed-bin histogram
+        sketch — the partial state a 100 TB rollup would store and
+        fold daily.  Estimates are emitted as cents-scaled ints; the
+        oracle reproduces the identical histogram + crossing-rule
+        interpolation (exact integer counts -> deterministic doubles),
+        and the merge/accuracy properties are pinned separately in
+        tests (partials(half1) + partials(half2) == partials(all);
+        |est - exact percentile| <= bin width)."""
+        ensure_engine_conf(spark)
+        o = scan(spark, sf_dir, "orders")
+        part = histogram_partials(
+            o, "o_totalprice", ["o_orderpriority"], lo=LO, hi=HI, bins=BINS
+        )
+        ests = [
+            quantile_estimate(
+                part, ["o_orderpriority"], q, lo=LO, hi=HI, bins=BINS
+            ).withColumn("q", F.lit(q))
+            for q in (0.5, 0.95)
+        ]
+        out = ests[0].unionByName(ests[1])
+        return out.select(
+            "o_orderpriority",
+            "q",
+            F.floor(F.col("quantile_est") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("est_cents"),
+        )
+
+
+_register_queries()

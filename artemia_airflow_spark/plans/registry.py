@@ -43,7 +43,7 @@ PRIORITY: list[str] = [
     # overlapping document chunking, stream-static enrichment join,
     # skew-salted join certification
     "q_merge_acid", "q_text_chunk", "q_stream_enrich", "q_join_salted",
-    "q_mix_temperature",
+    "q_mix_temperature", "q_quantile_sketch",
     # (b) stale rows, last confirmed r1 (pre-regeneration fixtures)
     "q_agg_approx", "q_dedup_clusters", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_exact", "q_dedup_minhash",
@@ -101,6 +101,7 @@ def load_all_query_modules() -> None:
     import artemia_airflow_spark.operators.relational  # noqa: F401
     import artemia_airflow_spark.operators.relational2  # noqa: F401
     import artemia_airflow_spark.operators.similarity  # noqa: F401
+    import artemia_airflow_spark.operators.sketches  # noqa: F401
     import artemia_airflow_spark.operators.text  # noqa: F401
     import artemia_airflow_spark.pipelines.analytics_demo  # noqa: F401
     import artemia_airflow_spark.sources.files  # noqa: F401

@@ -220,3 +220,90 @@ def test_lsh_candidate_pair_count_pinned(spark):
         .count()
     )
     assert n_pairs == 28, f"LSH candidate set changed: {n_pairs} pairs (was 28)"
+
+
+def test_bloom_fpp_tracks_theory(spark):
+    """B81 accuracy floor: the Bloom decontamination tier's empirical
+    false-positive rate on a DISJOINT probe corpus must stay within
+    ~2.5x of the theoretical (1 - e^(-kn/m))^k bound (loose factor for
+    double-hashing positional correlation + small-sample noise).  With
+    the test sizing (n~6k grams, m=2^17, k=5) theory gives ~7.6% —
+    small enough m to make FPP measurable, large enough that the test
+    is stable."""
+    import math
+
+    from artemia_airflow_spark.operators.curation import decontaminate_bloom
+
+    # disjoint vocabularies -> every bloom hit on train is a false positive
+    eval_docs = spark.createDataFrame(
+        [(i, " ".join(f"ev{i}_{j}" for j in range(40))) for i in range(150)],
+        "doc_id long, text string",
+    )
+    train_docs = spark.createDataFrame(
+        [(i, " ".join(f"tr{i}_{j}" for j in range(40))) for i in range(400)],
+        "doc_id long, text string",
+    )
+    num_bits = 1 << 17
+    k = 5
+    flagged = decontaminate_bloom(
+        train_docs, eval_docs, "text", "doc_id", n=4, num_bits=num_bits, k=k
+    )
+    n_flagged = flagged.filter("contaminated_bloom").count()
+
+    n_grams = 150 * 37  # 40 tokens -> 37 4-grams per doc
+    p_bit = 1.0 - math.exp(-k * n_grams / num_bits)
+    p_gram_fp = p_bit**k
+    # a doc is flagged if ANY of its 37 grams false-positives
+    p_doc_fp = 1.0 - (1.0 - p_gram_fp) ** 37
+    frac = n_flagged / 400
+    assert frac <= max(2.5 * p_doc_fp, 0.02), (
+        f"bloom FPP {frac:.4f} vs theory {p_doc_fp:.4f}"
+    )
+
+
+def test_histogram_sketch_merge_exact_and_error_bounded(spark):
+    """B92 guarantees: (1) MERGEABILITY — partials built from two
+    disjoint halves and folded equal partials built from the whole
+    input (exact integer counts, any partitioning); (2) ACCURACY — the
+    sketch's p50/p95 estimates sit within one bin width of the exact
+    percentile for in-domain data."""
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.operators.sketches import (
+        histogram_partials,
+        merge_histogram_partials,
+        quantile_estimate,
+    )
+    from tests.conftest import SF_ORACLE
+
+    LO, HI, BINS = 0.0, 600_000.0, 256
+    o = scan(spark, SF_ORACLE, "orders")
+    groups = ["o_orderpriority"]
+
+    whole = histogram_partials(o, "o_totalprice", groups, lo=LO, hi=HI, bins=BINS)
+    h1 = histogram_partials(
+        o.filter("o_orderkey % 2 = 0"), "o_totalprice", groups, lo=LO, hi=HI, bins=BINS
+    )
+    h2 = histogram_partials(
+        o.filter("o_orderkey % 2 = 1"), "o_totalprice", groups, lo=LO, hi=HI, bins=BINS
+    )
+    merged = merge_histogram_partials(h1, h2, groups)
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b  # bit-exact merge
+
+    width = (HI - LO) / BINS
+    for q in (0.5, 0.95):
+        est = {
+            r.o_orderpriority: r.quantile_est
+            for r in quantile_estimate(whole, groups, q, lo=LO, hi=HI, bins=BINS).collect()
+        }
+        exact = {
+            r.o_orderpriority: r.p
+            for r in o.groupBy("o_orderpriority")
+            .agg(F.expr(f"percentile(o_totalprice, {q})").alias("p"))
+            .collect()
+        }
+        for g in exact:
+            assert abs(est[g] - exact[g]) <= width + 1e-9, (
+                q, g, est[g], exact[g], width
+            )
