@@ -141,3 +141,66 @@ def run_scheduler(
             on_run(name, when, result)
         nxt[name] = crons[name].next_fire(max(when, now()))
     return executed
+
+
+def schedule_windows(
+    expr: str, start: datetime, end: datetime
+) -> list[tuple[datetime, datetime]]:
+    """All logical data intervals of cron ``expr`` whose START falls in
+    ``[start, end)`` — Airflow's data-interval convention: a run with
+    logical date L covers [L, next_fire(L)) and executes after that
+    interval closes."""
+    cron = Cron(ALIASES.get(expr, expr))
+    out: list[tuple[datetime, datetime]] = []
+    t0 = start.replace(second=0, microsecond=0)
+    cur = t0 if cron.matches(t0) else cron.next_fire(t0)  # start inclusive
+    while cur < end:
+        nxt = cron.next_fire(cur)
+        out.append((cur, nxt))
+        cur = nxt
+    return out
+
+
+def backfill(
+    pipe,
+    spark,
+    start: datetime,
+    end: datetime,
+    *,
+    params: dict | None = None,
+    raise_on_failure: bool = True,
+    on_run=None,
+) -> dict[datetime, dict]:
+    """Airflow-parity BACKFILL: execute ``pipe`` once per scheduled
+    logical date in ``[start, end)``, oldest first, with the logical
+    date and data interval injected into ``params`` (stages read them
+    as ``ctx.params['logical_date'] / 'data_interval_start' /
+    'data_interval_end']`` — the engine's analogue of Airflow's
+    template context).  The live scheduler stays catchup=False like the
+    reference (run_scheduler's contract); backfill is the explicit,
+    bounded historical re-run — `airflow dags backfill` parity.
+
+    Each run records in the pipeline's ledger like any other run (the
+    logical date rides params; stage results are per-run), so a
+    backfill is resumable per-date and auditable in `runs()`.  Returns
+    {logical_date: per-stage results}.  Runs execute SEQUENTIALLY
+    oldest-first (deterministic, bounded concurrent load — intervals
+    whose work is independent can be fanned out by the caller; the
+    engine does not assume independence across data intervals)."""
+    if pipe.schedule is None:
+        raise ValueError(f"pipeline {pipe.name!r} has no schedule to backfill")
+    out: dict[datetime, dict] = {}
+    for ds, de in schedule_windows(pipe.schedule, start, end):
+        p = dict(params or {})
+        p.update(
+            {
+                "logical_date": ds,
+                "data_interval_start": ds,
+                "data_interval_end": de,
+            }
+        )
+        results = pipe.run(spark, p, raise_on_failure=raise_on_failure)
+        out[ds] = results
+        if on_run is not None:
+            on_run(ds, results)
+    return out

@@ -93,3 +93,63 @@ def test_cron_step_scoped_to_comma_part():
     assert Cron("10/15 * * * *").minute == {10, 25, 40, 55}
     # and a stepped range after a plain value leaves a later plain value alone
     assert Cron("1,20-30/5,45 * * * *").minute == {1, 20, 25, 30, 45}
+
+
+def test_schedule_windows_daily_inclusive_start():
+    from datetime import datetime as dt
+
+    from artemia_airflow_spark.schedule import schedule_windows
+
+    w = schedule_windows("@daily", dt(2024, 1, 1), dt(2024, 1, 4))
+    assert w == [
+        (dt(2024, 1, 1), dt(2024, 1, 2)),
+        (dt(2024, 1, 2), dt(2024, 1, 3)),
+        (dt(2024, 1, 3), dt(2024, 1, 4)),
+    ]
+    # unaligned start: first fire after it
+    w2 = schedule_windows("@daily", dt(2024, 1, 1, 6, 30), dt(2024, 1, 3))
+    assert w2 == [(dt(2024, 1, 2), dt(2024, 1, 3))]
+    # empty range
+    assert schedule_windows("@daily", dt(2024, 1, 1, 1), dt(2024, 1, 1, 2)) == []
+
+
+def test_backfill_runs_each_interval_with_logical_date(spark):
+    """Airflow `dags backfill` parity: one run per scheduled interval in
+    [start, end), oldest first, logical_date/data_interval in params,
+    each run ledger-recorded."""
+    import tempfile
+    from datetime import datetime as dt
+
+    from artemia_airflow_spark.ledger import RunLedger
+    from artemia_airflow_spark.schedule import backfill
+
+    led = RunLedger(tempfile.mkdtemp(prefix="aas_backfill_"))
+    pipe = Pipeline("bf_demo", schedule="@daily", ledger=led)
+    seen = []
+
+    @pipe.stage("work")
+    def work(ctx):
+        seen.append(
+            (ctx.params["logical_date"], ctx.params["data_interval_end"])
+        )
+        return ctx.params["logical_date"].isoformat()
+
+    out = backfill(pipe, spark, dt(2024, 3, 1), dt(2024, 3, 4))
+    assert sorted(out) == [dt(2024, 3, 1), dt(2024, 3, 2), dt(2024, 3, 3)]
+    assert seen == [
+        (dt(2024, 3, 1), dt(2024, 3, 2)),
+        (dt(2024, 3, 2), dt(2024, 3, 3)),
+        (dt(2024, 3, 3), dt(2024, 3, 4)),
+    ]
+    assert all(r["work"].state == "success" for r in out.values())
+    assert led.runs(spark, "bf_demo").count() == 3  # every interval audited
+
+
+def test_backfill_requires_schedule(spark):
+    from datetime import datetime as dt
+
+    from artemia_airflow_spark.schedule import backfill
+
+    pipe = Pipeline("no_sched")
+    with pytest.raises(ValueError, match="schedule"):
+        backfill(pipe, spark, dt(2024, 1, 1), dt(2024, 1, 2))
