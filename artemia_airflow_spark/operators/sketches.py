@@ -172,3 +172,66 @@ def _register_queries() -> None:
 
 
 _register_queries()
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile in long form: one row per column with
+    (column, n_rows, n_nulls, n_distinct) — the pre-flight check a
+    pipeline runs before trusting a new data drop (null explosions and
+    cardinality collapses are the two classic upstream-breakage
+    signals).
+
+    Exact tier: one aggregate per column, unioned — each is a
+    map-side-combined COUNT/COUNT DISTINCT whose shuffle carries only
+    per-partition partials, and the per-column passes are independent
+    Spark jobs (a 100 TB profile over k columns is k cheap scans of
+    ONE column each thanks to parquet column pruning, not k scans of
+    the table).  For very wide tables swap n_distinct to
+    approx_count_distinct and fold all columns into one pass — the
+    documented approximate tier (B21's sketch), traded here for exact
+    oracle-checkable counts."""
+    from functools import reduce
+
+    parts = [
+        df.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).cast("bigint").alias("n_nulls"),
+            F.countDistinct(F.col(c)).cast("bigint").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _register_profile_query() -> None:
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    _COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderpriority"]
+
+    @declared(
+        "q_profile",
+        oracle=" UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS column, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({c}) AS n_nulls,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM orders
+            """
+            for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_totalprice", "o_orderpriority"]
+        ),
+    )
+    def q_profile(spark, sf_dir):
+        """Per-column data-quality profile of orders (exact tier),
+        ORACLE-CHECKED: null and distinct counts per column in long
+        form — all BIGINT, engine-portable by construction."""
+        ensure_engine_conf(spark)
+        o = scan(spark, sf_dir, "orders")
+        return profile_columns(o, _COLS)
+
+
+_register_profile_query()
