@@ -32,11 +32,16 @@ def histogram_partials(
 ) -> DataFrame:
     """Per-group histogram partial state: (group..., bin, cnt) rows.
 
-    ``bin`` 0..bins-1 covers [lo, hi) uniformly; values outside clamp
-    into the edge bins (so totals are preserved — the estimate for
-    quantiles that land there degrades to the domain edge, which is
-    the documented contract of a bounded-domain sketch).  One
-    map-side-combined shuffle of at most |groups| x bins rows."""
+    ``bin`` 0..bins-1 covers [lo, hi) uniformly; non-NULL values
+    outside the domain clamp into the edge bins (totals over non-NULL
+    values are preserved — the estimate for quantiles that land there
+    degrades to the domain edge, the documented contract of a
+    bounded-domain sketch).  NULL values are EXCLUDED, matching
+    SQL-standard percentile semantics — without the filter Spark's
+    null-skipping ``greatest`` silently binned NULLs at the lo edge,
+    dragging every estimate toward lo on nullable columns (r6 review
+    finding).  One map-side-combined shuffle of at most
+    |groups| x bins rows."""
     if not hi > lo:
         raise ValueError("need hi > lo")
     v = F.col(value_col).cast("double")
@@ -46,7 +51,8 @@ def histogram_partials(
         F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
     )
     return (
-        df.select(*group_cols, bin_col.alias("bin"))
+        df.filter(v.isNotNull())
+        .select(*group_cols, bin_col.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
@@ -214,6 +220,8 @@ def _register_profile_query() -> None:
 
     @declared(
         "q_profile",
+        # single source of truth: the oracle iterates the SAME _COLS the
+        # Spark side profiles, so the lists can never silently diverge
         oracle=" UNION ALL ".join(
             f"""
             SELECT '{c}' AS column, COUNT(*) AS n_rows,
@@ -221,8 +229,7 @@ def _register_profile_query() -> None:
                    CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
             FROM orders
             """
-            for c in ["o_orderkey", "o_custkey", "o_orderstatus",
-                      "o_totalprice", "o_orderpriority"]
+            for c in _COLS
         ),
     )
     def q_profile(spark, sf_dir):

@@ -150,10 +150,13 @@ def schedule_windows(
     ``[start, end)`` — Airflow's data-interval convention: a run with
     logical date L covers [L, next_fire(L)) and executes after that
     interval closes."""
-    cron = Cron(ALIASES.get(expr, expr))
+    cron = Cron(expr)  # Cron resolves ALIASES itself
     out: list[tuple[datetime, datetime]] = []
     t0 = start.replace(second=0, microsecond=0)
-    cur = t0 if cron.matches(t0) else cron.next_fire(t0)  # start inclusive
+    # start inclusive ONLY when the aligned minute is not before the
+    # requested start (truncation must never emit a window that begins
+    # before `start` — r6 review finding)
+    cur = t0 if (cron.matches(t0) and t0 >= start) else cron.next_fire(t0)
     while cur < end:
         nxt = cron.next_fire(cur)
         out.append((cur, nxt))

@@ -246,7 +246,11 @@ class TxTable:
 
     # -- write ---------------------------------------------------------
     def _key_col(self) -> str:
-        return self._commits()[0]["key_col"]
+        # the key column is fixed at create time: read commit 0 only —
+        # self._commits()[0] would json-parse the ENTIRE log for one
+        # field (r6 review finding)
+        with open(_version_path(self.root, 0)) as f:
+            return json.load(f)["key_col"]
 
     # operations whose output depends on the SNAPSHOT they read (the
     # read-set): update-vs-insert decisions, delete matching, live-set
@@ -274,7 +278,11 @@ class TxTable:
                 _publish(self.root, version, commit)
                 return version
             except FileExistsError:
-                if commit["operation"] in self._READ_SET_OPS:
+                # fail-safe union of both classifiers: a read-set op
+                # always conflicts, and so does ANY commit that removes
+                # files (an unknown/external operation name must never
+                # rebase removes computed against a stale snapshot)
+                if commit["remove"] or commit["operation"] in self._READ_SET_OPS:
                     raise CommitConflict(
                         f"concurrent commit at version {version} invalidated "
                         "this operation's snapshot — re-run against the new head"
@@ -610,20 +618,32 @@ class TxTable:
         live = {m["path"] for m in self._live()[0]}
         cutoff = time.time() - retention_sec
         removed = []
+
+        def _old_enough(p: str) -> bool:
+            # a concurrent writer/vacuum may unlink between listdir and
+            # stat — a vanished file simply needs no sweeping
+            try:
+                return os.path.getmtime(p) <= cutoff
+            except FileNotFoundError:
+                return False
+
+        def _remove(p: str) -> bool:
+            try:  # two concurrent vacuums may race on the same file
+                os.remove(p)
+                return True
+            except FileNotFoundError:
+                return False
+
         for n in os.listdir(self.root):
             p = os.path.join(self.root, n)
-            if (
-                n.endswith(".parquet")
-                and n not in live
-                and os.path.getmtime(p) <= cutoff
-            ):
-                os.remove(p)
-                removed.append(n)
+            if n.endswith(".parquet") and n not in live and _old_enough(p):
+                if _remove(p):
+                    removed.append(n)
         for n in os.listdir(_log_dir(self.root)):
             p = os.path.join(_log_dir(self.root), n)
-            if n.startswith("_tmp_") and os.path.getmtime(p) <= cutoff:
-                os.remove(p)
-                removed.append(f"_log/{n}")
+            if n.startswith("_tmp_") and _old_enough(p):
+                if _remove(p):
+                    removed.append(f"_log/{n}")
         return removed
 
 

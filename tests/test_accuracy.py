@@ -307,3 +307,24 @@ def test_histogram_sketch_merge_exact_and_error_bounded(spark):
             assert abs(est[g] - exact[g]) <= width + 1e-9, (
                 q, g, est[g], exact[g], width
             )
+
+
+def test_histogram_sketch_excludes_nulls(spark):
+    """Code-review regression (r6): NULL values must be excluded from
+    the histogram partials (SQL percentile semantics) — Spark's
+    null-skipping greatest() used to bin them at the lo edge, dragging
+    estimates toward lo on nullable columns."""
+    from artemia_airflow_spark.operators.sketches import (
+        histogram_partials,
+        quantile_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 500_000.0)] * 10 + [("g", None)] * 10,
+        "grp string, v double",
+    )
+    part = histogram_partials(df, "v", ["grp"], lo=0.0, hi=600_000.0, bins=60)
+    assert part.agg(F.sum("cnt")).collect()[0][0] == 10  # NULLs not counted
+    est = quantile_estimate(part, ["grp"], 0.5, lo=0.0, hi=600_000.0, bins=60)
+    v = est.collect()[0].quantile_est
+    assert abs(v - 500_000.0) <= 10_000.0 + 1e-9  # one bin width, not ~0

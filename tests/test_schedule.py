@@ -153,3 +153,15 @@ def test_backfill_requires_schedule(spark):
     pipe = Pipeline("no_sched")
     with pytest.raises(ValueError, match="schedule"):
         backfill(pipe, spark, dt(2024, 1, 1), dt(2024, 1, 2))
+
+
+def test_schedule_windows_never_start_before_requested_start():
+    """Code-review regression (r6): a sub-minute start (00:00:30) must
+    not emit the 00:00 window that began before it."""
+    from datetime import datetime as dt
+
+    from artemia_airflow_spark.schedule import schedule_windows
+
+    w = schedule_windows("@daily", dt(2024, 1, 1, 0, 0, 30), dt(2024, 1, 3))
+    assert w == [(dt(2024, 1, 2), dt(2024, 1, 3))]
+    assert all(s >= dt(2024, 1, 1, 0, 0, 30) for s, _ in w)
