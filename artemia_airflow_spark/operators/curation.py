@@ -1063,3 +1063,98 @@ def q_source_cap(spark, sf_dir):
             F.sum("n_chars").alias("kept_chars"),
         )
     )
+
+
+def apply_temperature(
+    df: DataFrame, *, source_col: str = "source", id_col: str = "doc_id",
+    seed: int = 77,
+) -> DataFrame:
+    """Materialize the sqrt-temperature mixture (the q_mix_temperature
+    schedule): each source's rows are REPEATED by its up-sampling
+    factor vs the head source, f = sqrt(max_tokens / n_tokens) >= 1 —
+    floor(f) whole copies plus one extra copy with probability
+    frac(f), decided by the portable Lehmer hash so WHICH rows get the
+    extra copy is deterministic and engine-reproducible.
+
+    This is the up-sampling half of data mixing (apply_mixture is the
+    down-sampling half): tail domains repeat, the head domain stays at
+    one copy, and expected token mass per source follows the sqrt
+    schedule.  Physical shape: per-source agg + 1-row max broadcast,
+    then a map-side ``explode(sequence(1, n_copies))`` — the corpus is
+    read once, never shuffled, and output order carries a ``copy_id``
+    so downstream packing/sharding can spread duplicates.  At 100 TB
+    repetition multiplies bytes written, not bytes read."""
+    per_src = df.groupBy(source_col).agg(
+        F.sum(F.size(_tokens("text"))).cast("bigint").alias("__n_tokens")
+    )
+    m = per_src.agg(F.max("__n_tokens").cast("bigint").alias("__max_tokens"))
+    f = F.sqrt(F.col("__max_tokens").cast("double") / F.col("__n_tokens"))
+    factors = per_src.crossJoin(F.broadcast(m)).select(
+        source_col,
+        F.floor(f).cast("int").alias("__whole"),
+        F.floor((f - F.floor(f)) * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("__frac_e6"),
+    )
+    m31 = F.lit(2147483647)
+    bucket = (
+        ((F.col(id_col) % m31) * F.lit(48271) + F.lit(seed)) % m31
+    ) % F.lit(1_000_000)
+    n_copies = F.col("__whole") + (bucket < F.col("__frac_e6")).cast("int")
+    return (
+        df.join(F.broadcast(factors), source_col)
+        .withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .select(
+            "*", F.explode(F.sequence(F.lit(1), F.col("__n_copies"))).alias("copy_id")
+        )
+        .drop("__whole", "__frac_e6", "__n_copies")
+    )
+
+
+@declared(
+    "q_mix_temperature_apply",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(lower(text), '\\s+')))
+                  AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY source
+    ), m AS (
+      SELECT CAST(MAX(n_tokens) AS BIGINT) AS max_tokens FROM s
+    ), fac AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(max_tokens AS DOUBLE) / n_tokens)) AS INT)
+               AS whole,
+             CAST(floor((sqrt(CAST(max_tokens AS DOUBLE) / n_tokens)
+                         - floor(sqrt(CAST(max_tokens AS DOUBLE) / n_tokens)))
+                        * 1000000 + 0.5) AS BIGINT) AS frac_e6
+      FROM s CROSS JOIN m
+    )
+    SELECT d.source, f.n_docs,
+           CAST(SUM(f.whole
+                    + CASE WHEN ((d.doc_id % 2147483647) * 48271 + 77)
+                             % 2147483647 % 1000000 < f.frac_e6
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_materialized
+    FROM documents d JOIN fac f USING (source)
+    GROUP BY d.source, f.n_docs
+    """,
+)
+def q_mix_temperature_apply(spark, sf_dir):
+    """Materialized sqrt-temperature mixture rollup, ORACLE-CHECKED:
+    per-source original doc count and materialized (post-repetition)
+    row count.  The oracle computes per-row copy counts arithmetically
+    instead of exploding — same totals, certifying the whole factor
+    derivation + Lehmer extra-copy decision; the Spark side really
+    explodes (the materialization path a trainer consumes)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    mat = apply_temperature(d)
+    orig = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        orig.join(
+            mat.groupBy("source").agg(F.count(F.lit(1)).alias("n_materialized")),
+            "source",
+        )
+    )
