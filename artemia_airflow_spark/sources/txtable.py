@@ -467,6 +467,25 @@ class TxTable:
             read_version=read_version,
         )
 
+    def version_at(self, ts: float) -> int:
+        """Newest version whose commit published at or before wall-clock
+        ``ts`` (epoch seconds) — "the table as of yesterday 09:00".
+        Commit timestamps are monotone in commit ORDER on one writer's
+        clock; across writers the commit sequence is authoritative, so
+        this scans versions newest-first and returns the first
+        early-enough commit.  Raises if the table didn't exist yet."""
+        for v in range(self.version(), -1, -1):
+            with open(_version_path(self.root, v)) as f:
+                if json.load(f).get("committed_at", 0.0) <= ts:
+                    return v
+        raise ValueError(
+            f"no commit at or before ts={ts} (table created later)"
+        )
+
+    def snapshot_at(self, ts: float) -> DataFrame:
+        """Timestamp time travel: :meth:`snapshot` at :meth:`version_at`."""
+        return self.snapshot(self.version_at(ts))
+
     # -- streaming sink -------------------------------------------------
     def committed_stream_batches(self, sink_id: str) -> set[int]:
         """Batch ids already committed by :func:`stream_to_txtable` for
@@ -680,7 +699,13 @@ def _write_data_files(df: DataFrame, root: str, key_col: str) -> list[dict]:
 
 def _publish(root: str, version: int, commit: dict) -> None:
     """Atomically publish ``commit`` as ``version``; FileExistsError if
-    that version was already committed (put-if-absent via os.link)."""
+    that version was already committed (put-if-absent via os.link).
+    Stamps the commit with its publish wall-clock (``committed_at``) —
+    the anchor for timestamp time travel (:meth:`TxTable.version_at`);
+    commit order is authoritative where clocks disagree."""
+    import time
+
+    commit = {**commit, "committed_at": time.time()}
     staged = os.path.join(_log_dir(root), f"_tmp_{uuid.uuid4().hex}.json")
     with open(staged, "w") as f:
         json.dump(commit, f)

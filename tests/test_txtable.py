@@ -538,3 +538,23 @@ def test_vacuum_retention_spares_fresh_files(spark, root):
     t.merge(ch)  # old file becomes non-live, but was JUST written
     assert t.vacuum() == []  # default 1h retention: nothing swept
     assert t.vacuum(retention_sec=0) != []  # explicit zero sweeps it
+
+
+def test_timestamp_time_travel(spark, root):
+    """snapshot_at(ts): the table as of a wall-clock instant — resolves
+    to the newest commit published at or before ts."""
+    import time
+
+    t = _mk(spark, root, n=10, files=1)
+    ts_after_create = time.time()
+    time.sleep(0.05)
+    t.append(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("v"), F.lit("a").alias("tag")
+        )
+    )
+    assert t.version_at(ts_after_create) == 0
+    assert t.snapshot_at(ts_after_create).count() == 10
+    assert t.snapshot_at(time.time()).count() == 15
+    with pytest.raises(ValueError, match="created later"):
+        t.version_at(0.0)
