@@ -174,17 +174,36 @@ def q_mix_weights(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens("text"))).alias("n_tokens"),
     )
-    t = s.agg(
-        F.sum("n_tokens").cast("double").alias("total"),
-        F.count(F.lit(1)).cast("double").alias("n_src"),
+    s = _with_global(
+        s,
+        total=F.sum("n_tokens"),
+        n_src=F.count(F.lit(1)),
     )
+    # integer/integer `/` promotes to double in both engines — same
+    # arithmetic as the oracle's explicit double casts
     fair = F.col("total") / F.col("n_src")
-    return s.crossJoin(F.broadcast(t)).select(
+    return s.select(
         "source",
         "n_docs",
         "n_tokens",
         F.round(F.least(F.lit(1.0), fair / F.col("n_tokens")), 6).alias("weight"),
     )
+
+
+def _with_global(df: DataFrame, **aggs: "F.Column") -> DataFrame:
+    """Attach corpus-wide aggregates to a (tiny, post-aggregation)
+    frame as columns via an unpartitioned window, instead of
+    ``df.agg(...)`` + ``crossJoin(broadcast(...))`` — Spark does NOT
+    dedupe common subplans, so the agg+crossJoin form RE-EXECUTES the
+    whole upstream scan to produce the totals row (measured: every
+    mixture query scanned the corpus 2x for its |sources|-row state).
+    The single-partition window is safe exactly because ``df`` is
+    already the per-group aggregate (|groups| rows), never raw data."""
+    w = Window.partitionBy()
+    out = df
+    for name, col in aggs.items():
+        out = out.withColumn(name, col.over(w))
+    return out
 
 
 @declared(
@@ -229,8 +248,7 @@ def q_mix_temperature(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(_tokens("text"))).cast("bigint").alias("n_tokens"),
     )
-    m = s.agg(F.max("n_tokens").cast("bigint").alias("max_tokens"))
-    return s.crossJoin(F.broadcast(m)).select(
+    return _with_global(s, max_tokens=F.max("n_tokens")).select(
         "source",
         "n_docs",
         "n_tokens",
@@ -842,11 +860,11 @@ def apply_mixture(
     per_src = df.groupBy(source_col).agg(
         F.sum(F.size(_tokens("text"))).alias("__n_tokens")
     )
-    totals = per_src.agg(
-        F.sum("__n_tokens").cast("double").alias("__total"),
-        F.count(F.lit(1)).cast("double").alias("__n_src"),
-    )
-    weights = per_src.crossJoin(F.broadcast(totals)).select(
+    weights = _with_global(
+        per_src,
+        __total=F.sum("__n_tokens"),
+        __n_src=F.count(F.lit(1)),
+    ).select(
         source_col,
         F.least(
             F.lit(1.0),
@@ -1087,9 +1105,10 @@ def apply_temperature(
     per_src = df.groupBy(source_col).agg(
         F.sum(F.size(_tokens("text"))).cast("bigint").alias("__n_tokens")
     )
-    m = per_src.agg(F.max("__n_tokens").cast("bigint").alias("__max_tokens"))
     f = F.sqrt(F.col("__max_tokens").cast("double") / F.col("__n_tokens"))
-    factors = per_src.crossJoin(F.broadcast(m)).select(
+    factors = _with_global(
+        per_src, __max_tokens=F.max("__n_tokens")
+    ).select(
         source_col,
         F.floor(f).cast("int").alias("__whole"),
         F.floor((f - F.floor(f)) * 1_000_000 + F.lit(0.5))

@@ -82,6 +82,21 @@ def quantile_estimate(
     result is bit-identical across engines and partitionings.  Error
     bound: |est - true quantile| <= (hi-lo)/bins for in-domain values.
     """
+    return quantile_estimates(
+        partials, group_cols, [q], lo=lo, hi=hi, bins=bins, out_col=out_col
+    ).drop("q")
+
+
+def quantile_estimates(
+    partials: DataFrame, group_cols: list[str], qs: list[float], *,
+    lo: float, hi: float, bins: int = 256, out_col: str = "quantile_est",
+) -> DataFrame:
+    """Multi-quantile variant: ALL requested quantiles resolve from ONE
+    pass over the partial state (cumulative window computed once, then
+    a broadcast cross join with the |qs|-row quantile list) — the
+    single-q form consumed the partials subtree once per quantile,
+    which re-executed the whole upstream aggregation per q (Spark does
+    not dedupe common subplans).  Adds a ``q`` column."""
     width = (hi - lo) / bins
     w = (
         Window.partitionBy(*group_cols)
@@ -96,14 +111,24 @@ def quantile_estimate(
         F.sum("cnt").over(w).alias("cum"),
         F.sum("cnt").over(totals).alias("n"),
     )
-    r = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("bigint"))
-    crossing = cum.filter(F.col("cum") >= r).withColumn(
-        "__rk",
-        F.row_number().over(Window.partitionBy(*group_cols).orderBy("bin")),
-    ).filter(F.col("__rk") == 1)
+    spark = partials.sparkSession
+    qdf = spark.createDataFrame([(float(x),) for x in qs], "q double")
+    joined = cum.crossJoin(F.broadcast(qdf))
+    r = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")).cast("bigint"))
+    crossing = (
+        joined.filter(F.col("cum") >= r)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(*group_cols, "q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+    )
     frac = (r - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt")
     return crossing.select(
         *group_cols,
+        "q",
         (F.lit(lo) + (F.col("bin") + frac) * F.lit(width)).alias(out_col),
     )
 
@@ -161,13 +186,9 @@ def _register_queries() -> None:
         part = histogram_partials(
             o, "o_totalprice", ["o_orderpriority"], lo=LO, hi=HI, bins=BINS
         )
-        ests = [
-            quantile_estimate(
-                part, ["o_orderpriority"], q, lo=LO, hi=HI, bins=BINS
-            ).withColumn("q", F.lit(q))
-            for q in (0.5, 0.95)
-        ]
-        out = ests[0].unionByName(ests[1])
+        out = quantile_estimates(
+            part, ["o_orderpriority"], [0.5, 0.95], lo=LO, hi=HI, bins=BINS
+        )
         return out.select(
             "o_orderpriority",
             "q",
