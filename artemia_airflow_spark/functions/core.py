@@ -65,3 +65,20 @@ def epoch_seconds(col: Column | str) -> Column:
     format for oracle comparison; avoids tz/precision surface entirely)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("long")
+
+
+def lehmer_bucket(id_col: Column | str, seed: int, *, buckets: int = 1_000_000) -> Column:
+    """Engine-portable deterministic bucket in [0, buckets):
+    ``((id % (2^31-1)) * 48271 + seed) % (2^31-1) % buckets`` — the
+    Lehmer-style multiplicative hash every deterministic sampler in the
+    engine shares (stratified sample, per-source quota cap, mixture
+    apply, temperature up-sampling).  Plain BIGINT arithmetic with max
+    intermediate < 2^47 (ANSI-overflow-safe) that Spark and DuckDB
+    evaluate identically, unlike xxhash64.  ONE definition on purpose:
+    a constant tweak made in one sampler but not its SQL oracle (or a
+    sibling sampler) silently breaks cross-engine reproducibility of
+    WHICH rows survive — keep this and the oracles' inline arithmetic
+    in lockstep."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    m31 = F.lit(2147483647)
+    return ((c % m31) * F.lit(48271) + F.lit(seed)) % m31 % F.lit(buckets)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
-from artemia_airflow_spark.functions.core import spread_for_compute
+from artemia_airflow_spark.functions.core import lehmer_bucket, spread_for_compute
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
 
@@ -166,8 +166,10 @@ def q_mix_weights(spark, sf_dir):
     """Domain-mixing weights: per-source sampling weight that equalizes
     token budget across sources (weight = min(1, fair_share/tokens)) —
     the deterministic arithmetic behind temperature/uniform data-mixing
-    schedules.  Two tiny shuffles (per-source agg, then a 1-row
-    broadcast of the totals); the corpus itself is read once."""
+    schedules.  ONE corpus scan feeding one per-source aggregate; the
+    corpus-wide totals attach to that |sources|-row frame via an
+    unpartitioned window (see _with_global — the old agg+crossJoin
+    totals re-executed the scan)."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     s = d.groupBy("source").agg(
@@ -844,8 +846,8 @@ def apply_mixture(
 
     This closes the curation loop from "compute the mixture" to
     "produce the mixed corpus": one per-source aggregate (|sources|
-    rows), one 1-row totals broadcast, then a map-side hash-threshold
-    filter — the corpus is read once and never shuffled, and the same
+    rows, with corpus totals attached via _with_global's window — no
+    second scan), then a map-side hash-threshold filter — the corpus is read once and never shuffled, and the same
     seed reproduces the same sample on any cluster (hash sampling, not
     RNG).  At 100 TB the output feeds ``write.partitionBy`` /
     bucketing directly.
@@ -871,10 +873,7 @@ def apply_mixture(
             (F.col("__total") / F.col("__n_src")) / F.col("__n_tokens"),
         ).alias("__weight"),
     )
-    m31 = F.lit(2147483647)
-    bucket = (
-        ((F.col(id_col) % m31) * F.lit(48271) + F.lit(seed)) % m31
-    ) % F.lit(1_000_000)
+    bucket = lehmer_bucket(id_col, seed)
     return (
         df.join(F.broadcast(weights), source_col)
         .filter(
@@ -1035,9 +1034,7 @@ def cap_per_group(
     partial-aggregate, so this is the canonical shape; skewed groups
     are bounded by the cap itself on output, and AQE handles input
     skew."""
-    h = ((F.col(id_col) % F.lit(2147483647)) * F.lit(48271) + F.lit(seed)) % F.lit(
-        2147483647
-    )
+    h = lehmer_bucket(id_col, seed, buckets=2147483647)
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rank", F.row_number().over(w))
@@ -1097,15 +1094,23 @@ def apply_temperature(
     This is the up-sampling half of data mixing (apply_mixture is the
     down-sampling half): tail domains repeat, the head domain stays at
     one copy, and expected token mass per source follows the sqrt
-    schedule.  Physical shape: per-source agg + 1-row max broadcast,
-    then a map-side ``explode(sequence(1, n_copies))`` — the corpus is
+    schedule.  Physical shape: one per-source aggregate (max attached
+    via _with_global's window — no second scan), then a map-side
+    ``explode(sequence(1, n_copies))`` — the corpus is
     read once, never shuffled, and output order carries a ``copy_id``
     so downstream packing/sharding can spread duplicates.  At 100 TB
     repetition multiplies bytes written, not bytes read."""
     per_src = df.groupBy(source_col).agg(
         F.sum(F.size(_tokens("text"))).cast("bigint").alias("__n_tokens")
     )
-    f = F.sqrt(F.col("__max_tokens").cast("double") / F.col("__n_tokens"))
+    # NULL/zero token sums (a source whose documents all have NULL
+    # text) pass through at factor 1 instead of silently vanishing —
+    # sqrt(max/NULL) is NULL, and NULL __n_copies would drop the whole
+    # source from the mixture with no error (r6 review finding)
+    n_tok = F.coalesce(F.col("__n_tokens"), F.lit(0))
+    f = F.when(
+        n_tok > 0, F.sqrt(F.col("__max_tokens").cast("double") / n_tok)
+    ).otherwise(F.lit(1.0))
     factors = _with_global(
         per_src, __max_tokens=F.max("__n_tokens")
     ).select(
@@ -1115,10 +1120,7 @@ def apply_temperature(
         .cast("bigint")
         .alias("__frac_e6"),
     )
-    m31 = F.lit(2147483647)
-    bucket = (
-        ((F.col(id_col) % m31) * F.lit(48271) + F.lit(seed)) % m31
-    ) % F.lit(1_000_000)
+    bucket = lehmer_bucket(id_col, seed)
     n_copies = F.col("__whole") + (bucket < F.col("__frac_e6")).cast("int")
     return (
         df.join(F.broadcast(factors), source_col)
@@ -1170,10 +1172,10 @@ def q_mix_temperature_apply(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     mat = apply_temperature(d)
-    orig = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        orig.join(
-            mat.groupBy("source").agg(F.count(F.lit(1)).alias("n_materialized")),
-            "source",
-        )
+    # n_docs derived from the materialized frame itself: f >= 1 for
+    # every source, so each original row emits exactly one copy_id=1
+    # row — no third corpus scan for the original counts
+    return mat.groupBy("source").agg(
+        F.count(F.when(F.col("copy_id") == 1, 1)).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_materialized"),
     )

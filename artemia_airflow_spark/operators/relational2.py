@@ -331,8 +331,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[F.col("lang")],
         F.lit(default_fraction),
     )
-    m31 = F.lit(2147483647)
-    bucket = (((F.col("doc_id") % m31) * F.lit(48271) + F.lit(42)) % m31) % F.lit(1_000_000)
+    from artemia_airflow_spark.functions.core import lehmer_bucket
+
+    bucket = lehmer_bucket("doc_id", 42)
     # Round-half-up threshold (ADVICE r5): a plain .cast('long')
     # truncates the double product (0.3 * 1e6 = 299999.99999999994 ->
     # 299999) while the oracle's DECIMAL cast rounds exactly (300000);

@@ -467,19 +467,46 @@ class TxTable:
             read_version=read_version,
         )
 
+    def _commit_ts(self, v: int) -> float | None:
+        with open(_version_path(self.root, v)) as f:
+            return json.load(f).get("committed_at")
+
     def version_at(self, ts: float) -> int:
         """Newest version whose commit published at or before wall-clock
         ``ts`` (epoch seconds) — "the table as of yesterday 09:00".
         Commit timestamps are monotone in commit ORDER on one writer's
-        clock; across writers the commit sequence is authoritative, so
-        this scans versions newest-first and returns the first
-        early-enough commit.  Raises if the table didn't exist yet."""
-        for v in range(self.version(), -1, -1):
-            with open(_version_path(self.root, v)) as f:
-                if json.load(f).get("committed_at", 0.0) <= ts:
-                    return v
+        clock; across writers the commit sequence is authoritative.
+        Resolution is a BISECT over version numbers (O(log n) commit
+        reads — a 10^5-commit table reads ~17 files, not the log), with
+        a linear fallback if any probed commit predates timestamping.
+        Commits WITHOUT a ``committed_at`` stamp (pre-feature builds)
+        are treated as not-resolvable-by-time: they never satisfy a
+        timestamp query, so a legacy commit can never masquerade as
+        "the state at ts" (it was NOT current at any provable instant).
+        Raises if no stamped commit exists at or before ``ts``."""
+        lo, hi = 0, self.version()
+        # bisect rightmost v with stamp <= ts; unstamped probe -> linear
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            st = self._commit_ts(mid)
+            if st is None:  # mixed legacy log: fall back to linear scan
+                for v in range(self.version(), -1, -1):
+                    s = self._commit_ts(v)
+                    if s is not None and s <= ts:
+                        return v
+                raise ValueError(
+                    f"no stamped commit at or before ts={ts} "
+                    "(table created later, or commits predate timestamping)"
+                )
+            if st <= ts:
+                lo = mid
+            else:
+                hi = mid - 1
+        st = self._commit_ts(lo)
+        if st is not None and st <= ts:
+            return lo
         raise ValueError(
-            f"no commit at or before ts={ts} (table created later)"
+            f"no stamped commit at or before ts={ts} (table created later)"
         )
 
     def snapshot_at(self, ts: float) -> DataFrame:
