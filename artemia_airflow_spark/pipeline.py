@@ -130,6 +130,7 @@ class Stage:
         *,
         retry: RetryPolicy | None = None,
         trigger_rule: str = "all_success",
+        sla_s: float | None = None,
     ) -> None:
         if trigger_rule not in TRIGGER_RULES:
             raise ValueError(f"trigger_rule must be one of {TRIGGER_RULES}")
@@ -137,6 +138,12 @@ class Stage:
         self.fn = fn
         self.retry = retry or RetryPolicy()
         self.trigger_rule = trigger_rule
+        # Airflow-parity SLA: a wall-clock budget for the stage.  A miss
+        # is RECORDED (StageResult.sla_missed) and notified
+        # (Pipeline.on_sla_miss), never a failure — Airflow's
+        # sla_miss_callback semantics, distinct from the hard A11
+        # run_timeout that aborts the run.
+        self.sla_s = sla_s
         self.upstream: list[Stage] = []
         self.downstream: list[Stage] = []
 
@@ -247,6 +254,8 @@ class StageResult:
     value: Any = None
     error: BaseException | None = None
     attempts: int = 0
+    duration_s: float = 0.0
+    sla_missed: bool = False
 
 
 class Pipeline:
@@ -270,6 +279,7 @@ class Pipeline:
         run_timeout_s: float | None = None,
         sleep: Callable[[float], None] = time.sleep,
         ledger: "Any | None" = None,
+        on_sla_miss: Callable[[str, "StageResult"], None] | None = None,
     ) -> None:
         self.name = name
         self.schedule = schedule  # cron string, driven by an external ticker (A10)
@@ -279,6 +289,7 @@ class Pipeline:
         self._sleep = sleep
         self.stages: dict[str, Stage] = {}
         self.connections = Connections()
+        self.on_sla_miss = on_sla_miss
         # optional RunLedger (ledger.py): the engine's metadata-DB face
         # (SURVEY §1.2) — every run() commits its per-stage outcomes
         # atomically, success or failure
@@ -299,11 +310,16 @@ class Pipeline:
         *,
         retry: RetryPolicy | None = None,
         trigger_rule: str = "all_success",
+        sla_s: float | None = None,
     ) -> Callable[[Callable[[StageContext], Any]], Stage]:
         """Decorator sugar: ``@pipe.stage("t")`` over a ctx->Any fn (A6)."""
 
         def deco(fn: Callable[[StageContext], Any]) -> Stage:
-            return self.add(Stage(task_id, fn, retry=retry, trigger_rule=trigger_rule))
+            return self.add(
+                Stage(
+                    task_id, fn, retry=retry, trigger_rule=trigger_rule, sla_s=sla_s
+                )
+            )
 
         return deco
 
@@ -346,14 +362,31 @@ class Pipeline:
     def _run_stage(self, stage: Stage, ctx: StageContext) -> StageResult:
         delays = [0.0, *stage.retry.delays()]
         last: BaseException | None = None
+        t0 = time.monotonic()
+
+        def _finish(res: StageResult) -> StageResult:
+            res.duration_s = time.monotonic() - t0
+            # SLA spans ALL attempts including backoff sleeps — the
+            # consumer-visible latency, which is what an SLA is about
+            if stage.sla_s is not None and res.duration_s > stage.sla_s:
+                res.sla_missed = True
+                if self.on_sla_miss is not None:
+                    try:
+                        self.on_sla_miss(stage.task_id, res)
+                    except Exception:  # noqa: BLE001 — a broken callback
+                        pass  # must never fail the stage it reports on
+            return res
+
         for attempt, delay in enumerate(delays, start=1):
             if delay:
                 self._sleep(delay)
             try:
-                return StageResult("success", value=stage.fn(ctx), attempts=attempt)
+                return _finish(
+                    StageResult("success", value=stage.fn(ctx), attempts=attempt)
+                )
             except Exception as exc:  # noqa: BLE001 — retry boundary
                 last = exc
-        return StageResult("failed", error=last, attempts=len(delays))
+        return _finish(StageResult("failed", error=last, attempts=len(delays)))
 
     def run(
         self,

@@ -290,3 +290,53 @@ def test_run_timeout_bounds_hung_stage():
         pipe.run(spark=None)
     assert _time.monotonic() - t0 < 5  # did not wait out the stage
     gate.set()  # release the abandoned daemon thread
+
+
+def test_stage_sla_miss_recorded_and_notified(spark):
+    """A8+ Airflow-parity SLA: exceeding sla_s RECORDS the miss on the
+    StageResult and fires on_sla_miss, but never fails the stage —
+    distinct from the hard A11 run timeout. A broken callback must not
+    fail the stage either."""
+    import time as _time
+
+    from artemia_airflow_spark.pipeline import Pipeline
+
+    misses = []
+    pipe = Pipeline("sla_demo", on_sla_miss=lambda tid, res: misses.append(tid))
+
+    @pipe.stage("slow", sla_s=0.01)
+    def slow(ctx):
+        _time.sleep(0.05)
+        return "done"
+
+    @pipe.stage("fast", sla_s=10.0)
+    def fast(ctx):
+        return "quick"
+
+    res = pipe.run(spark)
+    assert res["slow"].state == "success" and res["slow"].sla_missed
+    assert res["slow"].duration_s >= 0.05
+    assert not res["fast"].sla_missed
+    assert misses == ["slow"]
+
+    # a failing stage still times + reports its SLA
+    boom = Pipeline("sla_fail", on_sla_miss=lambda tid, res: misses.append(tid))
+
+    @boom.stage("bad", sla_s=0.0)
+    def bad(ctx):
+        raise RuntimeError("x")
+
+    r2 = boom.run(spark, raise_on_failure=False)
+    assert r2["bad"].state == "failed" and r2["bad"].sla_missed
+    assert "bad" in misses
+
+    # broken callback never fails the stage
+    broken = Pipeline(
+        "sla_broken", on_sla_miss=lambda tid, res: (_ for _ in ()).throw(ValueError())
+    )
+
+    @broken.stage("s", sla_s=0.0)
+    def s_(ctx):
+        return 1
+
+    assert broken.run(spark)["s"].state == "success"
