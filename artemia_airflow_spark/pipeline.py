@@ -138,6 +138,11 @@ class Stage:
         self.fn = fn
         self.retry = retry or RetryPolicy()
         self.trigger_rule = trigger_rule
+        # Branching (A17): a branch stage's return value names the
+        # downstream task_id(s) allowed to run; its other DIRECT
+        # downstream stages are skipped (BranchPythonOperator
+        # semantics).  Set via branch_stage(); plain stages ignore it.
+        self.is_branch = False
         # Airflow-parity SLA: a wall-clock budget for the stage.  A miss
         # is RECORDED (StageResult.sla_missed) and notified
         # (Pipeline.on_sla_miss), never a failure — Airflow's
@@ -248,6 +253,36 @@ class PipelineTimeout(TimeoutError):
     pass
 
 
+def _as_task_ids(value: Any) -> set[str]:
+    """Normalize a branch callable's return (task_id | list | set |
+    None) into the chosen-task set; None/empty chooses nothing."""
+    if value is None:
+        return set()
+    if isinstance(value, str):
+        return {value}
+    return set(value)
+
+
+def branch_stage(
+    task_id: str,
+    chooser: Callable[["StageContext"], Any],
+    *,
+    retry: "RetryPolicy | None" = None,
+    trigger_rule: str = "all_success",
+) -> Stage:
+    """A17: BranchPythonOperator parity — ``chooser(ctx)`` returns the
+    task_id (or list of task_ids) of the DIRECT downstream stage(s)
+    allowed to run; every other direct downstream is marked
+    ``skipped``, and the skip cascades through their all_success
+    descendants exactly like an upstream failure cascade (Airflow's
+    skip propagation).  Returning None/[] skips every branch.  The
+    chosen value also lands in XCom (results[task_id].value), so
+    downstream stages can inspect which path ran."""
+    st = Stage(task_id, chooser, retry=retry, trigger_rule=trigger_rule)
+    st.is_branch = True
+    return st
+
+
 @dataclass
 class StageResult:
     state: str  # success | failed | skipped | upstream_failed
@@ -345,6 +380,13 @@ class Pipeline:
         return order
 
     def _should_run(self, stage: Stage, results: dict[str, StageResult]) -> bool:
+        # branch gating first (A17): a succeeded branch upstream whose
+        # chosen set excludes this stage skips it regardless of rule
+        for u in stage.upstream:
+            if u.is_branch:
+                r = results[u.task_id]
+                if r.state == "success" and stage.task_id not in _as_task_ids(r.value):
+                    return False
         ups = [results[u.task_id] for u in stage.upstream]
         if not ups:
             return True

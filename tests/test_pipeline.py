@@ -340,3 +340,106 @@ def test_stage_sla_miss_recorded_and_notified(spark):
         return 1
 
     assert broken.run(spark)["s"].state == "success"
+
+
+def test_branch_stage_chooses_path(spark):
+    """A17 BranchPythonOperator parity: the chooser's returned task_id
+    runs; sibling branches skip; skips cascade through all_success
+    descendants; a join stage with all_done still runs; the choice
+    lands in XCom."""
+    from artemia_airflow_spark.pipeline import Pipeline, branch_stage
+
+    pipe = Pipeline("branchy")
+    ran = []
+
+    br = pipe.add(branch_stage("pick", lambda ctx: "path_a"))
+
+    @pipe.stage("path_a")
+    def path_a(ctx):
+        ran.append("a")
+        return "A"
+
+    @pipe.stage("path_b")
+    def path_b(ctx):
+        ran.append("b")
+        return "B"
+
+    @pipe.stage("after_b")
+    def after_b(ctx):
+        ran.append("after_b")
+        return "AB"
+
+    @pipe.stage("join", trigger_rule="all_done")
+    def join(ctx):
+        ran.append("join")
+        return "J"
+
+    br >> [path_a, path_b]
+    path_b >> after_b
+    join << [path_a, after_b]
+
+    res = pipe.run(spark)
+    assert res["pick"].state == "success" and res["pick"].value == "path_a"
+    assert res["path_a"].state == "success"
+    assert res["path_b"].state == "skipped"
+    assert res["after_b"].state == "skipped"  # cascade through all_success
+    assert res["join"].state == "success"  # all_done joins both paths
+    assert ran == ["a", "join"]
+
+
+def test_branch_stage_multi_and_none(spark):
+    """Branch may choose multiple paths or none (None skips all)."""
+    from artemia_airflow_spark.pipeline import Pipeline, branch_stage
+
+    pipe = Pipeline("branchy2")
+    br = pipe.add(branch_stage("pick", lambda ctx: ["x", "y"]))
+
+    @pipe.stage("x")
+    def x(ctx):
+        return 1
+
+    @pipe.stage("y")
+    def y(ctx):
+        return 2
+
+    @pipe.stage("z")
+    def z(ctx):
+        return 3
+
+    br >> [x, y, z]
+    res = pipe.run(spark)
+    assert res["x"].state == res["y"].state == "success"
+    assert res["z"].state == "skipped"
+
+    pipe2 = Pipeline("branchy3")
+    br2 = pipe2.add(branch_stage("pick", lambda ctx: None))
+
+    @pipe2.stage("only")
+    def only(ctx):
+        return 1
+
+    br2 >> only
+    res2 = pipe2.run(spark)
+    assert res2["only"].state == "skipped"
+
+
+def test_branch_failure_is_a_normal_failure(spark):
+    """A failing branch stage behaves like any failed upstream (no
+    special-case: downstream all_success marks upstream_failed)."""
+    from artemia_airflow_spark.pipeline import Pipeline, StageFailed, branch_stage
+
+    pipe = Pipeline("branchy4")
+
+    def boom(ctx):
+        raise RuntimeError("nope")
+
+    br = pipe.add(branch_stage("pick", boom))
+
+    @pipe.stage("down")
+    def down(ctx):
+        return 1
+
+    br >> down
+    res = pipe.run(spark, raise_on_failure=False)
+    assert res["pick"].state == "failed"
+    assert res["down"].state == "upstream_failed"
