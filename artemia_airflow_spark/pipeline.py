@@ -315,8 +315,15 @@ class Pipeline:
         sleep: Callable[[float], None] = time.sleep,
         ledger: "Any | None" = None,
         on_sla_miss: Callable[[str, "StageResult"], None] | None = None,
+        outlets: tuple[str, ...] = (),
+        triggers_on: tuple[str, ...] = (),
     ) -> None:
         self.name = name
+        # A18 data-aware scheduling (datasets.py): URIs this pipeline
+        # UPDATES on success (outlets) and URIs whose updates make it
+        # runnable (triggers_on, AND semantics — Airflow Datasets)
+        self.outlets = tuple(outlets)
+        self.triggers_on = tuple(triggers_on)
         self.schedule = schedule  # cron string, driven by an external ticker (A10)
         self.tags = tags
         self.default_retry = default_retry

@@ -165,3 +165,84 @@ def test_schedule_windows_never_start_before_requested_start():
     w = schedule_windows("@daily", dt(2024, 1, 1, 0, 0, 30), dt(2024, 1, 3))
     assert w == [(dt(2024, 1, 2), dt(2024, 1, 3))]
     assert all(s >= dt(2024, 1, 1, 0, 0, 30) for s, _ in w)
+
+
+def test_data_aware_wave_and_semantics(spark):
+    """A18 Datasets parity: consumers run when ALL their trigger
+    datasets updated (AND); cascade proceeds until quiescent; a FAILED
+    producer does not emit its outlets."""
+    from artemia_airflow_spark.datasets import run_data_aware
+    from artemia_airflow_spark.pipeline import Pipeline
+
+    order = []
+
+    def mk(name, outlets=(), triggers_on=(), fail=False):
+        p = Pipeline(name, outlets=outlets, triggers_on=triggers_on)
+
+        @p.stage("work")
+        def work(ctx, _n=name, _f=fail):
+            if _f:
+                raise RuntimeError("boom")
+            order.append(_n)
+            return _n
+
+        return p
+
+    a = mk("a", outlets=("ds://one",))
+    b = mk("b", outlets=("ds://two",))
+    c = mk("c", triggers_on=("ds://one", "ds://two"), outlets=("ds://three",))
+    d = mk("d", triggers_on=("ds://three",))
+    e = mk("e", triggers_on=("ds://never",))
+
+    ran = run_data_aware([a, b, c, d, e], spark)
+    assert order == ["a", "b", "c", "d"]  # c waits for BOTH, e never runs
+    assert set(ran) == {"a", "b", "c", "d"}
+
+    # failed producer emits nothing
+    order.clear()
+    a2 = mk("a2", outlets=("ds://x",), fail=True)
+    b2 = mk("b2", triggers_on=("ds://x",))
+    ran2 = run_data_aware([a2, b2], spark, raise_on_failure=False)
+    assert set(ran2) == {"a2"} and order == []
+
+
+def test_txtable_dataset_polling(spark, tmp_path):
+    """External-producer detection: a TxTable commit advances the
+    dataset version; polling reports the change exactly once and the
+    change drives a consumer wave."""
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.datasets import (
+        poll_txtable_datasets,
+        run_data_aware,
+        txtable_version,
+    )
+    from artemia_airflow_spark.pipeline import Pipeline
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    root = str(tmp_path / "ds_table")
+    assert txtable_version(root) is None
+    t = TxTable.create(
+        spark,
+        spark.range(5).select(F.col("id").alias("k"), F.lit(1.0).alias("v")),
+        root,
+        key_col="k",
+    )
+    uris = {"ds://tbl": root}
+    seen: dict[str, int] = {}
+    assert poll_txtable_datasets(uris, seen) == {"ds://tbl"}  # v0 detected
+    assert poll_txtable_datasets(uris, seen) == set()  # no re-fire
+    t.append(spark.range(5, 8).select(F.col("id").alias("k"), F.lit(2.0).alias("v")))
+    changed = poll_txtable_datasets(uris, seen)
+    assert changed == {"ds://tbl"}
+
+    got = []
+    consumer = Pipeline("consumer", triggers_on=("ds://tbl",))
+
+    @consumer.stage("read")
+    def read(ctx):
+        got.append(TxTable(ctx.spark, root).snapshot().count())
+        return got[-1]
+
+    ran = run_data_aware([consumer], spark, seeds=[], pre_updated=changed)
+    assert set(ran) == {"consumer"} and got == [8]
