@@ -283,6 +283,97 @@ def branch_stage(
     return st
 
 
+def mapped_stage(
+    task_id: str,
+    fn: Callable[["StageContext", Any], Any],
+    over: Callable[["StageContext"], Any],
+    *,
+    retry: "RetryPolicy | None" = None,
+    trigger_rule: str = "all_success",
+    max_parallel: int = 4,
+    sla_s: float | None = None,
+) -> Stage:
+    """A19: dynamic task mapping (Airflow's ``task.expand``) — the
+    work-list is only known at RUN time: ``over(ctx)`` produces the
+    items (typically from an upstream XCom), ``fn(ctx, item)`` runs
+    once per item with PER-ITEM retries (each item gets the stage's
+    retry budget independently, like Airflow's mapped task instances),
+    up to ``max_parallel`` items on driver threads so their Spark jobs
+    overlap.
+
+    The stage's XCom value is the list of per-item values in item
+    order.  Failure semantics: every item runs to completion (no
+    fail-fast — a 1000-item map reports ALL broken items, not the
+    first); if any item exhausted its retries the stage FAILS with a
+    MappedItemsFailed carrying {index: error}, so downstream
+    all_success gating and the A9 failure branches behave exactly as
+    for a plain stage."""
+    policy = retry or RetryPolicy()
+
+    def run_all(ctx: "StageContext") -> list:
+        items = list(over(ctx))
+        values: list[Any] = [None] * len(items)
+        errors: dict[int, BaseException] = {}
+        lock = threading.Lock()
+        idx_iter = iter(range(len(items)))
+
+        def worker() -> None:
+            while True:
+                with lock:
+                    i = next(idx_iter, None)
+                if i is None:
+                    return
+                delays = [0.0, *policy.delays()]
+                last: BaseException | None = None
+                for delay in delays:
+                    if delay:
+                        time.sleep(delay)
+                    try:
+                        v = fn(ctx, items[i])
+                        with lock:
+                            values[i] = v
+                        last = None
+                        break
+                    except Exception as exc:  # noqa: BLE001 — per-item retry boundary
+                        last = exc
+                if last is not None:
+                    with lock:
+                        errors[i] = last
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(max(1, min(max_parallel, len(items) or 1)))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise MappedItemsFailed(task_id, errors, n_items=len(items))
+        return values
+
+    # per-item retries live inside run_all; the stage wrapper must not
+    # multiply them with stage-level retries
+    return Stage(
+        task_id, run_all, retry=RetryPolicy(), trigger_rule=trigger_rule,
+        sla_s=sla_s,
+    )
+
+
+class MappedItemsFailed(RuntimeError):
+    """One or more mapped items exhausted their retries; carries
+    {item_index: error} so the caller can retry/inspect precisely."""
+
+    def __init__(self, task_id: str, errors: dict, *, n_items: int) -> None:
+        self.task_id = task_id
+        self.errors = errors
+        self.n_items = n_items
+        super().__init__(
+            f"mapped stage {task_id!r}: {len(errors)}/{n_items} items failed "
+            f"(indices {sorted(errors)[:10]})"
+        )
+
+
 @dataclass
 class StageResult:
     state: str  # success | failed | skipped | upstream_failed

@@ -443,3 +443,74 @@ def test_branch_failure_is_a_normal_failure(spark):
     res = pipe.run(spark, raise_on_failure=False)
     assert res["pick"].state == "failed"
     assert res["down"].state == "upstream_failed"
+
+
+def test_mapped_stage_expands_runtime_worklist(spark):
+    """A19 dynamic task mapping: the work-list comes from upstream XCom
+    at run time; per-item values land in order; per-item retries are
+    independent; all items run (no fail-fast) and the stage fails with
+    the precise failed-index map."""
+    from artemia_airflow_spark.pipeline import (
+        MappedItemsFailed,
+        Pipeline,
+        RetryPolicy,
+        mapped_stage,
+    )
+
+    pipe = Pipeline("mappy")
+
+    @pipe.stage("discover")
+    def discover(ctx):
+        return [1, 2, 3, 4]
+
+    attempts = {}
+
+    def work(ctx, item):
+        attempts[item] = attempts.get(item, 0) + 1
+        if item == 3 and attempts[item] < 2:
+            raise RuntimeError("flaky once")
+        return item * 10
+
+    m = pipe.add(
+        mapped_stage(
+            "fanout",
+            work,
+            over=lambda ctx: ctx.xcom_pull("discover"),
+            retry=RetryPolicy(retries=1, retry_delay_s=0.0),
+        )
+    )
+
+    @pipe.stage("collect")
+    def collect(ctx):
+        return sum(ctx.xcom_pull("fanout"))
+
+    discover >> m
+    m >> collect
+    res = pipe.run(spark)
+    assert res["fanout"].value == [10, 20, 30, 40]  # item order preserved
+    assert attempts[3] == 2  # per-item retry recovered item 3
+    assert res["collect"].value == 100
+
+    # permanent failures: ALL items still run, stage fails with index map
+    pipe2 = Pipeline("mappy2")
+
+    def bad(ctx, item):
+        if item % 2 == 0:
+            raise RuntimeError(f"item {item}")
+        return item
+
+    m2 = pipe2.add(mapped_stage("fan", bad, over=lambda ctx: [0, 1, 2, 3, 4]))
+    res2 = pipe2.run(spark, raise_on_failure=False)
+    assert res2["fan"].state == "failed"
+    err = res2["fan"].error
+    assert isinstance(err, MappedItemsFailed)
+    assert sorted(err.errors) == [0, 2, 4] and err.n_items == 5
+
+
+def test_mapped_stage_empty_worklist(spark):
+    from artemia_airflow_spark.pipeline import Pipeline, mapped_stage
+
+    pipe = Pipeline("mappy3")
+    m = pipe.add(mapped_stage("fan", lambda ctx, it: it, over=lambda ctx: []))
+    res = pipe.run(spark)
+    assert res["fan"].state == "success" and res["fan"].value == []
