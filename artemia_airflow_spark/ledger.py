@@ -37,7 +37,8 @@ if TYPE_CHECKING:
 RUN_SCHEMA = (
     "pipeline string, run_id string, stage string, state string, "
     "attempts int, error string, value_json string, "
-    "started_at double, finished_at double"
+    "started_at double, finished_at double, "
+    "duration_s double, sla_missed boolean"
 )
 
 
@@ -99,6 +100,8 @@ class RunLedger:
                 _to_json(r.value) if r.state == "success" else None,
                 float(started_at),
                 float(finished_at),
+                float(getattr(r, "duration_s", 0.0)),
+                bool(getattr(r, "sla_missed", False)),
             )
             for stage, r in results.items()
         ]
@@ -125,8 +128,13 @@ class RunLedger:
         ]
         if not committed:
             return spark.createDataFrame([], RUN_SCHEMA)
-        return spark.read.option("basePath", self.root).parquet(
-            os.path.join(self.root, "run_id=*")
+        # explicit schema: runs recorded BEFORE the round-6 SLA columns
+        # read back null-filled instead of poisoning schema inference
+        # across mixed-vintage run directories
+        return (
+            spark.read.schema(RUN_SCHEMA)
+            .option("basePath", self.root)
+            .parquet(os.path.join(self.root, "run_id=*"))
         )
 
     def resumable_values(self, spark: SparkSession, run_id: str) -> dict[str, Any]:

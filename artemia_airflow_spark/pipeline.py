@@ -255,12 +255,24 @@ class PipelineTimeout(TimeoutError):
 
 def _as_task_ids(value: Any) -> set[str]:
     """Normalize a branch callable's return (task_id | list | set |
-    None) into the chosen-task set; None/empty chooses nothing."""
+    None) into the chosen-task set; None/empty chooses nothing; any
+    other shape is an explicit error (not a TypeError from deep inside
+    a worker thread)."""
     if value is None:
         return set()
     if isinstance(value, str):
         return {value}
-    return set(value)
+    try:
+        ids = set(value)
+    except TypeError:
+        raise ValueError(
+            f"branch chooser must return a task_id, an iterable of "
+            f"task_ids, or None — got {type(value).__name__}: {value!r}"
+        ) from None
+    bad = [x for x in ids if not isinstance(x, str)]
+    if bad:
+        raise ValueError(f"branch chooser returned non-string task_ids: {bad!r}")
+    return ids
 
 
 def branch_stage(
@@ -292,6 +304,7 @@ def mapped_stage(
     trigger_rule: str = "all_success",
     max_parallel: int = 4,
     sla_s: float | None = None,
+    sleep: Callable[[float], None] = time.sleep,
 ) -> Stage:
     """A19: dynamic task mapping (Airflow's ``task.expand``) — the
     work-list is only known at RUN time: ``over(ctx)`` produces the
@@ -327,14 +340,17 @@ def mapped_stage(
                 last: BaseException | None = None
                 for delay in delays:
                     if delay:
-                        time.sleep(delay)
+                        sleep(delay)
                     try:
                         v = fn(ctx, items[i])
                         with lock:
                             values[i] = v
                         last = None
                         break
-                    except Exception as exc:  # noqa: BLE001 — per-item retry boundary
+                    except BaseException as exc:  # noqa: BLE001 — even
+                        # SystemExit from an item must be RECORDED, not
+                        # silently kill the worker leaving values[i]=None
+                        # and a 'successful' stage with corrupted XCom
                         last = exc
                 if last is not None:
                     with lock:
@@ -353,11 +369,15 @@ def mapped_stage(
         return values
 
     # per-item retries live inside run_all; the stage wrapper must not
-    # multiply them with stage-level retries
-    return Stage(
+    # multiply them with stage-level retries — the pin also stops
+    # Pipeline.add's default_retry swap (which matches on the bare
+    # RetryPolicy() sentinel) from re-introducing whole-map retries
+    st = Stage(
         task_id, run_all, retry=RetryPolicy(), trigger_rule=trigger_rule,
         sla_s=sla_s,
     )
+    st._retry_pinned = True
+    return st
 
 
 class MappedItemsFailed(RuntimeError):
@@ -432,7 +452,11 @@ class Pipeline:
     def add(self, stage: Stage) -> Stage:
         if stage.task_id in self.stages:
             raise ValueError(f"duplicate task_id {stage.task_id!r}")
-        if self.default_retry is not None and stage.retry == RetryPolicy():
+        if (
+            self.default_retry is not None
+            and stage.retry == RetryPolicy()
+            and not getattr(stage, "_retry_pinned", False)
+        ):
             stage.retry = self.default_retry
         self.stages[stage.task_id] = stage
         return stage
@@ -521,8 +545,21 @@ class Pipeline:
             if delay:
                 self._sleep(delay)
             try:
+                value = stage.fn(ctx)
+                if stage.is_branch:
+                    # Airflow parity: an invalid branch target raises —
+                    # a typo must not silently skip every branch
+                    chosen = _as_task_ids(value)
+                    known = {d.task_id for d in stage.downstream}
+                    unknown = chosen - known
+                    if unknown:
+                        raise ValueError(
+                            f"branch {stage.task_id!r} chose unknown "
+                            f"downstream task_ids {sorted(unknown)} "
+                            f"(direct downstream: {sorted(known)})"
+                        )
                 return _finish(
-                    StageResult("success", value=stage.fn(ctx), attempts=attempt)
+                    StageResult("success", value=value, attempts=attempt)
                 )
             except Exception as exc:  # noqa: BLE001 — retry boundary
                 last = exc
@@ -584,8 +621,16 @@ class Pipeline:
                     with lock:
                         results[s.task_id] = StageResult(state)
                     return
-                ctx = StageContext(spark, dict(values), self.connections, dict(params or {}))
-                res = self._run_stage(s, ctx)
+                try:
+                    ctx = StageContext(
+                        spark, dict(values), self.connections, dict(params or {})
+                    )
+                    res = self._run_stage(s, ctx)
+                except BaseException as exc:  # noqa: BLE001 — a bug in the
+                    # harness path (e.g. a malformed branch value hit in
+                    # _should_run) must record a failure, NOT die in a
+                    # daemon thread leaving `pending` stuck forever
+                    res = StageResult("failed", error=exc, attempts=0)
                 with lock:
                     results[s.task_id] = res
                     if res.state == "success":

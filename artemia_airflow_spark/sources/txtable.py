@@ -67,6 +67,23 @@ def _log_dir(root: str) -> str:
     return os.path.join(root, "_log")
 
 
+def head_version(root: str) -> int | None:
+    """Committed head version of the table at ``root`` without a
+    handle (None when no table/commits exist) — the single
+    implementation of commit-log name filtering shared by
+    TxTable.version() and external pollers (datasets.py)."""
+    log = _log_dir(root)
+    if not os.path.isdir(log):
+        return None
+    names = [
+        n for n in os.listdir(log)
+        if n.endswith(".json") and not n.startswith(("_tmp_", "checkpoint-"))
+    ]
+    if not names:
+        return None
+    return int(max(names)[: -len(".json")])
+
+
 def _version_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"{version:0{_VERSION_DIGITS}d}.json")
 
@@ -142,10 +159,10 @@ class TxTable:
     def version(self) -> int:
         # listdir-only (no json parse): the head version is the highest
         # committed file name — O(#files) directory scan, not O(log) I/O
-        names = self._commit_names()
-        if not names:
+        v = head_version(self.root)
+        if v is None:
             raise ValueError(f"no commits at {self.root!r}")
-        return int(names[-1][: -len(".json")])
+        return v
 
     def history(self) -> list[dict]:
         """One dict per commit: operation + files added/removed counts."""

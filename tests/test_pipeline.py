@@ -514,3 +514,81 @@ def test_mapped_stage_empty_worklist(spark):
     m = pipe.add(mapped_stage("fan", lambda ctx, it: it, over=lambda ctx: []))
     res = pipe.run(spark)
     assert res["fan"].state == "success" and res["fan"].value == []
+
+
+def test_branch_unknown_target_fails_loudly(spark):
+    """Code-review regression (r6): a chooser typo must FAIL the branch
+    stage (Airflow parity), not silently skip every path; a non-string
+    return is an explicit ValueError, not a TypeError lost in a worker
+    thread."""
+    from artemia_airflow_spark.pipeline import Pipeline, branch_stage
+
+    pipe = Pipeline("br_typo")
+    br = pipe.add(branch_stage("pick", lambda ctx: "path_A"))  # typo case
+
+    @pipe.stage("path_a")
+    def path_a(ctx):
+        return 1
+
+    br >> path_a
+    res = pipe.run(spark, raise_on_failure=False)
+    assert res["pick"].state == "failed"
+    assert "unknown downstream" in str(res["pick"].error)
+
+    pipe2 = Pipeline("br_int")
+    br2 = pipe2.add(branch_stage("pick", lambda ctx: 2))
+
+    @pipe2.stage("x")
+    def x(ctx):
+        return 1
+
+    br2 >> x
+    res2 = pipe2.run(spark, raise_on_failure=False)
+    assert res2["pick"].state == "failed"
+    assert "must return a task_id" in str(res2["pick"].error)
+
+
+def test_mapped_stage_not_multiplied_by_default_retry(spark):
+    """Code-review regression (r6): Pipeline(default_retry=...) must
+    not wrap the whole map in stage-level retries — per-item budgets
+    only (each failing item tries 1+retries times, the MAP itself
+    exactly once)."""
+    from artemia_airflow_spark.pipeline import Pipeline, RetryPolicy, mapped_stage
+
+    pipe = Pipeline(
+        "no_multiply", default_retry=RetryPolicy(retries=2, retry_delay_s=0.0)
+    )
+    calls = {"n": 0}
+
+    def always_fail(ctx, item):
+        calls["n"] += 1
+        raise RuntimeError("x")
+
+    pipe.add(mapped_stage("fan", always_fail, over=lambda ctx: [1]))
+    res = pipe.run(spark, raise_on_failure=False)
+    assert res["fan"].state == "failed"
+    assert calls["n"] == 1  # no per-item retry configured, no map-level retry
+
+
+def test_mapped_stage_records_base_exceptions(spark):
+    """Code-review regression (r6): SystemExit from an item is RECORDED
+    as that item's failure — never a silent None in a 'successful'
+    XCom."""
+    from artemia_airflow_spark.pipeline import (
+        MappedItemsFailed,
+        Pipeline,
+        mapped_stage,
+    )
+
+    pipe = Pipeline("base_exc")
+
+    def work(ctx, item):
+        if item == 1:
+            raise SystemExit(3)
+        return item
+
+    pipe.add(mapped_stage("fan", work, over=lambda ctx: [0, 1, 2]))
+    res = pipe.run(spark, raise_on_failure=False)
+    assert res["fan"].state == "failed"
+    assert isinstance(res["fan"].error, MappedItemsFailed)
+    assert sorted(res["fan"].error.errors) == [1]

@@ -228,13 +228,20 @@ def test_txtable_dataset_polling(spark, tmp_path):
         root,
         key_col="k",
     )
+    from artemia_airflow_spark.datasets import commit_seen
+
     uris = {"ds://tbl": root}
     seen: dict[str, int] = {}
-    assert poll_txtable_datasets(uris, seen) == {"ds://tbl"}  # v0 detected
-    assert poll_txtable_datasets(uris, seen) == set()  # no re-fire
+    pending = poll_txtable_datasets(uris, seen)
+    assert pending == {"ds://tbl": 0}  # v0 detected, last_seen untouched
+    # at-least-once: a crashed wave re-observes the same event
+    assert poll_txtable_datasets(uris, seen) == {"ds://tbl": 0}
+    commit_seen(seen, pending)
+    assert poll_txtable_datasets(uris, seen) == {}  # acked: no re-fire
     t.append(spark.range(5, 8).select(F.col("id").alias("k"), F.lit(2.0).alias("v")))
-    changed = poll_txtable_datasets(uris, seen)
-    assert changed == {"ds://tbl"}
+    pending = poll_txtable_datasets(uris, seen)
+    assert pending == {"ds://tbl": 1}
+    changed = set(pending)
 
     got = []
     consumer = Pipeline("consumer", triggers_on=("ds://tbl",))
@@ -246,3 +253,33 @@ def test_txtable_dataset_polling(spark, tmp_path):
 
     ran = run_data_aware([consumer], spark, seeds=[], pre_updated=changed)
     assert set(ran) == {"consumer"} and got == [8]
+
+
+def test_data_aware_wave_failure_contained_and_raised_after_drain(spark):
+    """Code-review regression (r6): one failing seed never aborts
+    unrelated seeds — the wave drains fully, then WaveFailed carries
+    the complete run map."""
+    import pytest as _pytest
+
+    from artemia_airflow_spark.datasets import WaveFailed, run_data_aware
+    from artemia_airflow_spark.pipeline import Pipeline
+
+    ran_names = []
+
+    def mk(name, fail=False):
+        p = Pipeline(name)
+
+        @p.stage("w")
+        def w(ctx, _n=name, _f=fail):
+            if _f:
+                raise RuntimeError("x")
+            ran_names.append(_n)
+            return _n
+
+        return p
+
+    bad, good = mk("bad", fail=True), mk("good")
+    with _pytest.raises(WaveFailed) as ei:
+        run_data_aware([bad, good], spark)
+    assert ran_names == ["good"]  # unrelated seed still ran
+    assert set(ei.value.ran) == {"bad", "good"} and ei.value.failed == ["bad"]
