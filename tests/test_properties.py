@@ -250,6 +250,7 @@ def test_cap_per_group_keeps_min_of_cap_and_group_size(spark, rows, cap):
             ),
             st.tuples(st.just("compact"), st.just([])),
             st.tuples(st.just("checkpoint"), st.just([])),
+            st.tuples(st.just("vacuum"), st.just([])),
         ),
         min_size=1,
         max_size=6,
@@ -305,6 +306,10 @@ def test_txtable_model_based(spark, ops):
                 t.compact(target_files=1)
             elif op == "checkpoint":
                 t.checkpoint()
+            elif op == "vacuum":
+                # retention 0 is safe here: single-writer test; the
+                # model is unaffected (vacuum never touches live data)
+                t.vacuum(retention_sec=0)
             got = {r.k: r.v for r in t.snapshot().collect()}
             assert got == model, f"diverged after step {step} ({op})"
     finally:
