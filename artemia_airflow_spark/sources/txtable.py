@@ -896,3 +896,49 @@ def stream_to_txtable(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"stream_to_txtable did not drain in {timeout_s}s")
+
+
+def export_for_training(
+    table: TxTable, out_dir: str, *, version: int | None = None,
+    shards: int = 16, id_col: str | None = None,
+) -> dict:
+    """B95: export a committed snapshot to the sharded layout trainers
+    read — the hand-off from the transactional store to the training
+    job.
+
+    Rows shard by the engine-portable md5-hex prefix of ``id_col``
+    (default: the table key) — the same deterministic rule as q_shard,
+    so any engine/reader reproduces the assignment — and land as
+    ``out_dir/shard=<h>/`` via ``write.partitionBy`` (trainers read
+    their shard with partition pruning; at 100 TB each shard is one
+    worker's input).  The write is tied to an EXACT table version
+    (snapshot isolation — concurrent commits cannot tear the export)
+    and a ``_manifest.json`` (underscore prefix: Spark data readers
+    skip it) records {version, shards, per-shard row counts, total} —
+    the contract a training job validates before
+    consuming (and the audit trail tying model runs to table
+    versions).  Returns the manifest."""
+    if shards < 1 or shards > 16:
+        raise ValueError("shards must be 1..16 (one md5 hex prefix char)")
+    v = table.version() if version is None else version
+    snap = table.snapshot(v)
+    key = id_col or table._key_col()
+    hexd = F.substring(F.md5(F.col(key).cast("string")), 1, 1)
+    shard = F.pmod(F.conv(hexd, 16, 10).cast("int"), F.lit(shards))
+    df = snap.withColumn("shard", shard)
+    df.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    counts = {
+        int(r.shard): r.n
+        for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    manifest = {
+        "table_root": table.root,
+        "version": v,
+        "shards": shards,
+        "shard_rows": {str(k): counts.get(k, 0) for k in range(shards)},
+        "total_rows": sum(counts.values()),
+        "key_col": key,
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

@@ -558,3 +558,36 @@ def test_timestamp_time_travel(spark, root):
     assert t.snapshot_at(time.time()).count() == 15
     with pytest.raises(ValueError, match="created later"):
         t.version_at(0.0)
+
+
+def test_export_for_training_sharded_with_manifest(spark, tmp_path, root):
+    """B95: a committed snapshot exports to the trainer layout — every
+    row in exactly one shard, manifest counts match, re-read prunes to
+    one shard directory, and the export is version-pinned (a later
+    commit does not leak in)."""
+    import json as _json
+
+    from artemia_airflow_spark.sources.txtable import export_for_training
+
+    t = _mk(spark, root, n=200, files=2)
+    v0 = t.version()
+    out = str(tmp_path / "export")
+    t.append(
+        spark.range(10_000, 10_050).select(
+            F.col("id").alias("k"), F.lit(0.0).alias("v"), F.lit("x").alias("tag")
+        )
+    )  # post-v0 commit must NOT appear in a v0 export
+    man = export_for_training(t, out, version=v0, shards=8)
+    assert man["version"] == v0 and man["total_rows"] == 200
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.select("k").distinct().count() == 200  # each row once
+    assert set(man["shard_rows"]) == {str(i) for i in range(8)}
+    assert sum(int(x) for x in man["shard_rows"].values()) == 200
+    with open(out + "/_manifest.json") as f:
+        assert _json.load(f) == man
+    # partition pruning on the trainer's read path
+    one = back.filter("shard = 3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == int(man["shard_rows"]["3"])
+    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
