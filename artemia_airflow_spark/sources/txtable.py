@@ -907,30 +907,55 @@ def export_for_training(
     job.
 
     Rows shard by the engine-portable md5-hex prefix of ``id_col``
-    (default: the table key) — the same deterministic rule as q_shard,
-    so any engine/reader reproduces the assignment — and land as
-    ``out_dir/shard=<h>/`` via ``write.partitionBy`` (trainers read
-    their shard with partition pruning; at 100 TB each shard is one
-    worker's input).  The write is tied to an EXACT table version
-    (snapshot isolation — concurrent commits cannot tear the export)
-    and a ``_manifest.json`` (underscore prefix: Spark data readers
-    skip it) records {version, shards, per-shard row counts, total} —
-    the contract a training job validates before
-    consuming (and the audit trail tying model runs to table
-    versions).  Returns the manifest."""
-    if shards < 1 or shards > 16:
-        raise ValueError("shards must be 1..16 (one md5 hex prefix char)")
+    (default: the table key) — the md5-prefix family q_shard uses,
+    here over the first TWO hex chars (256 buckets) folded by pmod so
+    any ``shards`` in 1..256 stays within 1/16 relative skew (a single
+    hex digit gives a 2:1 imbalance whenever shards does not divide
+    16).  NULL keys are sharded deterministically via an empty-string
+    sentinel instead of crashing or silently landing in the Hive
+    default partition — they stay in the export and the manifest
+    counts them.  Rows land as ``out_dir/shard=<n>/`` via
+    ``write.partitionBy`` (trainers read their shard with partition
+    pruning; at 100 TB each shard is one worker's input).
+
+    The export is tied to an EXACT table version (snapshot isolation —
+    concurrent commits cannot tear it).  ``_manifest.json``
+    (underscore prefix: Spark data readers skip it; written atomically
+    with fsync + rename like every other durability-critical file
+    here) records {version, shards, per-shard row counts, total},
+    with the counts harvested from the WRITTEN files' parquet footers
+    (metadata-only — no second data scan, and it attests what is
+    actually on disk, not what was computed).  This is the trainer's
+    validation contract and the model-run-to-table-version audit
+    trail.  Returns the manifest."""
+    import pyarrow.parquet as pq
+
+    if shards < 1 or shards > 256:
+        raise ValueError("shards must be 1..256 (two md5 hex prefix chars)")
     v = table.version() if version is None else version
     snap = table.snapshot(v)
+    if "shard" in snap.columns:
+        raise ValueError(
+            "table already has a 'shard' column — the export would "
+            "silently overwrite it; rename it or export id_col explicitly"
+        )
     key = id_col or table._key_col()
-    hexd = F.substring(F.md5(F.col(key).cast("string")), 1, 1)
+    hexd = F.substring(
+        F.md5(F.coalesce(F.col(key).cast("string"), F.lit(""))), 1, 2
+    )
     shard = F.pmod(F.conv(hexd, 16, 10).cast("int"), F.lit(shards))
     df = snap.withColumn("shard", shard)
     df.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
-    counts = {
-        int(r.shard): r.n
-        for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+
+    counts: dict[int, int] = {}
+    for d in os.listdir(out_dir):
+        if not d.startswith("shard="):
+            continue
+        n = 0
+        for fn in os.listdir(os.path.join(out_dir, d)):
+            if fn.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(out_dir, d, fn)).metadata.num_rows
+        counts[int(d.split("=", 1)[1])] = n
     manifest = {
         "table_root": table.root,
         "version": v,
@@ -939,6 +964,10 @@ def export_for_training(
         "total_rows": sum(counts.values()),
         "key_col": key,
     }
-    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+    staged = os.path.join(out_dir, f"_tmp_manifest_{uuid.uuid4().hex}")
+    with open(staged, "w") as f:
         json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(staged, os.path.join(out_dir, "_manifest.json"))
     return manifest

@@ -590,4 +590,34 @@ def test_export_for_training_sharded_with_manifest(spark, tmp_path, root):
     one = back.filter("shard = 3")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert one.count() == int(man["shard_rows"]["3"])
-    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+    # strict: the filter must reach PartitionFilters (directory pruning),
+    # not merely appear as a post-scan Filter on a data column
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters", 1)[1][:120]
+
+
+def test_export_null_keys_and_collision_guard(spark, tmp_path, root):
+    """Code-review regression (r6): NULL keys shard deterministically
+    (counted in the manifest, never crash/vanish into the Hive default
+    partition); a pre-existing 'shard' column refuses loudly; shards
+    not dividing 16 stay balanced via the 2-hex-char fold."""
+    from artemia_airflow_spark.sources.txtable import export_for_training
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "a"), (None, 2.0, "b"), (3, 3.0, "c")],
+        "k long, v double, tag string",
+    )
+    t = TxTable.create(spark, df, root, key_col="k")
+    out = str(tmp_path / "exp_null")
+    man = export_for_training(t, out, shards=10)
+    assert man["total_rows"] == 3  # NULL key counted, not lost
+    assert spark.read.parquet(out).count() == 3
+
+    t2root = str(tmp_path / "t2")
+    t2 = TxTable.create(
+        spark,
+        spark.createDataFrame([(1, 0)], "k long, shard int"),
+        t2root,
+        key_col="k",
+    )
+    with pytest.raises(ValueError, match="'shard' column"):
+        export_for_training(t2, str(tmp_path / "exp2"))
