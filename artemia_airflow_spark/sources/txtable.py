@@ -107,9 +107,19 @@ def _key_stats(path: str, key_col: str) -> tuple[Any, Any, int]:
 class TxTable:
     """Handle on a transactional parquet table rooted at ``root``."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, *,
+        checkpoint_interval: int | None = None,
+    ):
         self.spark = spark
         self.root = root
+        # opt-in auto-checkpointing: after a successful commit whose
+        # version is a multiple of the interval, write a log checkpoint
+        # so snapshot resolution stays O(interval) on long-lived tables
+        # (streaming sinks accrete one commit per micro-batch).
+        # Checkpoints are derived+idempotent, so a failure here can
+        # never corrupt the log — best-effort by design.
+        self.checkpoint_interval = checkpoint_interval
         if not os.path.isdir(_log_dir(root)):
             raise FileNotFoundError(
                 f"no transactional table at {root!r} (missing _log/); "
@@ -293,6 +303,12 @@ class TxTable:
         while True:
             try:
                 _publish(self.root, version, commit)
+                ci = self.checkpoint_interval
+                if ci and version % ci == 0:
+                    try:
+                        self.checkpoint()
+                    except Exception:  # noqa: BLE001 — derived data;
+                        pass  # never fail a committed write over it
                 return version
             except FileExistsError:
                 # fail-safe union of both classifiers: a read-set op

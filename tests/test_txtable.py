@@ -621,3 +621,24 @@ def test_export_null_keys_and_collision_guard(spark, tmp_path, root):
     )
     with pytest.raises(ValueError, match="'shard' column"):
         export_for_training(t2, str(tmp_path / "exp2"))
+
+
+def test_auto_checkpoint_interval(spark, root):
+    """Opt-in auto-checkpointing: every Nth commit writes a log
+    checkpoint, so long-lived tables (streaming sinks) stay O(interval)
+    to resolve; results identical with and without."""
+    t0 = _mk(spark, root, n=10, files=1)
+    t = TxTable(spark, root, checkpoint_interval=2)
+    for lo in (100, 200, 300, 400):
+        t.append(
+            spark.range(lo, lo + 5).select(
+                F.col("id").alias("k"), F.lit(0.0).alias("v"), F.lit("a").alias("tag")
+            )
+        )
+    cps = [
+        n for n in os.listdir(os.path.join(root, "_log"))
+        if n.startswith("checkpoint-")
+    ]
+    assert len(cps) == 2  # versions 2 and 4
+    assert t.snapshot().count() == 30
+    assert t.snapshot(1).count() == 15  # pre-checkpoint time travel intact
