@@ -44,7 +44,7 @@ PRIORITY: list[str] = [
     # skew-salted join certification
     "q_merge_acid", "q_text_chunk", "q_stream_enrich", "q_join_salted",
     "q_mix_temperature", "q_quantile_sketch", "q_profile",
-    "q_mix_temperature_apply",
+    "q_mix_temperature_apply", "q_stream_join_outer",
     # (b) stale rows, last confirmed r1 (pre-regeneration fixtures)
     "q_agg_approx", "q_dedup_clusters", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_exact", "q_dedup_minhash",

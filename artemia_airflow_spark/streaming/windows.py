@@ -103,6 +103,77 @@ def attribution_join(events: DataFrame, *, horizon: str = "1 hour") -> DataFrame
     )
 
 
+def attribution_join_outer(events: DataFrame, *, horizon: str = "1 hour") -> DataFrame:
+    """B96: LEFT OUTER stream-stream join — attribution including the
+    views that converted to NOTHING (the rows an inner join hides, and
+    exactly the rows a funnel analysis needs).
+
+    Streaming semantics: outer stream-stream joins REQUIRE watermarks
+    on both sides plus the event-time range condition — Spark emits an
+    unmatched left row with nulls only once the right-side watermark
+    passes ``view.ts + horizon`` (the state-store eviction point, when
+    "no purchase arrived in the window" becomes provable).  The same
+    graph runs in batch, where every unmatched view emits immediately
+    — the batch face is the declared oracle-checked query; the
+    streaming face is pinned by tests/test_streaming.py (matched rows
+    equal the inner join; unmatched emission is watermark-gated, tail
+    withheld like any append-mode window)."""
+    # NOTE: unlike the inner face, the join condition uses the RAW
+    # watermarked ``ts`` on both sides — Spark's outer-join state
+    # cleanup cannot prove eviction bounds through a derived
+    # (date_trunc'd) column; only the OUTPUT lag is second-truncated
+    # (raw-micros comparisons are exact and engine-portable, so the
+    # oracle uses the identical raw condition).
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+            "left_outer",
+        )
+        .select(
+            "view_event",
+            "purchase_event",
+            "user_id",
+            (
+                F.date_trunc("second", "p_ts").cast("long")
+                - F.date_trunc("second", "v_ts").cast("long")
+            ).alias("lag_s"),
+        )
+    )
+
+
+@declared(
+    "q_stream_join_outer",
+    oracle="""
+    SELECT v.event_id AS view_event, p.event_id AS purchase_event, v.user_id,
+           CAST(epoch(date_trunc('second', p.ts))
+                - epoch(date_trunc('second', v.ts)) AS BIGINT) AS lag_s
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_join_outer(spark, sf_dir):
+    """B96 batch face of the left-outer stream-stream attribution join
+    (same transformation graph as the watermarked streaming face):
+    every view, converted or not."""
+    ensure_engine_conf(spark)
+    return attribution_join_outer(scan(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # True streaming faces (used by tests/test_streaming.py)
 # --------------------------------------------------------------------------

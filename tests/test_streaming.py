@@ -332,3 +332,34 @@ def test_stream_enrich_equals_batch(spark, chunked_events_dir):
     assert got == want and len(got) > 0
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_stream_stream_outer_join_watermark_gated(spark, chunked_events_dir):
+    """B96: LEFT OUTER stream-stream join over the replay — matched
+    pairs equal the batch inner join exactly; null-extended rows (views
+    that never converted) are emitted only once the watermark proves
+    no purchase can arrive, so the emitted unmatched set is a SUBSET of
+    the batch unmatched set with the horizon tail withheld (the same
+    append-mode gating as windows)."""
+    from artemia_airflow_spark.streaming.windows import attribution_join_outer
+
+    ev = _read_chunks(spark, chunked_events_dir).withWatermark("ts", "2 hours")
+    _run_stream(attribution_join_outer(ev), "t_ssjoin_outer", "append")
+    rows = spark.table("t_ssjoin_outer").collect()
+    got_matched = {
+        (r.view_event, r.purchase_event) for r in rows if r.purchase_event is not None
+    }
+    got_unmatched = {r.view_event for r in rows if r.purchase_event is None}
+
+    batch_outer = attribution_join_outer(scan(spark, SF_SMOKE, "events")).collect()
+    batch_matched = {
+        (r.view_event, r.purchase_event)
+        for r in batch_outer
+        if r.purchase_event is not None
+    }
+    batch_unmatched = {r.view_event for r in batch_outer if r.purchase_event is None}
+
+    assert got_matched == batch_matched  # matched pairs identical to batch
+    assert got_unmatched <= batch_unmatched  # never a false unmatched
+    assert not (got_unmatched & {v for v, _ in batch_matched})  # consistency
+    assert batch_unmatched, "fixture should contain non-converting views"
