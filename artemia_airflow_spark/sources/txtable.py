@@ -38,9 +38,10 @@ Lake VLDB'20 paper) with engine-owned, dependency-free machinery:
   forward untouched.  A changed 0.1% of a 100 TB table rewrites ~0.1%
   of the files, not the table.
 
-Kept deliberately out of scope (documented, not hidden): checkpoint
-compaction of long logs, column-level stats beyond the key, and
-object-store conditional-put adapters.
+Kept deliberately out of scope (documented, not hidden): column-level
+stats beyond the key, and object-store conditional-put adapters.
+(Log checkpointing — once listed here — landed in round 6:
+``checkpoint()`` / ``checkpoint_interval``.)
 """
 
 from __future__ import annotations
@@ -119,6 +120,11 @@ class TxTable:
         # (streaming sinks accrete one commit per micro-batch).
         # Checkpoints are derived+idempotent, so a failure here can
         # never corrupt the log — best-effort by design.
+        if checkpoint_interval is not None and checkpoint_interval < 1:
+            # a negative interval would silently checkpoint EVERY commit
+            # (version % -1 == 0 always) — a hot-path perf trap, not a
+            # configuration; 0 would silently mean disabled
+            raise ValueError("checkpoint_interval must be None or >= 1")
         self.checkpoint_interval = checkpoint_interval
         if not os.path.isdir(_log_dir(root)):
             raise FileNotFoundError(

@@ -67,6 +67,48 @@ def session_counts(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def _attribution_graph(
+    events: DataFrame, horizon: str, *, how: str, truncate_condition: bool
+) -> DataFrame:
+    """Shared view->purchase graph behind both attribution faces; the
+    GENUINE differences are the join type and whether the time
+    condition runs on second-truncated or raw event time (the outer
+    face must condition on the raw watermarked column — see
+    attribution_join_outer)."""
+    ts_col = (
+        F.date_trunc("second", "ts") if truncate_condition else F.col("ts")
+    )
+    e = events.withColumn("__jts", ts_col)
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event"),
+        F.col("user_id"),
+        F.col("__jts").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event"),
+        F.col("user_id").alias("p_user"),
+        F.col("__jts").alias("p_ts"),
+    )
+    lag = (
+        (F.col("p_ts").cast("long") - F.col("v_ts").cast("long"))
+        if truncate_condition
+        else (
+            F.date_trunc("second", "p_ts").cast("long")
+            - F.date_trunc("second", "v_ts").cast("long")
+        )
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+            how,
+        )
+        .select("view_event", "purchase_event", "user_id", lag.alias("lag_s"))
+    )
+
+
 def attribution_join(events: DataFrame, *, horizon: str = "1 hour") -> DataFrame:
     """B49: view->purchase attribution — every (view, purchase) pair of
     the same user with the purchase inside ``horizon`` after the view.
@@ -76,31 +118,7 @@ def attribution_join(events: DataFrame, *, horizon: str = "1 hour") -> DataFrame
     state (view-side rows expire once the purchase-side watermark
     passes view.ts + horizon).  Event time is second-truncated (H1) so
     batch face and DuckDB oracle agree."""
-    e = events.withColumn("tsec", F.date_trunc("second", "ts"))
-    v = e.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_event"),
-        F.col("user_id"),
-        F.col("tsec").alias("v_ts"),
-    )
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_event"),
-        F.col("user_id").alias("p_user"),
-        F.col("tsec").alias("p_ts"),
-    )
-    return (
-        v.join(
-            p,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("v_ts"))
-            & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
-        )
-        .select(
-            "view_event",
-            "purchase_event",
-            "user_id",
-            (F.col("p_ts").cast("long") - F.col("v_ts").cast("long")).alias("lag_s"),
-        )
-    )
+    return _attribution_graph(events, horizon, how="inner", truncate_condition=True)
 
 
 def attribution_join_outer(events: DataFrame, *, horizon: str = "1 hour") -> DataFrame:
@@ -108,49 +126,22 @@ def attribution_join_outer(events: DataFrame, *, horizon: str = "1 hour") -> Dat
     views that converted to NOTHING (the rows an inner join hides, and
     exactly the rows a funnel analysis needs).
 
-    Streaming semantics: outer stream-stream joins REQUIRE watermarks
-    on both sides plus the event-time range condition — Spark emits an
-    unmatched left row with nulls only once the right-side watermark
-    passes ``view.ts + horizon`` (the state-store eviction point, when
-    "no purchase arrived in the window" becomes provable).  The same
-    graph runs in batch, where every unmatched view emits immediately
-    — the batch face is the declared oracle-checked query; the
-    streaming face is pinned by tests/test_streaming.py (matched rows
-    equal the inner join; unmatched emission is watermark-gated, tail
-    withheld like any append-mode window)."""
-    # NOTE: unlike the inner face, the join condition uses the RAW
-    # watermarked ``ts`` on both sides — Spark's outer-join state
-    # cleanup cannot prove eviction bounds through a derived
-    # (date_trunc'd) column; only the OUTPUT lag is second-truncated
-    # (raw-micros comparisons are exact and engine-portable, so the
-    # oracle uses the identical raw condition).
-    v = events.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_event"),
-        F.col("user_id"),
-        F.col("ts").alias("v_ts"),
-    )
-    p = events.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_event"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-    )
-    return (
-        v.join(
-            p,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("v_ts"))
-            & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
-            "left_outer",
-        )
-        .select(
-            "view_event",
-            "purchase_event",
-            "user_id",
-            (
-                F.date_trunc("second", "p_ts").cast("long")
-                - F.date_trunc("second", "v_ts").cast("long")
-            ).alias("lag_s"),
-        )
+    Streaming semantics: outer stream-stream joins REQUIRE the
+    event-time range condition on the WATERMARKED columns themselves —
+    Spark's outer-join state cleanup cannot prove eviction bounds
+    through a derived (date_trunc'd) column — so this face conditions
+    on the RAW ``ts`` and only the OUTPUT lag is second-truncated.
+    That makes the raw condition STRICTLY TIGHTER than the inner
+    face's truncated one: a pair whose raw order straddles a second
+    boundary (view 10:00:00.8, purchase 10:00:00.2) matches the inner
+    face but is null-extended here — do NOT mix the two faces in one
+    funnel computation.  The oracle uses the identical raw condition.
+    Spark emits an unmatched left row with nulls only once the
+    right-side watermark passes ``view.ts + horizon`` (the state-store
+    eviction point, when "no purchase arrived in the window" becomes
+    provable); in batch every unmatched view emits immediately."""
+    return _attribution_graph(
+        events, horizon, how="left_outer", truncate_condition=False
     )
 
 

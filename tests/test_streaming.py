@@ -360,6 +360,38 @@ def test_stream_stream_outer_join_watermark_gated(spark, chunked_events_dir):
     batch_unmatched = {r.view_event for r in batch_outer if r.purchase_event is None}
 
     assert got_matched == batch_matched  # matched pairs identical to batch
+    got_lags = {
+        (r.view_event, r.purchase_event): r.lag_s
+        for r in rows
+        if r.purchase_event is not None
+    }
+    batch_lags = {
+        (r.view_event, r.purchase_event): r.lag_s
+        for r in batch_outer
+        if r.purchase_event is not None
+    }
+    assert got_lags == batch_lags  # values, not just pair identity
     assert got_unmatched <= batch_unmatched  # never a false unmatched
     assert not (got_unmatched & {v for v, _ in batch_matched})  # consistency
     assert batch_unmatched, "fixture should contain non-converting views"
+
+    # the headline behavior must actually HAPPEN: every unmatched view
+    # whose horizon closed safely before the final watermark must have
+    # been null-extended by the stream (an inner join or a lost
+    # right-side watermark would emit zero unmatched rows and
+    # otherwise pass the subset checks vacuously)
+    ev_batch = scan(spark, SF_SMOKE, "events")
+    import datetime as _dt
+
+    max_ts = ev_batch.agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts - _dt.timedelta(hours=2)
+    view_ts = {
+        r.event_id: r.ts
+        for r in ev_batch.filter("event_type = 'view'").collect()
+    }
+    must_emit = {
+        v for v in batch_unmatched
+        if view_ts[v] + _dt.timedelta(hours=1, minutes=5) < final_wm
+    }
+    assert must_emit, "fixture should close some horizons before the watermark"
+    assert must_emit <= got_unmatched, sorted(must_emit - got_unmatched)[:5]
