@@ -24,13 +24,15 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 # Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
-# in insertion order and caps at ~50 entries per round.  After round 5,
-# 30 queries' newest driver row predates the round-3/4 fixture
-# regeneration (12 from r1, 7 from r2, 11 from r3 — VERDICT r5 item 1)
-# and are green-but-stale.  ``PRIORITY`` front-loads round 6 with
-# (a) queries whose implementation changed this round (need a fresh
-# green row), then (b) the stale rows oldest-first (r1, r2, r3), then
-# (c) the oldest r4 rows to use the rest of the ~50-query window.
+# in insertion order and caps at ~50 entries per round.  Round-6 window:
+# (a) queries whose implementation changed this round, (a') the 15 new
+# round-6 queries, then (b) the 30 formerly-stale rows (r1/r2/r3 —
+# VERDICT r5 item 1), then (c) the oldest r4 rows filling to ~50.
+# ROUND-7 ROTATION NOTE: after this window lands, the stale tail is the
+# ~27 r4 rows that did NOT fit (q_pii_redact, q_pivot, q_scd2,
+# q_sim_topk, q_stream_first, q_subq_*, q_text_wordpiece, most TPC-H
+# q4-q22 rows, q_udf_scalar, q_udtf, q_window_range_frame, ...) —
+# front-load those plus whatever round 7 changes.
 PRIORITY: list[str] = [
     # (a) implementation changed in round 6: bloom rebuilt (JVM bit_or
     # build + per-doc probe kernel), stratified threshold switched to
