@@ -295,3 +295,24 @@ def test_stream_enrich_broadcasts_and_reads_minimal_dim(spark):
     assert dim_side and {
         c.split(":")[0] for c in dim_side[0].split(",")
     } == {"c_custkey", "c_mktsegment"}
+
+
+def test_quantile_sketch_is_jvm_only_single_scan(spark):
+    """B92 scale claim: the sketch query is pure JVM (no Python eval
+    nodes) and reads the fact table ONCE — the multi-q fusion keeps
+    both quantiles on one partials pass."""
+    p = _formatted_plan(spark, "q_quantile_sketch")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert p.count("orders.parquet") == 1, p.count("orders.parquet")
+
+
+def test_profile_scans_prune_to_one_column_each(spark):
+    """B93 scale claim: each per-column profile pass reads exactly its
+    one column (parquet column pruning — k columns cost k one-column
+    scans, not k table scans)."""
+    p = _formatted_plan(spark, "q_profile")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert len(schemas) == 5, schemas
+    for s_ in schemas:
+        cols = [c for c in s_.split(",") if c]
+        assert len(cols) == 1, s_
