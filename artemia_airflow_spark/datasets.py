@@ -70,7 +70,10 @@ def run_data_aware(
 
     updated: set[str] = set(pre_updated or ())
     ran: dict[str, dict] = {}
-    queue = list(seeds)
+    # dedupe seeds order-preservingly: a duplicate name in the caller's
+    # list must not run that pipeline twice in one wave (the once-per-
+    # wave guard only protects _enqueue_runnable additions — ADVICE r6)
+    queue = list(dict.fromkeys(seeds))
 
     # consumers whose conditions are ALREADY met by pre_updated fire
     # even with no seeds (the poll-driven entry path: an external

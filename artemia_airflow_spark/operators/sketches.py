@@ -46,10 +46,14 @@ def histogram_partials(
         raise ValueError("need hi > lo")
     v = F.col(value_col).cast("double")
     width = (hi - lo) / bins
+    # clamp in LONG, cast to int only AFTER: floor() yields LONG, and a
+    # pre-clamp int cast wraps for |v-lo| > ~2^31*width (non-ANSI), which
+    # could land a huge positive value in bin 0 instead of the top edge
+    # bin (ADVICE r6)
     bin_col = F.least(
-        F.lit(bins - 1),
-        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
-    )
+        F.lit(bins - 1).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.floor((v - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
     return (
         df.filter(v.isNotNull())
         .select(*group_cols, bin_col.alias("bin"))

@@ -131,6 +131,8 @@ class Stage:
         retry: RetryPolicy | None = None,
         trigger_rule: str = "all_success",
         sla_s: float | None = None,
+        pool: str | None = None,
+        on_failure: Callable[[str, "StageResult"], None] | None = None,
     ) -> None:
         if trigger_rule not in TRIGGER_RULES:
             raise ValueError(f"trigger_rule must be one of {TRIGGER_RULES}")
@@ -138,6 +140,13 @@ class Stage:
         self.fn = fn
         self.retry = retry or RetryPolicy()
         self.trigger_rule = trigger_rule
+        # Airflow pools: a named, slot-limited queue; a ready stage whose
+        # pool is full is QUEUED (deferred to a later wave), never failed
+        self.pool = pool
+        # Airflow on_failure_callback parity: fires ONCE, after the final
+        # attempt only, with the same exception-isolation contract as
+        # on_sla_miss (a broken callback never changes the stage outcome)
+        self.on_failure = on_failure
         # Branching (A17): a branch stage's return value names the
         # downstream task_id(s) allowed to run; its other DIRECT
         # downstream stages are skipped (BranchPythonOperator
@@ -281,6 +290,8 @@ def branch_stage(
     *,
     retry: "RetryPolicy | None" = None,
     trigger_rule: str = "all_success",
+    pool: str | None = None,
+    on_failure: "Callable[[str, StageResult], None] | None" = None,
 ) -> Stage:
     """A17: BranchPythonOperator parity — ``chooser(ctx)`` returns the
     task_id (or list of task_ids) of the DIRECT downstream stage(s)
@@ -290,7 +301,10 @@ def branch_stage(
     skip propagation).  Returning None/[] skips every branch.  The
     chosen value also lands in XCom (results[task_id].value), so
     downstream stages can inspect which path ran."""
-    st = Stage(task_id, chooser, retry=retry, trigger_rule=trigger_rule)
+    st = Stage(
+        task_id, chooser, retry=retry, trigger_rule=trigger_rule,
+        pool=pool, on_failure=on_failure,
+    )
     st.is_branch = True
     return st
 
@@ -304,6 +318,8 @@ def mapped_stage(
     trigger_rule: str = "all_success",
     max_parallel: int = 4,
     sla_s: float | None = None,
+    pool: str | None = None,
+    on_failure: "Callable[[str, StageResult], None] | None" = None,
     sleep: Callable[[float], None] = time.sleep,
 ) -> Stage:
     """A19: dynamic task mapping (Airflow's ``task.expand``) — the
@@ -374,7 +390,7 @@ def mapped_stage(
     # RetryPolicy() sentinel) from re-introducing whole-map retries
     st = Stage(
         task_id, run_all, retry=RetryPolicy(), trigger_rule=trigger_rule,
-        sla_s=sla_s,
+        sla_s=sla_s, pool=pool, on_failure=on_failure,
     )
     st._retry_pinned = True
     return st
@@ -428,8 +444,24 @@ class Pipeline:
         on_sla_miss: Callable[[str, "StageResult"], None] | None = None,
         outlets: tuple[str, ...] = (),
         triggers_on: tuple[str, ...] = (),
+        max_active_tasks: int | None = None,
+        pools: Mapping[str, int] | None = None,
     ) -> None:
         self.name = name
+        # Concurrency caps (Airflow max_active_tasks + pools): a ready
+        # stage beyond a cap is QUEUED — it simply waits for a later
+        # wave — never failed or skipped, and trigger rules see only
+        # terminal states so gating is unaffected.  This mirrors the
+        # CeleryExecutor worker-slot behavior the reference deploys
+        # (docker-compose.yaml:165-188): 50 independent Spark-job
+        # stages with max_active_tasks=4 submit at most 4 at a time.
+        if max_active_tasks is not None and max_active_tasks < 1:
+            raise ValueError("max_active_tasks must be >= 1")
+        self.max_active_tasks = max_active_tasks
+        self.pools = dict(pools or {})
+        for pname, slots in self.pools.items():
+            if slots < 1:
+                raise ValueError(f"pool {pname!r} must have >= 1 slot")
         # A18 data-aware scheduling (datasets.py): URIs this pipeline
         # UPDATES on success (outlets) and URIs whose updates make it
         # runnable (triggers_on, AND semantics — Airflow Datasets)
@@ -452,6 +484,13 @@ class Pipeline:
     def add(self, stage: Stage) -> Stage:
         if stage.task_id in self.stages:
             raise ValueError(f"duplicate task_id {stage.task_id!r}")
+        if stage.pool is not None and stage.pool not in self.pools:
+            # fail at construction, like Airflow's missing-pool error —
+            # not mid-run where it would strand a half-executed wave
+            raise ValueError(
+                f"stage {stage.task_id!r} references unknown pool "
+                f"{stage.pool!r} (declared pools: {sorted(self.pools)})"
+            )
         if (
             self.default_retry is not None
             and stage.retry == RetryPolicy()
@@ -468,13 +507,16 @@ class Pipeline:
         retry: RetryPolicy | None = None,
         trigger_rule: str = "all_success",
         sla_s: float | None = None,
+        pool: str | None = None,
+        on_failure: Callable[[str, StageResult], None] | None = None,
     ) -> Callable[[Callable[[StageContext], Any]], Stage]:
         """Decorator sugar: ``@pipe.stage("t")`` over a ctx->Any fn (A6)."""
 
         def deco(fn: Callable[[StageContext], Any]) -> Stage:
             return self.add(
                 Stage(
-                    task_id, fn, retry=retry, trigger_rule=trigger_rule, sla_s=sla_s
+                    task_id, fn, retry=retry, trigger_rule=trigger_rule,
+                    sla_s=sla_s, pool=pool, on_failure=on_failure,
                 )
             )
 
@@ -539,6 +581,13 @@ class Pipeline:
                         self.on_sla_miss(stage.task_id, res)
                     except Exception:  # noqa: BLE001 — a broken callback
                         pass  # must never fail the stage it reports on
+            if res.state == "failed" and stage.on_failure is not None:
+                # after the FINAL attempt only (_finish runs once per
+                # stage execution), same isolation as on_sla_miss
+                try:
+                    stage.on_failure(stage.task_id, res)
+                except Exception:  # noqa: BLE001 — a broken callback
+                    pass  # must never mask or change the stage outcome
             return res
 
         for attempt, delay in enumerate(delays, start=1):
@@ -558,6 +607,17 @@ class Pipeline:
                             f"downstream task_ids {sorted(unknown)} "
                             f"(direct downstream: {sorted(known)})"
                         )
+                    # A one-shot generator/iterator return is consumed
+                    # by the validation above, so re-normalizing the raw
+                    # value in _should_run would yield an empty set and
+                    # silently skip every branch (ADVICE r6): store the
+                    # normalized sorted list instead.  Stable re-iterable
+                    # shapes (str/list/tuple/set/None) pass through so
+                    # XCom keeps the chooser's exact value.
+                    if value is not None and not isinstance(
+                        value, (str, list, tuple, set, frozenset)
+                    ):
+                        value = sorted(chosen)
                 return _finish(
                     StageResult("success", value=value, attempts=attempt)
                 )
@@ -608,28 +668,51 @@ class Pipeline:
             ]
             if not ready:
                 raise RuntimeError("deadlock: no ready stages (bug in toposort?)")
+            # concurrency caps AFTER the deadlock check: dependency-ready
+            # stages beyond max_active_tasks / their pool's slots stay in
+            # `pending` (queued) and re-contend next wave.  Waves join all
+            # threads before recomputing, so every slot frees at wave end
+            # and the first ready stage always wins one (caps are >= 1) —
+            # a capped wave can never livelock.
+            if self.max_active_tasks is not None or self.pools:
+                granted: list[Stage] = []
+                pool_used: dict[str, int] = {}
+                for s in ready:
+                    if (
+                        self.max_active_tasks is not None
+                        and len(granted) >= self.max_active_tasks
+                    ):
+                        break
+                    if s.pool is not None:
+                        if pool_used.get(s.pool, 0) >= self.pools[s.pool]:
+                            continue  # pool full: queued, not failed
+                        pool_used[s.pool] = pool_used.get(s.pool, 0) + 1
+                    granted.append(s)
+                ready = granted
 
             def execute(s: Stage) -> None:
-                if not self._should_run(s, results):
-                    ups = [results[u.task_id] for u in s.upstream]
-                    state = (
-                        "upstream_failed"
-                        if any(r.state in ("failed", "upstream_failed") for r in ups)
-                        and s.trigger_rule == "all_success"
-                        else "skipped"
-                    )
-                    with lock:
-                        results[s.task_id] = StageResult(state)
-                    return
                 try:
+                    # _should_run runs INSIDE the try (ADVICE r6): a
+                    # harness-path exception (e.g. a malformed branch
+                    # value hit while normalizing the chosen set) must
+                    # record a failure, NOT die in a daemon thread
+                    # leaving `pending` re-spawning the stage forever
+                    if not self._should_run(s, results):
+                        ups = [results[u.task_id] for u in s.upstream]
+                        state = (
+                            "upstream_failed"
+                            if any(r.state in ("failed", "upstream_failed") for r in ups)
+                            and s.trigger_rule == "all_success"
+                            else "skipped"
+                        )
+                        with lock:
+                            results[s.task_id] = StageResult(state)
+                        return
                     ctx = StageContext(
                         spark, dict(values), self.connections, dict(params or {})
                     )
                     res = self._run_stage(s, ctx)
-                except BaseException as exc:  # noqa: BLE001 — a bug in the
-                    # harness path (e.g. a malformed branch value hit in
-                    # _should_run) must record a failure, NOT die in a
-                    # daemon thread leaving `pending` stuck forever
+                except BaseException as exc:  # noqa: BLE001 — see above
                     res = StageResult("failed", error=exc, attempts=0)
                 with lock:
                     results[s.task_id] = res

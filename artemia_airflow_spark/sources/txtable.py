@@ -326,6 +326,35 @@ class TxTable:
                         f"concurrent commit at version {version} invalidated "
                         "this operation's snapshot — re-run against the new head"
                     ) from None
+                # Append rebase must RE-MERGE its schema against the new
+                # head before republishing (ADVICE r6): the commit was
+                # built against the old head, so a plain append rebasing
+                # past a concurrent schema-widening append would commit
+                # the pre-widening full schema and silently narrow the
+                # visible table.  Union = new head's fields + any fields
+                # only this commit carries (its own widenings survive);
+                # a same-name type disagreement is a real conflict.
+                from pyspark.sql.types import StructType
+
+                _, new_head = self._live(self.version())
+                head_schema = StructType.fromJson(json.loads(new_head["schema"]))
+                mine = StructType.fromJson(json.loads(commit["schema"]))
+                head_by_name = {f.name: f for f in head_schema.fields}
+                for f in mine.fields:
+                    if (
+                        f.name in head_by_name
+                        and f.dataType != head_by_name[f.name].dataType
+                    ):
+                        raise CommitConflict(
+                            f"concurrent commit changed column {f.name!r} to "
+                            f"{head_by_name[f.name].dataType.simpleString()} "
+                            f"(this append carries {f.dataType.simpleString()}) "
+                            "— re-run against the new head"
+                        ) from None
+                commit["schema"] = StructType(
+                    head_schema.fields
+                    + [f for f in mine.fields if f.name not in head_by_name]
+                ).json()
                 version += 1  # append: commutes, rebase and retry
 
     def append(
@@ -343,13 +372,12 @@ class TxTable:
         the flag, a frame with unknown columns raises — silent schema
         drift is how 100 TB tables rot.
 
-        Known limit (documented, not hidden): each commit records the
-        FULL schema, so two CONCURRENT widening appends are
-        last-writer-wins on the schema (the loser's column stays in
-        its files but leaves the visible schema until re-widened);
-        sequential widenings compose fine.  Full concurrent-evolution
-        merge needs schema-delta commits — out of scope with the other
-        ceilings in the module docstring."""
+        Concurrent schema evolution: each commit records the FULL
+        schema, but an append that loses the commit race re-merges its
+        schema against the new head before republishing (union of
+        fields; a same-name type disagreement raises CommitConflict) —
+        so concurrent widenings compose and a plain append can never
+        revert a concurrent widening (ADVICE r6 fix in _try_commit)."""
         from pyspark.sql.types import StructType
 
         v = self.version()

@@ -328,3 +328,20 @@ def test_histogram_sketch_excludes_nulls(spark):
     est = quantile_estimate(part, ["grp"], 0.5, lo=0.0, hi=600_000.0, bins=60)
     v = est.collect()[0].quantile_est
     assert abs(v - 500_000.0) <= 10_000.0 + 1e-9  # one bin width, not ~0
+
+
+def test_histogram_extreme_outlier_clamps_to_top_bin(spark):
+    """ADVICE r6: clamp must happen in LONG before the int cast — an
+    out-of-domain value with |v-lo| > 2^31*width used to wrap negative
+    under the non-ANSI int cast and land in bin 0 (skewing estimates
+    toward lo) instead of the documented top edge bin."""
+    from artemia_airflow_spark.operators.sketches import histogram_partials
+
+    df = spark.createDataFrame(
+        [("g", 1e18), ("g", -1e18), ("g", 0.5)], "grp string, v double"
+    )
+    rows = {
+        r.bin: r.cnt
+        for r in histogram_partials(df, "v", ["grp"], lo=0.0, hi=1.0, bins=4).collect()
+    }
+    assert rows == {3: 1, 0: 1, 2: 1}  # huge + -> top bin, huge - -> bin 0

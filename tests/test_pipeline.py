@@ -592,3 +592,209 @@ def test_mapped_stage_records_base_exceptions(spark):
     assert res["fan"].state == "failed"
     assert isinstance(res["fan"].error, MappedItemsFailed)
     assert sorted(res["fan"].error.errors) == [1]
+
+
+# ---------------------------------------------------------------------------
+# Concurrency caps: max_active_tasks + named pools (Airflow parity — a
+# capped stage is QUEUED, never failed; mirrors the CeleryExecutor
+# worker-slot behavior the reference deploys, docker-compose.yaml:165-188)
+# ---------------------------------------------------------------------------
+
+
+def test_pool_of_one_serializes_ready_stages():
+    """3 dependency-ready stages sharing a 1-slot pool execute one at a
+    time (max observed concurrency == 1), all succeed, and downstream
+    trigger rules are unaffected."""
+    import threading as _th
+
+    active = {"n": 0, "max": 0}
+    lock = _th.Lock()
+
+    def work(ctx):
+        with lock:
+            active["n"] += 1
+            active["max"] = max(active["max"], active["n"])
+        # without a cap all three overlap here (threaded wave)
+        import time as _time
+
+        _time.sleep(0.05)
+        with lock:
+            active["n"] -= 1
+        return "ok"
+
+    pipe = Pipeline("pools", sleep=no_sleep, pools={"etl": 1})
+    root = pipe.add(Stage("root", lambda ctx: "go"))
+    kids = [
+        pipe.add(Stage(f"k{i}", work, pool="etl")) for i in range(3)
+    ]
+    done = pipe.add(Stage("done", lambda ctx: "end"))
+    root >> kids
+    for k in kids:
+        k >> done
+    res = pipe.run(spark=None)
+    assert active["max"] == 1
+    assert all(res[f"k{i}"].state == "success" for i in range(3))
+    assert res["done"].state == "success"
+
+
+def test_max_active_tasks_bounds_wave_width():
+    import threading as _th
+
+    active = {"n": 0, "max": 0}
+    lock = _th.Lock()
+
+    def work(ctx):
+        with lock:
+            active["n"] += 1
+            active["max"] = max(active["max"], active["n"])
+        import time as _time
+
+        _time.sleep(0.05)
+        with lock:
+            active["n"] -= 1
+
+    pipe = Pipeline("capped", sleep=no_sleep, max_active_tasks=2)
+    for i in range(5):
+        pipe.add(Stage(f"s{i}", work))
+    res = pipe.run(spark=None)
+    assert active["max"] <= 2
+    assert all(r.state == "success" for r in res.values())
+
+
+def test_pool_full_queues_but_trigger_rules_unaffected():
+    """A failure upstream of a pooled stage still cascades normally —
+    the pool defers execution, it never changes gating semantics."""
+    pipe = Pipeline("poolgate", sleep=no_sleep, pools={"p": 1})
+    bad = pipe.add(Stage("bad", lambda ctx: 1 / 0))
+    a = pipe.add(Stage("a", lambda ctx: "a", pool="p"))
+    b = pipe.add(Stage("b", lambda ctx: "b", pool="p"))
+    handler = pipe.add(
+        Stage("handler", lambda ctx: "handled", trigger_rule="one_failed", pool="p")
+    )
+    bad >> a
+    bad >> handler
+    res = pipe.run(spark=None, raise_on_failure=False)
+    assert res["bad"].state == "failed"
+    assert res["a"].state == "upstream_failed"
+    assert res["b"].state == "success"
+    assert res["handler"].state == "success"
+
+
+def test_unknown_pool_fails_at_construction():
+    pipe = Pipeline("nopool", pools={"known": 2})
+    with pytest.raises(ValueError, match="unknown pool"):
+        pipe.add(Stage("s", lambda ctx: None, pool="typo"))
+    with pytest.raises(ValueError, match=">= 1"):
+        Pipeline("zero", max_active_tasks=0)
+    with pytest.raises(ValueError, match=">= 1 slot"):
+        Pipeline("zslot", pools={"p": 0})
+
+
+# ---------------------------------------------------------------------------
+# Per-stage failure callbacks (Airflow on_failure_callback parity)
+# ---------------------------------------------------------------------------
+
+
+def test_on_failure_fires_once_after_final_attempt():
+    fired = []
+    pipe = Pipeline("cb", sleep=no_sleep)
+    pipe.add(
+        Stage(
+            "f",
+            lambda ctx: 1 / 0,
+            retry=RetryPolicy(retries=2, retry_delay_s=1),
+            on_failure=lambda task_id, res: fired.append((task_id, res.attempts)),
+        )
+    )
+    res = pipe.run(spark=None, raise_on_failure=False)
+    assert res["f"].state == "failed"
+    # once, after the FINAL attempt (3 attempts with retries=2)
+    assert fired == [("f", 3)]
+
+
+def test_on_failure_not_fired_on_success_or_recovered_retry():
+    fired = []
+    calls = {"n": 0}
+
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise ValueError("flaky")
+        return "ok"
+
+    pipe = Pipeline("cb2", sleep=no_sleep)
+    pipe.add(
+        Stage(
+            "f",
+            flaky,
+            retry=RetryPolicy(retries=2, retry_delay_s=1),
+            on_failure=lambda task_id, res: fired.append(task_id),
+        )
+    )
+    res = pipe.run(spark=None)
+    assert res["f"].state == "success"
+    assert fired == []  # recovered on retry: no failure callback
+
+
+def test_on_failure_exception_never_masks_outcome():
+    def broken_cb(task_id, res):
+        raise RuntimeError("callback bug")
+
+    pipe = Pipeline("cb3", sleep=no_sleep)
+    pipe.add(Stage("f", lambda ctx: 1 / 0, on_failure=broken_cb))
+    res = pipe.run(spark=None, raise_on_failure=False)
+    assert res["f"].state == "failed"
+    assert isinstance(res["f"].error, ZeroDivisionError)  # not the cb error
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_branch_chooser_generator_return_runs_chosen_branch():
+    """A chooser may return any iterable — including a one-shot
+    generator.  The stored XCom must be the NORMALIZED choice, so
+    _should_run (re-applied per downstream stage) still sees it after
+    the validation pass consumed the raw iterator (ADVICE r6)."""
+    from artemia_airflow_spark.pipeline import branch_stage
+
+    ran = []
+    pipe = Pipeline("gen_branch", sleep=no_sleep)
+    br = pipe.add(
+        branch_stage("pick", lambda ctx: (t for t in ["left", "right"]))
+    )
+    left = pipe.add(Stage("left", lambda ctx: ran.append("left")))
+    right = pipe.add(Stage("right", lambda ctx: ran.append("right")))
+    other = pipe.add(Stage("other", lambda ctx: ran.append("other")))
+    br >> [left, right, other]
+    res = pipe.run(spark=None)
+    assert sorted(ran) == ["left", "right"]
+    assert res["other"].state == "skipped"
+    # XCom holds the normalized, re-iterable value
+    assert res["pick"].value == ["left", "right"]
+
+
+def test_should_run_exception_recorded_not_respawned():
+    """A harness-path exception inside the wave worker (e.g. in
+    _should_run) must record a failed StageResult — not kill the daemon
+    thread and leave the run loop re-spawning the stage forever
+    (ADVICE r6).  Forced via a poisoned _should_run; run_timeout_s
+    forces the threaded path."""
+    import time as _time
+
+    pipe = Pipeline("poison", sleep=no_sleep, run_timeout_s=10.0)
+    pipe.add(Stage("a", lambda ctx: "ok"))
+
+    orig = pipe._should_run
+
+    def poisoned(stage, results):
+        raise RuntimeError("harness bug")
+
+    pipe._should_run = poisoned
+    t0 = _time.monotonic()
+    res = pipe.run(spark=None, raise_on_failure=False)
+    assert _time.monotonic() - t0 < 5  # terminated, no respawn loop
+    assert res["a"].state == "failed"
+    assert isinstance(res["a"].error, RuntimeError)
+    pipe._should_run = orig

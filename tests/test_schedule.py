@@ -283,3 +283,18 @@ def test_data_aware_wave_failure_contained_and_raised_after_drain(spark):
         run_data_aware([bad, good], spark)
     assert ran_names == ["good"]  # unrelated seed still ran
     assert set(ei.value.ran) == {"bad", "good"} and ei.value.failed == ["bad"]
+
+
+def test_data_aware_duplicate_seeds_run_once(spark):
+    """ADVICE r6: a duplicate name in the user-supplied seeds list must
+    not run that pipeline twice in one wave — the once-per-wave guard
+    only protected _enqueue_runnable additions."""
+    from artemia_airflow_spark.datasets import run_data_aware
+    from artemia_airflow_spark.pipeline import Pipeline, Stage
+
+    runs = []
+    p = Pipeline("dup_seed")
+    p.add(Stage("s", lambda ctx: runs.append("ran")))
+    ran = run_data_aware([p], spark, seeds=["dup_seed", "dup_seed"])
+    assert runs == ["ran"]
+    assert set(ran) == {"dup_seed"}

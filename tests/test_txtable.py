@@ -642,3 +642,61 @@ def test_auto_checkpoint_interval(spark, root):
     assert len(cps) == 2  # versions 2 and 4
     assert t.snapshot().count() == 30
     assert t.snapshot(1).count() == 15  # pre-checkpoint time travel intact
+
+
+def test_rebased_append_remerges_concurrent_widening(spark, root):
+    """ADVICE r6: an append that loses the commit race must re-merge its
+    schema against the NEW head before republishing — a plain append
+    rebasing past a concurrent widening append must not commit the
+    pre-widening schema (silent narrowing), and its OWN widenings must
+    survive the rebase (concurrent widenings compose)."""
+    t = _mk(spark, root, n=10, files=1)  # version 0, schema (k, v, tag)
+    base_schema = t.snapshot().schema
+
+    # writer W lands a widening append at version 1 while our append is
+    # in flight (built against version 0)
+    widened = spark.createDataFrame([(1000, 1.0, "w", 7)], "k long, v double, tag string, extra_w int")
+    assert t.append(widened, merge_schema=True) == 1
+
+    # our append, built against the OLD head (version 0): simulate the
+    # in-flight commit exactly as append() constructs it, carrying its
+    # own widening column extra_m
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    mine = StructType(base_schema.fields + [StructField("extra_m", IntegerType())])
+    commit = {
+        "operation": "append",
+        "add": [],
+        "remove": [],
+        "schema": mine.json(),
+        "key_col": "k",
+    }
+    v = t._try_commit(commit, read_version=0)  # collides at 1, rebases
+    assert v == 2
+    names = [f.name for f in t.snapshot().schema.fields]
+    # both concurrent widenings visible; base columns intact
+    assert names == ["k", "v", "tag", "extra_w", "extra_m"]
+
+
+def test_rebased_append_type_conflict_raises(spark, root):
+    """A rebase that would silently fuse a same-name column under two
+    different types is a REAL conflict, not a mergeable union."""
+    t = _mk(spark, root, n=10, files=1)
+    widened = spark.createDataFrame([(1000, 1.0, "w", 7)], "k long, v double, tag string, extra int")
+    t.append(widened, merge_schema=True)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    base_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != "extra"]
+    )
+    mine = StructType(base_schema.fields + [StructField("extra", StringType())])
+    commit = {
+        "operation": "append",
+        "add": [],
+        "remove": [],
+        "schema": mine.json(),
+        "key_col": "k",
+    }
+    with pytest.raises(CommitConflict, match="extra"):
+        t._try_commit(commit, read_version=0)
