@@ -79,3 +79,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     (subqueries B38-B39, rollups) can use spark.sql directly."""
     for t in TABLES:
         scan(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Raw-SQL entry point: a user porting SQL text (the closest
+    analogue in the reference is its Jinja-templated SQL strings,
+    dags/update_tr_from_ex_dag.py:121) runs it verbatim against the
+    fixture tables — no DataFrame-API rewrite required.
+
+    Catalyst plans ``spark.sql(text)`` through the SAME optimizer as
+    the DataFrame API (one logical plan namespace), so SQL text gets
+    identical pushdown/pruning/partial-aggregation — plan-pinned in
+    tests/test_plans.py (test_sql_text_plans_like_dataframe_flagship).
+    Temp-view registration is a catalog-metadata operation (no scan);
+    repeated calls just re-point the views."""
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(sql)

@@ -952,3 +952,204 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp + the two TPC-H composites it unblocks (Q2, Q20).
+#
+# The fixture set has no partsupp table (SURVEY §8), so partsupp is
+# DERIVED deterministically from part x supplier with the TPC-H dbgen
+# shape — 4 candidate suppliers per part via
+#   ps_suppkey = (p_partkey + i * (S/4 + p_partkey/S)) % S,  i in 0..3
+# (0-based keys; S = |supplier|) — and pure-arithmetic availqty /
+# supplycost columns.  Both engines build the SAME rows from the SAME
+# inputs (plain BIGINT arithmetic + one exact double division), so the
+# oracle is a full hash match, not rows-only.  DISTINCT guards the
+# small-S fixture regime where the stride can hit 0 mod S and collapse
+# a part's 4 candidates (TPC-H's own parameter regime guarantees
+# S/4 + P/S < S; sf0.001's S=10 does not).
+# ---------------------------------------------------------------------------
+
+PARTSUPP_CTE = """
+sc AS (SELECT COUNT(*) AS s FROM supplier),
+ps0 AS (
+  SELECT DISTINCT
+     p_partkey AS ps_partkey,
+     (p_partkey + i * (CAST(FLOOR(s / 4.0) AS BIGINT)
+                       + CAST(FLOOR(p_partkey / CAST(s AS DOUBLE)) AS BIGINT))) % s
+       AS ps_suppkey
+  FROM part CROSS JOIN sc CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(i)
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         ((ps_partkey * 47 + ps_suppkey * 31) % 40) + 1 AS ps_availqty,
+         CAST((ps_partkey * 7919 + ps_suppkey * 4271) % 100000 AS DOUBLE) / 100.0 + 1.0
+           AS ps_supplycost
+  FROM ps0
+)
+"""
+
+
+def derive_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp derived from part x supplier-count (see block comment).
+
+    Plan shape: part scan -> 1-row broadcast of the supplier count ->
+    4-way explode -> distinct (one dim-scale shuffle).  partsupp is
+    4x|part| rows — dim-scale at every SF, never fact-scale.
+    """
+    part = scan(spark, sf_dir, "part").select("p_partkey")
+    sc = scan(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s"))
+    pk, s, i = F.col("p_partkey"), F.col("s"), F.col("i")
+    step = F.floor(s / F.lit(4.0)).cast("long") + F.floor(pk / s.cast("double")).cast("long")
+    ps0 = (
+        part.crossJoin(F.broadcast(sc))
+        .select(pk, s, F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+        .select(pk.alias("ps_partkey"), ((pk + i * step) % s).alias("ps_suppkey"))
+        .distinct()
+    )
+    psk, ssk = F.col("ps_partkey"), F.col("ps_suppkey")
+    return ps0.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((psk * 47 + ssk * 31) % 40 + 1).alias("ps_availqty"),
+        (((psk * 7919 + ssk * 4271) % 100000).cast("double") / 100.0 + 1.0).alias(
+            "ps_supplycost"
+        ),
+    )
+
+
+@declared(
+    "q_tpch_q2",
+    oracle="WITH " + PARTSUPP_CTE + """
+    , eur AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+      FROM partsupp
+           JOIN supplier ON s_suppkey = ps_suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+           JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+    FROM eur JOIN part ON p_partkey = ps_partkey
+    WHERE p_type = 'ECONOMY' AND p_size >= 25
+      AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eur e2
+                           WHERE e2.ps_partkey = eur.ps_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (min-cost supplier): the correlated-MIN-subquery family.
+
+    The oracle keeps the spec's correlated scalar subquery; the Spark
+    plan uses the scalable rewrite — ONE window MIN over the
+    region-filtered partsupp partitioned by part, then filter to the
+    minimum — so the candidate set is scanned once instead of once per
+    outer row.  nation/region broadcast (bounded dims); supplier and
+    part are sf-linear so their joins shuffle and AQE may upgrade.
+    The MIN is computed over ALL Europe suppliers of a part (before the
+    part predicate), exactly like the spec's subquery.
+    """
+    ensure_engine_conf(spark)
+    ps = derive_partsupp(spark, sf_dir)
+    supp = scan(spark, sf_dir, "supplier")
+    nat = F.broadcast(scan(spark, sf_dir, "nation"))
+    reg = F.broadcast(scan(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    eur = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(reg, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = eur.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    part_f = (
+        scan(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") >= 25))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        best.join(part_f, F.col("p_partkey") == F.col("ps_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@declared(
+    "q_tpch_q20",
+    oracle="WITH " + PARTSUPP_CTE + """
+    , qty AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS year_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+      AND s_suppkey IN (
+        SELECT ps_suppkey
+        FROM partsupp JOIN qty ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND ps_availqty > 0.5 * year_qty
+      )
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-stock suppliers): nested EXISTS-over-aggregate.
+
+    Spark shape: lineitem is the only fact table — its year filter
+    pushes to the scan, then ONE partial-aggregated shuffle on
+    (l_partkey, l_suppkey) produces the per-pair year quantity; the
+    availqty comparison and the part-name block are dim-scale joins;
+    the final supplier gate is a LEFT SEMI join (IN-subquery rewrite,
+    same family test_in_subquery_rewrites_to_semi_join pins).  The
+    region gate uses EUROPE (region-level, not the spec's single
+    nation) so every fixture SF yields a non-degenerate result set.
+    """
+    ensure_engine_conf(spark)
+    ps = derive_partsupp(spark, sf_dir)
+    parts_small = (
+        scan(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = scan(spark, sf_dir, "lineitem")
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("year_qty")
+        )
+    )
+    qual = (
+        ps.join(parts_small, F.col("ps_partkey") == F.col("p_partkey"), "leftsemi")
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("year_qty"))
+        .select("ps_suppkey")
+    )
+    supp = scan(spark, sf_dir, "supplier")
+    nat = F.broadcast(scan(spark, sf_dir, "nation"))
+    reg = F.broadcast(scan(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    return (
+        supp.join(qual, F.col("s_suppkey") == F.col("ps_suppkey"), "leftsemi")
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(reg, F.col("r_regionkey") == F.col("n_regionkey"), "leftsemi")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )

@@ -24,47 +24,39 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 # Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
-# in insertion order and caps at ~50 entries per round.  Round-6 window:
-# (a) queries whose implementation changed this round, (a') the 15 new
-# round-6 queries, then (b) the 30 formerly-stale rows (r1/r2/r3 —
-# VERDICT r5 item 1), then (c) the oldest r4 rows filling to ~50.
-# ROUND-7 ROTATION NOTE: after this window lands, the stale tail is the
-# ~27 r4 rows that did NOT fit (q_pii_redact, q_pivot, q_scd2,
-# q_sim_topk, q_stream_first, q_subq_*, q_text_wordpiece, most TPC-H
-# q4-q22 rows, q_udf_scalar, q_udtf, q_window_range_frame, ...) —
-# front-load those plus whatever round 7 changes.
+# in insertion order and caps at ~50 entries per round.  Round-7 window
+# (VERDICT r6 item 1): (a) the 3 new round-7 queries (raw-SQL surface,
+# TPC-H Q2/Q20 over derived partsupp), then (b) ALL 35 rows whose newest
+# driver CORRECTNESS row is r4 — after this window lands, no query's
+# newest row is older than r5.  (c) fills to ~50 with r5 rows from
+# families this round touched (sketches bin clamp, repetition re-tier).
+# ROUND-8 ROTATION NOTE: the stale tail will then be the ~37 remaining
+# r5 rows (q_agg_*, q_join_*, q_window_*, q_set_*, q_fn_array/date/
+# math/string, q_tpch_q3/q5/q10/q17, q_sim_ann_lsh/ivf, stream session
+# pair, scrub/langid/fingerprint, ...) — front-load those plus whatever
+# round 8 changes.
 PRIORITY: list[str] = [
-    # (a) implementation changed in round 6: bloom rebuilt (JVM bit_or
-    # build + per-doc probe kernel), stratified threshold switched to
-    # round-half-up (ADVICE r5), oracle upgrades for centroid /
-    # partitioned-sink / pipeline
-    "q_decontaminate_bloom", "q_sample_stratified",
-    "q_embed_centroid", "q_sink_partitioned", "q_pipeline",
-    "q_mix_apply",  # bucket hash switched to portable Lehmer in r6
-    # (a') new declared queries in round 6: ACID MERGE storage tier,
-    # overlapping document chunking, stream-static enrichment join,
-    # skew-salted join certification
-    "q_merge_acid", "q_text_chunk", "q_stream_enrich", "q_join_salted",
-    "q_mix_temperature", "q_quantile_sketch", "q_profile",
-    "q_mix_temperature_apply", "q_stream_join_outer",
-    # (b) stale rows, last confirmed r1 (pre-regeneration fixtures)
-    "q_agg_approx", "q_dedup_clusters", "q_dedup_embed",
-    "q_dedup_embed_lsh", "q_dedup_exact", "q_dedup_minhash",
-    "q_dedup_ngram", "q_dedup_simhash", "q_mix_weights", "q_multimodal",
-    "q_multimodal_pipeline", "q_text_repetition",
-    # (b) stale rows, last confirmed r2
-    "q_source_http", "q_source_http_ds", "q_source_json",
-    "q_stream_dedup", "q_stream_join", "q_stream_slide", "q_stream_tumble",
-    # (b) stale rows, last confirmed r3
-    "q_decontaminate_substring", "q_dedup_substring", "q_embed_stats",
-    "q_multimodal_neardup", "q_pack_firstfit",
-    "q_text_quality", "q_text_tfidf", "q_text_tokens",
-    # (c) oldest r4 rows, filling the window to ~50
-    "q_agg_approx_percentile", "q_agg_filtered", "q_agg_grouping_sets",
-    "q_agg_hll", "q_agg_percentile", "q_dedup_semantic",
-    "q_distinct_cols", "q_fn_date2", "q_fn_json", "q_fn_map",
-    "q_fn_null", "q_fn_string2", "q_join_right", "q_length_buckets",
-    "q_merge_upsert", "q_pack_sequences", "q_pandas_norm",
+    # (a) new in round 7
+    "q_sql_text", "q_tpch_q2", "q_tpch_q20",
+    # (b) the complete r4 tail (newest driver row two fixture
+    # generations old — VERDICT r6 item 1 names exactly this set)
+    "q_fn_json", "q_fn_map", "q_fn_null", "q_fn_string2",
+    "q_join_right", "q_length_buckets", "q_merge_upsert",
+    "q_pack_sequences", "q_pandas_norm", "q_pii_redact", "q_pivot",
+    "q_rollup_incremental", "q_scd2", "q_sim_topk", "q_sink_bucketed",
+    "q_stream_first", "q_subq_exists", "q_subq_in", "q_subq_scalar",
+    "q_text_quality_full", "q_text_wordpiece",
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q21", "q_tpch_q22", "q_tpch_q4",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+    "q_udf_scalar", "q_udtf", "q_window_range_frame",
+    # (c) fills to 50: q_text_repetition (re-tiered this round, r6 row)
+    # plus the highest-traffic r5 rows (flagship family, window family,
+    # text family siblings of this round's changes)
+    "q_text_repetition", "q_text_fingerprint", "q_text_scrub",
+    "q_agg_group", "q_agg_global", "q_join_asof", "q_topk",
+    "q_window_rank", "q_window_lag", "q_window_running",
+    "q_filter", "q_scan",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"
@@ -105,6 +97,7 @@ def load_all_query_modules() -> None:
     import artemia_airflow_spark.operators.relational2  # noqa: F401
     import artemia_airflow_spark.operators.similarity  # noqa: F401
     import artemia_airflow_spark.operators.sketches  # noqa: F401
+    import artemia_airflow_spark.operators.sqltext  # noqa: F401
     import artemia_airflow_spark.operators.text  # noqa: F401
     import artemia_airflow_spark.pipelines.analytics_demo  # noqa: F401
     import artemia_airflow_spark.sources.files  # noqa: F401

@@ -316,3 +316,21 @@ def test_profile_scans_prune_to_one_column_each(spark):
     for s_ in schemas:
         cols = [c for c in s_.split(",") if c]
         assert len(cols) == 1, s_
+
+
+def test_sql_text_plans_like_dataframe_flagship(spark):
+    """Raw-SQL surface (q_sql_text): Catalyst plans SQL text through the
+    same optimizer as the DataFrame API, so the flagship as text keeps
+    the flagship's plan properties — pushed date filter, pruned scan,
+    partial+final HashAggregate around the exchange (same pin as
+    test_flagship_has_partial_aggregation)."""
+    p = _formatted_plan(spark, "q_sql_text")
+    assert len(re.findall(r"HashAggregate", p)) >= 2
+    assert "Exchange" in p
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", p)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    }
