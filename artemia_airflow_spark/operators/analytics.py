@@ -1153,3 +1153,186 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
         .orderBy("s_name")
     )
+
+
+@declared(
+    "q_tpch_q9",
+    oracle="WITH " + PARTSUPP_CTE + """
+    SELECT nation, o_year, CAST(SUM(amount_e4) AS BIGINT) AS sum_profit_e4
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                         - ps_supplycost * l_quantity) * 10000 + 0.5) AS BIGINT)
+               AS amount_e4
+      FROM lineitem
+           JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON n_nationkey = s_nationkey
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): widest partsupp join tree —
+    lineitem x partsupp x supplier x orders x nation, profit =
+    revenue minus supply cost, by nation and order year.
+
+    Determinism: profit has exactly 4 decimal places (2-dp price x
+    2-dp discount, 2-dp cost x integer qty), so each row is scaled to
+    an e4 BIGINT before summing — integer sums are order-independent
+    and engine-portable (no double-sum drift, no decimal midpoints).
+    Plan shape: the part-name block is a LEFT SEMI on the lineitem
+    fact; partsupp/orders joins shuffle on their keys (sf-linear
+    sides, no broadcast pins); nation broadcasts; final agg is
+    partial+final over |nations| x |years| groups.
+    """
+    ensure_engine_conf(spark)
+    ps = derive_partsupp(spark, sf_dir)
+    li = scan(spark, sf_dir, "lineitem")
+    part_red = (
+        scan(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    supp = scan(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ords = scan(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    nat = F.broadcast(scan(spark, sf_dir, "nation"))
+    amount_e4 = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("ps_supplycost") * F.col("l_quantity")
+        )
+        * 10000
+        + F.lit(0.5)
+    )
+    return (
+        li.join(part_red, F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_year",
+            amount_e4.alias("amount_e4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount_e4").cast("bigint").alias("sum_profit_e4"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@declared(
+    "q_tpch_q11",
+    oracle="WITH " + PARTSUPP_CTE + """
+    , eurps AS (
+      SELECT ps_partkey,
+             CAST(FLOOR(ps_supplycost * ps_availqty * 100 + 0.5) AS BIGINT) AS v
+      FROM partsupp
+           JOIN supplier ON s_suppkey = ps_suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+           JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    agg AS (
+      SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_e2
+      FROM eurps GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value_e2 FROM agg
+    WHERE value_e2 * (SELECT COUNT(*) FROM agg) > 2 * (SELECT SUM(value_e2) FROM agg)
+    ORDER BY value_e2 DESC, ps_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part supply value within a
+    region, keeping parts above a value threshold derived from the
+    SAME aggregate (the spec's scalar-subquery-over-identical-agg
+    family).  Threshold adapted to a scale-free form — value > 2x the
+    mean part value — so every fixture SF yields a non-degenerate
+    result (the spec's 0.0001/SF constant collapses to 0 or all rows
+    off-spec-scale).  All-integer comparison (value_e2 * count >
+    2 * total_e2): exact and engine-portable.
+
+    Plan shape: the total and count attach to the tiny post-agg frame
+    with an UNPARTITIONED window (the r6 window-over-agg totals trick)
+    — the partsupp subtree is scanned ONCE, not re-executed per scalar
+    subquery.
+    """
+    ensure_engine_conf(spark)
+    ps = derive_partsupp(spark, sf_dir)
+    supp = scan(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(scan(spark, sf_dir, "nation"))
+    reg = F.broadcast(scan(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    v = F.floor(F.col("ps_supplycost") * F.col("ps_availqty") * 100 + F.lit(0.5))
+    agg = (
+        ps.join(supp, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(reg, F.col("r_regionkey") == F.col("n_regionkey"), "leftsemi")
+        .select("ps_partkey", v.alias("v"))
+        .groupBy("ps_partkey")
+        .agg(F.sum("v").cast("bigint").alias("value_e2"))
+    )
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("total_e2", F.sum("value_e2").over(w))
+        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        .filter(F.col("value_e2") * F.col("n_parts") > 2 * F.col("total_e2"))
+        .select("ps_partkey", "value_e2")
+        .orderBy(F.col("value_e2").desc(), "ps_partkey")
+    )
+
+
+@declared(
+    "q_tpch_q16",
+    oracle="WITH " + PARTSUPP_CTE + """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): NOT-IN anti-join plus
+    multi-key count-distinct.  The spec excludes suppliers with
+    complaint comments; the fixture has no s_comment, so the
+    deterministic analogue excludes negative-balance suppliers — the
+    rewrite family (NOT IN -> anti join against a filtered dim) is
+    identical.
+
+    Plan shape: part predicates push to the scan (<>, NOT LIKE, IN all
+    pushable); the exclusion list is a filtered dim-scale anti join;
+    one partial-aggregated shuffle keyed (brand, type, size, suppkey)
+    for the distinct, then the final count.
+    """
+    ensure_engine_conf(spark)
+    ps = derive_partsupp(spark, sf_dir)
+    part_f = scan(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = scan(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(bad, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part_f, F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("ps_suppkey")).cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
