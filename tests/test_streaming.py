@@ -395,3 +395,91 @@ def test_stream_stream_outer_join_watermark_gated(spark, chunked_events_dir):
     }
     assert must_emit, "fixture should close some horizons before the watermark"
     assert must_emit <= got_unmatched, sorted(must_emit - got_unmatched)[:5]
+
+
+def test_stream_to_txtable_exactly_once_across_runs(spark, chunked_events_dir, tmp_path):
+    """B82+B89 bridge: two drain runs over a growing source land each
+    event in the ACID table exactly once — the checkpoint skips
+    consumed files, and every micro-batch is one stamped append
+    commit."""
+    from artemia_airflow_spark.sources.txtable import TxTable
+    from artemia_airflow_spark.streaming.txsink import (
+        last_committed_batch,
+        stream_to_txtable,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "table")
+    os.makedirs(src)
+    schema = scan(spark, SF_SMOKE, "events").schema
+    empty = spark.createDataFrame([], schema).select("event_id", "user_id")
+    t = TxTable.create(spark, empty, root, key_col="event_id")
+
+    shutil.copytree(os.path.join(chunked_events_dir, "chunk=0"), os.path.join(src, "c0"))
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    stream_to_txtable(
+        stream.select("event_id", "user_id"), root, ckpt, query_name="ingest"
+    )
+    n1 = t.snapshot().count()
+    assert n1 > 0
+    assert last_committed_batch(root, "ingest") is not None
+
+    shutil.copytree(os.path.join(chunked_events_dir, "chunk=1"), os.path.join(src, "c1"))
+    stream2 = spark.readStream.schema(schema).parquet(src + "/*")
+    stream_to_txtable(
+        stream2.select("event_id", "user_id"), root, ckpt, query_name="ingest"
+    )
+    got = [r.event_id for r in t.snapshot().collect()]
+    assert len(got) == len(set(got)), "duplicate events after second run"
+    want = {r.event_id for r in spark.read.schema(schema).parquet(src + "/*").collect()}
+    assert set(got) == want, "missing or extra events"
+
+
+def test_stream_to_txtable_replayed_batch_skipped(spark, chunked_events_dir, tmp_path):
+    """Crash-window simulation: the table append committed but the
+    streaming checkpoint write was lost, so the next run REPLAYS the
+    batch — the table-side (query_name, batch_id) stamp must skip it,
+    even with a foreign (unstamped) commit interleaved on the log."""
+    from artemia_airflow_spark.sources.txtable import TxTable
+    from artemia_airflow_spark.streaming.txsink import stream_to_txtable
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ckpt_backup = str(tmp_path / "ckpt_backup")
+    root = str(tmp_path / "table")
+    os.makedirs(src)
+    schema = scan(spark, SF_SMOKE, "events").schema
+    empty = spark.createDataFrame([], schema).select("event_id", "user_id")
+    t = TxTable.create(spark, empty, root, key_col="event_id")
+
+    shutil.copytree(os.path.join(chunked_events_dir, "chunk=0"), os.path.join(src, "c0"))
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    stream_to_txtable(
+        stream.select("event_id", "user_id"), root, ckpt, query_name="ingest"
+    )
+    # checkpoint state as of run 1 — the "lost checkpoint write" image
+    shutil.copytree(ckpt, ckpt_backup)
+
+    shutil.copytree(os.path.join(chunked_events_dir, "chunk=1"), os.path.join(src, "c1"))
+    stream2 = spark.readStream.schema(schema).parquet(src + "/*")
+    stream_to_txtable(
+        stream2.select("event_id", "user_id"), root, ckpt, query_name="ingest"
+    )
+    n_after_run2 = t.snapshot().count()
+
+    # a foreign writer lands an unstamped append between runs: the
+    # backward stamp walk must look PAST it, not give up at head
+    extra = spark.createDataFrame([(10**9, 1)], "event_id long, user_id long")
+    t.append(extra)
+
+    # crash image restored: run 3 replays chunk=1's batch id
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_backup, ckpt)
+    stream3 = spark.readStream.schema(schema).parquet(src + "/*")
+    stream_to_txtable(
+        stream3.select("event_id", "user_id"), root, ckpt, query_name="ingest"
+    )
+    got = [r.event_id for r in t.snapshot().collect()]
+    assert len(got) == n_after_run2 + 1, "replayed batch was re-appended"
+    assert len(got) == len(set(got)), "duplicates after replay"
