@@ -132,6 +132,7 @@ class Stage:
         trigger_rule: str = "all_success",
         sla_s: float | None = None,
         pool: str | None = None,
+        priority_weight: int = 1,
         on_failure: Callable[[str, "StageResult"], None] | None = None,
     ) -> None:
         if trigger_rule not in TRIGGER_RULES:
@@ -143,6 +144,11 @@ class Stage:
         # Airflow pools: a named, slot-limited queue; a ready stage whose
         # pool is full is QUEUED (deferred to a later wave), never failed
         self.pool = pool
+        # Airflow priority_weight: under contention (pool full / width
+        # cap hit) higher-weight ready stages win slots first; ties keep
+        # declaration order (stable sort).  Irrelevant without caps —
+        # uncapped ready stages all run concurrently anyway.
+        self.priority_weight = priority_weight
         # Airflow on_failure_callback parity: fires ONCE, after the final
         # attempt only, with the same exception-isolation contract as
         # on_sla_miss (a broken callback never changes the stage outcome)
@@ -508,6 +514,7 @@ class Pipeline:
         trigger_rule: str = "all_success",
         sla_s: float | None = None,
         pool: str | None = None,
+        priority_weight: int = 1,
         on_failure: Callable[[str, StageResult], None] | None = None,
     ) -> Callable[[Callable[[StageContext], Any]], Stage]:
         """Decorator sugar: ``@pipe.stage("t")`` over a ctx->Any fn (A6)."""
@@ -516,7 +523,8 @@ class Pipeline:
             return self.add(
                 Stage(
                     task_id, fn, retry=retry, trigger_rule=trigger_rule,
-                    sla_s=sla_s, pool=pool, on_failure=on_failure,
+                    sla_s=sla_s, pool=pool, priority_weight=priority_weight,
+                    on_failure=on_failure,
                 )
             )
 
@@ -677,7 +685,9 @@ class Pipeline:
             if self.max_active_tasks is not None or self.pools:
                 granted: list[Stage] = []
                 pool_used: dict[str, int] = {}
-                for s in ready:
+                # contention order: higher priority_weight first,
+                # declaration order on ties (stable sort)
+                for s in sorted(ready, key=lambda s: -s.priority_weight):
                     if (
                         self.max_active_tasks is not None
                         and len(granted) >= self.max_active_tasks

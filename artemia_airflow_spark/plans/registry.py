@@ -38,7 +38,7 @@ ORACLE: dict[str, str] = {}
 PRIORITY: list[str] = [
     # (a) new in round 7
     "q_sql_text", "q_tpch_q2", "q_tpch_q20",
-    "q_tpch_q9", "q_tpch_q11", "q_tpch_q16",
+    "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_validate",
     # (b) the complete r4 tail (newest driver row two fixture
     # generations old — VERDICT r6 item 1 names exactly this set)
     "q_fn_json", "q_fn_map", "q_fn_null", "q_fn_string2",
@@ -56,7 +56,7 @@ PRIORITY: list[str] = [
     # text family siblings of this round's changes)
     "q_text_repetition", "q_text_fingerprint", "q_text_scrub",
     "q_agg_group", "q_agg_global", "q_join_asof", "q_topk",
-    "q_window_rank", "q_scan",
+    "q_window_rank",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"

@@ -64,6 +64,19 @@ class CommitConflict(RuntimeError):
     re-run the operation against the new table head."""
 
 
+class ConstraintViolation(ValueError):
+    """A write carried rows violating the table's CHECK constraints;
+    ``counts`` maps constraint name -> violating-row count (only
+    violated constraints appear)."""
+
+    def __init__(self, root: str, counts: dict[str, int]) -> None:
+        self.counts = counts
+        super().__init__(
+            f"write to {root!r} rejected: CHECK constraint violations "
+            f"{counts} (no data was committed)"
+        )
+
+
 def _log_dir(root: str) -> str:
     return os.path.join(root, "_log")
 
@@ -87,6 +100,31 @@ def head_version(root: str) -> int | None:
 
 def _version_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"{version:0{_VERSION_DIGITS}d}.json")
+
+
+def _enforce_constraints(
+    df: DataFrame, constraints: dict[str, str], root: str
+) -> None:
+    """One aggregation pass over the incoming batch counting rows that
+    violate each named CHECK predicate; raises ConstraintViolation
+    (before anything is written) if any count > 0.  SQL-standard CHECK:
+    a row violates only when the predicate is FALSE — NULL passes
+    (wrap the predicate in explicit IS NOT NULL checks to forbid
+    nulls)."""
+    aggs = [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(pred).cast("boolean"), F.lit(True)), 1
+            ).otherwise(0)
+        ).alias(name)
+        for name, pred in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]  # 1-row driver fetch, batch-sized scan
+    counts = {
+        name: int(row[name]) for name in constraints if row[name] and row[name] > 0
+    }
+    if counts:
+        raise ConstraintViolation(root, counts)
 
 
 def _key_stats(path: str, key_col: str) -> tuple[Any, Any, int]:
@@ -135,12 +173,23 @@ class TxTable:
     # -- creation ------------------------------------------------------
     @staticmethod
     def create(
-        spark: SparkSession, df: DataFrame, root: str, *, key_col: str
+        spark: SparkSession, df: DataFrame, root: str, *, key_col: str,
+        constraints: dict[str, str] | None = None,
     ) -> "TxTable":
-        """Create a table at ``root`` from ``df`` (version 0)."""
+        """Create a table at ``root`` from ``df`` (version 0).
+
+        ``constraints`` are named CHECK predicates (SQL expression
+        strings over the table's columns), fixed at create time like
+        ``key_col`` and enforced on EVERY later write — the Delta
+        CHECK-constraint design.  SQL-standard semantics: a row
+        violates only when the predicate evaluates FALSE (NULL
+        passes).  Enforcement costs one aggregation pass over the
+        incoming batch only — never a table scan."""
         os.makedirs(_log_dir(root), exist_ok=True)
         if os.listdir(_log_dir(root)):
             raise FileExistsError(f"table already exists at {root!r}")
+        if constraints:
+            _enforce_constraints(df, dict(constraints), root)
         adds = _write_data_files(df, root, key_col)
         commit = {
             "operation": "create",
@@ -149,6 +198,8 @@ class TxTable:
             "schema": df.schema.json(),
             "key_col": key_col,
         }
+        if constraints:
+            commit["constraints"] = dict(constraints)
         _publish(root, 0, commit)
         return TxTable(spark, root)
 
@@ -285,6 +336,12 @@ class TxTable:
         with open(_version_path(self.root, 0)) as f:
             return json.load(f)["key_col"]
 
+    def constraints(self) -> dict[str, str]:
+        """Named CHECK predicates fixed at create time (commit 0 only,
+        same access pattern as the key column)."""
+        with open(_version_path(self.root, 0)) as f:
+            return json.load(f).get("constraints") or {}
+
     # operations whose output depends on the SNAPSHOT they read (the
     # read-set): update-vs-insert decisions, delete matching, live-set
     # capture.  They must conflict on ANY collision — classifying by
@@ -400,6 +457,9 @@ class TxTable:
         new_schema = (
             StructType(table_schema.fields + extra) if extra else table_schema
         )
+        cons = self.constraints()
+        if cons:
+            _enforce_constraints(df, cons, self.root)
         adds = _write_data_files(df, self.root, self._key_col())
         commit = {
             "operation": "append",
@@ -419,6 +479,9 @@ class TxTable:
         # alongside the "overwritten" table
         read_version = self.version()
         live, head = self._live(read_version)
+        cons = self.constraints()
+        if cons:
+            _enforce_constraints(df, cons, self.root)
         adds = _write_data_files(df, self.root, self._key_col())
         return self._try_commit(
             {
@@ -440,6 +503,16 @@ class TxTable:
         key = self._key_col()
         read_version = self.version()
         live, head = self._live(read_version)
+        cons = self.constraints()
+        if cons:
+            # upserted rows land wholesale, so validating the non-delete
+            # change rows IS validating the rows the merge will write
+            upserts = (
+                changes.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+                if delete_col is not None
+                else changes
+            )
+            _enforce_constraints(upserts, cons, self.root)
 
         stats_rows = [
             (m["path"], m["key_min"], m["key_max"])

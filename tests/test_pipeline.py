@@ -798,3 +798,18 @@ def test_should_run_exception_recorded_not_respawned():
     assert res["a"].state == "failed"
     assert isinstance(res["a"].error, RuntimeError)
     pipe._should_run = orig
+
+
+def test_priority_weight_orders_contended_slots():
+    """Airflow priority_weight parity: when a 1-slot pool is contended,
+    higher-weight ready stages win slots first; ties keep declaration
+    order.  Without caps the weight is irrelevant (all ready stages run
+    concurrently)."""
+    order = []
+    pipe = Pipeline("prio", sleep=no_sleep, pools={"p": 1})
+    pipe.add(Stage("low", lambda ctx: order.append("low"), pool="p", priority_weight=1))
+    pipe.add(Stage("high", lambda ctx: order.append("high"), pool="p", priority_weight=5))
+    pipe.add(Stage("mid", lambda ctx: order.append("mid"), pool="p", priority_weight=3))
+    res = pipe.run(spark=None)
+    assert order == ["high", "mid", "low"]
+    assert all(r.state == "success" for r in res.values())

@@ -334,3 +334,15 @@ def test_sql_text_plans_like_dataframe_flagship(spark):
         "l_returnflag", "l_linestatus", "l_shipdate",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     }
+
+
+def test_validate_builds_all_rules_from_one_scan(spark):
+    """q_validate: 5 rules, ONE orders scan — the rule rows stack from
+    a single 1-row aggregate (the oracle's UNION ALL shape would scan
+    per rule; the engine side must not)."""
+    df = entrymod.queries()["q_validate"](spark, SF_ORACLE)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert p.count("orders.parquet") == 1, p
+    assert len(re.findall(r"HashAggregate", p)) >= 2  # partial+final

@@ -700,3 +700,66 @@ def test_rebased_append_type_conflict_raises(spark, root):
     }
     with pytest.raises(CommitConflict, match="extra"):
         t._try_commit(commit, read_version=0)
+
+
+def test_check_constraints_enforced_on_every_write(spark, root):
+    """Delta-style CHECK constraints, fixed at create time: violating
+    writes are rejected BEFORE any commit, on create/append/overwrite/
+    merge alike; delete rows in a merge are exempt (they remove data,
+    they don't write rows)."""
+    from artemia_airflow_spark.sources.txtable import ConstraintViolation, TxTable
+
+    cons = {"v_nonneg": "v >= 0", "tag_known": "tag IN ('a', 'b')"}
+    bad = spark.createDataFrame(
+        [(1, -5.0, "a"), (2, 1.0, "zzz")], "k long, v double, tag string"
+    )
+    with pytest.raises(ConstraintViolation) as ei:
+        TxTable.create(spark, bad, root, key_col="k", constraints=cons)
+    assert ei.value.counts == {"v_nonneg": 1, "tag_known": 1}
+
+    good = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, 1.0, "b")], "k long, v double, tag string"
+    )
+    t = TxTable.create(spark, good, root, key_col="k", constraints=cons)
+    assert t.constraints() == cons
+
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(3, -1.0, "a")], "k long, v double, tag string"))
+    assert t.version() == 0  # nothing committed
+    with pytest.raises(ConstraintViolation):
+        t.overwrite(spark.createDataFrame([(9, 1.0, "nope")], "k long, v double, tag string"))
+    assert t.version() == 0
+
+    # merge: the DELETE row may "violate" (its payload is irrelevant);
+    # the upsert row is validated
+    ch_ok = spark.createDataFrame(
+        [(1, -999.0, "zzz", True), (4, 2.0, "b", False)],
+        "k long, v double, tag string, is_del boolean",
+    )
+    t.merge(ch_ok, delete_col="is_del")
+    rows = {r.k: (r.v, r.tag) for r in t.snapshot().collect()}
+    assert 1 not in rows and rows[4] == (2.0, "b")
+
+    ch_bad = spark.createDataFrame(
+        [(5, -1.0, "a", False)], "k long, v double, tag string, is_del boolean"
+    )
+    with pytest.raises(ConstraintViolation):
+        t.merge(ch_bad, delete_col="is_del")
+
+
+def test_check_constraints_null_passes_sql_semantics(spark, root):
+    """SQL-standard CHECK: NULL predicate result is NOT a violation —
+    forbidding nulls needs an explicit IS NOT NULL constraint."""
+    from artemia_airflow_spark.sources.txtable import ConstraintViolation, TxTable
+
+    t = TxTable.create(
+        spark,
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+        root,
+        key_col="k",
+        constraints={"v_pos": "v > 0", "v_set": "v IS NOT NULL"},
+    )
+    # NULL v: passes v_pos (NULL -> pass) but fails the explicit v_set
+    with pytest.raises(ConstraintViolation) as ei:
+        t.append(spark.createDataFrame([(2, None)], "k long, v double"))
+    assert ei.value.counts == {"v_set": 1}
