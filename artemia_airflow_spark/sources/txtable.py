@@ -494,12 +494,17 @@ class TxTable:
             read_version=read_version,
         )
 
-    def merge(self, changes: DataFrame, *, delete_col: str | None = None) -> int:
+    def merge(
+        self, changes: DataFrame, *, delete_col: str | None = None,
+        meta: dict | None = None,
+    ) -> int:
         """MERGE INTO with file pruning: only files whose key range
         intersects the change keys are rewritten (through the same
         :func:`merge_upsert` the DataFrame-level operator uses); all
         other files carry forward untouched.  Change keys outside every
-        file's range become inserts in the rewritten output."""
+        file's range become inserts in the rewritten output.
+        ``meta`` lands on the commit like append's (the idempotence
+        stamp the streaming CDC sink uses, streaming/txsink.py)."""
         key = self._key_col()
         read_version = self.version()
         live, head = self._live(read_version)
@@ -557,16 +562,16 @@ class TxTable:
             base = self.spark.createDataFrame([], table_schema)
         merged = merge_upsert(base, changes, key, delete_col=delete_col)
         adds = _write_data_files(merged, self.root, key)
-        return self._try_commit(
-            {
-                "operation": "merge",
-                "add": adds,
-                "remove": [m["path"] for m in touched_metas],
-                "schema": head["schema"],
-                "key_col": key,
-            },
-            read_version=read_version,
-        )
+        commit = {
+            "operation": "merge",
+            "add": adds,
+            "remove": [m["path"] for m in touched_metas],
+            "schema": head["schema"],
+            "key_col": key,
+        }
+        if meta:
+            commit["meta"] = meta
+        return self._try_commit(commit, read_version=read_version)
 
     def delete(self, predicate: str) -> int:
         """Predicate delete: one scan finds the files containing matches
@@ -973,7 +978,8 @@ _register_queries()
 
 def stream_to_txtable(
     stream_df: DataFrame, table: TxTable, checkpoint: str, *,
-    sink_id: str = "stream", timeout_s: int = 120,
+    sink_id: str = "stream", mode: str = "append",
+    delete_col: str | None = None, timeout_s: int = 120,
 ) -> None:
     """Exactly-once streaming appends into a transactional table (the
     B82 guarantee landed on B89 storage): ``foreachBatch`` + an
@@ -994,14 +1000,29 @@ def stream_to_txtable(
     Driven with Trigger.AvailableNow (drain, then stop) like
     stream_to_parquet; pass a stable ``sink_id`` per logical stream so
     two different streams appending to one table don't share batch-id
-    space."""
+    space.
+
+    ``mode="merge"`` is the CDC face (round 7): each micro-batch
+    MERGEs into the table on its key column (``delete_col`` marks
+    tombstone rows), so a change stream MAINTAINS the table
+    exactly-once — later batches overwrite earlier values per key.
+    Dedupe to at most one row per key WITHIN a batch upstream
+    (dropDuplicates / last-wins window); cross-batch order is the
+    stream's order.  Merge is a read-set commit, so a CONCURRENT
+    writer can surface as CommitConflict and fail the drain; rerunning
+    is safe — committed batches skip via the idempotence stamp and the
+    conflicted batch re-merges against the new head."""
+    if mode not in ("append", "merge"):
+        raise ValueError("mode must be 'append' or 'merge'")
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in table.committed_stream_batches(sink_id):
             return  # redelivered batch: already committed, skip
-        table.append(
-            batch_df, meta={"sink_id": sink_id, "batch_id": int(batch_id)}
-        )
+        stamp = {"sink_id": sink_id, "batch_id": int(batch_id)}
+        if mode == "merge":
+            table.merge(batch_df, delete_col=delete_col, meta=stamp)
+        else:
+            table.append(batch_df, meta=stamp)
 
     # append mode, deliberately: this is an append-only sink, and with
     # an aggregating stream_df "update" mode would hand foreachBatch the

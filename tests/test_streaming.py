@@ -397,52 +397,13 @@ def test_stream_stream_outer_join_watermark_gated(spark, chunked_events_dir):
     assert must_emit <= got_unmatched, sorted(must_emit - got_unmatched)[:5]
 
 
-def test_stream_to_txtable_exactly_once_across_runs(spark, chunked_events_dir, tmp_path):
-    """B82+B89 bridge: two drain runs over a growing source land each
-    event in the ACID table exactly once — the checkpoint skips
-    consumed files, and every micro-batch is one stamped append
-    commit."""
-    from artemia_airflow_spark.sources.txtable import TxTable
-    from artemia_airflow_spark.streaming.txsink import (
-        last_committed_batch,
-        stream_to_txtable,
-    )
-
-    src = str(tmp_path / "src")
-    ckpt = str(tmp_path / "ckpt")
-    root = str(tmp_path / "table")
-    os.makedirs(src)
-    schema = scan(spark, SF_SMOKE, "events").schema
-    empty = spark.createDataFrame([], schema).select("event_id", "user_id")
-    t = TxTable.create(spark, empty, root, key_col="event_id")
-
-    shutil.copytree(os.path.join(chunked_events_dir, "chunk=0"), os.path.join(src, "c0"))
-    stream = spark.readStream.schema(schema).parquet(src + "/*")
-    stream_to_txtable(
-        stream.select("event_id", "user_id"), root, ckpt, query_name="ingest"
-    )
-    n1 = t.snapshot().count()
-    assert n1 > 0
-    assert last_committed_batch(root, "ingest") is not None
-
-    shutil.copytree(os.path.join(chunked_events_dir, "chunk=1"), os.path.join(src, "c1"))
-    stream2 = spark.readStream.schema(schema).parquet(src + "/*")
-    stream_to_txtable(
-        stream2.select("event_id", "user_id"), root, ckpt, query_name="ingest"
-    )
-    got = [r.event_id for r in t.snapshot().collect()]
-    assert len(got) == len(set(got)), "duplicate events after second run"
-    want = {r.event_id for r in spark.read.schema(schema).parquet(src + "/*").collect()}
-    assert set(got) == want, "missing or extra events"
-
-
-def test_stream_to_txtable_replayed_batch_skipped(spark, chunked_events_dir, tmp_path):
-    """Crash-window simulation: the table append committed but the
-    streaming checkpoint write was lost, so the next run REPLAYS the
-    batch — the table-side (query_name, batch_id) stamp must skip it,
-    even with a foreign (unstamped) commit interleaved on the log."""
-    from artemia_airflow_spark.sources.txtable import TxTable
-    from artemia_airflow_spark.streaming.txsink import stream_to_txtable
+def test_stream_to_txtable_crash_window_replay_skipped(spark, chunked_events_dir, tmp_path):
+    """Crash-window simulation for the B82+B89 sink: the table append
+    committed but the streaming checkpoint write was lost, so the next
+    run REDELIVERS the batch under the same batch_id — the table-side
+    (sink_id, batch_id) stamp must skip it, even with a foreign
+    (unstamped) commit interleaved on the log."""
+    from artemia_airflow_spark.sources.txtable import TxTable, stream_to_txtable
 
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
@@ -455,31 +416,65 @@ def test_stream_to_txtable_replayed_batch_skipped(spark, chunked_events_dir, tmp
 
     shutil.copytree(os.path.join(chunked_events_dir, "chunk=0"), os.path.join(src, "c0"))
     stream = spark.readStream.schema(schema).parquet(src + "/*")
-    stream_to_txtable(
-        stream.select("event_id", "user_id"), root, ckpt, query_name="ingest"
-    )
-    # checkpoint state as of run 1 — the "lost checkpoint write" image
-    shutil.copytree(ckpt, ckpt_backup)
+    stream_to_txtable(stream.select("event_id", "user_id"), t, ckpt, sink_id="ev")
+    shutil.copytree(ckpt, ckpt_backup)  # the "lost checkpoint write" image
 
     shutil.copytree(os.path.join(chunked_events_dir, "chunk=1"), os.path.join(src, "c1"))
     stream2 = spark.readStream.schema(schema).parquet(src + "/*")
-    stream_to_txtable(
-        stream2.select("event_id", "user_id"), root, ckpt, query_name="ingest"
-    )
+    stream_to_txtable(stream2.select("event_id", "user_id"), t, ckpt, sink_id="ev")
     n_after_run2 = t.snapshot().count()
 
     # a foreign writer lands an unstamped append between runs: the
-    # backward stamp walk must look PAST it, not give up at head
-    extra = spark.createDataFrame([(10**9, 1)], "event_id long, user_id long")
-    t.append(extra)
+    # idempotence scan must look PAST it, not stop at head
+    t.append(spark.createDataFrame([(10**9, 1)], "event_id long, user_id long"))
 
-    # crash image restored: run 3 replays chunk=1's batch id
+    # crash image restored: run 3 redelivers chunk=1's batch id
     shutil.rmtree(ckpt)
     shutil.copytree(ckpt_backup, ckpt)
     stream3 = spark.readStream.schema(schema).parquet(src + "/*")
-    stream_to_txtable(
-        stream3.select("event_id", "user_id"), root, ckpt, query_name="ingest"
-    )
+    stream_to_txtable(stream3.select("event_id", "user_id"), t, ckpt, sink_id="ev")
     got = [r.event_id for r in t.snapshot().collect()]
-    assert len(got) == n_after_run2 + 1, "replayed batch was re-appended"
+    assert len(got) == n_after_run2 + 1, "redelivered batch was re-appended"
     assert len(got) == len(set(got)), "duplicates after replay"
+
+
+def test_stream_to_txtable_merge_mode_maintains_table(spark, tmp_path):
+    """CDC face: a keyed change stream MAINTAINS the table via
+    exactly-once merges — later batches overwrite earlier values per
+    key, tombstone rows delete, redelivery is idempotent."""
+    from artemia_airflow_spark.sources.txtable import TxTable, stream_to_txtable
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "table")
+    os.makedirs(src)
+    ddl = "k long, v double, is_del boolean"
+    # table schema EXCLUDES the tombstone marker (merge_upsert contract:
+    # target schema = changes schema minus delete_col)
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    t = TxTable.create(spark, base, root, key_col="k")
+    ch_schema = spark.createDataFrame([], ddl).schema
+
+    # batch file 1: update k=1, insert k=3
+    spark.createDataFrame([(1, 11.0, False), (3, 30.0, False)], ddl).coalesce(1)\
+        .write.parquet(os.path.join(src, "b1"))
+    stream = spark.readStream.schema(ch_schema).parquet(src + "/*")
+    stream_to_txtable(stream, t, ckpt, sink_id="cdc", mode="merge", delete_col="is_del")
+    rows = {r.k: r.v for r in t.snapshot().select("k", "v").collect()}
+    assert rows == {1: 11.0, 2: 20.0, 3: 30.0}
+
+    # batch file 2: delete k=2, update k=3
+    spark.createDataFrame([(2, 0.0, True), (3, 33.0, False)], ddl).coalesce(1)\
+        .write.parquet(os.path.join(src, "b2"))
+    stream2 = spark.readStream.schema(ch_schema).parquet(src + "/*")
+    stream_to_txtable(stream2, t, ckpt, sink_id="cdc", mode="merge", delete_col="is_del")
+    rows = {r.k: r.v for r in t.snapshot().select("k", "v").collect()}
+    assert rows == {1: 11.0, 3: 33.0}
+
+    # redelivery of everything (fresh checkpoint is WRONG usage; here we
+    # simulate redelivery by invoking the handler path via a drained
+    # re-run on the SAME checkpoint — no new files, no new commits)
+    v_before = t.version()
+    stream3 = spark.readStream.schema(ch_schema).parquet(src + "/*")
+    stream_to_txtable(stream3, t, ckpt, sink_id="cdc", mode="merge", delete_col="is_del")
+    assert t.version() == v_before
