@@ -763,3 +763,47 @@ def test_check_constraints_null_passes_sql_semantics(spark, root):
     with pytest.raises(ConstraintViolation) as ei:
         t.append(spark.createDataFrame([(2, None)], "k long, v double"))
     assert ei.value.counts == {"v_set": 1}
+
+
+def test_snapshot_where_prunes_files_by_key_stats(spark, root):
+    """Data-skipping read: a key-range read on a range-clustered table
+    scans only the files whose footer stats intersect the range, and
+    the result is exactly snapshot().filter(range)."""
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    df = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+        .repartitionByRange(8, "k")
+    )
+    t = TxTable.create(spark, df, root, key_col="k")
+    assert len(t.files()) == 8
+
+    narrow = t.snapshot_where(100, 150)
+    assert len(narrow.inputFiles()) < 8, "no files were pruned"
+    want = sorted(
+        (r.k, r.v) for r in t.snapshot().filter("k BETWEEN 100 AND 150").collect()
+    )
+    got = sorted((r.k, r.v) for r in narrow.collect())
+    assert got == want and len(got) == 51
+
+    # open ranges + out-of-range -> empty (and no files scanned)
+    assert t.snapshot_where(key_min=900).count() == 100
+    assert t.snapshot_where(key_max=99).count() == 100
+    empty = t.snapshot_where(5000, 6000)
+    assert empty.count() == 0
+
+
+def test_snapshot_where_conservative_without_stats(spark, root):
+    """Files whose key stats are missing (all-null keys) are scanned
+    conservatively; the residual filter still keeps semantics exact."""
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    t = TxTable.create(spark, df, root, key_col="k")
+    nulls = spark.createDataFrame([(None, 9.0)], "k long, v double")
+    t.append(nulls)
+    # range excludes nothing statted, null-key file scanned anyway;
+    # residual k >= 1 drops the NULL row (SQL comparison semantics)
+    got = sorted(r.v for r in t.snapshot_where(key_min=1).collect())
+    assert got == [1.0, 2.0]
