@@ -91,10 +91,16 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     the DataFrame API (one logical plan namespace), so SQL text gets
     identical pushdown/pruning/partial-aggregation — plan-pinned in
     tests/test_plans.py (test_sql_text_plans_like_dataframe_flagship).
-    Temp-view registration is a catalog-metadata operation (no scan);
-    repeated calls just re-point the views."""
+    Temp-view registration is catalog metadata (no data scan) but
+    costs ~1s of driver-side analysis for 10 tables, so it runs once
+    per (session, sf_dir) — the conf tag below re-points the views
+    only when sf_dir changes (createOrReplaceTempView makes the
+    re-registration itself idempotent)."""
     from artemia_airflow_spark.session import ensure_engine_conf
 
     ensure_engine_conf(spark)
-    register_views(spark, sf_dir)
+    _TAG = "spark.artemia.registered_views_sf_dir"
+    if spark.conf.get(_TAG, "") != sf_dir:
+        register_views(spark, sf_dir)
+        spark.conf.set(_TAG, sf_dir)
     return spark.sql(sql)
