@@ -74,11 +74,30 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: scan(spark, sf_dir, t) for t in TABLES}
 
 
+# Conf tag recording which sf_dir ALL fixture views currently point at
+# ("" = unknown/mixed).  Owned by this module: every view write must go
+# through register_views / register_view so the tag can never claim a
+# view points somewhere it doesn't (r7 review finding — a single-view
+# re-point at another sf_dir must invalidate run_sql's cache).
+_VIEWS_TAG = "spark.artemia.registered_views_sf_dir"
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so SQL-surface operators
     (subqueries B38-B39, rollups) can use spark.sql directly."""
     for t in TABLES:
         scan(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.conf.set(_VIEWS_TAG, sf_dir)
+
+
+def register_view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Point ONE fixture view at ``sf_dir`` (the single-view face the
+    SQL-subquery operators use).  Re-pointing a view at a different
+    sf_dir than the all-views tag invalidates the tag, so a later
+    run_sql re-registers instead of silently querying mixed scales."""
+    scan(spark, sf_dir, name).createOrReplaceTempView(name)
+    if spark.conf.get(_VIEWS_TAG, "") != sf_dir:
+        spark.conf.set(_VIEWS_TAG, "")
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -99,8 +118,6 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     from artemia_airflow_spark.session import ensure_engine_conf
 
     ensure_engine_conf(spark)
-    _TAG = "spark.artemia.registered_views_sf_dir"
-    if spark.conf.get(_TAG, "") != sf_dir:
+    if spark.conf.get(_VIEWS_TAG, "") != sf_dir:
         register_views(spark, sf_dir)
-        spark.conf.set(_TAG, sf_dir)
     return spark.sql(sql)

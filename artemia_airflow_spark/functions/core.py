@@ -36,6 +36,20 @@ def dec_avg(col: Column | str) -> Column:
     return F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1))
 
 
+def check_violation_count(pred: str) -> Column:
+    """CHECK-constraint violation counter for a SQL predicate string:
+    counts rows where the predicate evaluates FALSE — NULL passes
+    (SQL-standard CHECK semantics).  The SINGLE implementation shared
+    by the TxTable constraint enforcer (sources/txtable.py) and
+    validation_report (operators/sketches.py), so the NULL/boolean
+    semantics can never drift between the two (r7 review finding)."""
+    return F.sum(
+        F.when(
+            ~F.coalesce(F.expr(pred).cast("boolean"), F.lit(True)), 1
+        ).otherwise(0)
+    )
+
+
 def ts_second(col: Column | str) -> Column:
     """Truncate an event-time column to whole seconds (hazard H1: the
     events fixture stores timestamp[ns]; Spark reads µs, DuckDB ns —

@@ -667,8 +667,12 @@ class Pipeline:
                     values[task_id] = value
         pending = [s for s in order if s.task_id not in results]
         lock = threading.Lock()
+        # diagnostics: wave count of the last run (how many scheduling
+        # rounds the DAG took — slot contention shows up here)
+        self.last_run_waves = 0
 
         while pending:
+            self.last_run_waves += 1
             if self.run_timeout_s is not None and time.monotonic() - start > self.run_timeout_s:
                 raise PipelineTimeout(f"pipeline {self.name!r} exceeded {self.run_timeout_s}s")
             ready = [
@@ -680,24 +684,39 @@ class Pipeline:
             # stages beyond max_active_tasks / their pool's slots stay in
             # `pending` (queued) and re-contend next wave.  Waves join all
             # threads before recomputing, so every slot frees at wave end
-            # and the first ready stage always wins one (caps are >= 1) —
-            # a capped wave can never livelock.
+            # and the first runnable stage always wins one (caps >= 1) —
+            # a capped wave can never livelock.  Stages that will only
+            # resolve to skipped/upstream_failed consume NO slot (Airflow
+            # parity: non-executing tasks don't occupy pools — r7 review
+            # finding): they run no user code, so they're granted freely
+            # and a to-be-skipped stage can never hold a slot a runnable
+            # same-pool stage is waiting for.
             if self.max_active_tasks is not None or self.pools:
                 granted: list[Stage] = []
                 pool_used: dict[str, int] = {}
+                n_running = 0
                 # contention order: higher priority_weight first,
-                # declaration order on ties (stable sort)
+                # declaration order on ties (stable sort).  results is
+                # stable here — the wave's workers haven't started.
                 for s in sorted(ready, key=lambda s: -s.priority_weight):
+                    try:
+                        will_run = self._should_run(s, results)
+                    except Exception:  # noqa: BLE001 — let the worker
+                        will_run = True  # record the failure (ADVICE r6)
+                    if not will_run:
+                        granted.append(s)  # slotless skip resolution
+                        continue
                     if (
                         self.max_active_tasks is not None
-                        and len(granted) >= self.max_active_tasks
+                        and n_running >= self.max_active_tasks
                     ):
-                        break
+                        continue  # width cap: queued, not failed
                     if s.pool is not None:
                         if pool_used.get(s.pool, 0) >= self.pools[s.pool]:
                             continue  # pool full: queued, not failed
                         pool_used[s.pool] = pool_used.get(s.pool, 0) + 1
                     granted.append(s)
+                    n_running += 1
                 ready = granted
 
             def execute(s: Stage) -> None:
@@ -724,6 +743,14 @@ class Pipeline:
                     res = self._run_stage(s, ctx)
                 except BaseException as exc:  # noqa: BLE001 — see above
                     res = StageResult("failed", error=exc, attempts=0)
+                    # A21 contract: on_failure fires whenever the stage
+                    # ENDS failed — including harness-path failures that
+                    # bypass _run_stage/_finish (r7 review finding)
+                    if s.on_failure is not None:
+                        try:
+                            s.on_failure(s.task_id, res)
+                        except Exception:  # noqa: BLE001
+                            pass  # never mask the recorded failure
                 with lock:
                     results[s.task_id] = res
                     if res.state == "success":

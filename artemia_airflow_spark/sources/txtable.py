@@ -111,12 +111,10 @@ def _enforce_constraints(
     a row violates only when the predicate is FALSE — NULL passes
     (wrap the predicate in explicit IS NOT NULL checks to forbid
     nulls)."""
+    from artemia_airflow_spark.functions.core import check_violation_count
+
     aggs = [
-        F.sum(
-            F.when(
-                ~F.coalesce(F.expr(pred).cast("boolean"), F.lit(True)), 1
-            ).otherwise(0)
-        ).alias(name)
+        check_violation_count(pred).alias(name)
         for name, pred in constraints.items()
     ]
     row = df.agg(*aggs).collect()[0]  # 1-row driver fetch, batch-sized scan
@@ -189,6 +187,15 @@ class TxTable:
         if os.listdir(_log_dir(root)):
             raise FileExistsError(f"table already exists at {root!r}")
         if constraints:
+            import re as _re
+
+            for cname in constraints:
+                # names become agg aliases + error-report keys:
+                # identifier-safe only (mirrors validation_report)
+                if not _re.fullmatch(r"[A-Za-z0-9_.-]+", cname):
+                    raise ValueError(
+                        f"constraint name {cname!r} must be identifier-safe"
+                    )
             _enforce_constraints(df, dict(constraints), root)
         adds = _write_data_files(df, root, key_col)
         commit = {
@@ -369,18 +376,25 @@ class TxTable:
         return df
 
     # -- write ---------------------------------------------------------
+    def _commit0(self) -> dict:
+        # commit 0 is immutable after create (key_col + constraints
+        # live there), so parse it ONCE per handle — the CDC stream
+        # sink merges every micro-batch and was paying two redundant
+        # open+parse round trips per batch (r7 review finding)
+        c = self.__dict__.get("_commit0_cache")
+        if c is None:
+            with open(_version_path(self.root, 0)) as f:
+                c = json.load(f)
+            self.__dict__["_commit0_cache"] = c
+        return c
+
     def _key_col(self) -> str:
-        # the key column is fixed at create time: read commit 0 only —
-        # self._commits()[0] would json-parse the ENTIRE log for one
-        # field (r6 review finding)
-        with open(_version_path(self.root, 0)) as f:
-            return json.load(f)["key_col"]
+        return self._commit0()["key_col"]
 
     def constraints(self) -> dict[str, str]:
-        """Named CHECK predicates fixed at create time (commit 0 only,
-        same access pattern as the key column)."""
-        with open(_version_path(self.root, 0)) as f:
-            return json.load(f).get("constraints") or {}
+        """Named CHECK predicates fixed at create time (commit 0,
+        cached on the handle like the key column)."""
+        return dict(self._commit0().get("constraints") or {})
 
     # operations whose output depends on the SNAPSHOT they read (the
     # read-set): update-vs-insert decisions, delete matching, live-set
@@ -544,7 +558,7 @@ class TxTable:
         other files carry forward untouched.  Change keys outside every
         file's range become inserts in the rewritten output.
         ``meta`` lands on the commit like append's (the idempotence
-        stamp the streaming CDC sink uses, streaming/txsink.py)."""
+        stamp :func:`stream_to_txtable`'s CDC merge mode uses)."""
         key = self._key_col()
         read_version = self.version()
         live, head = self._live(read_version)

@@ -345,3 +345,19 @@ def test_histogram_extreme_outlier_clamps_to_top_bin(spark):
         for r in histogram_partials(df, "v", ["grp"], lo=0.0, hi=1.0, bins=4).collect()
     }
     assert rows == {3: 1, 0: 1, 2: 1}  # huge + -> top bin, huge - -> bin 0
+
+
+def test_validation_report_empty_rules_and_bad_names(spark):
+    """r7 review fixes: an empty ruleset is an empty report (stack(0)
+    is a parse error), and quote-bearing rule names are rejected
+    instead of being interpolated into selectExpr."""
+    from artemia_airflow_spark.operators.sketches import validation_report
+
+    df = spark.createDataFrame([(1,)], "x long")
+    empty = validation_report(df, {})
+    assert empty.columns == ["rule", "n_violations", "n_rows"]
+    assert empty.count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="identifier-safe"):
+        validation_report(df, {"bad'name": "x > 0"})

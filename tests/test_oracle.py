@@ -81,3 +81,26 @@ def test_entry_smoke(spark):
 
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_run_sql_view_cache_invalidated_by_foreign_sf_dir(spark):
+    """r7 review fix: run_sql caches view registration per (session,
+    sf_dir), but OTHER queries re-point individual fixture views at
+    their own sf_dir (register_view) — that must invalidate the cache,
+    or run_sql silently reads mixed scale factors."""
+    from artemia_airflow_spark.catalog import run_sql
+    from artemia_airflow_spark.operators.sqltext import FLAGSHIP_SQL
+
+    a = "/root/testdata/sf0.001"
+    b = "/root/testdata/sf0.01"
+    ref_a = sorted(map(str, run_sql(spark, a, FLAGSHIP_SQL).collect()))
+    ref_b = sorted(map(str, run_sql(spark, b, FLAGSHIP_SQL).collect()))
+    assert ref_a != ref_b  # different SFs genuinely differ
+
+    # prime the cache at A, then a foreign single-view re-point at B
+    run_sql(spark, a, FLAGSHIP_SQL).collect()
+    from artemia_airflow_spark.catalog import register_view
+
+    register_view(spark, b, "lineitem")
+    got = sorted(map(str, run_sql(spark, a, FLAGSHIP_SQL).collect()))
+    assert got == ref_a, "run_sql served a mixed-sf_dir view set"

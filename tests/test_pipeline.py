@@ -813,3 +813,46 @@ def test_priority_weight_orders_contended_slots():
     res = pipe.run(spark=None)
     assert order == ["high", "mid", "low"]
     assert all(r.state == "success" for r in res.values())
+
+
+def test_skipped_stages_consume_no_pool_slot():
+    """r7 review fix: a stage resolving to skipped/upstream_failed runs
+    no user code and must not occupy a slot — the unchosen branch's
+    fan-out resolves in ONE wave alongside the chosen path instead of
+    serializing through the pool."""
+    from artemia_airflow_spark.pipeline import branch_stage
+
+    pipe = Pipeline("skipslots", sleep=no_sleep, pools={"p": 1})
+    br = pipe.add(branch_stage("pick", lambda ctx: "chosen"))
+    chosen = pipe.add(Stage("chosen", lambda ctx: "ran", pool="p"))
+    skips = [
+        pipe.add(Stage(f"skip{i}", lambda ctx: "never", pool="p",
+                       priority_weight=10))
+        for i in range(3)
+    ]
+    br >> [chosen, *skips]
+    res = pipe.run(spark=None)
+    assert res["chosen"].state == "success"
+    assert all(res[f"skip{i}"].state == "skipped" for i in range(3))
+    # wave 1: branch; wave 2: chosen (slot) + 3 slotless skips
+    assert pipe.last_run_waves == 2
+
+
+def test_on_failure_fires_for_harness_path_failure():
+    """r7 review fix: the A21 contract is 'fires when the stage ends
+    failed' — including failures recorded by the wave worker's
+    harness-path handler (which bypasses _run_stage/_finish)."""
+    fired = []
+    pipe = Pipeline("cbharness", sleep=no_sleep, run_timeout_s=10.0)
+    pipe.add(
+        Stage("a", lambda ctx: "ok",
+              on_failure=lambda task_id, res: fired.append(task_id))
+    )
+
+    def poisoned(stage, results):
+        raise RuntimeError("harness bug")
+
+    pipe._should_run = poisoned
+    res = pipe.run(spark=None, raise_on_failure=False)
+    assert res["a"].state == "failed"
+    assert fired == ["a"]

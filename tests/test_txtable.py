@@ -807,3 +807,12 @@ def test_snapshot_where_conservative_without_stats(spark, root):
     # residual k >= 1 drops the NULL row (SQL comparison semantics)
     got = sorted(r.v for r in t.snapshot_where(key_min=1).collect())
     assert got == [1.0, 2.0]
+
+
+def test_constraint_name_must_be_identifier_safe(spark, root):
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="identifier-safe"):
+        TxTable.create(spark, df, root, key_col="k",
+                       constraints={"can't be null": "v IS NOT NULL"})
