@@ -460,3 +460,74 @@ def q_text_chunk(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return chunk_documents(d, "text", "doc_id", max_tokens=128, overlap=16)
+
+
+@declared(
+    "q_text_oov",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 200
+      )
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             COUNT(*) AS n_tok,
+             SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok LEFT JOIN vocab v USING (token)
+      GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(1000000.0 * SUM(n_oov) / SUM(n_tok) + 0.5) AS BIGINT)
+             AS oov_rate_e6
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_text_oov(spark, sf_dir):
+    """B43+: out-of-vocabulary rate per language against the corpus'
+    own top-200 token vocabulary — the rare-token curation signal
+    (a doc full of OOV tokens is noise, code, or the wrong language).
+
+    Scale shape: vocabulary = one partial-aggregated token count +
+    TakeOrdered(200) (deterministic count-desc/token-asc tiebreak);
+    the 200-row vocab BROADCASTS to a left join on the exploded token
+    stream, whose per-doc re-aggregation partial-aggregates map-side
+    (explode preserves row locality, so the shuffle carries O(docs)
+    rows, not O(tokens)).  All outputs integer-derived
+    (floor(1e6*x+0.5)) — engine-portable, order-independent.
+    """
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(200)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.floor(
+            1e6 * F.sum("n_oov") / F.sum("n_tok") + F.lit(0.5)
+        ).cast("bigint").alias("oov_rate_e6"),
+    )

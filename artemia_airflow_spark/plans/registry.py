@@ -25,11 +25,12 @@ ORACLE: dict[str, str] = {}
 
 # Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
 # in insertion order and caps at ~50 entries per round.  Round-7 window
-# (VERDICT r6 item 1): (a) the 3 new round-7 queries (raw-SQL surface,
-# TPC-H Q2/Q20 over derived partsupp), then (b) ALL 35 rows whose newest
-# driver CORRECTNESS row is r4 — after this window lands, no query's
-# newest row is older than r5.  (c) fills to ~50 with r5 rows from
-# families this round touched (sketches bin clamp, repetition re-tier).
+# (VERDICT r6 item 1): (a) the 8 new round-7 queries (raw-SQL surface,
+# TPC-H Q2/Q9/Q11/Q16/Q20 over derived partsupp, validation gate, OOV
+# rate), then (b) ALL 35 rows whose newest driver CORRECTNESS row is r4
+# — after this window lands, no query's newest row is older than r5.
+# (c) fills to 50 with r5 rows from families this round touched
+# (repetition re-tier, text siblings, flagship family).
 # ROUND-8 ROTATION NOTE: the stale tail will then be the ~37 remaining
 # r5 rows (q_agg_*, q_join_*, q_window_*, q_set_*, q_fn_array/date/
 # math/string, q_tpch_q3/q5/q10/q17, q_sim_ann_lsh/ivf, stream session
@@ -38,7 +39,7 @@ ORACLE: dict[str, str] = {}
 PRIORITY: list[str] = [
     # (a) new in round 7
     "q_sql_text", "q_tpch_q2", "q_tpch_q20",
-    "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_validate",
+    "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_validate", "q_text_oov",
     # (b) the complete r4 tail (newest driver row two fixture
     # generations old — VERDICT r6 item 1 names exactly this set)
     "q_fn_json", "q_fn_map", "q_fn_null", "q_fn_string2",
@@ -56,7 +57,6 @@ PRIORITY: list[str] = [
     # text family siblings of this round's changes)
     "q_text_repetition", "q_text_fingerprint", "q_text_scrub",
     "q_agg_group", "q_agg_global", "q_join_asof", "q_topk",
-    "q_window_rank",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"

@@ -141,6 +141,35 @@ def _key_stats(path: str, key_col: str) -> tuple[Any, Any, int]:
     return lo, hi, md.num_rows
 
 
+def _col_stats(path: str) -> dict:
+    """Footer-harvested [min, max] per FLAT primitive column (int /
+    float / string leaves only — JSON-serializable and totally ordered;
+    timestamps, binaries and nested leaves are skipped, which reads as
+    "no stats" = never pruned).  The Delta first-32-columns stats idea
+    at file granularity."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for i in range(md.num_columns):
+        leaf = md.schema.column(i)
+        name = leaf.path
+        if "." in name:
+            continue  # nested leaf (list/struct element): skip
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and isinstance(lo, (int, float, str)) and isinstance(hi, (int, float, str)):
+            out[name] = [lo, hi]
+    return out
+
+
 class TxTable:
     """Handle on a transactional parquet table rooted at ``root``."""
 
@@ -336,31 +365,48 @@ class TxTable:
         return self._live(version)[0]
 
     def snapshot_where(
-        self, key_min=None, key_max=None, *, version: int | None = None
+        self, key_min=None, key_max=None, *,
+        column: str | None = None, version: int | None = None,
     ) -> DataFrame:
-        """Data-skipping read: :meth:`snapshot` restricted to a key
-        range, scanning ONLY the live files whose footer [key_min,
-        key_max] stats intersect it — the Delta/Iceberg file-pruning
-        story on the commit log's own stats.  Parquet row-group
-        pushdown would skip the DATA later anyway, but at 100 TB the
-        win is never LISTING/OPENING the excluded files at all: a
-        point lookup on a range-clustered table touches O(1) files
-        instead of O(table).  Files without stats (all-null keys) are
-        scanned conservatively; the residual filter keeps semantics
-        exact regardless of clustering."""
+        """Data-skipping read: :meth:`snapshot` restricted to a value
+        range on ``column`` (default: the key column), scanning ONLY
+        the live files whose footer [min, max] stats intersect it —
+        the Delta/Iceberg file-pruning story on the commit log's own
+        stats.  Parquet row-group pushdown would skip the DATA later
+        anyway, but at 100 TB the win is never LISTING/OPENING the
+        excluded files at all: a point lookup on a range-clustered
+        table touches O(1) files instead of O(table).  Every flat
+        int/float/string column is statted at write time (col_stats);
+        files without stats for the column (pre-stats commits, all-null
+        values, nested/timestamp columns) are scanned conservatively,
+        and the residual filter keeps semantics exact regardless of
+        clustering.  Bounds must be of the column's type — string
+        bounds against a numeric column prune nothing and filter
+        per row."""
         from pyspark.sql.types import StructType
 
         live, head = self._live(version)
         schema = StructType.fromJson(json.loads(head["schema"]))
         key = self._key_col()
+        col = column or key
+
+        def bounds(m: dict):
+            if col == key and m.get("key_min") is not None:
+                return m["key_min"], m["key_max"]
+            cs = (m.get("col_stats") or {}).get(col)
+            return (cs[0], cs[1]) if cs else (None, None)
 
         def intersects(m: dict) -> bool:
-            if m["key_min"] is None:
+            lo, hi = bounds(m)
+            if lo is None:
                 return True  # no stats: conservative
-            if key_min is not None and m["key_max"] < key_min:
-                return False
-            if key_max is not None and m["key_min"] > key_max:
-                return False
+            try:
+                if key_min is not None and hi < key_min:
+                    return False
+                if key_max is not None and lo > key_max:
+                    return False
+            except TypeError:
+                return True  # cross-type comparison: conservative
             return True
 
         picked = [m for m in live if intersects(m)]
@@ -370,9 +416,9 @@ class TxTable:
             *[os.path.join(self.root, m["path"]) for m in picked]
         )
         if key_min is not None:
-            df = df.filter(F.col(key) >= F.lit(key_min))
+            df = df.filter(F.col(col) >= F.lit(key_min))
         if key_max is not None:
-            df = df.filter(F.col(key) <= F.lit(key_max))
+            df = df.filter(F.col(col) <= F.lit(key_max))
         return df
 
     # -- write ---------------------------------------------------------
@@ -916,7 +962,14 @@ def _write_data_files(df: DataFrame, root: str, key_col: str) -> list[dict]:
             shutil.move(src, os.path.join(root, name))
             lo, hi, rows = _key_stats(os.path.join(root, name), key_col)
             adds.append(
-                {"path": name, "key_min": lo, "key_max": hi, "num_rows": rows}
+                {
+                    "path": name, "key_min": lo, "key_max": hi,
+                    "num_rows": rows,
+                    # per-column stats for multi-column data skipping
+                    # (snapshot_where column=...); commits written before
+                    # this field read back as {} -> conservative scans
+                    "col_stats": _col_stats(os.path.join(root, name)),
+                }
             )
         return adds
     finally:

@@ -816,3 +816,36 @@ def test_constraint_name_must_be_identifier_safe(spark, root):
     with pytest.raises(ValueError, match="identifier-safe"):
         TxTable.create(spark, df, root, key_col="k",
                        constraints={"can't be null": "v IS NOT NULL"})
+
+
+def test_snapshot_where_prunes_on_non_key_column(spark, root):
+    """Multi-column data skipping: every flat primitive column is
+    statted at write time, so a range read on a NON-key column prunes
+    files when the data is clustered on it — and stays exact when it
+    isn't."""
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+            F.concat(F.lit("s"), F.lpad(F.col("id") % 10, 2, "0")).alias("tag"),
+        )
+        .repartitionByRange(8, "v")  # clustered on v, NOT the key
+    )
+    t = TxTable.create(spark, df, root, key_col="k")
+    assert len(t.files()) == 8
+    assert "v" in t.files()[0]["col_stats"]
+    assert "tag" in t.files()[0]["col_stats"]
+
+    narrow = t.snapshot_where(100.0, 300.0, column="v")
+    assert len(narrow.inputFiles()) < 8, "no files pruned on non-key column"
+    want = sorted(r.k for r in t.snapshot().filter("v BETWEEN 100.0 AND 300.0").collect())
+    assert sorted(r.k for r in narrow.collect()) == want
+
+    # string column: not clustered -> all files scanned, result exact
+    tagged = t.snapshot_where("s03", "s03", column="tag")
+    assert sorted(r.k for r in tagged.collect()) == sorted(
+        r.k for r in t.snapshot().filter("tag = 's03'").collect()
+    )
