@@ -134,6 +134,7 @@ class Stage:
         pool: str | None = None,
         priority_weight: int = 1,
         on_failure: Callable[[str, "StageResult"], None] | None = None,
+        on_retry: Callable[[str, int, BaseException], None] | None = None,
     ) -> None:
         if trigger_rule not in TRIGGER_RULES:
             raise ValueError(f"trigger_rule must be one of {TRIGGER_RULES}")
@@ -153,6 +154,11 @@ class Stage:
         # attempt only, with the same exception-isolation contract as
         # on_sla_miss (a broken callback never changes the stage outcome)
         self.on_failure = on_failure
+        # Airflow on_retry_callback parity: fires after each FAILED
+        # attempt that will be retried (never after the final one —
+        # that's on_failure's moment), receiving (task_id, attempt,
+        # error); same exception isolation
+        self.on_retry = on_retry
         # Branching (A17): a branch stage's return value names the
         # downstream task_id(s) allowed to run; its other DIRECT
         # downstream stages are skipped (BranchPythonOperator
@@ -631,6 +637,11 @@ class Pipeline:
                 )
             except Exception as exc:  # noqa: BLE001 — retry boundary
                 last = exc
+                if attempt < len(delays) and stage.on_retry is not None:
+                    try:
+                        stage.on_retry(stage.task_id, attempt, exc)
+                    except Exception:  # noqa: BLE001 — a broken callback
+                        pass  # must never change retry behavior
         return _finish(StageResult("failed", error=last, attempts=len(delays)))
 
     def run(

@@ -858,24 +858,66 @@ class TxTable:
             read_version=read_version,
         )
 
-    def cluster(self, *, num_files: int = 8) -> int:
-        """Range-cluster the table on its key: ``repartitionByRange`` +
-        ``sortWithinPartitions`` rewrite that gives every data file a
-        DISJOINT key range.  This is what makes the footer-stat merge
-        pruning actually bite: files written from an unclustered source
-        each span nearly the whole key range (every merge touches every
-        file); after clustering, a merge whose change keys hit one range
-        rewrites one file.  Run it periodically (like OPTIMIZE ZORDER
-        with a single key) — at 100 TB, clustering cost amortizes over
-        every subsequent merge.  Commits like any rewrite."""
+    def cluster(
+        self, *, num_files: int = 8, by: list[str] | None = None,
+        zorder_bits: int = 4,
+    ) -> int:
+        """Cluster the table so footer-stat pruning bites.
+
+        Single column (default: the key): ``repartitionByRange`` +
+        ``sortWithinPartitions`` — every data file gets a DISJOINT
+        range, so a range merge/read rewrites/scans one file.
+
+        Multi-column ``by=[c1, c2, ...]`` (numeric columns only):
+        OPTIMIZE ZORDER — each column is bucketed into 2^zorder_bits
+        rank buckets by approxQuantile boundaries (skew-robust, sample
+        -based, no global sort), the bucket ids are Morton-interleaved
+        into a z-value, and files are range-partitioned on it.  Every
+        listed column's footer [min,max] then covers ~1/2^(bits/k) of
+        its domain per file, so :meth:`snapshot_where` prunes on ANY of
+        them — the multi-dimensional locality a single sort key cannot
+        give.  All-arithmetic bucketing (15 comparisons/col at bits=4)
+        stays in codegen; NULLs bucket to 0 (scanned by open-ended
+        ranges).  At 100 TB, clustering cost amortizes over every
+        subsequent pruned merge/read.  Commits like any rewrite."""
         read_version = self.version()
         live, head = self._live(read_version)
         key = self._key_col()
-        snap = (
-            self.snapshot(read_version)
-            .repartitionByRange(num_files, F.col(key))
-            .sortWithinPartitions(key)
-        )
+        cols = list(by) if by else [key]
+        snap = self.snapshot(read_version)
+        if len(cols) == 1:
+            snap = snap.repartitionByRange(
+                num_files, F.col(cols[0])
+            ).sortWithinPartitions(cols[0])
+        else:
+            from pyspark.sql.types import NumericType
+
+            for c in cols:
+                if c not in snap.columns or not isinstance(
+                    snap.schema[c].dataType, NumericType
+                ):
+                    raise ValueError(
+                        f"z-order column {c!r} must be an existing numeric "
+                        "column (rank-bucketing uses approxQuantile)"
+                    )
+            nb = 1 << zorder_bits
+            k = len(cols)
+            z = F.lit(0)
+            for i, c in enumerate(cols):
+                probs = [j / nb for j in range(1, nb)]
+                bounds = snap.approxQuantile(c, probs, 0.01)
+                b = F.lit(0)
+                for x in bounds:
+                    b = b + F.when(F.col(c) > F.lit(x), 1).otherwise(0)
+                for p in range(zorder_bits):
+                    bit = F.floor(b / F.lit(2 ** p)) % 2
+                    z = z + bit * F.lit(2 ** (p * k + i))
+            snap = (
+                snap.withColumn("__z", z)
+                .repartitionByRange(num_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         adds = _write_data_files(snap, self.root, key)
         return self._try_commit(
             {

@@ -856,3 +856,59 @@ def test_on_failure_fires_for_harness_path_failure():
     res = pipe.run(spark=None, raise_on_failure=False)
     assert res["a"].state == "failed"
     assert fired == ["a"]
+
+
+def test_on_retry_fires_per_retried_attempt_never_after_final():
+    """Airflow on_retry_callback parity: fires after each failed
+    attempt that WILL be retried, never after the final one; a
+    recovered retry stops the callbacks; a broken callback never
+    changes retry behavior."""
+    events = []
+
+    def cb(task_id, attempt, exc):
+        events.append((task_id, attempt, type(exc).__name__))
+
+    pipe = Pipeline("retrycb", sleep=no_sleep)
+    pipe.add(
+        Stage("f", lambda ctx: 1 / 0,
+              retry=RetryPolicy(retries=2, retry_delay_s=1), on_retry=cb)
+    )
+    res = pipe.run(spark=None, raise_on_failure=False)
+    assert res["f"].state == "failed" and res["f"].attempts == 3
+    assert events == [("f", 1, "ZeroDivisionError"), ("f", 2, "ZeroDivisionError")]
+
+    events.clear()
+    calls = {"n": 0}
+
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise ValueError("flaky")
+        return "ok"
+
+    pipe2 = Pipeline("retrycb2", sleep=no_sleep)
+    pipe2.add(
+        Stage("g", flaky, retry=RetryPolicy(retries=3, retry_delay_s=1), on_retry=cb)
+    )
+    res2 = pipe2.run(spark=None)
+    assert res2["g"].state == "success"
+    assert events == [("g", 1, "ValueError")]  # only the retried attempt
+
+    def broken(task_id, attempt, exc):
+        raise RuntimeError("cb bug")
+
+    calls2 = {"n": 0}
+
+    def flaky2(ctx):
+        calls2["n"] += 1
+        if calls2["n"] < 3:
+            raise ValueError("flaky")
+        return "ok"
+
+    pipe3 = Pipeline("retrycb3", sleep=no_sleep)
+    pipe3.add(
+        Stage("h", flaky2, retry=RetryPolicy(retries=2, retry_delay_s=1),
+              on_retry=broken)
+    )
+    res3 = pipe3.run(spark=None)
+    assert res3["h"].state == "success" and res3["h"].attempts == 3

@@ -849,3 +849,36 @@ def test_snapshot_where_prunes_on_non_key_column(spark, root):
     assert sorted(r.k for r in tagged.collect()) == sorted(
         r.k for r in t.snapshot().filter("tag = 's03'").collect()
     )
+
+
+def test_zorder_cluster_enables_pruning_on_both_columns(spark, root):
+    """OPTIMIZE ZORDER: after cluster(by=[x, y]), a narrow range read
+    on EITHER column prunes files (single-key clustering can only ever
+    serve one), rows are unchanged, and time travel still works."""
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        F.floor(F.col("id") / 64).cast("double").alias("y"),
+    )
+    t = TxTable.create(spark, df.repartition(4), root, key_col="k")
+    v = t.cluster(num_files=16, by=["x", "y"])
+    assert v == 1
+    assert t.snapshot().count() == 4096
+    files = t.files()
+    assert len(files) == 16
+
+    nx = len(t.snapshot_where(0.0, 15.0, column="x").inputFiles())
+    ny = len(t.snapshot_where(0.0, 15.0, column="y").inputFiles())
+    assert nx < 16, "no pruning on x after z-order"
+    assert ny < 16, "no pruning on y after z-order"
+    # correctness of the pruned read
+    got = sorted(r.k for r in t.snapshot_where(0.0, 15.0, column="x").collect())
+    want = sorted(r.k for r in t.snapshot().filter("x BETWEEN 0.0 AND 15.0").collect())
+    assert got == want
+    # physical rewrite: pre-cluster version still readable
+    assert t.snapshot(0).count() == 4096
+
+    with pytest.raises(ValueError, match="numeric"):
+        TxTable(spark, root).cluster(by=["x", "nope"])
