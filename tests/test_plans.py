@@ -346,3 +346,26 @@ def test_validate_builds_all_rules_from_one_scan(spark):
     )
     assert p.count("orders.parquet") == 1, p
     assert len(re.findall(r"HashAggregate", p)) >= 2  # partial+final
+
+
+def test_derived_partsupp_composites_plan_shapes(spark):
+    """Round-7 TPC-H family pins.  Every plan may contain ONE
+    BroadcastNestedLoopJoin: the partsupp derivation's 1-row
+    supplier-count broadcast (a scalar, not a data join) — but never a
+    CartesianProduct, and each query keeps its family's signature
+    operator: Q2/Q11 the window rewrite, Q9/Q20 the left-semi gates,
+    Q9 the pushed p_name contains-filter, Q2 the top-k TakeOrdered."""
+    plans = {
+        name: _formatted_plan(spark, name)
+        for name in ("q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20")
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+        assert n_bnlj <= 1, (name, n_bnlj)  # the 1-row count only
+    assert "Window" in plans["q_tpch_q2"] and "TakeOrderedAndProject" in plans["q_tpch_q2"]
+    assert "LeftSemi" in plans["q_tpch_q9"]
+    assert re.search(r"PushedFilters: \[[^\]]*StringContains\(p_name,red\)", plans["q_tpch_q9"])
+    assert "LeftSemi" in plans["q_tpch_q20"]
+    assert "Window" in plans["q_tpch_q11"]
+    assert len(re.findall(r"HashAggregate", plans["q_tpch_q16"])) >= 2

@@ -478,3 +478,54 @@ def test_stream_to_txtable_merge_mode_maintains_table(spark, tmp_path):
     stream3 = spark.readStream.schema(ch_schema).parquet(src + "/*")
     stream_to_txtable(stream3, t, ckpt, sink_id="cdc", mode="merge", delete_col="is_del")
     assert t.version() == v_before
+
+
+def test_stream_rollup_table_via_merge_sink(spark, chunked_events_dir, tmp_path):
+    """Composition pin (B47 + B99 + B89): a watermarked tumbling
+    aggregation stream maintains a TxTable rollup through the CDC
+    merge sink — closed windows land exactly once, values match the
+    batch aggregate, re-draining changes nothing."""
+    from artemia_airflow_spark.sources.txtable import TxTable, stream_to_txtable
+    from artemia_airflow_spark.streaming.windows import tumbling_counts
+
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "table")
+    schema = scan(spark, SF_SMOKE, "events").schema
+    empty = spark.createDataFrame([], schema)
+    key = F.concat_ws("|", F.col("bucket_start"), F.col("event_type"))
+
+    def rollup(df):
+        return tumbling_counts(df).select(
+            key.alias("wkey"), "bucket_start", "event_type", "n_events", "sum_value"
+        )
+
+    t = TxTable.create(spark, rollup(empty), root, key_col="wkey")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_events_dir + "/*")
+        .withWatermark("ts", "0 seconds")
+    )
+    stream_to_txtable(rollup(stream), t, ckpt, sink_id="rollup", mode="merge")
+
+    got = {r.wkey: (r.n_events, r.sum_value) for r in t.snapshot().collect()}
+    assert got, "no windows closed"
+    want = {
+        r.wkey: (r.n_events, r.sum_value)
+        for r in rollup(scan(spark, SF_SMOKE, "events")).collect()
+    }
+    # every emitted window matches the batch aggregate exactly (the
+    # unclosed tail windows are withheld by the watermark, not wrong)
+    for k, v in got.items():
+        assert want[k] == v, k
+    assert set(got) <= set(want)
+
+    v_before = t.version()
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_events_dir + "/*")
+        .withWatermark("ts", "0 seconds")
+    )
+    stream_to_txtable(rollup(stream2), t, ckpt, sink_id="rollup", mode="merge")
+    assert t.version() == v_before  # nothing new: no commits
