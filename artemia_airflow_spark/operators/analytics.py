@@ -1336,3 +1336,83 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("ps_suppkey")).cast("bigint").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
+
+
+@declared(
+    "q_tpch_q12",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(FLOOR(epoch(l_shipdate) / 86400) AS BIGINT) AS ship_day,
+             CAST(FLOOR(epoch(l_shipdate) / 86400) AS BIGINT)
+               + ((l_orderkey * 11 + l_linenumber * 5) % 60) - 30 AS commit_day,
+             CAST(FLOOR(epoch(l_shipdate) / 86400) AS BIGINT)
+               + ((l_orderkey * 7 + l_linenumber * 3) % 30) + 1 AS receipt_day,
+             CASE (l_orderkey + l_linenumber) % 7
+               WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+               WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'RAIL' WHEN 5 THEN 'FOB'
+               ELSE 'REG AIR' END AS ship_mode
+      FROM lineitem
+    )
+    SELECT ship_mode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+    WHERE ship_mode IN ('MAIL', 'SHIP')
+      AND commit_day < receipt_day
+      AND ship_day < commit_day
+      AND receipt_day >= 9862 AND receipt_day < 10227
+    GROUP BY ship_mode
+    ORDER BY ship_mode
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes & priority): two-branch conditional
+    aggregation over a fact-fact join.
+
+    The fixture has no l_shipmode/l_commitdate/l_receiptdate, so all
+    three DERIVE deterministically from existing columns (same doctrine
+    as partsupp, B98): ship mode by line-key residue, commit/receipt as
+    bounded day offsets from the ship date.  ALL date logic runs in
+    epoch-day BIGINT arithmetic (floor(epoch/86400)) — no interval
+    dialect, no timezone edge; the receipt-year window [9862, 10227) is
+    calendar 1997 in epoch days.  Join shuffles on the order key
+    (fact-fact, no broadcast); the CASE branches partial-aggregate
+    map-side into 2 longs per mode.
+    """
+    ensure_engine_conf(spark)
+    li = scan(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    ship_day = F.floor(
+        F.col("l_shipdate").cast("timestamp").cast("long") / F.lit(86400)
+    )
+    modes = ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB"]
+    mode = F.lit("REG AIR")
+    for i, m in reversed(list(enumerate(modes))):
+        mode = F.when((ok + ln) % 7 == i, m).otherwise(mode)
+    lid = li.select(
+        "l_orderkey",
+        ship_day.alias("ship_day"),
+        (ship_day + ((ok * 11 + ln * 5) % 60) - 30).alias("commit_day"),
+        (ship_day + ((ok * 7 + ln * 3) % 30) + 1).alias("receipt_day"),
+        mode.alias("ship_mode"),
+    ).filter(
+        F.col("ship_mode").isin("MAIL", "SHIP")
+        & (F.col("commit_day") < F.col("receipt_day"))
+        & (F.col("ship_day") < F.col("commit_day"))
+        & (F.col("receipt_day") >= 9862)
+        & (F.col("receipt_day") < 10227)
+    )
+    orders = scan(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lid.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
