@@ -1194,6 +1194,7 @@ def stream_to_txtable(
 def export_for_training(
     table: TxTable, out_dir: str, *, version: int | None = None,
     shards: int = 16, id_col: str | None = None,
+    order_by: list[str] | None = None,
 ) -> dict:
     """B95: export a committed snapshot to the sharded layout trainers
     read — the hand-off from the transactional store to the training
@@ -1238,6 +1239,20 @@ def export_for_training(
     )
     shard = F.pmod(F.conv(hexd, 16, 10).cast("int"), F.lit(shards))
     df = snap.withColumn("shard", shard)
+    if order_by:
+        # Curriculum ordering: rows WITHIN each shard are written in
+        # order_by order (repartition on the shard id, then sort the
+        # partition — partitionBy preserves the sorted order into each
+        # shard's files), so a trainer reading its shard's files in
+        # sequence consumes easy->hard (or any score order) without a
+        # global sort.  Cross-shard order is undefined by design —
+        # shards are parallel workers.
+        missing = [c for c in order_by if c not in snap.columns]
+        if missing:
+            raise ValueError(f"order_by columns not in table: {missing}")
+        df = df.repartition(F.col("shard")).sortWithinPartitions(
+            "shard", *order_by
+        )
     df.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
 
     counts: dict[int, int] = {}
@@ -1256,6 +1271,7 @@ def export_for_training(
         "shard_rows": {str(k): counts.get(k, 0) for k in range(shards)},
         "total_rows": sum(counts.values()),
         "key_col": key,
+        "order_by": list(order_by) if order_by else None,
     }
     staged = os.path.join(out_dir, f"_tmp_manifest_{uuid.uuid4().hex}")
     with open(staged, "w") as f:

@@ -882,3 +882,40 @@ def test_zorder_cluster_enables_pruning_on_both_columns(spark, root):
 
     with pytest.raises(ValueError, match="numeric"):
         TxTable(spark, root).cluster(by=["x", "nope"])
+
+
+def test_export_curriculum_ordering_within_shards(spark, tmp_path, root):
+    """order_by writes each shard's rows in curriculum order: a trainer
+    reading its shard files in sequence consumes score-ascending rows;
+    membership and counts are unchanged vs an unordered export."""
+    import pyarrow.parquet as pq
+
+    from artemia_airflow_spark.sources.txtable import TxTable, export_for_training
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 101).cast("double").alias("difficulty"),
+    )
+    t = TxTable.create(spark, df, root, key_col="k")
+    out = str(tmp_path / "export")
+    man = export_for_training(t, out, shards=4, order_by=["difficulty"])
+    assert man["order_by"] == ["difficulty"]
+    assert man["total_rows"] == 500
+
+    seen = 0
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("shard="):
+            continue
+        vals = []
+        for fn in sorted(os.listdir(os.path.join(out, d))):
+            if fn.endswith(".parquet"):
+                vals.extend(
+                    pq.read_table(os.path.join(out, d, fn), columns=["difficulty"])
+                    .column("difficulty").to_pylist()
+                )
+        assert vals == sorted(vals), f"{d} not in curriculum order"
+        seen += len(vals)
+    assert seen == 500
+
+    with pytest.raises(ValueError, match="order_by columns"):
+        export_for_training(t, str(tmp_path / "x"), order_by=["nope"])
