@@ -50,6 +50,19 @@ def check_violation_count(pred: str) -> Column:
     )
 
 
+def check_rule_name(name: str) -> str:
+    """Validate a CHECK-constraint / validation-rule name: names become
+    aggregate aliases, error-report keys, and selectExpr fragments, so
+    they must be identifier-safe.  The SINGLE validator shared by
+    TxTable.create and validation_report (r7 review: the regex had
+    been copy-pasted and could drift)."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+        raise ValueError(f"rule name {name!r} must be identifier-safe")
+    return name
+
+
 def ts_second(col: Column | str) -> Column:
     """Truncate an event-time column to whole seconds (hazard H1: the
     events fixture stores timestamp[ns]; Spark reads µs, DuckDB ns —

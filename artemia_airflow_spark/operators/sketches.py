@@ -285,9 +285,10 @@ def validation_report(
     FALSE (NULL passes).  ONE scan builds every count (a single
     partial+final aggregate); the per-rule rows come from stack() over
     the 1-row aggregate, so rule count never multiplies scan cost."""
-    import re as _re
-
-    from artemia_airflow_spark.functions.core import check_violation_count
+    from artemia_airflow_spark.functions.core import (
+        check_rule_name,
+        check_violation_count,
+    )
 
     if not rules:
         # stack(0, ...) is a parse error; an empty ruleset is an empty
@@ -299,8 +300,7 @@ def validation_report(
         # rule names are interpolated into selectExpr below — restrict
         # to identifier-safe names instead of escaping (a quote in a
         # name is a config typo, not a use case)
-        if not _re.fullmatch(r"[A-Za-z0-9_.-]+", name):
-            raise ValueError(f"rule name {name!r} must be identifier-safe")
+        check_rule_name(name)
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__total")] + [
         check_violation_count(pred).cast("bigint").alias(f"__v_{i}")
         for i, (name, pred) in enumerate(rules.items())

@@ -491,6 +491,9 @@ class Pipeline:
         # (SURVEY §1.2) — every run() commits its per-stage outcomes
         # atomically, success or failure
         self.ledger = ledger
+        # diagnostics: wave count of the most recent run() (0 before
+        # any run — readable without AttributeError, r7 review)
+        self.last_run_waves = 0
 
     # -- construction -------------------------------------------------
     def add(self, stage: Stage) -> Stage:

@@ -125,28 +125,19 @@ def _enforce_constraints(
         raise ConstraintViolation(root, counts)
 
 
-def _key_stats(path: str, key_col: str) -> tuple[Any, Any, int]:
-    """Footer-only min/max/rows of ``key_col`` for one parquet file."""
-    import pyarrow.parquet as pq
+def _file_stats(path: str) -> tuple[dict, int]:
+    """ONE footer read per file: ([min, max] per FLAT primitive column,
+    num_rows).  Only int/float/string leaves are statted —
+    JSON-serializable and totally ordered; timestamps, binaries and
+    nested leaves read as "no stats" = never pruned.  The Delta
+    first-32-columns stats idea at file granularity.
 
-    md = pq.ParquetFile(path).metadata
-    idx = md.schema.to_arrow_schema().get_field_index(key_col)
-    lo = hi = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
-            return None, None, md.num_rows  # stats unavailable -> never pruned
-        lo = st.min if lo is None else min(lo, st.min)
-        hi = st.max if hi is None else max(hi, st.max)
-    return lo, hi, md.num_rows
-
-
-def _col_stats(path: str) -> dict:
-    """Footer-harvested [min, max] per FLAT primitive column (int /
-    float / string leaves only — JSON-serializable and totally ordered;
-    timestamps, binaries and nested leaves are skipped, which reads as
-    "no stats" = never pruned).  The Delta first-32-columns stats idea
-    at file granularity."""
+    Leaf indexing matters (r7 review finding): row-group column chunks
+    are indexed by PARQUET LEAF position, not Arrow top-level field
+    position — a multi-leaf nested column before the key shifts the
+    two apart, so the old Arrow-index key harvest read the WRONG
+    column's statistics.  ``md.schema.column(i).path`` is the leaf
+    name at leaf index i, so name and chunk always agree here."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -167,7 +158,7 @@ def _col_stats(path: str) -> dict:
             hi = st.max if hi is None else max(hi, st.max)
         if ok and isinstance(lo, (int, float, str)) and isinstance(hi, (int, float, str)):
             out[name] = [lo, hi]
-    return out
+    return out, md.num_rows
 
 
 class TxTable:
@@ -216,15 +207,10 @@ class TxTable:
         if os.listdir(_log_dir(root)):
             raise FileExistsError(f"table already exists at {root!r}")
         if constraints:
-            import re as _re
+            from artemia_airflow_spark.functions.core import check_rule_name
 
             for cname in constraints:
-                # names become agg aliases + error-report keys:
-                # identifier-safe only (mirrors validation_report)
-                if not _re.fullmatch(r"[A-Za-z0-9_.-]+", cname):
-                    raise ValueError(
-                        f"constraint name {cname!r} must be identifier-safe"
-                    )
+                check_rule_name(cname)
             _enforce_constraints(df, dict(constraints), root)
         adds = _write_data_files(df, root, key_col)
         commit = {
@@ -885,6 +871,10 @@ class TxTable:
         key = self._key_col()
         cols = list(by) if by else [key]
         snap = self.snapshot(read_version)
+        missing = [c for c in cols if c not in snap.columns]
+        if missing:
+            # same friendly error for one column or many (r7 review)
+            raise ValueError(f"cluster columns not in table: {missing}")
         if len(cols) == 1:
             snap = snap.repartitionByRange(
                 num_files, F.col(cols[0])
@@ -893,19 +883,19 @@ class TxTable:
             from pyspark.sql.types import NumericType
 
             for c in cols:
-                if c not in snap.columns or not isinstance(
-                    snap.schema[c].dataType, NumericType
-                ):
+                if not isinstance(snap.schema[c].dataType, NumericType):
                     raise ValueError(
                         f"z-order column {c!r} must be an existing numeric "
                         "column (rank-bucketing uses approxQuantile)"
                     )
             nb = 1 << zorder_bits
             k = len(cols)
+            probs = [j / nb for j in range(1, nb)]
+            # ONE quantile job for every column (list form) — the
+            # per-column loop scanned the snapshot k times (r7 review)
+            all_bounds = snap.approxQuantile(cols, probs, 0.01)
             z = F.lit(0)
-            for i, c in enumerate(cols):
-                probs = [j / nb for j in range(1, nb)]
-                bounds = snap.approxQuantile(c, probs, 0.01)
+            for i, (c, bounds) in enumerate(zip(cols, all_bounds)):
                 b = F.lit(0)
                 for x in bounds:
                     b = b + F.when(F.col(c) > F.lit(x), 1).otherwise(0)
@@ -1002,15 +992,17 @@ def _write_data_files(df: DataFrame, root: str, key_col: str) -> list[dict]:
             src = os.path.join(tmp, n)
             name = f"part-{uuid.uuid4().hex}.parquet"
             shutil.move(src, os.path.join(root, name))
-            lo, hi, rows = _key_stats(os.path.join(root, name), key_col)
+            stats, rows = _file_stats(os.path.join(root, name))
+            key_bounds = stats.get(key_col, [None, None])
             adds.append(
                 {
-                    "path": name, "key_min": lo, "key_max": hi,
+                    "path": name,
+                    "key_min": key_bounds[0], "key_max": key_bounds[1],
                     "num_rows": rows,
                     # per-column stats for multi-column data skipping
                     # (snapshot_where column=...); commits written before
                     # this field read back as {} -> conservative scans
-                    "col_stats": _col_stats(os.path.join(root, name)),
+                    "col_stats": stats,
                 }
             )
         return adds

@@ -369,3 +369,20 @@ def test_derived_partsupp_composites_plan_shapes(spark):
     assert "LeftSemi" in plans["q_tpch_q20"]
     assert "Window" in plans["q_tpch_q11"]
     assert len(re.findall(r"HashAggregate", plans["q_tpch_q16"])) >= 2
+
+
+def test_q12_fact_fact_join_shape(spark):
+    """q_tpch_q12 pin: the orders-lineitem join must stay an equi-join
+    (shuffle or AQE-upgraded broadcast — never a cartesian), with
+    partial+final aggregation and the derived-column filters applied
+    BEFORE the join (lineitem side prefiltered, not joined raw)."""
+    p = _formatted_plan(spark, "q_tpch_q12")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 0
+    assert len(re.findall(r"HashAggregate", p)) >= 2
+    # the ship_mode/day predicates are a Filter under the lineitem scan
+    # side, upstream of the join (formatted explain puts the condition
+    # on its own "Condition :" line under the node header)
+    assert re.search(
+        r"\(\d+\) Filter\n(?:[^\n]*\n){0,2}Condition : [^\n]*MAIL", p
+    ), "lineitem prefilter missing"

@@ -880,8 +880,10 @@ def test_zorder_cluster_enables_pruning_on_both_columns(spark, root):
     # physical rewrite: pre-cluster version still readable
     assert t.snapshot(0).count() == 4096
 
-    with pytest.raises(ValueError, match="numeric"):
+    with pytest.raises(ValueError, match="not in table"):
         TxTable(spark, root).cluster(by=["x", "nope"])
+    with pytest.raises(ValueError, match="not in table"):
+        TxTable(spark, root).cluster(by=["nope"])  # single-col path too
 
 
 def test_export_curriculum_ordering_within_shards(spark, tmp_path, root):
@@ -919,3 +921,26 @@ def test_export_curriculum_ordering_within_shards(spark, tmp_path, root):
 
     with pytest.raises(ValueError, match="order_by columns"):
         export_for_training(t, str(tmp_path / "x"), order_by=["nope"])
+
+
+def test_key_stats_correct_with_nested_column_before_key(spark, root):
+    """r7 review fix: row-group column chunks are leaf-indexed — a
+    multi-leaf nested column BEFORE the key used to shift the Arrow
+    field index off the key's leaf, harvesting the wrong column's
+    min/max and making snapshot_where silently drop matching files."""
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    df = spark.range(100).select(
+        F.struct(
+            (F.col("id") * 1000).alias("a"), F.lit(7).alias("b")
+        ).alias("meta"),
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+    ).repartitionByRange(4, "k")
+    t = TxTable.create(spark, df, root, key_col="k")
+    m = t.files()[0]
+    # key stats must be the key's own range (0..99 overall), not
+    # meta.a's (0..99000) or meta.b's (7..7)
+    assert 0 <= m["key_min"] <= m["key_max"] <= 99
+    got = sorted(r.k for r in t.snapshot_where(10, 20).collect())
+    assert got == list(range(10, 21)), "pruning dropped matching rows"
