@@ -167,9 +167,20 @@ class TxTable:
     def __init__(
         self, spark: SparkSession, root: str, *,
         checkpoint_interval: int | None = None,
+        auto_compact_files: int | None = None,
     ):
         self.spark = spark
         self.root = root
+        # opt-in auto-compaction (the small-file fix on autopilot):
+        # after a successful data commit, if the live file count
+        # reached the threshold, bin-pack down to threshold // 4 files
+        # (>= 1).  Best-effort like auto-checkpoint — compaction is a
+        # read-set commit, so a concurrent writer can beat it
+        # (CommitConflict) and it simply retries at a later commit;
+        # compact/cluster commits never re-trigger it (no recursion).
+        if auto_compact_files is not None and auto_compact_files < 2:
+            raise ValueError("auto_compact_files must be None or >= 2")
+        self.auto_compact_files = auto_compact_files
         # opt-in auto-checkpointing: after a successful commit whose
         # version is a multiple of the interval, write a log checkpoint
         # so snapshot resolution stays O(interval) on long-lived tables
@@ -407,6 +418,60 @@ class TxTable:
             df = df.filter(F.col(col) <= F.lit(key_max))
         return df
 
+    def snapshot_where_ranges(
+        self, ranges: dict, *, version: int | None = None
+    ) -> DataFrame:
+        """Conjunctive data-skipping read: ``{col: (lo, hi), ...}``
+        keeps only files whose stats intersect EVERY range (lo/hi may
+        be None for open ends).  On a z-order-clustered table
+        (:meth:`cluster` ``by=[...]``) a 2-D box query prunes the
+        INTERSECTION of the per-column candidate sets — strictly
+        tighter than any single-column read.  Implemented as repeated
+        single-column pruning over the shrinking file set; residual
+        filters keep semantics exact."""
+        from functools import reduce
+
+        from pyspark.sql.types import StructType
+
+        live, head = self._live(version)
+        schema = StructType.fromJson(json.loads(head["schema"]))
+        key = self._key_col()
+
+        def intersects(m: dict, col: str, lo, hi) -> bool:
+            if col == key and m.get("key_min") is not None:
+                flo, fhi = m["key_min"], m["key_max"]
+            else:
+                cs = (m.get("col_stats") or {}).get(col)
+                if not cs:
+                    return True
+                flo, fhi = cs
+            try:
+                if lo is not None and fhi < lo:
+                    return False
+                if hi is not None and flo > hi:
+                    return False
+            except TypeError:
+                return True
+            return True
+
+        picked = live
+        for col, (lo, hi) in ranges.items():
+            picked = [m for m in picked if intersects(m, col, lo, hi)]
+        if not picked:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, m["path"]) for m in picked]
+        )
+        conds = []
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                conds.append(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                conds.append(F.col(col) <= F.lit(hi))
+        if conds:
+            df = df.filter(reduce(lambda a, b: a & b, conds))
+        return df
+
     # -- write ---------------------------------------------------------
     def _commit0(self) -> dict:
         # commit 0 is immutable after create (key_col + constraints
@@ -458,6 +523,13 @@ class TxTable:
                         self.checkpoint()
                     except Exception:  # noqa: BLE001 — derived data;
                         pass  # never fail a committed write over it
+                acf = self.auto_compact_files
+                if acf and commit["operation"] not in ("compact", "cluster"):
+                    try:
+                        if len(self._live(None)[0]) >= acf:
+                            self.compact(target_files=max(1, acf // 4))
+                    except Exception:  # noqa: BLE001 — best-effort;
+                        pass  # the data commit above already succeeded
                 return version
             except FileExistsError:
                 # fail-safe union of both classifiers: a read-set op

@@ -944,3 +944,54 @@ def test_key_stats_correct_with_nested_column_before_key(spark, root):
     assert 0 <= m["key_min"] <= m["key_max"] <= 99
     got = sorted(r.k for r in t.snapshot_where(10, 20).collect())
     assert got == list(range(10, 21)), "pruning dropped matching rows"
+
+
+def test_snapshot_where_ranges_conjunctive_pruning(spark, root):
+    """2-D box query on a z-ordered table prunes the INTERSECTION of
+    per-column candidates — at least as tight as either 1-D read —
+    and the result equals the filtered snapshot exactly."""
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        F.floor(F.col("id") / 64).cast("double").alias("y"),
+    )
+    t = TxTable.create(spark, df.repartition(4), root, key_col="k")
+    t.cluster(num_files=16, by=["x", "y"])
+
+    box = t.snapshot_where_ranges({"x": (0.0, 15.0), "y": (0.0, 15.0)})
+    n_box = len(box.inputFiles())
+    n_x = len(t.snapshot_where(0.0, 15.0, column="x").inputFiles())
+    n_y = len(t.snapshot_where(0.0, 15.0, column="y").inputFiles())
+    assert n_box <= min(n_x, n_y) < 16
+    want = sorted(
+        r.k for r in t.snapshot()
+        .filter("x BETWEEN 0.0 AND 15.0 AND y BETWEEN 0.0 AND 15.0").collect()
+    )
+    assert sorted(r.k for r in box.collect()) == want
+    # open-ended range + empty result paths
+    assert t.snapshot_where_ranges({"x": (None, 15.0)}).count() == 1024
+    assert t.snapshot_where_ranges({"x": (999.0, None)}).count() == 0
+
+
+def test_auto_compact_keeps_file_count_bounded(spark, root):
+    """Opt-in auto-compaction: once the live file count reaches the
+    threshold a data commit triggers a best-effort bin-pack, so a
+    long append history cannot accrete unbounded small files; rows
+    and time travel unaffected."""
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    base = spark.createDataFrame([(0, 0.0)], "k long, v double").coalesce(1)
+    TxTable.create(spark, base, root, key_col="k")
+    t = TxTable(spark, root, auto_compact_files=6)
+    for i in range(1, 10):
+        t.append(
+            spark.createDataFrame([(i, float(i))], "k long, v double").coalesce(1)
+        )
+    assert len(t.files()) < 6, "auto-compaction never fired"
+    assert t.snapshot().count() == 10
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(10))
+
+    with pytest.raises(ValueError, match=">= 2"):
+        TxTable(spark, root, auto_compact_files=1)
