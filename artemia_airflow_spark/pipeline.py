@@ -539,6 +539,33 @@ class Pipeline:
 
         return deco
 
+    # -- introspection -------------------------------------------------
+    def to_dot(self) -> str:
+        """Graphviz DOT text of the DAG — the engine's stand-in for the
+        Airflow graph view (debuggability: render with any dot viewer).
+        Nodes annotate branchiness, non-default trigger rules, pools,
+        and retry budgets; edges follow declaration order.  Pure string
+        construction — safe to call on an unexecuted pipeline."""
+        lines = [f'digraph "{self.name}" {{', "  rankdir=LR;"]
+        for s in self.stages.values():
+            notes = []
+            if s.is_branch:
+                notes.append("branch")
+            if s.trigger_rule != "all_success":
+                notes.append(s.trigger_rule)
+            if s.pool is not None:
+                notes.append(f"pool={s.pool}")
+            if s.retry.retries:
+                notes.append(f"retries={s.retry.retries}")
+            label = s.task_id + (f"\\n[{', '.join(notes)}]" if notes else "")
+            shape = "diamond" if s.is_branch else "box"
+            lines.append(f'  "{s.task_id}" [shape={shape}, label="{label}"];')
+        for s in self.stages.values():
+            for d in s.downstream:
+                lines.append(f'  "{s.task_id}" -> "{d.task_id}";')
+        lines.append("}")
+        return "\n".join(lines)
+
     # -- execution ----------------------------------------------------
     def _toposort(self) -> list[Stage]:
         order: list[Stage] = []

@@ -912,3 +912,23 @@ def test_on_retry_fires_per_retried_attempt_never_after_final():
     )
     res3 = pipe3.run(spark=None)
     assert res3["h"].state == "success" and res3["h"].attempts == 3
+
+
+def test_to_dot_renders_nodes_edges_and_annotations():
+    """Graph-view stand-in: DOT text carries every node, every edge,
+    and the semantic annotations (branch shape, trigger rule, pool,
+    retries) a debugger needs."""
+    from artemia_airflow_spark.pipeline import branch_stage
+
+    pipe = Pipeline("viz", pools={"p": 1})
+    a = pipe.add(Stage("a", lambda ctx: 1, retry=RetryPolicy(retries=2)))
+    br = pipe.add(branch_stage("pick", lambda ctx: "b"))
+    b = pipe.add(Stage("b", lambda ctx: 2, pool="p"))
+    c = pipe.add(Stage("c", lambda ctx: 3, trigger_rule="one_failed"))
+    a >> br
+    br >> [b, c]
+    dot = pipe.to_dot()
+    assert dot.startswith('digraph "viz"')
+    assert '"a" -> "pick";' in dot and '"pick" -> "b";' in dot and '"pick" -> "c";' in dot
+    assert '"pick" [shape=diamond' in dot
+    assert "retries=2" in dot and "pool=p" in dot and "one_failed" in dot
