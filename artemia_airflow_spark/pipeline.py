@@ -546,7 +546,12 @@ class Pipeline:
         Nodes annotate branchiness, non-default trigger rules, pools,
         and retry budgets; edges follow declaration order.  Pure string
         construction — safe to call on an unexecuted pipeline."""
-        lines = [f'digraph "{self.name}" {{', "  rankdir=LR;"]
+        def esc(x: str) -> str:
+            # DOT quoted-ID escaping: a quote/backslash in a name must
+            # not break the output's syntax (r7 review)
+            return x.replace("\\", "\\\\").replace('"', '\\"')
+
+        lines = [f'digraph "{esc(self.name)}" {{', "  rankdir=LR;"]
         for s in self.stages.values():
             notes = []
             if s.is_branch:
@@ -557,12 +562,12 @@ class Pipeline:
                 notes.append(f"pool={s.pool}")
             if s.retry.retries:
                 notes.append(f"retries={s.retry.retries}")
-            label = s.task_id + (f"\\n[{', '.join(notes)}]" if notes else "")
+            label = esc(s.task_id) + (f"\\n[{', '.join(notes)}]" if notes else "")
             shape = "diamond" if s.is_branch else "box"
-            lines.append(f'  "{s.task_id}" [shape={shape}, label="{label}"];')
+            lines.append(f'  "{esc(s.task_id)}" [shape={shape}, label="{label}"];')
         for s in self.stages.values():
             for d in s.downstream:
-                lines.append(f'  "{s.task_id}" -> "{d.task_id}";')
+                lines.append(f'  "{esc(s.task_id)}" -> "{esc(d.task_id)}";')
         lines.append("}")
         return "\n".join(lines)
 

@@ -380,43 +380,12 @@ class TxTable:
         clustering.  Bounds must be of the column's type — string
         bounds against a numeric column prune nothing and filter
         per row."""
-        from pyspark.sql.types import StructType
-
-        live, head = self._live(version)
-        schema = StructType.fromJson(json.loads(head["schema"]))
-        key = self._key_col()
-        col = column or key
-
-        def bounds(m: dict):
-            if col == key and m.get("key_min") is not None:
-                return m["key_min"], m["key_max"]
-            cs = (m.get("col_stats") or {}).get(col)
-            return (cs[0], cs[1]) if cs else (None, None)
-
-        def intersects(m: dict) -> bool:
-            lo, hi = bounds(m)
-            if lo is None:
-                return True  # no stats: conservative
-            try:
-                if key_min is not None and hi < key_min:
-                    return False
-                if key_max is not None and lo > key_max:
-                    return False
-            except TypeError:
-                return True  # cross-type comparison: conservative
-            return True
-
-        picked = [m for m in live if intersects(m)]
-        if not picked:
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, m["path"]) for m in picked]
+        # one implementation of the pruning logic (r7 review): the
+        # single-column face is the 1-entry case of the ranges reader
+        col = column or self._key_col()
+        return self.snapshot_where_ranges(
+            {col: (key_min, key_max)}, version=version
         )
-        if key_min is not None:
-            df = df.filter(F.col(col) >= F.lit(key_min))
-        if key_max is not None:
-            df = df.filter(F.col(col) <= F.lit(key_max))
-        return df
 
     def snapshot_where_ranges(
         self, ranges: dict, *, version: int | None = None
@@ -526,8 +495,7 @@ class TxTable:
                 acf = self.auto_compact_files
                 if acf and commit["operation"] not in ("compact", "cluster"):
                     try:
-                        if len(self._live(None)[0]) >= acf:
-                            self.compact(target_files=max(1, acf // 4))
+                        self._maybe_auto_compact(commit)
                     except Exception:  # noqa: BLE001 — best-effort;
                         pass  # the data commit above already succeeded
                 return version
@@ -571,6 +539,39 @@ class TxTable:
                     + [f for f in mine.fields if f.name not in head_by_name]
                 ).json()
                 version += 1  # append: commutes, rebase and retry
+
+    def _maybe_auto_compact(self, commit: dict) -> None:
+        """Auto-compaction trigger (best-effort, called post-publish).
+
+        The live-file count is tracked INCREMENTALLY on the handle
+        (+adds -removes per own commit) so the hot write path never
+        replays the log just to count (r7 review: the naive check was
+        O(versions) JSON reads per write).  Concurrent writers' commits
+        aren't counted — the cache can undercount and fire late, which
+        only delays maintenance, never loses data.  When the threshold
+        trips, compaction bin-packs ONLY files at or below the mean
+        per-file row count at the threshold (total_rows / acf): big
+        files — cluster() outputs included — carry forward, preserving
+        z-order/range layouts and bounding rewrite volume by the small
+        files' size (r7 review: the naive version rewrote the whole
+        table, O(T^2) cumulative bytes on a micro-batch stream)."""
+        acf = self.auto_compact_files
+        cache = self.__dict__.get("_approx_live_count")
+        if cache is None:
+            cache = len(self._live(None)[0])  # one replay to seed
+        else:
+            cache = cache + len(commit["add"]) - len(commit["remove"])
+        self.__dict__["_approx_live_count"] = cache
+        if cache < acf:
+            return
+        live, _head = self._live(None)  # exact set, only when tripping
+        total_rows = sum(m.get("num_rows") or 0 for m in live)
+        self.compact(
+            target_files=max(1, acf // 4),
+            max_rows=max(1, total_rows // acf),
+        )
+        # compact()'s own commit bypasses this hook; reseed next time
+        self.__dict__.pop("_approx_live_count", None)
 
     def append(
         self, df: DataFrame, *, merge_schema: bool = False,
@@ -889,26 +890,46 @@ class TxTable:
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     # -- maintenance ---------------------------------------------------
-    def compact(self, *, target_files: int = 1, min_files: int = 2) -> int:
-        """Bin-pack small files into ``target_files`` (the 100 TB
-        small-file fix: a long append/merge history accretes one file
-        per commit per partition, and at some point the NameNode/
-        object-store listing and per-file scan setup dominate the
-        read).  Pure rewrite — row content is unchanged, so it commits
-        like any rewrite (conflicts with concurrent commits) and old
-        versions still time-travel until vacuum.  No-op (no commit)
-        below ``min_files``."""
+    def compact(
+        self, *, target_files: int = 1, min_files: int = 2,
+        max_rows: int | None = None,
+    ) -> int:
+        """Bin-pack files into ``target_files`` (the 100 TB small-file
+        fix: a long append/merge history accretes one file per commit
+        per partition, and at some point the NameNode/object-store
+        listing and per-file scan setup dominate the read).  Pure
+        rewrite — row content is unchanged, so it commits like any
+        rewrite (conflicts with concurrent commits) and old versions
+        still time-travel until vacuum.  No-op (no commit) when fewer
+        than ``min_files`` qualify.
+
+        ``max_rows`` limits the rewrite to files at or below that row
+        count (true bin-packing, r7 review): big files — including
+        cluster() outputs, whose z-order/range layout a full rewrite
+        would silently destroy — carry forward untouched, and the
+        bytes rewritten are bounded by the SMALL files' size, not the
+        table's.  Without it (None) every live file rewrites."""
         read_version = self.version()
         live, head = self._live(read_version)
-        if len(live) < min_files:
+        candidates = (
+            live if max_rows is None
+            # unknown row counts (legacy metas) compact conservatively
+            else [m for m in live if (m.get("num_rows") or 0) <= max_rows]
+        )
+        if len(candidates) < min_files:
             return read_version
-        snap = self.snapshot(read_version).repartition(target_files)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(head["schema"]))
+        snap = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, m["path"]) for m in candidates]
+        ).repartition(target_files)
         adds = _write_data_files(snap, self.root, self._key_col())
         return self._try_commit(
             {
                 "operation": "compact",
                 "add": adds,
-                "remove": [m["path"] for m in live],
+                "remove": [m["path"] for m in candidates],
                 "schema": head["schema"],
                 "key_col": self._key_col(),
                 "data_change": False,  # physical rewrite: changes() skips it

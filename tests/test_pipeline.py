@@ -932,3 +932,13 @@ def test_to_dot_renders_nodes_edges_and_annotations():
     assert '"a" -> "pick";' in dot and '"pick" -> "b";' in dot and '"pick" -> "c";' in dot
     assert '"pick" [shape=diamond' in dot
     assert "retries=2" in dot and "pool=p" in dot and "one_failed" in dot
+
+
+def test_to_dot_escapes_quotes():
+    from artemia_airflow_spark.pipeline import Pipeline, Stage
+
+    pipe = Pipeline('night "prod" sync')
+    pipe.add(Stage('load "raw"', lambda ctx: 1))
+    dot = pipe.to_dot()
+    assert 'digraph "night \\"prod\\" sync"' in dot
+    assert '"load \\"raw\\""' in dot

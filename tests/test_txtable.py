@@ -995,3 +995,34 @@ def test_auto_compact_keeps_file_count_bounded(spark, root):
 
     with pytest.raises(ValueError, match=">= 2"):
         TxTable(spark, root, auto_compact_files=1)
+
+
+def test_auto_compact_preserves_clustered_big_files(spark, root):
+    """r7 review fix: auto-compaction bin-packs only SMALL files — the
+    big cluster() outputs carry forward untouched, so the z-order
+    layout (and its pruning) survives background maintenance."""
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        F.floor(F.col("id") / 64).cast("double").alias("y"),
+    )
+    TxTable.create(spark, df.repartition(4), root, key_col="k")
+    t = TxTable(spark, root, auto_compact_files=6)
+    t.cluster(num_files=4, by=["x", "y"])
+    clustered = {m["path"] for m in t.files()}
+
+    # tiny appends push the count past the threshold -> auto-compact
+    for i in range(5):
+        t.append(
+            spark.createDataFrame(
+                [(10000 + i, 1.0, 1.0)], "k long, x double, y double"
+            ).coalesce(1)
+        )
+    live = {m["path"] for m in t.files()}
+    assert clustered <= live, "auto-compaction rewrote clustered big files"
+    assert len(live) < 4 + 5, "small files were not packed"
+    # pruning still bites on the clustered portion
+    assert len(t.snapshot_where(0.0, 15.0, column="x").inputFiles()) < len(live)
+    assert t.snapshot().count() == 4096 + 5
