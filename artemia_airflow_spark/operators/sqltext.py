@@ -50,3 +50,25 @@ def q_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final HashAggregate around a 6-row exchange (plan-pinned).
     """
     return run_sql(spark, sf_dir, FLAGSHIP_SQL)
+
+
+# Second SQL-text face: a multi-table join (B10's 3-way shape) through
+# the SAME view registration — proves the surface handles join graphs,
+# not just single-table aggregates.  Same one-string-two-engines oracle.
+JOIN_SQL = """
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@declared("q_sql_join", oracle=JOIN_SQL)
+def q_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_join_inner's 3-way join as raw SQL text over the registered
+    views — Catalyst broadcast-picks the dims exactly as it does for
+    the DataFrame face (one optimizer, one plan namespace)."""
+    return run_sql(spark, sf_dir, JOIN_SQL)

@@ -25,7 +25,7 @@ ORACLE: dict[str, str] = {}
 
 # Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
 # in insertion order and caps at ~50 entries per round.  Round-7 window
-# (VERDICT r6 item 1): (a) the 9 new round-7 queries (raw-SQL surface,
+# (VERDICT r6 item 1): (a) the 10 new round-7 queries (raw-SQL surface,
 # TPC-H Q2/Q9/Q11/Q16/Q20 over derived partsupp + Q12 over derived ship
 # columns, validation gate, OOV rate), then (b) ALL 35 rows whose
 # newest driver CORRECTNESS row is r4
@@ -41,7 +41,7 @@ PRIORITY: list[str] = [
     # (a) new in round 7
     "q_sql_text", "q_tpch_q2", "q_tpch_q20",
     "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
-    "q_validate", "q_text_oov",
+    "q_validate", "q_text_oov", "q_sql_join",
     # (b) the complete r4 tail (newest driver row two fixture
     # generations old — VERDICT r6 item 1 names exactly this set)
     "q_fn_json", "q_fn_map", "q_fn_null", "q_fn_string2",
@@ -58,7 +58,7 @@ PRIORITY: list[str] = [
     # plus the highest-traffic r5 rows (flagship family, window family,
     # text family siblings of this round's changes)
     "q_text_repetition", "q_text_fingerprint", "q_text_scrub",
-    "q_agg_group", "q_agg_global", "q_join_asof",
+    "q_agg_group", "q_agg_global",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"
