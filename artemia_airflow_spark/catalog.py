@@ -14,6 +14,7 @@ operator keeps filters/projections declarative so they reach the scan
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -81,10 +82,24 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # re-point at another sf_dir must invalidate run_sql's cache).
 _VIEWS_TAG = "spark.artemia.registered_views_sf_dir"
 
+# Temp views are session-global, so two pipeline stages registering
+# different sf_dirs on a shared SparkSession could interleave
+# mid-registration and let a query briefly read mixed-scale views while
+# the tag claims one sf_dir (ADVICE r7).  One process-wide lock around
+# every view write + the tag check makes registration atomic; it guards
+# driver-side catalog metadata only (no data scan runs under it), so
+# contention cost is the ~1s analysis the cache already amortizes.
+_VIEWS_LOCK = threading.Lock()
+
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so SQL-surface operators
     (subqueries B38-B39, rollups) can use spark.sql directly."""
+    with _VIEWS_LOCK:
+        _register_views_locked(spark, sf_dir)
+
+
+def _register_views_locked(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         scan(spark, sf_dir, t).createOrReplaceTempView(t)
     spark.conf.set(_VIEWS_TAG, sf_dir)
@@ -95,9 +110,10 @@ def register_view(spark: SparkSession, sf_dir: str, name: str) -> None:
     SQL-subquery operators use).  Re-pointing a view at a different
     sf_dir than the all-views tag invalidates the tag, so a later
     run_sql re-registers instead of silently querying mixed scales."""
-    scan(spark, sf_dir, name).createOrReplaceTempView(name)
-    if spark.conf.get(_VIEWS_TAG, "") != sf_dir:
-        spark.conf.set(_VIEWS_TAG, "")
+    with _VIEWS_LOCK:
+        scan(spark, sf_dir, name).createOrReplaceTempView(name)
+        if spark.conf.get(_VIEWS_TAG, "") != sf_dir:
+            spark.conf.set(_VIEWS_TAG, "")
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -118,6 +134,10 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     from artemia_airflow_spark.session import ensure_engine_conf
 
     ensure_engine_conf(spark)
-    if spark.conf.get(_VIEWS_TAG, "") != sf_dir:
-        register_views(spark, sf_dir)
-    return spark.sql(sql)
+    with _VIEWS_LOCK:
+        if spark.conf.get(_VIEWS_TAG, "") != sf_dir:
+            _register_views_locked(spark, sf_dir)
+        # analyze under the lock too: view resolution happens at
+        # spark.sql() time, so releasing first would let a concurrent
+        # re-registration swap scales under this query's analysis
+        return spark.sql(sql)

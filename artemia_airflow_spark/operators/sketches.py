@@ -290,6 +290,16 @@ def validation_report(
         check_violation_count,
     )
 
+    # total_col is interpolated verbatim into selectExpr and the
+    # empty-report DDL schema below — hold it to the same
+    # identifier-safe contract as rule names, and keep it off the two
+    # fixed output columns (ADVICE r7: 'count(*)' or 'rule' here
+    # produced a confusing parse error / duplicate column)
+    check_rule_name(total_col)
+    if total_col in ("rule", "n_violations"):
+        raise ValueError(
+            f"total_col {total_col!r} collides with a fixed report column"
+        )
     if not rules:
         # stack(0, ...) is a parse error; an empty ruleset is an empty
         # report, not an exception (r7 review finding)

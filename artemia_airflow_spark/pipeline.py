@@ -303,7 +303,9 @@ def branch_stage(
     retry: "RetryPolicy | None" = None,
     trigger_rule: str = "all_success",
     pool: str | None = None,
+    priority_weight: int = 1,
     on_failure: "Callable[[str, StageResult], None] | None" = None,
+    on_retry: "Callable[[str, int, BaseException], None] | None" = None,
 ) -> Stage:
     """A17: BranchPythonOperator parity — ``chooser(ctx)`` returns the
     task_id (or list of task_ids) of the DIRECT downstream stage(s)
@@ -315,7 +317,8 @@ def branch_stage(
     downstream stages can inspect which path ran."""
     st = Stage(
         task_id, chooser, retry=retry, trigger_rule=trigger_rule,
-        pool=pool, on_failure=on_failure,
+        pool=pool, priority_weight=priority_weight,
+        on_failure=on_failure, on_retry=on_retry,
     )
     st.is_branch = True
     return st
@@ -331,7 +334,9 @@ def mapped_stage(
     max_parallel: int = 4,
     sla_s: float | None = None,
     pool: str | None = None,
+    priority_weight: int = 1,
     on_failure: "Callable[[str, StageResult], None] | None" = None,
+    on_retry: "Callable[[str, int, BaseException], None] | None" = None,
     sleep: Callable[[float], None] = time.sleep,
 ) -> Stage:
     """A19: dynamic task mapping (Airflow's ``task.expand``) — the
@@ -366,7 +371,7 @@ def mapped_stage(
                     return
                 delays = [0.0, *policy.delays()]
                 last: BaseException | None = None
-                for delay in delays:
+                for attempt, delay in enumerate(delays, start=1):
                     if delay:
                         sleep(delay)
                     try:
@@ -380,6 +385,15 @@ def mapped_stage(
                         # silently kill the worker leaving values[i]=None
                         # and a 'successful' stage with corrupted XCom
                         last = exc
+                        # on_retry fires PER MAPPED ITEM (Airflow: each
+                        # mapped task instance has its own callbacks),
+                        # after each failed attempt that will retry —
+                        # same exception isolation as the Stage path
+                        if attempt < len(delays) and on_retry is not None:
+                            try:
+                                on_retry(f"{task_id}[{i}]", attempt, exc)
+                            except Exception:  # noqa: BLE001
+                                pass  # a broken callback never changes retries
                 if last is not None:
                     with lock:
                         errors[i] = last
@@ -402,7 +416,8 @@ def mapped_stage(
     # RetryPolicy() sentinel) from re-introducing whole-map retries
     st = Stage(
         task_id, run_all, retry=RetryPolicy(), trigger_rule=trigger_rule,
-        sla_s=sla_s, pool=pool, on_failure=on_failure,
+        sla_s=sla_s, pool=pool, priority_weight=priority_weight,
+        on_failure=on_failure,
     )
     st._retry_pinned = True
     return st
@@ -525,6 +540,7 @@ class Pipeline:
         pool: str | None = None,
         priority_weight: int = 1,
         on_failure: Callable[[str, StageResult], None] | None = None,
+        on_retry: Callable[[str, int, BaseException], None] | None = None,
     ) -> Callable[[Callable[[StageContext], Any]], Stage]:
         """Decorator sugar: ``@pipe.stage("t")`` over a ctx->Any fn (A6)."""
 
@@ -533,7 +549,7 @@ class Pipeline:
                 Stage(
                     task_id, fn, retry=retry, trigger_rule=trigger_rule,
                     sla_s=sla_s, pool=pool, priority_weight=priority_weight,
-                    on_failure=on_failure,
+                    on_failure=on_failure, on_retry=on_retry,
                 )
             )
 

@@ -361,3 +361,16 @@ def test_validation_report_empty_rules_and_bad_names(spark):
 
     with _pytest.raises(ValueError, match="identifier-safe"):
         validation_report(df, {"bad'name": "x > 0"})
+
+    # ADVICE r7: total_col is interpolated verbatim too — hold it to
+    # the same identifier contract and keep it off the fixed columns
+    with _pytest.raises(ValueError, match="identifier-safe"):
+        validation_report(df, {"ok": "x > 0"}, total_col="count(*)")
+    with _pytest.raises(ValueError, match="collides"):
+        validation_report(df, {"ok": "x > 0"}, total_col="rule")
+    with _pytest.raises(ValueError, match="collides"):
+        validation_report(df, {}, total_col="n_violations")
+    # a legal custom total_col still works end-to-end
+    custom = validation_report(df, {"pos": "x > 0"}, total_col="total")
+    assert custom.columns == ["rule", "n_violations", "total"]
+    assert custom.collect()[0].total == 1

@@ -914,6 +914,61 @@ def test_on_retry_fires_per_retried_attempt_never_after_final():
     assert res3["h"].state == "success" and res3["h"].attempts == 3
 
 
+def test_on_retry_and_priority_thread_through_all_construction_paths():
+    """ADVICE r7 parity fix: @pipe.stage, branch_stage and mapped_stage
+    expose on_retry (and priority_weight) like Stage does; mapped_stage
+    fires the callback PER ITEM with the mapped-instance id."""
+    from artemia_airflow_spark.pipeline import branch_stage, mapped_stage
+
+    events = []
+
+    def cb(task_id, attempt, exc):
+        events.append((task_id, attempt, type(exc).__name__))
+
+    # decorator path
+    pipe = Pipeline("cbdeco", sleep=no_sleep)
+    calls = {"n": 0}
+
+    @pipe.stage("d", retry=RetryPolicy(retries=1, retry_delay_s=1),
+                priority_weight=3, on_retry=cb)
+    def d(ctx):
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise ValueError("flaky")
+        return "ok"
+
+    assert pipe.stages["d"].priority_weight == 3
+    res = pipe.run(spark=None)
+    assert res["d"].state == "success"
+    assert events == [("d", 1, "ValueError")]
+
+    # branch path accepts both kwargs
+    br = branch_stage("pick", lambda ctx: "x", priority_weight=2, on_retry=cb)
+    assert br.priority_weight == 2 and br.on_retry is cb
+
+    # mapped path: per-item callback with the item index in the id
+    events.clear()
+    item_calls = {"n": 0}
+
+    def flaky_item(ctx, item):
+        if item == 1:
+            item_calls["n"] += 1
+            if item_calls["n"] < 2:
+                raise ValueError("flaky item")
+        return item * 10
+
+    pipe2 = Pipeline("cbmap", sleep=no_sleep)
+    pipe2.add(mapped_stage(
+        "m", flaky_item, lambda ctx: [0, 1, 2],
+        retry=RetryPolicy(retries=2, retry_delay_s=1),
+        priority_weight=5, on_retry=cb, sleep=no_sleep,
+    ))
+    assert pipe2.stages["m"].priority_weight == 5
+    res2 = pipe2.run(spark=None)
+    assert res2["m"].state == "success" and res2["m"].value == [0, 10, 20]
+    assert events == [("m[1]", 1, "ValueError")]
+
+
 def test_to_dot_renders_nodes_edges_and_annotations():
     """Graph-view stand-in: DOT text carries every node, every edge,
     and the semantic annotations (branch shape, trigger rule, pool,

@@ -997,6 +997,40 @@ def test_auto_compact_keeps_file_count_bounded(spark, root):
         TxTable(spark, root, auto_compact_files=1)
 
 
+def test_auto_compact_futile_noop_keeps_counter_and_backs_off(spark, root):
+    """ADVICE r7: when the threshold trips but compact() no-ops (the
+    bin-pack candidates are below min_files — e.g. one big file + one
+    small at auto_compact_files=2), the incremental live-count cache
+    must SURVIVE (popping it reseeds with a full log replay on every
+    later commit) and the trigger must not re-attempt until the live
+    count GROWS past the count the futile attempt saw."""
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    df = spark.range(4096).select(
+        F.col("id").alias("k"), (F.col("id") % 64).cast("double").alias("x")
+    )
+    TxTable.create(spark, df.coalesce(1), root, key_col="k")  # 1 big file
+    t = TxTable(spark, root, auto_compact_files=2)
+    v0 = t.version()
+    t.append(spark.createDataFrame([(9001, 1.0)], "k long, x double").coalesce(1))
+    # threshold tripped (2 files) but only the small qualifies for the
+    # bin-pack (big is above total_rows/acf) -> futile no-op
+    assert t.version() == v0 + 1, "compact should have no-opped"
+    assert t.__dict__.get("_approx_live_count") == 2
+    assert t.__dict__.get("_compact_futile_at") == 2
+    # a count-neutral commit (delete rewrites the big file 1->1):
+    # still at the futile count -> no re-attempt, watermark persists
+    t.delete("k = 0")
+    assert t.__dict__.get("_approx_live_count") == 2
+    assert t.__dict__.get("_compact_futile_at") == 2
+    # count grows past the watermark -> compaction re-fires, packs the
+    # two smalls, carries the big file forward, and clears both caches
+    t.append(spark.createDataFrame([(9002, 1.0)], "k long, x double").coalesce(1))
+    assert "_compact_futile_at" not in t.__dict__, "compaction never re-fired"
+    assert t.snapshot().count() == 4096 - 1 + 2
+    assert len(t.files()) == 2  # big + one packed small file
+
+
 def test_auto_compact_preserves_clustered_big_files(spark, root):
     """r7 review fix: auto-compaction bin-packs only SMALL files — the
     big cluster() outputs carry forward untouched, so the z-order
