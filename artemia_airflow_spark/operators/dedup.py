@@ -267,16 +267,25 @@ def ngram_jaccard_pairs(
     """
     sigs = minhash_signatures(df, text_col, num_hashes=num_hashes)
     cand = minhash_lsh_candidates(sigs, id_col, num_hashes=num_hashes, bands=bands)
-    a = cand.alias("a")
-    b = cand.alias("b")
+    # Candidate pairs via ONE grouped pass (r7 adjudication: the
+    # previous a><b bucket self-join re-executed the whole signature-UDF
+    # subtree on both sides — the suite's most expensive query at 1.6x
+    # its pin).  groupBy(bucket) + in-row pair expansion shuffles the
+    # (id, bucket) rows once and runs the UDF once; the quadratic
+    # expansion stays confined to same-bucket groups exactly as before
+    # (same skew story: a pathological all-identical corpus makes a big
+    # bucket either way — banding width bounds it at scale).
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        cand.groupBy("band", "band_hash")
+        .agg(F.collect_set(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(
+                F.filter(F.col("ids"), lambda x: x > F.col("id_a"))
+            ).alias("id_b"),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
         # consumed 3x below (involved-ids union + both shingle joins);
         # without a MATERIALIZED cache the whole LSH candidate pipeline
@@ -298,8 +307,13 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
         )
     )
-    base = df.join(involved, id_col, "left_semi").select(
-        F.col(id_col), shingle_set.alias("__shingles")
+    base = (
+        df.join(involved, id_col, "left_semi")
+        .select(F.col(id_col), shingle_set.alias("__shingles"))
+        # consumed by BOTH sides of the verify join below; cached so the
+        # semi-join + interpreted shingle HOF run once, not twice.
+        # Bounded: only docs that appear in some candidate pair.
+        .cache()
     )
     sa = base.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("sh_a"))
     sb = base.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("sh_b"))

@@ -24,41 +24,37 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 # Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
-# in insertion order and caps at ~50 entries per round.  Round-7 window
-# (VERDICT r6 item 1): (a) the 10 new round-7 queries (raw-SQL surface,
-# TPC-H Q2/Q9/Q11/Q16/Q20 over derived partsupp + Q12 over derived ship
-# columns, validation gate, OOV rate), then (b) ALL 35 rows whose
-# newest driver CORRECTNESS row is r4
-# — after this window lands, no query's newest row is older than r5.
-# (c) fills to 50 with r5 rows from families this round touched
-# (repetition re-tier, text siblings, flagship family).
-# ROUND-8 ROTATION NOTE: the stale tail will then be the ~37 remaining
-# r5 rows (q_agg_*, q_join_*, q_window_*, q_set_*, q_fn_array/date/
-# math/string, q_tpch_q3/q5/q10/q17, q_sim_ann_lsh/ivf, stream session
-# pair, scrub/langid/fingerprint, ...) — front-load those plus whatever
-# round 8 changes.
+# in insertion order and caps at ~50 entries per round.  Round-8 window
+# (VERDICT r7 item 1): (a) the queries new/changed in round 8 (raw-SQL
+# window/correlated-subquery/set-op faces, ledger health, plus any
+# operator whose implementation this round touched), then (b) the
+# COMPLETE 45-row r5-stale tail — every query whose newest driver
+# CORRECTNESS row is r5, exactly the set VERDICT r7 names.  After this
+# window lands, no query's newest row is older than r6.
+# ROUND-9 ROTATION NOTE: the stale tail will then be the 49 r6 rows
+# (q_dedup_*, q_source_json/http*, q_agg_approx/grouping_sets/hll,
+# q_stream_tumble/slide/join/dedup/enrich/join_outer, q_sink_partitioned,
+# q_merge_acid, q_quantile_sketch, q_profile, q_mix_*, q_text_chunk/
+# tfidf/tokens/quality, q_distinct_cols, q_fn_date2, q_multimodal*, ...)
+# — front-load those plus whatever round 9 changes.
 PRIORITY: list[str] = [
-    # (a) new in round 7
-    "q_sql_text", "q_tpch_q2", "q_tpch_q20",
-    "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
-    "q_validate", "q_text_oov", "q_sql_join",
-    # (b) the complete r4 tail (newest driver row two fixture
-    # generations old — VERDICT r6 item 1 names exactly this set)
-    "q_fn_json", "q_fn_map", "q_fn_null", "q_fn_string2",
-    "q_join_right", "q_length_buckets", "q_merge_upsert",
-    "q_pack_sequences", "q_pandas_norm", "q_pii_redact", "q_pivot",
-    "q_rollup_incremental", "q_scd2", "q_sim_topk", "q_sink_bucketed",
-    "q_stream_first", "q_subq_exists", "q_subq_in", "q_subq_scalar",
-    "q_text_quality_full", "q_text_wordpiece",
-    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q18",
-    "q_tpch_q19", "q_tpch_q21", "q_tpch_q22", "q_tpch_q4",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-    "q_udf_scalar", "q_udtf", "q_window_range_frame",
-    # (c) fills to 50: q_text_repetition (re-tiered this round, r6 row)
-    # plus the highest-traffic r5 rows (flagship family, window family,
-    # text family siblings of this round's changes)
-    "q_text_repetition", "q_text_fingerprint", "q_text_scrub",
-    "q_agg_group", "q_agg_global",
+    # (a) new/changed in round 8
+    "q_sql_window", "q_sql_subq_corr", "q_sql_setop",
+    "q_ledger_health", "q_dedup_ngram",
+    # (b) the complete r5 tail (VERDICT r7 item 1 names exactly this
+    # 45-row set — newest driver row two rounds old)
+    "q_agg_cube", "q_agg_distinct", "q_agg_rollup", "q_case",
+    "q_decontaminate", "q_filter", "q_filter_pred", "q_fn_array",
+    "q_fn_date", "q_fn_math", "q_fn_string", "q_gapfill",
+    "q_join_anti", "q_join_asof", "q_join_broadcast", "q_join_cross",
+    "q_join_full", "q_join_inner", "q_join_left", "q_join_range",
+    "q_join_semi", "q_multimodal_decode", "q_project", "q_scan",
+    "q_set_except", "q_set_intersect", "q_set_union", "q_shard",
+    "q_sim_ann_lsh", "q_sim_ivf", "q_sink_parquet", "q_source_cap",
+    "q_stream_session", "q_stream_session_state", "q_text_langid",
+    "q_topk", "q_tpch_q10", "q_tpch_q17", "q_tpch_q3", "q_tpch_q5",
+    "q_unpivot", "q_window_dist", "q_window_lag", "q_window_rank",
+    "q_window_running",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"
