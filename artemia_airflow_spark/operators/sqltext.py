@@ -72,3 +72,95 @@ def q_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views — Catalyst broadcast-picks the dims exactly as it does for
     the DataFrame face (one optimizer, one plan namespace)."""
     return run_sql(spark, sf_dir, JOIN_SQL)
+
+
+# Window-function SQL face (B23/B25's shapes as text): per-nation
+# customer ranking plus a running-balance frame aggregate in one
+# OVER-heavy statement.  Determinism: ROW_NUMBER (never RANK alone)
+# with a unique-key tiebreak, and the running sum goes through
+# DECIMAL(18,2) before the DOUBLE cast so the accumulation order can't
+# show (registry contract).
+WINDOW_SQL = """
+    SELECT n_name, c_custkey, rn, run_bal
+    FROM (
+        SELECT n_name, c_custkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey) AS rn,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+                   PARTITION BY n_nationkey
+                   ORDER BY c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS run_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+    ) ranked
+    WHERE rn <= 3
+"""
+
+
+@declared("q_sql_window", oracle=WINDOW_SQL)
+def q_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23/B25 as raw SQL text: two window specs over one join.
+
+    Catalyst plans both OVER clauses from ONE hash-partitioned exchange
+    on the nation key (the two specs share partitioning; only the sort
+    differs), with the nation dim broadcast — plan-pinned next to the
+    DataFrame window family in tests/test_plans.py."""
+    return run_sql(spark, sf_dir, WINDOW_SQL)
+
+
+# Correlated-subquery SQL face (B38's scalar shape as text, plus the
+# classic "COUNT bug": a correlated COUNT(*) must return 0 — not NULL —
+# for customers with no qualifying orders, which only a correctly
+# decorrelated left-outer rewrite preserves).  The correlation is the
+# EQUI key on purpose: a non-equi correlated residue (e.g.
+# o_totalprice > k*c_acctbal) decorrelates to a distinct-values
+# BroadcastNestedLoopJoin over the whole fact — measured here, and not
+# a plan that survives 100 TB; the equi form decorrelates to
+# aggregate-then-left-outer-join on the key.  Division-free and
+# integer-valued, so there is nothing to round.
+SUBQ_CORR_SQL = """
+    SELECT c_custkey, c_mktsegment,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_totalprice > 150000) AS n_big_orders
+    FROM customer
+    WHERE c_acctbal > 9000
+"""
+
+
+@declared("q_sql_subq_corr", oracle=SUBQ_CORR_SQL)
+def q_sql_subq_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar COUNT subquery as raw SQL text.
+
+    Catalyst decorrelates to aggregate-then-left-outer-join (never a
+    per-row re-execution), preserving COUNT's zero-for-empty semantics
+    via the decorrelation's count-bug handling (coalesce to 0 after the
+    outer join); the o_totalprice filter pushes to the orders scan
+    BEFORE the aggregate — plan-pinned."""
+    return run_sql(spark, sf_dir, SUBQ_CORR_SQL)
+
+
+# Set-operation SQL face (B28-B30 as text): INTERSECT under EXCEPT with
+# explicit parens (same grouping either way under standard precedence,
+# but the text should not lean on it).  Pure BIGINT key sets — nothing
+# to round, nothing to order.
+SETOP_SQL = """
+    (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@declared("q_sql_setop", oracle=SETOP_SQL)
+def q_sql_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT composition as raw SQL text.
+
+    Catalyst plans both set ops as aggregated semi/anti joins over the
+    pushed-filter scans (plan-pinned: no CartesianProduct, both status
+    filters reach the orders scans) — the same family the DataFrame
+    faces q_set_intersect/q_set_except pin."""
+    return run_sql(spark, sf_dir, SETOP_SQL)

@@ -336,6 +336,47 @@ def test_sql_text_plans_like_dataframe_flagship(spark):
     }
 
 
+def test_sql_window_face_plan(spark):
+    """q_sql_window: both OVER clauses (row_number rank + running
+    decimal sum) plan from ONE hash-partitioned exchange on the nation
+    key — two Window operators, exactly one non-broadcast Exchange —
+    with the nation dim broadcast, same family as the DataFrame window
+    pins."""
+    p = _formatted_plan(spark, "q_sql_window")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2
+    assert "BroadcastHashJoin" in p
+    non_bcast = re.findall(r"\(\d+\) Exchange", p)
+    assert len(non_bcast) == 1, p  # one window shuffle, reused by both specs
+    assert "CartesianProduct" not in p
+
+
+def test_sql_subq_corr_face_plan(spark):
+    """q_sql_subq_corr: the correlated COUNT decorrelates to
+    aggregate-then-left-outer-join — the o_totalprice threshold is
+    pushed to the orders scan BEFORE the aggregate, the aggregate is
+    partial+final, and there is no nested-loop join (the shape the
+    non-equi variant degenerates to — documented in sqltext.py)."""
+    p = _formatted_plan(spark, "q_sql_subq_corr")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(o_totalprice,150000", p)
+    assert len(re.findall(r"HashAggregate", p)) >= 2
+    assert "LeftOuter" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_sql_setop_face_plan(spark):
+    """q_sql_setop: INTERSECT plans as a LeftSemi join, EXCEPT as a
+    LeftAnti, both status filters reach their orders scans, and the
+    final distinct is a partial+final HashAggregate — no
+    CartesianProduct anywhere."""
+    p = _formatted_plan(spark, "q_sql_setop")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(o_orderstatus,O\)", p)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(o_orderstatus,F\)", p)
+    assert len(re.findall(r"HashAggregate", p)) >= 2
+    assert "CartesianProduct" not in p
+
+
 def test_validate_builds_all_rules_from_one_scan(spark):
     """q_validate: 5 rules, ONE orders scan — the rule rows stack from
     a single 1-row aggregate (the oracle's UNION ALL shape would scan
