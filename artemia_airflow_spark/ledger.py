@@ -174,3 +174,90 @@ class RunLedger:
             F.min("started_at").alias("started_at"),
             F.max("finished_at").alias("finished_at"),
         )
+
+    def health(self, spark: SparkSession) -> DataFrame:
+        """Per-pipeline health rollup — the engine face of the
+        reference's live-observability surface (flower + the
+        healthcheck blocks, docker-compose.yaml:315-332, :97-101):
+        run/failure counts, stage failure and SLA-miss counts, and
+        exact p50/p95 stage durations as scaled-int milliseconds
+        (floor(s*1000+0.5) — the registry's engine-portable encoding
+        for interpolated percentiles; never a raw double).
+
+        Two metadata-sized aggregations (run-level over ``runs()``,
+        stage-level over ``read()``) joined per pipeline — the ledger
+        is one row per stage per run, so even a year of runs is
+        broadcast-sized next to any data table."""
+        from pyspark.sql import functions as F
+
+        per_run = self.runs(spark).groupBy("pipeline").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum("any_failed").cast("bigint").alias("n_failed_runs"),
+        )
+        per_stage = self.read(spark).groupBy("pipeline").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_stages"),
+            F.sum(
+                F.when(F.col("state") == "failed", 1).otherwise(0)
+            ).cast("bigint").alias("n_stage_failures"),
+            F.sum(F.when(F.col("sla_missed"), 1).otherwise(0))
+            .cast("bigint").alias("n_sla_missed"),
+            F.floor(
+                F.expr("percentile(duration_s, 0.5)") * 1000 + F.lit(0.5)
+            ).cast("bigint").alias("p50_stage_ms"),
+            F.floor(
+                F.expr("percentile(duration_s, 0.95)") * 1000 + F.lit(0.5)
+            ).cast("bigint").alias("p95_stage_ms"),
+        )
+        return per_run.join(per_stage, "pipeline")
+
+
+def _register_health_query() -> None:
+    from artemia_airflow_spark.plans.registry import declared
+
+    # Deterministic ledger fixture: fixed pipelines/stages/durations.
+    # run_ids are uuid-random but aggregated away, so the rollup is
+    # exactly reproducible; the oracle is the hand-computed VALUES
+    # literal (percentile = linear interpolation at p*(n-1): ingest
+    # durations sorted [1.0,1.5,2.0,2.5,3.0,5.0] -> p50 2.25s, p95
+    # 4.5s; export [0.0,0.5] -> 0.25s / 0.475s).
+    _ORACLE = """
+    SELECT * FROM (VALUES
+      ('ingest', CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(6 AS BIGINT),
+       CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(2250 AS BIGINT),
+       CAST(4500 AS BIGINT)),
+      ('export', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(250 AS BIGINT),
+       CAST(475 AS BIGINT))
+    ) AS t(pipeline, n_runs, n_failed_runs, n_stages, n_stage_failures,
+           n_sla_missed, p50_stage_ms, p95_stage_ms)
+    """
+
+    @declared("q_ledger_health", oracle=_ORACLE)
+    def q_ledger_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Observability query (flower analogue): record a fixed set of
+        runs through the real atomic-commit path, read them back, and
+        roll up per-pipeline health.  The fixture is deterministic by
+        construction (explicit durations), so this is a full
+        hash-match oracle row despite the ledger being engine state
+        rather than fixture data; ``sf_dir`` is unused by design."""
+        import tempfile
+
+        from artemia_airflow_spark.pipeline import StageResult
+
+        led = RunLedger(tempfile.mkdtemp(prefix="ledger_health_"))
+        ok = lambda d, **kw: StageResult("success", duration_s=d, **kw)  # noqa: E731
+        runs = [
+            ("ingest", {"s1": ok(1.0), "s2": ok(3.0)}),
+            ("ingest", {
+                "s1": ok(2.0),
+                "s2": StageResult("failed", duration_s=5.0, sla_missed=True),
+            }),
+            ("ingest", {"s1": ok(1.5), "s2": ok(2.5)}),
+            ("export", {"s1": ok(0.5), "s2": StageResult("skipped")}),
+        ]
+        for pipeline, results in runs:
+            led.record(spark, pipeline, results)
+        return led.health(spark)
+
+
+_register_health_query()

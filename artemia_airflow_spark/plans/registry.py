@@ -85,6 +85,7 @@ def declared(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all_query_modules() -> None:
     """Import every module that declares queries (idempotent)."""
+    import artemia_airflow_spark.ledger  # noqa: F401
     import artemia_airflow_spark.operators.analytics  # noqa: F401
     import artemia_airflow_spark.operators.cdc  # noqa: F401
     import artemia_airflow_spark.operators.curation  # noqa: F401

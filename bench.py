@@ -34,6 +34,7 @@ SKIP = {
     "q_source_http",
     "q_source_http_ds",
     "q_merge_acid",  # creates + merges a real on-disk table (benches I/O)
+    "q_ledger_health",  # records a real on-disk run ledger (benches I/O)
 }
 
 

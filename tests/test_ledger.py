@@ -232,3 +232,36 @@ def test_resume_requires_ledger(spark):
 
     with pytest.raises(ValueError, match="ledger"):
         pipe.run(spark, resume_from="whatever")
+
+
+def test_health_rolls_up_runs_stages_and_percentiles(spark, root):
+    """q_ledger_health's engine: per-pipeline run/failure/SLA counts
+    plus exact p50/p95 stage durations as scaled-int ms.  Declared
+    fixture values are pinned in ledger.py's VALUES oracle; here the
+    same rollup is checked over a REAL pipeline run too."""
+    from artemia_airflow_spark.pipeline import StageResult
+
+    led = RunLedger(root)
+    ok = lambda d: StageResult("success", duration_s=d)  # noqa: E731
+    led.record(spark, "p", {"s1": ok(1.0), "s2": ok(3.0)})
+    led.record(spark, "p", {
+        "s1": ok(2.0),
+        "s2": StageResult("failed", duration_s=5.0, sla_missed=True),
+    })
+    row = {r.pipeline: r for r in led.health(spark).collect()}["p"]
+    assert (row.n_runs, row.n_failed_runs) == (2, 1)
+    assert (row.n_stages, row.n_stage_failures, row.n_sla_missed) == (4, 1, 1)
+    # sorted [1.0, 2.0, 3.0, 5.0]: p50 = 2.5s, p95 = 4.7s (interpolated)
+    assert (row.p50_stage_ms, row.p95_stage_ms) == (2500, 4700)
+
+    # a real run's health row: counts exact, durations merely sane
+    pipe = Pipeline("real", ledger=led)
+
+    @pipe.stage("a")
+    def a(ctx):
+        return 1
+
+    pipe.run(spark)
+    real = {r.pipeline: r for r in led.health(spark).collect()}["real"]
+    assert (real.n_runs, real.n_failed_runs, real.n_stages) == (1, 0, 1)
+    assert real.p95_stage_ms >= 0
