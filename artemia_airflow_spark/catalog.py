@@ -85,18 +85,60 @@ _VIEWS_TAG = "spark.artemia.registered_views_sf_dir"
 # Temp views are session-global, so two pipeline stages registering
 # different sf_dirs on a shared SparkSession could interleave
 # mid-registration and let a query briefly read mixed-scale views while
-# the tag claims one sf_dir (ADVICE r7).  One process-wide lock around
-# every view write + the tag check makes registration atomic; it guards
-# driver-side catalog metadata only (no data scan runs under it), so
-# contention cost is the ~1s analysis the cache already amortizes.
-_VIEWS_LOCK = threading.Lock()
+# the tag claims one sf_dir (ADVICE r7).  A readers-writer lock makes
+# every (register, analyze) pair atomic WITHOUT serializing the steady
+# state (r8 review): analyses whose views are already registered at the
+# right sf_dir run concurrently in shared mode; only re-registration
+# takes the exclusive mode.  It guards driver-side catalog metadata
+# only — no data scan ever runs under it.
+
+
+class _RWLock:
+    """Minimal readers-writer lock (no stdlib one).  Writer-preference
+    is not implemented — view re-registration is rare (once per
+    (session, sf_dir)) and reader bursts are short analyses, so
+    starvation is not a practical concern here."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writing = False
+
+    def acquire_read(self) -> None:
+        with self._cond:
+            while self._writing:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self) -> None:
+        with self._cond:
+            self._readers -= 1
+            if not self._readers:
+                self._cond.notify_all()
+
+    def acquire_write(self) -> None:
+        with self._cond:
+            while self._writing or self._readers:
+                self._cond.wait()
+            self._writing = True
+
+    def release_write(self) -> None:
+        with self._cond:
+            self._writing = False
+            self._cond.notify_all()
+
+
+_VIEWS_RW = _RWLock()
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so SQL-surface operators
     (subqueries B38-B39, rollups) can use spark.sql directly."""
-    with _VIEWS_LOCK:
+    _VIEWS_RW.acquire_write()
+    try:
         _register_views_locked(spark, sf_dir)
+    finally:
+        _VIEWS_RW.release_write()
 
 
 def _register_views_locked(spark: SparkSession, sf_dir: str) -> None:
@@ -106,14 +148,51 @@ def _register_views_locked(spark: SparkSession, sf_dir: str) -> None:
 
 
 def register_view(spark: SparkSession, sf_dir: str, name: str) -> None:
-    """Point ONE fixture view at ``sf_dir`` (the single-view face the
-    SQL-subquery operators use).  Re-pointing a view at a different
-    sf_dir than the all-views tag invalidates the tag, so a later
-    run_sql re-registers instead of silently querying mixed scales."""
-    with _VIEWS_LOCK:
+    """Point ONE fixture view at ``sf_dir`` (the single-view face).
+    Re-pointing a view at a different sf_dir than the all-views tag
+    invalidates the tag, so a later run_sql re-registers instead of
+    silently querying mixed scales.
+
+    NOTE: registering a view and then calling ``spark.sql`` yourself is
+    NOT atomic — a concurrent re-registration can swap scales between
+    your two calls.  Query-builders should use :func:`sql_over_views`,
+    which holds the lock across both (r8 review: the subquery faces
+    had exactly that window)."""
+    _VIEWS_RW.acquire_write()
+    try:
         scan(spark, sf_dir, name).createOrReplaceTempView(name)
         if spark.conf.get(_VIEWS_TAG, "") != sf_dir:
             spark.conf.set(_VIEWS_TAG, "")
+    finally:
+        _VIEWS_RW.release_write()
+
+
+def sql_over_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...], sql: str
+) -> DataFrame:
+    """Atomically (register the named fixture views at ``sf_dir``) +
+    (analyze ``sql``) — the safe face of the register-then-sql pattern
+    the SQL-subquery operators use.  Fast path: when the all-views tag
+    already says ``sf_dir``, every fixture view (a superset of
+    ``names``) is already right, so the analysis runs in shared mode
+    with no registration and no serialization."""
+    _VIEWS_RW.acquire_read()
+    try:
+        if spark.conf.get(_VIEWS_TAG, "") == sf_dir:
+            return spark.sql(sql)
+    finally:
+        _VIEWS_RW.release_read()
+    _VIEWS_RW.acquire_write()
+    try:
+        if spark.conf.get(_VIEWS_TAG, "") == sf_dir:
+            return spark.sql(sql)  # another writer registered meanwhile
+        for name in names:
+            scan(spark, sf_dir, name).createOrReplaceTempView(name)
+        # partial registration: other views' scale is now unknown/mixed
+        spark.conf.set(_VIEWS_TAG, "")
+        return spark.sql(sql)
+    finally:
+        _VIEWS_RW.release_write()
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -134,10 +213,20 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     from artemia_airflow_spark.session import ensure_engine_conf
 
     ensure_engine_conf(spark)
-    with _VIEWS_LOCK:
+    # view resolution happens at spark.sql() time, so the analysis must
+    # share the lock with registration: shared mode when the views
+    # already point at sf_dir (concurrent analyses don't block each
+    # other — r8 review), exclusive only to re-register.
+    _VIEWS_RW.acquire_read()
+    try:
+        if spark.conf.get(_VIEWS_TAG, "") == sf_dir:
+            return spark.sql(sql)
+    finally:
+        _VIEWS_RW.release_read()
+    _VIEWS_RW.acquire_write()
+    try:
         if spark.conf.get(_VIEWS_TAG, "") != sf_dir:
             _register_views_locked(spark, sf_dir)
-        # analyze under the lock too: view resolution happens at
-        # spark.sql() time, so releasing first would let a concurrent
-        # re-registration swap scales under this query's analysis
         return spark.sql(sql)
+    finally:
+        _VIEWS_RW.release_write()

@@ -239,12 +239,30 @@ def _register_health_query() -> None:
         roll up per-pipeline health.  The fixture is deterministic by
         construction (explicit durations), so this is a full
         hash-match oracle row despite the ledger being engine state
-        rather than fixture data; ``sf_dir`` is unused by design."""
+        rather than fixture data; ``sf_dir`` is unused by design.
+
+        Temp hygiene (r8 review): ONE process-scoped scratch dir,
+        wiped at the start of each invocation and removed at process
+        exit — repeated driver/test runs leave at most one small tree,
+        never an accumulating litter of ledger_health_* dirs.  The
+        wipe happens before (not after) returning because the
+        DataFrame reads its parquet lazily — the caller's collect
+        runs after this function exits."""
+        import atexit
+        import shutil
         import tempfile
 
         from artemia_airflow_spark.pipeline import StageResult
 
-        led = RunLedger(tempfile.mkdtemp(prefix="ledger_health_"))
+        scratch = globals().get("_HEALTH_SCRATCH")
+        if scratch is None:
+            scratch = tempfile.mkdtemp(prefix="ledger_health_")
+            globals()["_HEALTH_SCRATCH"] = scratch
+            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        else:
+            shutil.rmtree(scratch, ignore_errors=True)
+            os.makedirs(scratch, exist_ok=True)
+        led = RunLedger(scratch)
         ok = lambda d, **kw: StageResult("success", duration_s=d, **kw)  # noqa: E731
         runs = [
             ("ingest", {"s1": ok(1.0), "s2": ok(3.0)}),

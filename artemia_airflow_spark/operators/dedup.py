@@ -253,7 +253,7 @@ def simhash_dedup(
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, *, n: int = 3, threshold: float = 0.8,
-    num_hashes: int = 64, bands: int = 8,
+    num_hashes: int = 64, bands: int = 8, max_bucket: int = 10_000,
 ) -> DataFrame:
     """B41 verify stage: exact word-``n``-gram Jaccard over LSH candidate
     pairs only.  Returns (id_a, id_b, jaccard) with id_a < id_b and
@@ -271,14 +271,36 @@ def ngram_jaccard_pairs(
     # previous a><b bucket self-join re-executed the whole signature-UDF
     # subtree on both sides — the suite's most expensive query at 1.6x
     # its pin).  groupBy(bucket) + in-row pair expansion shuffles the
-    # (id, bucket) rows once and runs the UDF once; the quadratic
-    # expansion stays confined to same-bucket groups exactly as before
-    # (same skew story: a pathological all-identical corpus makes a big
-    # bucket either way — banding width bounds it at scale).
-    pairs = (
-        cand.groupBy("band", "band_hash")
+    # (id, bucket) rows once and runs the UDF once.
+    #
+    # Bucket-size guard (r8 review): collect_set materializes a bucket
+    # as ONE aggregation-row array — non-spillable, so an adversarial
+    # bucket (near-identical corpus sharing every band) would OOM where
+    # the old self-join merely ran quadratically forever.  Buckets over
+    # ``max_bucket`` therefore degrade to LINEAR bucket-min pairing
+    # (every member pairs with the bucket's min id only): memory per
+    # aggregation row is bounded by max_bucket ids (~80 KB), quadratic
+    # listing is confined to sane buckets, and every oversized-bucket
+    # member still reaches verification against a shared representative
+    # (quadratic pair listing inside a 10^6-doc bucket is 10^12 pairs —
+    # not an output any consumer wants; run exact dedup first).
+    # The window and the groupBy share the (band, band_hash) hash
+    # partitioning, so the guard adds a sort but no extra shuffle.
+    #
+    # cand feeds BOTH branches of the union below, and Spark does not
+    # dedupe common subplans (SCALE.md bench methodology) — without a
+    # materialization the signature UDF would run once per branch,
+    # the exact double-execution the r7 adjudication removed.  The
+    # checkpoint is (id, band, band_hash) rows — 8 per doc, compact.
+    cand = cand.localCheckpoint(eager=True)
+    wb = Window.partitionBy("band", "band_hash")
+    sized = cand.withColumn("__bsize", F.count(F.lit(1)).over(wb)).withColumn(
+        "__bmin", F.min(id_col).over(wb)
+    )
+    small_pairs = (
+        sized.filter(F.col("__bsize").between(2, max_bucket))
+        .groupBy("band", "band_hash")
         .agg(F.collect_set(F.col(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
         .select(F.explode("ids").alias("id_a"), F.col("ids"))
         .select(
             "id_a",
@@ -286,6 +308,12 @@ def ngram_jaccard_pairs(
                 F.filter(F.col("ids"), lambda x: x > F.col("id_a"))
             ).alias("id_b"),
         )
+    )
+    big_pairs = sized.filter(
+        (F.col("__bsize") > max_bucket) & (F.col(id_col) > F.col("__bmin"))
+    ).select(F.col("__bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+    pairs = (
+        small_pairs.union(big_pairs)
         .distinct()
         # consumed 3x below (involved-ids union + both shingle joins);
         # without a MATERIALIZED cache the whole LSH candidate pipeline

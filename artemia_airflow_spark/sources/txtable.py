@@ -564,14 +564,6 @@ class TxTable:
         self.__dict__["_approx_live_count"] = cache
         if cache < acf:
             return
-        futile_at = self.__dict__.get("_compact_futile_at")
-        if futile_at is not None and cache <= futile_at:
-            # last attempt at this count no-opped (candidates below
-            # min_files, e.g. one big clustered file + one small) —
-            # don't replay the log again until the count GROWS past it
-            # (ADVICE r7: the pop-on-no-op version reseeded with a full
-            # O(versions) replay and re-attempted on every commit).
-            return
         live, _head = self._live(None)  # exact set, only when tripping
         total_rows = sum(m.get("num_rows") or 0 for m in live)
         pre = self.version()
@@ -582,12 +574,19 @@ class TxTable:
         if post > pre:
             # compact()'s own commit bypasses this hook; reseed next time
             self.__dict__.pop("_approx_live_count", None)
-            self.__dict__.pop("_compact_futile_at", None)
         else:
-            # keep the cache (the exact count just computed is the best
-            # value) and remember the count this attempt was futile at
+            # compact() no-opped (candidates below min_files, e.g. one
+            # big clustered file + one small).  KEEP the cache — the
+            # exact count just computed is the best value; popping here
+            # reseeded with a full O(versions) log replay on EVERY
+            # later commit (ADVICE r7).  No futility backoff beyond
+            # that: re-attempting above the threshold is O(checkpoint
+            # tail) metadata work with no Spark job, and ANY commit can
+            # change candidacy (an append adds a packable small file, a
+            # delete can shrink a big file into one — r8 review showed
+            # a count-keyed backoff leaves exactly those tables
+            # permanently uncompacted).
             self.__dict__["_approx_live_count"] = len(live)
-            self.__dict__["_compact_futile_at"] = len(live)
 
     def append(
         self, df: DataFrame, *, merge_schema: bool = False,

@@ -374,3 +374,34 @@ def test_validation_report_empty_rules_and_bad_names(spark):
     custom = validation_report(df, {"pos": "x > 0"}, total_col="total")
     assert custom.columns == ["rule", "n_violations", "total"]
     assert custom.collect()[0].total == 1
+
+
+def test_ngram_pairs_bucket_guard_degrades_linearly(spark):
+    """r8 review: collect_set materializes an LSH bucket as one
+    non-spillable aggregation-row array, so buckets over ``max_bucket``
+    must degrade to LINEAR bucket-min pairing instead of quadratic
+    listing (OOM shape).  Construct near-identical docs that share
+    every band: with a tiny max_bucket the pair set collapses to
+    (min-id, other) edges; small buckets keep full quadratic listing
+    and identical jaccard values either way."""
+    from artemia_airflow_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 6 near-identical docs (one shared bucket of size 6) + 2 unrelated
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, base) for i in range(6)]
+    rows += [(10, " ".join(f"aaa{i}" for i in range(40))),
+             (11, " ".join(f"bbb{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8)
+    got_full = {(r.id_a, r.id_b) for r in full.collect()}
+    quad = {(a, b) for a in range(6) for b in range(6) if a < b}
+    assert got_full == quad  # default cap: full quadratic listing
+
+    guarded = ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.8, max_bucket=3
+    )
+    got = {(r.id_a, r.id_b) for r in guarded.collect()}
+    assert got == {(0, b) for b in range(1, 6)}, got  # linear, min-rooted
+    # identical docs: jaccard 1.0 on every surviving edge
+    assert all(r.jaccard == 1.0 for r in guarded.collect())

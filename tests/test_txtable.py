@@ -997,13 +997,15 @@ def test_auto_compact_keeps_file_count_bounded(spark, root):
         TxTable(spark, root, auto_compact_files=1)
 
 
-def test_auto_compact_futile_noop_keeps_counter_and_backs_off(spark, root):
+def test_auto_compact_futile_noop_keeps_counter(spark, root):
     """ADVICE r7: when the threshold trips but compact() no-ops (the
     bin-pack candidates are below min_files — e.g. one big file + one
     small at auto_compact_files=2), the incremental live-count cache
-    must SURVIVE (popping it reseeds with a full log replay on every
-    later commit) and the trigger must not re-attempt until the live
-    count GROWS past the count the futile attempt saw."""
+    must SURVIVE — popping it reseeded with a full O(versions) log
+    replay on every later commit.  There is deliberately NO futility
+    backoff beyond that (r8 review: a count-keyed backoff left tables
+    whose rewrites changed the size distribution permanently
+    uncompacted), so the next qualifying commit compacts."""
     from artemia_airflow_spark.sources.txtable import TxTable
 
     df = spark.range(4096).select(
@@ -1014,19 +1016,19 @@ def test_auto_compact_futile_noop_keeps_counter_and_backs_off(spark, root):
     v0 = t.version()
     t.append(spark.createDataFrame([(9001, 1.0)], "k long, x double").coalesce(1))
     # threshold tripped (2 files) but only the small qualifies for the
-    # bin-pack (big is above total_rows/acf) -> futile no-op
+    # bin-pack (big is above total_rows/acf) -> futile no-op; the
+    # cache survives with the exact count the attempt computed
     assert t.version() == v0 + 1, "compact should have no-opped"
     assert t.__dict__.get("_approx_live_count") == 2
-    assert t.__dict__.get("_compact_futile_at") == 2
-    # a count-neutral commit (delete rewrites the big file 1->1):
-    # still at the futile count -> no re-attempt, watermark persists
+    # a delete that rewrites the big file 1->1 keeps the count at the
+    # threshold; the re-attempt is a cheap metadata no-op and the
+    # cache still survives (never reseeds via full replay)
     t.delete("k = 0")
     assert t.__dict__.get("_approx_live_count") == 2
-    assert t.__dict__.get("_compact_futile_at") == 2
-    # count grows past the watermark -> compaction re-fires, packs the
-    # two smalls, carries the big file forward, and clears both caches
+    # a second small arrives -> candidates reach min_files -> compaction
+    # fires, packs the two smalls, carries the big file forward
     t.append(spark.createDataFrame([(9002, 1.0)], "k long, x double").coalesce(1))
-    assert "_compact_futile_at" not in t.__dict__, "compaction never re-fired"
+    assert "_approx_live_count" not in t.__dict__, "compaction never fired"
     assert t.snapshot().count() == 4096 - 1 + 2
     assert len(t.files()) == 2  # big + one packed small file
 
