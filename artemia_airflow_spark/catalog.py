@@ -142,6 +142,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _register_views_locked(spark: SparkSession, sf_dir: str) -> None:
+    # invalidate FIRST, claim LAST: a failure mid-loop (missing parquet,
+    # py4j hiccup) must leave the tag saying "unknown/mixed", never a
+    # stale sf_dir over partially re-pointed views (r8 review — the
+    # set-after-loop version violated the module's own r7 invariant)
+    spark.conf.set(_VIEWS_TAG, "")
     for t in TABLES:
         scan(spark, sf_dir, t).createOrReplaceTempView(t)
     spark.conf.set(_VIEWS_TAG, sf_dir)
@@ -155,42 +160,15 @@ def register_view(spark: SparkSession, sf_dir: str, name: str) -> None:
 
     NOTE: registering a view and then calling ``spark.sql`` yourself is
     NOT atomic — a concurrent re-registration can swap scales between
-    your two calls.  Query-builders should use :func:`sql_over_views`,
-    which holds the lock across both (r8 review: the subquery faces
-    had exactly that window)."""
+    your two calls.  Query-builders should use :func:`run_sql`, which
+    holds the lock across registration AND analysis (r8 review: the
+    subquery faces had exactly that window)."""
     _VIEWS_RW.acquire_write()
     try:
-        scan(spark, sf_dir, name).createOrReplaceTempView(name)
+        # invalidate first for the same mid-failure reason as above
         if spark.conf.get(_VIEWS_TAG, "") != sf_dir:
             spark.conf.set(_VIEWS_TAG, "")
-    finally:
-        _VIEWS_RW.release_write()
-
-
-def sql_over_views(
-    spark: SparkSession, sf_dir: str, names: tuple[str, ...], sql: str
-) -> DataFrame:
-    """Atomically (register the named fixture views at ``sf_dir``) +
-    (analyze ``sql``) — the safe face of the register-then-sql pattern
-    the SQL-subquery operators use.  Fast path: when the all-views tag
-    already says ``sf_dir``, every fixture view (a superset of
-    ``names``) is already right, so the analysis runs in shared mode
-    with no registration and no serialization."""
-    _VIEWS_RW.acquire_read()
-    try:
-        if spark.conf.get(_VIEWS_TAG, "") == sf_dir:
-            return spark.sql(sql)
-    finally:
-        _VIEWS_RW.release_read()
-    _VIEWS_RW.acquire_write()
-    try:
-        if spark.conf.get(_VIEWS_TAG, "") == sf_dir:
-            return spark.sql(sql)  # another writer registered meanwhile
-        for name in names:
-            scan(spark, sf_dir, name).createOrReplaceTempView(name)
-        # partial registration: other views' scale is now unknown/mixed
-        spark.conf.set(_VIEWS_TAG, "")
-        return spark.sql(sql)
+        scan(spark, sf_dir, name).createOrReplaceTempView(name)
     finally:
         _VIEWS_RW.release_write()
 

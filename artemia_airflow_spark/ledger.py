@@ -26,10 +26,15 @@ immutable.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 from typing import TYPE_CHECKING, Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
+
+# q_ledger_health scratch-parent creation guard (the dirs themselves
+# are per-invocation mkdtemps, so only the parent needs synchronizing)
+_HEALTH_SCRATCH_LOCK = threading.Lock()
 
 if TYPE_CHECKING:
     from artemia_airflow_spark.pipeline import StageResult
@@ -241,28 +246,27 @@ def _register_health_query() -> None:
         hash-match oracle row despite the ledger being engine state
         rather than fixture data; ``sf_dir`` is unused by design.
 
-        Temp hygiene (r8 review): ONE process-scoped scratch dir,
-        wiped at the start of each invocation and removed at process
-        exit — repeated driver/test runs leave at most one small tree,
-        never an accumulating litter of ledger_health_* dirs.  The
-        wipe happens before (not after) returning because the
-        DataFrame reads its parquet lazily — the caller's collect
-        runs after this function exits."""
+        Temp hygiene (r8 reviews): each invocation gets its OWN
+        mkdtemp ledger (concurrent pipeline stages may run this query
+        on driver threads, and the returned DataFrame reads its
+        parquet lazily — wiping a shared dir would delete the files
+        backing another invocation's not-yet-collected result), but
+        all of them live under ONE process-scoped parent that is
+        removed at process exit, so repeated driver/test runs never
+        accumulate litter beyond the process lifetime."""
         import atexit
         import shutil
         import tempfile
 
         from artemia_airflow_spark.pipeline import StageResult
 
-        scratch = globals().get("_HEALTH_SCRATCH")
-        if scratch is None:
-            scratch = tempfile.mkdtemp(prefix="ledger_health_")
-            globals()["_HEALTH_SCRATCH"] = scratch
-            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-        else:
-            shutil.rmtree(scratch, ignore_errors=True)
-            os.makedirs(scratch, exist_ok=True)
-        led = RunLedger(scratch)
+        with _HEALTH_SCRATCH_LOCK:
+            parent = globals().get("_HEALTH_SCRATCH_PARENT")
+            if parent is None:
+                parent = tempfile.mkdtemp(prefix="ledger_health_")
+                globals()["_HEALTH_SCRATCH_PARENT"] = parent
+                atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        led = RunLedger(tempfile.mkdtemp(dir=parent))
         ok = lambda d, **kw: StageResult("success", duration_s=d, **kw)  # noqa: E731
         runs = [
             ("ingest", {"s1": ok(1.0), "s2": ok(3.0)}),

@@ -287,15 +287,19 @@ def ngram_jaccard_pairs(
     # The window and the groupBy share the (band, band_hash) hash
     # partitioning, so the guard adds a sort but no extra shuffle.
     #
-    # cand feeds BOTH branches of the union below, and Spark does not
-    # dedupe common subplans (SCALE.md bench methodology) — without a
-    # materialization the signature UDF would run once per branch,
-    # the exact double-execution the r7 adjudication removed.  The
-    # checkpoint is (id, band, band_hash) rows — 8 per doc, compact.
-    cand = cand.localCheckpoint(eager=True)
+    # The sized relation feeds BOTH branches of the union below, and
+    # Spark does not dedupe common subplans (SCALE.md bench
+    # methodology) — without a materialization the signature UDF AND
+    # the bucket shuffle+sort would run once per branch, the exact
+    # double-execution the r7 adjudication removed.  Checkpoint AFTER
+    # the window (not on cand) so the shuffle/sort executes once too
+    # (r8 review); the checkpoint is (id, band, band_hash, size, min)
+    # rows — 8 per doc, compact.
     wb = Window.partitionBy("band", "band_hash")
-    sized = cand.withColumn("__bsize", F.count(F.lit(1)).over(wb)).withColumn(
-        "__bmin", F.min(id_col).over(wb)
+    sized = (
+        cand.withColumn("__bsize", F.count(F.lit(1)).over(wb))
+        .withColumn("__bmin", F.min(id_col).over(wb))
+        .localCheckpoint(eager=True)
     )
     small_pairs = (
         sized.filter(F.col("__bsize").between(2, max_bucket))

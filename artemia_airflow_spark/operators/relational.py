@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from artemia_airflow_spark.catalog import scan, sql_over_views
+from artemia_airflow_spark.catalog import run_sql, scan
 from artemia_airflow_spark.functions.core import DEC, dec_avg, dec_sum, spread_for_compute, ts_second
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
@@ -892,8 +892,7 @@ WHERE o_totalprice > (
 def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B38: scalar subquery (orders above deterministic global mean).
     Identical SQL text runs on both engines."""
-    ensure_engine_conf(spark)
-    return sql_over_views(spark, sf_dir, ("orders",), _SUBQ_SCALAR_SQL)
+    return run_sql(spark, sf_dir, _SUBQ_SCALAR_SQL)
 
 
 _SUBQ_IN_SQL = """
@@ -909,8 +908,7 @@ WHERE c_custkey IN (
 def q_subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B39: IN subquery — Catalyst rewrites to a left-semi join
     (RewritePredicateSubquery); same SQL text on both engines."""
-    ensure_engine_conf(spark)
-    return sql_over_views(spark, sf_dir, ("customer", "orders"), _SUBQ_IN_SQL)
+    return run_sql(spark, sf_dir, _SUBQ_IN_SQL)
 
 
 # --------------------------------------------------------------------------

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from artemia_airflow_spark.catalog import scan, sql_over_views
+from artemia_airflow_spark.catalog import run_sql, scan
 from artemia_airflow_spark.functions.core import DEC, dec_sum
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
@@ -62,9 +62,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B22: explicit GROUPING SETS with GROUPING() indicators (SQL
     surface — identical text parses on both engines)."""
-    ensure_engine_conf(spark)
-    return sql_over_views(
-        spark, sf_dir, ("customer",),
+    return run_sql(
+        spark, sf_dir,
         """
         SELECT c_mktsegment, c_nationkey,
                COUNT(*) AS n,
@@ -107,10 +106,7 @@ WHERE EXISTS (
 def q_subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B39: correlated EXISTS with an extra predicate — Catalyst
     decorrelates to a semi-join; same SQL text on both engines."""
-    ensure_engine_conf(spark)
-    return sql_over_views(
-        spark, sf_dir, ("supplier", "lineitem"), _SUBQ_EXISTS_SQL
-    )
+    return run_sql(spark, sf_dir, _SUBQ_EXISTS_SQL)
 
 
 @declared(
@@ -235,8 +231,8 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield t, len(t)
 
     spark.udtf.register("aas_tokenize", Tokenize)
-    return sql_over_views(
-        spark, sf_dir, ("documents",),
+    return run_sql(
+        spark, sf_dir,
         """
         SELECT d.doc_id, t.token, t.token_len
         FROM documents d, LATERAL aas_tokenize(d.text) t
