@@ -405,3 +405,67 @@ def test_ngram_pairs_bucket_guard_degrades_linearly(spark):
     assert got == {(0, b) for b in range(1, 6)}, got  # linear, min-rooted
     # identical docs: jaccard 1.0 on every surviving edge
     assert all(r.jaccard == 1.0 for r in guarded.collect())
+
+
+def test_ngram_pairs_match_python_banding_differential(spark):
+    """Differential pin for q_dedup_ngram's engine: on a seeded corpus,
+    the operator's output must EQUAL {LSH-candidate pairs with exact
+    shingle Jaccard >= threshold} computed by an independent pure-
+    Python reimplementation of the same banding + shingle math —
+    catching any drift in the pair-generation rewrite (r7/r8) or the
+    signature kernel, not just recall floors."""
+    import zlib
+
+    import numpy as np
+
+    from artemia_airflow_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    docs: list[tuple[int, list[str]]] = []
+    for i in range(25):
+        docs.append((i, [rng.choice(vocab) for _ in range(40)]))
+    for j in range(20):  # near-dups with 1-2 edits
+        base = list(docs[j][1])
+        for _ in range(rng.choice([1, 2])):
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        docs.append((200 + j, base))
+
+    # python twin of minhash_signatures (dedup.py: crc32-based Lehmer)
+    num_hashes, bands, rpb, M = 64, 8, 8, (1 << 31) - 1
+    a_v = (2 * np.arange(num_hashes, dtype="int64") + 1).reshape(-1, 1)
+    b_v = (7919 * (np.arange(num_hashes, dtype="int64") + 1)).reshape(-1, 1)
+
+    def sig(words: list[str]) -> list[int]:
+        n = max(len(words) - 2, 1)
+        hs = np.array(
+            [zlib.crc32(" ".join(words[i : i + 3]).encode()) for i in range(n)],
+            dtype="int64",
+        ) % M
+        return ((a_v * hs + b_v) % M).min(axis=1).tolist()
+
+    buckets: dict[tuple[int, str], set[int]] = {}
+    for i, words in docs:
+        s = sig(words)
+        for b in range(bands):
+            key = ",".join(str(x) for x in s[b * rpb : (b + 1) * rpb])
+            buckets.setdefault((b, key), set()).add(i)
+    cand = {
+        (x, y)
+        for members in buckets.values()
+        for x in members
+        for y in members
+        if x < y
+    }
+    sh = {i: _shingles(w) for i, w in docs}
+    want = {(x, y) for x, y in cand if _jaccard(sh[x], sh[y]) >= 0.8}
+    assert want, "seeded corpus produced no verified pairs"
+
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])

@@ -104,3 +104,43 @@ def test_run_sql_view_cache_invalidated_by_foreign_sf_dir(spark):
     register_view(spark, b, "lineitem")
     got = sorted(map(str, run_sql(spark, a, FLAGSHIP_SQL).collect()))
     assert got == ref_a, "run_sql served a mixed-sf_dir view set"
+
+
+def test_run_sql_concurrent_mixed_sf_dirs_never_mix_scales(spark):
+    """r8 review fix (ADVICE r7): concurrent run_sql calls with
+    DIFFERENT sf_dirs on the shared session must each analyze against
+    a consistent view set — the RW lock makes (re-register, analyze)
+    atomic, so every result matches its own sf_dir's row count, never
+    a mixed-scale blend."""
+    import threading
+
+    from artemia_airflow_spark.catalog import run_sql
+
+    sql = "SELECT COUNT(*) AS n FROM customer"
+    dirs = {
+        "/root/testdata/sf0.001": None,
+        "/root/testdata/sf0.01": None,
+    }
+    for d in dirs:
+        dirs[d] = run_sql(spark, d, sql).collect()[0].n
+    assert len(set(dirs.values())) == 2  # scales genuinely differ
+
+    errs: list = []
+
+    def worker(sf_dir, want):
+        try:
+            for _ in range(6):
+                got = run_sql(spark, sf_dir, sql).collect()[0].n
+                assert got == want, (sf_dir, got, want)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=item)
+        for item in list(dirs.items()) * 2
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
