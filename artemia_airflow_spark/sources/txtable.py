@@ -468,7 +468,9 @@ class TxTable:
     # "did it remove files" is wrong because a merge that prunes ZERO
     # files (pure-insert change set) still decided "insert" by
     # observing those keys absent.
-    _READ_SET_OPS = frozenset({"merge", "delete", "overwrite", "compact", "cluster"})
+    _READ_SET_OPS = frozenset(
+        {"merge", "delete", "overwrite", "compact", "cluster", "restore"}
+    )
 
     def _try_commit(self, commit: dict, *, read_version: int) -> int:
         """Optimistic commit: publish at read_version+1.  On collision,
@@ -1025,6 +1027,48 @@ class TxTable:
                 "schema": head["schema"],
                 "key_col": key,
                 "data_change": False,  # physical rewrite: changes() skips it
+            },
+            read_version=read_version,
+        )
+
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: make the HEAD state equal the table's
+        state at ``version``, committed as a NEW version — history is
+        preserved, so time travel to the pre-restore head still works
+        (until vacuum) and the restore itself is auditable in
+        :meth:`history`.  Metadata-only and O(files): data files are
+        immutable, so the commit just re-lists the target snapshot's
+        file metas (schema included — a restore across a widening
+        append narrows the visible schema back, exactly like Delta).
+
+        Raises ``FileNotFoundError`` if any target file was already
+        vacuumed (the same limit time travel has).  The existence check
+        races a concurrent vacuum like any snapshot read does — restore
+        within the vacuum retention window, the same contract
+        :meth:`vacuum` documents for readers.  Commits as a read-set
+        operation: ANY concurrent commit conflicts (the restored state
+        was decided from the pre-commit snapshot)."""
+        read_version = self.version()
+        target_live, target_head = self._live(version)
+        cur_live, _ = self._live(read_version)
+        missing = [
+            m["path"] for m in target_live
+            if not os.path.exists(os.path.join(self.root, m["path"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                f"file(s) already vacuumed (e.g. {missing[0]!r})"
+            )
+        cur_paths = {m["path"] for m in cur_live}
+        target_paths = {m["path"] for m in target_live}
+        return self._try_commit(
+            {
+                "operation": "restore",
+                "add": [m for m in target_live if m["path"] not in cur_paths],
+                "remove": sorted(cur_paths - target_paths),
+                "schema": target_head["schema"],
+                "key_col": target_head["key_col"],
             },
             read_version=read_version,
         )

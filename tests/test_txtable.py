@@ -1123,3 +1123,62 @@ def test_many_file_snapshot_resolution_and_pruning_at_5k_files(spark, root):
     assert 0 < len(files_read) <= 4
     assert not any("synth-" in p for p in files_read)
     assert sorted(r.k for r in picked.collect()) == list(range(10, 21))
+
+
+def test_restore_rolls_head_back_as_new_commit(spark, root):
+    """Delta-style RESTORE (B89 extension): head state returns to the
+    target version as a NEW commit — rows, schema, and pruning stats
+    all match the target; history is preserved (the pre-restore head
+    still time-travels); a restore decided from a stale snapshot
+    conflicts like any read-set op; vacuumed targets raise."""
+    t = _mk(spark, root, n=100, files=4)  # v0
+    t.delete("tag = 's0'")                # v1: 80 rows
+    t.append(spark.createDataFrame(
+        [(500, 1.0, "new")], "k long, v double, tag string"
+    ))                                    # v2: 81 rows
+    assert t.snapshot().count() == 81
+
+    v = t.restore(0)                      # v3: back to the original 100
+    assert v == 3
+    assert t.snapshot().count() == 100
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(100))
+    # history preserved: the pre-restore head still time-travels
+    assert t.snapshot(2).count() == 81
+    assert t.history()[-1]["operation"] == "restore"
+    # pruning stats ride along with the restored metas
+    assert all(m["key_min"] is not None for m in t.files())
+
+    # schema restore: a widening append then restore narrows back
+    t.append(
+        spark.createDataFrame([(600, 1.0, "x", 9.0)],
+                              "k long, v double, tag string, extra double"),
+        merge_schema=True,
+    )                                     # v4: widened
+    assert "extra" in t.snapshot().columns
+    t.restore(3)                          # v5
+    assert "extra" not in t.snapshot().columns
+    assert t.snapshot().count() == 100
+
+    # stale-snapshot restore conflicts (read-set semantics)
+    stale = TxTable(spark, root)
+    stale_v = stale.version()
+    t.append(spark.createDataFrame(
+        [(700, 1.0, "y")], "k long, v double, tag string"
+    ))
+    cur_live, head = stale._live(stale_v)
+    with pytest.raises(CommitConflict):
+        stale._try_commit(
+            {
+                "operation": "restore",
+                "add": [],
+                "remove": [cur_live[0]["path"]],
+                "schema": head["schema"],
+                "key_col": "k",
+            },
+            read_version=stale_v,
+        )
+
+    # vacuumed target: restore must refuse, not resurrect ghosts
+    t.vacuum(retention_sec=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(1)
