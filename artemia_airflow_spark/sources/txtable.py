@@ -754,17 +754,25 @@ class TxTable:
         (input_file_name), only those are rewritten without the matching
         rows — the Delta-published shape for deletes without per-column
         stats on the predicate columns."""
+        from urllib.parse import unquote, urlparse
+
         read_version = self.version()
         live, head = self._live(read_version)
         snap = self.snapshot(read_version)
-        hit_files = {
-            os.path.basename(r.f)
+        # resolve input_file_name URIs to absolute paths and match the
+        # metas the same way — basename matching would silently no-op
+        # on a shallow clone's absolute-path metas (r8: clone support)
+        hit_paths = {
+            unquote(urlparse(r.f).path)
             for r in snap.filter(predicate)
             .select(F.input_file_name().alias("f"))
             .distinct()
             .collect()
         }
-        touched = [m for m in live if m["path"] in hit_files]
+        touched = [
+            m for m in live
+            if os.path.abspath(os.path.join(self.root, m["path"])) in hit_paths
+        ]
         if not touched:
             return read_version  # nothing matched: no-op, no commit
         base = self.spark.read.schema(snap.schema).parquet(
@@ -1072,6 +1080,44 @@ class TxTable:
             },
             read_version=read_version,
         )
+
+    def clone(self, dest_root: str, *, version: int | None = None) -> "TxTable":
+        """Zero-copy SHALLOW CLONE (the Delta shape): a new table at
+        ``dest_root`` whose commit 0 REFERENCES the source snapshot's
+        immutable data files by absolute path — no bytes move, so
+        cloning a 100 TB table is one metadata write.  Copy-on-write
+        from there: every write to the clone lands NEW files under the
+        clone's own root (a delete/merge/compact rewrites referenced
+        source files INTO the clone, never in place), so source and
+        clone diverge freely and the clone's vacuum can never delete
+        source data (it sweeps only clone-root files).
+
+        Caveat, exactly as Delta documents it: the source does not know
+        about the clone's references — vacuuming the SOURCE after it
+        rewrites data the clone still references breaks the clone.
+        Clones are for dev/test forks and short-lived experiments, not
+        long-term archival; ``constraints`` and the key column carry
+        over."""
+        live, head = self._live(version)
+        os.makedirs(_log_dir(dest_root), exist_ok=True)
+        if os.listdir(_log_dir(dest_root)):
+            raise FileExistsError(f"table already exists at {dest_root!r}")
+        adds = [
+            {**m, "path": os.path.abspath(os.path.join(self.root, m["path"]))}
+            for m in live
+        ]
+        commit = {
+            "operation": "clone",
+            "add": adds,
+            "remove": [],
+            "schema": head["schema"],
+            "key_col": head["key_col"],
+        }
+        cons = self.constraints()
+        if cons:
+            commit["constraints"] = cons
+        _publish(dest_root, 0, commit)
+        return TxTable(self.spark, dest_root)
 
     def vacuum(self, *, retention_sec: float = 3600.0) -> list[str]:
         """Delete non-live data files and staged-commit orphans OLDER

@@ -1182,3 +1182,50 @@ def test_restore_rolls_head_back_as_new_commit(spark, root):
     t.vacuum(retention_sec=0)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         t.restore(1)
+
+
+def test_shallow_clone_zero_copy_and_copy_on_write(spark, root):
+    """B89 extension (Delta SHALLOW CLONE): commit 0 of the clone
+    references the source's files by absolute path — no data copied —
+    and every write to the clone is copy-on-write into the clone's own
+    root, so the two tables diverge without touching each other and
+    the clone's vacuum can never delete source data."""
+    src = _mk(spark, root, n=100, files=4)
+    dest = root + "_clone"
+    try:
+        c = src.clone(dest)
+        # zero-copy: no parquet landed under the clone root
+        assert not [f for f in os.listdir(dest) if f.endswith(".parquet")]
+        assert c.snapshot().count() == 100
+        assert sorted(r.k for r in c.snapshot().collect()) == list(range(100))
+        # key stats carried verbatim (pruning-ready; the hash-split
+        # fixture has full-range files, so cluster the SOURCE first to
+        # see the clone actually prune)
+        assert all(m["key_min"] is not None for m in c.files())
+
+        # copy-on-write: delete on the clone rewrites INTO the clone
+        # (this also pins the absolute-path fix in delete's matching —
+        # basename matching silently no-ops here)
+        v = c.delete("tag = 's0'")
+        assert v == 1
+        assert c.snapshot().count() == 80
+        assert src.snapshot().count() == 100, "clone write touched the source"
+        # the rewrite landed under the clone root, not the source
+        assert [f for f in os.listdir(dest) if f.endswith(".parquet")]
+
+        # divergence the other way: source append is invisible to clone
+        src.append(spark.createDataFrame(
+            [(900, 1.0, "s-only")], "k long, v double, tag string"
+        ))
+        assert c.snapshot().filter("k = 900").count() == 0
+
+        # clone vacuum sweeps only clone-root files: the source files
+        # de-referenced by the clone's delete still exist for the source
+        c.vacuum(retention_sec=0)
+        assert src.snapshot().count() == 101
+
+        # a second clone at the same dest refuses
+        with pytest.raises(FileExistsError):
+            src.clone(dest)
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
