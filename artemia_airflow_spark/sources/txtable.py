@@ -170,7 +170,13 @@ class TxTable:
         auto_compact_files: int | None = None,
     ):
         self.spark = spark
-        self.root = root
+        # normalize once: every downstream path (scan URIs handed to
+        # the JVM, delete's input_file_name matching, clone's
+        # absolute-path metas) must resolve identically no matter how
+        # Python's cwd and the JVM's user.dir diverge later (r8
+        # review: a relative root + post-launch os.chdir made delete's
+        # path matching silently empty)
+        self.root = os.path.abspath(root)
         # opt-in auto-compaction (the small-file fix on autopilot):
         # after a successful data commit, if the live file count
         # reached the threshold, bin-pack down to threshold // 4 files
@@ -214,6 +220,7 @@ class TxTable:
         violates only when the predicate evaluates FALSE (NULL
         passes).  Enforcement costs one aggregation pass over the
         incoming batch only — never a table scan."""
+        root = os.path.abspath(root)  # same normalization as __init__
         os.makedirs(_log_dir(root), exist_ok=True)
         if os.listdir(_log_dir(root)):
             raise FileExistsError(f"table already exists at {root!r}")
@@ -1050,19 +1057,30 @@ class TxTable:
         append narrows the visible schema back, exactly like Delta).
 
         Raises ``FileNotFoundError`` if any target file was already
-        vacuumed (the same limit time travel has).  The existence check
-        races a concurrent vacuum like any snapshot read does — restore
-        within the vacuum retention window, the same contract
-        :meth:`vacuum` documents for readers.  Commits as a read-set
-        operation: ANY concurrent commit conflicts (the restored state
-        was decided from the pre-commit snapshot)."""
+        vacuumed (the same limit time travel has).  Concurrency with
+        VACUUM: the retention window can NOT protect restore's targets
+        (historical files have ancient mtimes, so a racing vacuum
+        deletes them regardless of retention) — do not run the two
+        maintenance ops concurrently, the same single-maintainer
+        assumption vacuum itself documents.  As a backstop, restore
+        RE-VERIFIES the target files after publishing; if a racing
+        vacuum won, it rolls HEAD back to the pre-restore version
+        (whose files were live throughout the racing vacuum's sweep
+        and are therefore intact) and raises, so the race surfaces as
+        a loud error, never as a durably unreadable HEAD.  Commits as
+        a read-set operation: ANY concurrent commit conflicts (the
+        restored state was decided from the pre-commit snapshot)."""
         read_version = self.version()
         target_live, target_head = self._live(version)
-        cur_live, _ = self._live(read_version)
-        missing = [
-            m["path"] for m in target_live
-            if not os.path.exists(os.path.join(self.root, m["path"]))
-        ]
+        cur_live, cur_head = self._live(read_version)
+
+        def _missing() -> list[str]:
+            return [
+                m["path"] for m in target_live
+                if not os.path.exists(os.path.join(self.root, m["path"]))
+            ]
+
+        missing = _missing()
         if missing:
             raise FileNotFoundError(
                 f"cannot restore to version {version}: {len(missing)} data "
@@ -1070,7 +1088,7 @@ class TxTable:
             )
         cur_paths = {m["path"] for m in cur_live}
         target_paths = {m["path"] for m in target_live}
-        return self._try_commit(
+        v_new = self._try_commit(
             {
                 "operation": "restore",
                 "add": [m for m in target_live if m["path"] not in cur_paths],
@@ -1080,6 +1098,29 @@ class TxTable:
             },
             read_version=read_version,
         )
+        missing = _missing()
+        if missing:
+            # a concurrent vacuum deleted target files between the check
+            # and the publish (r8 review).  Compensate: the pre-restore
+            # head's files were LIVE when that vacuum snapshotted its
+            # live set, so rolling back to it is safe; then raise.
+            self._try_commit(
+                {
+                    "operation": "restore",
+                    "add": [m for m in cur_live if m["path"] not in target_paths],
+                    "remove": sorted(target_paths - cur_paths),
+                    "schema": cur_head["schema"],
+                    "key_col": cur_head["key_col"],
+                },
+                read_version=v_new,
+            )
+            raise FileNotFoundError(
+                f"restore to version {version} raced a concurrent vacuum "
+                f"({len(missing)} target file(s) deleted, e.g. "
+                f"{missing[0]!r}); HEAD rolled back to the pre-restore "
+                f"state (version {read_version}'s content)"
+            )
+        return v_new
 
     def clone(self, dest_root: str, *, version: int | None = None) -> "TxTable":
         """Zero-copy SHALLOW CLONE (the Delta shape): a new table at
@@ -1099,6 +1140,19 @@ class TxTable:
         long-term archival; ``constraints`` and the key column carry
         over."""
         live, head = self._live(version)
+        dest_root = os.path.abspath(dest_root)
+        missing = [
+            m["path"] for m in live
+            if not os.path.exists(os.path.join(self.root, m["path"]))
+        ]
+        if missing:
+            # same guard as restore(): cloning a partially-vacuumed
+            # historical snapshot would durably create a broken table
+            # (r8 review)
+            raise FileNotFoundError(
+                f"cannot clone version {version}: {len(missing)} data "
+                f"file(s) already vacuumed (e.g. {missing[0]!r})"
+            )
         os.makedirs(_log_dir(dest_root), exist_ok=True)
         if os.listdir(_log_dir(dest_root)):
             raise FileExistsError(f"table already exists at {dest_root!r}")

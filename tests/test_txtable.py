@@ -1229,3 +1229,75 @@ def test_shallow_clone_zero_copy_and_copy_on_write(spark, root):
             src.clone(dest)
     finally:
         shutil.rmtree(dest, ignore_errors=True)
+
+
+def test_clone_of_vacuumed_snapshot_refuses(spark, root):
+    """r8 review: cloning a partially-vacuumed historical snapshot must
+    refuse up front — publishing a commit 0 over deleted files would
+    durably create a broken table."""
+    t = _mk(spark, root, n=50, files=2)
+    t.overwrite(spark.createDataFrame(
+        [(1, 1.0, "x")], "k long, v double, tag string"
+    ))
+    t.vacuum(retention_sec=0)  # v0's files gone
+    dest = root + "_cv"
+    try:
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            t.clone(dest, version=0)
+        assert not os.path.exists(dest)  # nothing half-created
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+
+
+def test_restore_racing_vacuum_rolls_back_and_raises(spark, root):
+    """r8 review: retention cannot protect restore's targets (their
+    mtimes are ancient), so a vacuum racing between restore's check
+    and its publish must surface as a LOUD error with HEAD rolled
+    back to the intact pre-restore state — never as a durably
+    unreadable table."""
+    t = _mk(spark, root, n=50, files=2)           # v0
+    t.overwrite(spark.createDataFrame(
+        [(1, 111.0, "after")], "k long, v double, tag string"
+    ))                                            # v1
+    v0_paths = [m["path"] for m in t.files(0)]
+
+    # simulate the race: vacuum wins right after restore's pre-check
+    orig_try = t._try_commit
+    def sabotage(commit, *, read_version):
+        v = orig_try(commit, read_version=read_version)
+        if commit["operation"] == "restore" and any(
+            m["path"] in v0_paths for m in commit["add"]
+        ):
+            for p in v0_paths:
+                try:
+                    os.remove(os.path.join(root, p))
+                except FileNotFoundError:
+                    pass
+            t._try_commit = orig_try  # the rollback commit runs clean
+        return v
+
+    t._try_commit = sabotage
+    with pytest.raises(FileNotFoundError, match="raced a concurrent vacuum"):
+        t.restore(0)
+    # HEAD is the intact pre-restore state, fully readable
+    assert [r.v for r in t.snapshot().collect()] == [111.0]
+    assert t.history()[-1]["operation"] == "restore"  # the rollback commit
+
+
+def test_relative_root_delete_still_matches_files(spark, root):
+    """r8 review: with a RELATIVE table root, delete's resolved-path
+    matching must still find the hit files (the root is normalized to
+    an absolute path at the handle boundary, so Python-side and
+    JVM-side resolution agree)."""
+    rel = os.path.relpath(root, os.getcwd())
+    base = spark.range(20).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v"),
+        F.concat(F.lit("s"), (F.col("id") % 2)).alias("tag"),
+    )
+    created = TxTable.create(spark, base.coalesce(1), rel, key_col="k")
+    assert os.path.isabs(created.root)
+    t = TxTable(spark, rel)
+    assert os.path.isabs(t.root)
+    v = t.delete("tag = 's0'")
+    assert v == 1
+    assert t.snapshot().count() == 10, "relative-root delete no-opped"
