@@ -199,9 +199,9 @@ class TxTable:
             # configuration; 0 would silently mean disabled
             raise ValueError("checkpoint_interval must be None or >= 1")
         self.checkpoint_interval = checkpoint_interval
-        if not os.path.isdir(_log_dir(root)):
+        if not os.path.isdir(_log_dir(self.root)):
             raise FileNotFoundError(
-                f"no transactional table at {root!r} (missing _log/); "
+                f"no transactional table at {self.root!r} (missing _log/); "
                 "use TxTable.create(...)"
             )
 
@@ -1058,37 +1058,24 @@ class TxTable:
 
         Raises ``FileNotFoundError`` if any target file was already
         vacuumed (the same limit time travel has).  Concurrency with
-        VACUUM: the retention window can NOT protect restore's targets
-        (historical files have ancient mtimes, so a racing vacuum
-        deletes them regardless of retention) — do not run the two
-        maintenance ops concurrently, the same single-maintainer
-        assumption vacuum itself documents.  As a backstop, restore
-        RE-VERIFIES the target files after publishing; if a racing
-        vacuum won, it rolls HEAD back to the pre-restore version
-        (whose files were live throughout the racing vacuum's sweep
-        and are therefore intact) and raises, so the race surfaces as
-        a loud error, never as a durably unreadable HEAD.  Commits as
-        a read-set operation: ANY concurrent commit conflicts (the
-        restored state was decided from the pre-commit snapshot)."""
+        VACUUM: target files' mtimes are REFRESHED before the commit,
+        which places them inside vacuum's retention window — the same
+        in-flight-file guard that protects a not-yet-published write's
+        staged data (historical files' ancient mtimes would otherwise
+        make them sweepable regardless of retention).  So restore is
+        exactly as vacuum-safe as any write: protected under a
+        positive retention window, and a zero-retention vacuum
+        concurrent with it is out of contract by vacuum's own rule
+        ("only when no writer can be active").  Commits as a read-set
+        operation: ANY concurrent commit conflicts (the restored state
+        was decided from the pre-commit snapshot)."""
         read_version = self.version()
         target_live, target_head = self._live(version)
-        cur_live, cur_head = self._live(read_version)
-
-        def _missing() -> list[str]:
-            return [
-                m["path"] for m in target_live
-                if not os.path.exists(os.path.join(self.root, m["path"]))
-            ]
-
-        missing = _missing()
-        if missing:
-            raise FileNotFoundError(
-                f"cannot restore to version {version}: {len(missing)} data "
-                f"file(s) already vacuumed (e.g. {missing[0]!r})"
-            )
+        cur_live, _ = self._live(read_version)
+        self._guard_against_vacuum(target_live, op=f"restore to version {version}")
         cur_paths = {m["path"] for m in cur_live}
         target_paths = {m["path"] for m in target_live}
-        v_new = self._try_commit(
+        return self._try_commit(
             {
                 "operation": "restore",
                 "add": [m for m in target_live if m["path"] not in cur_paths],
@@ -1098,29 +1085,31 @@ class TxTable:
             },
             read_version=read_version,
         )
-        missing = _missing()
+
+    def _guard_against_vacuum(self, metas: list[dict], *, op: str) -> None:
+        """Shared restore/clone pre-flight: refresh every target file's
+        mtime (recruiting vacuum's retention window — the general
+        in-flight-file guard — for historical files whose ancient
+        mtimes would otherwise be sweepable mid-operation), and raise
+        ``FileNotFoundError`` for targets a past vacuum already
+        deleted.  One implementation for both callers (r8 review)."""
+        missing = []
+        for m in metas:
+            p = os.path.join(self.root, m["path"])
+            try:
+                os.utime(p)
+            except FileNotFoundError:
+                missing.append(m["path"])
+            except OSError:
+                # read-only storage etc.: the touch is the protection
+                # upgrade, not the existence check — fall back to that
+                if not os.path.exists(p):
+                    missing.append(m["path"])
         if missing:
-            # a concurrent vacuum deleted target files between the check
-            # and the publish (r8 review).  Compensate: the pre-restore
-            # head's files were LIVE when that vacuum snapshotted its
-            # live set, so rolling back to it is safe; then raise.
-            self._try_commit(
-                {
-                    "operation": "restore",
-                    "add": [m for m in cur_live if m["path"] not in target_paths],
-                    "remove": sorted(target_paths - cur_paths),
-                    "schema": cur_head["schema"],
-                    "key_col": cur_head["key_col"],
-                },
-                read_version=v_new,
-            )
             raise FileNotFoundError(
-                f"restore to version {version} raced a concurrent vacuum "
-                f"({len(missing)} target file(s) deleted, e.g. "
-                f"{missing[0]!r}); HEAD rolled back to the pre-restore "
-                f"state (version {read_version}'s content)"
+                f"cannot {op}: {len(missing)} data file(s) already "
+                f"vacuumed (e.g. {missing[0]!r})"
             )
-        return v_new
 
     def clone(self, dest_root: str, *, version: int | None = None) -> "TxTable":
         """Zero-copy SHALLOW CLONE (the Delta shape): a new table at
@@ -1141,18 +1130,12 @@ class TxTable:
         over."""
         live, head = self._live(version)
         dest_root = os.path.abspath(dest_root)
-        missing = [
-            m["path"] for m in live
-            if not os.path.exists(os.path.join(self.root, m["path"]))
-        ]
-        if missing:
-            # same guard as restore(): cloning a partially-vacuumed
-            # historical snapshot would durably create a broken table
-            # (r8 review)
-            raise FileNotFoundError(
-                f"cannot clone version {version}: {len(missing)} data "
-                f"file(s) already vacuumed (e.g. {missing[0]!r})"
-            )
+        # same guard as restore(): refuse partially-vacuumed snapshots
+        # (a broken table would be durably created) and mtime-refresh
+        # the targets so a racing retention vacuum skips them during
+        # the check-to-publish window (r8 review)
+        shown = self.version() if version is None else version
+        self._guard_against_vacuum(live, op=f"clone version {shown}")
         os.makedirs(_log_dir(dest_root), exist_ok=True)
         if os.listdir(_log_dir(dest_root)):
             raise FileExistsError(f"table already exists at {dest_root!r}")

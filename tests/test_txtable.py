@@ -1249,39 +1249,39 @@ def test_clone_of_vacuumed_snapshot_refuses(spark, root):
         shutil.rmtree(dest, ignore_errors=True)
 
 
-def test_restore_racing_vacuum_rolls_back_and_raises(spark, root):
-    """r8 review: retention cannot protect restore's targets (their
-    mtimes are ancient), so a vacuum racing between restore's check
-    and its publish must surface as a LOUD error with HEAD rolled
-    back to the intact pre-restore state — never as a durably
-    unreadable table."""
+def test_restore_mtime_guard_recruits_vacuum_retention(spark, root):
+    """r8 review: historical target files have ancient mtimes, so a
+    retention vacuum would sweep them mid-restore regardless of the
+    window.  restore/clone therefore REFRESH target mtimes before
+    committing — the targets land inside vacuum's in-flight-file
+    guard, making restore exactly as vacuum-safe as any write."""
+    import time
+
     t = _mk(spark, root, n=50, files=2)           # v0
     t.overwrite(spark.createDataFrame(
         [(1, 111.0, "after")], "k long, v double, tag string"
-    ))                                            # v1
+    ))                                            # v1: v0 files non-live
     v0_paths = [m["path"] for m in t.files(0)]
+    ancient = time.time() - 7 * 24 * 3600
+    for p in v0_paths:
+        os.utime(os.path.join(root, p), (ancient, ancient))
+    # sanity: a retention vacuum RIGHT NOW would sweep these targets
+    assert all(
+        os.path.getmtime(os.path.join(root, p)) < time.time() - 3600
+        for p in v0_paths
+    )
 
-    # simulate the race: vacuum wins right after restore's pre-check
-    orig_try = t._try_commit
-    def sabotage(commit, *, read_version):
-        v = orig_try(commit, read_version=read_version)
-        if commit["operation"] == "restore" and any(
-            m["path"] in v0_paths for m in commit["add"]
-        ):
-            for p in v0_paths:
-                try:
-                    os.remove(os.path.join(root, p))
-                except FileNotFoundError:
-                    pass
-            t._try_commit = orig_try  # the rollback commit runs clean
-        return v
-
-    t._try_commit = sabotage
-    with pytest.raises(FileNotFoundError, match="raced a concurrent vacuum"):
-        t.restore(0)
-    # HEAD is the intact pre-restore state, fully readable
-    assert [r.v for r in t.snapshot().collect()] == [111.0]
-    assert t.history()[-1]["operation"] == "restore"  # the rollback commit
+    v = t.restore(0)
+    # the guard refreshed every target mtime before the commit — a
+    # vacuum racing the window sees in-retention files and skips them
+    assert all(
+        os.path.getmtime(os.path.join(root, p)) > time.time() - 60
+        for p in v0_paths
+    )
+    assert t.snapshot(v).count() == 50
+    # and a post-restore retention vacuum keeps the (now live) targets
+    t.vacuum(retention_sec=3600)
+    assert t.snapshot().count() == 50
 
 
 def test_relative_root_delete_still_matches_files(spark, root):
