@@ -1301,3 +1301,21 @@ def test_relative_root_delete_still_matches_files(spark, root):
     v = t.delete("tag = 's0'")
     assert v == 1
     assert t.snapshot().count() == 10, "relative-root delete no-opped"
+
+
+def test_change_feed_across_restore_emits_readded_rows(spark, root):
+    """CDC semantics of RESTORE at file granularity: the restore commit
+    re-adds the target snapshot's files, so an incremental consumer
+    sees those rows as update_or_insert at the restore version — the
+    rows logically re-entered the table — and never crashes on the
+    narrowed schema."""
+    t = _mk(spark, root, n=20, files=1)               # v0
+    t.overwrite(spark.createDataFrame(
+        [(999, 1.0, "only")], "k long, v double, tag string"
+    ))                                                # v1
+    v = t.restore(0)                                  # v2
+    feed = t.changes(1)  # commits (1, head] -> just the restore
+    rows = feed.collect()
+    assert {r._change_type for r in rows} == {"update_or_insert"}
+    assert {r._commit_version for r in rows} == {v}
+    assert sorted(r.k for r in rows) == list(range(20))
