@@ -94,19 +94,22 @@ _VIEWS_TAG = "spark.artemia.registered_views_sf_dir"
 
 
 class _RWLock:
-    """Minimal readers-writer lock (no stdlib one).  Writer-preference
-    is not implemented — view re-registration is rare (once per
-    (session, sf_dir)) and reader bursts are short analyses, so
-    starvation is not a practical concern here."""
+    """Minimal readers-writer lock (no stdlib one) with writer
+    preference: once a writer is waiting, new readers block until it
+    has run, so a sustained stream of overlapping run_sql readers at
+    one sf_dir can never starve a re-registration for another sf_dir
+    indefinitely (ADVICE r8).  In-flight readers finish normally —
+    the writer waits only for the readers it found, not new ones."""
 
     def __init__(self) -> None:
         self._cond = threading.Condition()
         self._readers = 0
         self._writing = False
+        self._writers_waiting = 0
 
     def acquire_read(self) -> None:
         with self._cond:
-            while self._writing:
+            while self._writing or self._writers_waiting:
                 self._cond.wait()
             self._readers += 1
 
@@ -118,8 +121,12 @@ class _RWLock:
 
     def acquire_write(self) -> None:
         with self._cond:
-            while self._writing or self._readers:
-                self._cond.wait()
+            self._writers_waiting += 1
+            try:
+                while self._writing or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
             self._writing = True
 
     def release_write(self) -> None:

@@ -189,6 +189,13 @@ class RunLedger:
         (floor(s*1000+0.5) — the registry's engine-portable encoding
         for interpolated percentiles; never a raw double).
 
+        Duration percentiles cover EXECUTED stages only: ``skipped``
+        and ``upstream_failed`` rows record ``duration_s = 0.0`` for a
+        stage that never ran, and including them drags p50/p95 toward
+        zero, misreporting stage latency (ADVICE r8).  ``failed``
+        stages DID run, so their durations stay in.  Counts
+        (``n_stages`` etc.) still cover every recorded row.
+
         Two metadata-sized aggregations (run-level over ``runs()``,
         stage-level over ``read()``) joined per pipeline — the ledger
         is one row per stage per run, so even a year of runs is
@@ -199,6 +206,10 @@ class RunLedger:
             F.count(F.lit(1)).cast("bigint").alias("n_runs"),
             F.sum("any_failed").cast("bigint").alias("n_failed_runs"),
         )
+        executed_dur = F.when(
+            ~F.col("state").isin("skipped", "upstream_failed"),
+            F.col("duration_s"),
+        )
         per_stage = self.read(spark).groupBy("pipeline").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_stages"),
             F.sum(
@@ -207,10 +218,10 @@ class RunLedger:
             F.sum(F.when(F.col("sla_missed"), 1).otherwise(0))
             .cast("bigint").alias("n_sla_missed"),
             F.floor(
-                F.expr("percentile(duration_s, 0.5)") * 1000 + F.lit(0.5)
+                F.percentile(executed_dur, F.lit(0.5)) * 1000 + F.lit(0.5)
             ).cast("bigint").alias("p50_stage_ms"),
             F.floor(
-                F.expr("percentile(duration_s, 0.95)") * 1000 + F.lit(0.5)
+                F.percentile(executed_dur, F.lit(0.95)) * 1000 + F.lit(0.5)
             ).cast("bigint").alias("p95_stage_ms"),
         )
         return per_run.join(per_stage, "pipeline")
@@ -222,17 +233,18 @@ def _register_health_query() -> None:
     # Deterministic ledger fixture: fixed pipelines/stages/durations.
     # run_ids are uuid-random but aggregated away, so the rollup is
     # exactly reproducible; the oracle is the hand-computed VALUES
-    # literal (percentile = linear interpolation at p*(n-1): ingest
-    # durations sorted [1.0,1.5,2.0,2.5,3.0,5.0] -> p50 2.25s, p95
-    # 4.5s; export [0.0,0.5] -> 0.25s / 0.475s).
+    # literal (percentile = linear interpolation at p*(n-1), over
+    # EXECUTED stages only — skipped rows are excluded, ADVICE r8:
+    # ingest durations sorted [1.0,1.5,2.0,2.5,3.0,5.0] -> p50 2.25s,
+    # p95 4.5s; export [0.5] (the skipped s2 is out) -> 0.5s / 0.5s).
     _ORACLE = """
     SELECT * FROM (VALUES
       ('ingest', CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(6 AS BIGINT),
        CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(2250 AS BIGINT),
        CAST(4500 AS BIGINT)),
       ('export', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
-       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(250 AS BIGINT),
-       CAST(475 AS BIGINT))
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(500 AS BIGINT),
+       CAST(500 AS BIGINT))
     ) AS t(pipeline, n_runs, n_failed_runs, n_stages, n_stage_failures,
            n_sla_missed, p50_stage_ms, p95_stage_ms)
     """

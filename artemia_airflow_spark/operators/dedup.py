@@ -301,6 +301,27 @@ def ngram_jaccard_pairs(
         .withColumn("__bmin", F.min(id_col).over(wb))
         .localCheckpoint(eager=True)
     )
+    # Degradation is silent recall loss without a signal (ADVICE r8):
+    # tell the caller when any bucket actually degraded.  One scalar
+    # aggregate over the ALREADY-checkpointed relation — no recompute
+    # of the signature/LSH subtree, 1-row collect.
+    n_degraded = sized.agg(
+        F.count_distinct(
+            F.when(F.col("__bsize") > max_bucket, F.struct("band", "band_hash"))
+        ).alias("n")
+    ).collect()[0]["n"]
+    if n_degraded:
+        import warnings
+
+        warnings.warn(
+            f"ngram_jaccard_pairs: {n_degraded} LSH bucket(s) exceeded "
+            f"max_bucket={max_bucket} and degraded to linear bucket-min "
+            "pairing — pairs BETWEEN non-min members of those buckets "
+            "are not listed (reduced recall); run exact dedup first or "
+            "raise max_bucket",
+            UserWarning,
+            stacklevel=2,
+        )
     small_pairs = (
         sized.filter(F.col("__bsize").between(2, max_bucket))
         .groupBy("band", "band_hash")

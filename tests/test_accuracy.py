@@ -398,9 +398,10 @@ def test_ngram_pairs_bucket_guard_degrades_linearly(spark):
     quad = {(a, b) for a in range(6) for b in range(6) if a < b}
     assert got_full == quad  # default cap: full quadratic listing
 
-    guarded = ngram_jaccard_pairs(
-        df, "text", "doc_id", threshold=0.8, max_bucket=3
-    )
+    with pytest.warns(UserWarning, match="degraded to linear"):
+        guarded = ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.8, max_bucket=3
+        )
     got = {(r.id_a, r.id_b) for r in guarded.collect()}
     assert got == {(0, b) for b in range(1, 6)}, got  # linear, min-rooted
     # identical docs: jaccard 1.0 on every surviving edge

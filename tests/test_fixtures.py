@@ -52,3 +52,51 @@ def test_fixture_schema_contract(spark, table):
             "fixture encoding drifted; check catalog.scan normalization"
         )
     assert df.limit(1).count() == 1, f"{table}: fixture is empty"
+
+
+def test_rwlock_writer_preference_blocks_new_readers():
+    """ADVICE r8: once a writer waits on the views lock, NEW readers
+    queue behind it — a sustained reader stream can no longer starve
+    a re-registration (the writer runs as soon as in-flight readers
+    drain)."""
+    import threading
+    import time
+
+    from artemia_airflow_spark.catalog import _RWLock
+
+    lock = _RWLock()
+    order: list[str] = []
+    lock.acquire_read()  # in-flight reader
+
+    writer_in = threading.Event()
+    reader_in = threading.Event()
+
+    def writer():
+        lock.acquire_write()
+        order.append("writer")
+        writer_in.set()
+        lock.release_write()
+
+    def late_reader():
+        # started AFTER the writer is waiting: must queue behind it
+        lock.acquire_read()
+        order.append("reader")
+        reader_in.set()
+        lock.release_read()
+
+    tw = threading.Thread(target=writer)
+    tw.start()
+    # wait until the writer is registered as waiting
+    for _ in range(200):
+        if lock._writers_waiting:
+            break
+        time.sleep(0.01)
+    assert lock._writers_waiting == 1
+    tr = threading.Thread(target=late_reader)
+    tr.start()
+    time.sleep(0.05)
+    assert not order, "writer or late reader ran past the held read lock"
+    lock.release_read()  # drain the in-flight reader
+    assert writer_in.wait(5.0) and reader_in.wait(5.0)
+    tw.join(5.0), tr.join(5.0)
+    assert order == ["writer", "reader"]

@@ -254,6 +254,17 @@ def test_health_rolls_up_runs_stages_and_percentiles(spark, root):
     # sorted [1.0, 2.0, 3.0, 5.0]: p50 = 2.5s, p95 = 4.7s (interpolated)
     assert (row.p50_stage_ms, row.p95_stage_ms) == (2500, 4700)
 
+    # skipped / upstream_failed stages never ran (duration 0.0 is a
+    # placeholder, not a latency) — they count in n_stages but are
+    # excluded from the duration percentiles (ADVICE r8)
+    led.record(spark, "p", {
+        "s1": StageResult("skipped"),
+        "s2": StageResult("upstream_failed"),
+    })
+    row = {r.pipeline: r for r in led.health(spark).collect()}["p"]
+    assert (row.n_runs, row.n_stages) == (3, 6)
+    assert (row.p50_stage_ms, row.p95_stage_ms) == (2500, 4700)
+
     # a real run's health row: counts exact, durations merely sane
     pipe = Pipeline("real", ledger=led)
 
