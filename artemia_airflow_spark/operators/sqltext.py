@@ -164,3 +164,65 @@ def q_sql_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters reach the orders scans) — the same family the DataFrame
     faces q_set_intersect/q_set_except pin."""
     return run_sql(spark, sf_dir, SETOP_SQL)
+
+
+# Time-travel SQL face (B97 x B89, VERDICT r8 item 6): raw SQL over a
+# registered TRANSACTIONAL-table snapshot, joined against fixture
+# views in one statement.  The view is pinned to version 0 while the
+# table's head has already deleted the 'F' orders — a broken time
+# travel (head read) loses a whole group and fails the hash match.
+# The oracle is the same aggregate over the fixture ``orders`` table,
+# which IS the v0 state by construction.
+TIMETRAVEL_SQL = """
+    SELECT o_orderstatus, n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders_asof
+    JOIN customer ON cust = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY o_orderstatus, n_name
+"""
+
+TIMETRAVEL_ORACLE = """
+    SELECT o_orderstatus, n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY o_orderstatus, n_name
+"""
+
+
+@declared("q_sql_timetravel", oracle=TIMETRAVEL_ORACLE)
+def q_sql_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SQL with TIME TRAVEL over an engine-owned transactional
+    table: build a TxTable from orders, DELETE the 'F' group at the
+    head, register version 0 as the ``orders_asof`` view
+    (catalog.register_txtable), and run one SQL statement joining the
+    pinned snapshot against live fixture views.  Snapshot isolation
+    makes the view stable: the head delete is invisible at v0."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.catalog import register_txtable, scan
+    from artemia_airflow_spark.session import ensure_engine_conf
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    ensure_engine_conf(spark)
+    root = os.path.join(tempfile.gettempdir(), "aas_sql_tt")
+    shutil.rmtree(root, ignore_errors=True)
+    o = scan(spark, sf_dir, "orders")
+    target = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+    ).repartition(4)
+    t = TxTable.create(spark, target, root, key_col="k")  # v0
+    t.delete("o_orderstatus = 'F'")                       # v1 = head
+    register_txtable(spark, "orders_asof", t, version=0)
+    return run_sql(spark, sf_dir, TIMETRAVEL_SQL)

@@ -24,37 +24,47 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 # Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
-# in insertion order and caps at ~50 entries per round.  Round-8 window
-# (VERDICT r7 item 1): (a) the queries new/changed in round 8 (raw-SQL
-# window/correlated-subquery/set-op faces, ledger health, plus any
-# operator whose implementation this round touched), then (b) the
-# COMPLETE 45-row r5-stale tail — every query whose newest driver
-# CORRECTNESS row is r5, exactly the set VERDICT r7 names.  After this
-# window lands, no query's newest row is older than r6.
-# ROUND-9 ROTATION NOTE: the stale tail will then be the 49 r6 rows
-# (q_dedup_*, q_source_json/http*, q_agg_approx/grouping_sets/hll,
-# q_stream_tumble/slide/join/dedup/enrich/join_outer, q_sink_partitioned,
-# q_merge_acid, q_quantile_sketch, q_profile, q_mix_*, q_text_chunk/
-# tfidf/tokens/quality, q_distinct_cols, q_fn_date2, q_multimodal*, ...)
-# — front-load those plus whatever round 9 changes.
+# in insertion order and caps at ~50 entries per round.  Round-9 window
+# (VERDICT r8 item 1): (a) queries NEW or IMPLEMENTATION-CHANGED in
+# round 9 — the column-mapping oracle, the SQL time-travel face, the
+# portable MinHash oracle, the ledger-health oracle update (skipped
+# stages out of percentiles), and q_dedup_ngram (degraded-bucket
+# signal added) — then (b) the COMPLETE 48-row r6-stale tail (every
+# query whose newest driver row is r6, per VERDICT r8).  5 + 48 = 53:
+# the driver caps at ~50, so the LAST three entries — all rows-only
+# multimodal/packing checks, the weakest-value rows — may slip to the
+# r10 window; they are deliberately ordered last.
+# ROUND-10 ROTATION NOTE: the stale tail will then be the 50-row r7
+# window (q_agg_global/percentile/filtered, q_pivot, q_window_range_
+# frame, q_join_right, q_fn_map/json/null/string2, q_subq_*, q_udf_
+# scalar, q_pandas_norm, q_udtf, q_sink_bucketed, q_pii_redact,
+# q_pack_sequences, q_stream_first, q_merge_upsert, q_scd2, q_rollup_
+# incremental, q_length_buckets, tpch q7/q14/q4/q18/q19/q21/q13/q22/
+# q6/q15/q8 + composites, q_sim_topk, q_text_scrub/quality_full/
+# wordpiece/oov, q_sql_text/join, ...) plus whatever slipped here.
 PRIORITY: list[str] = [
-    # (a) new/changed in round 8
-    "q_sql_window", "q_sql_subq_corr", "q_sql_setop",
+    # (a) new/changed in round 9
+    "q_schema_evolution", "q_sql_timetravel", "q_dedup_minhash_portable",
     "q_ledger_health", "q_dedup_ngram",
-    # (b) the complete r5 tail (VERDICT r7 item 1 names exactly this
-    # 45-row set — newest driver row two rounds old)
-    "q_agg_cube", "q_agg_distinct", "q_agg_rollup", "q_case",
-    "q_decontaminate", "q_filter", "q_filter_pred", "q_fn_array",
-    "q_fn_date", "q_fn_math", "q_fn_string", "q_gapfill",
-    "q_join_anti", "q_join_asof", "q_join_broadcast", "q_join_cross",
-    "q_join_full", "q_join_inner", "q_join_left", "q_join_range",
-    "q_join_semi", "q_multimodal_decode", "q_project", "q_scan",
-    "q_set_except", "q_set_intersect", "q_set_union", "q_shard",
-    "q_sim_ann_lsh", "q_sim_ivf", "q_sink_parquet", "q_source_cap",
-    "q_stream_session", "q_stream_session_state", "q_text_langid",
-    "q_topk", "q_tpch_q10", "q_tpch_q17", "q_tpch_q3", "q_tpch_q5",
-    "q_unpivot", "q_window_dist", "q_window_lag", "q_window_rank",
-    "q_window_running",
+    # (b) the complete r6 tail (oldest rows first in value terms:
+    # full-oracle rows, then rows-only; the final three are the
+    # designated slip-to-r10 candidates)
+    "q_dedup_exact", "q_dedup_embed", "q_merge_acid",
+    "q_sink_partitioned", "q_source_json", "q_source_http",
+    "q_source_http_ds", "q_distinct_cols", "q_fn_date2",
+    "q_agg_grouping_sets", "q_agg_percentile", "q_agg_filtered",
+    "q_quantile_sketch", "q_profile", "q_mix_weights", "q_mix_apply",
+    "q_mix_temperature", "q_mix_temperature_apply", "q_text_chunk",
+    "q_text_tfidf", "q_text_tokens", "q_text_quality",
+    "q_stream_tumble", "q_stream_slide", "q_stream_join",
+    "q_stream_join_outer", "q_stream_dedup", "q_stream_enrich",
+    "q_join_salted", "q_sample_stratified", "q_embed_centroid",
+    "q_embed_stats", "q_multimodal", "q_pipeline",
+    "q_agg_approx", "q_agg_approx_percentile", "q_agg_hll",
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
+    "q_dedup_embed_lsh", "q_dedup_semantic", "q_dedup_substring",
+    "q_decontaminate_substring", "q_decontaminate_bloom",
+    "q_multimodal_neardup", "q_multimodal_pipeline", "q_pack_firstfit",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"

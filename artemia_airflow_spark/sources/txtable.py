@@ -161,8 +161,44 @@ def _file_stats(path: str) -> tuple[dict, int]:
     return out, md.num_rows
 
 
+def _physical_struct(schema, mapping: dict | None):
+    """The parquet-side shape of ``schema``: logical field names
+    replaced by their physical names (identity when no mapping)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not mapping:
+        return schema
+    return StructType(
+        [
+            StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Alias a logical frame to physical column names for writing."""
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
 class TxTable:
-    """Handle on a transactional parquet table rooted at ``root``."""
+    """Handle on a transactional parquet table rooted at ``root``.
+
+    Column mapping (B89 extension, VERDICT r8): commits may carry a
+    ``column_mapping`` {logical name -> physical name}.  Data files
+    always store PHYSICAL names; readers project physical -> logical,
+    so ``rename_column`` / ``drop_column`` are metadata-only commits —
+    no data rewrite, exactly Delta's column-mapping ``name`` mode.
+    Tables start mapping-less (physical == logical); the first rename
+    or drop materializes a full identity mapping, and from then on
+    every NEW column gets a fresh unique physical name so a re-added
+    logical name can never resurrect a dropped column's bytes from
+    old files.  Footer stats stay keyed by physical names; the
+    pruning reader translates."""
 
     def __init__(
         self, spark: SparkSession, root: str, *,
@@ -316,6 +352,8 @@ class TxTable:
                 with open(_version_path(self.root, v)) as f:
                     commits.append(json.load(f))
             start_head = {"schema": cp["schema"], "key_col": cp["key_col"]}
+            if cp.get("column_mapping") is not None:
+                start_head["column_mapping"] = cp["column_mapping"]
         for c in commits:
             for p in c["remove"]:
                 live.pop(p, None)
@@ -341,6 +379,8 @@ class TxTable:
             "schema": head["schema"],
             "key_col": head["key_col"],
         }
+        if head.get("column_mapping") is not None:
+            cp["column_mapping"] = head["column_mapping"]
         staged = os.path.join(_log_dir(self.root), f"_tmp_cp_{uuid.uuid4().hex}")
         with open(staged, "w") as f:
             json.dump(cp, f)
@@ -352,6 +392,25 @@ class TxTable:
         return v
 
     # -- read ----------------------------------------------------------
+    def _read_logical(
+        self, paths: list[str], logical_schema, mapping: dict | None
+    ) -> DataFrame:
+        """Scan ``paths`` by the PHYSICAL schema and project back to
+        logical names — the one read implementation every snapshot/
+        merge/delete/changes path shares once column mapping exists.
+        Missing physical columns (files older than a widening) read as
+        nulls via the explicit read schema, exactly as before."""
+        phys = _physical_struct(logical_schema, mapping)
+        df = self.spark.read.schema(phys).parquet(*paths)
+        if not mapping:
+            return df
+        return df.select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in logical_schema.fields
+            ]
+        )
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as a DataFrame at ``version`` (default: head).
         Resolves the file list ONCE — immutable files make the scan
@@ -363,7 +422,7 @@ class TxTable:
         if not live:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, m["path"]) for m in live]
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_logical(paths, schema, head.get("column_mapping"))
 
     def files(self, version: int | None = None) -> list[dict]:
         return self._live(version)[0]
@@ -412,12 +471,15 @@ class TxTable:
         live, head = self._live(version)
         schema = StructType.fromJson(json.loads(head["schema"]))
         key = self._key_col()
+        mapping = head.get("column_mapping") or {}
 
         def intersects(m: dict, col: str, lo, hi) -> bool:
             if col == key and m.get("key_min") is not None:
                 flo, fhi = m["key_min"], m["key_max"]
             else:
-                cs = (m.get("col_stats") or {}).get(col)
+                # col_stats are keyed by PHYSICAL names (harvested from
+                # parquet footers); translate the logical column
+                cs = (m.get("col_stats") or {}).get(mapping.get(col, col))
                 if not cs:
                     return True
                 flo, fhi = cs
@@ -435,8 +497,10 @@ class TxTable:
             picked = [m for m in picked if intersects(m, col, lo, hi)]
         if not picked:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, m["path"]) for m in picked]
+        df = self._read_logical(
+            [os.path.join(self.root, m["path"]) for m in picked],
+            schema,
+            head.get("column_mapping"),
         )
         conds = []
         for col, (lo, hi) in ranges.items():
@@ -476,7 +540,8 @@ class TxTable:
     # files (pure-insert change set) still decided "insert" by
     # observing those keys absent.
     _READ_SET_OPS = frozenset(
-        {"merge", "delete", "overwrite", "compact", "cluster", "restore"}
+        {"merge", "delete", "overwrite", "compact", "cluster", "restore",
+         "rename_column", "drop_column"}
     )
 
     def _try_commit(self, commit: dict, *, read_version: int) -> int:
@@ -529,6 +594,16 @@ class TxTable:
                 from pyspark.sql.types import StructType
 
                 _, new_head = self._live(self.version())
+                if new_head.get("column_mapping") != commit.get("column_mapping"):
+                    # a concurrent rename/drop (or a mapped widening)
+                    # changed the logical->physical mapping this append
+                    # wrote its files under — rebasing could re-add a
+                    # just-renamed/dropped column or resurrect burned
+                    # physical names; only a re-run is safe
+                    raise CommitConflict(
+                        "concurrent commit changed the column mapping — "
+                        "re-run this append against the new head"
+                    ) from None
                 head_schema = StructType.fromJson(json.loads(new_head["schema"]))
                 mine = StructType.fromJson(json.loads(commit["schema"]))
                 head_by_name = {f.name: f for f in head_schema.fields}
@@ -643,7 +718,18 @@ class TxTable:
         cons = self.constraints()
         if cons:
             _enforce_constraints(df, cons, self.root)
-        adds = _write_data_files(df, self.root, self._key_col())
+        mapping = head.get("column_mapping")
+        if mapping is not None and extra:
+            # mapped table: new logical columns get FRESH physical
+            # names so a name dropped earlier can never resurrect its
+            # old bytes from pre-drop files
+            mapping = {
+                **mapping,
+                **{f.name: f"col_{uuid.uuid4().hex[:8]}" for f in extra},
+            }
+        adds = _write_data_files(
+            _to_physical(df, mapping), self.root, self._key_col()
+        )
         commit = {
             "operation": "append",
             "add": adds,
@@ -651,6 +737,8 @@ class TxTable:
             "schema": new_schema.json(),
             "key_col": self._key_col(),
         }
+        if mapping is not None:
+            commit["column_mapping"] = mapping
         if meta:
             commit["meta"] = meta
         return self._try_commit(commit, read_version=v)
@@ -665,17 +753,28 @@ class TxTable:
         cons = self.constraints()
         if cons:
             _enforce_constraints(df, cons, self.root)
-        adds = _write_data_files(df, self.root, self._key_col())
-        return self._try_commit(
-            {
-                "operation": "overwrite",
-                "add": adds,
-                "remove": [m["path"] for m in live],
-                "schema": df.schema.json(),
-                "key_col": self._key_col(),
-            },
-            read_version=read_version,
+        mapping = head.get("column_mapping")
+        if mapping is not None:
+            # retained logical names keep their physical names (time
+            # travel across the overwrite stays consistent); brand-new
+            # ones get fresh physical names per the mapped-table rule
+            mapping = {
+                c: mapping.get(c, f"col_{uuid.uuid4().hex[:8]}")
+                for c in df.columns
+            }
+        adds = _write_data_files(
+            _to_physical(df, mapping), self.root, self._key_col()
         )
+        commit = {
+            "operation": "overwrite",
+            "add": adds,
+            "remove": [m["path"] for m in live],
+            "schema": df.schema.json(),
+            "key_col": self._key_col(),
+        }
+        if mapping is not None:
+            commit["column_mapping"] = mapping
+        return self._try_commit(commit, read_version=read_version)
 
     def merge(
         self, changes: DataFrame, *, delete_col: str | None = None,
@@ -736,15 +835,18 @@ class TxTable:
         # _live() replay via snapshot() just to read .schema is wasted
         # log I/O on the hot merge path
         table_schema = StructType.fromJson(json.loads(head["schema"]))
+        mapping = head.get("column_mapping")
         touched_metas = [m for m in live if m["path"] in touched]
         if touched_metas:
-            base = self.spark.read.schema(table_schema).parquet(
-                *[os.path.join(self.root, m["path"]) for m in touched_metas]
+            base = self._read_logical(
+                [os.path.join(self.root, m["path"]) for m in touched_metas],
+                table_schema,
+                mapping,
             )
         else:
             base = self.spark.createDataFrame([], table_schema)
         merged = merge_upsert(base, changes, key, delete_col=delete_col)
-        adds = _write_data_files(merged, self.root, key)
+        adds = _write_data_files(_to_physical(merged, mapping), self.root, key)
         commit = {
             "operation": "merge",
             "add": adds,
@@ -752,6 +854,8 @@ class TxTable:
             "schema": head["schema"],
             "key_col": key,
         }
+        if mapping is not None:
+            commit["column_mapping"] = mapping
         if meta:
             commit["meta"] = meta
         return self._try_commit(commit, read_version=read_version)
@@ -782,8 +886,11 @@ class TxTable:
         ]
         if not touched:
             return read_version  # nothing matched: no-op, no commit
-        base = self.spark.read.schema(snap.schema).parquet(
-            *[os.path.join(self.root, m["path"]) for m in touched]
+        mapping = head.get("column_mapping")
+        base = self._read_logical(
+            [os.path.join(self.root, m["path"]) for m in touched],
+            snap.schema,
+            mapping,
         )
         # keep every row the predicate does NOT match — including rows
         # where it evaluates to NULL.  A plain NOT(pred) filter drops
@@ -791,17 +898,19 @@ class TxTable:
         # rows the delete never matched; DELETE semantics remove only
         # rows where the predicate is TRUE.
         kept = base.filter(f"NOT coalesce(({predicate}), false)")
-        adds = _write_data_files(kept, self.root, self._key_col())
-        return self._try_commit(
-            {
-                "operation": "delete",
-                "add": adds,
-                "remove": [m["path"] for m in touched],
-                "schema": head["schema"],
-                "key_col": self._key_col(),
-            },
-            read_version=read_version,
+        adds = _write_data_files(
+            _to_physical(kept, mapping), self.root, self._key_col()
         )
+        commit = {
+            "operation": "delete",
+            "add": adds,
+            "remove": [m["path"] for m in touched],
+            "schema": head["schema"],
+            "key_col": self._key_col(),
+        }
+        if mapping is not None:
+            commit["column_mapping"] = mapping
+        return self._try_commit(commit, read_version=read_version)
 
     def _commit_ts(self, v: int) -> float | None:
         with open(_version_path(self.root, v)) as f:
@@ -895,6 +1004,7 @@ class TxTable:
                 f"since_version {since_version} is beyond head {len(commits) - 1}"
             )
         head_schema = StructType.fromJson(json.loads(commits[-1]["schema"]))
+        head_mapping = commits[-1].get("column_mapping")
         parts = []
         for v in range(since_version + 1, len(commits)):
             c = commits[v]
@@ -910,7 +1020,9 @@ class TxTable:
                 else "update_or_insert"
             )
             parts.append(
-                self.spark.read.schema(head_schema).parquet(*paths)
+                # head schema + head mapping apply to every commit's
+                # files: physical names are stable across renames
+                self._read_logical(paths, head_schema, head_mapping)
                 .withColumn("_commit_version", F.lit(v))
                 .withColumn("_change_type", F.lit(change_type))
             )
@@ -955,21 +1067,26 @@ class TxTable:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(head["schema"]))
-        snap = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, m["path"]) for m in candidates]
+        mapping = head.get("column_mapping")
+        snap = self._read_logical(
+            [os.path.join(self.root, m["path"]) for m in candidates],
+            schema,
+            mapping,
         ).repartition(target_files)
-        adds = _write_data_files(snap, self.root, self._key_col())
-        return self._try_commit(
-            {
-                "operation": "compact",
-                "add": adds,
-                "remove": [m["path"] for m in candidates],
-                "schema": head["schema"],
-                "key_col": self._key_col(),
-                "data_change": False,  # physical rewrite: changes() skips it
-            },
-            read_version=read_version,
+        adds = _write_data_files(
+            _to_physical(snap, mapping), self.root, self._key_col()
         )
+        commit = {
+            "operation": "compact",
+            "add": adds,
+            "remove": [m["path"] for m in candidates],
+            "schema": head["schema"],
+            "key_col": self._key_col(),
+            "data_change": False,  # physical rewrite: changes() skips it
+        }
+        if mapping is not None:
+            commit["column_mapping"] = mapping
+        return self._try_commit(commit, read_version=read_version)
 
     def cluster(
         self, *, num_files: int = 8, by: list[str] | None = None,
@@ -1035,18 +1152,19 @@ class TxTable:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-        adds = _write_data_files(snap, self.root, key)
-        return self._try_commit(
-            {
-                "operation": "cluster",
-                "add": adds,
-                "remove": [m["path"] for m in live],
-                "schema": head["schema"],
-                "key_col": key,
-                "data_change": False,  # physical rewrite: changes() skips it
-            },
-            read_version=read_version,
-        )
+        mapping = head.get("column_mapping")
+        adds = _write_data_files(_to_physical(snap, mapping), self.root, key)
+        commit = {
+            "operation": "cluster",
+            "add": adds,
+            "remove": [m["path"] for m in live],
+            "schema": head["schema"],
+            "key_col": key,
+            "data_change": False,  # physical rewrite: changes() skips it
+        }
+        if mapping is not None:
+            commit["column_mapping"] = mapping
+        return self._try_commit(commit, read_version=read_version)
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: make the HEAD state equal the table's
@@ -1091,13 +1209,128 @@ class TxTable:
             # version and add history noise — mirror delete()'s
             # short-circuit (ADVICE r8)
             return read_version
+        commit = {
+            "operation": "restore",
+            "add": [m for m in target_live if m["path"] not in cur_paths],
+            "remove": sorted(cur_paths - target_paths),
+            "schema": target_head["schema"],
+            "key_col": target_head["key_col"],
+        }
+        if target_head.get("column_mapping") is not None:
+            # restoring across a rename/drop round-trips the mapping
+            commit["column_mapping"] = target_head["column_mapping"]
+        return self._try_commit(commit, read_version=read_version)
+
+    # -- schema evolution beyond widening (column mapping) -------------
+    def _head_and_mapping(self, read_version: int):
+        from pyspark.sql.types import StructType
+
+        _, head = self._live(read_version)
+        schema = StructType.fromJson(json.loads(head["schema"]))
+        mapping = head.get("column_mapping")
+        if mapping is None:
+            # first rename/drop materializes the FULL identity mapping;
+            # from here on new columns get fresh physical names
+            mapping = {f.name: f.name for f in schema.fields}
+        return head, schema, dict(mapping)
+
+    def _check_constraints_see(self, schema, *, changed: str) -> None:
+        """A CHECK predicate referencing a renamed/dropped column would
+        make every later write fail at enforcement time — refuse the
+        schema change up front instead.  Resolution against an empty
+        frame with the POST-change schema is the exact test (Spark
+        analyzes eagerly), with no dependence on string matching."""
+        for name, pred in self.constraints().items():
+            try:
+                self.spark.createDataFrame([], schema).filter(pred)
+            except Exception:
+                raise ValueError(
+                    f"cannot change column {changed!r}: CHECK constraint "
+                    f"{name!r} ({pred}) references it"
+                ) from None
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column RENAME (Delta column-mapping ``name``
+        mode): the logical schema changes, the PHYSICAL name inside
+        every data file stays what it was, so no byte of data moves —
+        one commit renames a column on a 100 TB table.  Reads at older
+        versions still see the old name (each commit carries its own
+        mapping), and :meth:`restore` across a rename round-trips.
+
+        The key column cannot be renamed (it anchors commit-0 metadata,
+        merge pruning, and every file's key stats); columns referenced
+        by CHECK constraints cannot be renamed (writes would fail at
+        enforcement).  Conflicts with ANY concurrent commit (read-set
+        semantics: the rename was decided from this snapshot's
+        schema)."""
+        read_version = self.version()
+        head, schema, mapping = self._head_and_mapping(read_version)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} to rename")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if old == self._key_col():
+            raise ValueError(
+                f"cannot rename key column {old!r} (commit-0 anchor)"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old else f
+                for f in schema.fields
+            ]
+        )
+        self._check_constraints_see(new_schema, changed=old)
+        mapping[new] = mapping.pop(old)  # physical name is unchanged
         return self._try_commit(
             {
-                "operation": "restore",
-                "add": [m for m in target_live if m["path"] not in cur_paths],
-                "remove": sorted(cur_paths - target_paths),
-                "schema": target_head["schema"],
-                "key_col": target_head["key_col"],
+                "operation": "rename_column",
+                "add": [],
+                "remove": [],
+                "schema": new_schema.json(),
+                "key_col": self._key_col(),
+                "column_mapping": mapping,
+                "meta": {"rename": {"from": old, "to": new}},
+            },
+            read_version=read_version,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column DROP: the column leaves the logical
+        schema and the mapping; its physical bytes stay in existing
+        files (invisible — reads project through the mapping) until
+        those files are naturally rewritten.  A later ``append(...,
+        merge_schema=True)`` re-adding the same logical name gets a
+        FRESH physical name, so the dropped column's old values can
+        never leak back.  Same key/constraint/conflict rules as
+        :meth:`rename_column`."""
+        read_version = self.version()
+        head, schema, mapping = self._head_and_mapping(read_version)
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no column {name!r} to drop")
+        if name == self._key_col():
+            raise ValueError(
+                f"cannot drop key column {name!r} (commit-0 anchor)"
+            )
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        self._check_constraints_see(new_schema, changed=name)
+        mapping.pop(name)
+        return self._try_commit(
+            {
+                "operation": "drop_column",
+                "add": [],
+                "remove": [],
+                "schema": new_schema.json(),
+                "key_col": self._key_col(),
+                "column_mapping": mapping,
+                "meta": {"drop": name},
             },
             read_version=read_version,
         )
@@ -1196,6 +1429,9 @@ class TxTable:
             "schema": head["schema"],
             "key_col": head["key_col"],
         }
+        if head.get("column_mapping") is not None:
+            # referenced files store the source's physical names
+            commit["column_mapping"] = head["column_mapping"]
         cons = self.constraints()
         if cons:
             commit["constraints"] = cons
@@ -1464,6 +1700,63 @@ def _register_queries() -> None:
             F.sum(F.col("price").cast("decimal(18,2)"))
             .cast("double")
             .alias("total_price"),
+        )
+
+    _SCHEMA_EVO_ORACLE = """
+    WITH base AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount
+      FROM orders
+    ), appended AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 3 AS DOUBLE) AS amount
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM appended
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+    FROM unioned GROUP BY o_orderstatus
+    """
+
+    @declared("q_schema_evolution", oracle=_SCHEMA_EVO_ORACLE)
+    def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """B89 column mapping (VERDICT r8 item 2): create a table from
+        orders, RENAME price->amount and DROP clerk (both metadata-only
+        commits — zero files rewritten), append post-rename rows under
+        the new logical name, and aggregate the final snapshot.  The
+        hash match proves reads project old files' physical names
+        through the mapping correctly: base rows' ``amount`` is served
+        from files whose parquet column is still named ``price``."""
+        ensure_engine_conf(spark)
+        root = os.path.join(tempfile.gettempdir(), "aas_schema_evo")
+        shutil.rmtree(root, ignore_errors=True)
+        o = scan(spark, sf_dir, "orders")
+        target = o.select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+        ).repartition(4)
+        t = TxTable.create(spark, target, root, key_col="k")     # v0
+        n_files = len(t.files())
+        t.rename_column("price", "amount")                       # v1
+        t.drop_column("priority")                                # v2
+        assert len(t.files()) == n_files, "schema change rewrote data"
+        extra = o.filter(F.col("o_orderkey") % 7 == 0).select(
+            (F.col("o_orderkey") + 200_000_000).alias("k"),
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 3)
+            .cast("double")
+            .alias("amount"),
+        )
+        t.append(extra)                                          # v3
+        return t.snapshot().groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_amount"),
         )
 
 
