@@ -163,6 +163,26 @@ class RunLedger:
         )
         return {r.stage: json.loads(r.value_json) for r in rows}
 
+    def last_run_states(
+        self, spark: SparkSession, pipeline: str
+    ) -> dict[str, str] | None:
+        """{stage: state} of ``pipeline``'s most recently STARTED
+        committed run, or None when the pipeline has never run — the
+        depends_on_past gate's read (Pipeline.run).  Metadata-sized
+        collect: one run's stage rows."""
+        from pyspark.sql import functions as F
+
+        df = self.read(spark).filter(F.col("pipeline") == pipeline)
+        last = df.groupBy("run_id").agg(
+            F.max("started_at").alias("t")
+        ).orderBy(F.col("t").desc(), F.col("run_id")).limit(1).collect()
+        if not last:
+            return None
+        rows = df.filter(F.col("run_id") == last[0].run_id).select(
+            "stage", "state"
+        ).collect()
+        return {r.stage: r.state for r in rows}
+
     def runs(self, spark: SparkSession, pipeline: str | None = None) -> DataFrame:
         """One row per committed run with aggregate state (``success``
         iff no stage failed)."""

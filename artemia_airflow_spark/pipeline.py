@@ -135,6 +135,7 @@ class Stage:
         priority_weight: int = 1,
         on_failure: Callable[[str, "StageResult"], None] | None = None,
         on_retry: Callable[[str, int, BaseException], None] | None = None,
+        depends_on_past: bool = False,
     ) -> None:
         if trigger_rule not in TRIGGER_RULES:
             raise ValueError(f"trigger_rule must be one of {TRIGGER_RULES}")
@@ -170,6 +171,14 @@ class Stage:
         # sla_miss_callback semantics, distinct from the hard A11
         # run_timeout that aborts the run.
         self.sla_s = sla_s
+        # Airflow depends_on_past parity (A-surface, VERDICT r8 item 4):
+        # this stage runs only if ITS OWN instance in the pipeline's
+        # most recent ledger-recorded run did not fail — skipped/absent
+        # past instances (and the first run ever) allow it.  Blocked
+        # stages resolve upstream_failed so downstream gating cascades
+        # exactly like an in-run failure.  Requires a ledger-backed
+        # pipeline (checked at run()).
+        self.depends_on_past = depends_on_past
         self.upstream: list[Stage] = []
         self.downstream: list[Stage] = []
 
@@ -473,6 +482,7 @@ class Pipeline:
         triggers_on: tuple[str, ...] = (),
         max_active_tasks: int | None = None,
         pools: Mapping[str, int] | None = None,
+        max_active_runs: int | None = None,
     ) -> None:
         self.name = name
         # Concurrency caps (Airflow max_active_tasks + pools): a ready
@@ -485,6 +495,24 @@ class Pipeline:
         if max_active_tasks is not None and max_active_tasks < 1:
             raise ValueError("max_active_tasks must be >= 1")
         self.max_active_tasks = max_active_tasks
+        # Airflow max_active_runs parity (VERDICT r8 item 4): RUN-level
+        # concurrency cap.  run() acquires a slot before executing any
+        # stage and releases it when the run ends; a run beyond the cap
+        # BLOCKS (queues) until a slot frees — never fails, never
+        # skips.  Enforced in run() itself so every entry point (the
+        # ticker, backfill fan-out, ad-hoc threads) honors one cap.
+        if max_active_runs is not None and max_active_runs < 1:
+            raise ValueError("max_active_runs must be >= 1")
+        self.max_active_runs = max_active_runs
+        self._run_slots = (
+            threading.Semaphore(max_active_runs)
+            if max_active_runs is not None else None
+        )
+        self._active_lock = threading.Lock()
+        self._active_runs = 0
+        # diagnostics for tests/operators: high-water mark of
+        # concurrently active runs over the pipeline's lifetime
+        self.peak_active_runs = 0
         self.pools = dict(pools or {})
         for pname, slots in self.pools.items():
             if slots < 1:
@@ -541,6 +569,7 @@ class Pipeline:
         priority_weight: int = 1,
         on_failure: Callable[[str, StageResult], None] | None = None,
         on_retry: Callable[[str, int, BaseException], None] | None = None,
+        depends_on_past: bool = False,
     ) -> Callable[[Callable[[StageContext], Any]], Stage]:
         """Decorator sugar: ``@pipe.stage("t")`` over a ctx->Any fn (A6)."""
 
@@ -550,6 +579,7 @@ class Pipeline:
                     task_id, fn, retry=retry, trigger_rule=trigger_rule,
                     sla_s=sla_s, pool=pool, priority_weight=priority_weight,
                     on_failure=on_failure, on_retry=on_retry,
+                    depends_on_past=depends_on_past,
                 )
             )
 
@@ -702,6 +732,7 @@ class Pipeline:
         *,
         raise_on_failure: bool = True,
         resume_from: str | None = None,
+        ignore_depends_on_past: bool = False,
     ) -> dict[str, StageResult]:
         """Execute one DagRun; returns per-stage results.
 
@@ -715,9 +746,61 @@ class Pipeline:
         skipped and their recorded values injected downstream; failed /
         skipped / non-serializable-value stages re-execute.  Requires
         the pipeline to have been constructed with a ledger.
+
+        ``max_active_runs``: with the cap set, a run beyond it BLOCKS
+        here (queued) until an active run finishes — every entry point
+        (ticker, backfill fan-out, ad-hoc threads) funnels through this
+        one semaphore.  ``depends_on_past`` stages gate on the ledger's
+        most recent prior run (see Stage): a blocked stage resolves
+        upstream_failed and KEEPS blocking later runs until a
+        successful instance lands — Airflow's clear-and-rerun moment,
+        which this engine spells ``ignore_depends_on_past=True`` (the
+        `airflow dags backfill -i` flag) on the run that repairs the
+        chain.
         """
+        if self._run_slots is not None:
+            self._run_slots.acquire()
+        try:
+            with self._active_lock:
+                self._active_runs += 1
+                self.peak_active_runs = max(
+                    self.peak_active_runs, self._active_runs
+                )
+            try:
+                return self._execute_run(
+                    spark, params,
+                    raise_on_failure=raise_on_failure,
+                    resume_from=resume_from,
+                    ignore_depends_on_past=ignore_depends_on_past,
+                )
+            finally:
+                with self._active_lock:
+                    self._active_runs -= 1
+        finally:
+            if self._run_slots is not None:
+                self._run_slots.release()
+
+    def _execute_run(
+        self,
+        spark: SparkSession,
+        params: Mapping[str, Any] | None = None,
+        *,
+        raise_on_failure: bool = True,
+        resume_from: str | None = None,
+        ignore_depends_on_past: bool = False,
+    ) -> dict[str, StageResult]:
         start = time.monotonic()
         order = self._toposort()
+        past_states: dict[str, str] | None = None
+        if not ignore_depends_on_past and any(s.depends_on_past for s in order):
+            if self.ledger is None:
+                raise ValueError(
+                    "depends_on_past requires a ledger-backed pipeline "
+                    "(the gate reads the previous run's stage states)"
+                )
+            # one metadata read per run, shared by every gated stage;
+            # None = first run ever -> everything is allowed
+            past_states = self.ledger.last_run_states(spark, self.name)
         results: dict[str, StageResult] = {}
         values: dict[str, Any] = {}
         if resume_from is not None:
@@ -782,6 +865,26 @@ class Pipeline:
                 ready = granted
 
             def execute(s: Stage) -> None:
+                # depends_on_past gate first: a past-blocked stage runs
+                # no user code and resolves upstream_failed so default
+                # trigger rules cascade the block downstream, exactly
+                # like an in-run failure (Airflow: the instance won't
+                # schedule; downstream all_success instances follow)
+                if (
+                    s.depends_on_past
+                    and past_states is not None
+                    and past_states.get(s.task_id)
+                    in ("failed", "upstream_failed")
+                ):
+                    with lock:
+                        results[s.task_id] = StageResult(
+                            "upstream_failed",
+                            error=RuntimeError(
+                                f"depends_on_past: {s.task_id!r} did not "
+                                "succeed in the previous run"
+                            ),
+                        )
+                    return
                 try:
                     # _should_run runs INSIDE the try (ADVICE r6): a
                     # harness-path exception (e.g. a malformed branch

@@ -173,6 +173,7 @@ def backfill(
     params: dict | None = None,
     raise_on_failure: bool = True,
     on_run=None,
+    parallelism: int = 1,
 ) -> dict[datetime, dict]:
     """Airflow-parity BACKFILL: execute ``pipe`` once per scheduled
     logical date in ``[start, end)``, oldest first, with the logical
@@ -186,14 +187,26 @@ def backfill(
     Each run records in the pipeline's ledger like any other run (the
     logical date rides params; stage results are per-run), so a
     backfill is resumable per-date and auditable in `runs()`.  Returns
-    {logical_date: per-stage results}.  Runs execute SEQUENTIALLY
-    oldest-first (deterministic, bounded concurrent load — intervals
-    whose work is independent can be fanned out by the caller; the
-    engine does not assume independence across data intervals)."""
+    {logical_date: per-stage results}.
+
+    ``parallelism=1`` (default) executes dates SEQUENTIALLY oldest
+    first (deterministic, bounded load).  ``parallelism=N`` submits up
+    to N dates at once on driver threads — the `airflow dags backfill
+    --max-active-runs`-style fan-out — and the pipeline's OWN
+    ``max_active_runs`` semaphore still caps what actually executes
+    (Pipeline.run blocks past the cap), so the effective concurrency
+    is min(parallelism, max_active_runs).  Dates are SUBMITTED oldest
+    first, but overlapping runs commit in completion order; a
+    ``depends_on_past`` stage gates on the most recent COMMITTED run,
+    so strict per-date chaining needs parallelism=1 (which Airflow
+    likewise forces by serializing such tasks)."""
     if pipe.schedule is None:
         raise ValueError(f"pipeline {pipe.name!r} has no schedule to backfill")
-    out: dict[datetime, dict] = {}
-    for ds, de in schedule_windows(pipe.schedule, start, end):
+    if parallelism < 1:
+        raise ValueError("parallelism must be >= 1")
+    windows = schedule_windows(pipe.schedule, start, end)
+
+    def one(ds: datetime, de: datetime) -> dict:
         p = dict(params or {})
         p.update(
             {
@@ -203,7 +216,19 @@ def backfill(
             }
         )
         results = pipe.run(spark, p, raise_on_failure=raise_on_failure)
-        out[ds] = results
         if on_run is not None:
             on_run(ds, results)
+        return results
+
+    out: dict[datetime, dict] = {}
+    if parallelism == 1:
+        for ds, de in windows:
+            out[ds] = one(ds, de)
+        return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=parallelism) as pool:
+        futs = [(ds, pool.submit(one, ds, de)) for ds, de in windows]
+        for ds, f in futs:
+            out[ds] = f.result()
     return out
