@@ -879,9 +879,9 @@ def minhash_portable_duplicates(
     JVM intrinsics), aggregations shuffle on (id, i) then (id), the
     bucket test is ONE window over (band, bucket) — banded LSH, never
     all-pairs.  Returns distinct duplicate ids."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError("bands must be >= 1 and divide num_hashes")
     rows = num_hashes // bands
-    if rows * bands != num_hashes:
-        raise ValueError("bands must divide num_hashes")
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -964,7 +964,7 @@ def q_dedup_minhash_portable(spark, sf_dir):
     d = scan(spark, sf_dir, "documents")
     dups = minhash_portable_duplicates(d, "text", "doc_id")
     return (
-        d.join(dups.withColumnRenamed("doc_id", "doc_id"), "doc_id", "left_semi")
+        d.join(dups, "doc_id", "left_semi")
         .groupBy("lang").agg(F.count(F.lit(1)).alias("n_dups"))
         .join(
             d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")),

@@ -275,6 +275,14 @@ def sensor_stage(
 # Pipeline (A1) + runner (A9/A11, replaces scheduler+Celery)
 # ---------------------------------------------------------------------------
 
+class DependsOnPastBlocked(RuntimeError):
+    """Marker error on a stage resolved upstream_failed by the
+    depends_on_past gate (never raised directly; rides
+    StageResult.error so raise_on_failure can tell a gate-blocked run
+    from an ordinary upstream cascade and refuse to report it as
+    success)."""
+
+
 class StageFailed(RuntimeError):
     pass
 
@@ -753,10 +761,13 @@ class Pipeline:
         one semaphore.  ``depends_on_past`` stages gate on the ledger's
         most recent prior run (see Stage): a blocked stage resolves
         upstream_failed and KEEPS blocking later runs until a
-        successful instance lands — Airflow's clear-and-rerun moment,
-        which this engine spells ``ignore_depends_on_past=True`` (the
-        `airflow dags backfill -i` flag) on the run that repairs the
-        chain.
+        successful instance lands.  Two repair paths, both Airflow
+        parity: ``resume_from=<failed run_id>`` (clear-and-rerun — the
+        gate never reads the run being resumed) or
+        ``ignore_depends_on_past=True`` (the `airflow dags backfill
+        -i` flag).  With ``raise_on_failure`` a gate-blocked run
+        raises StageFailed — a run that executed nothing must never
+        report success to its caller.
         """
         if self._run_slots is not None:
             self._run_slots.acquire()
@@ -792,7 +803,12 @@ class Pipeline:
         start = time.monotonic()
         order = self._toposort()
         past_states: dict[str, str] | None = None
-        if not ignore_depends_on_past and any(s.depends_on_past for s in order):
+        # resume_from IS Airflow's clear-and-rerun: the failed states
+        # being resumed are exactly the ones the user just cleared, so
+        # the gate must not read them back and re-block the repair run
+        # (r9 review finding)
+        gate_active = not ignore_depends_on_past and resume_from is None
+        if gate_active and any(s.depends_on_past for s in order):
             if self.ledger is None:
                 raise ValueError(
                     "depends_on_past requires a ledger-backed pipeline "
@@ -812,6 +828,13 @@ class Pipeline:
                     values[task_id] = value
         pending = [s for s in order if s.task_id not in results]
         lock = threading.Lock()
+
+        def _past_blocked(s: Stage) -> bool:
+            return (
+                s.depends_on_past
+                and past_states is not None
+                and past_states.get(s.task_id) in ("failed", "upstream_failed")
+            )
         # diagnostics: wave count of the last run (how many scheduling
         # rounds the DAG took — slot contention shows up here)
         self.last_run_waves = 0
@@ -848,8 +871,12 @@ class Pipeline:
                         will_run = self._should_run(s, results)
                     except Exception:  # noqa: BLE001 — let the worker
                         will_run = True  # record the failure (ADVICE r6)
-                    if not will_run:
-                        granted.append(s)  # slotless skip resolution
+                    if not will_run or _past_blocked(s):
+                        # slotless resolution: runs no user code, so it
+                        # must not hold a slot a runnable same-pool
+                        # stage waits on (r7 rule; r9 review extended
+                        # it to the depends_on_past gate)
+                        granted.append(s)
                         continue
                     if (
                         self.max_active_tasks is not None
@@ -870,16 +897,11 @@ class Pipeline:
                 # trigger rules cascade the block downstream, exactly
                 # like an in-run failure (Airflow: the instance won't
                 # schedule; downstream all_success instances follow)
-                if (
-                    s.depends_on_past
-                    and past_states is not None
-                    and past_states.get(s.task_id)
-                    in ("failed", "upstream_failed")
-                ):
+                if _past_blocked(s):
                     with lock:
                         results[s.task_id] = StageResult(
                             "upstream_failed",
-                            error=RuntimeError(
+                            error=DependsOnPastBlocked(
                                 f"depends_on_past: {s.task_id!r} did not "
                                 "succeed in the previous run"
                             ),
@@ -962,6 +984,21 @@ class Pipeline:
             )
 
         if raise_on_failure:
+            # a gate-blocked run has NO 'failed' state (nothing ran),
+            # but returning normally would report a run that executed
+            # nothing as success to every exception-contract caller
+            # run after run (r9 review) — blocked is loud, like failed
+            blocked = [
+                t for t, r in results.items()
+                if isinstance(r.error, DependsOnPastBlocked)
+            ]
+            if blocked:
+                first = sorted(blocked)[0]
+                raise StageFailed(
+                    f"stage {first!r} blocked by depends_on_past (previous "
+                    "run failed; repair via resume_from or "
+                    "ignore_depends_on_past=True)"
+                ) from results[first].error
             hard_failures = [
                 t
                 for t, r in results.items()

@@ -161,6 +161,28 @@ def _file_stats(path: str) -> tuple[dict, int]:
     return out, md.num_rows
 
 
+def _register_clone_marker(owner_root: str, dest_root: str) -> None:
+    """Record ``dest_root`` as a clone referencing files under
+    ``owner_root``: one marker file per clone (name = stable hash of
+    the dest root, content = the root path) — an atomic create, so
+    concurrent clones can never lose each other the way a shared
+    clones.json read-modify-write could.  Written to every root that
+    owns referenced files (a clone-of-clone references the ORIGINAL
+    source's files directly).  Best-effort: registration failure
+    (read-only log dir) degrades to Delta's documented source-vacuum
+    hazard, it never fails the clone itself."""
+    import hashlib
+
+    try:
+        cdir = os.path.join(_log_dir(owner_root), "clones")
+        os.makedirs(cdir, exist_ok=True)
+        name = hashlib.sha256(dest_root.encode()).hexdigest()[:16]
+        with open(os.path.join(cdir, f"{name}.path"), "w") as f:
+            f.write(dest_root)
+    except OSError:
+        pass
+
+
 def _physical_struct(schema, mapping: dict | None):
     """The parquet-side shape of ``schema``: logical field names
     replaced by their physical names (identity when no mapping)."""
@@ -556,6 +578,27 @@ class TxTable:
         strictly more conservative than Delta's WriteSerializable
         default — correctness over availability for the engine-owned
         tier."""
+        # Column-mapping drop guard (r9 review): every commit carries
+        # the full mapping once one exists, so a commit built WITHOUT
+        # one against a mapped head is a bug in the calling operation
+        # (reads after it would project wrong physical names) — except
+        # restore, which may legitimately return to a pre-mapping
+        # version.  One O(1) JSON read of the read-version commit.
+        if (
+            "column_mapping" not in commit
+            and commit["operation"] != "restore"
+        ):
+            try:
+                with open(_version_path(self.root, read_version)) as f:
+                    prev_mapping = json.load(f).get("column_mapping")
+            except FileNotFoundError:
+                prev_mapping = None
+            if prev_mapping is not None:
+                raise AssertionError(
+                    f"commit op {commit['operation']!r} dropped the "
+                    "column mapping of a mapped table — the operation "
+                    "must propagate head['column_mapping']"
+                )
         version = read_version + 1
         while True:
             try:
@@ -1396,8 +1439,11 @@ class TxTable:
 
         Source-vacuum safety (one better than Delta's documented
         hazard, VERDICT r8): every clone leaves a marker under the
-        SOURCE's ``_log/clones/`` (one file per clone — atomic create,
-        no read-modify-write registry races), and the source's
+        ``_log/clones/`` of EVERY table root owning a referenced file
+        (one file per clone — atomic create, no read-modify-write
+        registry races; a clone-of-clone references the original
+        source's files directly, so the original learns of it too,
+        r9 review), and the source's
         :meth:`vacuum` consults the markers best-effort, skipping (and
         warning about) non-live source files a still-existing clone's
         CURRENT live set references.  Best-effort means: a clone root
@@ -1436,29 +1482,22 @@ class TxTable:
         if cons:
             commit["constraints"] = cons
         _publish(dest_root, 0, commit)
-        self._register_clone(dest_root)
+        # register with EVERY table root that owns a referenced file,
+        # not just this handle's (r9 review): cloning a clone (S->A->B)
+        # references S's files directly, and if only A knew about B,
+        # S.vacuum would sweep B's data once A diverges or is deleted
+        owner_roots = {
+            os.path.dirname(os.path.abspath(os.path.join(self.root, a["path"])))
+            for a in adds
+        }
+        owner_roots.add(self.root)  # empty snapshot still registers
+        for r in owner_roots:
+            if os.path.isdir(_log_dir(r)):
+                _register_clone_marker(r, dest_root)
         return TxTable(self.spark, dest_root)
 
     def _clones_dir(self) -> str:
         return os.path.join(_log_dir(self.root), "clones")
-
-    def _register_clone(self, dest_root: str) -> None:
-        """Record ``dest_root`` as a clone of this table: one marker
-        file per clone (name = stable hash of the dest root, content =
-        the root path) — an atomic create, so concurrent clones can
-        never lose each other the way a shared clones.json
-        read-modify-write could.  Best-effort: registration failure
-        (read-only log dir) degrades to Delta's documented
-        source-vacuum hazard, it never fails the clone itself."""
-        import hashlib
-
-        try:
-            os.makedirs(self._clones_dir(), exist_ok=True)
-            name = hashlib.sha256(dest_root.encode()).hexdigest()[:16]
-            with open(os.path.join(self._clones_dir(), f"{name}.path"), "w") as f:
-                f.write(dest_root)
-        except OSError:
-            pass
 
     def _clone_protected(self) -> set[str]:
         """Basenames of files under THIS root that a registered,

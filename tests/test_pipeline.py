@@ -1072,11 +1072,43 @@ def test_depends_on_past_gates_on_previous_run(spark, tmp_path):
     r4 = pipe.run(spark, raise_on_failure=False)
     assert r4["a"].state == "upstream_failed"  # stays blocked
 
+    # a blocked run must be LOUD under the default exception contract:
+    # nothing executed, so returning normally would look like success
+    with pytest.raises(StageFailed, match="depends_on_past"):
+        pipe.run(spark)
+
     r5 = pipe.run(spark, ignore_depends_on_past=True)
     assert r5["a"].state == r5["b"].state == "success"
 
     r6 = pipe.run(spark)                       # past success -> unblocked
     assert r6["a"].state == "success"
+
+
+def test_depends_on_past_resume_from_repairs_chain(spark, tmp_path):
+    """r9 review: resume_from IS the clear-and-rerun — the gate must
+    not read the failed states of the very run being resumed, or the
+    documented repair path silently repairs nothing."""
+    from artemia_airflow_spark.ledger import RunLedger
+    from artemia_airflow_spark.pipeline import Pipeline
+
+    led = RunLedger(str(tmp_path / "led2"))
+    pipe = Pipeline("dop2", ledger=led)
+    fail_now = {"flag": True}
+    run_ids = []
+
+    @pipe.stage("a", depends_on_past=True)
+    def a(ctx):
+        if fail_now["flag"]:
+            raise RuntimeError("boom")
+        return "ok"
+
+    pipe.run(spark, raise_on_failure=False)    # run 1: a failed
+    failed_run = led.runs(spark).collect()[0].run_id
+    fail_now["flag"] = False
+    r = pipe.run(spark, resume_from=failed_run)  # clear-and-rerun
+    assert r["a"].state == "success"
+    r2 = pipe.run(spark)                       # chain repaired
+    assert r2["a"].state == "success"
 
 
 def test_depends_on_past_requires_ledger(spark):
