@@ -81,6 +81,12 @@ def _log_dir(root: str) -> str:
     return os.path.join(root, "_log")
 
 
+# footer key-value metadata key carrying a parquet checkpoint's header
+# (version/schema/key_col/column_mapping); bytes because pyarrow stores
+# schema metadata as bytes->bytes
+_CP_HEADER_KEY = b"txtable.checkpoint"
+
+
 def head_version(root: str) -> int | None:
     """Committed head version of the table at ``root`` without a
     handle (None when no table/commits exist) — the single
@@ -225,6 +231,7 @@ class TxTable:
     def __init__(
         self, spark: SparkSession, root: str, *,
         checkpoint_interval: int | None = None,
+        checkpoint_format: str = "json",
         auto_compact_files: int | None = None,
     ):
         self.spark = spark
@@ -257,6 +264,15 @@ class TxTable:
             # configuration; 0 would silently mean disabled
             raise ValueError("checkpoint_interval must be None or >= 1")
         self.checkpoint_interval = checkpoint_interval
+        # format auto-checkpoints (and format-less checkpoint() calls)
+        # use: "json" (driver-replayed, the right call to ~1e5 live
+        # files) or "parquet" (checkpoint-as-data, enables distributed
+        # pruning past that — SCALE.md 'TxTable log at scale')
+        if checkpoint_format not in ("json", "parquet"):
+            raise ValueError(
+                f"unknown checkpoint_format {checkpoint_format!r}"
+            )
+        self.checkpoint_format = checkpoint_format
         if not os.path.isdir(_log_dir(self.root)):
             raise FileNotFoundError(
                 f"no transactional table at {self.root!r} (missing _log/); "
@@ -341,17 +357,47 @@ class TxTable:
             for i, c in enumerate(self._commits())
         ]
 
-    def _latest_checkpoint(self, upto: int) -> dict | None:
+    def _checkpoint_name(self, upto: int, *, parquet_only: bool = False):
+        """Newest checkpoint file name ≤ ``upto`` (either format; a
+        same-version tie prefers JSON deterministically), or None."""
         best = None
         for n in os.listdir(_log_dir(self.root)):
-            if n.startswith("checkpoint-") and n.endswith(".json"):
+            if not n.startswith("checkpoint-"):
+                continue
+            if n.endswith(".json") and not parquet_only:
                 v = int(n[len("checkpoint-"): -len(".json")])
-                if v <= upto and (best is None or v > best[0]):
-                    best = (v, n)
+            elif n.endswith(".parquet"):
+                v = int(n[len("checkpoint-"): -len(".parquet")])
+            else:
+                continue
+            if v <= upto and (
+                best is None or v > best[0]
+                or (v == best[0] and n.endswith(".json"))
+            ):
+                best = (v, n)
+        return best
+
+    def _latest_checkpoint(self, upto: int) -> dict | None:
+        best = self._checkpoint_name(upto)
         if best is None:
             return None
-        with open(os.path.join(_log_dir(self.root), best[1])) as f:
-            return json.load(f)
+        path = os.path.join(_log_dir(self.root), best[1])
+        if best[1].endswith(".json"):
+            with open(path) as f:
+                return json.load(f)
+        # parquet checkpoint: header rides the footer's key-value
+        # metadata, live metas are one JSON string per row — the same
+        # dict shape as the JSON format, read driver-side (the
+        # DISTRIBUTED consumer is snapshot_where_ranges(distributed=True),
+        # which never materializes the live list on the driver)
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path, columns=["meta_json"])
+        header = json.loads(tbl.schema.metadata[_CP_HEADER_KEY])
+        header["live"] = [
+            json.loads(s) for s in tbl.column("meta_json").to_pylist()
+        ]
+        return header
 
     def _live(self, version: int | None = None) -> tuple[list[dict], dict]:
         """(live file metas, head commit) at ``version`` (default head).
@@ -385,31 +431,65 @@ class TxTable:
         assert head is not None  # version() validated head_v exists
         return list(live.values()), head
 
-    def checkpoint(self) -> int:
+    def checkpoint(self, *, format: str | None = None) -> int:
         """Write a log checkpoint at the current head: the full live
         file set + schema in one file, so readers replay only commits
         AFTER it (long-log fix — a table with 10^5 commits resolves a
         snapshot from one checkpoint + a handful of tail commits).
         Derived data, deterministic per version: rewriting it is
         idempotent, so a plain atomic rename suffices (no put-if-absent
-        needed) and it never conflicts with writers."""
+        needed) and it never conflicts with writers.
+
+        ``format="parquet"`` (default: the handle's
+        ``checkpoint_format``) writes the checkpoint AS DATA —
+        Delta's checkpoint-parquet / Iceberg's manifest shape: one row
+        per live file (path + the full meta as a JSON string), the
+        header (version/schema/key_col/column_mapping) in the footer's
+        key-value metadata.  Past ~10^6 live files the driver-side
+        stats loop stops being the right call, and this format lets
+        :meth:`snapshot_where_ranges` ``distributed=True`` run file
+        pruning as a Spark job over the checkpoint itself (SCALE.md
+        'TxTable log at scale')."""
+        fmt = format or self.checkpoint_format
+        if fmt not in ("json", "parquet"):
+            raise ValueError(f"unknown checkpoint format {fmt!r}")
         v = self.version()
         live, head = self._live(v)
-        cp = {
+        header = {
             "version": v,
-            "live": live,
             "schema": head["schema"],
             "key_col": head["key_col"],
         }
         if head.get("column_mapping") is not None:
-            cp["column_mapping"] = head["column_mapping"]
+            header["column_mapping"] = head["column_mapping"]
         staged = os.path.join(_log_dir(self.root), f"_tmp_cp_{uuid.uuid4().hex}")
-        with open(staged, "w") as f:
-            json.dump(cp, f)
-            f.flush()
-            os.fsync(f.fileno())
+        if fmt == "json":
+            cp = {**header, "live": live}
+            with open(staged, "w") as f:
+                json.dump(cp, f)
+                f.flush()
+                os.fsync(f.fileno())
+        else:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pa.table(
+                {
+                    "path": pa.array(
+                        [m["path"] for m in live], pa.string()
+                    ),
+                    "meta_json": pa.array(
+                        [json.dumps(m) for m in live], pa.string()
+                    ),
+                }
+            ).replace_schema_metadata({_CP_HEADER_KEY: json.dumps(header)})
+            pq.write_table(tbl, staged)
         os.replace(
-            staged, os.path.join(_log_dir(self.root), f"checkpoint-{v:0{_VERSION_DIGITS}d}.json")
+            staged,
+            os.path.join(
+                _log_dir(self.root),
+                f"checkpoint-{v:0{_VERSION_DIGITS}d}.{fmt}",
+            ),
         )
         return v
 
@@ -476,7 +556,8 @@ class TxTable:
         )
 
     def snapshot_where_ranges(
-        self, ranges: dict, *, version: int | None = None
+        self, ranges: dict, *, version: int | None = None,
+        distributed: bool = False,
     ) -> DataFrame:
         """Conjunctive data-skipping read: ``{col: (lo, hi), ...}``
         keeps only files whose stats intersect EVERY range (lo/hi may
@@ -485,10 +566,28 @@ class TxTable:
         INTERSECTION of the per-column candidate sets — strictly
         tighter than any single-column read.  Implemented as repeated
         single-column pruning over the shrinking file set; residual
-        filters keep semantics exact."""
-        from functools import reduce
+        filters keep semantics exact.
 
+        ``distributed=True`` runs the stats-intersect as a SPARK JOB
+        over the newest parquet checkpoint (requires one —
+        :meth:`checkpoint` ``format="parquet"``) instead of the
+        driver-side Python loop: the live-file list never materializes
+        on the driver, only the PICKED paths do (point-lookup-small by
+        construction on a clustered table).  Same pruning semantics,
+        verified row-identical in tests — this is the documented exit
+        past ~10^6 live files where the driver loop stops being the
+        right call (SCALE.md 'TxTable log at scale')."""
         from pyspark.sql.types import StructType
+
+        if distributed:
+            paths, head = self._prune_files_distributed(ranges, version)
+            schema = StructType.fromJson(json.loads(head["schema"]))
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+            df = self._read_logical(
+                paths, schema, head.get("column_mapping")
+            )
+            return self._residual_filter(df, ranges)
 
         live, head = self._live(version)
         schema = StructType.fromJson(json.loads(head["schema"]))
@@ -524,6 +623,14 @@ class TxTable:
             schema,
             head.get("column_mapping"),
         )
+        return self._residual_filter(df, ranges)
+
+    @staticmethod
+    def _residual_filter(df: DataFrame, ranges: dict) -> DataFrame:
+        """The exact range predicate over the pruned scan — pruning is
+        a performance decision, this keeps semantics independent of it."""
+        from functools import reduce
+
         conds = []
         for col, (lo, hi) in ranges.items():
             if lo is not None:
@@ -533,6 +640,118 @@ class TxTable:
         if conds:
             df = df.filter(reduce(lambda a, b: a & b, conds))
         return df
+
+    def _prune_files_distributed(
+        self, ranges: dict, version: int | None
+    ) -> tuple[list[str], dict]:
+        """Stats-intersect file pruning as a Spark job over the newest
+        PARQUET checkpoint ≤ ``version`` plus a driver-replayed commit
+        tail (bounded by checkpoint cadence).  Returns (picked absolute
+        paths, head commit).  Only the picked paths ever reach the
+        driver; the checkpoint's live rows are filtered executor-side
+        with the same conservative semantics as the driver loop
+        (missing/unparseable stats keep the file).  Delta's
+        checkpoint-parquet + Iceberg's manifest-filter shape."""
+        from pyspark.sql.types import StructType
+
+        import pyarrow.parquet as pq
+
+        actual_head = self.version()
+        head_v = actual_head if version is None else version
+        if head_v > actual_head or head_v < 0:
+            raise ValueError(
+                f"version {head_v} does not exist at {self.root!r}"
+            )
+        best = self._checkpoint_name(head_v, parquet_only=True)
+        if best is None:
+            raise ValueError(
+                "distributed pruning requires a parquet checkpoint at or "
+                f"before version {head_v} — run checkpoint(format='parquet') "
+                "(or construct with checkpoint_format='parquet')"
+            )
+        cp_v, cp_name = best
+        cp_path = os.path.join(_log_dir(self.root), cp_name)
+        header = json.loads(pq.read_schema(cp_path).metadata[_CP_HEADER_KEY])
+        tail = []
+        for v in range(cp_v + 1, head_v + 1):
+            with open(_version_path(self.root, v)) as f:
+                tail.append(json.load(f))
+        head = tail[-1] if tail else header
+        schema = StructType.fromJson(json.loads(head["schema"]))
+        key = self._key_col()
+        mapping = head.get("column_mapping") or {}
+
+        # replay the tail driver-side (bounded): paths removed FROM the
+        # checkpoint's set, and metas added since (minus re-removed)
+        added_live: dict[str, dict] = {}
+        removed_from_cp: set[str] = set()
+        for c in tail:
+            for p in c["remove"]:
+                if p in added_live:
+                    added_live.pop(p)
+                else:
+                    removed_from_cp.add(p)
+            for a in c["add"]:
+                added_live[a["path"]] = a
+
+        files = self.spark.read.parquet(cp_path)
+        if removed_from_cp:
+            files = files.join(
+                F.broadcast(
+                    self.spark.createDataFrame(
+                        [(p,) for p in sorted(removed_from_cp)],
+                        "path string",
+                    )
+                ),
+                "path",
+                "left_anti",
+            )
+        if added_live:
+            files = files.unionByName(
+                self.spark.createDataFrame(
+                    [
+                        (m["path"], json.dumps(m))
+                        for m in added_live.values()
+                    ],
+                    "path string, meta_json string",
+                )
+            )
+        for col, (lo, hi) in ranges.items():
+            phys = mapping.get(col, col)
+            dtype = schema[col].dataType
+            # same decision tree as the driver loop's intersects():
+            # key bounds when the meta carries key_min, else col_stats
+            # (physical names); missing stats or a bound/stat type
+            # mismatch (try_cast -> null) keeps the file
+            km_raw = F.get_json_object("meta_json", "$['key_min']")
+            cs_lo = F.get_json_object(
+                "meta_json", f"$['col_stats']['{phys}'][0]"
+            ).try_cast(dtype)
+            cs_hi = F.get_json_object(
+                "meta_json", f"$['col_stats']['{phys}'][1]"
+            ).try_cast(dtype)
+            if col == key:
+                use_key = km_raw.isNotNull()
+                stat_lo = F.when(use_key, km_raw.try_cast(dtype)).otherwise(cs_lo)
+                stat_hi = F.when(
+                    use_key,
+                    F.get_json_object(
+                        "meta_json", "$['key_max']"
+                    ).try_cast(dtype),
+                ).otherwise(cs_hi)
+            else:
+                stat_lo, stat_hi = cs_lo, cs_hi
+            keep = F.lit(True)
+            if lo is not None:
+                keep = keep & (stat_hi.isNull() | (stat_hi >= F.lit(lo)))
+            if hi is not None:
+                keep = keep & (stat_lo.isNull() | (stat_lo <= F.lit(hi)))
+            files = files.filter(keep)
+        paths = [
+            os.path.join(self.root, r.path)
+            for r in files.select("path").collect()
+        ]
+        return paths, head
 
     # -- write ---------------------------------------------------------
     def _commit0(self) -> dict:

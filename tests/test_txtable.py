@@ -1561,3 +1561,149 @@ def test_register_txtable_sql_view_time_travel_and_pruning(spark, root):
 
     for v in ("tt_v0", "tt_head", "tt_narrow"):
         spark.catalog.dropTempView(v)
+
+
+# ---------------------------------------------------------------------------
+# Parquet checkpoints + distributed pruning (B101 scale exit, VERDICT r8
+# missing #4): the checkpoint-as-data format and the Spark-job prune path
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_checkpoint_resolution_and_format_interop(spark, root):
+    """A parquet checkpoint resolves _live identically to raw JSON
+    replay, carries column mapping, interops with JSON checkpoints
+    (newest wins regardless of format), and time travel below the
+    checkpoint still raw-replays."""
+    from artemia_airflow_spark.sources.txtable import _log_dir
+
+    t = _mk(spark, root)                                   # v0
+    t.delete("k >= 90")                                    # v1: 90 rows
+    t.rename_column("tag", "label")                        # v2: mapping
+    live_replay, head_replay = t._live(2)                  # pure JSON replay
+    assert t.checkpoint(format="parquet") == 2
+    names = os.listdir(_log_dir(root))
+    assert "checkpoint-00000000000000000002.parquet" in names
+
+    t2 = TxTable(spark, root)  # fresh handle resolves via the parquet cp
+    live_cp, head_cp = t2._live(2)
+    assert {m["path"] for m in live_cp} == {m["path"] for m in live_replay}
+    assert head_cp["schema"] == head_replay["schema"]
+    assert head_cp.get("column_mapping") == head_replay.get("column_mapping")
+    snap = t2.snapshot()
+    assert snap.count() == 90
+    assert "label" in snap.columns and "tag" not in snap.columns
+    # time travel to a version BELOW the checkpoint raw-replays
+    assert t2.snapshot(0).count() == 100
+    # a LATER json checkpoint wins over the older parquet one
+    t2.append(spark.createDataFrame(
+        [(500, 1.0, "new")], "k long, v double, label string"))  # v3
+    assert t2.checkpoint(format="json") == 3
+    t3 = TxTable(spark, root)
+    assert t3.snapshot().count() == 91
+    cp = t3._latest_checkpoint(3)
+    assert cp["version"] == 3
+
+
+def test_auto_checkpoint_format_parquet(spark, root):
+    """checkpoint_format='parquet' makes the auto-checkpoint hook (and
+    format-less checkpoint()) write parquet; bad formats refuse."""
+    from artemia_airflow_spark.sources.txtable import _log_dir
+
+    _mk(spark, root)
+    t = TxTable(spark, root, checkpoint_interval=2,
+                checkpoint_format="parquet")
+    t.append(spark.createDataFrame([(200, 1.0, "a")],
+                                   "k long, v double, tag string"))  # v1
+    t.append(spark.createDataFrame([(201, 1.0, "a")],
+                                   "k long, v double, tag string"))  # v2 -> cp
+    assert "checkpoint-00000000000000000002.parquet" in os.listdir(_log_dir(root))
+    with pytest.raises(ValueError, match="checkpoint_format"):
+        TxTable(spark, root, checkpoint_format="csv")
+    with pytest.raises(ValueError, match="format"):
+        t.checkpoint(format="orc")
+
+
+def test_distributed_prune_matches_driver_loop(spark, root):
+    """snapshot_where_ranges(distributed=True) is row- and file-
+    identical to the driver-side stats loop, across a commit tail
+    (append + delete after the checkpoint), on key, non-key string,
+    and conjunctive 2-column ranges; without a parquet checkpoint it
+    refuses with guidance."""
+    t = _mk(spark, root, n=200, files=8)
+    with pytest.raises(ValueError, match="parquet checkpoint"):
+        t.snapshot_where_ranges({"k": (0, 5)}, distributed=True)
+    t.checkpoint(format="parquet")
+    # tail commits the distributed path must replay
+    t.append(spark.createDataFrame(
+        [(300, 5.0, "s9"), (301, 6.0, "s9")],
+        "k long, v double, tag string"))
+    t.delete("k = 300")
+    for ranges in (
+        {"k": (10, 30)},
+        {"k": (250, 400)},          # only the tail-added file
+        {"tag": ("s1", "s1")},      # non-key string stats
+        {"k": (0, 120), "v": (500.0, 900.0)},  # conjunctive
+        {"k": (10_000, 20_000)},    # empty pick
+    ):
+        a = t.snapshot_where_ranges(ranges)
+        b = t.snapshot_where_ranges(ranges, distributed=True)
+        ra = sorted(tuple(r) for r in a.collect())
+        rb = sorted(tuple(r) for r in b.collect())
+        assert ra == rb, ranges
+        assert sorted(a.inputFiles()) == sorted(b.inputFiles()), ranges
+    # the tail delete is invisible, the tail append visible
+    assert [r.k for r in
+            t.snapshot_where_ranges({"k": (250, 400)},
+                                    distributed=True).collect()] == [301]
+
+
+def test_distributed_prune_at_50k_files_never_lists_excluded(spark, root):
+    """Scale pin for the checkpoint-as-data exit: with 50k live files
+    in a parquet checkpoint, the prune runs as a Spark job (the live
+    list never materializes on the driver) and a point lookup reads
+    only the O(1) real files — the synthetic metas have no parquet
+    behind them, so touching one would throw."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from artemia_airflow_spark.sources.txtable import (
+        _CP_HEADER_KEY,
+        _VERSION_DIGITS,
+        _log_dir,
+    )
+
+    t = _mk(spark, root)  # 4 real files, keys 0..99
+    v = t.version()
+    live, head = t._live(v)
+    synth = [
+        {
+            "path": f"synth-{i:05d}.parquet",
+            "key_min": 10_000 + 10 * i,
+            "key_max": 10_000 + 10 * i + 9,
+            "num_rows": 10,
+            "col_stats": {"k": [10_000 + 10 * i, 10_000 + 10 * i + 9]},
+        }
+        for i in range(50_000)
+    ]
+    allm = live + synth
+    header = {"version": v, "schema": head["schema"], "key_col": "k"}
+    tbl = pa.table({
+        "path": pa.array([m["path"] for m in allm], pa.string()),
+        "meta_json": pa.array([json.dumps(m) for m in allm], pa.string()),
+    }).replace_schema_metadata({_CP_HEADER_KEY: json.dumps(header)})
+    pq.write_table(tbl, os.path.join(
+        _log_dir(root), f"checkpoint-{v:0{_VERSION_DIGITS}d}.parquet"))
+
+    t2 = TxTable(spark, root)
+    t0 = time.time()
+    picked = t2.snapshot_where_ranges({"k": (10, 20)}, distributed=True)
+    rows = sorted(r.k for r in picked.collect())
+    prune_s = time.time() - t0
+    assert rows == list(range(10, 21))
+    files_read = picked.inputFiles()
+    assert 0 < len(files_read) <= 4
+    assert not any("synth-" in p for p in files_read)
+    # generous bound: one small metadata Spark job + a 4-file read
+    assert prune_s < 15.0, f"50k-file distributed prune took {prune_s:.2f}s"
