@@ -1194,3 +1194,124 @@ def q_mix_temperature_apply(spark, sf_dir):
         F.count(F.when(F.col("copy_id") == 1, 1)).alias("n_docs"),
         F.count(F.lit(1)).alias("n_materialized"),
     )
+
+
+def decontaminate_bloom_portable(
+    train: DataFrame, eval_df: DataFrame, text_col: str, id_col: str, *,
+    n: int = 4, k: int = 3, hex_chars: int = 5,
+) -> DataFrame:
+    """Partitioned-Bloom decontamination with md5-derived bit positions
+    (round 9): ``k`` arrays of ``16^hex_chars`` positions, position of
+    gram g in array j = hex digits ``[j*hex_chars, (j+1)*hex_chars)``
+    of ONE ``md5(g)`` (disjoint slices of a uniform digest are
+    independent hashes) — a train doc is flagged iff ANY of its
+    word n-grams has ALL k positions set by the eval set's grams.
+    Exact partitioned-Bloom semantics INCLUDING its false positives,
+    but every position is an md5 prefix any engine computes
+    identically, so the flagged set is oracle-checkable value-for-value
+    (the 1 MB numpy-bitmap tier, :func:`decontaminate_bloom`, keeps
+    the production path).
+
+    Scale shape: the "bit array" is a DISTINCT (j, pos) relation hard-
+    bounded at k * 16^hex_chars rows (~3M at the defaults) REGARDLESS
+    of corpus size — broadcast it; probing is explode(grams) x k in
+    codegen + one broadcast semi-join + an (id, gram) count == k — no
+    shuffle of document text, no driver collect."""
+    if k * hex_chars > 32:
+        raise ValueError("k * hex_chars must be <= 32 (one md5 per gram)")
+    # position j of gram g = hex chars [j*hex_chars, (j+1)*hex_chars)
+    # of ONE md5(g): disjoint slices of a uniform digest are k
+    # independent hash functions at a third of the digest cost
+    grams_e = (
+        eval_df.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    pos = F.expr(f"substring(h, j * {hex_chars} + 1, {hex_chars})")
+    setbits = (
+        grams_e.select(F.md5("gram").alias("h"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"), "h"
+        )
+        .select("j", pos.alias("pos"))
+        .distinct()
+    )
+    probes = (
+        train.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+        )
+        .select(id_col, "gram", F.md5("gram").alias("h"))
+        .select(
+            id_col, "gram",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+            "h",
+        )
+        .select(id_col, "gram", "j", pos.alias("pos"))
+    )
+    hit = (
+        probes.join(F.broadcast(setbits), ["j", "pos"], "left_semi")
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") == k)
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(
+        hit.withColumn("contaminated_bloom", F.lit(True)), id_col, "left"
+    ).fillna(False, ["contaminated_bloom"])
+
+
+@declared(
+    "q_decontaminate_bloom_portable",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 3, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS gram
+      FROM toks
+    ), setbits AS (
+      SELECT DISTINCT j,
+             substr(md5(gram), CAST(j * 5 + 1 AS INT), 5) AS pos
+      FROM (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0)
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+    ), probes AS (
+      SELECT DISTINCT doc_id, gram, j,
+             substr(md5(gram), CAST(j * 5 + 1 AS INT), 5) AS pos
+      FROM grams CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+      WHERE doc_id % 20 <> 0
+    ), hits AS (
+      SELECT doc_id FROM (
+        SELECT p.doc_id, p.gram, COUNT(*) AS nk
+        FROM probes p JOIN setbits s ON p.j = s.j AND p.pos = s.pos
+        GROUP BY p.doc_id, p.gram
+      ) WHERE nk = 3
+      GROUP BY doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS n_flagged
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 20 <> 0
+    GROUP BY lang
+    """,
+)
+def q_decontaminate_bloom_portable(spark, sf_dir):
+    """B81's Bloom class as a FULL hash-match oracle (round 9,
+    extending the portable-MinHash pattern): per-lang flagged counts
+    under the md5-position partitioned Bloom — DuckDB sets and probes
+    the exact same positions, so the driver attests the sketch's
+    flagged set INCLUDING its false positives, value-for-value.  Same
+    train/eval split as q_decontaminate_bloom; the numpy-bitmap tier
+    keeps the production path and its superset-property tests."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    eval_df = d.filter(F.col("doc_id") % 20 == 0)
+    flagged = decontaminate_bloom_portable(train, eval_df, "text", "doc_id")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("contaminated_bloom"), 1)).alias("n_flagged"),
+    )
