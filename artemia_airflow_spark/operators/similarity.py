@@ -383,3 +383,186 @@ def q_sim_ivf(spark, sf_dir):
         emb.filter(F.col("vec_id") >= 5), probes,
         id_col="vec_id", probe_id_col="probe_id", k=10,
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame, *, vec_col: str, m_subspaces: int, n_codes: int,
+    seed: int, train_cap: int = 4096,
+) -> "np.ndarray":
+    """Train product-quantization codebooks: split the embedding into
+    ``m_subspaces`` contiguous sub-vectors and run a small KMeans per
+    subspace.  Returns (m, n_codes, sub_dim) float64.
+
+    Training collects a HARD-CAPPED sample (``train_cap`` rows) to the
+    driver — the FAISS convention: codebooks are a tiny model (m x
+    n_codes x sub_dim floats) fit on a bounded sample regardless of
+    corpus size, then broadcast.  This is a bounded model-fit collect,
+    not a data collect (the corpus itself is never materialized)."""
+    sample = np.array(
+        [
+            list(map(float, r[0]))
+            for r in corpus.select(vec_col).limit(train_cap).collect()
+        ],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.empty((m_subspaces, n_codes, sub), dtype=np.float64)
+    for j in range(m_subspaces):
+        X = sample[:, j * sub : (j + 1) * sub]
+        # tiny Lloyd's (numpy): n_codes centroids on <= train_cap rows;
+        # deterministic seeded init, a handful of rounds — a coarse
+        # quantizer needs stable-ish cells, not convergence
+        centers = X[rng.choice(len(X), size=n_codes, replace=False)]
+        for _ in range(8):
+            d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(n_codes):
+                pts = X[assign == c]
+                if len(pts):
+                    centers[c] = pts.mean(0)
+        books[j] = centers
+    return books
+
+
+def pq_encode(
+    df: DataFrame, books: "np.ndarray", *, vec_col: str
+) -> DataFrame:
+    """Replace each vector with its PQ code (array<int>, length m):
+    per subspace, the index of the nearest codebook centroid.  A
+    map-side Arrow kernel over broadcast codebooks — at 100 TB this is
+    the compression pass that turns a 64-float embedding column into m
+    small ints (written once, partitioned like any corpus column), so
+    ANN scans read ~1/32nd of the bytes."""
+    m, n_codes, sub = books.shape
+    bc = df.sparkSession.sparkContext.broadcast(books)
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        B = bc.value
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        out = np.empty((len(V), B.shape[0]), dtype=np.int32)
+        for j in range(B.shape[0]):
+            X = V[:, j * sub : (j + 1) * sub]
+            C = B[j]
+            d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+            out[:, j] = d.argmin(1)
+        return pd.Series([row.tolist() for row in out])
+
+    return df.withColumn("__pq_code", encode(F.col(vec_col).cast("array<double>")))
+
+
+def pq_topk(
+    corpus: DataFrame, probes: DataFrame, *, id_col: str, probe_id_col: str,
+    vec_col: str = "embedding", probe_vec_col: str = "probe_vec",
+    k: int = 10, m_subspaces: int = 8, n_codes: int = 16,
+    rerank_candidates: int = 50, seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via PRODUCT QUANTIZATION with
+    asymmetric-distance (ADC) scoring and exact rerank — the
+    memory-compression ANN path next to SRP-LSH (hash pruning) and IVF
+    (cell pruning).
+
+    Pipeline: (1) train codebooks on a capped sample (driver model
+    fit, broadcast); (2) encode the corpus to m-int codes (map-side
+    Arrow kernel — the pass whose output a real deployment WRITES and
+    amortizes); (3) per probe, precompute the m x n_codes lookup table
+    of subspace inner products against L2-normalized probes and score
+    every code by LUT gather — a map-side kernel over broadcast LUTs,
+    no shuffle of the corpus; (4) keep ``rerank_candidates`` per probe
+    by ADC score (one window), then exact-cosine rerank ONLY those
+    (broadcast semi-join back to the vectors).  Returns
+    (probe_id, id, cos_sim, rank) like the other tiers.
+
+    At 100 TB: the scored relation is codes-only (m ints/row), the
+    LUTs are O(|probes| * m * n_codes) floats broadcast once, and the
+    exact rerank touches |probes| * rerank_candidates rows — the
+    brute-force flops never happen.  Recall floors + the
+    rerank-candidates tuning direction are pinned in
+    tests/test_accuracy.py.  Compose with IVF (encode residuals per
+    cell) for IVF-PQ; kept orthogonal here."""
+    books = pq_codebooks(
+        corpus, vec_col=vec_col, m_subspaces=m_subspaces,
+        n_codes=n_codes, seed=seed,
+    )
+    coded = pq_encode(corpus, books, vec_col=vec_col)
+
+    # probe LUTs: normalized probe sub-vector . codebook centroid —
+    # summing the m gathered entries approximates probe . vector, and
+    # argsort by inner product == argsort by cosine after corpus-side
+    # normalization is folded into the rerank (ADC ranks candidates;
+    # the exact rerank restores true cosine order)
+    probe_rows = probes.select(probe_id_col, probe_vec_col).collect()
+    m, _, sub = books.shape
+    luts = {}
+    for r in probe_rows:
+        v = np.array(list(map(float, r[1])), dtype=np.float64)
+        nv = v / (np.linalg.norm(v) or 1.0)
+        luts[r[0]] = np.stack(
+            [books[j] @ nv[j * sub : (j + 1) * sub] for j in range(m)]
+        )  # (m, n_codes)
+    bc_luts = corpus.sparkSession.sparkContext.broadcast(luts)
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series, pids: pd.Series) -> pd.Series:
+        L = bc_luts.value
+        C = np.stack(codes.to_numpy()).astype(np.int64)  # (batch, m)
+        out = np.empty(len(C), dtype=np.float64)
+        cols = np.arange(C.shape[1])
+        for pid in pd.unique(pids):
+            mask = (pids == pid).to_numpy()
+            out[mask] = L[pid][cols, C[mask]].sum(1)
+        return pd.Series(out)
+
+    pid_only = probes.select(probe_id_col)
+    scored = coded.select(id_col, "__pq_code").crossJoin(
+        F.broadcast(pid_only)
+    ).select(
+        probe_id_col, id_col,
+        adc(F.col("__pq_code"), F.col(probe_id_col)).alias("__adc"),
+    )
+    w_adc = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__adc").desc(), F.col(id_col)
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= rerank_candidates)
+        .select(probe_id_col, id_col)
+    )
+    # exact rerank on the tiny candidate set: broadcast it, join the
+    # corpus vectors back (semi-pruned scan), true cosine, final top-k
+    pv = probes.select(probe_id_col, probe_vec_col)
+    joined = corpus.select(id_col, vec_col).join(
+        F.broadcast(cand), id_col
+    ).join(F.broadcast(pv), probe_id_col)
+    sim = cosine_similarity(vec_col, probe_vec_col)
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        joined.select(F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@declared("q_sim_pq")
+def q_sim_pq(spark, sf_dir):
+    """B42 (rows-only): product-quantization ANN for 5 probes — 8
+    subspaces x 16 codes ADC scoring over the encoded corpus, exact
+    rerank of the top 50.  Rows-only by design (KMeans codebooks and
+    float ADC scores are engine-native); recall floors live in
+    tests/test_accuracy.py."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec"))
+    )
+    return pq_topk(
+        emb.filter(F.col("vec_id") >= 5), probes,
+        id_col="vec_id", probe_id_col="probe_id", k=10,
+    )

@@ -470,3 +470,53 @@ def test_ngram_pairs_match_python_banding_differential(spark):
         for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8).collect()
     }
     assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+
+
+def test_pq_recall_floor_and_rerank_tuning_direction(spark, ann_fixture):
+    """PQ (8 subspaces x 16 codes) with a 50-candidate exact rerank
+    holds mean recall@10 >= 0.7 on the adversarial random fixture, and
+    widening the rerank pool must not hurt recall (the ADC-candidates
+    knob works in the documented direction).  Random-gaussian vectors
+    are PQ's worst case (no subspace structure to quantize), so the
+    floor is deliberately below the LSH/IVF floors."""
+    from artemia_airflow_spark.operators.similarity import pq_topk
+
+    corpus, probes, exact = ann_fixture
+    r50 = _mean_recall(
+        pq_topk(
+            corpus, probes, id_col="vec_id", probe_id_col="probe_id",
+            k=K, rerank_candidates=50,
+        ).collect(),
+        exact,
+    )
+    r150 = _mean_recall(
+        pq_topk(
+            corpus, probes, id_col="vec_id", probe_id_col="probe_id",
+            k=K, rerank_candidates=150,
+        ).collect(),
+        exact,
+    )
+    assert r50 >= 0.7, f"pq m8/c16/r50 mean recall@10 = {r50}"
+    assert r150 >= r50 - 0.05, (r150, r50)
+
+
+def test_pq_encode_shape_and_determinism(spark, ann_fixture):
+    """PQ codes are length-m int arrays in [0, n_codes); same seed =>
+    identical codebooks => identical codes."""
+    from artemia_airflow_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    corpus, _, _ = ann_fixture
+    b1 = pq_codebooks(corpus, vec_col="embedding", m_subspaces=8,
+                      n_codes=16, seed=7)
+    b2 = pq_codebooks(corpus, vec_col="embedding", m_subspaces=8,
+                      n_codes=16, seed=7)
+    assert (b1 == b2).all()
+    codes = pq_encode(corpus.limit(20), b1, vec_col="embedding").select(
+        "__pq_code"
+    ).collect()
+    for r in codes:
+        assert len(r[0]) == 8
+        assert all(0 <= c < 16 for c in r[0])
