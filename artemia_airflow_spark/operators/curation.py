@@ -1315,3 +1315,115 @@ def q_decontaminate_bloom_portable(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(F.col("contaminated_bloom"), 1)).alias("n_flagged"),
     )
+
+
+def winnowed_fingerprints_portable(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 40, w: int = 16
+) -> DataFrame:
+    """Engine-portable winnowing (round 9): per document, the distinct
+    selected substring fingerprints under the classic scheme — hash
+    every ``k``-char gram (md5), slide a ``w``-wide window over the
+    positions, keep each window's minimum — with the tiebreak encoded
+    INTO the key (``md5(gram) || '#' || lpad(pos)``: min by hash,
+    then leftmost position), so SQL window functions reproduce the
+    selection exactly.  The numpy rolling-hash tier
+    (:func:`substring_fingerprints`) keeps the production path; this
+    twin exists so the winnowing CLASS has a value-for-value oracle.
+
+    Shape: explode(positions) -> md5 -> ONE window per doc (partition
+    by id, ordered by position, ROWS [0, w-1]) -> distinct — all
+    codegen expressions and one doc-keyed shuffle; never all-pairs.
+    Returns (id, fp)."""
+    body = F.lower(F.col(text_col))
+    grams = (
+        df.select(F.col(id_col), body.alias("__t"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__t") - (k - 1), F.lit(1)),
+                )
+            ).alias("pos"),
+            "__t",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.concat(
+                F.md5(F.expr(f"substring(__t, pos, {k})")),
+                F.lit("#"),
+                F.lpad(F.col("pos").cast("string"), 8, "0"),
+            ).alias("key"),
+        )
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.select(id_col, F.min("key").over(win).alias("sel"))
+        .select(id_col, F.substring("sel", 1, 32).alias("fp"))
+        .distinct()
+    )
+
+
+@declared(
+    "q_dedup_substring_portable",
+    oracle="""
+    WITH body AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+    ), keyed AS (
+      SELECT doc_id, p,
+             md5(substr(t, CAST(p AS INT), 40)) || '#'
+               || lpad(CAST(p AS VARCHAR), 8, '0') AS key
+      FROM (
+        SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - 39, 1) + 1)) AS p
+        FROM body
+      )
+    ), sel AS (
+      SELECT DISTINCT doc_id,
+             substr(min(key) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING), 1, 32) AS fp
+      FROM keyed
+    ), shared AS (
+      SELECT fp FROM sel GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1
+    ), over_docs AS (
+      SELECT DISTINCT doc_id FROM sel JOIN shared USING (fp)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(o.doc_id) AS BIGINT) AS n_overlap_docs
+    FROM documents d LEFT JOIN over_docs o USING (doc_id)
+    GROUP BY lang
+    """,
+)
+def q_dedup_substring_portable(spark, sf_dir):
+    """B57's winnowing class as a FULL hash-match oracle (round 9,
+    extending the portable-md5 pattern): per-lang count of documents
+    sharing a winnow-selected 40-char fingerprint with another
+    document — DuckDB reproduces gram hashing, window-min selection,
+    and the leftmost-position tiebreak exactly, so the driver attests
+    WHICH fingerprints winnowing selects, value-for-value.  The numpy
+    rolling-hash tier keeps the production path and its
+    shared-substring guarantee tests."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints_portable(d, "text", "doc_id")
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("fp")
+    )
+    over_docs = fps.join(shared, "fp", "left_semi").select("doc_id").distinct()
+    return (
+        d.join(over_docs.withColumn("__o", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.col("__o")).alias("n_overlap_docs"),
+        )
+    )

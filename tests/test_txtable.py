@@ -1707,3 +1707,20 @@ def test_distributed_prune_at_50k_files_never_lists_excluded(spark, root):
     assert not any("synth-" in p for p in files_read)
     # generous bound: one small metadata Spark job + a 4-file read
     assert prune_s < 15.0, f"50k-file distributed prune took {prune_s:.2f}s"
+
+
+def test_distributed_prune_translates_column_mapping(spark, root):
+    """Distributed pruning on a RENAMED column: the executor-side
+    predicate must look stats up by PHYSICAL name (the JSON metas
+    predate the rename), exactly like the driver loop."""
+    t = _mk(spark, root, n=200, files=8)
+    t.rename_column("v", "value")
+    t.checkpoint(format="parquet")
+    for ranges in ({"value": (500.0, 900.0)}, {"k": (10, 30)}):
+        a = t.snapshot_where_ranges(ranges)
+        b = t.snapshot_where_ranges(ranges, distributed=True)
+        assert sorted(tuple(r) for r in a.collect()) == sorted(
+            tuple(r) for r in b.collect()
+        ), ranges
+        assert sorted(a.inputFiles()) == sorted(b.inputFiles()), ranges
+        assert "value" in b.columns and "v" not in b.columns
