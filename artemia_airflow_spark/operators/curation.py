@@ -1362,8 +1362,21 @@ def winnowed_fingerprints_portable(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
+    # classic winnowing selects over FULL w-windows only: trailing
+    # partial windows would unconditionally select the final gram and
+    # make any shared 40-char suffix count as overlap (r9 review).
+    # Documents with fewer than w grams keep exactly one (partial)
+    # window so short docs are still represented — the same truncation
+    # convention the gram extraction itself uses.
+    n_grams = F.count(F.lit(1)).over(Window.partitionBy(id_col))
     return (
-        grams.select(id_col, F.min("key").over(win).alias("sel"))
+        grams.select(
+            id_col,
+            "pos",
+            n_grams.alias("__n"),
+            F.min("key").over(win).alias("sel"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("__n") - (w - 1), F.lit(1)))
         .select(id_col, F.substring("sel", 1, 32).alias("fp"))
         .distinct()
     )
@@ -1383,11 +1396,15 @@ def winnowed_fingerprints_portable(
                unnest(range(1, greatest(len(t) - 39, 1) + 1)) AS p
         FROM body
       )
-    ), sel AS (
-      SELECT DISTINCT doc_id,
-             substr(min(key) OVER (PARTITION BY doc_id ORDER BY p
-                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING), 1, 32) AS fp
+    ), winmin AS (
+      SELECT doc_id, p,
+             min(key) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
       FROM keyed
+    ), sel AS (
+      SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp
+      FROM winmin WHERE p <= greatest(n - 15, 1)
     ), shared AS (
       SELECT fp FROM sel GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1
     ), over_docs AS (

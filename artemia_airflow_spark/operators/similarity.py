@@ -387,7 +387,8 @@ def q_sim_ivf(spark, sf_dir):
 
 def pq_codebooks(
     corpus: DataFrame, *, vec_col: str, m_subspaces: int, n_codes: int,
-    seed: int, train_cap: int = 4096,
+    seed: int, train_cap: int = 4096, order_col: str | None = None,
+    normalize: bool = False,
 ) -> "np.ndarray":
     """Train product-quantization codebooks: split the embedding into
     ``m_subspaces`` contiguous sub-vectors and run a small KMeans per
@@ -397,14 +398,31 @@ def pq_codebooks(
     driver — the FAISS convention: codebooks are a tiny model (m x
     n_codes x sub_dim floats) fit on a bounded sample regardless of
     corpus size, then broadcast.  This is a bounded model-fit collect,
-    not a data collect (the corpus itself is never materialized)."""
+    not a data collect (the corpus itself is never materialized).
+    Pass ``order_col`` to make the sample — and therefore the
+    codebooks — independent of partition layout (a bare limit() takes
+    whichever partitions answer first); ``normalize=True`` L2-
+    normalizes sample rows so codebooks live on the unit sphere the
+    cosine contract quantizes (r9 review)."""
+    src = corpus.select(vec_col, *( [order_col] if order_col else [] ))
+    if order_col:
+        src = src.orderBy(order_col)
     sample = np.array(
         [
             list(map(float, r[0]))
-            for r in corpus.select(vec_col).limit(train_cap).collect()
+            for r in src.select(vec_col).limit(train_cap).collect()
         ],
         dtype=np.float64,
     )
+    if len(sample) < n_codes:
+        raise ValueError(
+            f"PQ training needs >= n_codes ({n_codes}) vectors; "
+            f"corpus sample has {len(sample)}"
+        )
+    if normalize:
+        sample /= np.maximum(
+            np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+        )
     dim = sample.shape[1]
     if dim % m_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
@@ -429,7 +447,8 @@ def pq_codebooks(
 
 
 def pq_encode(
-    df: DataFrame, books: "np.ndarray", *, vec_col: str
+    df: DataFrame, books: "np.ndarray", *, vec_col: str,
+    normalize: bool = False,
 ) -> DataFrame:
     """Replace each vector with its PQ code (array<int>, length m):
     per subspace, the index of the nearest codebook centroid.  A
@@ -444,6 +463,8 @@ def pq_encode(
     def encode(vecs: pd.Series) -> pd.Series:
         B = bc.value
         V = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        if normalize:
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         out = np.empty((len(V), B.shape[0]), dtype=np.int32)
         for j in range(B.shape[0]):
             X = V[:, j * sub : (j + 1) * sub]
@@ -484,18 +505,23 @@ def pq_topk(
     rerank-candidates tuning direction are pinned in
     tests/test_accuracy.py.  Compose with IVF (encode residuals per
     cell) for IVF-PQ; kept orthogonal here."""
+    # corpus vectors are L2-NORMALIZED before quantization (codebook
+    # fit AND encode), so ADC approximates probe_hat . v_hat = true
+    # cosine — without this, varying corpus norms rank the candidate
+    # cut by inner product and the exact rerank can never recover a
+    # true neighbor that missed the cut (r9 review)
     books = pq_codebooks(
         corpus, vec_col=vec_col, m_subspaces=m_subspaces,
-        n_codes=n_codes, seed=seed,
+        n_codes=n_codes, seed=seed, order_col=id_col, normalize=True,
     )
-    coded = pq_encode(corpus, books, vec_col=vec_col)
+    coded = pq_encode(corpus, books, vec_col=vec_col, normalize=True)
 
     # probe LUTs: normalized probe sub-vector . codebook centroid —
-    # summing the m gathered entries approximates probe . vector, and
-    # argsort by inner product == argsort by cosine after corpus-side
-    # normalization is folded into the rerank (ADC ranks candidates;
-    # the exact rerank restores true cosine order)
-    probe_rows = probes.select(probe_id_col, probe_vec_col).collect()
+    # summing the m gathered entries approximates cos(probe, vector)
+    # on the normalized corpus; the exact rerank restores true cosine
+    # order within the candidate pool
+    probe_sel = probes.select(probe_id_col, probe_vec_col)
+    probe_rows = probe_sel.collect()
     m, _, sub = books.shape
     luts = {}
     for r in probe_rows:
@@ -517,7 +543,13 @@ def pq_topk(
             out[mask] = L[pid][cols, C[mask]].sum(1)
         return pd.Series(out)
 
-    pid_only = probes.select(probe_id_col)
+    # rebuild the tiny probe relations from the ALREADY-collected rows:
+    # probes is typically a filter over the same scan as the corpus,
+    # and re-referencing its plan would re-execute that subplan for the
+    # cross-join and again for the rerank (Spark does not dedupe common
+    # subplans — r9 review)
+    pv = probes.sparkSession.createDataFrame(probe_rows, probe_sel.schema)
+    pid_only = pv.select(probe_id_col)
     scored = coded.select(id_col, "__pq_code").crossJoin(
         F.broadcast(pid_only)
     ).select(
@@ -534,7 +566,6 @@ def pq_topk(
     )
     # exact rerank on the tiny candidate set: broadcast it, join the
     # corpus vectors back (semi-pruned scan), true cosine, final top-k
-    pv = probes.select(probe_id_col, probe_vec_col)
     joined = corpus.select(id_col, vec_col).join(
         F.broadcast(cand), id_col
     ).join(F.broadcast(pv), probe_id_col)

@@ -484,6 +484,10 @@ class TxTable:
                 }
             ).replace_schema_metadata({_CP_HEADER_KEY: json.dumps(header)})
             pq.write_table(tbl, staged)
+            # same durability the JSON branch enforces: a torn newest
+            # checkpoint would shadow older valid ones and brick reads
+            with open(staged, "rb") as f:
+                os.fsync(f.fileno())
         os.replace(
             staged,
             os.path.join(
@@ -695,11 +699,15 @@ class TxTable:
                 added_live[a["path"]] = a
 
         files = self.spark.read.parquet(cp_path)
-        if removed_from_cp:
+        # anti-join ALSO drops checkpoint rows for paths RE-ADDED in the
+        # tail (added_live wins), mirroring _live's dict overwrite — a
+        # tail add of an already-live path must not scan the file twice
+        superseded = removed_from_cp | set(added_live)
+        if superseded:
             files = files.join(
                 F.broadcast(
                     self.spark.createDataFrame(
-                        [(p,) for p in sorted(removed_from_cp)],
+                        [(p,) for p in sorted(superseded)],
                         "path string",
                     )
                 ),
