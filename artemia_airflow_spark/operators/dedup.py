@@ -1189,3 +1189,130 @@ def q_dedup_clusters_portable(spark, sf_dir):
             F.sum("label").alias("sum_reps"),
         )
     )
+
+
+@declared(
+    "q_dedup_ngram_portable",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id, i,
+             min(substr(md5(CAST(i // 4 AS VARCHAR) || ':' || tok),
+                        CAST((i % 4) * 8 + 1 AS INT), 8)) AS h
+      FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(sig, b*8+1, b*8+8), ',')) AS bv
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS b)
+    ), mn AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY b, bv) AS mnid
+      FROM banded
+    ), pairs AS (
+      SELECT DISTINCT mnid AS a, doc_id AS bdoc FROM mn WHERE doc_id > mnid
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+            FROM documents)
+    ), gsize AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id
+    ), inter AS (
+      SELECT p.a, p.bdoc, CAST(COUNT(*) AS BIGINT) AS i
+      FROM pairs p
+      JOIN g ga ON ga.doc_id = p.a
+      JOIN g gb ON gb.doc_id = p.bdoc AND gb.gram = ga.gram
+      GROUP BY p.a, p.bdoc
+    ), verified AS (
+      SELECT i.a, i.bdoc
+      FROM inter i
+      JOIN gsize sa ON sa.doc_id = i.a
+      JOIN gsize sb ON sb.doc_id = i.bdoc
+      WHERE 10 * i.i >= 8 * (sa.n + sb.n - i.i)
+    ), dup_docs AS (
+      -- explicit DISTINCT over UNION ALL: inside a WITH RECURSIVE
+      -- context DuckDB did NOT fully dedup a plain UNION here (a doc
+      -- that is the min of two pairs came out twice and inflated the
+      -- left-join count) — make the dedup unambiguous
+      SELECT DISTINCT doc_id FROM (
+        SELECT a AS doc_id FROM verified
+        UNION ALL
+        SELECT bdoc AS doc_id FROM verified
+      )
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(d2.doc_id) AS BIGINT) AS n_dups
+    FROM documents d LEFT JOIN dup_docs d2 USING (doc_id)
+    GROUP BY lang
+    """,
+)
+def q_dedup_ngram_portable(spark, sf_dir):
+    """B41's generate-verify pipeline as a FULL hash-match oracle
+    (round 9): candidate pairs from the md5-portable MinHash bands
+    (bucket-star, linear), verified by EXACT word-3-gram Jaccard with
+    the 0.8 threshold compared in scaled integers (``10*|I| >=
+    8*|U|`` — no float division to diverge between engines).  Per-lang
+    doc and verified-duplicate counts; DuckDB reproduces candidates,
+    shingle sets, intersections, and the threshold decision
+    value-for-value.  The fast tier (crc32 signatures + one-pass
+    bucket grouping) keeps the production path.
+
+    Scale shape mirrors the fast tier: ONE banded shuffle for
+    candidates, shingles materialized only for docs in some pair
+    (semi-join pruning via the join itself), intersection as a
+    gram-keyed equi-join confined to candidate pairs."""
+    ensure_engine_conf(spark)
+    from artemia_airflow_spark.operators.curation import word_ngrams
+
+    d = scan(spark, sf_dir, "documents")
+    banded = _minhash_portable_bands(d, "text", "doc_id")
+    w = Window.partitionBy("b", "bv")
+    pairs = (
+        banded.withColumn("__mn", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("__mn"))
+        .select(F.col("__mn").alias("a"), F.col("doc_id").alias("bdoc"))
+        .distinct()
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("text", 3))).alias("gram"),
+    )
+    gsize = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = g.select(F.col("doc_id").alias("a"), "gram")
+    gb = g.select(F.col("doc_id").alias("bdoc"), "gram")
+    inter = (
+        pairs.join(ga, "a")
+        .join(gb, ["bdoc", "gram"])
+        .groupBy("a", "bdoc")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    verified = (
+        inter.join(gsize.select(F.col("doc_id").alias("a"),
+                                F.col("n").alias("na")), "a")
+        .join(gsize.select(F.col("doc_id").alias("bdoc"),
+                           F.col("n").alias("nb")), "bdoc")
+        .filter(10 * F.col("i") >= 8 * (F.col("na") + F.col("nb") - F.col("i")))
+    )
+    dup_docs = (
+        verified.select(F.col("a").alias("doc_id"))
+        .union(verified.select(F.col("bdoc").alias("doc_id")))
+        .distinct()
+    )
+    return (
+        d.join(dup_docs, "doc_id", "left_semi")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n_dups"))
+        .join(
+            d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")),
+            "lang",
+            "right",
+        )
+        .select("lang", "n_docs", F.coalesce("n_dups", F.lit(0)).alias("n_dups"))
+    )
