@@ -363,3 +363,86 @@ def _register_validate() -> None:
 
 
 _register_validate()
+
+
+def kmv_distinct_state(
+    df: DataFrame, value_col: str, group_cols: list[str], *, k: int = 64
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch state per group:
+    the k-th smallest md5 hash of the distinct values (round 9) —
+    the approx-distinct family's PORTABLE twin next to the engine-
+    native HLL rollup (B61) and approx_count_distinct (B21).
+
+    An order statistic of per-value hashes is order-independent and
+    md5 is engine-universal, so unlike HLL registers this sketch state
+    is value-for-value reproducible in ANY engine: the driver oracle
+    attests the exact k-th hash.  The estimator (k-1)/frac(kth_hash)
+    and its accuracy bound live in tests/test_accuracy.py.
+
+    Shape: distinct (group, hash) — one map-side-combined shuffle on
+    fixed-width digests — then ONE window per group for the k-th
+    order statistic.  Returns (group..., n_exact BIGINT, kth_hash
+    string; kth_hash = the max hash when a group has fewer than k
+    distinct values, where the estimate degrades to exact — the
+    standard KMV convention)."""
+    h = df.select(
+        *group_cols,
+        F.md5(F.col(value_col).cast("string")).alias("__h"),
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    wn = Window.partitionBy(*group_cols)
+    ranked = h.select(
+        *group_cols,
+        "__h",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.max("__n").alias("n_exact"),
+        F.max(
+            F.when(
+                F.col("__rn") == F.least(F.lit(k), F.col("__n")), F.col("__h")
+            )
+        ).alias("kth_hash"),
+    )
+
+
+def _register_kmv() -> None:
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_agg_kmv_portable",
+        oracle="""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events
+        ), r AS (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM h
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_exact,
+               MAX(CASE WHEN rn = LEAST(64, n) THEN h END) AS kth_hash
+        FROM r GROUP BY event_type
+        """,
+    )
+    def q_agg_kmv_portable(spark, sf_dir):
+        """B21/B61's approx-distinct family as a FULL hash-match oracle
+        (round 9): per-event-type KMV sketch state (k=64) over
+        user_id — DuckDB reproduces the exact k-th minimum hash, so
+        the driver attests the sketch's entire decision path
+        (hashing, dedup, order statistic) value-for-value; estimator
+        accuracy is pinned separately (tests/test_accuracy.py).  The
+        engine-native HLL tiers keep their rows-only checks."""
+        ensure_engine_conf(spark)
+        e = scan(spark, sf_dir, "events")
+        return kmv_distinct_state(e, "user_id", ["event_type"], k=64)
+
+
+_register_kmv()

@@ -520,3 +520,23 @@ def test_pq_encode_shape_and_determinism(spark, ann_fixture):
     for r in codes:
         assert len(r[0]) == 8
         assert all(0 <= c < 16 for c in r[0])
+
+
+def test_kmv_estimator_accuracy(spark):
+    """KMV (k=64) estimate (k-1)/frac(kth_hash) tracks the exact
+    distinct count within the sketch's statistical band (~1/sqrt(k) =
+    12.5% std; assert 3 sigma) for groups with >= k distinct values,
+    and degrades to EXACT below k (kth_hash is then the max hash and
+    n_exact is authoritative)."""
+    from artemia_airflow_spark.operators.sketches import kmv_distinct_state
+
+    e = scan(spark, SF_SMOKE, "events")
+    rows = kmv_distinct_state(e, "user_id", ["event_type"], k=64).collect()
+    assert rows
+    for r in rows:
+        if r.n_exact >= 64:
+            frac = int(r.kth_hash[:13], 16) / 16**13
+            est = 63 / frac
+            assert abs(est - r.n_exact) / r.n_exact < 0.375, (
+                r.event_type, r.n_exact, est,
+            )
