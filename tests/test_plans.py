@@ -427,3 +427,32 @@ def test_q12_fact_fact_join_shape(spark):
     assert re.search(
         r"\(\d+\) Filter\n(?:[^\n]*\n){0,2}Condition : [^\n]*MAIL", p
     ), "lineitem prefilter missing"
+
+
+def test_portable_oracle_tiers_stay_jvm_side(spark):
+    """The round-9 portable-md5 tiers are pure expression plans: md5/
+    substring/CASE/window only — NO Python evaluation node anywhere
+    (the whole point of expression-derived hashes is paying zero
+    Arrow/Python tax for oracle checkability)."""
+    for name in (
+        "q_dedup_simhash_portable",
+        "q_dedup_minhash_portable",
+        "q_dedup_substring_portable",
+        "q_decontaminate_bloom_portable",
+        "q_agg_kmv_portable",
+    ):
+        p = _formatted_plan(spark, name)
+        # (codegen spans only print in a FINAL AQE plan, so the pin is
+        # the absence of any Python evaluation node, which formatted
+        # plans always show)
+        assert "EvalPython" not in p, f"{name} plan runs Python"
+
+
+def test_kmv_reads_only_its_two_columns(spark):
+    """KMV sketch state scans (event_type, user_id) and nothing else —
+    column pruning reaches the events scan."""
+    p = _formatted_plan(spark, "q_agg_kmv_portable")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"event_type", "user_id"}
