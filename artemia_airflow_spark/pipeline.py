@@ -118,6 +118,58 @@ class Connections:
 TRIGGER_RULES = ("all_success", "one_failed", "all_failed", "all_done")
 
 
+class TaskGroup:
+    """Airflow TaskGroup parity (round 9): a named grouping that
+    PREFIXES member task_ids (``group.task``, nested groups chain) and
+    participates in ``>>`` arrows as a unit — ``a >> group`` wires
+    ``a`` to the group's ROOTS (members with no upstream inside the
+    group), ``group >> b`` wires its LEAVES to ``b``.  Created via
+    ``Pipeline.task_group(name)`` (a context manager); stages added
+    inside the ``with`` block join every group on the stack, so an
+    outer group's arrows also cover nested members — Airflow's
+    semantics.  Purely structural: execution, trigger rules, pools and
+    the ledger all see the prefixed task_ids."""
+
+    def __init__(self, name: str) -> None:
+        if not name or "." in name:
+            # dots are the group separator; allowing them in a group
+            # name would make "a.b" ambiguous between nesting and name
+            raise ValueError("task group name must be non-empty, no dots")
+        self.name = name
+        self.members: list["Stage"] = []
+
+    def _member_ids(self) -> set[str]:
+        return {s.task_id for s in self.members}
+
+    def _roots(self) -> list["Stage"]:
+        ids = self._member_ids()
+        return [
+            s for s in self.members
+            if not any(u.task_id in ids for u in s.upstream)
+        ]
+
+    def _leaves(self) -> list["Stage"]:
+        ids = self._member_ids()
+        return [
+            s for s in self.members
+            if not any(d.task_id in ids for d in s.downstream)
+        ]
+
+    def __rshift__(self, other):
+        for leaf in self._leaves():
+            leaf >> other
+        return other
+
+    def __lshift__(self, other):
+        targets = other if isinstance(other, list) else [other]
+        for t in targets:
+            t >> self
+        return other
+
+    def __repr__(self) -> str:
+        return f"TaskGroup({self.name!r}, {len(self.members)} members)"
+
+
 class Stage:
     """A node in the pipeline DAG.  ``fn(ctx)`` receives a StageContext
     and may return anything; DataFrame returns are the idiomatic
@@ -182,9 +234,17 @@ class Stage:
         self.upstream: list[Stage] = []
         self.downstream: list[Stage] = []
 
-    def __rshift__(self, other: "Stage | list[Stage]") -> "Stage | list[Stage]":
+    def __rshift__(self, other: "Stage | list[Stage] | TaskGroup"):
+        if isinstance(other, TaskGroup):
+            # wiring to a group means wiring to its roots (Airflow)
+            for t in other._roots():
+                self >> t
+            return other
         targets = other if isinstance(other, list) else [other]
         for t in targets:
+            if isinstance(t, TaskGroup):
+                self >> t
+                continue
             self.downstream.append(t)
             t.upstream.append(self)
         return other
@@ -545,9 +605,37 @@ class Pipeline:
         # diagnostics: wave count of the most recent run() (0 before
         # any run — readable without AttributeError, r7 review)
         self.last_run_waves = 0
+        # TaskGroup nesting stack (task_group() context manager):
+        # stages added while the stack is non-empty get the dotted
+        # group prefix and join every group on the stack
+        self._group_stack: list[TaskGroup] = []
 
     # -- construction -------------------------------------------------
+    def task_group(self, name: str):
+        """Airflow TaskGroup parity: ``with pipe.task_group("g") as g:``
+        prefixes every stage added inside with ``g.`` (nested groups
+        chain: ``outer.inner.task``) and returns the group for arrow
+        wiring (``start >> g >> end``).  See :class:`TaskGroup`."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            tg = TaskGroup(name)
+            self._group_stack.append(tg)
+            try:
+                yield tg
+            finally:
+                popped = self._group_stack.pop()
+                assert popped is tg
+
+        return _cm()
+
     def add(self, stage: Stage) -> Stage:
+        if self._group_stack:
+            prefix = ".".join(g.name for g in self._group_stack)
+            stage.task_id = f"{prefix}.{stage.task_id}"
+            for g in self._group_stack:
+                g.members.append(stage)
         if stage.task_id in self.stages:
             raise ValueError(f"duplicate task_id {stage.task_id!r}")
         if stage.pool is not None and stage.pool not in self.pools:

@@ -1122,3 +1122,83 @@ def test_depends_on_past_requires_ledger(spark):
 
     with pytest.raises(ValueError, match="ledger"):
         pipe.run(spark)
+
+
+# ---------------------------------------------------------------------------
+# TaskGroup (round 9 A-surface parity)
+# ---------------------------------------------------------------------------
+
+
+def test_task_group_prefixes_and_wires_roots_and_leaves(spark):
+    """Stages inside a group get the dotted prefix; a >> group >> b
+    wires a to the group's roots and its leaves to b; execution order
+    respects the group boundary."""
+    from artemia_airflow_spark.pipeline import Pipeline
+
+    pipe = Pipeline("tg1")
+    order: list[str] = []
+
+    def mk(name):
+        def fn(ctx, name=name):
+            order.append(name)
+            return name
+        return fn
+
+    start = pipe.add(Stage("start", mk("start")))
+    with pipe.task_group("g") as g:
+        t1 = pipe.add(Stage("t1", mk("t1")))
+        t2 = pipe.add(Stage("t2", mk("t2")))
+        t3 = pipe.add(Stage("t3", mk("t3")))
+        t1 >> t3
+        t2 >> t3
+    end = pipe.add(Stage("end", mk("end")))
+    start >> g >> end
+
+    assert t1.task_id == "g.t1" and t3.task_id == "g.t3"
+    assert sorted(s.task_id for s in g._roots()) == ["g.t1", "g.t2"]
+    assert [s.task_id for s in g._leaves()] == ["g.t3"]
+    # start wired to BOTH roots, only the leaf wired to end
+    assert {d.task_id for d in start.downstream} == {"g.t1", "g.t2"}
+    assert {u.task_id for u in end.upstream} == {"g.t3"}
+
+    res = pipe.run(spark)
+    assert all(r.state == "success" for r in res.values())
+    assert order[0] == "start" and order[-1] == "end"
+    assert order.index("t3") > max(order.index("t1"), order.index("t2"))
+
+
+def test_task_group_nesting_and_duplicate_base_names(spark):
+    """Nested groups chain prefixes; the same base task name in two
+    sibling groups does not collide; an outer-group arrow covers
+    nested members (roots computed over ALL members)."""
+    from artemia_airflow_spark.pipeline import Pipeline
+
+    pipe = Pipeline("tg2")
+    with pipe.task_group("outer") as outer:
+        with pipe.task_group("inner") as inner:
+            a = pipe.add(Stage("work", lambda ctx: 1))
+        b = pipe.add(Stage("work", lambda ctx: 2))  # same base name
+        a >> b
+    assert a.task_id == "outer.inner.work"
+    assert b.task_id == "outer.work"
+    assert {s.task_id for s in outer.members} == {
+        "outer.inner.work", "outer.work",
+    }
+    assert [s.task_id for s in inner.members] == ["outer.inner.work"]
+    # outer's root is the nested stage (its upstream b-edge is inward)
+    assert [s.task_id for s in outer._roots()] == ["outer.inner.work"]
+    assert [s.task_id for s in outer._leaves()] == ["outer.work"]
+    res = pipe.run(spark)
+    assert res["outer.inner.work"].value == 1
+    assert res["outer.work"].value == 2
+
+
+def test_task_group_rejects_dotted_name(spark):
+    from artemia_airflow_spark.pipeline import Pipeline, TaskGroup
+
+    with pytest.raises(ValueError, match="no dots"):
+        TaskGroup("a.b")
+    pipe = Pipeline("tg3")
+    with pytest.raises(ValueError, match="no dots"):
+        with pipe.task_group("x.y"):
+            pass
