@@ -884,11 +884,21 @@ def minhash_portable_duplicates(
     banded = _minhash_portable_bands(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands
     )
+    return _bucket_star_pairs(banded, id_col).select(
+        F.col("dst").alias(id_col)
+    ).distinct()
+
+
+def _bucket_star_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (src=bucket-min, dst=member) pairs from an (id, b, bv)
+    band-bucket relation — ONE rule for the candidate-pair convention
+    shared by the portable dup listing, CC edges, and ngram verify
+    (r9 review: three hand-maintained copies risked diverging)."""
     w = Window.partitionBy("b", "bv")
     return (
         banded.withColumn("__mn", F.min(id_col).over(w))
         .filter(F.col(id_col) > F.col("__mn"))
-        .select(id_col)
+        .select(F.col("__mn").alias("src"), F.col(id_col).alias("dst"))
         .distinct()
     )
 
@@ -993,15 +1003,16 @@ def q_dedup_minhash_portable(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     dups = minhash_portable_duplicates(d, "text", "doc_id")
+    # left join + conditional count (not a lang-keyed join of two
+    # aggregates): NULL-lang groups must roll up like the oracle's
+    # LEFT JOIN does (r9 review; latent on current fixtures)
     return (
-        d.join(dups, "doc_id", "left_semi")
-        .groupBy("lang").agg(F.count(F.lit(1)).alias("n_dups"))
-        .join(
-            d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")),
-            "lang",
-            "right",
+        d.join(dups.withColumn("__dup", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__dup").alias("n_dups"),
         )
-        .select("lang", "n_docs", F.coalesce("n_dups", F.lit(0)).alias("n_dups"))
     )
 
 
@@ -1167,13 +1178,7 @@ def q_dedup_clusters_portable(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     banded = _minhash_portable_bands(d, "text", "doc_id")
-    w = Window.partitionBy("b", "bv")
-    edges = (
-        banded.withColumn("__mn", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") > F.col("__mn"))
-        .select(F.col("__mn").alias("src"), F.col("doc_id").alias("dst"))
-        .distinct()
-    )
+    edges = _bucket_star_pairs(banded, "doc_id")
     # max_iters=10 covers diameter ~2^10: the 16-hash/2-band portable
     # family buckets more aggressively than the 64/8 fast tier, so
     # chained bucket-stars run deeper at tiny SFs (seen: >2^5 at
@@ -1274,16 +1279,30 @@ def q_dedup_ngram_portable(spark, sf_dir):
 
     d = scan(spark, sf_dir, "documents")
     banded = _minhash_portable_bands(d, "text", "doc_id")
-    w = Window.partitionBy("b", "bv")
+    # pairs feeds TWO consumers (the pair-doc prune and the verify
+    # join); checkpoint so the banding subtree runs once, not twice
     pairs = (
-        banded.withColumn("__mn", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") > F.col("__mn"))
-        .select(F.col("__mn").alias("a"), F.col("doc_id").alias("bdoc"))
+        _bucket_star_pairs(banded, "doc_id")
+        .withColumnsRenamed({"src": "a", "dst": "bdoc"})
+        .localCheckpoint(eager=True)
+    )
+    # shingles materialize ONLY for docs in some candidate pair
+    # (semi-join prune BEFORE the explode), and the exploded frame is
+    # checkpointed so its three consumers (sizes + both join sides)
+    # run the tokenize/ngram pass once, not three times (r9 review —
+    # the documented common-subplan-rescan pitfall)
+    pair_docs = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("bdoc").alias("doc_id")))
         .distinct()
     )
-    g = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_ngrams("text", 3))).alias("gram"),
+    g = (
+        d.join(pair_docs, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_ngrams("text", 3))).alias("gram"),
+        )
+        .localCheckpoint(eager=True)
     )
     gsize = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = g.select(F.col("doc_id").alias("a"), "gram")
@@ -1306,13 +1325,15 @@ def q_dedup_ngram_portable(spark, sf_dir):
         .union(verified.select(F.col("bdoc").alias("doc_id")))
         .distinct()
     )
+    # left join + conditional count, NOT a lang-keyed join of two
+    # aggregates: equi-joins never match NULL lang, so a NULL-lang
+    # group's n_dups would silently zero while the oracle's LEFT JOIN
+    # counts it (r9 review; latent on current fixtures)
     return (
-        d.join(dup_docs, "doc_id", "left_semi")
-        .groupBy("lang").agg(F.count(F.lit(1)).alias("n_dups"))
-        .join(
-            d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")),
-            "lang",
-            "right",
+        d.join(dup_docs.withColumn("__dup", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__dup").alias("n_dups"),
         )
-        .select("lang", "n_docs", F.coalesce("n_dups", F.lit(0)).alias("n_dups"))
     )

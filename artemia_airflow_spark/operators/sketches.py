@@ -385,10 +385,14 @@ def kmv_distinct_state(
     string; kth_hash = the max hash when a group has fewer than k
     distinct values, where the estimate degrades to exact — the
     standard KMV convention)."""
+    # NULL values are excluded (SQL count-distinct semantics) BEFORE
+    # ranking: Spark windows sort NULLS FIRST while DuckDB sorts NULLS
+    # LAST, so a surviving NULL hash would shift the k-th order
+    # statistic differently in each engine (r9 review, reproduced)
     h = df.select(
         *group_cols,
         F.md5(F.col(value_col).cast("string")).alias("__h"),
-    ).distinct()
+    ).filter(F.col("__h").isNotNull()).distinct()
     w = Window.partitionBy(*group_cols).orderBy("__h")
     wn = Window.partitionBy(*group_cols)
     ranked = h.select(
@@ -419,6 +423,7 @@ def _register_kmv() -> None:
           SELECT DISTINCT event_type,
                  md5(CAST(user_id AS VARCHAR)) AS h
           FROM events
+          WHERE user_id IS NOT NULL
         ), r AS (
           SELECT event_type, h,
                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)

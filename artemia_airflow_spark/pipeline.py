@@ -137,6 +137,29 @@ class TaskGroup:
             raise ValueError("task group name must be non-empty, no dots")
         self.name = name
         self.members: list["Stage"] = []
+        # arrows touching a group that is still OPEN (inside its with
+        # block) are DEFERRED and resolved when the block exits — an
+        # eager resolution would miss members/edges declared after the
+        # arrow and silently drop dependencies (r9 review).  Airflow
+        # resolves group wiring at DAG-build completion for the same
+        # reason.
+        self.closed = False
+        self._pending_upstream: list["Stage"] = []
+        self._pending_downstream: list[object] = []
+
+    def _close(self) -> None:
+        """Resolve deferred arrows (called by task_group's context
+        exit).  Downstream targets may themselves be open groups —
+        wiring to them re-defers on their pending list."""
+        self.closed = True
+        for s in self._pending_upstream:
+            for r in self._roots():
+                s >> r
+        self._pending_upstream.clear()
+        for t in self._pending_downstream:
+            for leaf in self._leaves():
+                leaf >> t
+        self._pending_downstream.clear()
 
     def _member_ids(self) -> set[str]:
         return {s.task_id for s in self.members}
@@ -156,6 +179,9 @@ class TaskGroup:
         ]
 
     def __rshift__(self, other):
+        if not self.closed:
+            self._pending_downstream.append(other)
+            return other
         for leaf in self._leaves():
             leaf >> other
         return other
@@ -236,7 +262,12 @@ class Stage:
 
     def __rshift__(self, other: "Stage | list[Stage] | TaskGroup"):
         if isinstance(other, TaskGroup):
-            # wiring to a group means wiring to its roots (Airflow)
+            # wiring to a group means wiring to its roots (Airflow);
+            # an OPEN group defers until its with-block exits so later
+            # members/edges are covered
+            if not other.closed:
+                other._pending_upstream.append(self)
+                return other
             for t in other._roots():
                 self >> t
             return other
@@ -627,24 +658,31 @@ class Pipeline:
             finally:
                 popped = self._group_stack.pop()
                 assert popped is tg
+                tg._close()  # resolve deferred arrows (r9 review)
 
         return _cm()
 
     def add(self, stage: Stage) -> Stage:
+        # validate FIRST, mutate after: a failed add must leave the
+        # stage and any open groups untouched, or a retried add would
+        # double-prefix the task_id and duplicate group membership
+        # (r9 review)
+        new_id = stage.task_id
         if self._group_stack:
             prefix = ".".join(g.name for g in self._group_stack)
-            stage.task_id = f"{prefix}.{stage.task_id}"
-            for g in self._group_stack:
-                g.members.append(stage)
-        if stage.task_id in self.stages:
-            raise ValueError(f"duplicate task_id {stage.task_id!r}")
+            new_id = f"{prefix}.{new_id}"
+        if new_id in self.stages:
+            raise ValueError(f"duplicate task_id {new_id!r}")
         if stage.pool is not None and stage.pool not in self.pools:
             # fail at construction, like Airflow's missing-pool error —
             # not mid-run where it would strand a half-executed wave
             raise ValueError(
-                f"stage {stage.task_id!r} references unknown pool "
+                f"stage {new_id!r} references unknown pool "
                 f"{stage.pool!r} (declared pools: {sorted(self.pools)})"
             )
+        stage.task_id = new_id
+        for g in self._group_stack:
+            g.members.append(stage)
         if (
             self.default_retry is not None
             and stage.retry == RetryPolicy()

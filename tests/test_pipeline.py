@@ -1202,3 +1202,57 @@ def test_task_group_rejects_dotted_name(spark):
     with pytest.raises(ValueError, match="no dots"):
         with pipe.task_group("x.y"):
             pass
+
+
+def test_task_group_arrows_inside_block_cover_later_members(spark):
+    """r9 review: an arrow drawn while the group is still OPEN must
+    cover members and internal edges declared AFTER it — resolution
+    defers to the with-block exit (Airflow resolves at DAG build)."""
+    from artemia_airflow_spark.pipeline import Pipeline
+
+    pipe = Pipeline("tg4")
+    order: list[str] = []
+
+    def mk(name):
+        def fn(ctx, name=name):
+            order.append(name)
+        return fn
+
+    start = pipe.add(Stage("start", mk("start")))
+    end = None
+    with pipe.task_group("g") as g:
+        t1 = pipe.add(Stage("t1", mk("t1")))
+        start >> g          # drawn BEFORE t2 exists
+        t2 = pipe.add(Stage("t2", mk("t2")))   # also a root
+        t3 = pipe.add(Stage("t3", mk("t3")))
+        t1 >> t3
+        t2 >> t3            # leaf changes after any earlier arrow
+    end = pipe.add(Stage("end", mk("end")))
+    g >> end                # closed group: immediate leaf wiring
+
+    # BOTH roots got the upstream edge, including the late t2
+    assert {d.task_id for d in start.downstream} == {"g.t1", "g.t2"}
+    assert {u.task_id for u in end.upstream} == {"g.t3"}
+    res = pipe.run(spark)
+    assert all(r.state == "success" for r in res.values())
+    assert order.index("t2") > order.index("start")
+    assert order[-1] == "end"
+
+
+def test_pipeline_add_failure_leaves_stage_and_group_untouched(spark):
+    """r9 review: a failed add() (unknown pool) must not mutate the
+    stage's task_id or group membership — a corrected retry succeeds
+    with a single prefix and single membership."""
+    from artemia_airflow_spark.pipeline import Pipeline
+
+    pipe = Pipeline("tg5", pools={"ok": 1})
+    with pipe.task_group("g") as g:
+        bad = Stage("t", lambda ctx: 1, pool="missing")
+        with pytest.raises(ValueError, match="unknown pool"):
+            pipe.add(bad)
+        assert bad.task_id == "t"          # not mutated
+        assert g.members == []             # not registered
+        bad.pool = "ok"
+        added = pipe.add(bad)
+        assert added.task_id == "g.t"      # single prefix
+        assert [s.task_id for s in g.members] == ["g.t"]

@@ -440,6 +440,11 @@ def test_portable_oracle_tiers_stay_jvm_side(spark):
         "q_dedup_substring_portable",
         "q_decontaminate_bloom_portable",
         "q_agg_kmv_portable",
+        # ngram-verify: the gram frame is an eager localCheckpoint, so
+        # the pin covers the visible band/pair/verify subtree (the
+        # checkpointed gram pass is the same expression-only
+        # word_ngrams the other tiers pin)
+        "q_dedup_ngram_portable",
     ):
         p = _formatted_plan(spark, name)
         # (codegen spans only print in a FINAL AQE plan, so the pin is
