@@ -183,6 +183,7 @@ def register_view(spark: SparkSession, sf_dir: str, name: str) -> None:
 def register_txtable(
     spark: SparkSession, view: str, table, *,
     version: int | None = None, ranges: dict | None = None,
+    distributed: bool = False,
 ) -> None:
     """Register a transactional table SNAPSHOT as a temp view so raw
     SQL (B97) can query engine-owned tables — with time travel
@@ -195,15 +196,22 @@ def register_txtable(
     view), and with ``ranges`` the scan lists only the footer-stat
     surviving files, so SQL over the view keeps the same 100 TB
     pruning story as the DataFrame reader (plan-pinned in
-    tests/test_plans.py).  Fixture table names are reserved — a
-    TxTable shadowing ``orders`` would silently change what every
-    other query reads."""
+    tests/test_plans.py).  ``distributed=True`` (requires ``ranges``
+    and a parquet checkpoint) runs the file pruning as a Spark
+    metadata job over the checkpoint instead of the driver loop — the
+    SQL face of the >1e6-live-file path (round 9).  Fixture table
+    names are reserved — a TxTable shadowing ``orders`` would
+    silently change what every other query reads."""
     if view in TABLES:
         raise ValueError(
             f"view name {view!r} shadows a fixture table; pick another"
         )
+    if distributed and not ranges:
+        raise ValueError("distributed pruning requires ranges")
     snap = (
-        table.snapshot_where_ranges(ranges, version=version)
+        table.snapshot_where_ranges(
+            ranges, version=version, distributed=distributed
+        )
         if ranges
         else table.snapshot(version)
     )

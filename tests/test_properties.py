@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -250,19 +250,37 @@ def test_cap_per_group_keeps_min_of_cap_and_group_size(spark, rows, cap):
             ),
             st.tuples(st.just("compact"), st.just([])),
             st.tuples(st.just("checkpoint"), st.just([])),
+            st.tuples(st.just("checkpoint_parquet"), st.just([])),
+            st.tuples(st.just("rename"), st.just([])),
             st.tuples(st.just("vacuum"), st.just([])),
         ),
         min_size=1,
         max_size=6,
     )
 )
+@example(
+    # pinned adversarial sequence (always runs regardless of random
+    # draw): rename mid-history, parquet checkpoint AFTER the rename,
+    # then writes/deletes/vacuum THROUGH the mapping and a second
+    # rename back — the r9 feature-interaction worst case
+    [
+        ("merge", [3, 7]),
+        ("rename", []),
+        ("checkpoint_parquet", []),
+        ("append", [1, 2]),
+        ("delete_even", []),
+        ("rename", []),
+        ("vacuum", []),
+    ]
+)
 def test_txtable_model_based(spark, ops):
     """Model-based check for the transactional table: a random sequence
-    of append/merge/delete/compact/checkpoint against TxTable must
-    agree with a plain Python dict model after EVERY operation.
+    of append/merge/delete/compact/checkpoint/rename against TxTable
+    must agree with a plain Python dict model after EVERY operation.
     Catches cross-operation interactions (merge after compact,
-    checkpoint mid-history, delete of merged keys) that single-op
-    tests cannot."""
+    checkpoint mid-history, delete of merged keys, appends/merges
+    THROUGH a rename, resolution through a parquet checkpoint written
+    mid-history — both r9 features) that single-op tests cannot."""
     import shutil
     import tempfile
 
@@ -278,6 +296,7 @@ def test_txtable_model_based(spark, ops):
             key_col="k",
         )
         model = dict(seed)
+        cur = "v"  # current logical name of the value column
         step = 0
         for op, keys in ops:
             step += 1
@@ -287,7 +306,7 @@ def test_txtable_model_based(spark, ops):
                 fresh = [k + 1000 * step for k in keys]
                 t.append(
                     spark.createDataFrame(
-                        [(k, float(-k)) for k in fresh], "k long, v double"
+                        [(k, float(-k)) for k in fresh], f"k long, {cur} double"
                     )
                 )
                 model.update({k: float(-k) for k in fresh})
@@ -295,7 +314,7 @@ def test_txtable_model_based(spark, ops):
                 t.merge(
                     spark.createDataFrame(
                         [(k, float(k * 100 + step)) for k in keys],
-                        "k long, v double",
+                        f"k long, {cur} double",
                     )
                 )
                 model.update({k: float(k * 100 + step) for k in keys})
@@ -306,11 +325,20 @@ def test_txtable_model_based(spark, ops):
                 t.compact(target_files=1)
             elif op == "checkpoint":
                 t.checkpoint()
+            elif op == "checkpoint_parquet":
+                t.checkpoint(format="parquet")
+            elif op == "rename":
+                # metadata-only column mapping toggle (r9): values are
+                # unchanged, only the logical name flips — every later
+                # append/merge/read must go through the mapping
+                new = "val" if cur == "v" else "v"
+                t.rename_column(cur, new)
+                cur = new
             elif op == "vacuum":
                 # retention 0 is safe here: single-writer test; the
                 # model is unaffected (vacuum never touches live data)
                 t.vacuum(retention_sec=0)
-            got = {r.k: r.v for r in t.snapshot().collect()}
+            got = {r.k: r[cur] for r in t.snapshot().collect()}
             assert got == model, f"diverged after step {step} ({op})"
     finally:
         shutil.rmtree(root, ignore_errors=True)

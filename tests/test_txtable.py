@@ -1724,3 +1724,33 @@ def test_distributed_prune_translates_column_mapping(spark, root):
         ), ranges
         assert sorted(a.inputFiles()) == sorted(b.inputFiles()), ranges
         assert "value" in b.columns and "v" not in b.columns
+
+
+def test_register_txtable_distributed_prune_sql_face(spark, root):
+    """The SQL face of the checkpoint-as-data path: a view registered
+    with distributed=True serves the same rows as the driver-loop
+    view, reads only stat-surviving files, and refuses without
+    ranges."""
+    from artemia_airflow_spark.catalog import register_txtable
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("double").alias("v"),
+    ).repartitionByRange(8, "k")  # disjoint key ranges -> pruning bites
+    t = TxTable.create(spark, df, root, key_col="k")
+    t.checkpoint(format="parquet")
+    with pytest.raises(ValueError, match="requires ranges"):
+        register_txtable(spark, "tx_dp_bad", t, distributed=True)
+    register_txtable(spark, "tx_dp", t, ranges={"k": (10, 30)},
+                     distributed=True)
+    register_txtable(spark, "tx_dl", t, ranges={"k": (10, 30)})
+    try:
+        a = spark.sql("SELECT k, v FROM tx_dp ORDER BY k").collect()
+        b = spark.sql("SELECT k, v FROM tx_dl ORDER BY k").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert [r.k for r in a] == list(range(10, 31))
+        files = spark.table("tx_dp").inputFiles()
+        assert 0 < len(files) < 8
+    finally:
+        for v in ("tx_dp", "tx_dl"):
+            spark.catalog.dropTempView(v)
