@@ -1741,10 +1741,10 @@ def test_register_txtable_distributed_prune_sql_face(spark, root):
     t.checkpoint(format="parquet")
     with pytest.raises(ValueError, match="requires ranges"):
         register_txtable(spark, "tx_dp_bad", t, distributed=True)
-    register_txtable(spark, "tx_dp", t, ranges={"k": (10, 30)},
-                     distributed=True)
-    register_txtable(spark, "tx_dl", t, ranges={"k": (10, 30)})
     try:
+        register_txtable(spark, "tx_dp", t, ranges={"k": (10, 30)},
+                         distributed=True)
+        register_txtable(spark, "tx_dl", t, ranges={"k": (10, 30)})
         a = spark.sql("SELECT k, v FROM tx_dp ORDER BY k").collect()
         b = spark.sql("SELECT k, v FROM tx_dl ORDER BY k").collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
@@ -1753,4 +1753,8 @@ def test_register_txtable_distributed_prune_sql_face(spark, root):
         assert 0 < len(files) < 8
     finally:
         for v in ("tx_dp", "tx_dl"):
-            spark.catalog.dropTempView(v)
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001 — view may not exist if
+                pass           # the first registration raised
+
