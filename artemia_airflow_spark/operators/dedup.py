@@ -1337,3 +1337,114 @@ def q_dedup_ngram_portable(spark, sf_dir):
             F.count("__dup").alias("n_dups"),
         )
     )
+
+
+def incremental_exact_dedup(
+    spark, new_df: DataFrame, text_col: str, id_col: str, state_root: str
+) -> DataFrame:
+    """B40 at production cadence: exact dedup of an INCREMENT against a
+    persistent hash state — the daily-crawl pattern where the corpus
+    already on disk is never re-scanned.  Survivors are rows whose
+    normalized-text SHA-256 is new both WITHIN the batch (min-id rule,
+    same as :func:`exact_dedup`) and versus the transactional state
+    table of every hash ever admitted; the survivors' hashes are then
+    APPENDED to the state in one ACID commit (``TxTable``, key =
+    hash).  First call creates the state table.
+
+    Semantics under replay: content is emitted at most ONCE across
+    reruns — re-running a batch whose hashes already committed yields
+    zero survivors, so a crashed-and-retried pipeline can never ship
+    the same content twice.  (The returned frame is eagerly
+    checkpointed BEFORE the state append: its rows are fixed against
+    the pre-append snapshot and never re-derived against the mutated
+    state.)
+
+    At 100 TB: the state stores 32-byte digests, not text; the
+    anti-join shuffles digests only (broadcast when the increment is
+    small, shuffled hash join when not — AQE decides); the state
+    table's footer stats prune by hash prefix, and TxTable compaction/
+    checkpointing keep its log flat over thousands of daily commits."""
+    import os
+
+    from artemia_airflow_spark.sources.txtable import TxTable, _log_dir
+
+    h = F.sha2(normalized_text(text_col), 256)
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    batch_keep = (
+        new_df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    state = (
+        TxTable(spark, state_root)
+        if os.path.isdir(_log_dir(state_root))
+        else None
+    )
+    if state is not None:
+        seen = state.snapshot().select(F.col("h").alias("__h"))
+        batch_keep = batch_keep.join(seen, "__h", "left_anti")
+    survivors = batch_keep.localCheckpoint(eager=True)
+    new_hashes = survivors.select(F.col("__h").alias("h")).distinct()
+    if state is None:
+        TxTable.create(spark, new_hashes, state_root, key_col="h")
+    else:
+        state.append(new_hashes)
+    return survivors.drop("__h")
+
+
+@declared(
+    "q_dedup_incremental",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lang,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents
+    ), s1 AS (
+      SELECT DISTINCT nt FROM n WHERE doc_id % 2 = 0
+    ), s2 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, nt,
+               ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+        FROM n WHERE doc_id % 2 <> 0
+      ) WHERE rn = 1 AND nt NOT IN (SELECT nt FROM s1)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_new
+    FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 2 <> 0) d
+    LEFT JOIN s2 s USING (doc_id)
+    GROUP BY lang
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """B40 incremental face, ORACLE-CHECKED: batch 1 (even doc_ids)
+    seeds the persistent hash state, batch 2 (odd doc_ids) dedups
+    against it — per-lang batch-2 totals vs newly-admitted counts.
+    The oracle is the hash-free formulation (normalized-text equality;
+    SHA-256 collisions are not a thing at any relevant corpus size),
+    and a match proves the whole path: batch min-id rule, anti-join
+    against the committed state, ACID state append, snapshot-isolated
+    result.  Bench-SKIPped (builds a real on-disk state table)."""
+    import os
+    import shutil
+    import tempfile
+
+    ensure_engine_conf(spark)
+    root = os.path.join(tempfile.gettempdir(), "aas_dedup_incr")
+    shutil.rmtree(root, ignore_errors=True)
+    d = scan(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 != 0)
+    incremental_exact_dedup(spark, b1, "text", "doc_id", root)
+    surv = incremental_exact_dedup(spark, b2, "text", "doc_id", root)
+    return (
+        b2.join(
+            surv.select("doc_id").withColumn("__s", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__s").alias("n_new"),
+        )
+    )

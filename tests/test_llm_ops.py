@@ -285,3 +285,36 @@ def test_chunk_documents_boundaries(spark):
     assert reassembled == [f"t{i}" for i in range(23)]
     with _pytest.raises(ValueError):
         chunk_documents(docs, "text", "doc_id", max_tokens=8, overlap=8)
+
+
+def test_incremental_exact_dedup_state_and_replay(spark, tmp_path):
+    """Incremental dedup: batch-2 rows duplicating batch 1 (or earlier
+    batch-2 rows) are dropped; the state grows by exactly the admitted
+    hashes; replaying an already-committed batch yields ZERO survivors
+    (at-most-once emission across retries)."""
+    from artemia_airflow_spark.operators.dedup import incremental_exact_dedup
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    root = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "ALPHA   beta ")],
+        "doc_id long, text string",
+    )
+    s1 = incremental_exact_dedup(spark, b1, "text", "doc_id", root)
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 2]  # 3 dups 1
+    assert TxTable(spark, root).snapshot().count() == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "gamma"), (11, "delta"), (12, "delta"), (13, "epsilon")],
+        "doc_id long, text string",
+    )
+    s2 = incremental_exact_dedup(spark, b2, "text", "doc_id", root)
+    # 10 dups state('gamma'); 12 dups 11 intra-batch
+    assert sorted(r.doc_id for r in s2.collect()) == [11, 13]
+    assert TxTable(spark, root).snapshot().count() == 4
+
+    # replay batch 2: every hash already committed -> nothing emitted,
+    # state unchanged
+    s2b = incremental_exact_dedup(spark, b2, "text", "doc_id", root)
+    assert s2b.count() == 0
+    assert TxTable(spark, root).snapshot().count() == 4
