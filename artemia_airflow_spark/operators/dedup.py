@@ -1448,3 +1448,72 @@ def q_dedup_incremental(spark, sf_dir):
             F.count("__s").alias("n_new"),
         )
     )
+
+
+def incremental_minhash_dedup(
+    spark, new_df: DataFrame, text_col: str, id_col: str, state_root: str,
+    *, num_hashes: int = 64, bands: int = 8,
+) -> DataFrame:
+    """B41 at production cadence: MinHash-LSH near-dedup of an
+    INCREMENT against a persistent band-bucket state — the near-dup
+    sibling of :func:`incremental_exact_dedup`.  A new row survives iff
+    (a) it is the min id of every bucket collision within the batch
+    (the :func:`minhash_dedup` rule) and (b) NONE of its band buckets
+    was ever admitted to the state; survivors' buckets are appended in
+    one ACID commit (``TxTable``, key = "band:bucket" string).
+
+    Replay safety mirrors the exact tier: re-running a committed batch
+    finds every bucket in the state and emits nothing — near-dup
+    content is admitted at most once across retries.
+
+    At 100 TB: the state stores (band:bucket) strings (one row per
+    band per admitted doc, ~`bands` x corpus rows of ~24 bytes); the
+    probe is an anti-join on that key (map-side with a broadcast when
+    the increment is small); signatures are computed for the INCREMENT
+    only — the admitted corpus is never re-hashed, which is the whole
+    point of the pattern."""
+    import os
+
+    from artemia_airflow_spark.sources.txtable import TxTable, _log_dir
+
+    sigs = minhash_signatures(new_df, text_col, num_hashes=num_hashes)
+    cand = minhash_lsh_candidates(
+        sigs, id_col, num_hashes=num_hashes, bands=bands
+    ).withColumn(
+        "bk", F.concat_ws(":", F.col("band").cast("string"),
+                          F.col("band_hash").cast("string"))
+    )
+    # intra-batch rule first (bucket-min suppression)
+    w = Window.partitionBy("bk")
+    batch_keep = (
+        cand.withColumn("__mn", F.min(id_col).over(w))
+        .groupBy(id_col)
+        .agg(
+            F.min("__mn").alias("__cluster_min"),
+            F.collect_set("bk").alias("__bks"),
+        )
+        .filter(F.col(id_col) == F.col("__cluster_min"))
+    )
+    state = (
+        TxTable(spark, state_root)
+        if os.path.isdir(_log_dir(state_root))
+        else None
+    )
+    if state is not None:
+        seen = state.snapshot().select("bk")
+        hit = (
+            batch_keep.select(id_col, F.explode("__bks").alias("bk"))
+            .join(seen, "bk", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        batch_keep = batch_keep.join(hit, id_col, "left_anti")
+    survivors = batch_keep.localCheckpoint(eager=True)
+    new_buckets = (
+        survivors.select(F.explode("__bks").alias("bk")).distinct()
+    )
+    if state is None:
+        TxTable.create(spark, new_buckets, state_root, key_col="bk")
+    else:
+        state.append(new_buckets)
+    return new_df.join(survivors.select(id_col), id_col, "left_semi")

@@ -318,3 +318,39 @@ def test_incremental_exact_dedup_state_and_replay(spark, tmp_path):
     s2b = incremental_exact_dedup(spark, b2, "text", "doc_id", root)
     assert s2b.count() == 0
     assert TxTable(spark, root).snapshot().count() == 4
+
+
+def test_incremental_minhash_dedup_state_and_replay(spark, tmp_path):
+    """Incremental near-dup: a batch-2 doc near-identical to admitted
+    batch-1 content is dropped (bucket collision against the state);
+    novel content survives and its buckets commit; replaying a
+    committed batch emits nothing."""
+    from artemia_airflow_spark.operators.dedup import incremental_minhash_dedup
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    root = str(tmp_path / "mh_state")
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely " * 5)],
+        "doc_id long, text string",
+    )
+    s1 = incremental_minhash_dedup(spark, b1, "text", "doc_id", root)
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 2]
+    n_state1 = TxTable(spark, root).snapshot().count()
+    assert n_state1 > 0
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base + "extra"),  # near-dup of admitted doc 1
+            (11, "unrelated novel content never seen before " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    s2 = incremental_minhash_dedup(spark, b2, "text", "doc_id", root)
+    assert sorted(r.doc_id for r in s2.collect()) == [11]
+    n_state2 = TxTable(spark, root).snapshot().count()
+    assert n_state2 > n_state1
+
+    s2b = incremental_minhash_dedup(spark, b2, "text", "doc_id", root)
+    assert s2b.count() == 0
+    assert TxTable(spark, root).snapshot().count() == n_state2
