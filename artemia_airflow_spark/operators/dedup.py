@@ -1352,23 +1352,36 @@ def incremental_exact_dedup(
     hash).  First call creates the state table.
 
     Semantics under replay: content is emitted at most ONCE across
-    reruns — re-running a batch whose hashes already committed yields
-    zero survivors, so a crashed-and-retried pipeline can never ship
-    the same content twice.  (The returned frame is eagerly
-    checkpointed BEFORE the state append: its rows are fixed against
-    the pre-append snapshot and never re-derived against the mutated
-    state.)
+    SERIALIZED reruns — re-running a batch whose hashes already
+    committed yields zero survivors.  CONCURRENT runs serialize
+    through the state commit itself: the state write is a MERGE (a
+    read-set TxTable operation), so two racing runs that both decided
+    "this hash is new" conflict at commit time and the loser raises
+    ``CommitConflict`` — rerun it; the retry re-reads the state and
+    drops the now-admitted content.  A plain append would let both
+    racers ship the same text (r9 review).
+
+    The returned frame is eagerly checkpointed BEFORE the state
+    commit, so its rows are fixed against the pre-commit snapshot and
+    never re-derived against the mutated state.  ``localCheckpoint``
+    blocks live on executors: on a real multi-executor cluster where
+    executor loss is routine, consume (write) the returned frame
+    before depending on the replay guarantee, or the lost-survivors +
+    already-committed-state combination loses that content for good —
+    the single-JVM deployments this repo tests are not exposed.
+
+    NULL ``text_col`` values hash as the empty string (one NULL-text
+    row is admitted corpus-wide, exactly like empty text).
 
     At 100 TB: the state stores 32-byte digests, not text; the
     anti-join shuffles digests only (broadcast when the increment is
     small, shuffled hash join when not — AQE decides); the state
-    table's footer stats prune by hash prefix, and TxTable compaction/
-    checkpointing keep its log flat over thousands of daily commits."""
-    import os
+    table's footer stats prune by hash prefix; all-duplicate batches
+    commit NOTHING (no empty log entries), and TxTable compaction/
+    checkpointing keep the log flat over thousands of daily commits."""
+    from artemia_airflow_spark.sources.txtable import TxTable, head_version
 
-    from artemia_airflow_spark.sources.txtable import TxTable, _log_dir
-
-    h = F.sha2(normalized_text(text_col), 256)
+    h = F.sha2(F.coalesce(normalized_text(text_col), F.lit("")), 256)
     w = Window.partitionBy("__h").orderBy(F.col(id_col))
     batch_keep = (
         new_df.withColumn("__h", h)
@@ -1378,7 +1391,7 @@ def incremental_exact_dedup(
     )
     state = (
         TxTable(spark, state_root)
-        if os.path.isdir(_log_dir(state_root))
+        if head_version(state_root) is not None
         else None
     )
     if state is not None:
@@ -1388,8 +1401,9 @@ def incremental_exact_dedup(
     new_hashes = survivors.select(F.col("__h").alias("h")).distinct()
     if state is None:
         TxTable.create(spark, new_hashes, state_root, key_col="h")
-    else:
-        state.append(new_hashes)
+    elif not survivors.isEmpty():
+        # MERGE, not append: conflict-serializes racing admitters
+        state.merge(new_hashes)
     return survivors.drop("__h")
 
 
@@ -1398,7 +1412,8 @@ def incremental_exact_dedup(
     oracle="""
     WITH n AS (
       SELECT doc_id, lang,
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+             COALESCE(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      '') AS nt
       FROM documents
     ), s1 AS (
       SELECT DISTINCT nt FROM n WHERE doc_id % 2 = 0
@@ -1407,7 +1422,9 @@ def incremental_exact_dedup(
         SELECT doc_id, nt,
                ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
         FROM n WHERE doc_id % 2 <> 0
-      ) WHERE rn = 1 AND nt NOT IN (SELECT nt FROM s1)
+      ) t
+      WHERE rn = 1
+        AND NOT EXISTS (SELECT 1 FROM s1 WHERE s1.nt = t.nt)
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1464,7 +1481,11 @@ def incremental_minhash_dedup(
 
     Replay safety mirrors the exact tier: re-running a committed batch
     finds every bucket in the state and emits nothing — near-dup
-    content is admitted at most once across retries.
+    content is admitted at most once across SERIALIZED retries, and
+    racing concurrent admitters conflict-serialize through the MERGE
+    state commit exactly like :func:`incremental_exact_dedup` (see its
+    docstring for the CommitConflict-retry contract and the
+    localCheckpoint caveat on multi-executor clusters).
 
     At 100 TB: the state stores (band:bucket) strings (one row per
     band per admitted doc, ~`bands` x corpus rows of ~24 bytes); the
@@ -1472,9 +1493,7 @@ def incremental_minhash_dedup(
     the increment is small); signatures are computed for the INCREMENT
     only — the admitted corpus is never re-hashed, which is the whole
     point of the pattern."""
-    import os
-
-    from artemia_airflow_spark.sources.txtable import TxTable, _log_dir
+    from artemia_airflow_spark.sources.txtable import TxTable, head_version
 
     sigs = minhash_signatures(new_df, text_col, num_hashes=num_hashes)
     cand = minhash_lsh_candidates(
@@ -1496,7 +1515,7 @@ def incremental_minhash_dedup(
     )
     state = (
         TxTable(spark, state_root)
-        if os.path.isdir(_log_dir(state_root))
+        if head_version(state_root) is not None
         else None
     )
     if state is not None:
@@ -1514,6 +1533,8 @@ def incremental_minhash_dedup(
     )
     if state is None:
         TxTable.create(spark, new_buckets, state_root, key_col="bk")
-    else:
-        state.append(new_buckets)
+    elif not survivors.isEmpty():
+        # MERGE, not append: conflict-serializes racing admitters and
+        # skips empty commits on replayed batches (r9 review)
+        state.merge(new_buckets)
     return new_df.join(survivors.select(id_col), id_col, "left_semi")

@@ -314,10 +314,20 @@ def test_incremental_exact_dedup_state_and_replay(spark, tmp_path):
     assert TxTable(spark, root).snapshot().count() == 4
 
     # replay batch 2: every hash already committed -> nothing emitted,
-    # state unchanged
+    # state unchanged AND no empty commit published (r9 review)
+    v_before = TxTable(spark, root).version()
     s2b = incremental_exact_dedup(spark, b2, "text", "doc_id", root)
     assert s2b.count() == 0
     assert TxTable(spark, root).snapshot().count() == 4
+    assert TxTable(spark, root).version() == v_before
+
+    # NULL text hashes like empty text: admitted once, replay-safe
+    b3 = spark.createDataFrame([(20, None), (21, None)],
+                               "doc_id long, text string")
+    s3 = incremental_exact_dedup(spark, b3, "text", "doc_id", root)
+    assert [r.doc_id for r in s3.collect()] == [20]
+    s3b = incremental_exact_dedup(spark, b3, "text", "doc_id", root)
+    assert s3b.count() == 0
 
 
 def test_incremental_minhash_dedup_state_and_replay(spark, tmp_path):
