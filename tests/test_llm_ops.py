@@ -364,3 +364,54 @@ def test_incremental_minhash_dedup_state_and_replay(spark, tmp_path):
     s2b = incremental_minhash_dedup(spark, b2, "text", "doc_id", root)
     assert s2b.count() == 0
     assert TxTable(spark, root).snapshot().count() == n_state2
+
+
+def test_incremental_dedup_racing_admitters_never_double_emit(spark, tmp_path):
+    """The MERGE-serialized state commit under an actual race: two
+    threads admit overlapping content concurrently — either the loser
+    raises CommitConflict (emitting nothing durable) or it serialized
+    behind the winner and emitted nothing; in no interleaving does the
+    same content ship twice."""
+    import threading
+
+    from artemia_airflow_spark.operators.dedup import incremental_exact_dedup
+    from artemia_airflow_spark.sources.txtable import CommitConflict
+
+    root = str(tmp_path / "race_state")
+    # seed the state so both racers take the merge path (not create)
+    seed = spark.createDataFrame([(0, "seed content")],
+                                 "doc_id long, text string")
+    incremental_exact_dedup(spark, seed, "text", "doc_id", root)
+
+    batch = [(i, "contested content") for i in range(1, 3)]
+    results: dict[str, list] = {"emitted": [], "conflicts": 0}
+    lock = threading.Lock()
+    barrier = threading.Barrier(2)
+
+    def run(tid):
+        df = spark.createDataFrame(
+            [(doc + 10 * tid, t) for doc, t in batch],
+            "doc_id long, text string",
+        )
+        barrier.wait()
+        try:
+            rows = incremental_exact_dedup(
+                spark, df, "text", "doc_id", root
+            ).collect()
+            with lock:
+                results["emitted"].extend(r.text for r in rows)
+        except CommitConflict:
+            with lock:
+                results["conflicts"] += 1
+
+    ts = [threading.Thread(target=run, args=(tid,)) for tid in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # "contested content" ships AT MOST once across both racers, via
+    # either conflict-loss or state-serialization
+    assert results["emitted"].count("contested content") <= 1, results
+    assert results["emitted"].count("contested content") + results[
+        "conflicts"
+    ] >= 1, results
