@@ -724,15 +724,18 @@ class Pipeline:
         """Graphviz DOT text of the DAG — the engine's stand-in for the
         Airflow graph view (debuggability: render with any dot viewer).
         Nodes annotate branchiness, non-default trigger rules, pools,
-        and retry budgets; edges follow declaration order.  Pure string
-        construction — safe to call on an unexecuted pipeline."""
+        and retry budgets; edges follow declaration order; TaskGroups
+        render as nested ``subgraph cluster_*`` boxes (the Airflow
+        graph-view grouping), derived from the dotted task_id prefixes
+        — dots in task_ids are the group separator by convention.
+        Pure string construction — safe to call on an unexecuted
+        pipeline."""
         def esc(x: str) -> str:
             # DOT quoted-ID escaping: a quote/backslash in a name must
             # not break the output's syntax (r7 review)
             return x.replace("\\", "\\\\").replace('"', '\\"')
 
-        lines = [f'digraph "{esc(self.name)}" {{', "  rankdir=LR;"]
-        for s in self.stages.values():
+        def node_line(s: Stage) -> str:
             notes = []
             if s.is_branch:
                 notes.append("branch")
@@ -744,7 +747,33 @@ class Pipeline:
                 notes.append(f"retries={s.retry.retries}")
             label = esc(s.task_id) + (f"\\n[{', '.join(notes)}]" if notes else "")
             shape = "diamond" if s.is_branch else "box"
-            lines.append(f'  "{esc(s.task_id)}" [shape={shape}, label="{label}"];')
+            return f'"{esc(s.task_id)}" [shape={shape}, label="{label}"];'
+
+        # prefix tree over dotted ids: one subtree per task group
+        tree: dict = {}
+        for s in self.stages.values():
+            node = tree
+            for part in s.task_id.split(".")[:-1]:
+                node = node.setdefault("g:" + part, {})
+            node.setdefault("stages", []).append(s)
+
+        def emit(node: dict, indent: str, path: list[str]) -> list[str]:
+            out = []
+            for s in node.get("stages", []):
+                out.append(indent + node_line(s))
+            for k in node:
+                if not k.startswith("g:"):
+                    continue
+                name = k[2:]
+                full = ".".join([*path, name])
+                out.append(f'{indent}subgraph "cluster_{esc(full)}" {{')
+                out.append(f'{indent}  label="{esc(name)}";')
+                out += emit(node[k], indent + "  ", [*path, name])
+                out.append(indent + "}")
+            return out
+
+        lines = [f'digraph "{esc(self.name)}" {{', "  rankdir=LR;"]
+        lines += emit(tree, "  ", [])
         for s in self.stages.values():
             for d in s.downstream:
                 lines.append(f'  "{esc(s.task_id)}" -> "{esc(d.task_id)}";')

@@ -1256,3 +1256,29 @@ def test_pipeline_add_failure_leaves_stage_and_group_untouched(spark):
         added = pipe.add(bad)
         assert added.task_id == "g.t"      # single prefix
         assert [s.task_id for s in g.members] == ["g.t"]
+
+
+def test_to_dot_renders_task_groups_as_clusters(spark):
+    """TaskGroups appear as nested subgraph clusters (Airflow graph
+    view grouping); ungrouped stages stay at top level; edges are
+    global and unchanged."""
+    from artemia_airflow_spark.pipeline import Pipeline
+
+    pipe = Pipeline("dotg")
+    start = pipe.add(Stage("start", lambda ctx: 1))
+    with pipe.task_group("outer") as g:
+        with pipe.task_group("inner"):
+            pipe.add(Stage("w", lambda ctx: 1))
+        b = pipe.add(Stage("b", lambda ctx: 1))
+    start >> g
+    dot = pipe.to_dot()
+    assert 'subgraph "cluster_outer"' in dot
+    assert 'subgraph "cluster_outer.inner"' in dot
+    assert '"outer.inner.w"' in dot and '"outer.b"' in dot
+    assert '"start" -> "outer.inner.w"' in dot  # root wiring survives
+    # inner cluster nested INSIDE outer (appears after outer's open,
+    # before outer's close)
+    o = dot.index('subgraph "cluster_outer"')
+    i = dot.index('subgraph "cluster_outer.inner"')
+    close = dot.index("}", i)
+    assert o < i < close
