@@ -597,3 +597,151 @@ def q_sim_pq(spark, sf_dir):
         emb.filter(F.col("vec_id") >= 5), probes,
         id_col="vec_id", probe_id_col="probe_id", k=10,
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame, probes: DataFrame, *, id_col: str, probe_id_col: str,
+    vec_col: str = "embedding", probe_vec_col: str = "probe_vec",
+    k: int = 10, n_cells: int = 16, n_probe_cells: int = 3,
+    m_subspaces: int = 8, n_codes: int = 16,
+    rerank_candidates: int = 50, seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ (round 9): the FAISS ``IndexIVFPQ`` shape — IVF cell
+    pruning AND product-quantized RESIDUAL scoring composed, so a
+    query touches ``n_probe_cells/n_cells`` of the corpus and reads
+    m-int codes instead of float vectors inside those cells.
+
+    Score decomposition on L2-normalized vectors:
+    ``probe . v  =  probe . centroid(cell)  +  probe . residual`` —
+    the first term is one scalar per (probe, cell) computed driver-
+    side from the tiny centroid matrix; the second is the standard
+    ADC LUT gather over the residual codes (the LUT depends only on
+    the probe, not the cell, because the residual inner product is
+    subspace-separable).  Exact cosine reranks the union of the
+    probed cells' top candidates.
+
+    At 100 TB: cell assignment + residual codes are written once
+    (partitioned by cell) and amortized across queries; per query the
+    scan is codes-only within probed cells, LUTs are O(|probes| * m *
+    n_codes) floats broadcast, and the exact rerank touches
+    |probes| * rerank_candidates rows.  Recall floors in
+    tests/test_accuracy.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # normalize corpus (cosine contract), assign IVF cells
+    @F.pandas_udf("array<double>")
+    def l2norm(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.Series([row.tolist() for row in V])
+
+    corpus_n = corpus.withColumn(
+        "__nv", l2norm(F.col(vec_col).cast("array<double>"))
+    )
+    corpus_v = corpus_n.withColumn("__v", array_to_vector(F.col("__nv")))
+    km = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="__v",
+                predictionCol="__cell")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select(id_col, "__nv", "__cell")
+    centers = np.array(
+        [list(map(float, c)) for c in model.clusterCenters()],
+        dtype=np.float64,
+    )
+    bc_centers = corpus.sparkSession.sparkContext.broadcast(centers)
+
+    @F.pandas_udf("array<double>")
+    def residual(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        C = bc_centers.value
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        R = V - C[cells.to_numpy().astype(np.int64)]
+        return pd.Series([row.tolist() for row in R])
+
+    resid = assigned.withColumn("__r", residual(F.col("__nv"), F.col("__cell")))
+    books = pq_codebooks(
+        resid.select(F.col("__r").alias(vec_col), F.col(id_col)),
+        vec_col=vec_col, m_subspaces=m_subspaces, n_codes=n_codes,
+        seed=seed, order_col=id_col,
+    )
+    coded = pq_encode(resid, books, vec_col="__r").select(
+        id_col, "__cell", "__pq_code"
+    )
+
+    # probe side: normalized probe, its n_probe nearest cells, the
+    # per-(probe, cell) centroid term, and the per-probe residual LUT
+    probe_sel = probes.select(probe_id_col, probe_vec_col)
+    probe_rows = probe_sel.collect()
+    m, _, sub = books.shape
+    luts, cell_terms, probe_cells_rows = {}, {}, []
+    for r in probe_rows:
+        v = np.array(list(map(float, r[1])), dtype=np.float64)
+        nv = v / (np.linalg.norm(v) or 1.0)
+        luts[r[0]] = np.stack(
+            [books[j] @ nv[j * sub : (j + 1) * sub] for j in range(m)]
+        )
+        dots = centers @ nv  # probe . centroid, per cell
+        order = np.argsort(-dots, kind="stable")[:n_probe_cells]
+        for c in order:
+            cell_terms[(r[0], int(c))] = float(dots[c])
+            probe_cells_rows.append((r[0], int(c), float(dots[c])))
+    bc_luts = corpus.sparkSession.sparkContext.broadcast(luts)
+
+    @F.pandas_udf("double")
+    def adc_resid(codes: pd.Series, pids: pd.Series) -> pd.Series:
+        L = bc_luts.value
+        C = np.stack(codes.to_numpy()).astype(np.int64)
+        out = np.empty(len(C), dtype=np.float64)
+        cols = np.arange(C.shape[1])
+        for pid in pd.unique(pids):
+            mask = (pids == pid).to_numpy()
+            out[mask] = L[pid][cols, C[mask]].sum(1)
+        return pd.Series(out)
+
+    pc = corpus.sparkSession.createDataFrame(
+        probe_cells_rows, f"{probe_id_col} long, __cell int, __cterm double"
+    )
+    cand = coded.join(F.broadcast(pc), "__cell")
+    scored = cand.select(
+        probe_id_col, id_col,
+        (F.col("__cterm")
+         + adc_resid(F.col("__pq_code"), F.col(probe_id_col))).alias("__adc"),
+    )
+    w_adc = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__adc").desc(), F.col(id_col)
+    )
+    picked = (
+        scored.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= rerank_candidates)
+        .select(probe_id_col, id_col)
+    )
+    pv = corpus.sparkSession.createDataFrame(probe_rows, probe_sel.schema)
+    joined = corpus.select(id_col, vec_col).join(
+        F.broadcast(picked), id_col
+    ).join(F.broadcast(pv), probe_id_col)
+    sim = cosine_similarity(vec_col, probe_vec_col)
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        joined.select(F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@declared("q_sim_ivf_pq")
+def q_sim_ivf_pq(spark, sf_dir):
+    """B42 (rows-only): IVF-PQ composed ANN for 5 probes — 3 of 16
+    cells probed, 8x16 residual PQ ADC, exact rerank of the top 50.
+    The FAISS IndexIVFPQ shape; recall floors in
+    tests/test_accuracy.py."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec"))
+    )
+    return ivf_pq_topk(
+        emb.filter(F.col("vec_id") >= 5), probes,
+        id_col="vec_id", probe_id_col="probe_id", k=10,
+    )

@@ -43,17 +43,17 @@ ORACLE: dict[str, str] = {}
 # q6/q15/q8 + composites, q_sim_topk, q_text_scrub/quality_full/
 # wordpiece/oov, q_sql_text/join, ...) plus whatever slipped here.
 PRIORITY: list[str] = [
-    # (a) new/changed in round 9 (13 entries: the mid-round additions —
+    # (a) new/changed in round 9 (14 entries: the mid-round additions —
     # the portable simhash/clusters/bloom/winnowing/ngram-verify/KMV
-    # oracles, the incremental-dedup face, and the PQ ANN tier — join
-    # the first five; with the 48-row tail that is 61, so the ~50 cap
-    # now slips the ELEVEN trailing rows-only entries to r10 — still
-    # the weakest-value rows by design)
+    # oracles, the incremental-dedup face, and the PQ + IVF-PQ ANN
+    # tiers — join the first five; with the 48-row tail that is 62, so
+    # the ~50 cap now slips the TWELVE trailing rows-only entries to
+    # r10 — still the weakest-value rows by design)
     "q_schema_evolution", "q_sql_timetravel", "q_dedup_minhash_portable",
     "q_dedup_simhash_portable", "q_dedup_clusters_portable",
     "q_decontaminate_bloom_portable", "q_dedup_substring_portable",
     "q_dedup_ngram_portable", "q_agg_kmv_portable", "q_dedup_incremental",
-    "q_sim_pq",
+    "q_sim_pq", "q_sim_ivf_pq",
     "q_ledger_health", "q_dedup_ngram",
     # (b) the complete r6 tail (oldest rows first in value terms:
     # full-oracle rows, then rows-only; the final three are the

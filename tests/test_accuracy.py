@@ -540,3 +540,30 @@ def test_kmv_estimator_accuracy(spark):
             assert abs(est - r.n_exact) / r.n_exact < 0.375, (
                 r.event_type, r.n_exact, est,
             )
+
+
+def test_ivf_pq_recall_floor_and_cell_tuning_direction(spark, ann_fixture):
+    """IVF-PQ probing 8 of 16 cells with a 50-candidate rerank holds
+    mean recall@10 >= 0.6 on the adversarial random fixture (both
+    pruning mechanisms stack their losses on structureless gaussians —
+    the deliberately lowest floor of the four tiers), and probing more
+    cells must not hurt recall vs the 3-cell default."""
+    from artemia_airflow_spark.operators.similarity import ivf_pq_topk
+
+    corpus, probes, exact = ann_fixture
+    r8 = _mean_recall(
+        ivf_pq_topk(
+            corpus, probes, id_col="vec_id", probe_id_col="probe_id",
+            k=K, n_probe_cells=8,
+        ).collect(),
+        exact,
+    )
+    r3 = _mean_recall(
+        ivf_pq_topk(
+            corpus, probes, id_col="vec_id", probe_id_col="probe_id",
+            k=K, n_probe_cells=3,
+        ).collect(),
+        exact,
+    )
+    assert r8 >= 0.6, f"ivf-pq c8/r50 mean recall@10 = {r8}"
+    assert r8 >= r3 - 0.05, (r8, r3)
