@@ -672,7 +672,7 @@ def ivf_pq_topk(
     probe_sel = probes.select(probe_id_col, probe_vec_col)
     probe_rows = probe_sel.collect()
     m, _, sub = books.shape
-    luts, cell_terms, probe_cells_rows = {}, {}, []
+    luts, probe_cells_rows = {}, []
     for r in probe_rows:
         v = np.array(list(map(float, r[1])), dtype=np.float64)
         nv = v / (np.linalg.norm(v) or 1.0)
@@ -682,7 +682,6 @@ def ivf_pq_topk(
         dots = centers @ nv  # probe . centroid, per cell
         order = np.argsort(-dots, kind="stable")[:n_probe_cells]
         for c in order:
-            cell_terms[(r[0], int(c))] = float(dots[c])
             probe_cells_rows.append((r[0], int(c), float(dots[c])))
     bc_luts = corpus.sparkSession.sparkContext.broadcast(luts)
 
@@ -697,8 +696,11 @@ def ivf_pq_topk(
             out[mask] = L[pid][cols, C[mask]].sum(1)
         return pd.Series(out)
 
+    # probe-id type follows the caller's schema, not a hardcoded long
+    pid_type = probe_sel.schema[probe_id_col].dataType.simpleString()
     pc = corpus.sparkSession.createDataFrame(
-        probe_cells_rows, f"{probe_id_col} long, __cell int, __cterm double"
+        probe_cells_rows,
+        f"{probe_id_col} {pid_type}, __cell int, __cterm double",
     )
     cand = coded.join(F.broadcast(pc), "__cell")
     scored = cand.select(
