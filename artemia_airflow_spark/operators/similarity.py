@@ -476,6 +476,63 @@ def pq_encode(
     return df.withColumn("__pq_code", encode(F.col(vec_col).cast("array<double>")))
 
 
+def _probe_luts(books: "np.ndarray", probe_rows) -> dict:
+    """Per-probe ADC lookup tables — ``LUT[j, code] = normalized
+    probe sub-vector j . codebook centroid``; ONE implementation
+    shared by the PQ tiers (r9 review: the copies were diverging
+    hazards)."""
+    m, _, sub = books.shape
+    luts = {}
+    for r in probe_rows:
+        v = np.array(list(map(float, r[1])), dtype=np.float64)
+        nv = v / (np.linalg.norm(v) or 1.0)
+        luts[r[0]] = np.stack(
+            [books[j] @ nv[j * sub : (j + 1) * sub] for j in range(m)]
+        )
+    return luts
+
+
+def _adc_gather_udf(bc_luts):
+    """Arrow kernel scoring PQ codes by LUT gather, keyed by probe id
+    — the shared ADC implementation of both PQ tiers."""
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series, pids: pd.Series) -> pd.Series:
+        L = bc_luts.value
+        C = np.stack(codes.to_numpy()).astype(np.int64)
+        out = np.empty(len(C), dtype=np.float64)
+        cols = np.arange(C.shape[1])
+        for pid in pd.unique(pids):
+            mask = (pids == pid).to_numpy()
+            out[mask] = L[pid][cols, C[mask]].sum(1)
+        return pd.Series(out)
+
+    return adc
+
+
+def _exact_rerank(
+    corpus: DataFrame, picked: DataFrame, pv: DataFrame, *,
+    id_col: str, probe_id_col: str, vec_col: str, probe_vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine rerank of a tiny (probe, id) candidate relation:
+    broadcast the picks, join the vectors back (semi-pruned scan),
+    true cosine, window top-k — the shared tail of the approximate
+    tiers."""
+    joined = corpus.select(id_col, vec_col).join(
+        F.broadcast(picked), id_col
+    ).join(F.broadcast(pv), probe_id_col)
+    sim = cosine_similarity(vec_col, probe_vec_col)
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        joined.select(F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_topk(
     corpus: DataFrame, probes: DataFrame, *, id_col: str, probe_id_col: str,
     vec_col: str = "embedding", probe_vec_col: str = "probe_vec",
@@ -522,26 +579,10 @@ def pq_topk(
     # order within the candidate pool
     probe_sel = probes.select(probe_id_col, probe_vec_col)
     probe_rows = probe_sel.collect()
-    m, _, sub = books.shape
-    luts = {}
-    for r in probe_rows:
-        v = np.array(list(map(float, r[1])), dtype=np.float64)
-        nv = v / (np.linalg.norm(v) or 1.0)
-        luts[r[0]] = np.stack(
-            [books[j] @ nv[j * sub : (j + 1) * sub] for j in range(m)]
-        )  # (m, n_codes)
-    bc_luts = corpus.sparkSession.sparkContext.broadcast(luts)
-
-    @F.pandas_udf("double")
-    def adc(codes: pd.Series, pids: pd.Series) -> pd.Series:
-        L = bc_luts.value
-        C = np.stack(codes.to_numpy()).astype(np.int64)  # (batch, m)
-        out = np.empty(len(C), dtype=np.float64)
-        cols = np.arange(C.shape[1])
-        for pid in pd.unique(pids):
-            mask = (pids == pid).to_numpy()
-            out[mask] = L[pid][cols, C[mask]].sum(1)
-        return pd.Series(out)
+    bc_luts = corpus.sparkSession.sparkContext.broadcast(
+        _probe_luts(books, probe_rows)
+    )
+    adc = _adc_gather_udf(bc_luts)
 
     # rebuild the tiny probe relations from the ALREADY-collected rows:
     # probes is typically a filter over the same scan as the corpus,
@@ -564,19 +605,9 @@ def pq_topk(
         .filter(F.col("__r") <= rerank_candidates)
         .select(probe_id_col, id_col)
     )
-    # exact rerank on the tiny candidate set: broadcast it, join the
-    # corpus vectors back (semi-pruned scan), true cosine, final top-k
-    joined = corpus.select(id_col, vec_col).join(
-        F.broadcast(cand), id_col
-    ).join(F.broadcast(pv), probe_id_col)
-    sim = cosine_similarity(vec_col, probe_vec_col)
-    w = Window.partitionBy(probe_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        joined.select(F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _exact_rerank(
+        corpus, cand, pv, id_col=id_col, probe_id_col=probe_id_col,
+        vec_col=vec_col, probe_vec_col=probe_vec_col, k=k,
     )
 
 
@@ -671,30 +702,24 @@ def ivf_pq_topk(
     # per-(probe, cell) centroid term, and the per-probe residual LUT
     probe_sel = probes.select(probe_id_col, probe_vec_col)
     probe_rows = probe_sel.collect()
-    m, _, sub = books.shape
-    luts, probe_cells_rows = {}, []
+    luts = _probe_luts(books, probe_rows)
+    probe_cells_rows = []
+    c_sq = (centers * centers).sum(1)
     for r in probe_rows:
         v = np.array(list(map(float, r[1])), dtype=np.float64)
         nv = v / (np.linalg.norm(v) or 1.0)
-        luts[r[0]] = np.stack(
-            [books[j] @ nv[j * sub : (j + 1) * sub] for j in range(m)]
-        )
-        dots = centers @ nv  # probe . centroid, per cell
-        order = np.argsort(-dots, kind="stable")[:n_probe_cells]
+        dots = centers @ nv  # probe . centroid, per cell (score term)
+        # cell SELECTION must use the same metric the corpus was
+        # assigned with — Euclidean KMeans: argmin ||nv-c||^2 =
+        # argmin(||c||^2 - 2 nv.c).  Ranking cells by raw dot favored
+        # large-norm centroids and skipped true nearest cells
+        # (r9 review, reproduced on the fixture: 25/50 vs 30/50
+        # top-10 coverage)
+        order = np.argsort(c_sq - 2.0 * dots, kind="stable")[:n_probe_cells]
         for c in order:
             probe_cells_rows.append((r[0], int(c), float(dots[c])))
     bc_luts = corpus.sparkSession.sparkContext.broadcast(luts)
-
-    @F.pandas_udf("double")
-    def adc_resid(codes: pd.Series, pids: pd.Series) -> pd.Series:
-        L = bc_luts.value
-        C = np.stack(codes.to_numpy()).astype(np.int64)
-        out = np.empty(len(C), dtype=np.float64)
-        cols = np.arange(C.shape[1])
-        for pid in pd.unique(pids):
-            mask = (pids == pid).to_numpy()
-            out[mask] = L[pid][cols, C[mask]].sum(1)
-        return pd.Series(out)
+    adc_resid = _adc_gather_udf(bc_luts)
 
     # probe-id type follows the caller's schema, not a hardcoded long
     pid_type = probe_sel.schema[probe_id_col].dataType.simpleString()
@@ -717,17 +742,9 @@ def ivf_pq_topk(
         .select(probe_id_col, id_col)
     )
     pv = corpus.sparkSession.createDataFrame(probe_rows, probe_sel.schema)
-    joined = corpus.select(id_col, vec_col).join(
-        F.broadcast(picked), id_col
-    ).join(F.broadcast(pv), probe_id_col)
-    sim = cosine_similarity(vec_col, probe_vec_col)
-    w = Window.partitionBy(probe_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        joined.select(F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _exact_rerank(
+        corpus, picked, pv, id_col=id_col, probe_id_col=probe_id_col,
+        vec_col=vec_col, probe_vec_col=probe_vec_col, k=k,
     )
 
 

@@ -384,17 +384,18 @@ def test_incremental_dedup_racing_admitters_never_double_emit(spark, tmp_path):
     incremental_exact_dedup(spark, seed, "text", "doc_id", root)
 
     batch = [(i, "contested content") for i in range(1, 3)]
-    results: dict[str, list] = {"emitted": [], "conflicts": 0}
+    results: dict[str, list] = {"emitted": [], "conflicts": 0,
+                                "errors": []}
     lock = threading.Lock()
     barrier = threading.Barrier(2)
 
     def run(tid):
-        df = spark.createDataFrame(
-            [(doc + 10 * tid, t) for doc, t in batch],
-            "doc_id long, text string",
-        )
-        barrier.wait()
         try:
+            df = spark.createDataFrame(
+                [(doc + 10 * tid, t) for doc, t in batch],
+                "doc_id long, text string",
+            )
+            barrier.wait(timeout=60)  # never hang the suite (r9 review)
             rows = incremental_exact_dedup(
                 spark, df, "text", "doc_id", root
             ).collect()
@@ -403,12 +404,17 @@ def test_incremental_dedup_racing_admitters_never_double_emit(spark, tmp_path):
         except CommitConflict:
             with lock:
                 results["conflicts"] += 1
+        except BaseException as e:  # noqa: BLE001 — surface, not hide
+            barrier.abort()
+            with lock:
+                results["errors"].append(repr(e))
 
     ts = [threading.Thread(target=run, args=(tid,)) for tid in (1, 2)]
     for t in ts:
         t.start()
     for t in ts:
         t.join()
+    assert not results["errors"], results["errors"]
     # "contested content" ships AT MOST once across both racers, via
     # either conflict-loss or state-serialization
     assert results["emitted"].count("contested content") <= 1, results
