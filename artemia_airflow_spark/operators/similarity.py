@@ -343,6 +343,8 @@ def ivf_topk(
     @F.pandas_udf("array<int>")
     def nearest_cells(vecs: pd.Series) -> pd.Series:
         M = bc_centers.value  # (n_cells, dim)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         V = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
         # expanded ||v-c||^2: one BLAS matmul, O(batch x n_cells) memory
         # (the naive (V-M)^2 broadcast is O(batch x n_cells x dim))
@@ -462,6 +464,8 @@ def pq_encode(
     @F.pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
         B = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         V = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
         if normalize:
             V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
@@ -499,6 +503,8 @@ def _adc_gather_udf(bc_luts):
     @F.pandas_udf("double")
     def adc(codes: pd.Series, pids: pd.Series) -> pd.Series:
         L = bc_luts.value
+        if len(codes) == 0:
+            return pd.Series([], dtype=np.float64)
         C = np.stack(codes.to_numpy()).astype(np.int64)
         out = np.empty(len(C), dtype=np.float64)
         cols = np.arange(C.shape[1])
@@ -663,6 +669,8 @@ def ivf_pq_topk(
     # normalize corpus (cosine contract), assign IVF cells
     @F.pandas_udf("array<double>")
     def l2norm(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         V = np.stack(vecs.to_numpy()).astype(np.float64)
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         return pd.Series([row.tolist() for row in V])
@@ -684,6 +692,8 @@ def ivf_pq_topk(
     @F.pandas_udf("array<double>")
     def residual(vecs: pd.Series, cells: pd.Series) -> pd.Series:
         C = bc_centers.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         V = np.stack(vecs.to_numpy()).astype(np.float64)
         R = V - C[cells.to_numpy().astype(np.int64)]
         return pd.Series([row.tolist() for row in R])
