@@ -539,6 +539,57 @@ def _exact_rerank(
     )
 
 
+def _grouped_partial_topk(
+    scored: DataFrame, *, probe_id_col: str, id_col: str,
+    score_col: str, r: int,
+) -> DataFrame:
+    """Map-side partial top-``r`` cut per probe (r10, VERDICT r9 #2):
+    each Arrow batch keeps at most ``r`` rows per probe id present in
+    the batch, BEFORE any exchange — the grouped generalization of what
+    TakeOrderedAndProject does for plain top-k.  The downstream
+    per-probe window then sees O(r x batches) rows per probe instead of
+    the full scored corpus, so the exchange feeding it never carries a
+    per-probe global sort over |corpus| rows.  Correctness: the per-
+    batch cut uses the SAME order (score desc, id asc) as the final
+    window, and the per-probe global top-r is a subset of the union of
+    per-batch top-r sets, so the final window over the reduced relation
+    returns exactly the naive answer (pinned by
+    tests/test_accuracy.py::test_pq_partial_cut_matches_naive)."""
+    cols = [c.name for c in scored.schema]
+
+    def cut(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                [probe_id_col, score_col, id_col],
+                ascending=[True, False, True], kind="mergesort",
+            )
+            yield pdf.groupby(probe_id_col, sort=False).head(r)[cols]
+
+    return scored.mapInPandas(cut, schema=scored.schema)
+
+
+def _adc_candidate_cut(
+    scored: DataFrame, *, probe_id_col: str, id_col: str, r: int,
+) -> DataFrame:
+    """Shared two-phase ADC candidate cut of the PQ tiers: map-side
+    partial top-r per probe, then the exact per-probe window over the
+    bounded remainder."""
+    partial = _grouped_partial_topk(
+        scored, probe_id_col=probe_id_col, id_col=id_col,
+        score_col="__adc", r=r,
+    )
+    w_adc = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__adc").desc(), F.col(id_col)
+    )
+    return (
+        partial.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= r)
+        .select(probe_id_col, id_col)
+    )
+
+
 def pq_topk(
     corpus: DataFrame, probes: DataFrame, *, id_col: str, probe_id_col: str,
     vec_col: str = "embedding", probe_vec_col: str = "probe_vec",
@@ -603,13 +654,14 @@ def pq_topk(
         probe_id_col, id_col,
         adc(F.col("__pq_code"), F.col(probe_id_col)).alias("__adc"),
     )
-    w_adc = Window.partitionBy(probe_id_col).orderBy(
-        F.col("__adc").desc(), F.col(id_col)
-    )
-    cand = (
-        scored.withColumn("__r", F.row_number().over(w_adc))
-        .filter(F.col("__r") <= rerank_candidates)
-        .select(probe_id_col, id_col)
+    # two-phase cut (r10): a bare per-probe row_number window here
+    # would sort the FULL coded corpus in one reducer per probe —
+    # exactly the single-reducer bottleneck the codes-only scan was
+    # built to avoid; the map-side partial top-r bounds the exchange
+    # to r x batches rows per probe
+    cand = _adc_candidate_cut(
+        scored, probe_id_col=probe_id_col, id_col=id_col,
+        r=rerank_candidates,
     )
     return _exact_rerank(
         corpus, cand, pv, id_col=id_col, probe_id_col=probe_id_col,
@@ -743,13 +795,12 @@ def ivf_pq_topk(
         (F.col("__cterm")
          + adc_resid(F.col("__pq_code"), F.col(probe_id_col))).alias("__adc"),
     )
-    w_adc = Window.partitionBy(probe_id_col).orderBy(
-        F.col("__adc").desc(), F.col(id_col)
-    )
-    picked = (
-        scored.withColumn("__r", F.row_number().over(w_adc))
-        .filter(F.col("__r") <= rerank_candidates)
-        .select(probe_id_col, id_col)
+    # same two-phase cut as pq_topk: the input is already cell-pruned
+    # (bounded), but the shared helper keeps the exchange per-probe
+    # load at r x batches rows regardless of cell sizes/skew
+    picked = _adc_candidate_cut(
+        scored, probe_id_col=probe_id_col, id_col=id_col,
+        r=rerank_candidates,
     )
     pv = corpus.sparkSession.createDataFrame(probe_rows, probe_sel.schema)
     return _exact_rerank(

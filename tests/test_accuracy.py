@@ -500,6 +500,46 @@ def test_pq_recall_floor_and_rerank_tuning_direction(spark, ann_fixture):
     assert r150 >= r50 - 0.05, (r150, r50)
 
 
+def test_pq_partial_cut_matches_naive(spark):
+    """The map-side partial top-r cut (r10, VERDICT r9 #2) returns
+    EXACTLY the candidate set of the naive per-probe global window —
+    on a many-partition relation with score ties, so both the
+    partial/final interaction and the (score desc, id asc) tiebreak
+    are exercised."""
+    from pyspark.sql import Window
+
+    from artemia_airflow_spark.operators.similarity import (
+        _adc_candidate_cut,
+    )
+
+    random.seed(11)
+    rows = [
+        (p, i, float(random.choice([0.1, 0.25, 0.25, 0.5, 0.9])))
+        for p in range(4)
+        for i in range(300)
+    ]
+    scored = spark.createDataFrame(
+        rows, "probe_id int, vec_id int, __adc double"
+    ).repartition(16)
+    got = {
+        (r.probe_id, r.vec_id)
+        for r in _adc_candidate_cut(
+            scored, probe_id_col="probe_id", id_col="vec_id", r=25
+        ).collect()
+    }
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("__adc").desc(), F.col("vec_id")
+    )
+    want = {
+        (r.probe_id, r.vec_id)
+        for r in scored.withColumn(
+            "__r", F.row_number().over(w)
+        ).filter(F.col("__r") <= 25).collect()
+    }
+    assert got == want
+    assert len(want) == 4 * 25
+
+
 def test_pq_encode_shape_and_determinism(spark, ann_fixture):
     """PQ codes are length-m int arrays in [0, n_codes); same seed =>
     identical codebooks => identical codes."""

@@ -153,6 +153,28 @@ def test_tpch_topk_plans_as_take_ordered(spark):
         assert "TakeOrderedAndProject" in p, name
 
 
+def test_pq_candidate_cut_is_two_phase(spark):
+    """The PQ ADC candidate cut must NOT hand the per-probe window a
+    full-corpus partition (VERDICT r9 #2): a map-side MapInPandas
+    partial top-r runs on the scored relation BEFORE the exchange
+    feeding the final window, with no shuffle between the ADC scoring
+    kernel and the cut — so the exchange carries at most r x batches
+    rows per probe.  (Spark 4's WindowGroupLimit Partial rewrite also
+    bounds this exchange when it fires; the explicit cut makes the
+    guarantee independent of that optimizer rule.)"""
+    df = entrymod.queries()["q_sim_pq"](spark, SF_ORACLE)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    i_cut = p.find("MapInPandas cut")
+    i_adc = p.find("ArrowEvalPython [adc")
+    assert i_cut != -1 and i_adc != -1, p
+    # simple mode prints root-first, so the scoring kernel (upstream)
+    # appears BELOW the cut, and nothing between them shuffles
+    assert i_cut < i_adc
+    assert "Exchange hashpartitioning" not in p[i_cut:i_adc]
+
+
 def test_tfidf_shuffle_joins_dfreq_and_keeps_lineage_lazy(spark):
     """q_text_tfidf: the vocabulary-sized doc-frequency table must NOT
     be pinned broadcast — with auto-broadcast disabled the tf x dfreq
