@@ -189,6 +189,201 @@ def q_sim_ann_lsh(spark, sf_dir):
     )
 
 
+def srp_portable_buckets(
+    df: DataFrame, *, id_col: str, vec_col: str,
+    tables: int = 2, bits: int = 6, dim: int = 64,
+) -> DataFrame:
+    """Engine-portable SRP-LSH bucket ids (round 10, VERDICT r9 #3 —
+    the simhash-oracle trick applied to hyperplane LSH): plane
+    component signs are ±1 derived from md5 hex (``s(t,b,d) = -1 iff
+    hex digit (d % 32)+1 of md5('srp|t|b|' || d div 32) >= '8'`` —
+    one digest covers 32 dims), and embedding components are widened
+    to double (exact) then rounded half-up to 1e-6-scaled BIGINTs, so
+    the signed projection is an exact integer sum — order-independent
+    and identical in any engine.  Bit b of table t = (sum >= 0),
+    matching :func:`srp_buckets`'s sign convention; bucket = the
+    packed ``bits``-bit integer.  Rademacher (±1) planes preserve the
+    SRP angle-collision property the gaussian production planes have;
+    the fast numpy tier (:func:`srp_buckets`) keeps the production
+    path.  Returns (id, t, bucket).
+
+    Scale shape: explode(dim) x broadcast(tables*bits*dim tiny plane
+    relation), two keyed aggregations with map-side partials — no
+    window, no Python, no all-pairs."""
+    spark = df.sparkSession
+    planes = (
+        spark.range(tables).select(F.col("id").alias("t"))
+        .crossJoin(spark.range(bits).select(F.col("id").alias("b")))
+        .crossJoin(spark.range(dim).select(F.col("id").alias("d")))
+        .select(
+            "t", "b", "d",
+            F.when(
+                F.expr(
+                    "substring(md5(concat_ws('|', 'srp', t, b, d div 32)), "
+                    "CAST(d % 32 AS INT) + 1, 1)"
+                ) >= F.lit("8"),
+                F.lit(-1),
+            ).otherwise(F.lit(1)).alias("s"),
+        )
+    )
+    comps = embedding_comps(df, id_col=id_col, vec_col=vec_col)
+    sdots = (
+        comps.join(F.broadcast(planes), "d")
+        .groupBy(id_col, "t", "b")
+        .agg(F.sum(F.col("s") * F.col("v6")).alias("sd"))
+    )
+    return sdots.groupBy(id_col, "t").agg(
+        F.sum(
+            F.when(
+                F.col("sd") >= 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("bucket")
+    )
+
+
+def embedding_comps(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
+    """(id, d, v6): exploded embedding components as 1e-6-scaled exact
+    BIGINTs — the shared first stage of the portable similarity
+    faces (float -> double widening is exact; floor(x*1e6 + 0.5) is
+    the engine-portable half-up rounding, see q_embed_centroid)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("d", "e"),
+    ).select(
+        id_col,
+        F.col("d").cast("bigint").alias("d"),
+        F.floor(F.col("e").cast("double") * 1_000_000 + F.lit(0.5))
+        .cast("bigint").alias("v6"),
+    )
+
+
+@declared(
+    "q_sim_ann_lsh_portable",
+    oracle="""
+    WITH planes AS (
+      SELECT t, b, d,
+             CASE WHEN substr(md5('srp' || '|' || CAST(t AS VARCHAR) || '|'
+                                  || CAST(b AS VARCHAR) || '|'
+                                  || CAST(d // 32 AS VARCHAR)),
+                        CAST(d % 32 AS INT) + 1, 1) >= '8'
+                  THEN -1 ELSE 1 END AS s
+      FROM (SELECT unnest(range(0, 2)) AS t),
+           (SELECT unnest(range(0, 6)) AS b),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v6
+      FROM embeddings
+    ), sdots AS (
+      SELECT c.vec_id, p.t, p.b, SUM(p.s * c.v6) AS sd
+      FROM comps c JOIN planes p USING (d)
+      GROUP BY c.vec_id, p.t, p.b
+    ), buckets AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN sd >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                 ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM sdots GROUP BY vec_id, t
+    ), cand AS (
+      SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id
+      FROM buckets cb JOIN buckets pb USING (t, bucket)
+      WHERE cb.vec_id >= 5 AND pb.vec_id < 5
+    ), norms AS (
+      SELECT vec_id, SUM(v6 * v6) AS n12 FROM comps GROUP BY vec_id
+    ), dots AS (
+      SELECT cand.probe_id, cand.vec_id, SUM(cc.v6 * cp.v6) AS dot12
+      FROM cand
+      JOIN comps cc ON cc.vec_id = cand.vec_id
+      JOIN comps cp ON cp.vec_id = cand.probe_id AND cp.d = cc.d
+      GROUP BY cand.probe_id, cand.vec_id
+    ), scored AS (
+      SELECT d.probe_id, d.vec_id,
+             CAST(d.dot12 AS DOUBLE)
+               / (sqrt(CAST(nc.n12 AS DOUBLE)) * sqrt(CAST(np.n12 AS DOUBLE)))
+               AS cos
+      FROM dots d JOIN norms nc ON nc.vec_id = d.vec_id
+                  JOIN norms np ON np.vec_id = d.probe_id
+    ), ranked AS (
+      SELECT probe_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id,
+           CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_sim_ann_lsh_portable(spark, sf_dir):
+    """B42's approximate-similarity class as a FULL hash-match oracle
+    (round 10 — the last value-unchecked LLM-pipeline block, VERDICT
+    r9 #3): SRP-LSH candidate generation AND the exact rerank, both
+    engine-portable.  Buckets come from md5-derived ±1 planes over
+    scaled-int components (exact integer sums — see
+    :func:`srp_portable_buckets`); the rerank cosine is computed from
+    exact integer dot products and norms, where every float op
+    (int<2^53 -> double cast, sqrt, multiply, divide) is correctly
+    rounded under IEEE-754, so the double scores — and therefore the
+    (score desc, vec_id) ranking — are bit-identical in Spark and
+    DuckDB.  Emitted as 1e-6-scaled ints.  The production tier
+    (:func:`lsh_topk`, gaussian planes + numpy matmul) keeps its
+    rows-only check + recall floors."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    buckets = srp_portable_buckets(emb, id_col="vec_id", vec_col="embedding")
+    corpus_b = buckets.filter(F.col("vec_id") >= 5)
+    probe_b = (
+        buckets.filter(F.col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+    )
+    cand = (
+        corpus_b.join(probe_b, ["t", "bucket"])
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    comps = embedding_comps(emb, id_col="vec_id", vec_col="embedding")
+    norms = comps.groupBy("vec_id").agg(
+        F.sum(F.col("v6") * F.col("v6")).alias("n12")
+    )
+    comps_p = comps.select(
+        F.col("vec_id").alias("probe_id"), "d", F.col("v6").alias("vp6")
+    )
+    dots = (
+        cand.join(comps, "vec_id")
+        .join(comps_p, ["probe_id", "d"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum(F.col("v6") * F.col("vp6")).alias("dot12"))
+    )
+    norms_p = norms.select(
+        F.col("vec_id").alias("probe_id"), F.col("n12").alias("np12")
+    )
+    cos = F.col("dot12").cast("double") / (
+        F.sqrt(F.col("n12").cast("double"))
+        * F.sqrt(F.col("np12").cast("double"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        dots.join(norms, "vec_id")
+        .join(norms_p, "probe_id")
+        .select("probe_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.floor(F.col("cos") * 1_000_000 + F.lit(0.5))
+            .cast("bigint").alias("cos_e6"),
+            "rank",
+        )
+    )
+
+
 @declared(
     "q_embed_stats",
     oracle="""
