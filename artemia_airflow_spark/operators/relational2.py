@@ -282,6 +282,91 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hist_quantile_sql(value_col: str, q: float, hi: float, bins: int,
+                       scale: int, out: str) -> str:
+    """DuckDB mirror of one histogram-sketch percentile over lineitem
+    grouped by l_returnflag (lo=0, power-of-two width => every float
+    op correctly rounded on exact-int inputs, bit-identical engines)."""
+    return f"""
+      SELECT l_returnflag,
+             CAST(floor(est * {scale} + 0.5) AS BIGINT) AS {out}
+      FROM (
+        SELECT l_returnflag, bin, cnt, cum, n,
+               CAST(0.0 + (bin + CAST(greatest(1, CAST(ceil({q} * n) AS BIGINT))
+                                      - (cum - cnt) AS DOUBLE) / cnt)
+                    * ({hi!r} / {bins}) AS DOUBLE) AS est,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY bin) AS rk
+        FROM (
+          SELECT l_returnflag, bin, cnt,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+          FROM (
+            SELECT l_returnflag,
+                   least({bins - 1}, greatest(0,
+                     CAST(floor(CAST({value_col} AS DOUBLE)
+                                / ({hi!r} / {bins})) AS INT))) AS bin,
+                   COUNT(*) AS cnt
+            FROM lineitem WHERE {value_col} IS NOT NULL
+            GROUP BY 1, 2
+          )
+        )
+        WHERE cum >= greatest(1, CAST(ceil({q} * n) AS BIGINT))
+      ) WHERE rk = 1
+    """
+
+
+@declared(
+    "q_agg_approx_percentile_portable",
+    oracle=f"""
+    WITH mq AS ({_hist_quantile_sql("l_quantity", 0.5, 64.0, 256, 100, "med_qty_e2")}),
+         pp AS ({_hist_quantile_sql("l_extendedprice", 0.9, 131072.0, 256, 100, "p90_price_cents")})
+    SELECT l_returnflag, med_qty_e2, p90_price_cents
+    FROM mq JOIN pp USING (l_returnflag)
+    """,
+)
+def q_agg_approx_percentile_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21/B92 bridge (round 10, VERDICT r9 #9): the SAME percentile
+    questions q_agg_approx_percentile answers (median l_quantity, p90
+    l_extendedprice per return flag), answered through the engine's
+    OWN deterministic mergeable histogram sketch (B92,
+    sketches.histogram_partials/quantile_estimate) instead of Spark's
+    engine-native t-digest — so the approximate-percentile family
+    gets a value-for-value oracle.  Power-of-two bin widths (64/256,
+    131072/256) make every float op correctly rounded on exact
+    integer inputs => bit-identical estimates in Spark and DuckDB;
+    emitted as cents/1e-2-scaled ints.  Error bound vs true
+    percentile: one bin width (0.25 qty / 512 cents price).  The
+    native approx_percentile tier keeps the perf path and its
+    rows-only check."""
+    from artemia_airflow_spark.operators.sketches import (
+        histogram_partials,
+        quantile_estimate,
+    )
+
+    ensure_engine_conf(spark)
+    li = scan(spark, sf_dir, "lineitem")
+    med = quantile_estimate(
+        histogram_partials(li, "l_quantity", ["l_returnflag"],
+                           lo=0.0, hi=64.0, bins=256),
+        ["l_returnflag"], 0.5, lo=0.0, hi=64.0, bins=256,
+    ).select(
+        "l_returnflag",
+        F.floor(F.col("quantile_est") * 100 + F.lit(0.5))
+        .cast("bigint").alias("med_qty_e2"),
+    )
+    p90 = quantile_estimate(
+        histogram_partials(li, "l_extendedprice", ["l_returnflag"],
+                           lo=0.0, hi=131072.0, bins=256),
+        ["l_returnflag"], 0.9, lo=0.0, hi=131072.0, bins=256,
+    ).select(
+        "l_returnflag",
+        F.floor(F.col("quantile_est") * 100 + F.lit(0.5))
+        .cast("bigint").alias("p90_price_cents"),
+    )
+    return med.join(p90, "l_returnflag")
+
+
 @declared(
     "q_sample_stratified",
     oracle="""
