@@ -170,6 +170,59 @@ def test_connected_components_long_chain_converges(spark):
     assert labels[100] == labels[101] == 100
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches the per-round lineage truncation to a
+    RELIABLE df.checkpoint() (r10, VERDICT r9 #5 — executor-local
+    blocks vanish on executor loss at cluster scale): labels must be
+    identical to the default path AND the checkpoint directory must
+    actually receive RDD checkpoint data."""
+    import os
+
+    from artemia_airflow_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)] + [(100, 101)], "src: long, dst: long"
+    )
+    ckdir = str(tmp_path / "cc_ck")
+    labels = {
+        r.node: r.label
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert all(labels[i] == 0 for i in range(20))
+    assert labels[100] == labels[101] == 100
+    written = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing"
+
+
+def test_incremental_dedup_reliable_checkpoint(spark, tmp_path):
+    """The incremental-dedup survivors pin honors checkpoint_dir: same
+    admission decisions, checkpoint data on the fault-tolerant path."""
+    import os
+
+    from artemia_airflow_spark.operators.dedup import incremental_exact_dedup
+
+    root = str(tmp_path / "state")
+    ckdir = str(tmp_path / "inc_ck")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")],
+        "doc_id: long, text: string",
+    )
+    s1 = incremental_exact_dedup(
+        spark, b1, "text", "doc_id", root, checkpoint_dir=ckdir
+    )
+    assert {r.doc_id for r in s1.collect()} == {1, 3}
+    s1b = incremental_exact_dedup(
+        spark, b1, "text", "doc_id", root, checkpoint_dir=ckdir
+    )
+    assert s1b.count() == 0
+    written = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert written, "reliable checkpoint wrote nothing"
+
+
 def test_hll_union_estimate_close_to_exact(spark):
     """q_agg_hll: daily HLL sketches unioned per event_type must land
     within 5% of the exact distinct-user count (lgK=12 default ~1.6%
