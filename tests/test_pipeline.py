@@ -1282,3 +1282,102 @@ def test_to_dot_renders_task_groups_as_clusters(spark):
     i = dot.index('subgraph "cluster_outer.inner"')
     close = dot.index("}", i)
     assert o < i < close
+
+
+def test_execution_timeout_kills_hung_stage_and_gates_downstream():
+    """A-gap #1 (r10): a hung stage dies at its hard deadline — the
+    run does NOT block until run_timeout — with a distinct failure
+    kind (StageTimeout, StageResult.timed_out), on_failure fired
+    exactly once, and downstream gated per trigger rules (all_success
+    child upstream_failed, one_failed handler runs)."""
+    import time as _time
+
+    from artemia_airflow_spark.pipeline import StageTimeout
+
+    fired = []
+    pipe = Pipeline("exec-timeout")
+    hung = pipe.add(
+        Stage(
+            "hung",
+            lambda ctx: _time.sleep(30),
+            execution_timeout_s=0.2,
+            on_failure=lambda tid, res: fired.append((tid, res.timed_out)),
+        )
+    )
+    child = pipe.add(Stage("child", lambda ctx: "ran"))
+    handler = pipe.add(
+        Stage("handler", lambda ctx: "handled", trigger_rule="one_failed")
+    )
+    hung >> [child, handler]
+    t0 = _time.monotonic()
+    results = pipe.run(spark=None, raise_on_failure=False)
+    assert _time.monotonic() - t0 < 5.0  # deadline, not the 30s sleep
+    r = results["hung"]
+    assert r.state == "failed" and r.timed_out and r.attempts == 1
+    assert isinstance(r.error, StageTimeout)
+    assert results["child"].state == "upstream_failed"
+    assert results["handler"].state == "success"
+    assert fired == [("hung", True)]
+
+
+def test_execution_timeout_consumes_one_attempt_and_composes_with_retry():
+    """A timed-out attempt consumes exactly one retry attempt:
+    on_retry fires with the StageTimeout, and a fast second attempt
+    succeeds (timed_out stays False on the final result)."""
+    import time as _time
+
+    from artemia_airflow_spark.pipeline import StageTimeout
+
+    calls = {"n": 0}
+    retried = []
+
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            _time.sleep(30)  # first attempt hangs past the deadline
+        return "ok"
+
+    pipe = Pipeline("exec-timeout-retry")
+    pipe.add(
+        Stage(
+            "flaky",
+            flaky,
+            retry=RetryPolicy(retries=1, retry_delay_s=0.0),
+            execution_timeout_s=0.2,
+            on_retry=lambda tid, n, exc: retried.append(type(exc).__name__),
+        )
+    )
+    results = pipe.run(spark=None)
+    r = results["flaky"]
+    assert r.state == "success" and r.value == "ok" and r.attempts == 2
+    assert not r.timed_out
+    assert retried == ["StageTimeout"]
+
+
+def test_execution_timeout_cancels_spark_job_group(spark):
+    """The deadline kill actually cancels the attempt's SPARK work:
+    a stage stuck inside a Spark action (slow Python batches) dies at
+    the deadline and the pipeline regains control in seconds — the
+    cancelled job group stops the executors, not just the wait."""
+    import time as _time
+
+    def slow_job(ctx):
+        import pandas as _pd
+
+        def crawl(batches):
+            for pdf in batches:
+                _time.sleep(20)
+                yield pdf
+
+        return (
+            ctx.spark.range(8).repartition(4)
+            .mapInPandas(crawl, schema="id long")
+            .count()
+        )
+
+    pipe = Pipeline("exec-timeout-spark")
+    pipe.add(Stage("crawl", slow_job, execution_timeout_s=1.5))
+    t0 = _time.monotonic()
+    results = pipe.run(spark=spark, raise_on_failure=False)
+    assert _time.monotonic() - t0 < 15.0
+    assert results["crawl"].state == "failed" and results["crawl"].timed_out
