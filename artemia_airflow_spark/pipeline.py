@@ -985,8 +985,13 @@ class Pipeline:
         raise_on_failure: bool = True,
         resume_from: str | None = None,
         ignore_depends_on_past: bool = False,
+        source: str = "scheduled",
     ) -> dict[str, StageResult]:
         """Execute one DagRun; returns per-stage results.
+
+        ``source`` tags the ledger record with the Airflow run_type
+        analogue ("scheduled" default; schedule.trigger_now passes
+        "manual", schedule.backfill "backfill").
 
         Ready stages at the same depth execute concurrently (driver
         threads -> overlapping Spark jobs), matching the reference's
@@ -1027,6 +1032,7 @@ class Pipeline:
                     raise_on_failure=raise_on_failure,
                     resume_from=resume_from,
                     ignore_depends_on_past=ignore_depends_on_past,
+                    source=source,
                 )
             finally:
                 with self._active_lock:
@@ -1043,6 +1049,7 @@ class Pipeline:
         raise_on_failure: bool = True,
         resume_from: str | None = None,
         ignore_depends_on_past: bool = False,
+        source: str = "scheduled",
     ) -> dict[str, StageResult]:
         start = time.monotonic()
         order = self._toposort()
@@ -1225,6 +1232,7 @@ class Pipeline:
                 results,
                 started_at=time.time() - (time.monotonic() - start),
                 finished_at=time.time(),
+                source=source,
             )
 
         if raise_on_failure:

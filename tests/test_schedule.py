@@ -334,3 +334,93 @@ def test_backfill_parallelism_respects_max_active_runs(spark):
     with pytest.raises(ValueError, match="parallelism"):
         backfill(pipe, spark, datetime(2024, 1, 1), datetime(2024, 1, 2),
                  parallelism=0)
+
+
+def test_scheduler_pause_skips_fires_and_unpause_resumes():
+    """A-gap #2 (r10): a paused pipeline's cron fires are SKIPPED (no
+    run, no on_run, observed via on_skip); unpausing resumes at the
+    next match with catchup=False (skipped fires are never backfilled)."""
+    from artemia_airflow_spark.schedule import SchedulerControl
+
+    fake = {"now": datetime(2026, 8, 13, 0, 0, 30)}
+    ran, skipped = [], []
+
+    def now():
+        return fake["now"]
+
+    def sleep(s):
+        from datetime import timedelta
+
+        fake["now"] += timedelta(seconds=s)
+
+    pipe = Pipeline("p", schedule="*/10 * * * *", sleep=sleep)
+    pipe.add(Stage("t", lambda ctx: "ok"))
+    control = SchedulerControl()
+    control.pause("p")
+
+    def on_skip(name, when):
+        skipped.append(when.strftime("%H:%M"))
+        if len(skipped) == 2:  # operator unpauses mid-stream
+            control.unpause(name)
+
+    n = run_scheduler(
+        [pipe], spark=None, now=now, sleep=sleep, max_runs=2,
+        control=control, on_skip=on_skip,
+        on_run=lambda name, when, res: ran.append(when.strftime("%H:%M")),
+    )
+    assert n == 2
+    assert skipped == ["00:10", "00:20"]  # paused fires skipped
+    assert ran == ["00:30", "00:40"]      # resumed at the NEXT match
+
+
+def test_scheduler_paused_pipeline_records_nothing(spark, tmp_path):
+    """A paused fire leaves the ledger untouched — skipping is not a
+    recorded run state."""
+    from artemia_airflow_spark.ledger import RunLedger
+    from artemia_airflow_spark.schedule import SchedulerControl
+
+    fake = {"now": datetime(2026, 8, 13, 0, 0, 30)}
+
+    def now():
+        return fake["now"]
+
+    def sleep(s):
+        from datetime import timedelta
+
+        fake["now"] += timedelta(seconds=s)
+
+    ledger = RunLedger(str(tmp_path / "ledger"))
+    paused = Pipeline("paused", schedule="*/10 * * * *", sleep=sleep,
+                      ledger=ledger)
+    paused.add(Stage("t", lambda ctx: "never"))
+    other = Pipeline("other", schedule="*/10 * * * *", sleep=sleep,
+                     ledger=ledger)
+    other.add(Stage("t", lambda ctx: "ran"))
+    control = SchedulerControl()
+    control.pause("paused")
+    n = run_scheduler(
+        [paused, other], spark=spark, now=now, sleep=sleep, max_runs=2,
+        control=control,
+    )
+    assert n == 2
+    recorded = ledger.runs(spark).collect()
+    assert {r.pipeline for r in recorded} == {"other"}
+    assert all(r.source == "scheduled" for r in recorded)
+
+
+def test_trigger_now_manual_source_and_conf(spark, tmp_path):
+    """trigger_now runs immediately with conf visible in ctx.params and
+    ledger-records the run with source='manual' (Airflow
+    `dags trigger --conf` parity)."""
+    from artemia_airflow_spark.ledger import RunLedger
+    from artemia_airflow_spark.schedule import trigger_now
+
+    ledger = RunLedger(str(tmp_path / "ledger"))
+    seen = {}
+    pipe = Pipeline("manual-pipe", schedule="0 0 * * *", ledger=ledger)
+    pipe.add(Stage("t", lambda ctx: seen.update(ctx.params) or "ok"))
+    results = trigger_now(pipe, spark, conf={"target": "2026-08-15"})
+    assert results["t"].state == "success"
+    assert seen["target"] == "2026-08-15"
+    rows = ledger.runs(spark).collect()
+    assert len(rows) == 1 and rows[0].source == "manual"
