@@ -1323,10 +1323,14 @@ def winnowed_fingerprints_portable(
     """Engine-portable winnowing (round 9): per document, the distinct
     selected substring fingerprints under the classic scheme — hash
     every ``k``-char gram (md5), slide a ``w``-wide window over the
-    positions, keep each window's minimum — with the tiebreak encoded
-    INTO the key (``md5(gram) || '#' || lpad(pos)``: min by hash,
-    then leftmost position), so SQL window functions reproduce the
-    selection exactly.  The numpy rolling-hash tier
+    positions, keep each window's minimum.  Classic winnowing breaks
+    hash ties by leftmost position, but that tiebreak only decides
+    WHICH POSITION is recorded — tied keys are the same md5, so the
+    selected FINGERPRINT set is identical either way, and this face
+    emits fingerprints only.  r10 therefore drops the r9
+    ``|| '#' || lpad(pos)`` key suffix (VERDICT r9 #4): the window min
+    compares bare 32-char digests — same output, ~20% less window
+    cost (the suite's heaviest query).  The numpy rolling-hash tier
     (:func:`substring_fingerprints`) keeps the production path; this
     twin exists so the winnowing CLASS has a value-for-value oracle.
 
@@ -1350,11 +1354,7 @@ def winnowed_fingerprints_portable(
         .select(
             id_col,
             "pos",
-            F.concat(
-                F.md5(F.expr(f"substring(__t, pos, {k})")),
-                F.lit("#"),
-                F.lpad(F.col("pos").cast("string"), 8, "0"),
-            ).alias("key"),
+            F.md5(F.expr(f"substring(__t, pos, {k})")).alias("key"),
         )
     )
     win = (
@@ -1374,10 +1374,10 @@ def winnowed_fingerprints_portable(
             id_col,
             "pos",
             n_grams.alias("__n"),
-            F.min("key").over(win).alias("sel"),
+            F.min("key").over(win).alias("fp"),
         )
         .filter(F.col("pos") <= F.greatest(F.col("__n") - (w - 1), F.lit(1)))
-        .select(id_col, F.substring("sel", 1, 32).alias("fp"))
+        .select(id_col, "fp")
         .distinct()
     )
 
@@ -1389,8 +1389,7 @@ def winnowed_fingerprints_portable(
       SELECT doc_id, lower(text) AS t FROM documents
     ), keyed AS (
       SELECT doc_id, p,
-             md5(substr(t, CAST(p AS INT), 40)) || '#'
-               || lpad(CAST(p AS VARCHAR), 8, '0') AS key
+             md5(substr(t, CAST(p AS INT), 40)) AS key
       FROM (
         SELECT doc_id, t,
                unnest(range(1, greatest(len(t) - 39, 1) + 1)) AS p
@@ -1403,7 +1402,7 @@ def winnowed_fingerprints_portable(
              COUNT(*) OVER (PARTITION BY doc_id) AS n
       FROM keyed
     ), sel AS (
-      SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp
+      SELECT DISTINCT doc_id, sel AS fp
       FROM winmin WHERE p <= greatest(n - 15, 1)
     ), shared AS (
       SELECT fp FROM sel GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1
