@@ -367,3 +367,176 @@ def q_multimodal_neardup(spark, sf_dir):
         F.min("hamming").alias("min_hamming"),
         F.max("hamming").alias("max_hamming"),
     )
+
+
+def media_phash_portable(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Engine-portable perceptual-hash twin (round 10 — the portable-md5
+    program reaching the multimodal family): a 32-bit byte-SimHash over
+    the payload's HEX ENCODING, so any engine reproduces it bit for bit.
+    Same window geometry as the production stub kernel
+    (:func:`media_phash`: 8-byte windows, stride 4, zero-pad under 8
+    bytes) but md5-derived window bits instead of crc32 (md5 is the
+    only digest both engines share) and 32 bits instead of 64 (one hex
+    digit per bit — one digest per window, the amortization rule).
+
+    Portability chain: Spark ``hex(payload)`` == DuckDB
+    ``hex(encode(text))`` (verified uppercase-identical), md5 of the
+    16-hex-char window string is engine-identical, bit b = (hex digit
+    b >= '8'), bit = strict majority of window votes (``s > 0`` — the
+    stub's ``votes*2 > n`` rule).  Scale shape mirrors
+    simhash_portable: explode windows x 32 codegen rows, two keyed
+    aggregations with map-side combine — fingerprints shuffle, payload
+    bytes never do.  Returns (id, media_type, fp)."""
+    hx = F.hex(F.col("payload"))
+    padded = F.when(F.length(hx) < 16, F.rpad(hx, 16, "0")).otherwise(hx)
+    win = (
+        media.select(
+            F.col(id_col),
+            F.col("media_meta.media_type").alias("media_type"),
+            padded.alias("__h"),
+        )
+        .select(
+            id_col,
+            "media_type",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__h") - 15, F.lit(1)),
+                    F.lit(8),
+                )
+            ).alias("p"),
+            "__h",
+        )
+        .select(
+            id_col,
+            "media_type",
+            F.md5(F.expr("substring(__h, p, 16)")).alias("wh"),
+        )
+    )
+    bits = win.select(
+        id_col,
+        "media_type",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        "wh",
+    ).select(
+        id_col,
+        "media_type",
+        "b",
+        F.when(F.expr("substring(wh, b + 1, 1)") >= F.lit("8"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("c"),
+    )
+    contrib = bits.groupBy(id_col, "media_type", "b").agg(F.sum("c").alias("s"))
+    return contrib.groupBy(id_col, "media_type").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("fp")
+    )
+
+
+@declared(
+    "q_multimodal_neardup_portable",
+    oracle="""
+    WITH payload AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                  WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+             CASE WHEN len(hex(encode(text))) < 16
+                  THEN rpad(hex(encode(text)), 16, '0')
+                  ELSE hex(encode(text)) END AS h
+      FROM documents
+    ), win AS (
+      SELECT doc_id, media_type,
+             md5(substr(h, CAST(p AS INT), 16)) AS wh
+      FROM (
+        SELECT doc_id, media_type, h,
+               unnest(range(1, greatest(len(h) - 15, 1) + 1, 8)) AS p
+        FROM payload
+      )
+    ), bits AS (
+      SELECT doc_id, media_type, b,
+             CASE WHEN substr(wh, CAST(b + 1 AS INT), 1) >= '8'
+                  THEN 1 ELSE -1 END AS c
+      FROM win CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+    ), contrib AS (
+      SELECT doc_id, media_type, b, SUM(c) AS s
+      FROM bits GROUP BY doc_id, media_type, b
+    ), fp AS (
+      SELECT doc_id, media_type,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                 ELSE CAST(0 AS BIGINT) END) AS fp
+      FROM contrib GROUP BY doc_id, media_type
+    ), banded AS (
+      SELECT doc_id, media_type, band,
+             (fp >> CAST(band * 8 AS INT)) & 255 AS bv, fp
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+    ), pairs AS (
+      SELECT DISTINCT a.media_type, a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.fp, b.fp)) AS hamming
+      FROM banded a JOIN banded b
+        ON a.media_type = b.media_type AND a.band = b.band AND a.bv = b.bv
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(hamming) AS INT) AS min_hamming,
+           CAST(MAX(hamming) AS INT) AS max_hamming
+    FROM pairs GROUP BY media_type
+    """,
+)
+def q_multimodal_neardup_portable(spark, sf_dir):
+    """B67's media perceptual near-dup class as a FULL hash-match
+    oracle (round 10): per-media-type near-dup pair counts + hamming
+    spread under the md5-portable 32-bit byte-SimHash — DuckDB
+    reproduces fingerprints, 4x8-bit band blocking (pigeonhole covers
+    hamming <= 3), and the verified distances exactly.  The crc32
+    numpy stub tier keeps the production path and its rows-only check;
+    a real pHash kernel drops into that tier without touching this
+    oracle."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    media = attach_fake_media(d, "doc_id", "text")
+    fp = media_phash_portable(media)
+    banded = fp.select(
+        "doc_id",
+        "media_type",
+        "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("fp"), i * 8)
+                    .bitwiseAND(F.lit(255)).alias("bv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "media_type", "fp", "bb.band", "bb.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.media_type") == F.col("b.media_type"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.media_type").alias("media_type"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+    return pairs.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("hamming").cast("int").alias("min_hamming"),
+        F.max("hamming").cast("int").alias("max_hamming"),
+    )
