@@ -486,6 +486,96 @@ def q_embed_centroid(spark, sf_dir):
         ).cast("bigint").alias("mean_e6"),
     )
 
+def quantize_embeddings_sq8(
+    emb: DataFrame, *, id_col: str, vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization (FAISS ``SQ8`` shape — round 10): the
+    standard embedding-compression tier next to PQ.  Per-DIMENSION
+    affine quantizer trained on the corpus itself: ``q = floor(255 *
+    (v - min_d) / (max_d - min_d) + 0.5)`` with the per-dim min/max
+    from one exploded aggregation.  Returns (id, dim, q) in exploded
+    relational form plus the quantizer params (min/max per dim), so
+    both the codes and the trained quantizer are first-class data.
+
+    At 100 TB: one groupBy(dim) aggregation trains the quantizer (64
+    rows out — broadcast back), the encode pass is map-side codegen
+    arithmetic, and the written column is 1 byte/component instead of
+    4 — the compression pass a vector store amortizes, exactly like
+    pq_encode but value-portable (every op here — float->double
+    widening, subtract, divide, multiply, floor — is correctly rounded
+    IEEE on exact inputs, so codes are bit-identical across engines;
+    constant dims quantize to 0 by convention, guarded against the
+    0/0 NaN)."""
+    comps = emb.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "e")
+    ).select(id_col, "dim", F.col("e").cast("double").alias("v"))
+    rng = comps.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    q = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.floor(
+            F.lit(255.0) * (F.col("v") - F.col("vmin"))
+            / (F.col("vmax") - F.col("vmin")) + F.lit(0.5)
+        ),
+    ).otherwise(F.lit(0)).cast("int")
+    return comps.join(F.broadcast(rng), "dim").select(
+        id_col, "dim", q.alias("q"), "vmin", "vmax"
+    )
+
+
+@declared(
+    "q_embed_quantize",
+    oracle="""
+    WITH comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), rng AS (
+      SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax FROM comps GROUP BY dim
+    ), coded AS (
+      SELECT c.vec_id, c.dim,
+             CAST(CASE WHEN r.vmax > r.vmin
+                  THEN floor(255.0 * (c.v - r.vmin) / (r.vmax - r.vmin) + 0.5)
+                  ELSE 0 END AS INT) AS q,
+             r.vmin, r.vmax
+      FROM comps c JOIN rng r USING (dim)
+    )
+    SELECT dim,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(q) AS INT) AS min_q,
+           CAST(MAX(q) AS INT) AS max_q,
+           CAST(floor(MIN(vmin) * 1000000 + 0.5) AS BIGINT) AS vmin_e6,
+           CAST(floor(MAX(vmax) * 1000000 + 0.5) AS BIGINT) AS vmax_e6
+    FROM coded GROUP BY dim
+    """,
+)
+def q_embed_quantize(spark, sf_dir):
+    """B42-adjacent embedding compression, ORACLE-CHECKED: per-dim
+    int8 quantizer params (1e-6-scaled) and code aggregates (sum /
+    min / max of the int8 codes) — DuckDB reproduces the trained
+    quantizer AND every code exactly, because the whole chain is
+    correctly-rounded IEEE arithmetic on float->double-widened inputs
+    (min/max are order-insensitive, integer sums of codes are exact).
+    The per-dim code sums attest all |corpus| x dim quantized values
+    without emitting them."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    coded = quantize_embeddings_sq8(emb, id_col="vec_id")
+    return coded.groupBy("dim").agg(
+        F.sum("q").cast("bigint").alias("sum_q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.min("q").cast("int").alias("min_q"),
+        F.max("q").cast("int").alias("max_q"),
+        F.floor(F.min("vmin") * 1_000_000 + F.lit(0.5))
+        .cast("bigint").alias("vmin_e6"),
+        F.floor(F.max("vmax") * 1_000_000 + F.lit(0.5))
+        .cast("bigint").alias("vmax_e6"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame, probes: DataFrame, *, id_col: str, probe_id_col: str,
     vec_col: str = "embedding", probe_vec_col: str = "probe_vec",
