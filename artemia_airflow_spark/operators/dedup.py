@@ -50,12 +50,29 @@ def truncate_lineage(
 
     ``setCheckpointDir`` is SparkContext-global; this helper re-points
     it per call, which is safe because the directory only matters at
-    the moment ``checkpoint()`` materializes."""
+    the moment ``checkpoint()`` materializes.  The reliable tier
+    persists BEFORE checkpointing (r10 review): a bare
+    ``df.checkpoint(eager=True)`` computes the plan for the count and
+    then RECOMPUTES it for the checkpoint write (the classic
+    cache-before-checkpoint rule) — the persist makes the write read
+    the cached blocks, and is dropped as soon as the checkpoint data
+    is durable.  Checkpoint files under ``checkpoint_dir`` are the
+    CALLER's scratch to retire (delete the directory after the run, or
+    point a recurring job at a fresh dated path): Spark only
+    self-cleans with ``spark.cleaner.referenceTracking
+    .cleanCheckpoints``, a context-start conf this library cannot
+    set."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=eager)
+    if not eager:
+        return df.checkpoint(eager=False)
+    df.persist()
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        df.unpersist()
 
 
 def normalized_text(col) -> "F.Column":

@@ -334,7 +334,14 @@ def q_sim_ann_lsh_portable(spark, sf_dir):
     rows-only check + recall floors."""
     ensure_engine_conf(spark)
     emb = scan(spark, sf_dir, "embeddings")
-    buckets = srp_portable_buckets(emb, id_col="vec_id", vec_col="embedding")
+    # materialize the two shared relations ONCE: Spark does not dedupe
+    # common subplans (r10 review — the pq_topk lesson), and buckets is
+    # consumed twice (corpus/probe sides of the self-join) while comps
+    # feeds norms + both dot-product sides; both are compact
+    # (N x tables and N x dim scaled-int rows, no text/vectors)
+    buckets = srp_portable_buckets(
+        emb, id_col="vec_id", vec_col="embedding"
+    ).localCheckpoint(eager=True)
     corpus_b = buckets.filter(F.col("vec_id") >= 5)
     probe_b = (
         buckets.filter(F.col("vec_id") < 5)
@@ -345,7 +352,9 @@ def q_sim_ann_lsh_portable(spark, sf_dir):
         .select("probe_id", "vec_id")
         .distinct()
     )
-    comps = embedding_comps(emb, id_col="vec_id", vec_col="embedding")
+    comps = embedding_comps(
+        emb, id_col="vec_id", vec_col="embedding"
+    ).localCheckpoint(eager=True)
     norms = comps.groupBy("vec_id").agg(
         F.sum(F.col("v6") * F.col("v6")).alias("n12")
     )
@@ -838,8 +847,15 @@ def _grouped_partial_topk(
     batch cut uses the SAME order (score desc, id asc) as the final
     window, and the per-probe global top-r is a subset of the union of
     per-batch top-r sets, so the final window over the reduced relation
-    returns exactly the naive answer (pinned by
-    tests/test_accuracy.py::test_pq_partial_cut_matches_naive)."""
+    returns exactly the naive answer over FINITE scores (pinned by
+    tests/test_accuracy.py::test_pq_partial_cut_matches_naive).
+    Callers must exclude NaN/NULL scores first (_adc_candidate_cut
+    does): Spark's descending order ranks double NaN above every
+    finite value while the pandas->Arrow boundary of this very kernel
+    rewrites NaN to NULL (which descending order ranks LAST), so a
+    NaN-scored row cannot round-trip the cut faithfully — and a NaN
+    ADC score only arises from a corrupt embedding, which must never
+    outrank every real candidate anyway (r10 review)."""
     cols = [c.name for c in scored.schema]
 
     def cut(batches):
@@ -860,9 +876,15 @@ def _adc_candidate_cut(
 ) -> DataFrame:
     """Shared two-phase ADC candidate cut of the PQ tiers: map-side
     partial top-r per probe, then the exact per-probe window over the
-    bounded remainder."""
+    bounded remainder.  Non-finite ADC scores (NaN from a corrupt
+    embedding, NULL) are EXCLUDED from candidacy up front — see
+    :func:`_grouped_partial_topk` for why they cannot round-trip the
+    cut and must never outrank real candidates."""
+    finite = scored.filter(
+        F.col("__adc").isNotNull() & ~F.isnan("__adc")
+    )
     partial = _grouped_partial_topk(
-        scored, probe_id_col=probe_id_col, id_col=id_col,
+        finite, probe_id_col=probe_id_col, id_col=id_col,
         score_col="__adc", r=r,
     )
     w_adc = Window.partitionBy(probe_id_col).orderBy(

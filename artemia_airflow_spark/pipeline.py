@@ -854,11 +854,20 @@ class Pipeline:
         itself with a unique Spark job group (interruptOnCancel=True;
         pinned-thread mode maps the Python thread to one JVM thread,
         so the group covers exactly this attempt's jobs); on deadline
-        the group is cancelled — a hung Spark action then aborts
-        executor-side — and StageTimeout raises in the runner.  A
-        pure-Python hang cannot be force-killed (CPython), so its
+        the group is cancelled (AndFutureJobs, so Spark work the
+        zombie submits later dies too) — a hung Spark action then
+        aborts executor-side — and StageTimeout raises in the runner.
+        A pure-Python hang cannot be force-killed (CPython), so its
         thread is left as a daemon; the PIPELINE regains the slot
-        either way, which is the contract that matters."""
+        either way, which is the contract that matters.
+
+        CONSEQUENCE when composed with RetryPolicy (r10 review): a
+        retry after a timeout may overlap a zombie attempt still
+        executing non-Spark Python (its Spark work is group-cancelled,
+        its Python is not) — unlike Airflow, which kills the task
+        process.  Stage bodies combining execution_timeout_s with
+        retries must be idempotent under concurrent duplicate
+        execution — the discipline at-least-once executors demand."""
         if stage.execution_timeout_s is None:
             return stage.fn(ctx)
         import uuid
@@ -895,9 +904,18 @@ class Pipeline:
         if not done.wait(stage.execution_timeout_s):
             if sc is not None:
                 try:
-                    sc.cancelJobGroup(group)
+                    # AndFutureJobs (Spark 3.5+, JVM-side): a zombie
+                    # stalled in pre-Spark Python would otherwise
+                    # submit its big action AFTER the deadline cancel
+                    # and run it to completion holding executors
+                    # (r10 review); plain cancelJobGroup only stops
+                    # already-active jobs
+                    sc._jsc.sc().cancelJobGroupAndFutureJobs(group)
                 except Exception:  # noqa: BLE001 — cancel is best-effort
-                    pass
+                    try:
+                        sc.cancelJobGroup(group)
+                    except Exception:  # noqa: BLE001
+                        pass
             raise StageTimeout(
                 f"stage {stage.task_id!r} exceeded execution_timeout_s="
                 f"{stage.execution_timeout_s} (attempt killed; Spark job "

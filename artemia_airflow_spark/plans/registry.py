@@ -34,7 +34,7 @@ ORACLE: dict[str, str] = {}
 # ahead of everything stale-r7 (they were the designated slip set in
 # r8 AND r9; VERDICT r9 "What's wrong" #3 demands them first), then
 # (c) the 50-row r7-stale tail, full-oracle aggregate/TPC-H/SQL faces
-# first.  7 + 12 + 50 = 69 > the ~50 cap: the trailing ~19 r7 rows
+# first.  9 + 12 + 50 = 71 > the ~50 cap: the trailing ~21 r7 rows
 # slip to r11 — all rows the driver has hash-matched in r7 and whose
 # implementations are untouched since.
 # ROUND-11 ROTATION NOTE: front-load whatever r7 rows slipped here

@@ -161,6 +161,7 @@ def run_scheduler(
     on_run=None,
     control: SchedulerControl | None = None,
     on_skip=None,
+    max_ticks: int | None = None,
 ) -> int:
     """Driver-side ticker (replaces the Airflow scheduler service).
 
@@ -173,12 +174,20 @@ def run_scheduler(
     fire time is skipped — no run, no ledger record, no ``on_run`` —
     and its next fire is computed as usual (``on_skip(name, when)``
     observes skips; skipped fires do NOT count toward ``max_runs``,
-    which bounds executions).
+    which bounds executions).  Because skips don't count, ``max_runs``
+    alone cannot terminate a scheduler whose every pipeline stays
+    paused (r10 review) — bounded-batch callers that pause should also
+    pass ``max_ticks``, which bounds loop iterations (fires + skips).
     """
     crons = {p.name: Cron(p.schedule) for p in pipelines if p.schedule}
     nxt = {name: crons[name].next_fire(now()) for name in crons}
     executed = 0
+    ticks = 0
     while nxt and (max_runs is None or executed < max_runs):
+        if max_ticks is not None:
+            if ticks >= max_ticks:
+                break
+            ticks += 1
         name, when = min(nxt.items(), key=lambda kv: (kv[1], kv[0]))  # name tiebreak: deterministic
         delay = (when - now()).total_seconds()
         if delay > 0:

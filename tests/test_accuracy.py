@@ -501,11 +501,14 @@ def test_pq_recall_floor_and_rerank_tuning_direction(spark, ann_fixture):
 
 
 def test_pq_partial_cut_matches_naive(spark):
-    """The map-side partial top-r cut (r10, VERDICT r9 #2) returns
-    EXACTLY the candidate set of the naive per-probe global window —
-    on a many-partition relation with score ties, so both the
-    partial/final interaction and the (score desc, id asc) tiebreak
-    are exercised."""
+    """The two-phase candidate cut (r10, VERDICT r9 #2) returns
+    EXACTLY the candidate set of the naive per-probe global window
+    over FINITE scores — on a many-partition relation with score ties,
+    so the partial/final interaction and the (score desc, id asc)
+    tiebreak are exercised.  NaN scores are in the input and must be
+    EXCLUDED by the cut (the documented contract: NaN cannot
+    round-trip the pandas->Arrow boundary and a corrupt embedding
+    must never outrank real candidates — r10 review)."""
     from pyspark.sql import Window
 
     from artemia_airflow_spark.operators.similarity import (
@@ -514,7 +517,9 @@ def test_pq_partial_cut_matches_naive(spark):
 
     random.seed(11)
     rows = [
-        (p, i, float(random.choice([0.1, 0.25, 0.25, 0.5, 0.9])))
+        (p, i, float(random.choice(
+            [0.1, 0.25, 0.25, 0.5, 0.9, float("nan")]
+        )))
         for p in range(4)
         for i in range(300)
     ]
@@ -532,7 +537,7 @@ def test_pq_partial_cut_matches_naive(spark):
     )
     want = {
         (r.probe_id, r.vec_id)
-        for r in scored.withColumn(
+        for r in scored.filter(~F.isnan("__adc")).withColumn(
             "__r", F.row_number().over(w)
         ).filter(F.col("__r") <= 25).collect()
     }

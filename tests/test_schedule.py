@@ -424,3 +424,29 @@ def test_trigger_now_manual_source_and_conf(spark, tmp_path):
     assert seen["target"] == "2026-08-15"
     rows = ledger.runs(spark).collect()
     assert len(rows) == 1 and rows[0].source == "manual"
+
+
+def test_scheduler_max_ticks_bounds_fully_paused_loop():
+    """max_runs alone cannot terminate an all-paused scheduler (skips
+    don't count as executions); max_ticks bounds the loop (r10 review)."""
+    from artemia_airflow_spark.schedule import SchedulerControl
+
+    fake = {"now": datetime(2026, 8, 13, 0, 0, 30)}
+
+    def now():
+        return fake["now"]
+
+    def sleep(s):
+        from datetime import timedelta
+
+        fake["now"] += timedelta(seconds=s)
+
+    pipe = Pipeline("p2", schedule="*/10 * * * *", sleep=sleep)
+    pipe.add(Stage("t", lambda ctx: "ok"))
+    control = SchedulerControl()
+    control.pause("p2")
+    n = run_scheduler(
+        [pipe], spark=None, now=now, sleep=sleep, max_runs=1,
+        control=control, max_ticks=5,
+    )
+    assert n == 0  # terminated by ticks, nothing executed
