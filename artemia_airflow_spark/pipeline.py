@@ -311,6 +311,9 @@ class StageContext:
     results: Mapping[str, Any]
     connections: Connections
     params: Mapping[str, Any]
+    # A14: set on the RESUME execution of a deferrable stage (the
+    # TriggerEvent its Deferred wait ended with); None on first run
+    trigger_event: Any = None
 
     def xcom_pull(self, task_id: str) -> Any:
         """Airflow-parity accessor (reference: ti.xcom_pull,
@@ -388,6 +391,154 @@ class DependsOnPastBlocked(RuntimeError):
 
 class StageFailed(RuntimeError):
     pass
+
+
+class Deferred:
+    """Return value of a deferrable stage's SUBMIT phase (A14, r10 —
+    the Airflow triggerer analogue): "suspend me; poll ``trigger`` on
+    the shared :class:`Triggerer` thread; re-run me with
+    ``ctx.trigger_event`` set when it fires or times out."
+
+    While deferred the stage occupies NO worker thread and NO pool
+    slot — the deferral is exactly Airflow's worker-slot release.  The
+    trigger callable must be cheap and non-blocking (it runs on the
+    one thread multiplexing every deferred stage); a truthy return
+    fires the event with that value."""
+
+    def __init__(
+        self,
+        trigger: Callable[[], Any],
+        *,
+        poke_interval_s: float = 60.0,
+        timeout_s: float = 3600.0,
+    ) -> None:
+        if poke_interval_s <= 0 or timeout_s <= 0:
+            raise ValueError("poke_interval_s and timeout_s must be > 0")
+        self.trigger = trigger
+        self.poke_interval_s = poke_interval_s
+        self.timeout_s = timeout_s
+
+
+@dataclass
+class TriggerEvent:
+    """What a resumed deferrable stage sees in ``ctx.trigger_event``."""
+
+    fired: bool  # True: trigger returned truthy; False: deadline passed
+    value: Any = None
+    error: BaseException | None = None  # trigger callable raised
+
+
+class Triggerer:
+    """One daemon thread multiplexing every deferred stage's trigger
+    (A14): the engine's stand-in for Airflow's asyncio triggerer
+    process.  Registered triggers are polled at their own cadence with
+    an injectable clock/sleep (tests run instantly); fired/timed-out
+    events wake the pipeline's wave loop through ``condition``."""
+
+    def __init__(
+        self,
+        *,
+        clock: Callable[[], float] = time.monotonic,
+        sleep: Callable[[float], None] = time.sleep,
+        tick_s: float = 0.05,
+    ) -> None:
+        self._clock = clock
+        self._sleep = sleep
+        self._tick_s = tick_s
+        self.condition = threading.Condition()
+        self._waiting: dict[str, dict] = {}
+        self.events: dict[str, TriggerEvent] = {}
+        self._thread: threading.Thread | None = None
+
+    def register(self, task_id: str, deferred: Deferred) -> None:
+        now = self._clock()
+        with self.condition:
+            self._waiting[task_id] = {
+                "d": deferred,
+                "next_poke": now,  # first poke immediately
+                "deadline": now + deferred.timeout_s,
+            }
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(
+                    target=self._loop, name="triggerer", daemon=True
+                )
+                self._thread.start()
+
+    def _loop(self) -> None:
+        while True:
+            with self.condition:
+                entries = list(self._waiting.items())
+                if not entries:
+                    return  # thread exits; register() restarts it
+            now = self._clock()
+            fired: dict[str, TriggerEvent] = {}
+            for task_id, e in entries:
+                if now >= e["deadline"]:
+                    fired[task_id] = TriggerEvent(fired=False)
+                    continue
+                if now < e["next_poke"]:
+                    continue
+                e["next_poke"] = now + e["d"].poke_interval_s
+                try:
+                    v = e["d"].trigger()
+                except Exception as exc:  # noqa: BLE001 — trigger crash
+                    # fires the event with the error: the resumed stage
+                    # decides (the deferrable sensor re-raises), so a
+                    # broken trigger is a loud stage failure, never a
+                    # silent forever-wait
+                    fired[task_id] = TriggerEvent(fired=False, error=exc)
+                    continue
+                if v:
+                    fired[task_id] = TriggerEvent(fired=True, value=v)
+            if fired:
+                with self.condition:
+                    for task_id, ev in fired.items():
+                        self._waiting.pop(task_id, None)
+                        self.events[task_id] = ev
+                    self.condition.notify_all()
+            self._sleep(self._tick_s)
+
+
+def deferrable_sensor_stage(
+    task_id: str,
+    *,
+    trigger: Callable[[StageContext], Any],
+    poke_interval_s: float = 60.0,
+    timeout_s: float = 3600.0,
+    retry: RetryPolicy | None = None,
+    trigger_rule: str = "all_success",
+    pool: str | None = None,
+) -> Stage:
+    """A14: the deferrable twin of :func:`sensor_stage`.  The poke-mode
+    sensor HOLDS its worker thread (and pool slot) for the whole wait;
+    this one returns :class:`Deferred` on first execution — releasing
+    thread and slot — and resumes when the shared triggerer fires.
+    Timeout surfaces as ``SensorTimeout`` (same contract as the
+    poke-mode sensor, so retries/callbacks compose identically); a
+    trigger that raised re-raises its error in the stage."""
+
+    def fn(ctx: StageContext) -> Any:
+        from artemia_airflow_spark.streaming.sensor import SensorTimeout
+
+        ev = ctx.trigger_event
+        if ev is None:
+            # submit phase: capture ctx so the trigger can read xcoms
+            return Deferred(
+                lambda: trigger(ctx),
+                poke_interval_s=poke_interval_s,
+                timeout_s=timeout_s,
+            )
+        if ev.error is not None:
+            raise ev.error
+        if not ev.fired:
+            raise SensorTimeout(
+                f"{task_id}: trigger not fired after {timeout_s}s (deferred)"
+            )
+        return ev.value
+
+    return Stage(
+        task_id, fn, retry=retry, trigger_rule=trigger_rule, pool=pool
+    )
 
 
 class StageTimeout(RuntimeError):
@@ -605,8 +756,12 @@ class Pipeline:
         max_active_tasks: int | None = None,
         pools: Mapping[str, int] | None = None,
         max_active_runs: int | None = None,
+        triggerer: "Triggerer | None" = None,
     ) -> None:
         self.name = name
+        # A14: the shared trigger-multiplexing thread deferrable stages
+        # suspend onto; injectable for instant tests (fake clock/sleep)
+        self.triggerer = triggerer if triggerer is not None else Triggerer()
         # Concurrency caps (Airflow max_active_tasks + pools): a ready
         # stage beyond a cap is QUEUED — it simply waits for a later
         # wave — never failed or skipped, and trigger rules see only
@@ -955,6 +1110,19 @@ class Pipeline:
                 self._sleep(delay)
             try:
                 value = self._call_with_deadline(stage, ctx)
+                if isinstance(value, Deferred):
+                    # A14 submit phase: not a completion — the runner
+                    # suspends the stage (no result recorded, no slot
+                    # held) and the triggerer owns the wait.  Returned
+                    # as a distinct state so execute() can register it;
+                    # bypasses retries/SLA/on_failure by design (those
+                    # apply to real attempts, and the resume execution
+                    # gets its own full _run_stage pass).
+                    if stage.is_branch:
+                        raise ValueError(
+                            f"branch stage {stage.task_id!r} cannot defer"
+                        )
+                    return StageResult("deferred", value=value)
                 if stage.is_branch:
                     # Airflow parity: an invalid branch target raises —
                     # a typo must not silently skip every branch
@@ -1108,14 +1276,33 @@ class Pipeline:
         # rounds the DAG took — slot contention shows up here)
         self.last_run_waves = 0
 
+        deferred: set[str] = set()
+        trig = self.triggerer
         while pending:
             self.last_run_waves += 1
             if self.run_timeout_s is not None and time.monotonic() - start > self.run_timeout_s:
                 raise PipelineTimeout(f"pipeline {self.name!r} exceeded {self.run_timeout_s}s")
+            # A14: stages whose trigger fired (or timed out) leave the
+            # deferred set and re-contend as ready; their resume
+            # execution consumes the TriggerEvent via ctx
+            with trig.condition:
+                for t in [t for t in deferred if t in trig.events]:
+                    deferred.discard(t)
             ready = [
-                s for s in pending if all(u.task_id in results for u in s.upstream)
+                s
+                for s in pending
+                if s.task_id not in deferred
+                and all(u.task_id in results for u in s.upstream)
             ]
             if not ready:
+                if deferred:
+                    # everything runnable is suspended on the triggerer:
+                    # wait for an event (short fallback timeout keeps
+                    # the A11 run deadline live) instead of spinning
+                    with trig.condition:
+                        if not any(t in trig.events for t in deferred):
+                            trig.condition.wait(timeout=0.25)
+                    continue
                 raise RuntimeError("deadlock: no ready stages (bug in toposort?)")
             # concurrency caps AFTER the deadlock check: dependency-ready
             # stages beyond max_active_tasks / their pool's slots stay in
@@ -1193,10 +1380,22 @@ class Pipeline:
                         with lock:
                             results[s.task_id] = StageResult(state)
                         return
+                    with trig.condition:
+                        ev = trig.events.pop(s.task_id, None)
                     ctx = StageContext(
-                        spark, dict(values), self.connections, dict(params or {})
+                        spark, dict(values), self.connections,
+                        dict(params or {}), trigger_event=ev,
                     )
                     res = self._run_stage(s, ctx)
+                    if res.state == "deferred":
+                        # A14: suspend — no result recorded (the stage
+                        # stays pending, invisible to trigger rules),
+                        # no slot held past this wave; the triggerer
+                        # owns the wait from here
+                        with lock:
+                            deferred.add(s.task_id)
+                        trig.register(s.task_id, res.value)
+                        return
                 except BaseException as exc:  # noqa: BLE001 — see above
                     res = StageResult("failed", error=exc, attempts=0)
                     # A21 contract: on_failure fires whenever the stage

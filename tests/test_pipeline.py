@@ -1381,3 +1381,100 @@ def test_execution_timeout_cancels_spark_job_group(spark):
     results = pipe.run(spark=spark, raise_on_failure=False)
     assert _time.monotonic() - t0 < 15.0
     assert results["crawl"].state == "failed" and results["crawl"].timed_out
+
+
+def test_deferrable_sensor_releases_pool_slot_while_waiting():
+    """A14 (r10): a deferred sensor holds NO pool slot — a same-pool
+    stage runs to completion WHILE the sensor waits, then the trigger
+    fires and the sensor resumes with the trigger's value."""
+    from artemia_airflow_spark.pipeline import deferrable_sensor_stage
+
+    done = []
+    pipe = Pipeline("defer", pools={"p": 1})
+    sensor = pipe.add(
+        deferrable_sensor_stage(
+            "sensor",
+            # fires only after the OTHER pool-p stage finished: if the
+            # sensor held the single slot while waiting, this would
+            # deadlock instead of passing
+            trigger=lambda ctx: "payload" if done else None,
+            poke_interval_s=0.01,
+            timeout_s=10.0,
+            pool="p",
+        )
+    )
+    worker = pipe.add(
+        Stage("worker", lambda ctx: done.append("w") or "done", pool="p")
+    )
+    results = pipe.run(spark=None)
+    assert results["worker"].state == "success"
+    assert results["sensor"].state == "success"
+    assert results["sensor"].value == "payload"
+    assert sensor is not None and worker is not None
+
+
+def test_deferrable_sensor_timeout_fails_and_gates_downstream():
+    """Deferral timeout surfaces as SensorTimeout (the poke-mode
+    contract) and trigger rules gate downstream normally."""
+    from artemia_airflow_spark.pipeline import deferrable_sensor_stage
+    from artemia_airflow_spark.streaming.sensor import SensorTimeout
+
+    pipe = Pipeline("defer-timeout")
+    sensor = pipe.add(
+        deferrable_sensor_stage(
+            "sensor",
+            trigger=lambda ctx: None,  # never fires
+            poke_interval_s=0.02,
+            timeout_s=0.15,
+        )
+    )
+    ok = pipe.add(Stage("ok", lambda ctx: 1))
+    handler = pipe.add(
+        Stage("handler", lambda ctx: "handled", trigger_rule="one_failed")
+    )
+    sensor >> [ok, handler]
+    results = pipe.run(spark=None, raise_on_failure=False)
+    assert results["sensor"].state == "failed"
+    assert isinstance(results["sensor"].error, SensorTimeout)
+    assert results["ok"].state == "upstream_failed"
+    assert results["handler"].state == "success"
+
+
+def test_deferrable_sensor_trigger_error_fails_loudly():
+    """A trigger that raises fails the stage with that error — a
+    broken trigger is never a silent forever-wait."""
+    from artemia_airflow_spark.pipeline import deferrable_sensor_stage
+
+    def bad_trigger(ctx):
+        raise ConnectionError("upstream gone")
+
+    pipe = Pipeline("defer-err")
+    pipe.add(
+        deferrable_sensor_stage(
+            "sensor", trigger=bad_trigger,
+            poke_interval_s=0.01, timeout_s=5.0,
+        )
+    )
+    results = pipe.run(spark=None, raise_on_failure=False)
+    assert results["sensor"].state == "failed"
+    assert isinstance(results["sensor"].error, ConnectionError)
+
+
+def test_deferrable_sensor_reads_xcom_in_trigger():
+    """The deferred trigger closes over the submit-time ctx, so it can
+    poll upstream XCom values (the Airflow trigger kwargs analogue)."""
+    from artemia_airflow_spark.pipeline import deferrable_sensor_stage
+
+    pipe = Pipeline("defer-xcom")
+    up = pipe.add(Stage("up", lambda ctx: {"run_id": 42}))
+    sensor = pipe.add(
+        deferrable_sensor_stage(
+            "sensor",
+            trigger=lambda ctx: ctx.xcom_pull("up")["run_id"],
+            poke_interval_s=0.01,
+            timeout_s=5.0,
+        )
+    )
+    up >> sensor
+    results = pipe.run(spark=None)
+    assert results["sensor"].value == 42
