@@ -68,11 +68,18 @@ def truncate_lineage(
     sc.setCheckpointDir(checkpoint_dir)
     if not eager:
         return df.checkpoint(eager=False)
-    df.persist()
+    # respect a cache the CALLER established: persisting is a no-op on
+    # an already-persisted frame, but the paired unpersist would evict
+    # the caller's blocks and force full recomputes downstream
+    # (r10 review)
+    already = df.storageLevel.useMemory or df.storageLevel.useDisk
+    if not already:
+        df.persist()
     try:
         return df.checkpoint(eager=True)
     finally:
-        df.unpersist()
+        if not already:
+            df.unpersist()
 
 
 def normalized_text(col) -> "F.Column":

@@ -458,18 +458,46 @@ class Triggerer:
                 "next_poke": now,  # first poke immediately
                 "deadline": now + deferred.timeout_s,
             }
-            if self._thread is None or not self._thread.is_alive():
+            # _loop only exits after clearing _thread UNDER this lock,
+            # so this check cannot race a dying thread into a
+            # never-polled registration (r10 review #1): either we see
+            # _thread set (the loop will re-read _waiting before
+            # exiting) or None (we start a fresh one)
+            if self._thread is None:
                 self._thread = threading.Thread(
                     target=self._loop, name="triggerer", daemon=True
                 )
                 self._thread.start()
 
+    def cancel_prefix(self, prefix: str) -> None:
+        """Drop every waiting trigger and undelivered event whose key
+        starts with ``prefix`` — run-exit cleanup so an abandoned run's
+        triggers stop polling and its stale events can never be
+        consumed by a later run (r10 review #2)."""
+        with self.condition:
+            for k in [k for k in self._waiting if k.startswith(prefix)]:
+                del self._waiting[k]
+            for k in [k for k in self.events if k.startswith(prefix)]:
+                del self.events[k]
+
     def _loop(self) -> None:
+        try:
+            self._loop_inner()
+        finally:
+            # ANY exit (normal drain or an unexpected crash) clears the
+            # slot so the next register() can start a fresh thread —
+            # a crashed loop must never permanently orphan the waiters
+            with self.condition:
+                if self._thread is threading.current_thread():
+                    self._thread = None
+
+    def _loop_inner(self) -> None:
         while True:
             with self.condition:
                 entries = list(self._waiting.items())
                 if not entries:
-                    return  # thread exits; register() restarts it
+                    self._thread = None  # exit protocol: clear BEFORE
+                    return               # releasing (register() syncs)
             now = self._clock()
             fired: dict[str, TriggerEvent] = {}
             for task_id, e in entries:
@@ -493,10 +521,18 @@ class Triggerer:
             if fired:
                 with self.condition:
                     for task_id, ev in fired.items():
-                        self._waiting.pop(task_id, None)
-                        self.events[task_id] = ev
+                        # entry may have been cancel_prefix'd while we
+                        # polled: deliver only if still wanted
+                        if self._waiting.pop(task_id, None) is not None:
+                            self.events[task_id] = ev
                     self.condition.notify_all()
-            self._sleep(self._tick_s)
+            # sleep until the SOONEST next poke or deadline (capped at
+            # 1 s so fresh registrations are noticed promptly) — the
+            # fixed 50 ms tick woke ~72k times for one hour-long wait
+            # (r10 review #6)
+            now = self._clock()
+            nxt = min(min(e["next_poke"], e["deadline"]) for _, e in entries)
+            self._sleep(max(self._tick_s, min(nxt - now, 1.0)))
 
 
 def deferrable_sensor_stage(
@@ -513,9 +549,12 @@ def deferrable_sensor_stage(
     sensor HOLDS its worker thread (and pool slot) for the whole wait;
     this one returns :class:`Deferred` on first execution — releasing
     thread and slot — and resumes when the shared triggerer fires.
-    Timeout surfaces as ``SensorTimeout`` (same contract as the
-    poke-mode sensor, so retries/callbacks compose identically); a
-    trigger that raised re-raises its error in the stage."""
+    Timeout surfaces as ``SensorTimeout`` (the poke-mode contract); a
+    trigger that raised re-raises its error in the stage.  With a
+    RetryPolicy, a failed resume RE-DEFERS on its retry attempt (the
+    consumed TriggerEvent is cleared, so the retry opens a fresh wait
+    window rather than instantly replaying the stale timeout — r10
+    review); each resume execution carries the full retry budget."""
 
     def fn(ctx: StageContext) -> Any:
         from artemia_airflow_spark.streaming.sensor import SensorTimeout
@@ -547,6 +586,13 @@ class StageTimeout(RuntimeError):
     attempt's Spark job group is cancelled before this is raised; it
     rides StageResult.error (with StageResult.timed_out set) so
     callers can tell a deadline kill from an ordinary exception."""
+
+
+class DeferMisuse(ValueError):
+    """A stage kind that cannot defer returned Deferred (e.g. a branch
+    stage) — a programming error, NOT a transient failure: _run_stage
+    fails the stage immediately without consuming retry backoff
+    (r10 review #5)."""
 
 
 class PipelineTimeout(TimeoutError):
@@ -1119,7 +1165,7 @@ class Pipeline:
                     # apply to real attempts, and the resume execution
                     # gets its own full _run_stage pass).
                     if stage.is_branch:
-                        raise ValueError(
+                        raise DeferMisuse(
                             f"branch stage {stage.task_id!r} cannot defer"
                         )
                     return StageResult("deferred", value=value)
@@ -1149,8 +1195,20 @@ class Pipeline:
                 return _finish(
                     StageResult("success", value=value, attempts=attempt)
                 )
+            except DeferMisuse as exc:
+                # programming error: fail NOW, no backoff, no on_retry
+                return _finish(
+                    StageResult("failed", error=exc, attempts=attempt)
+                )
             except Exception as exc:  # noqa: BLE001 — retry boundary
                 last = exc
+                # a resumed deferrable stage must not replay its
+                # consumed TriggerEvent on retry (r10 review #3): clear
+                # it so the retry attempt re-defers with a fresh wait
+                # window instead of instantly re-raising the stale
+                # timeout/error for every backoff cycle
+                if ctx.trigger_event is not None:
+                    ctx.trigger_event = None
                 if attempt < len(delays) and stage.on_retry is not None:
                     try:
                         stage.on_retry(stage.task_id, attempt, exc)
@@ -1278,167 +1336,185 @@ class Pipeline:
 
         deferred: set[str] = set()
         trig = self.triggerer
-        while pending:
-            self.last_run_waves += 1
-            if self.run_timeout_s is not None and time.monotonic() - start > self.run_timeout_s:
-                raise PipelineTimeout(f"pipeline {self.name!r} exceeded {self.run_timeout_s}s")
-            # A14: stages whose trigger fired (or timed out) leave the
-            # deferred set and re-contend as ready; their resume
-            # execution consumes the TriggerEvent via ctx
-            with trig.condition:
-                for t in [t for t in deferred if t in trig.events]:
-                    deferred.discard(t)
-            ready = [
-                s
-                for s in pending
-                if s.task_id not in deferred
-                and all(u.task_id in results for u in s.upstream)
-            ]
-            if not ready:
-                if deferred:
-                    # everything runnable is suspended on the triggerer:
-                    # wait for an event (short fallback timeout keeps
-                    # the A11 run deadline live) instead of spinning
-                    with trig.condition:
-                        if not any(t in trig.events for t in deferred):
-                            trig.condition.wait(timeout=0.25)
-                    continue
-                raise RuntimeError("deadlock: no ready stages (bug in toposort?)")
-            # concurrency caps AFTER the deadlock check: dependency-ready
-            # stages beyond max_active_tasks / their pool's slots stay in
-            # `pending` (queued) and re-contend next wave.  Waves join all
-            # threads before recomputing, so every slot frees at wave end
-            # and the first runnable stage always wins one (caps >= 1) —
-            # a capped wave can never livelock.  Stages that will only
-            # resolve to skipped/upstream_failed consume NO slot (Airflow
-            # parity: non-executing tasks don't occupy pools — r7 review
-            # finding): they run no user code, so they're granted freely
-            # and a to-be-skipped stage can never hold a slot a runnable
-            # same-pool stage is waiting for.
-            if self.max_active_tasks is not None or self.pools:
-                granted: list[Stage] = []
-                pool_used: dict[str, int] = {}
-                n_running = 0
-                # contention order: higher priority_weight first,
-                # declaration order on ties (stable sort).  results is
-                # stable here — the wave's workers haven't started.
-                for s in sorted(ready, key=lambda s: -s.priority_weight):
-                    try:
-                        will_run = self._should_run(s, results)
-                    except Exception:  # noqa: BLE001 — let the worker
-                        will_run = True  # record the failure (ADVICE r6)
-                    if not will_run or _past_blocked(s):
-                        # slotless resolution: runs no user code, so it
-                        # must not hold a slot a runnable same-pool
-                        # stage waits on (r7 rule; r9 review extended
-                        # it to the depends_on_past gate)
-                        granted.append(s)
-                        continue
-                    if (
-                        self.max_active_tasks is not None
-                        and n_running >= self.max_active_tasks
-                    ):
-                        continue  # width cap: queued, not failed
-                    if s.pool is not None:
-                        if pool_used.get(s.pool, 0) >= self.pools[s.pool]:
-                            continue  # pool full: queued, not failed
-                        pool_used[s.pool] = pool_used.get(s.pool, 0) + 1
-                    granted.append(s)
-                    n_running += 1
-                ready = granted
+        # run-scoped trigger keys (r10 review #2): a Triggerer lives on
+        # the Pipeline (or is shared via injection) across runs — a
+        # stale event from an abandoned run, or a same-named stage in a
+        # concurrent run, must never be consumed here
+        import uuid as _uuid
 
-            def execute(s: Stage) -> None:
-                # depends_on_past gate first: a past-blocked stage runs
-                # no user code and resolves upstream_failed so default
-                # trigger rules cascade the block downstream, exactly
-                # like an in-run failure (Airflow: the instance won't
-                # schedule; downstream all_success instances follow)
-                if _past_blocked(s):
-                    with lock:
-                        results[s.task_id] = StageResult(
-                            "upstream_failed",
-                            error=DependsOnPastBlocked(
-                                f"depends_on_past: {s.task_id!r} did not "
-                                "succeed in the previous run"
-                            ),
-                        )
-                    return
-                try:
-                    # _should_run runs INSIDE the try (ADVICE r6): a
-                    # harness-path exception (e.g. a malformed branch
-                    # value hit while normalizing the chosen set) must
-                    # record a failure, NOT die in a daemon thread
-                    # leaving `pending` re-spawning the stage forever
-                    if not self._should_run(s, results):
-                        ups = [results[u.task_id] for u in s.upstream]
-                        state = (
-                            "upstream_failed"
-                            if any(r.state in ("failed", "upstream_failed") for r in ups)
-                            and s.trigger_rule == "all_success"
-                            else "skipped"
-                        )
-                        with lock:
-                            results[s.task_id] = StageResult(state)
-                        return
-                    with trig.condition:
-                        ev = trig.events.pop(s.task_id, None)
-                    ctx = StageContext(
-                        spark, dict(values), self.connections,
-                        dict(params or {}), trigger_event=ev,
-                    )
-                    res = self._run_stage(s, ctx)
-                    if res.state == "deferred":
-                        # A14: suspend — no result recorded (the stage
-                        # stays pending, invisible to trigger rules),
-                        # no slot held past this wave; the triggerer
-                        # owns the wait from here
-                        with lock:
-                            deferred.add(s.task_id)
-                        trig.register(s.task_id, res.value)
-                        return
-                except BaseException as exc:  # noqa: BLE001 — see above
-                    res = StageResult("failed", error=exc, attempts=0)
-                    # A21 contract: on_failure fires whenever the stage
-                    # ENDS failed — including harness-path failures that
-                    # bypass _run_stage/_finish (r7 review finding)
-                    if s.on_failure is not None:
-                        try:
-                            s.on_failure(s.task_id, res)
-                        except Exception:  # noqa: BLE001
-                            pass  # never mask the recorded failure
-                with lock:
-                    results[s.task_id] = res
-                    if res.state == "success":
-                        values[s.task_id] = res.value
+        run_token = _uuid.uuid4().hex
 
-            if self.run_timeout_s is None and len(ready) == 1:
-                execute(ready[0])
-            else:
-                # Run stages in worker threads and join against the
-                # remaining run budget so a single hung stage (sensor
-                # with a longer poke timeout, blocking transport, ...)
-                # still trips the A11 deadline — Airflow kills the
-                # dagrun at dagrun_timeout regardless of task state.
-                # Python cannot forcibly kill the stage thread; it is
-                # daemonized and abandoned, the run itself fails fast.
-                threads = [
-                    threading.Thread(target=execute, args=(s,), daemon=True)
-                    for s in ready
+        def _tkey(task_id: str) -> str:
+            return f"{run_token}:{task_id}"
+
+        try:
+            while pending:
+                self.last_run_waves += 1
+                if self.run_timeout_s is not None and time.monotonic() - start > self.run_timeout_s:
+                    raise PipelineTimeout(f"pipeline {self.name!r} exceeded {self.run_timeout_s}s")
+                # A14: stages whose trigger fired (or timed out) leave the
+                # deferred set and re-contend as ready; their resume
+                # execution consumes the TriggerEvent via ctx
+                with trig.condition:
+                    for t in [t for t in deferred if _tkey(t) in trig.events]:
+                        deferred.discard(t)
+                ready = [
+                    s
+                    for s in pending
+                    if s.task_id not in deferred
+                    and all(u.task_id in results for u in s.upstream)
                 ]
-                for t in threads:
-                    t.start()
-                for t in threads:
-                    if self.run_timeout_s is None:
-                        t.join()
+                if not ready:
+                    if deferred:
+                        # everything runnable is suspended on the triggerer:
+                        # wait for an event (short fallback timeout keeps
+                        # the A11 run deadline live) instead of spinning
+                        with trig.condition:
+                            if not any(
+                                _tkey(t) in trig.events for t in deferred
+                            ):
+                                trig.condition.wait(timeout=0.25)
                         continue
-                    remaining = self.run_timeout_s - (time.monotonic() - start)
-                    t.join(max(remaining, 0.0))
-                    if t.is_alive():
-                        raise PipelineTimeout(
-                            f"pipeline {self.name!r} exceeded {self.run_timeout_s}s "
-                            "(stage still running; thread abandoned)"
+                    raise RuntimeError("deadlock: no ready stages (bug in toposort?)")
+                # concurrency caps AFTER the deadlock check: dependency-ready
+                # stages beyond max_active_tasks / their pool's slots stay in
+                # `pending` (queued) and re-contend next wave.  Waves join all
+                # threads before recomputing, so every slot frees at wave end
+                # and the first runnable stage always wins one (caps >= 1) —
+                # a capped wave can never livelock.  Stages that will only
+                # resolve to skipped/upstream_failed consume NO slot (Airflow
+                # parity: non-executing tasks don't occupy pools — r7 review
+                # finding): they run no user code, so they're granted freely
+                # and a to-be-skipped stage can never hold a slot a runnable
+                # same-pool stage is waiting for.
+                if self.max_active_tasks is not None or self.pools:
+                    granted: list[Stage] = []
+                    pool_used: dict[str, int] = {}
+                    n_running = 0
+                    # contention order: higher priority_weight first,
+                    # declaration order on ties (stable sort).  results is
+                    # stable here — the wave's workers haven't started.
+                    for s in sorted(ready, key=lambda s: -s.priority_weight):
+                        try:
+                            will_run = self._should_run(s, results)
+                        except Exception:  # noqa: BLE001 — let the worker
+                            will_run = True  # record the failure (ADVICE r6)
+                        if not will_run or _past_blocked(s):
+                            # slotless resolution: runs no user code, so it
+                            # must not hold a slot a runnable same-pool
+                            # stage waits on (r7 rule; r9 review extended
+                            # it to the depends_on_past gate)
+                            granted.append(s)
+                            continue
+                        if (
+                            self.max_active_tasks is not None
+                            and n_running >= self.max_active_tasks
+                        ):
+                            continue  # width cap: queued, not failed
+                        if s.pool is not None:
+                            if pool_used.get(s.pool, 0) >= self.pools[s.pool]:
+                                continue  # pool full: queued, not failed
+                            pool_used[s.pool] = pool_used.get(s.pool, 0) + 1
+                        granted.append(s)
+                        n_running += 1
+                    ready = granted
+
+                def execute(s: Stage) -> None:
+                    # depends_on_past gate first: a past-blocked stage runs
+                    # no user code and resolves upstream_failed so default
+                    # trigger rules cascade the block downstream, exactly
+                    # like an in-run failure (Airflow: the instance won't
+                    # schedule; downstream all_success instances follow)
+                    if _past_blocked(s):
+                        with lock:
+                            results[s.task_id] = StageResult(
+                                "upstream_failed",
+                                error=DependsOnPastBlocked(
+                                    f"depends_on_past: {s.task_id!r} did not "
+                                    "succeed in the previous run"
+                                ),
+                            )
+                        return
+                    try:
+                        # _should_run runs INSIDE the try (ADVICE r6): a
+                        # harness-path exception (e.g. a malformed branch
+                        # value hit while normalizing the chosen set) must
+                        # record a failure, NOT die in a daemon thread
+                        # leaving `pending` re-spawning the stage forever
+                        if not self._should_run(s, results):
+                            ups = [results[u.task_id] for u in s.upstream]
+                            state = (
+                                "upstream_failed"
+                                if any(r.state in ("failed", "upstream_failed") for r in ups)
+                                and s.trigger_rule == "all_success"
+                                else "skipped"
+                            )
+                            with lock:
+                                results[s.task_id] = StageResult(state)
+                            return
+                        with trig.condition:
+                            ev = trig.events.pop(_tkey(s.task_id), None)
+                        ctx = StageContext(
+                            spark, dict(values), self.connections,
+                            dict(params or {}), trigger_event=ev,
                         )
-            pending = [s for s in pending if s.task_id not in results]
+                        res = self._run_stage(s, ctx)
+                        if res.state == "deferred":
+                            # A14: suspend — no result recorded (the stage
+                            # stays pending, invisible to trigger rules),
+                            # no slot held past this wave; the triggerer
+                            # owns the wait from here
+                            with lock:
+                                deferred.add(s.task_id)
+                            trig.register(_tkey(s.task_id), res.value)
+                            return
+                    except BaseException as exc:  # noqa: BLE001 — see above
+                        res = StageResult("failed", error=exc, attempts=0)
+                        # A21 contract: on_failure fires whenever the stage
+                        # ENDS failed — including harness-path failures that
+                        # bypass _run_stage/_finish (r7 review finding)
+                        if s.on_failure is not None:
+                            try:
+                                s.on_failure(s.task_id, res)
+                            except Exception:  # noqa: BLE001
+                                pass  # never mask the recorded failure
+                    with lock:
+                        results[s.task_id] = res
+                        if res.state == "success":
+                            values[s.task_id] = res.value
+
+                if self.run_timeout_s is None and len(ready) == 1:
+                    execute(ready[0])
+                else:
+                    # Run stages in worker threads and join against the
+                    # remaining run budget so a single hung stage (sensor
+                    # with a longer poke timeout, blocking transport, ...)
+                    # still trips the A11 deadline — Airflow kills the
+                    # dagrun at dagrun_timeout regardless of task state.
+                    # Python cannot forcibly kill the stage thread; it is
+                    # daemonized and abandoned, the run itself fails fast.
+                    threads = [
+                        threading.Thread(target=execute, args=(s,), daemon=True)
+                        for s in ready
+                    ]
+                    for t in threads:
+                        t.start()
+                    for t in threads:
+                        if self.run_timeout_s is None:
+                            t.join()
+                            continue
+                        remaining = self.run_timeout_s - (time.monotonic() - start)
+                        t.join(max(remaining, 0.0))
+                        if t.is_alive():
+                            raise PipelineTimeout(
+                                f"pipeline {self.name!r} exceeded {self.run_timeout_s}s "
+                                "(stage still running; thread abandoned)"
+                            )
+                pending = [s for s in pending if s.task_id not in results]
+        finally:
+            # abandoned deferrals stop polling; undelivered events die
+            # with the run (they can never be legally consumed again)
+            trig.cancel_prefix(run_token + ":")
 
         if self.ledger is not None:
             # record BEFORE raise_on_failure: failed runs belong in the

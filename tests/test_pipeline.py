@@ -1478,3 +1478,55 @@ def test_deferrable_sensor_reads_xcom_in_trigger():
     up >> sensor
     results = pipe.run(spark=None)
     assert results["sensor"].value == 42
+
+
+def test_deferrable_sensor_retry_re_defers_with_fresh_window():
+    """A timed-out deferral that has retries left RE-DEFERS (the stale
+    TriggerEvent is cleared on retry), so the retry waits a fresh
+    window instead of instantly replaying the timeout (r10 review)."""
+    from artemia_airflow_spark.pipeline import deferrable_sensor_stage
+
+    t0 = __import__("time").monotonic()
+
+    def late_trigger(ctx):
+        # fires only after ~0.4s — past the first 0.15s window, inside
+        # the retry's fresh one
+        return "late" if __import__("time").monotonic() - t0 > 0.4 else None
+
+    pipe = Pipeline("defer-retry")
+    pipe.add(
+        deferrable_sensor_stage(
+            "sensor",
+            trigger=late_trigger,
+            poke_interval_s=0.03,
+            timeout_s=0.15,
+            retry=RetryPolicy(retries=3, retry_delay_s=0.0),
+        )
+    )
+    results = pipe.run(spark=None)
+    assert results["sensor"].state == "success"
+    assert results["sensor"].value == "late"
+
+
+def test_deferrable_sensor_events_do_not_leak_across_runs():
+    """A stale TriggerEvent from an abandoned/failed run is never
+    consumed by a later run of the same pipeline (run-scoped trigger
+    keys + run-exit cancellation — r10 review)."""
+    from artemia_airflow_spark.pipeline import deferrable_sensor_stage
+
+    armed = []
+
+    pipe = Pipeline("defer-isolated")
+    pipe.add(
+        deferrable_sensor_stage(
+            "sensor",
+            trigger=lambda ctx: "go" if armed else None,
+            poke_interval_s=0.02,
+            timeout_s=0.15,
+        )
+    )
+    r1 = pipe.run(spark=None, raise_on_failure=False)
+    assert r1["sensor"].state == "failed"  # first run times out
+    armed.append(True)
+    r2 = pipe.run(spark=None)  # must defer FRESH, not replay run 1
+    assert r2["sensor"].state == "success" and r2["sensor"].value == "go"
