@@ -43,7 +43,7 @@ ORACLE: dict[str, str] = {}
 PRIORITY: list[str] = [
     # (a) new/changed in round 10
     "q_sim_ann_lsh_portable", "q_agg_approx_percentile_portable",
-    "q_multimodal_neardup_portable", "q_embed_quantize",
+    "q_multimodal_neardup_portable", "q_embed_quantize", "q_join_fuzzy",
     "q_sim_pq", "q_sim_ivf_pq", "q_dedup_substring_portable",
     "q_dedup_incremental", "q_ledger_health",
     # (b) the complete r6-stale rows-only debt (12 rows, paid first)

@@ -474,3 +474,53 @@ def test_incremental_dedup_racing_admitters_never_double_emit(spark, tmp_path):
     assert results["emitted"].count("contested content") + results[
         "conflicts"
     ] >= 1, results
+
+
+def test_fuzzy_join_exact_recall_vs_brute_force(spark):
+    """Deletion-variant blocking has EXACT recall: fuzzy_join at k=1
+    and k=2 must return precisely the pairs a brute-force levenshtein
+    cross join finds — on a typo-heavy fixture with inserts, deletes,
+    substitutions, and transpositions."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.operators.joins import fuzzy_join
+
+    names = [
+        "johann sebastian", "johan sebastian", "johann sebastien",
+        "johann sebstian", "johnann sebastian", "ohann sebastian",
+        "johann sabastien", "completely different", "different completely",
+        "jahann sebastien",
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for k in (1, 2):
+        want = {
+            (i, j, ed(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if ed(a, b) <= k
+        }
+        a_df = df.select(F.col("id").alias("id_a"),
+                         F.col("name").alias("name_a"))
+        b_df = df.select(F.col("id").alias("id_b"),
+                         F.col("name").alias("name_b"))
+        got = {
+            (r.id_a, r.id_b, r.edit_distance)
+            for r in fuzzy_join(
+                a_df, b_df, left_col="name_a", right_col="name_b",
+                left_id="id_a", right_id="id_b", max_edits=k,
+            ).filter(F.col("id_a") < F.col("id_b")).collect()
+        }
+        assert got == want, (k, sorted(want - got), sorted(got - want))
