@@ -164,7 +164,7 @@ def deletion_variants(
         raise ValueError("max_edits must be >= 1")
     out = df.select(F.col(id_col), F.col(text_col).alias("variant"))
     cur = out
-    for _ in range(max_edits):
+    for round_ in range(max_edits):
         cur = (
             cur.select(
                 id_col,
@@ -181,6 +181,12 @@ def deletion_variants(
                 ).alias("variant"),
             )
         )
+        if round_ < max_edits - 1:
+            # dedup between rounds: repeated characters produce the
+            # same 1-deletion variant many times, and each copy would
+            # explode again next round (r10 review) — the final
+            # distinct() alone lets the blowup happen first
+            cur = cur.distinct()
         out = out.unionByName(cur)
     return out.distinct()
 
@@ -188,6 +194,7 @@ def deletion_variants(
 def fuzzy_join(
     left: DataFrame, right: DataFrame, *, left_col: str, right_col: str,
     left_id: str, right_id: str, max_edits: int = 1,
+    antisymmetric: bool = False,
 ) -> DataFrame:
     """Entity-resolution approximate string join (r10): pairs whose
     ``levenshtein(left_col, right_col) <= max_edits``, computed at
@@ -197,36 +204,47 @@ def fuzzy_join(
     the false positives blocking admits; nothing is ever all-pairs,
     and every stage is codegen + one hash join on a short string key.
 
-    Returns (left_id, right_id, edit_distance).  At 100 TB: the
+    Same-schema inputs are the natural call shape, so every column is
+    aliased internally (identical left/right names never collide —
+    r10 review); the OUTPUT id columns get ``_l``/``_r`` suffixes when
+    ``left_id == right_id``.  ``antisymmetric=True`` (self-join
+    dedup) keeps only ``left id < right id`` pairs, applied at the
+    CANDIDATE stage so each unordered pair is distinct-shuffled,
+    re-joined, and levenshtein-verified once instead of twice (and
+    self-pairs never reach the verify).
+
+    Returns (left-id, right-id, edit_distance).  At 100 TB: the
     variant relation is (k+1 choose <=k)x rows of short strings, the
     join is an ordinary shuffled/broadcast hash join AQE can plan, and
     the levenshtein verify runs only on blocked candidates — the
     standard generate-verify shape shared with the n-gram dedup
     family."""
-    lv = deletion_variants(
-        left.select(left_id, left_col), left_col, left_id,
-        max_edits=max_edits,
+    out_l = left_id if left_id != right_id else f"{left_id}_l"
+    out_r = right_id if left_id != right_id else f"{right_id}_r"
+    ls = left.select(
+        F.col(left_id).alias("__lid"), F.col(left_col).alias("__ltext")
     )
-    rv = deletion_variants(
-        right.select(right_id, right_col), right_col, right_id,
-        max_edits=max_edits,
+    rs = right.select(
+        F.col(right_id).alias("__rid"), F.col(right_col).alias("__rtext")
     )
-    cand = (
-        lv.join(rv, "variant")
-        .select(left_id, right_id)
-        .distinct()
-    )
-    joined = (
-        cand.join(left.select(left_id, left_col), left_id)
-        .join(right.select(right_id, right_col), right_id)
-    )
+    lv = deletion_variants(ls, "__ltext", "__lid", max_edits=max_edits)
+    rv = deletion_variants(rs, "__rtext", "__rid", max_edits=max_edits)
+    cand = lv.join(rv, "variant").select("__lid", "__rid")
+    if antisymmetric:
+        cand = cand.filter(F.col("__lid") < F.col("__rid"))
+    cand = cand.distinct()
+    joined = cand.join(ls, "__lid").join(rs, "__rid")
     return (
         joined.withColumn(
             "edit_distance",
-            F.levenshtein(F.col(left_col), F.col(right_col)),
+            F.levenshtein(F.col("__ltext"), F.col("__rtext")),
         )
         .filter(F.col("edit_distance") <= max_edits)
-        .select(left_id, right_id, "edit_distance")
+        .select(
+            F.col("__lid").alias(out_l),
+            F.col("__rid").alias(out_r),
+            "edit_distance",
+        )
     )
 
 
@@ -285,7 +303,8 @@ def _register_queries() -> None:
         pairs = fuzzy_join(
             a, b, left_col="name_a", right_col="name_b",
             left_id="id_a", right_id="id_b", max_edits=1,
-        ).filter(F.col("id_a") < F.col("id_b"))
+            antisymmetric=True,
+        )
         return pairs.groupBy(
             F.col("edit_distance").cast("int").alias("edit_distance")
         ).agg(

