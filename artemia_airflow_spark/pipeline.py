@@ -1126,10 +1126,31 @@ class Pipeline:
             raise box["error"]
         return box.get("value")
 
-    def _run_stage(self, stage: Stage, ctx: StageContext) -> StageResult:
-        delays = [0.0, *stage.retry.delays()]
+    def _run_stage(
+        self, stage: Stage, ctx: StageContext, *, consumed_attempts: int = 0,
+    ) -> StageResult:
+        # ``consumed_attempts`` carries the retry budget ACROSS deferral
+        # cycles (A14): a resume execution starts where the previous
+        # cycle's failures left off — without this, retry-then-re-defer
+        # resets the budget every cycle and a persistently-erroring
+        # trigger loops forever (r10: reproduced on the reference DAG's
+        # exhausted-transport path).  Airflow semantics: deferral never
+        # increments try_number, failures do.
+        delays = [0.0, *stage.retry.delays()][consumed_attempts:]
         last: BaseException | None = None
         t0 = time.monotonic()
+        if not delays:
+            # every attempt was consumed in earlier cycles; nothing
+            # left to run (defensive — re-defer only happens with
+            # budget remaining)
+            return StageResult(
+                "failed",
+                error=RuntimeError(
+                    f"stage {stage.task_id!r}: retry budget exhausted "
+                    "across deferral cycles"
+                ),
+                attempts=consumed_attempts,
+            )
 
         def _finish(res: StageResult) -> StageResult:
             res.duration_s = time.monotonic() - t0
@@ -1168,7 +1189,10 @@ class Pipeline:
                         raise DeferMisuse(
                             f"branch stage {stage.task_id!r} cannot defer"
                         )
-                    return StageResult("deferred", value=value)
+                    return StageResult(
+                        "deferred", value=value,
+                        attempts=consumed_attempts + attempt - 1,
+                    )
                 if stage.is_branch:
                     # Airflow parity: an invalid branch target raises —
                     # a typo must not silently skip every branch
@@ -1193,12 +1217,18 @@ class Pipeline:
                     ):
                         value = sorted(chosen)
                 return _finish(
-                    StageResult("success", value=value, attempts=attempt)
+                    StageResult(
+                        "success", value=value,
+                        attempts=consumed_attempts + attempt,
+                    )
                 )
             except DeferMisuse as exc:
                 # programming error: fail NOW, no backoff, no on_retry
                 return _finish(
-                    StageResult("failed", error=exc, attempts=attempt)
+                    StageResult(
+                        "failed", error=exc,
+                        attempts=consumed_attempts + attempt,
+                    )
                 )
             except Exception as exc:  # noqa: BLE001 — retry boundary
                 last = exc
@@ -1211,12 +1241,15 @@ class Pipeline:
                     ctx.trigger_event = None
                 if attempt < len(delays) and stage.on_retry is not None:
                     try:
-                        stage.on_retry(stage.task_id, attempt, exc)
+                        stage.on_retry(
+                            stage.task_id, consumed_attempts + attempt, exc
+                        )
                     except Exception:  # noqa: BLE001 — a broken callback
                         pass  # must never change retry behavior
         return _finish(
             StageResult(
-                "failed", error=last, attempts=len(delays),
+                "failed", error=last,
+                attempts=consumed_attempts + len(delays),
                 timed_out=isinstance(last, StageTimeout),
             )
         )
@@ -1335,6 +1368,9 @@ class Pipeline:
         self.last_run_waves = 0
 
         deferred: set[str] = set()
+        # retry attempts consumed by earlier deferral cycles, per stage
+        # (cleared on terminal result) — see _run_stage consumed_attempts
+        resume_spent: dict[str, int] = {}
         trig = self.triggerer
         # run-scoped trigger keys (r10 review #2): a Triggerer lives on
         # the Pipeline (or is shared via injection) across runs — a
@@ -1458,7 +1494,10 @@ class Pipeline:
                             spark, dict(values), self.connections,
                             dict(params or {}), trigger_event=ev,
                         )
-                        res = self._run_stage(s, ctx)
+                        res = self._run_stage(
+                            s, ctx,
+                            consumed_attempts=resume_spent.get(s.task_id, 0),
+                        )
                         if res.state == "deferred":
                             # A14: suspend — no result recorded (the stage
                             # stays pending, invisible to trigger rules),
@@ -1466,6 +1505,7 @@ class Pipeline:
                             # owns the wait from here
                             with lock:
                                 deferred.add(s.task_id)
+                                resume_spent[s.task_id] = res.attempts
                             trig.register(_tkey(s.task_id), res.value)
                             return
                     except BaseException as exc:  # noqa: BLE001 — see above
@@ -1480,6 +1520,7 @@ class Pipeline:
                                 pass  # never mask the recorded failure
                     with lock:
                         results[s.task_id] = res
+                        resume_spent.pop(s.task_id, None)
                         if res.state == "success":
                             values[s.task_id] = res.value
 

@@ -31,6 +31,7 @@ from artemia_airflow_spark.pipeline import (
     Stage,
     StageContext,
     http_stage,
+    deferrable_sensor_stage,
     sensor_stage,
 )
 
@@ -59,8 +60,16 @@ def build_update_pipeline(
     sensor_timeout_s: float = 3600.0,
     sleep: Callable[[float], None] = time.sleep,
     clock: Callable[[], float] = time.monotonic,
+    deferrable: bool = False,
 ) -> Pipeline:
-    """update_tourism_from_exhibition as an engine pipeline (A1-A12)."""
+    """update_tourism_from_exhibition as an engine pipeline (A1-A12).
+
+    ``deferrable=True`` swaps the poke-mode wait stage for its A14
+    deferrable twin — the same 3-way predicate contract (truthy =
+    done, falsy = keep polling, raise = fail) polled by the shared
+    triggerer thread instead of a held worker slot, i.e. the upstream
+    ``HttpSensorAsync``/``deferrable=True`` flavor of the reference's
+    sensor."""
     pipe = Pipeline(
         "update_tourism_from_exhibition",
         schedule="0 0 * * *",  # daily, reference :82 (tz note: ran in Asia/Seoul)
@@ -114,16 +123,26 @@ def build_update_pipeline(
         )
         return check_github_action_run_status(resp)
 
-    wait = pipe.add(
-        sensor_stage(
-            "wait_for_github_action",  # :118-130
-            predicate=poll_run,
-            poke_interval_s=poke_interval_s,
-            timeout_s=sensor_timeout_s,
-            clock=clock,
-            sleep=sleep,
+    if deferrable:
+        wait = pipe.add(
+            deferrable_sensor_stage(
+                "wait_for_github_action",  # :118-130, triggerer mode
+                trigger=poll_run,
+                poke_interval_s=poke_interval_s,
+                timeout_s=sensor_timeout_s,
+            )
         )
-    )
+    else:
+        wait = pipe.add(
+            sensor_stage(
+                "wait_for_github_action",  # :118-130
+                predicate=poll_run,
+                poke_interval_s=poke_interval_s,
+                timeout_s=sensor_timeout_s,
+                clock=clock,
+                sleep=sleep,
+            )
+        )
 
     notify_ok = pipe.add(
         http_stage(

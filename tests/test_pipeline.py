@@ -1530,3 +1530,53 @@ def test_deferrable_sensor_events_do_not_leak_across_runs():
     armed.append(True)
     r2 = pipe.run(spark=None)  # must defer FRESH, not replay run 1
     assert r2["sensor"].state == "success" and r2["sensor"].value == "go"
+
+
+def test_update_pipeline_deferrable_sensor_trace():
+    """The reference DAG with its wait stage in A14 triggerer mode:
+    same terminal states and single success notification as poke mode,
+    with the polling done by the shared triggerer thread."""
+    t = FakeTransport()
+    t.run_status_sequence = [
+        {"status": "queued"},
+        {"status": "in_progress"},
+        {"status": "completed", "conclusion": "success"},
+    ]
+    pipe = build_update_pipeline(
+        transport=t, sleep=no_sleep, deferrable=True, poke_interval_s=0.01,
+        settle_sleep_s=0.0, sensor_timeout_s=10.0,
+    )
+    results = pipe.run(spark=None)
+    assert results["wait_for_github_action"].state == "success"
+    assert results["wait_for_github_action"].value is True  # trigger value
+    assert results["notify_success"].state == "success"
+    assert results["notify_failure"].state == "skipped"
+    assert any(url.endswith("/actions/runs/4242") for _, url in t.calls)
+    notify_calls = [u for _, u in t.calls if u.endswith("/notify")]
+    assert len(notify_calls) == 1
+
+
+def test_update_pipeline_deferrable_concluded_failure_branch():
+    """A deferred wait whose action concludes 'failure' raises through
+    the trigger-error path; the DAG's default retry (1) re-defers ONCE
+    with a fresh window (which fails the same way), then the stage is
+    terminally failed with the cumulative attempt count and
+    notify_failure (one_failed) handles it."""
+    t = FakeTransport()
+    t.run_status_sequence = [
+        {"status": "in_progress"},
+        {"status": "completed", "conclusion": "failure"},
+        {"status": "in_progress"},
+        {"status": "completed", "conclusion": "failure"},
+    ]
+    pipe = build_update_pipeline(
+        transport=t, sleep=no_sleep, deferrable=True, poke_interval_s=0.01,
+        settle_sleep_s=0.0, sensor_timeout_s=10.0,
+    )
+    results = pipe.run(spark=None, raise_on_failure=False)
+    wait = results["wait_for_github_action"]
+    assert wait.state == "failed"
+    assert isinstance(wait.error, RuntimeError)
+    assert wait.attempts == 2  # budget spans both deferral cycles
+    assert results["notify_success"].state == "upstream_failed"
+    assert results["notify_failure"].state == "success"
