@@ -554,7 +554,10 @@ def deferrable_sensor_stage(
     RetryPolicy, a failed resume RE-DEFERS on its retry attempt (the
     consumed TriggerEvent is cleared, so the retry opens a fresh wait
     window rather than instantly replaying the stale timeout — r10
-    review); each resume execution carries the full retry budget."""
+    review).  The retry budget is CUMULATIVE across deferral cycles
+    (deferral never consumes an attempt, failures always do — Airflow
+    try_number semantics), so a persistently-failing trigger fails
+    terminally after retries+1 total failed attempts."""
 
     def fn(ctx: StageContext) -> Any:
         from artemia_airflow_spark.streaming.sensor import SensorTimeout
@@ -1137,20 +1140,15 @@ class Pipeline:
         # exhausted-transport path).  Airflow semantics: deferral never
         # increments try_number, failures do.
         delays = [0.0, *stage.retry.delays()][consumed_attempts:]
+        # a RESUME execution's first attempt owes no backoff: the
+        # backoff for this attempt was slept in the cycle that
+        # re-deferred, before the Deferred was returned — re-sleeping
+        # it here would double-pay it on a worker thread AFTER the
+        # trigger already fired (r10 review)
+        if ctx.trigger_event is not None and delays:
+            delays = [0.0, *delays[1:]]
         last: BaseException | None = None
         t0 = time.monotonic()
-        if not delays:
-            # every attempt was consumed in earlier cycles; nothing
-            # left to run (defensive — re-defer only happens with
-            # budget remaining)
-            return StageResult(
-                "failed",
-                error=RuntimeError(
-                    f"stage {stage.task_id!r}: retry budget exhausted "
-                    "across deferral cycles"
-                ),
-                attempts=consumed_attempts,
-            )
 
         def _finish(res: StageResult) -> StageResult:
             res.duration_s = time.monotonic() - t0
@@ -1172,6 +1170,21 @@ class Pipeline:
                     pass  # must never mask or change the stage outcome
             return res
 
+        if not delays:
+            # every attempt was consumed in earlier cycles; nothing
+            # left to run (defensive — re-defer only happens with
+            # budget remaining).  Routed through _finish so the A21
+            # on_failure / SLA contracts still fire (r10 review)
+            return _finish(
+                StageResult(
+                    "failed",
+                    error=RuntimeError(
+                        f"stage {stage.task_id!r}: retry budget "
+                        "exhausted across deferral cycles"
+                    ),
+                    attempts=consumed_attempts,
+                )
+            )
         for attempt, delay in enumerate(delays, start=1):
             if delay:
                 self._sleep(delay)

@@ -70,12 +70,19 @@ def build_update_pipeline(
     triggerer thread instead of a held worker slot, i.e. the upstream
     ``HttpSensorAsync``/``deferrable=True`` flavor of the reference's
     sensor."""
+    from artemia_airflow_spark.pipeline import Triggerer
+
     pipe = Pipeline(
         "update_tourism_from_exhibition",
         schedule="0 0 * * *",  # daily, reference :82 (tz note: ran in Asia/Seoul)
         tags=("github", "scraper"),
         default_retry=RetryPolicy(retries=1, retry_delay_s=300),  # :72-76
         sleep=sleep,
+        # the deferrable wait honors the SAME injected clock/sleep as
+        # the poke-mode one (r10 review: the default Triggerer would
+        # poll and enforce sensor_timeout_s on REAL time, breaking the
+        # module's zero-real-sleeping test contract)
+        triggerer=Triggerer(clock=clock, sleep=sleep),
     )
     pipe.connections.register(
         Connection("github_api_conn", base_url="https://api.github.com", password="<token>")

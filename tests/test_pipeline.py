@@ -1580,3 +1580,37 @@ def test_update_pipeline_deferrable_concluded_failure_branch():
     assert wait.attempts == 2  # budget spans both deferral cycles
     assert results["notify_success"].state == "upstream_failed"
     assert results["notify_failure"].state == "success"
+
+
+def test_deferrable_retry_backoff_paid_once():
+    """The retry backoff before a re-defer is NOT re-slept on resume
+    (r10 review: delays[consumed:] kept the paid backoff as the
+    resume's first delay, double-sleeping 300s after the trigger had
+    already fired)."""
+    from artemia_airflow_spark.pipeline import deferrable_sensor_stage
+
+    slept = []
+    calls = {"n": 0}
+
+    def trigger(ctx):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionError("transient")
+        return "done"
+
+    pipe = Pipeline("defer-backoff")
+    pipe._sleep = lambda s: slept.append(s)
+    pipe.add(
+        deferrable_sensor_stage(
+            "sensor",
+            trigger=trigger,
+            poke_interval_s=0.01,
+            timeout_s=10.0,
+            retry=RetryPolicy(retries=1, retry_delay_s=300.0),
+        )
+    )
+    results = pipe.run(spark=None)
+    assert results["sensor"].state == "success"
+    assert results["sensor"].value == "done"
+    assert results["sensor"].attempts == 2  # cumulative across cycles
+    assert slept.count(300.0) == 1, slept  # backoff paid exactly once
