@@ -1614,3 +1614,44 @@ def test_deferrable_retry_backoff_paid_once():
     assert results["sensor"].value == "done"
     assert results["sensor"].attempts == 2  # cumulative across cycles
     assert slept.count(300.0) == 1, slept  # backoff paid exactly once
+
+
+def test_shared_triggerer_isolates_same_named_stages():
+    """Two pipelines sharing ONE injected Triggerer (the deployment
+    shape: one poller process) with identically-named sensors must
+    never consume each other's events — run-scoped trigger keys."""
+    from artemia_airflow_spark.pipeline import (
+        Triggerer,
+        deferrable_sensor_stage,
+    )
+
+    shared = Triggerer()
+    outcomes = {}
+
+    def build(name, value):
+        pipe = Pipeline(name, triggerer=shared)
+        pipe.add(
+            deferrable_sensor_stage(
+                "sensor",
+                trigger=lambda ctx, v=value: v,
+                poke_interval_s=0.01,
+                timeout_s=5.0,
+            )
+        )
+        return pipe
+
+    import threading
+
+    def run(name, value):
+        outcomes[name] = build(name, value).run(spark=None)
+
+    threads = [
+        threading.Thread(target=run, args=("p-a", "from-a")),
+        threading.Thread(target=run, args=("p-b", "from-b")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(20)
+    assert outcomes["p-a"]["sensor"].value == "from-a"
+    assert outcomes["p-b"]["sensor"].value == "from-b"
