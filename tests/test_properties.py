@@ -342,3 +342,92 @@ def test_txtable_model_based(spark, ops):
             assert got == model, f"diverged after step {step} ({op})"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=0, max_size=8),
+        min_size=2, max_size=14, unique=True,
+    ),
+    st.integers(min_value=1, max_value=2),
+)
+def test_fuzzy_join_matches_brute_force_on_random_strings(spark, texts, k):
+    """fuzzy_join (r10) == brute-force levenshtein cross join for ANY
+    strings and k in {1,2} — the SymSpell blocking exact-recall claim
+    on adversarial inputs (tiny alphabet maximizes deletion-variant
+    collisions, empty strings included)."""
+    import itertools
+
+    from artemia_airflow_spark.operators.joins import fuzzy_join
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "id long, name string")
+    want = {
+        (i, j, ed(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if ed(a, b) <= k
+    }
+    got = {
+        (r.id_l, r.id_r, r.edit_distance)
+        for r in fuzzy_join(
+            df, df, left_col="name", right_col="name",
+            left_id="id", right_id="id", max_edits=k, antisymmetric=True,
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # probe
+            st.floats(min_value=-1, max_value=1,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1, max_size=80,
+    ),
+    st.integers(min_value=1, max_value=6),  # r
+    st.integers(min_value=1, max_value=7),  # partitions
+)
+def test_grouped_partial_topk_cut_invariant(spark, rows, r, nparts):
+    """The two-phase ADC candidate cut (r10) equals the naive global
+    window for ANY scores, group sizes, cut size, and partitioning —
+    the subset property on adversarial data, not just the fixture."""
+    from pyspark.sql import Window
+
+    from artemia_airflow_spark.operators.similarity import (
+        _adc_candidate_cut,
+    )
+
+    data = [(p, i, s) for i, (p, s) in enumerate(rows)]
+    scored = spark.createDataFrame(
+        data, "probe_id int, vec_id int, __adc double"
+    ).repartition(nparts)
+    got = {
+        (x.probe_id, x.vec_id)
+        for x in _adc_candidate_cut(
+            scored, probe_id_col="probe_id", id_col="vec_id", r=r
+        ).collect()
+    }
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("__adc").desc(), F.col("vec_id")
+    )
+    want = {
+        (x.probe_id, x.vec_id)
+        for x in scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= r)
+        .collect()
+    }
+    assert got == want
