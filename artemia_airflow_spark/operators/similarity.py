@@ -45,13 +45,16 @@ def cosine_topk(
     """
     joined = corpus.crossJoin(F.broadcast(probes))
     sim = cosine_similarity(vec_col, probe_vec_col)
-    w = Window.partitionBy(probe_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        joined.select(
-            F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim")
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    scored = joined.select(
+        F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim")
+    )
+    # two-phase cut (r11, VERDICT r10 #2): the map-side partial top-k
+    # bounds the per-probe exchange to k x batches rows instead of the
+    # full |corpus| x |probes| scored relation; non-finite cosines
+    # (zero-norm vectors) are excluded by the documented contract
+    return _bounded_topk(
+        scored, probe_id_col=probe_id_col, id_col=id_col,
+        score_col="cos_sim", k=k,
     )
 
 
@@ -126,11 +129,17 @@ def lsh_topk(
         .distinct()
     )
     sim = cosine_similarity(vec_col, probe_vec_col)
-    w = Window.partitionBy(probe_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        cand.select(F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    scored = cand.select(
+        F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim")
+    )
+    # two-phase rerank (r11, VERDICT r10 #2): at recall-grade tunings
+    # (bits=4/tables=16) the candidate set per probe approaches the
+    # whole corpus, so a bare per-probe window here recreates the
+    # single-reducer sort the PQ cut removed — the shared map-side
+    # partial top-k bounds the exchange to k x batches rows per probe
+    return _bounded_topk(
+        scored, probe_id_col=probe_id_col, id_col=id_col,
+        score_col="cos_sim", k=k,
     )
 
 
@@ -656,11 +665,15 @@ def ivf_topk(
     )
     cand = assigned.join(probe_cells, "__cell")
     sim = cosine_similarity(vec_col, probe_vec_col)
-    w = Window.partitionBy(probe_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        cand.select(F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    scored = cand.select(
+        F.col(probe_id_col), F.col(id_col), sim.alias("cos_sim")
+    )
+    # cell pruning already bounds candidates to n_probe_cells/n_cells
+    # of the corpus, but a wide cell is still a full partition in one
+    # reducer — route through the shared two-phase cut anyway (r11)
+    return _bounded_topk(
+        scored, probe_id_col=probe_id_col, id_col=id_col,
+        score_col="cos_sim", k=k,
     )
 
 
@@ -871,6 +884,50 @@ def _grouped_partial_topk(
     return scored.mapInPandas(cut, schema=scored.schema)
 
 
+def _bounded_topk(
+    scored: DataFrame, *, probe_id_col: str, id_col: str,
+    score_col: str, k: int, rank_col: str = "rank",
+) -> DataFrame:
+    """Two-phase per-probe top-k shared by EVERY similarity tier (r11,
+    VERDICT r10 #2): non-finite scores are excluded by contract (see
+    :func:`_grouped_partial_topk` — NaN cannot round-trip the Arrow
+    cut, and a NaN score only arises from a corrupt embedding, which
+    must never outrank real candidates; excluded rows are observable
+    via :func:`nonfinite_score_count`), then the map-side partial
+    top-k bounds the exchange feeding the exact final window to
+    k x batches rows per probe — without it, a bare per-probe
+    row_number window sorts the FULL scored relation in one reducer
+    per probe, the single-reducer bottleneck the r10 PQ fix removed
+    (recreated one tier over at recall-grade LSH tunings, where the
+    candidate set approaches the whole corpus)."""
+    finite = scored.filter(
+        F.col(score_col).isNotNull() & ~F.isnan(score_col)
+    )
+    partial = _grouped_partial_topk(
+        finite, probe_id_col=probe_id_col, id_col=id_col,
+        score_col=score_col, r=k,
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        partial.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def nonfinite_score_count(scored: DataFrame, *, score_col: str) -> DataFrame:
+    """Observability face for the non-finite-exclusion contract
+    (ADVICE r10): one-row count of scored rows whose score is
+    NULL/NaN — the rows every two-phase cut silently drops from
+    candidacy.  A corrupt-embedding problem that used to surface as
+    NaN at rank 1 (Spark descending order ranks NaN first) now
+    surfaces here; wire it into a data-quality gate next to the
+    validation report rather than paying a per-query count action."""
+    bad = (F.col(score_col).isNull() | F.isnan(score_col)).cast("bigint")
+    return scored.select(F.sum(bad).alias("nonfinite_rows"))
+
+
 def _adc_candidate_cut(
     scored: DataFrame, *, probe_id_col: str, id_col: str, r: int,
 ) -> DataFrame:
@@ -880,21 +937,10 @@ def _adc_candidate_cut(
     embedding, NULL) are EXCLUDED from candidacy up front — see
     :func:`_grouped_partial_topk` for why they cannot round-trip the
     cut and must never outrank real candidates."""
-    finite = scored.filter(
-        F.col("__adc").isNotNull() & ~F.isnan("__adc")
-    )
-    partial = _grouped_partial_topk(
-        finite, probe_id_col=probe_id_col, id_col=id_col,
-        score_col="__adc", r=r,
-    )
-    w_adc = Window.partitionBy(probe_id_col).orderBy(
-        F.col("__adc").desc(), F.col(id_col)
-    )
-    return (
-        partial.withColumn("__r", F.row_number().over(w_adc))
-        .filter(F.col("__r") <= r)
-        .select(probe_id_col, id_col)
-    )
+    return _bounded_topk(
+        scored, probe_id_col=probe_id_col, id_col=id_col,
+        score_col="__adc", k=r, rank_col="__r",
+    ).select(probe_id_col, id_col)
 
 
 def pq_topk(

@@ -175,6 +175,34 @@ def test_pq_candidate_cut_is_two_phase(spark):
     assert "Exchange hashpartitioning" not in p[i_cut:i_adc]
 
 
+def test_lsh_rerank_is_two_phase(spark):
+    """The SRP-LSH rerank must route through the shared map-side
+    partial top-k before the final per-probe window (VERDICT r10 #2):
+    at recall-grade tunings (bits=4/tables=16) the candidate set per
+    probe approaches the whole corpus, so a bare window here would
+    recreate the single-reducer sort the PQ cut removed.  Pin: the
+    MapInPandas cut exists; nothing between the cut and the candidate
+    distinct (the first HashAggregate below it) shuffles; and the
+    final window is fed by exactly one exchange — the per-probe hash
+    partitioning of the already-bounded cut output."""
+    df = entrymod.queries()["q_sim_ann_lsh"](spark, SF_ORACLE)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    i_cut = p.find("MapInPandas cut")
+    assert i_cut != -1, p
+    # root-first: the window (consumer) prints above the cut, with one
+    # exchange between them — the bounded per-probe repartition
+    i_win = p.find("Window")
+    assert -1 < i_win < i_cut, p
+    assert p[i_win:i_cut].count("Exchange hashpartitioning") == 1, p
+    # below the cut, the cosine scoring projection sits directly on the
+    # candidate distinct — no shuffle between scoring and the cut
+    i_agg = p.find("HashAggregate", i_cut)
+    assert i_agg != -1, p
+    assert "Exchange" not in p[i_cut:i_agg], p
+
+
 def test_tfidf_shuffle_joins_dfreq_and_keeps_lineage_lazy(spark):
     """q_text_tfidf: the vocabulary-sized doc-frequency table must NOT
     be pinned broadcast — with auto-broadcast disabled the tf x dfreq
