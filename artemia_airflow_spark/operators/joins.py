@@ -151,6 +151,7 @@ def salted_join(
 
 def deletion_variants(
     df: DataFrame, text_col: str, id_col: str, *, max_edits: int = 1,
+    max_len: int = 64,
 ) -> DataFrame:
     """(id, variant) relation of every string obtainable by deleting up
     to ``max_edits`` characters — the SymSpell blocking key: two
@@ -159,10 +160,37 @@ def deletion_variants(
     side), so the variant equi-join has EXACT recall for the verify
     stage.  Variant count is C(len, <=k) per string (len+1 at k=1) —
     the blocking trade: cheap codegen explode instead of any all-pairs
-    comparison.  Position 0 = the string itself."""
+    comparison.  Position 0 = the string itself.
+
+    ``max_len`` guards the blowup (VERDICT r10 #4): C(len, <=k) rows x
+    len bytes per string is fine for entity keys (len 64, k=2 ->
+    ~2,145 variants, ~137 KB worst case) and catastrophic for document
+    text (len 10,000, k=2 -> ~50M rows x 10 KB per document — an
+    executor OOM).  An overlong string fails LOUDLY with a clear
+    message via a guard expression compiled into the plan
+    (F.raise_error), the first moment data meets the operator — raise
+    ``max_len`` deliberately for longer keys; route document text
+    through the n-gram/winnowing dedup family instead.  No silent
+    prefix truncation: truncated blocking forfeits the exact-recall
+    guarantee (an edit can shift characters across the prefix
+    boundary), and this operator's contract IS exact recall."""
     if max_edits < 1:
         raise ValueError("max_edits must be >= 1")
-    out = df.select(F.col(id_col), F.col(text_col).alias("variant"))
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    guarded = F.when(
+        F.length(F.col(text_col)) > max_len,
+        F.raise_error(F.concat(
+            F.lit(f"deletion_variants: {text_col!r} value of length "),
+            F.length(F.col(text_col)).cast("string"),
+            F.lit(
+                f" exceeds max_len={max_len}: C(len,<={max_edits}) variant"
+                " generation would blow up on long strings — raise max_len"
+                " only for short entity keys, never document text"
+            ),
+        )),
+    ).otherwise(F.col(text_col))
+    out = df.select(F.col(id_col), guarded.alias("variant"))
     cur = out
     for round_ in range(max_edits):
         cur = (
@@ -194,7 +222,7 @@ def deletion_variants(
 def fuzzy_join(
     left: DataFrame, right: DataFrame, *, left_col: str, right_col: str,
     left_id: str, right_id: str, max_edits: int = 1,
-    antisymmetric: bool = False,
+    antisymmetric: bool = False, max_len: int = 64,
 ) -> DataFrame:
     """Entity-resolution approximate string join (r10): pairs whose
     ``levenshtein(left_col, right_col) <= max_edits``, computed at
@@ -227,8 +255,10 @@ def fuzzy_join(
     rs = right.select(
         F.col(right_id).alias("__rid"), F.col(right_col).alias("__rtext")
     )
-    lv = deletion_variants(ls, "__ltext", "__lid", max_edits=max_edits)
-    rv = deletion_variants(rs, "__rtext", "__rid", max_edits=max_edits)
+    lv = deletion_variants(ls, "__ltext", "__lid", max_edits=max_edits,
+                           max_len=max_len)
+    rv = deletion_variants(rs, "__rtext", "__rid", max_edits=max_edits,
+                           max_len=max_len)
     cand = lv.join(rv, "variant").select("__lid", "__rid")
     if antisymmetric:
         cand = cand.filter(F.col("__lid") < F.col("__rid"))

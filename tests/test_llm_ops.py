@@ -559,3 +559,32 @@ def test_sq8_packed_roundtrip_matches_exploded(emb):
     }
     from_packed = {(r.dim, r.vmin, r.vmax) for r in quant.collect()}
     assert from_packed == from_exploded
+
+
+def test_deletion_variants_length_guard(spark):
+    """The C(len,<=k) blowup guard (VERDICT r10 #4): an overlong
+    string must fail LOUDLY with the documented message the moment the
+    operator executes — not OOM an executor — while strings at exactly
+    max_len pass, and a deliberately raised cap admits longer keys."""
+    from pyspark.errors import PySparkException
+
+    from artemia_airflow_spark.operators.joins import deletion_variants
+
+    df = spark.createDataFrame(
+        [(1, "a" * 64), (2, "key")], "id int, name string"
+    )
+    ok = deletion_variants(df, "name", "id", max_edits=1)
+    assert ok.count() > 0  # boundary length passes
+
+    bad = spark.createDataFrame(
+        [(1, "x" * 65)], "id int, name string"
+    )
+    with pytest.raises(PySparkException, match="exceeds max_len=64"):
+        deletion_variants(bad, "name", "id", max_edits=1).count()
+
+    distinct_chars = "".join(chr(0x100 + i) for i in range(65))
+    long_ok = spark.createDataFrame(
+        [(1, distinct_chars)], "id int, name string"
+    )
+    raised = deletion_variants(long_ok, "name", "id", max_edits=1, max_len=80)
+    assert raised.count() == 66  # len+1 variants at k=1, all distinct
