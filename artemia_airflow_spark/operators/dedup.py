@@ -19,6 +19,8 @@ candidate join linear-ish in corpus size instead of O(n^2).
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 
@@ -35,6 +37,14 @@ from artemia_airflow_spark.session import ensure_engine_conf
 # overflow under ANSI arithmetic (Spark 4 default).
 _MERSENNE = (1 << 31) - 1
 
+# ``SparkContext.setCheckpointDir`` is context-GLOBAL: two threads
+# re-pointing it concurrently can land one caller's checkpoint blocks
+# in the OTHER caller's scratch directory — which that caller then
+# retires per the documented contract, deleting live blocks a
+# DataFrame still references (ADVICE r10).  Every reliable checkpoint
+# holds this lock across set-dir + materialize.
+_RELIABLE_CHECKPOINT_LOCK = threading.Lock()
+
 
 def truncate_lineage(
     df: DataFrame, checkpoint_dir: str | None, *, eager: bool = True
@@ -48,9 +58,14 @@ def truncate_lineage(
     blocks on executors — faster, and fine in local mode or when the
     caller consumes the result before depending on it.
 
-    ``setCheckpointDir`` is SparkContext-global; this helper re-points
-    it per call, which is safe because the directory only matters at
-    the moment ``checkpoint()`` materializes.  The reliable tier
+    ``setCheckpointDir`` is SparkContext-global, so the reliable tier
+    holds a module lock across set-dir + materialize (ADVICE r10:
+    concurrent callers with different dirs could otherwise checkpoint
+    into each other's scratch — fatal once a caller retires its
+    directory) — and for the same reason it ALWAYS materializes
+    eagerly, ignoring ``eager=False``: a lazy reliable checkpoint
+    binds the global dir at whatever later action materializes it,
+    outside any lock.  The reliable tier
     persists BEFORE checkpointing (r10 review): a bare
     ``df.checkpoint(eager=True)`` computes the plan for the count and
     then RECOMPUTES it for the checkpoint write (the classic
@@ -65,9 +80,6 @@ def truncate_lineage(
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
-    if not eager:
-        return df.checkpoint(eager=False)
     # respect a cache the CALLER established: persisting is a no-op on
     # an already-persisted frame, but the paired unpersist would evict
     # the caller's blocks and force full recomputes downstream
@@ -76,7 +88,9 @@ def truncate_lineage(
     if not already:
         df.persist()
     try:
-        return df.checkpoint(eager=True)
+        with _RELIABLE_CHECKPOINT_LOCK:
+            sc.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint(eager=True)
     finally:
         if not already:
             df.unpersist()
