@@ -927,6 +927,153 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+@declared(
+    "q_dedup_semantic_portable",
+    oracle="""
+    WITH planes AS (
+      SELECT t, b, d,
+             CASE WHEN substr(md5('srp' || '|' || CAST(t AS VARCHAR) || '|'
+                                  || CAST(b AS VARCHAR) || '|'
+                                  || CAST(d // 32 AS VARCHAR)),
+                        CAST(d % 32 AS INT) + 1, 1) >= '8'
+                  THEN -1 ELSE 1 END AS s
+      FROM (SELECT unnest(range(0, 1)) AS t),
+           (SELECT unnest(range(0, 6)) AS b),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v6
+      FROM embeddings
+    ), sdots AS (
+      SELECT c.vec_id, p.t, p.b, SUM(p.s * c.v6) AS sd
+      FROM comps c JOIN planes p USING (d)
+      GROUP BY c.vec_id, p.t, p.b
+    ), buckets AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN sd >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                 ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM sdots GROUP BY vec_id, t
+    ), pairs AS (
+      SELECT a.vec_id AS ia, b2.vec_id AS ib
+      FROM buckets a JOIN buckets b2 USING (t, bucket)
+      WHERE a.vec_id < b2.vec_id
+    ), norms AS (
+      SELECT vec_id, SUM(v6 * v6) AS n12 FROM comps GROUP BY vec_id
+    ), dots AS (
+      SELECT p.ia, p.ib, SUM(ca.v6 * cb.v6) AS dot12
+      FROM pairs p
+      JOIN comps ca ON ca.vec_id = p.ia
+      JOIN comps cb ON cb.vec_id = p.ib AND cb.d = ca.d
+      GROUP BY p.ia, p.ib
+    ), dropped AS (
+      SELECT DISTINCT dt.ib AS vec_id
+      FROM dots dt
+      JOIN norms na ON na.vec_id = dt.ia
+      JOIN norms nb ON nb.vec_id = dt.ib
+      WHERE CAST(dt.dot12 AS DOUBLE)
+            / (sqrt(CAST(na.n12 AS DOUBLE)) * sqrt(CAST(nb.n12 AS DOUBLE)))
+            >= 0.35
+    )
+    SELECT CAST(e.label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after
+    FROM embeddings e LEFT JOIN dropped dr ON e.vec_id = dr.vec_id
+    GROUP BY e.label
+    """,
+)
+def q_dedup_semantic_portable(spark, sf_dir):
+    """SemDeDup's MECHANISM as a FULL hash-match oracle (round 11,
+    VERDICT r10 item 7 — the largest remaining rows-only family gets
+    a value-pinned twin): cluster-blocked within-cell cosine pruning
+    with greedy min-id suppression, every stage engine-portable.
+    Cells come from the md5-derived ±1-plane SRP buckets
+    (:func:`~artemia_airflow_spark.operators.similarity
+    .srp_portable_buckets`, one table x 6 bits = 64 cells — the
+    deterministic stand-in for the production tier's KMeans, whose
+    float-order-sensitive cell boundaries keep q_dedup_semantic
+    rows-only); the within-cell prune is the exact-int cosine of
+    q_sim_ann_lsh_portable (integer dot/norms -> correctly-rounded
+    IEEE double chain, bit-identical across engines).  Face: per-label
+    counts before/after the prune.  Threshold 0.35, not SemDeDup's
+    0.95: the fixture's vectors are i.i.d. (no true near-dups — max
+    within-cell cosine ~0.6 at sf0.1), so the twin runs where the
+    prune actually fires; the MECHANISM is threshold-independent.
+
+    Scale shape is the production shape: pairs exist only WITHIN a
+    cell (the O(n^2/k) SemDeDup trade), met in an equi-join on the
+    bucket id; no all-pairs, no window, no Python."""
+    from artemia_airflow_spark.operators.similarity import (
+        embedding_comps,
+        srp_portable_buckets,
+    )
+
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    # materialize shared relations once — Spark does not dedupe common
+    # subplans (the pq_topk lesson), and cells/comps each feed two join
+    # sides; both are compact scaled-int relations
+    cells = srp_portable_buckets(
+        emb, id_col="vec_id", vec_col="embedding", tables=1, bits=6,
+    ).localCheckpoint(eager=True)
+    pairs = (
+        cells.select(F.col("vec_id").alias("ia"), "t", "bucket")
+        .join(
+            cells.select(F.col("vec_id").alias("ib"), "t", "bucket"),
+            ["t", "bucket"],
+        )
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+    )
+    comps = embedding_comps(
+        emb, id_col="vec_id", vec_col="embedding"
+    ).localCheckpoint(eager=True)
+    norms = comps.groupBy("vec_id").agg(
+        F.sum(F.col("v6") * F.col("v6")).alias("n12")
+    )
+    dots = (
+        pairs.join(
+            comps.select(F.col("vec_id").alias("ia"), "d",
+                         F.col("v6").alias("va6")), "ia")
+        .join(
+            comps.select(F.col("vec_id").alias("ib"), "d",
+                         F.col("v6").alias("vb6")), ["ib", "d"])
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("va6") * F.col("vb6")).alias("dot12"))
+    )
+    cos = F.col("dot12").cast("double") / (
+        F.sqrt(F.col("na12").cast("double"))
+        * F.sqrt(F.col("nb12").cast("double"))
+    )
+    dropped = (
+        dots.join(norms.select(F.col("vec_id").alias("ia"),
+                               F.col("n12").alias("na12")), "ia")
+        .join(norms.select(F.col("vec_id").alias("ib"),
+                           F.col("n12").alias("nb12")), "ib")
+        .filter(cos >= F.lit(0.35))
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        emb.join(dropped, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before"),
+            F.sum(
+                F.when(F.col("__dropped").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_after"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_before", "n_after",
+        )
+    )
+
+
 def minhash_portable_duplicates(
     df: DataFrame, text_col: str, id_col: str, *,
     num_hashes: int = 16, bands: int = 2,
