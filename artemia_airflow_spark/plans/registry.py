@@ -48,7 +48,8 @@ ORACLE: dict[str, str] = {}
 # ~21 r8 rows slip to r12's front, where they complete the rotation.
 PRIORITY: list[str] = [
     # (a) new/changed in round 11
-    "q_dedup_semantic_portable", "q_sim_ann_lsh", "q_sim_ivf",
+    "q_dedup_semantic_portable", "q_embed_quantize_packed",
+    "q_sim_ann_lsh", "q_sim_ivf",
     # (b) the complete r7-stale tail (22 rows — the r10 slip set)
     "q_fn_json", "q_fn_map", "q_fn_null", "q_fn_string2",
     "q_join_right", "q_length_buckets", "q_pandas_norm", "q_pivot",

@@ -643,3 +643,19 @@ def test_dct_phash_survives_perturbations(spark):
     # the stub MISSES the brightness near-dup the DCT kernel catches
     d_stub = dists("byte-simhash")
     assert d_dct[1] <= 3 < d_stub[1], (d_dct, d_stub)
+
+
+def test_nonfinite_score_count_observability(spark):
+    """ADVICE r10: the rows the two-phase cuts exclude by contract
+    (NULL/NaN scores from corrupt embeddings) are countable through
+    the observability face instead of silently vanishing."""
+    from artemia_airflow_spark.operators.similarity import (
+        nonfinite_score_count,
+    )
+
+    scored = spark.createDataFrame(
+        [(0, 1, 0.5), (0, 2, float("nan")), (0, 3, None), (1, 4, 0.1)],
+        "probe_id int, vec_id int, cos_sim double",
+    )
+    got = nonfinite_score_count(scored, score_col="cos_sim").first()
+    assert got.nonfinite_rows == 2
