@@ -27,8 +27,8 @@ ORACLE: dict[str, str] = {}
 # in insertion order and caps at ~50 entries per round (observed: 50 in
 # r07/r10, 48 in r08, 45 in r09 — treat 50 as a hard cap).
 #
-# STEADY-STATE CADENCE (VERDICT r10 item 1): with 166 declared queries
-# and a 50-row window, a full rotation takes ceil(166/50) = 4 windows —
+# STEADY-STATE CADENCE (VERDICT r10 item 1): with 167 declared queries
+# and a 50-row window, a full rotation takes ceil(167/50) = 4 windows —
 # every row is driver re-checked at worst every 4 rounds, 3.3 on
 # average, and the new-query rate is now near zero (the operator
 # surface is complete, so windows are spent almost entirely on

@@ -1658,6 +1658,9 @@ def test_shared_triggerer_isolates_same_named_stages():
     assert outcomes["p-b"]["sensor"].value == "from-b"
 
 
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning"
+)
 def test_triggerer_crash_while_deferred_is_recovered():
     """ADVICE r10: if the triggerer loop thread dies on an unexpected
     exception (an injected sleep raising) while stages are deferred,
