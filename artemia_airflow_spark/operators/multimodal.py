@@ -289,16 +289,26 @@ def _phash_dct64(p: bytes, C32: "np.ndarray") -> int:
     import numpy as np
 
     img = _parse_raw_gray(p).astype(np.float64)
+    # sides below 32 px: integer-repeat up first so every output cell
+    # covers >= 1 source pixel (pHash on sub-32px inputs is degenerate
+    # anyway; repeating preserves the image content exactly)
+    if img.shape[0] < 32:
+        img = np.repeat(img, -(-32 // img.shape[0]), axis=0)
+    if img.shape[1] < 32:
+        img = np.repeat(img, -(-32 // img.shape[1]), axis=1)
     h, w = img.shape
     # deterministic area downsample: mean over the pixel bins each of
-    # the 32 output cells covers (nearest-bin edges via linspace)
+    # the 32 output cells covers.  Vectorized (r11 review): two
+    # reduceat passes instead of 1024 per-slice .mean() dispatches —
+    # the per-row kernel of a mapInPandas hot path must not pay a
+    # 32x32 Python loop per payload.  With h, w >= 32 the int-floored
+    # linspace edges are strictly increasing, so reduceat's
+    # [edge_i, edge_{i+1}) bins are exactly the slice bins.
     ys = np.linspace(0, h, 33).astype(int)
     xs = np.linspace(0, w, 33).astype(int)
-    small = np.empty((32, 32))
-    for a in range(32):
-        rows = img[ys[a]:max(ys[a + 1], ys[a] + 1)]
-        for b in range(32):
-            small[a, b] = rows[:, xs[b]:max(xs[b + 1], xs[b] + 1)].mean()
+    sums = np.add.reduceat(np.add.reduceat(img, ys[:-1], axis=0),
+                           xs[:-1], axis=1)
+    small = sums / (np.diff(ys)[:, None] * np.diff(xs)[None, :])
     coef = (C32 @ small @ C32.T)[:8, :8]
     med = np.median(coef)
     bits = (coef > med).astype(np.uint64).ravel()

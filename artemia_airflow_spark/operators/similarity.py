@@ -608,9 +608,17 @@ def sq8_unpack(
     dequantize, join the quantizer side table and compute
     ``vmin + q * (vmax - vmin) / 255``."""
     hexs = F.hex(F.col(codes_col))
-    arr = F.transform(
-        F.sequence(F.lit(0), (F.length(F.col(codes_col)) - 1).cast("int")),
-        lambda i: F.conv(hexs.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("int"),
+    # empty-binary guard (r11 review): sequence(0, -1) is the
+    # DESCENDING sequence [0, -1] in Spark, which would fabricate two
+    # NULL components — an empty codes column must unpack to []
+    arr = F.when(
+        F.length(F.col(codes_col)) == 0,
+        F.array().cast("array<int>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), (F.length(F.col(codes_col)) - 1).cast("int")),
+            lambda i: F.conv(hexs.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("int"),
+        )
     )
     return codes.withColumn(out_col, arr)
 
@@ -1042,7 +1050,11 @@ def nonfinite_score_count(scored: DataFrame, *, score_col: str) -> DataFrame:
     surfaces here; wire it into a data-quality gate next to the
     validation report rather than paying a per-query count action."""
     bad = (F.col(score_col).isNull() | F.isnan(score_col)).cast("bigint")
-    return scored.select(F.sum(bad).alias("nonfinite_rows"))
+    # coalesce: F.sum over ZERO rows is NULL, and a gate comparing
+    # `== 0` on an empty scored relation must still read 0 (r11 review)
+    return scored.select(
+        F.coalesce(F.sum(bad), F.lit(0)).alias("nonfinite_rows")
+    )
 
 
 def _adc_candidate_cut(

@@ -1192,29 +1192,31 @@ class Pipeline:
         never overlap a zombie.  Fork start method: ``stage.fn`` and
         ``ctx`` cross into the child by inheritance (no pickling of
         closures), only the RESULT crosses back over a pipe, so it
-        must be picklable.  The documented constraint stands: an
-        isolated stage must not touch ctx.spark — the child must never
-        speak to the parent's JVM sockets (guarded here)."""
+        must be picklable.  The child's context carries ``spark=None``
+        (a fork must never speak to the parent's JVM sockets), so a
+        stage body that does touch Spark fails in-child with a clear
+        None error instead of corrupting the py4j connection — the
+        guard is per-STAGE, not per-pipeline (r11 review: a pure-Python
+        stage inside a Spark DAG is exactly the motivating case).
+        Fork-safety caveat (inherent to fork, documented not guarded):
+        the parent is multi-threaded (wave workers, triggerer), so the
+        child must not depend on locks another thread could hold at
+        fork time — keep isolated stage bodies self-contained (no
+        shared loggers/connections), the same discipline os.fork
+        demands anywhere."""
+        import dataclasses
         import multiprocessing as mp
 
-        has_spark = False
-        try:
-            has_spark = ctx.spark is not None
-        except Exception:  # noqa: BLE001 — test doubles without a context
-            has_spark = False
-        if has_spark:
-            raise ValueError(
-                f"stage {stage.task_id!r}: isolate=True requires a "
-                "non-Spark stage (the forked child cannot share the "
-                "parent's JVM connection) — drop isolate or run the "
-                "Spark work on the default thread+job-group-cancel path"
-            )
         mp_ctx = mp.get_context("fork")
         recv, send = mp_ctx.Pipe(duplex=False)
+        try:
+            child_ctx = dataclasses.replace(ctx, spark=None)
+        except TypeError:  # test doubles that are not dataclasses
+            child_ctx = ctx
 
         def _child(conn) -> None:
             try:
-                v = stage.fn(ctx)
+                v = stage.fn(child_ctx)
                 payload = ("ok", v)
             except BaseException as exc:  # noqa: BLE001 — relayed below
                 payload = ("err", exc)
@@ -1567,6 +1569,13 @@ class Pipeline:
                 with trig.condition:
                     for t in [t for t in deferred if _tkey(t) in trig.events]:
                         deferred.discard(t)
+                if deferred:
+                    # EVERY wave, not just the all-deferred branch: a
+                    # crashed triggerer must be re-spawned even while
+                    # ready compute stages keep the loop busy, or the
+                    # deferred stages' polls/deadlines stall until the
+                    # ready queue drains (r11 review)
+                    trig.ensure_running()
                 ready = [
                     s
                     for s in pending
@@ -1577,11 +1586,8 @@ class Pipeline:
                     if deferred:
                         # everything runnable is suspended on the triggerer:
                         # wait for an event (short fallback timeout keeps
-                        # the A11 run deadline live) instead of spinning.
-                        # Re-spawn the loop thread if it crashed — a dead
-                        # triggerer must never orphan deferred stages
-                        # into a forever-wait (ADVICE r10)
-                        trig.ensure_running()
+                        # the A11 run deadline live) instead of spinning;
+                        # ensure_running already ran above this wave
                         with trig.condition:
                             if not any(
                                 _tkey(t) in trig.events for t in deferred

@@ -37,15 +37,16 @@ ORACLE: dict[str, str] = {}
 # compensating evidence between driver visits.
 #
 # Round-11 window: (a) queries NEW or IMPLEMENTATION-CHANGED in round
-# 11 — the SemDeDup portable twin, and the two ANN tiers whose rerank
-# was routed through the shared two-phase partial top-k (q_sim_ann_lsh,
-# q_sim_ivf — both also r8-stale, so the slots are dual-purpose) — then
+# 11 — the SemDeDup portable twin, the packed-SQ8 byte-for-byte face,
+# and the two ANN tiers whose rerank was routed through the shared
+# two-phase partial top-k (q_sim_ann_lsh, q_sim_ivf — both also
+# r8-stale, so those slots are dual-purpose) — then
 # (b) the 22-row r7-stale tail IN FULL (the r10 slip set; VERDICT r10
 # "What's wrong" #1 lists them by name), then
 # (c) the 46 remaining r8-stale rows, composite/expensive faces first
 # so the slip candidates at the end are the simplest untouched
-# full-oracle scans/filters/joins.  3 + 22 + 46 = 71 > the ~50 cap:
-# ~21 r8 rows slip to r12's front, where they complete the rotation.
+# full-oracle scans/filters/joins.  4 + 22 + 46 = 72 > the ~50 cap:
+# ~22 r8 rows slip to r12's front, where they complete the rotation.
 PRIORITY: list[str] = [
     # (a) new/changed in round 11
     "q_dedup_semantic_portable", "q_embed_quantize_packed",

@@ -659,3 +659,14 @@ def test_nonfinite_score_count_observability(spark):
     )
     got = nonfinite_score_count(scored, score_col="cos_sim").first()
     assert got.nonfinite_rows == 2
+
+
+def test_sq8_unpack_empty_binary_is_empty_array(spark):
+    """r11 review: sequence(0, -1) is DESCENDING in Spark — an empty
+    codes binary must unpack to [], never [null, null]."""
+    from artemia_airflow_spark.operators.similarity import sq8_unpack
+
+    df = spark.createDataFrame([(1, b""), (2, b"\x00\xff")],
+                               "id int, codes binary")
+    got = {r.id: r.q_arr for r in sq8_unpack(df).collect()}
+    assert got == {1: [], 2: [0, 255]}

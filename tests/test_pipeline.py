@@ -1801,3 +1801,27 @@ def test_thread_deadline_zombie_is_surfaced(recwarn):
         )
     finally:
         release.set()
+
+
+def test_isolated_stage_works_inside_spark_pipeline(spark):
+    """The isolate guard is per-STAGE, not per-pipeline (r11 review):
+    a pure-Python isolated stage runs fine in a DAG that HAS a Spark
+    session — the child just sees ctx.spark=None, so a body that does
+    touch Spark fails in-child with a clear error instead of speaking
+    to the parent's JVM sockets."""
+    from artemia_airflow_spark.pipeline import Stage
+
+    pipe = Pipeline("iso-spark")
+    pipe.add(Stage(
+        "pure", lambda ctx: ("spark_is_none", ctx.spark is None),
+        execution_timeout_s=10.0, isolate=True,
+    ))
+    pipe.add(Stage(
+        "touches_spark", lambda ctx: ctx.spark.range(1).count(),
+        execution_timeout_s=10.0, isolate=True, trigger_rule="all_done",
+    ))
+    results = pipe.run(spark=spark, raise_on_failure=False)
+    assert results["pure"].state == "success"
+    assert results["pure"].value == ("spark_is_none", True)
+    assert results["touches_spark"].state == "failed"
+    assert isinstance(results["touches_spark"].error, AttributeError)
