@@ -319,6 +319,47 @@ class Stage:
         return f"Stage({self.task_id!r})"
 
 
+class _IsolationBarrier:
+    """Stand-in for a JVM-backed XCom value inside a process-isolated
+    stage (r11 review): a forked child must never call through the
+    parent's py4j sockets, and a DataFrame XCom is exactly such a
+    handle — any use fails loudly with the remedy instead of
+    corrupting the shared connection."""
+
+    __slots__ = ("_task_id", "_kind")
+
+    def __init__(self, task_id: str, kind: str) -> None:
+        object.__setattr__(self, "_task_id", task_id)
+        object.__setattr__(self, "_kind", kind)
+
+    def __getattr__(self, name: str):
+        raise RuntimeError(
+            f"isolated stage cannot use JVM-backed XCom "
+            f"{self._task_id!r} ({self._kind}): the forked child must "
+            "not speak to the parent's JVM sockets — collect()/convert "
+            "the value in the upstream stage, or drop isolate=True"
+        )
+
+    def __repr__(self) -> str:
+        return (f"<IsolationBarrier task_id={self._task_id!r} "
+                f"kind={self._kind}>")
+
+
+def _sanitize_results_for_fork(results: Mapping[str, Any]) -> dict[str, Any]:
+    """Replace JVM-backed upstream results (DataFrame/Column/RDD/
+    session XComs) with loud :class:`_IsolationBarrier` guards before
+    they cross into a forked child."""
+    from pyspark import RDD
+    from pyspark.sql import Column, DataFrame
+
+    jvm_types = (DataFrame, Column, RDD, SparkSession)
+    return {
+        k: _IsolationBarrier(k, type(v).__name__)
+        if isinstance(v, jvm_types) else v
+        for k, v in results.items()
+    }
+
+
 @dataclass
 class StageContext:
     """What a stage sees at execute time: the session, upstream results
@@ -1210,8 +1251,28 @@ class Pipeline:
         mp_ctx = mp.get_context("fork")
         recv, send = mp_ctx.Pipe(duplex=False)
         try:
-            child_ctx = dataclasses.replace(ctx, spark=None)
-        except TypeError:  # test doubles that are not dataclasses
+            child_ctx = dataclasses.replace(
+                ctx, spark=None,
+                results=_sanitize_results_for_fork(ctx.results),
+            )
+        except TypeError:
+            # non-dataclass context (custom test double): we cannot
+            # strip the session, so fall back to the pre-r11 guard —
+            # a live spark must be REJECTED, never inherited by the
+            # fork (r11 review: silent passthrough reopened the
+            # py4j-corruption hole for exactly this path)
+            has_spark = False
+            try:
+                has_spark = ctx.spark is not None
+            except Exception:  # noqa: BLE001 — doubles without .spark
+                has_spark = False
+            if has_spark:
+                raise ValueError(
+                    f"stage {stage.task_id!r}: isolate=True with a "
+                    "non-dataclass context carrying a live Spark "
+                    "session — the forked child cannot share the "
+                    "parent's JVM connection"
+                ) from None
             child_ctx = ctx
 
         def _child(conn) -> None:

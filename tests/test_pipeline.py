@@ -1768,7 +1768,7 @@ def test_isolated_stage_hard_kill_leaves_no_zombie(tmp_path):
     assert switches == 1, "pid interleaving => overlapping attempts"
 
 
-def test_isolated_stage_requires_timeout_and_rejects_spark():
+def test_isolated_stage_requires_timeout():
     from artemia_airflow_spark.pipeline import Stage
 
     with pytest.raises(ValueError, match="isolate=True only makes sense"):
@@ -1825,3 +1825,30 @@ def test_isolated_stage_works_inside_spark_pipeline(spark):
     assert results["pure"].value == ("spark_is_none", True)
     assert results["touches_spark"].state == "failed"
     assert isinstance(results["touches_spark"].error, AttributeError)
+
+
+def test_isolated_stage_blocks_jvm_backed_xcom(spark):
+    """r11 review: a DataFrame XCom must not be reachable from the
+    forked child (it is a handle over the parent's py4j sockets) —
+    using it fails loudly with the remedy; plain-value XComs pass
+    through untouched."""
+    from artemia_airflow_spark.pipeline import Stage
+
+    pipe = Pipeline("iso-xcom")
+    up = pipe.add(Stage("up", lambda ctx: ctx.spark.range(3)))
+    plain = pipe.add(Stage("plain", lambda ctx: 41))
+    bad = pipe.add(Stage(
+        "bad", lambda ctx: ctx.xcom_pull("up").count(),
+        execution_timeout_s=10.0, isolate=True, trigger_rule="all_done",
+    ))
+    ok = pipe.add(Stage(
+        "ok", lambda ctx: ctx.xcom_pull("plain") + 1,
+        execution_timeout_s=10.0, isolate=True, trigger_rule="all_done",
+    ))
+    up >> bad
+    plain >> ok
+    results = pipe.run(spark=spark, raise_on_failure=False)
+    assert results["ok"].state == "success"
+    assert results["ok"].value == 42
+    assert results["bad"].state == "failed"
+    assert "JVM-backed XCom" in str(results["bad"].error)
