@@ -1852,3 +1852,61 @@ def test_isolated_stage_blocks_jvm_backed_xcom(spark):
     assert results["ok"].value == 42
     assert results["bad"].state == "failed"
     assert "JVM-backed XCom" in str(results["bad"].error)
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning"
+)
+def test_triggerer_crash_recovered_while_ready_work_flows():
+    """r11 review: the crashed triggerer must be re-spawned EVERY wave
+    while stages are deferred, not only when nothing is ready — a
+    sensor whose condition fires early must resume alongside a busy
+    compute chain, not after it drains."""
+    import time as _time
+
+    from artemia_airflow_spark.pipeline import (
+        Stage,
+        Triggerer,
+        deferrable_sensor_stage,
+    )
+
+    crash_once = iter([True])
+
+    def bad_sleep(s: float) -> None:
+        if next(crash_once, False):
+            raise RuntimeError("injected sleep crash")
+        _time.sleep(min(s, 0.01))
+
+    trig = Triggerer(sleep=bad_sleep, tick_s=0.01)
+    pokes = {"n": 0}
+    order: list[str] = []
+
+    def trigger(ctx):
+        pokes["n"] += 1
+        return "fired" if pokes["n"] >= 2 else None
+
+    pipe = Pipeline("trig-busy", triggerer=trig, run_timeout_s=30.0)
+    sensor = pipe.add(deferrable_sensor_stage(
+        "sensor", trigger=trigger, poke_interval_s=0.01, timeout_s=20.0,
+    ))
+    pipe.add(Stage(
+        "sensor_done", lambda ctx: order.append("sensor_done"),
+    ))
+    # a sequential compute chain that keeps the ready queue non-empty
+    # for many waves (one stage per wave)
+    prev = None
+    for i in range(8):
+        st = pipe.add(Stage(
+            f"chain{i}",
+            lambda ctx, i=i: (_time.sleep(0.1), order.append(f"chain{i}"))[1],
+        ))
+        if prev is not None:
+            prev >> st
+        prev = st
+    sensor >> pipe.stages["sensor_done"]
+    results = pipe.run(spark=None)
+    assert results["sensor"].state == "success"
+    # the sensor's downstream completed BEFORE the chain drained: the
+    # wave-loop re-spawn let the fired trigger resume mid-chain
+    assert "sensor_done" in order
+    assert order.index("sensor_done") < order.index("chain7"), order

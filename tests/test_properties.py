@@ -431,3 +431,48 @@ def test_grouped_partial_topk_cut_invariant(spark, rows, r, nparts):
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # probe_id
+            st.sampled_from([0.1, 0.25, 0.25, 0.5, 0.9,
+                             float("nan"), None]),           # score ties+bad
+        ),
+        min_size=1, max_size=120,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_bounded_topk_matches_naive_window(spark, rows, k):
+    """_bounded_topk (r11, the helper EVERY similarity rerank now
+    routes through) == the naive per-probe window over FINITE scores,
+    including the rank column, for arbitrary partitionings, heavy
+    score ties, and NaN/NULL rows that must be excluded by contract."""
+    from pyspark.sql import Window
+
+    from artemia_airflow_spark.operators.similarity import _bounded_topk
+
+    data = [(p, i, s) for i, (p, s) in enumerate(rows)]
+    scored = spark.createDataFrame(
+        data, "probe_id int, vec_id int, cos_sim double"
+    ).repartition(7)
+    got = {
+        (r.probe_id, r.vec_id, r.rank)
+        for r in _bounded_topk(
+            scored, probe_id_col="probe_id", id_col="vec_id",
+            score_col="cos_sim", k=k,
+        ).collect()
+    }
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    want = {
+        (r.probe_id, r.vec_id, r.rank)
+        for r in scored.filter(
+            F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim")
+        ).withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k).collect()
+    }
+    assert got == want
