@@ -116,17 +116,28 @@ def lsh_topk(
     """
     buckets = dict(dim=dim, bits=bits, tables=tables, seed=seed)
     ce = corpus.select(
-        id_col, vec_col,
+        id_col,
         F.posexplode(srp_buckets(vec_col, **buckets)).alias("tbl", "b"),
     ).withColumn("key", F.struct("tbl", "b"))
     pe = probes.select(
-        probe_id_col, probe_vec_col,
+        probe_id_col,
         F.posexplode(srp_buckets(probe_vec_col, **buckets)).alias("tbl", "b"),
     ).withColumn("key", F.struct("tbl", "b"))
-    cand = (
+    # candidate dedup on ID PAIRS ONLY (r11): a multi-table join emits
+    # each colliding pair up to `tables` times, and the old 4-column
+    # distinct shuffled BOTH embedding vectors per duplicate — ids are
+    # ~16 B/row, vectors 100x that.  Vectors re-attach afterwards: the
+    # corpus side via an ordinary hash join on its id (co-partitioned
+    # with a bucketed corpus at scale), the probe side broadcast (the
+    # probe set is the small side by contract, same as cosine_topk).
+    cand_ids = (
         ce.join(pe, ce.key == pe.key)
-        .select(probe_id_col, id_col, vec_col, probe_vec_col)
+        .select(probe_id_col, id_col)
         .distinct()
+    )
+    cand = cand_ids.join(corpus.select(id_col, vec_col), id_col).join(
+        F.broadcast(probes.select(probe_id_col, probe_vec_col)),
+        probe_id_col,
     )
     sim = cosine_similarity(vec_col, probe_vec_col)
     scored = cand.select(

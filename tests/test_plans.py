@@ -511,3 +511,23 @@ def test_kmv_reads_only_its_two_columns(spark):
     assert m, p
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"event_type", "user_id"}
+
+
+def test_lsh_candidate_distinct_carries_ids_not_vectors(spark):
+    """r11: lsh_topk's candidate dedup must aggregate on the ID PAIR
+    only — the exchange feeding the distinct carries no embedding
+    arrays (vectors re-attach afterwards: corpus hash join + broadcast
+    probes), mirroring the q_dedup_embed_lsh shuffle contract."""
+    import re as _re
+
+    df = entrymod.queries()["q_sim_ann_lsh"](spark, SF_ORACLE)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # every distinct-aggregate key list in the plan: none may contain
+    # an embedding/probe_vec column
+    for m in _re.finditer(r"Keys \[\d+\]: \[([^\]]*)\]", p):
+        assert "embedding" not in m.group(1), m.group(1)
+        assert "probe_vec" not in m.group(1), m.group(1)
+    # the probe-vector re-attach is an explicit broadcast
+    assert "BroadcastHashJoin" in p
