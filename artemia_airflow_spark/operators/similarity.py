@@ -113,7 +113,20 @@ def lsh_topk(
     Clustered real-world embeddings reach high recall at much higher
     bits (cheaper candidates); measure on YOUR corpus with the harness
     before trusting a config.
+
+    Contracts (r11): ``id_col`` / ``probe_id_col`` must uniquely
+    identify their rows — the id-pair candidate dedup re-attaches
+    vectors by id, so a duplicated id would occupy duplicate top-k
+    slots (dedupe upstream; ids are ids).  The probe side is
+    eagerly local-checkpointed: it is referenced twice (bucket hash +
+    rerank broadcast) and Spark does not dedupe common subplans — for
+    the small-by-contract probe set one materialization beats
+    re-running its upstream twice; the corpus-side double reference
+    (bucket hash + vector re-attach) is left as two scans BY DESIGN —
+    at 100 TB that side is a bucketed/cached table whose rescan is
+    amortized, and checkpointing it would materialize the corpus.
     """
+    probes = probes.localCheckpoint(eager=True)
     buckets = dict(dim=dim, bits=bits, tables=tables, seed=seed)
     ce = corpus.select(
         id_col,

@@ -324,16 +324,20 @@ class _IsolationBarrier:
     stage (r11 review): a forked child must never call through the
     parent's py4j sockets, and a DataFrame XCom is exactly such a
     handle — any use fails loudly with the remedy instead of
-    corrupting the shared connection."""
+    corrupting the shared connection.  The failure is an
+    AttributeError subclass so duck-typing feature probes
+    (``hasattr``/``getattr``-with-default, pickle's ``__getstate__``
+    probe) take their fallback branch instead of crashing — only a
+    REAL attribute use surfaces the error."""
 
     __slots__ = ("_task_id", "_kind")
 
     def __init__(self, task_id: str, kind: str) -> None:
-        object.__setattr__(self, "_task_id", task_id)
-        object.__setattr__(self, "_kind", kind)
+        self._task_id = task_id
+        self._kind = kind
 
     def __getattr__(self, name: str):
-        raise RuntimeError(
+        raise AttributeError(
             f"isolated stage cannot use JVM-backed XCom "
             f"{self._task_id!r} ({self._kind}): the forked child must "
             "not speak to the parent's JVM sockets — collect()/convert "
@@ -345,19 +349,72 @@ class _IsolationBarrier:
                 f"kind={self._kind}>")
 
 
-def _sanitize_results_for_fork(results: Mapping[str, Any]) -> dict[str, Any]:
-    """Replace JVM-backed upstream results (DataFrame/Column/RDD/
-    session XComs) with loud :class:`_IsolationBarrier` guards before
-    they cross into a forked child."""
-    from pyspark import RDD
-    from pyspark.sql import Column, DataFrame
+def _is_jvm_backed(v: Any) -> bool:
+    """True for any value whose type lives in pyspark/py4j — a handle
+    over the parent's JVM connection (DataFrame, Column, RDD, session,
+    context, Broadcast, GroupedData, writers, raw JavaObject, ...).
+    Module-prefix detection beats a type allowlist: every such handle
+    is unusable in a fork, and new pyspark types stay covered.  The
+    pure-Python pyspark values a collect()-style XCom legitimately
+    carries (Row, schema DataTypes) are explicitly exempt — they are
+    fork-safe plain data."""
+    from pyspark.sql.types import DataType, Row
 
-    jvm_types = (DataFrame, Column, RDD, SparkSession)
-    return {
-        k: _IsolationBarrier(k, type(v).__name__)
-        if isinstance(v, jvm_types) else v
-        for k, v in results.items()
-    }
+    if isinstance(v, (Row, DataType)):
+        return False
+    mod = type(v).__module__ or ""
+    return mod.startswith(("pyspark", "py4j"))
+
+
+def _sanitize_for_fork(v: Any, task_id: str, depth: int = 0) -> Any:
+    """Recursively replace JVM-backed values (including ones nested in
+    tuple/list/dict XComs, e.g. a (DataFrame, DataFrame) pair) with
+    loud :class:`_IsolationBarrier` guards.  Depth-capped: exotic
+    deeply-nested XComs keep their outer structure and any handle
+    deeper than the cap still fails in-child on use (pyspark handles
+    cannot survive a fork functionally; the barrier just makes the
+    error message actionable)."""
+    if _is_jvm_backed(v):
+        return _IsolationBarrier(task_id, type(v).__name__)
+    if depth >= 4:
+        return v
+    # EXACT type checks: rebuilding a subclass as its base container
+    # would mangle it — Row is a tuple subclass whose attribute access
+    # a plain tuple() rebuild destroys (r11 review pass 3), same for
+    # namedtuples/OrderedDict.  Subclass containers pass through: a
+    # handle nested inside one still fails in-child on use, just with
+    # pyspark's own error instead of the barrier's.
+    if type(v) is tuple:
+        return tuple(_sanitize_for_fork(x, task_id, depth + 1) for x in v)
+    if type(v) is list:
+        return [_sanitize_for_fork(x, task_id, depth + 1) for x in v]
+    if type(v) is dict:
+        return {
+            k: _sanitize_for_fork(x, task_id, depth + 1)
+            for k, x in v.items()
+        }
+    return v
+
+
+def _sanitize_results_for_fork(results: Mapping[str, Any]) -> dict[str, Any]:
+    """Replace JVM-backed upstream results with loud
+    :class:`_IsolationBarrier` guards before they cross into a forked
+    child — top-level and nested in plain containers."""
+    return {k: _sanitize_for_fork(v, k) for k, v in results.items()}
+
+
+def _contains_jvm(v: Any, depth: int = 0) -> bool:
+    """True if ``v`` is (or nests, to the same depth cap as the
+    sanitizer) a JVM-backed value."""
+    if _is_jvm_backed(v):
+        return True
+    if depth >= 4:
+        return False
+    if isinstance(v, (tuple, list)):
+        return any(_contains_jvm(x, depth + 1) for x in v)
+    if isinstance(v, dict):
+        return any(_contains_jvm(x, depth + 1) for x in v.values())
+    return False
 
 
 @dataclass
@@ -1257,21 +1314,28 @@ class Pipeline:
             )
         except TypeError:
             # non-dataclass context (custom test double): we cannot
-            # strip the session, so fall back to the pre-r11 guard —
-            # a live spark must be REJECTED, never inherited by the
-            # fork (r11 review: silent passthrough reopened the
-            # py4j-corruption hole for exactly this path)
-            has_spark = False
+            # rebuild it, so fall back to the pre-r11 guard — a live
+            # spark OR any JVM-backed result must be REJECTED, never
+            # inherited by the fork (r11 review: silent passthrough
+            # reopened the py4j-corruption hole for exactly this path)
+            has_jvm = False
             try:
-                has_spark = ctx.spark is not None
+                has_jvm = ctx.spark is not None
             except Exception:  # noqa: BLE001 — doubles without .spark
-                has_spark = False
-            if has_spark:
+                has_jvm = False
+            if not has_jvm:
+                try:
+                    has_jvm = any(
+                        _contains_jvm(v) for v in ctx.results.values()
+                    )
+                except Exception:  # noqa: BLE001 — doubles w/o results
+                    has_jvm = False
+            if has_jvm:
                 raise ValueError(
                     f"stage {stage.task_id!r}: isolate=True with a "
                     "non-dataclass context carrying a live Spark "
-                    "session — the forked child cannot share the "
-                    "parent's JVM connection"
+                    "session or JVM-backed results — the forked child "
+                    "cannot share the parent's JVM connection"
                 ) from None
             child_ctx = ctx
 

@@ -1910,3 +1910,36 @@ def test_triggerer_crash_recovered_while_ready_work_flows():
     # wave-loop re-spawn let the fired trigger resume mid-chain
     assert "sensor_done" in order
     assert order.index("sensor_done") < order.index("chain7"), order
+
+
+def test_isolated_stage_blocks_nested_jvm_xcom_allows_rows(spark):
+    """r11 review pass 3: JVM handles nested in container XComs (the
+    repo's own packed-SQ8 stage returns a (codes_df, quantizer_df)
+    tuple) must hit the barrier too, while collect()ed Row lists —
+    pure-Python pyspark values — pass through fork-safe."""
+    from artemia_airflow_spark.pipeline import Stage
+
+    pipe = Pipeline("iso-nested")
+    pipe.add(Stage("pair", lambda ctx: (ctx.spark.range(2), {"df": ctx.spark.range(1)})))
+    pipe.add(Stage("rows", lambda ctx: ctx.spark.range(3).collect()))
+    pipe.add(Stage(
+        "bad", lambda ctx: ctx.xcom_pull("pair")[0].count(),
+        execution_timeout_s=10.0, isolate=True, trigger_rule="all_done",
+    ))
+    pipe.add(Stage(
+        "ok", lambda ctx: sum(r.id for r in ctx.xcom_pull("rows")),
+        execution_timeout_s=10.0, isolate=True, trigger_rule="all_done",
+    ))
+    pipe.stages["pair"] >> pipe.stages["bad"]
+    pipe.stages["rows"] >> pipe.stages["ok"]
+    results = pipe.run(spark=spark, raise_on_failure=False)
+    assert results["ok"].state == "success"
+    assert results["ok"].value == 3
+    assert results["bad"].state == "failed"
+    assert "JVM-backed XCom" in str(results["bad"].error)
+    # feature probes on a barrier take their fallback, never crash
+    from artemia_airflow_spark.pipeline import _IsolationBarrier
+
+    b = _IsolationBarrier("t", "DataFrame")
+    assert not hasattr(b, "value")
+    assert getattr(b, "value", "fallback") == "fallback"

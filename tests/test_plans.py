@@ -525,9 +525,15 @@ def test_lsh_candidate_distinct_carries_ids_not_vectors(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     # every distinct-aggregate key list in the plan: none may contain
-    # an embedding/probe_vec column
-    for m in _re.finditer(r"Keys \[\d+\]: \[([^\]]*)\]", p):
-        assert "embedding" not in m.group(1), m.group(1)
-        assert "probe_vec" not in m.group(1), m.group(1)
+    # an embedding/probe_vec column.  Guard against a vacuous pass: the
+    # id-pair distinct MUST show up as at least one key list naming the
+    # ids (r11 review — if Spark's formatted-explain key format ever
+    # changes, this pin must fail loudly, not silently assert nothing).
+    key_lists = [m.group(1) for m in
+                 _re.finditer(r"Keys \[\d+\]: \[([^\]]*)\]", p)]
+    assert any("vec_id" in k and "probe_id" in k for k in key_lists), p
+    for k in key_lists:
+        assert "embedding" not in k, k
+        assert "probe_vec" not in k, k
     # the probe-vector re-attach is an explicit broadcast
     assert "BroadcastHashJoin" in p
