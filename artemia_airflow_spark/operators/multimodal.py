@@ -383,7 +383,8 @@ def media_phash(media: DataFrame, *, kernel: str = "byte-simhash") -> DataFrame:
 
 
 def media_neardup_pairs(
-    media: DataFrame, *, prefix_bits: int = 16, max_hamming: int = 3
+    media: DataFrame, *, prefix_bits: int = 16, max_hamming: int = 3,
+    kernel: str = "byte-simhash",
 ) -> DataFrame:
     """Near-duplicate media pairs by pHash banding + hamming verify.
 
@@ -392,8 +393,12 @@ def media_neardup_pairs(
     so the self-join runs per (media_type, band, band_val) bucket —
     near-linear, never all-pairs — and ``bit_count(xor)`` verifies the
     real distance before a pair is reported.  Returns
-    (media_type, id_a, id_b, hamming)."""
-    ph = media_phash(media)
+    (media_type, id_a, id_b, hamming).  ``kernel`` selects the
+    fingerprint (see :func:`media_phash`): ``"dct"`` composes the real
+    perceptual hash with the same banding/verify pipeline — the
+    end-to-end test pins that it reports the brightness-shifted
+    near-dup the byte kernel misses."""
+    ph = media_phash(media, kernel=kernel)
     bands = F.explode(
         F.array(
             *[

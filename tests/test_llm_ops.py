@@ -670,3 +670,45 @@ def test_sq8_unpack_empty_binary_is_empty_array(spark):
                                "id int, codes binary")
     got = {r.id: r.q_arr for r in sq8_unpack(df).collect()}
     assert got == {1: [], 2: [0, 255]}
+
+
+def test_dct_neardup_pipeline_end_to_end(spark):
+    """media_neardup_pairs(kernel="dct"): the real perceptual hash
+    composed with the banding+verify pipeline reports the
+    brightness-shifted near-dup pair the byte kernel misses, and does
+    not pair unrelated images."""
+    import numpy as np
+
+    from artemia_airflow_spark.operators.multimodal import (
+        media_neardup_pairs,
+    )
+
+    def raw_gray(arr: "np.ndarray") -> bytes:
+        h, w = arr.shape
+        return (
+            int(w).to_bytes(2, "big") + int(h).to_bytes(2, "big")
+            + arr.astype("uint8").tobytes()
+        )
+
+    y, x = np.mgrid[0:48, 0:64]
+    base = (40 + (x * 2 + y) % 160).astype("uint8")
+    bright = (base + 10).astype("uint8")
+    other = (40 + (y * 3) % 160).astype("uint8")
+    rows = [
+        (0, raw_gray(base), ("image/png", 0)),
+        (1, raw_gray(bright), ("image/png", 0)),
+        (2, raw_gray(other), ("image/png", 0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "media_meta struct<media_type:string,declared_len:int>",
+    )
+    dct_pairs = {
+        (r.id_a, r.id_b) for r in media_neardup_pairs(df, kernel="dct").collect()
+    }
+    assert dct_pairs == {(0, 1)}, dct_pairs
+    stub_pairs = {
+        (r.id_a, r.id_b) for r in media_neardup_pairs(df).collect()
+    }
+    assert (0, 1) not in stub_pairs  # the stub misses it (hamming 7 > 3)
