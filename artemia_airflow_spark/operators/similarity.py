@@ -699,6 +699,30 @@ def q_embed_quantize(spark, sf_dir):
     )
 
 
+def sq8_dequantize(
+    codes: DataFrame, quantizer: DataFrame, *, id_col: str,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Reconstruct (id, dim, v_hat) doubles from packed SQ8 codes and
+    the (dim, vmin, vmax) quantizer table: ``v_hat = vmin + q * (vmax
+    - vmin) / 255``.  The encode rounds half-up to the nearest code,
+    so per-component reconstruction error is <= (vmax - vmin) / 255 / 2
+    (pinned by the round-trip error test).  Shape: unpack is map-side
+    (posexplode of the decoded array), the quantizer join is a
+    broadcast of dim rows."""
+    unpacked = sq8_unpack(codes, codes_col=codes_col).select(
+        id_col, F.posexplode("q_arr").alias("dim", "q")
+    ).select(id_col, F.col("dim").cast("bigint").alias("dim"), "q")
+    v_hat = (
+        F.col("vmin")
+        + F.col("q").cast("double") * (F.col("vmax") - F.col("vmin"))
+        / F.lit(255.0)
+    )
+    return unpacked.join(F.broadcast(quantizer), "dim").select(
+        id_col, "dim", v_hat.alias("v_hat")
+    )
+
+
 @declared(
     "q_embed_quantize_packed",
     oracle="""

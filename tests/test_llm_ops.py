@@ -712,3 +712,32 @@ def test_dct_neardup_pipeline_end_to_end(spark):
         (r.id_a, r.id_b) for r in media_neardup_pairs(df).collect()
     }
     assert (0, 1) not in stub_pairs  # the stub misses it (hamming 7 > 3)
+
+
+def test_sq8_dequantize_error_bound(spark, emb):
+    """SQ8 reconstruction error is bounded by half a quantization step
+    per component: |v_hat - v| <= (vmax - vmin) / 255 / 2 (+ float
+    slack) — the numeric contract a vector store relies on when it
+    serves the compressed column instead of the floats."""
+    from pyspark.sql import functions as F2
+
+    from artemia_airflow_spark.operators.similarity import (
+        quantize_embeddings_sq8,
+        sq8_dequantize,
+    )
+
+    codes, quant = quantize_embeddings_sq8(emb, id_col="vec_id", packed=True)
+    recon = sq8_dequantize(codes, quant, id_col="vec_id")
+    truth = emb.select(
+        "vec_id", F2.posexplode(F2.col("embedding").cast("array<double>"))
+        .alias("dim", "v"),
+    ).select("vec_id", F2.col("dim").cast("bigint").alias("dim"), "v")
+    joined = recon.join(truth, ["vec_id", "dim"]).join(
+        F2.broadcast(quant), "dim"
+    )
+    viol = joined.filter(
+        F2.abs(F2.col("v_hat") - F2.col("v"))
+        > (F2.col("vmax") - F2.col("vmin")) / F2.lit(510.0) + F2.lit(1e-9)
+    ).count()
+    assert viol == 0
+    assert recon.count() == truth.count()
