@@ -337,6 +337,12 @@ class _IsolationBarrier:
         self._kind = kind
 
     def __getattr__(self, name: str):
+        # bare AttributeError for the slots themselves: during
+        # unpickle/deepcopy, __getstate__ probes run on a fresh
+        # instance whose slots are unset — formatting the message
+        # below would re-enter __getattr__ forever (r11 review pass 4)
+        if name in ("_task_id", "_kind"):
+            raise AttributeError(name)
         raise AttributeError(
             f"isolated stage cannot use JVM-backed XCom "
             f"{self._task_id!r} ({self._kind}): the forked child must "
@@ -350,20 +356,27 @@ class _IsolationBarrier:
 
 
 def _is_jvm_backed(v: Any) -> bool:
-    """True for any value whose type lives in pyspark/py4j — a handle
-    over the parent's JVM connection (DataFrame, Column, RDD, session,
-    context, Broadcast, GroupedData, writers, raw JavaObject, ...).
-    Module-prefix detection beats a type allowlist: every such handle
-    is unusable in a fork, and new pyspark types stay covered.  The
-    pure-Python pyspark values a collect()-style XCom legitimately
+    """True for any value that is a handle over the parent's JVM
+    connection.  Two detectors compose (r11 review pass 4): isinstance
+    against the known handle bases catches USER-MODULE subclasses (a
+    wrapper class extending DataFrame lives in the caller's module),
+    and the dotted module prefix catches every other pyspark/py4j
+    type (GroupedData, writers, raw JavaObject, ...) without
+    false-positiving sibling top-level modules like ``pyspark_utils``.
+    The pure-Python pyspark values a collect()-style XCom legitimately
     carries (Row, schema DataTypes) are explicitly exempt — they are
     fork-safe plain data."""
+    from pyspark import RDD, Broadcast, SparkContext
+    from pyspark.sql import Column, DataFrame
     from pyspark.sql.types import DataType, Row
 
     if isinstance(v, (Row, DataType)):
         return False
+    if isinstance(v, (DataFrame, Column, RDD, Broadcast, SparkContext,
+                      SparkSession)):
+        return True
     mod = type(v).__module__ or ""
-    return mod.startswith(("pyspark", "py4j"))
+    return mod == "pyspark" or mod.startswith(("pyspark.", "py4j."))
 
 
 def _sanitize_for_fork(v: Any, task_id: str, depth: int = 0) -> Any:
@@ -376,23 +389,28 @@ def _sanitize_for_fork(v: Any, task_id: str, depth: int = 0) -> Any:
     error message actionable)."""
     if _is_jvm_backed(v):
         return _IsolationBarrier(task_id, type(v).__name__)
-    if depth >= 4:
-        return v
     # EXACT type checks: rebuilding a subclass as its base container
     # would mangle it — Row is a tuple subclass whose attribute access
     # a plain tuple() rebuild destroys (r11 review pass 3), same for
-    # namedtuples/OrderedDict.  Subclass containers pass through: a
-    # handle nested inside one still fails in-child on use, just with
-    # pyspark's own error instead of the barrier's.
-    if type(v) is tuple:
-        return tuple(_sanitize_for_fork(x, task_id, depth + 1) for x in v)
-    if type(v) is list:
-        return [_sanitize_for_fork(x, task_id, depth + 1) for x in v]
-    if type(v) is dict:
-        return {
-            k: _sanitize_for_fork(x, task_id, depth + 1)
-            for k, x in v.items()
-        }
+    # namedtuples/OrderedDict.
+    if depth < 4:
+        rec = lambda x: _sanitize_for_fork(x, task_id, depth + 1)  # noqa: E731
+        if type(v) is tuple:
+            return tuple(rec(x) for x in v)
+        if type(v) is list:
+            return [rec(x) for x in v]
+        if type(v) is dict:
+            # keys too: a DataFrame is hashable and can key a dict
+            return {rec(k): rec(x) for k, x in v.items()}
+        if type(v) in (set, frozenset):
+            return type(v)(rec(x) for x in v)
+    # subclass containers (Row-wrapping-a-handle, namedtuples) and
+    # anything past the depth cap: if a handle hides ANYWHERE inside,
+    # replace the WHOLE value with one barrier — passing it through
+    # would hand the fork a live py4j handle whose in-child use
+    # corrupts the shared connection (r11 review pass 4)
+    if isinstance(v, (tuple, list, set, frozenset, dict)) and _contains_jvm(v):
+        return _IsolationBarrier(task_id, type(v).__name__)
     return v
 
 
@@ -404,16 +422,23 @@ def _sanitize_results_for_fork(results: Mapping[str, Any]) -> dict[str, Any]:
 
 
 def _contains_jvm(v: Any, depth: int = 0) -> bool:
-    """True if ``v`` is (or nests, to the same depth cap as the
-    sanitizer) a JVM-backed value."""
+    """True if ``v`` is — or nests, through any container INCLUDING
+    subclasses (Row, namedtuples), sets, and dict keys — a JVM-backed
+    value.  isinstance traversal on purpose: detection must be at
+    least as broad as the sanitizer's exact-type rebuild, so whatever
+    the rebuild cannot reach is still caught and barrier-replaced
+    wholesale."""
     if _is_jvm_backed(v):
         return True
-    if depth >= 4:
+    if depth >= 6:
         return False
-    if isinstance(v, (tuple, list)):
+    if isinstance(v, (tuple, list, set, frozenset)):
         return any(_contains_jvm(x, depth + 1) for x in v)
     if isinstance(v, dict):
-        return any(_contains_jvm(x, depth + 1) for x in v.values())
+        return any(
+            _contains_jvm(x, depth + 1)
+            for kv in v.items() for x in kv
+        )
     return False
 
 
@@ -1308,9 +1333,17 @@ class Pipeline:
         mp_ctx = mp.get_context("fork")
         recv, send = mp_ctx.Pipe(duplex=False)
         try:
+            ev = ctx.trigger_event
+            if ev is not None and isinstance(ev, TriggerEvent):
+                # a trigger's fired value may itself be JVM-backed
+                ev = dataclasses.replace(
+                    ev, value=_sanitize_for_fork(ev.value, "<trigger_event>")
+                )
             child_ctx = dataclasses.replace(
                 ctx, spark=None,
                 results=_sanitize_results_for_fork(ctx.results),
+                params=_sanitize_for_fork(dict(ctx.params), "<params>"),
+                trigger_event=ev,
             )
         except TypeError:
             # non-dataclass context (custom test double): we cannot
@@ -1325,8 +1358,13 @@ class Pipeline:
                 has_jvm = False
             if not has_jvm:
                 try:
-                    has_jvm = any(
-                        _contains_jvm(v) for v in ctx.results.values()
+                    has_jvm = (
+                        any(_contains_jvm(v) for v in ctx.results.values())
+                        or _contains_jvm(dict(getattr(ctx, "params", None)
+                                              or {}))
+                        or _contains_jvm(getattr(
+                            getattr(ctx, "trigger_event", None),
+                            "value", None))
                     )
                 except Exception:  # noqa: BLE001 — doubles w/o results
                     has_jvm = False

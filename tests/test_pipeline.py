@@ -1943,3 +1943,51 @@ def test_isolated_stage_blocks_nested_jvm_xcom_allows_rows(spark):
     b = _IsolationBarrier("t", "DataFrame")
     assert not hasattr(b, "value")
     assert getattr(b, "value", "fallback") == "fallback"
+
+
+def test_isolation_barrier_edges_pickle_sets_subclasses():
+    """r11 review pass 4 pins: barriers survive pickle/deepcopy (the
+    __getstate__ probe on an unset-slots instance must not recurse);
+    handles hiding in sets, dict keys, and tuple-subclass containers
+    are caught; clean subclass containers pass through intact."""
+    import copy
+    import pickle
+    from collections import namedtuple
+
+    from artemia_airflow_spark.pipeline import (
+        _IsolationBarrier,
+        _contains_jvm,
+        _is_jvm_backed,
+        _sanitize_for_fork,
+    )
+
+    b = _IsolationBarrier("t", "DataFrame")
+    b2 = pickle.loads(pickle.dumps(b))
+    assert isinstance(b2, _IsolationBarrier)
+    assert isinstance(copy.deepcopy(b), _IsolationBarrier)
+    assert not hasattr(b2, "value")
+    with pytest.raises(AttributeError, match="JVM-backed XCom"):
+        b2.count
+
+    class FakeDF:
+        __module__ = "pyspark.sql.dataframe"
+
+    fdf = FakeDF()
+    assert _is_jvm_backed(fdf)
+    assert _contains_jvm({fdf}) and _contains_jvm({fdf: 1})
+    assert all(
+        isinstance(x, _IsolationBarrier)
+        for x in _sanitize_for_fork({fdf}, "t")
+    )
+    assert all(
+        isinstance(k, _IsolationBarrier)
+        for k in _sanitize_for_fork({fdf: 2}, "t")
+    )
+    NT = namedtuple("NT", "a b")
+    assert isinstance(_sanitize_for_fork(NT(1, fdf), "t"), _IsolationBarrier)
+    assert _sanitize_for_fork(NT(1, 2), "t") == NT(1, 2)
+
+    class Sibling:
+        __module__ = "pyspark_utils.helpers"
+
+    assert not _is_jvm_backed(Sibling())
