@@ -537,3 +537,35 @@ def test_lsh_candidate_distinct_carries_ids_not_vectors(spark):
         assert "probe_vec" not in k, k
     # the probe-vector re-attach is an explicit broadcast
     assert "BroadcastHashJoin" in p
+
+
+def test_sq8_packed_encode_never_explodes_corpus(spark):
+    """q_embed_quantize_packed: exactly ONE Generate in the plan — the
+    quantizer TRAINER's posexplode.  The encode side must stay
+    unexploded (arrays_zip + transform over the broadcast one-row
+    quantizer arrays), which is the packed path's whole scale claim:
+    no |corpus| x dim shuffle to produce the binary codes."""
+    p = _formatted_plan(spark, "q_embed_quantize_packed")
+    n_gen = len(re.findall(r"\(\d+\) Generate", p))
+    assert n_gen == 1, (n_gen, p[:2000])
+    assert "CartesianProduct" not in p
+
+
+def test_fuzzy_join_is_codegen_plus_hash_joins(spark):
+    """q_join_fuzzy: the SymSpell blocking claim in the plan — variant
+    generation is two Generates (left/right deletion explodes), the
+    candidate meet is an equi-join, and nothing plans as a cartesian
+    or nested-loop product."""
+    p = _formatted_plan(spark, "q_join_fuzzy")
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 2, p[:2000]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_semantic_portable_pairs_meet_in_equi_join(spark):
+    """q_dedup_semantic_portable: within-cell pairs must meet in an
+    ordinary equi-join on the bucket id (the O(n^2/k) SemDeDup trade)
+    — never a cartesian/nested-loop all-pairs."""
+    p = _formatted_plan(spark, "q_dedup_semantic_portable")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
