@@ -376,7 +376,7 @@ def _is_jvm_backed(v: Any) -> bool:
                       SparkSession)):
         return True
     mod = type(v).__module__ or ""
-    return mod == "pyspark" or mod.startswith(("pyspark.", "py4j."))
+    return mod in ("pyspark", "py4j") or mod.startswith(("pyspark.", "py4j."))
 
 
 def _sanitize_for_fork(v: Any, task_id: str, depth: int = 0) -> Any:
@@ -409,7 +409,10 @@ def _sanitize_for_fork(v: Any, task_id: str, depth: int = 0) -> Any:
     # replace the WHOLE value with one barrier — passing it through
     # would hand the fork a live py4j handle whose in-child use
     # corrupts the shared connection (r11 review pass 4)
-    if isinstance(v, (tuple, list, set, frozenset, dict)) and _contains_jvm(v):
+    from collections.abc import Mapping
+
+    if (isinstance(v, (tuple, list, set, frozenset, Mapping))
+            and _contains_jvm(v)):
         return _IsolationBarrier(task_id, type(v).__name__)
     return v
 
@@ -428,13 +431,15 @@ def _contains_jvm(v: Any, depth: int = 0) -> bool:
     least as broad as the sanitizer's exact-type rebuild, so whatever
     the rebuild cannot reach is still caught and barrier-replaced
     wholesale."""
+    from collections.abc import Mapping
+
     if _is_jvm_backed(v):
         return True
-    if depth >= 6:
+    if depth >= 20:  # out-of-contract nesting; also guards cycles
         return False
     if isinstance(v, (tuple, list, set, frozenset)):
         return any(_contains_jvm(x, depth + 1) for x in v)
-    if isinstance(v, dict):
+    if isinstance(v, Mapping):  # incl. UserDict/MappingProxyType
         return any(
             _contains_jvm(x, depth + 1)
             for kv in v.items() for x in kv
@@ -1332,17 +1337,39 @@ class Pipeline:
 
         mp_ctx = mp.get_context("fork")
         recv, send = mp_ctx.Pipe(duplex=False)
-        try:
-            ev = ctx.trigger_event
-            if ev is not None and isinstance(ev, TriggerEvent):
-                # a trigger's fired value may itself be JVM-backed
-                ev = dataclasses.replace(
-                    ev, value=_sanitize_for_fork(ev.value, "<trigger_event>")
+        # gather the pieces with getattr-defaults FIRST: context doubles
+        # may lack trigger_event/params entirely, and a params that is
+        # not dict()-able must not be conflated with the non-dataclass
+        # TypeError below (r11 review pass 5)
+        ev = getattr(ctx, "trigger_event", None)
+        if isinstance(ev, TriggerEvent):
+            err = ev.error
+            if err is not None and _is_jvm_backed(err):
+                # e.g. a Py4JJavaError holds a live JavaObject whose
+                # repr fetches the Java stack over the gateway socket —
+                # raising it in-child would speak on the parent's
+                # connection; replace with a plain, picklable twin
+                err = RuntimeError(
+                    f"trigger error {type(err).__name__} was JVM-backed "
+                    "and cannot cross into an isolated stage child: "
+                    f"{err!s:.500}"
                 )
+            # a trigger's fired value may itself be JVM-backed
+            ev = dataclasses.replace(
+                ev,
+                value=_sanitize_for_fork(ev.value, "<trigger_event>"),
+                error=err,
+            )
+        raw_params = getattr(ctx, "params", None) or {}
+        try:
+            params = _sanitize_for_fork(dict(raw_params), "<params>")
+        except TypeError:  # non-mapping params double: pass through
+            params = raw_params
+        try:
             child_ctx = dataclasses.replace(
                 ctx, spark=None,
                 results=_sanitize_results_for_fork(ctx.results),
-                params=_sanitize_for_fork(dict(ctx.params), "<params>"),
+                params=params,
                 trigger_event=ev,
             )
         except TypeError:
@@ -1365,6 +1392,9 @@ class Pipeline:
                         or _contains_jvm(getattr(
                             getattr(ctx, "trigger_event", None),
                             "value", None))
+                        or _contains_jvm(getattr(
+                            getattr(ctx, "trigger_event", None),
+                            "error", None))
                     )
                 except Exception:  # noqa: BLE001 — doubles w/o results
                     has_jvm = False

@@ -1991,3 +1991,63 @@ def test_isolation_barrier_edges_pickle_sets_subclasses():
         __module__ = "pyspark_utils.helpers"
 
     assert not _is_jvm_backed(Sibling())
+
+
+def test_isolation_walker_deep_mapping_and_bare_py4j_edges():
+    """r11 review pass 5 pins: bare top-level py4j types are detected;
+    handles nested past the rebuild depth or inside non-dict Mappings
+    (UserDict, MappingProxyType) are wholesale barrier-replaced, never
+    passed through live; non-dataclass doubles lacking
+    trigger_event/params no longer crash the isolate path."""
+    from collections import UserDict
+    from types import MappingProxyType
+
+    from artemia_airflow_spark.pipeline import (
+        Pipeline,
+        Stage,
+        _IsolationBarrier,
+        _contains_jvm,
+        _is_jvm_backed,
+        _sanitize_for_fork,
+    )
+
+    class FakeDF:
+        __module__ = "pyspark.sql.dataframe"
+
+    class BareP4J:
+        __module__ = "py4j"
+
+    fdf = FakeDF()
+    assert _is_jvm_backed(BareP4J())
+    deep = fdf
+    for _ in range(11):
+        deep = [deep]
+    assert _contains_jvm(deep)
+
+    def leaks_handle(v):
+        if isinstance(v, FakeDF):
+            return True
+        if isinstance(v, list):
+            return any(leaks_handle(x) for x in v)
+        return False
+
+    assert not leaks_handle(_sanitize_for_fork(deep, "t"))
+    for wrapped in (UserDict({"k": fdf}), MappingProxyType({"k": fdf})):
+        assert _contains_jvm(wrapped)
+        assert isinstance(_sanitize_for_fork(wrapped, "t"),
+                          _IsolationBarrier)
+
+    # pre-A14-shaped context double (no trigger_event attribute) still
+    # runs an isolated stage via the fallback path
+    class OldCtx:
+        spark = None
+        results: dict = {}
+        params: dict = {}
+
+        def xcom_pull(self, t):
+            return self.results[t]
+
+    pipe = Pipeline("iso-double")
+    st = Stage("s", lambda ctx: 7, execution_timeout_s=10.0, isolate=True)
+    pipe.add(st)
+    assert pipe._call_isolated(st, OldCtx()) == 7
