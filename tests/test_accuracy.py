@@ -347,6 +347,57 @@ def test_histogram_extreme_outlier_clamps_to_top_bin(spark):
     assert rows == {3: 1, 0: 1, 2: 1}  # huge + -> top bin, huge - -> bin 0
 
 
+def test_histogram_stacked_matches_single_metric_bit_exact(spark):
+    """Round-12 single-scan rework (VERDICT r11 #1): the stacked
+    multi-metric sketch must be a pure plan optimization — partials and
+    quantile estimates BIT-IDENTICAL to the per-metric single-scan
+    form, including per-metric NULL exclusion (a NULL in one metric's
+    column must not drop the row's other metrics)."""
+    from artemia_airflow_spark.operators.sketches import (
+        MetricSpec,
+        histogram_partials,
+        histogram_partials_stacked,
+        quantile_estimate,
+        quantile_estimates_stacked,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 100.0), ("a", 2.0, None), ("a", None, 300.0),
+         ("b", 63.9, 900.0), ("b", 0.0, 50.0), ("b", 7.5, None)],
+        "grp string, x double, y double",
+    )
+    specs = [
+        MetricSpec("x", "x", 0.5, 0.0, 64.0, 16),
+        MetricSpec("y", "y", 0.9, 0.0, 1024.0, 16),
+    ]
+    stacked = histogram_partials_stacked(df, specs, ["grp"])
+    got = sorted(map(tuple, stacked.collect()))
+    want = sorted(
+        (r.grp, s.metric, r.bin, r.cnt)
+        for s in specs
+        for r in histogram_partials(
+            df, s.value_col, ["grp"], lo=s.lo, hi=s.hi, bins=s.bins
+        ).collect()
+    )
+    assert got == want
+
+    est = {
+        (r.grp, r.metric): r.quantile_est
+        for r in quantile_estimates_stacked(stacked, specs, ["grp"]).collect()
+    }
+    for s in specs:
+        single = {
+            r.grp: r.quantile_est
+            for r in quantile_estimate(
+                histogram_partials(df, s.value_col, ["grp"],
+                                   lo=s.lo, hi=s.hi, bins=s.bins),
+                ["grp"], s.q, lo=s.lo, hi=s.hi, bins=s.bins,
+            ).collect()
+        }
+        for g, v in single.items():
+            assert est[(g, s.metric)] == v, (s.metric, g, est[(g, s.metric)], v)
+
+
 def test_validation_report_empty_rules_and_bad_names(spark):
     """r7 review fixes: an empty ruleset is an empty report (stack(0)
     is a parse error), and quote-bearing rule names are rejected

@@ -356,6 +356,20 @@ def test_quantile_sketch_is_jvm_only_single_scan(spark):
     assert p.count("orders.parquet") == 1, p.count("orders.parquet")
 
 
+def test_percentile_portable_is_single_scan(spark):
+    """Round-12 rework (VERDICT r11 #1): the portable percentile twin
+    binned each metric on its own histogram_partials pass — TWO full
+    lineitem scans (Spark does not dedupe common subplans).  The
+    stacked sketch must read lineitem ONCE, prune to the three
+    referenced columns, and stay pure JVM."""
+    p = _formatted_plan(spark, "q_agg_approx_percentile_portable")
+    assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_returnflag", "l_quantity", "l_extendedprice"}
+
+
 def test_profile_scans_prune_to_one_column_each(spark):
     """B93 scale claim: each per-column profile pass reads exactly its
     one column (parquet column pruning — k columns cost k one-column
