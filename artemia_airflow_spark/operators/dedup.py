@@ -20,6 +20,7 @@ candidate join linear-ish in corpus size instead of O(n^2).
 from __future__ import annotations
 
 import threading
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -79,6 +80,17 @@ def truncate_lineage(
     set."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
+    if not eager:
+        # observable, not just documented (ADVICE r11): the override
+        # is a correctness rule of the reliable tier, but a caller
+        # passing eager=False deserves a runtime signal
+        warnings.warn(
+            "truncate_lineage: eager=False is ignored on the reliable "
+            "(checkpoint_dir) tier — the checkpoint always materializes "
+            "eagerly under the module lock so the global checkpoint dir "
+            "cannot be rebound before the write",
+            stacklevel=2,
+        )
     sc = df.sparkSession.sparkContext
     # respect a cache the CALLER established: persisting is a no-op on
     # an already-persisted frame, but the paired unpersist would evict

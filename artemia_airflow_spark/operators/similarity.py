@@ -42,6 +42,10 @@ def cosine_topk(
     corpus is never shuffled, so this scales to any corpus size the
     cluster can scan; cost is O(|corpus| * |probes| * dim) flops spread
     over all executors.
+
+    Rows with NULL/NaN similarity (e.g. zero-norm vectors) are
+    EXCLUDED from the top-k; count them via
+    :func:`nonfinite_score_count`.
     """
     joined = corpus.crossJoin(F.broadcast(probes))
     sim = cosine_similarity(vec_col, probe_vec_col)
@@ -125,6 +129,18 @@ def lsh_topk(
     (bucket hash + vector re-attach) is left as two scans BY DESIGN —
     at 100 TB that side is a bucketed/cached table whose rescan is
     amortized, and checkpointing it would materialize the corpus.
+    Rows with NULL/NaN rerank similarity (e.g. zero-norm vectors) are
+    EXCLUDED from the top-k; count them via
+    :func:`nonfinite_score_count`.
+
+    Fault-tolerance trade (ADVICE r11): the eager localCheckpoint (a)
+    runs a Spark job at GRAPH-BUILD time, not first action, and (b)
+    stores executor-local blocks that are NOT recomputable — if the
+    executor holding probe blocks dies mid-query on a cluster, the
+    query fails and must rerun (a persist() would recompute instead).
+    Accepted for the probe relation because it is tiny by contract
+    (one block set, cheap rerun); do NOT copy this pattern for
+    relations whose loss would be expensive.
     """
     probes = probes.localCheckpoint(eager=True)
     buckets = dict(dim=dim, bits=bits, tables=tables, seed=seed)
@@ -1006,6 +1022,10 @@ def ivf_topk(
     either the literal plan or a crossJoin+window that shuffles
     |probes| x n_cells rows), and the distance kernel is one BLAS
     matmul per Arrow batch with O(batch x n_cells) memory.
+
+    Rows with NULL/NaN rerank similarity (e.g. zero-norm vectors) are
+    EXCLUDED from the top-k; count them via
+    :func:`nonfinite_score_count`.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -1361,7 +1381,11 @@ def pq_topk(
     brute-force flops never happen.  Recall floors + the
     rerank-candidates tuning direction are pinned in
     tests/test_accuracy.py.  Compose with IVF (encode residuals per
-    cell) for IVF-PQ; kept orthogonal here."""
+    cell) for IVF-PQ; kept orthogonal here.
+
+    Rows with NULL/NaN scores (ADC or rerank — e.g. zero-norm or
+    corrupt vectors) are EXCLUDED from candidacy and the top-k; count
+    them via :func:`nonfinite_score_count`."""
     # corpus vectors are L2-NORMALIZED before quantization (codebook
     # fit AND encode), so ADC approximates probe_hat . v_hat = true
     # cosine — without this, varying corpus norms rank the candidate
@@ -1457,7 +1481,11 @@ def ivf_pq_topk(
     scan is codes-only within probed cells, LUTs are O(|probes| * m *
     n_codes) floats broadcast, and the exact rerank touches
     |probes| * rerank_candidates rows.  Recall floors in
-    tests/test_accuracy.py."""
+    tests/test_accuracy.py.
+
+    Rows with NULL/NaN scores (ADC or rerank — e.g. zero-norm or
+    corrupt vectors) are EXCLUDED from candidacy and the top-k; count
+    them via :func:`nonfinite_score_count`."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

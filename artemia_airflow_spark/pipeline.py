@@ -1335,7 +1335,16 @@ class Pipeline:
         import dataclasses
         import multiprocessing as mp
 
-        mp_ctx = mp.get_context("fork")
+        try:
+            mp_ctx = mp.get_context("fork")
+        except ValueError as exc:  # e.g. Windows: no fork start method
+            raise RuntimeError(
+                "Stage(isolate=True) requires a fork-capable platform: "
+                "stage bodies and their context cross into the child by "
+                "fork inheritance (closures are never pickled), which "
+                "spawn/forkserver cannot provide. Run isolated stages on "
+                "Linux, or drop isolate=True."
+            ) from exc
         recv, send = mp_ctx.Pipe(duplex=False)
         # gather the pieces with getattr-defaults FIRST: context doubles
         # may lack trigger_event/params entirely, and a params that is
