@@ -36,44 +36,45 @@ ORACLE: dict[str, str] = {}
 # ALL declared queries against their oracles at sf0.001/0.01/0.1 as
 # compensating evidence between driver visits.
 #
-# Round-11 window: (a) queries NEW or IMPLEMENTATION-CHANGED in round
-# 11 — the SemDeDup portable twin, the packed-SQ8 byte-for-byte face,
-# and the two ANN tiers whose rerank was routed through the shared
-# two-phase partial top-k (q_sim_ann_lsh, q_sim_ivf — both also
-# r8-stale, so those slots are dual-purpose) — then
-# (b) the 22-row r7-stale tail IN FULL (the r10 slip set; VERDICT r10
-# "What's wrong" #1 lists them by name), then
-# (c) the 46 remaining r8-stale rows, composite/expensive faces first
-# so the slip candidates at the end are the simplest untouched
-# full-oracle scans/filters/joins.  4 + 22 + 46 = 72 > the ~50 cap:
-# ~22 r8 rows slip to r12's front, where they complete the rotation.
+# Round-12 window: (a) queries NEW or ORACLE/IMPLEMENTATION-CHANGED in
+# round 12 — the single-scan stacked-histogram percentile rework, the
+# PQ portable twin, the first-fit recursive-CTE oracle upgrade, and
+# the composed multimodal-pipeline portable face — then
+# (b) the 22-row r8-stale tail IN FULL (the r11 slip set; VERDICT r11
+# "Next round" #2 lists them by name), then
+# (c) the 45 r9-stale rows, composite/expensive faces first (the r9
+# portable-twin batch, the approx-agg family, the stream batch) so the
+# ~21 rows that slip to r13's front are the simplest untouched
+# full-oracle scans/stats.  4 + 22 + 45 = 71 > the ~50 cap.
 PRIORITY: list[str] = [
-    # (a) new/changed in round 11
-    "q_dedup_semantic_portable", "q_embed_quantize_packed",
-    "q_sim_ann_lsh", "q_sim_ivf",
-    # (b) the complete r7-stale tail (22 rows — the r10 slip set)
-    "q_fn_json", "q_fn_map", "q_fn_null", "q_fn_string2",
-    "q_join_right", "q_length_buckets", "q_pandas_norm", "q_pivot",
-    "q_sink_bucketed", "q_stream_first",
-    "q_subq_exists", "q_subq_in", "q_subq_scalar",
-    "q_text_fingerprint", "q_text_oov", "q_text_quality_full",
-    "q_text_repetition", "q_text_scrub", "q_text_wordpiece",
-    "q_udf_scalar", "q_udtf", "q_window_range_frame",
-    # (c) the r8-stale tail (46 rows), composite faces first; the
-    # trailing simple scans/filters/joins are the r12 slip candidates
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q17",
-    "q_sql_setop", "q_sql_subq_corr", "q_sql_window",
-    "q_stream_session", "q_stream_session_state",
-    "q_multimodal_decode", "q_decontaminate", "q_text_langid",
-    "q_shard", "q_source_cap", "q_gapfill", "q_unpivot",
-    "q_agg_cube", "q_agg_rollup", "q_agg_distinct",
-    "q_window_dist", "q_window_lag", "q_window_rank",
-    "q_window_running", "q_join_asof", "q_join_range", "q_topk",
-    "q_sink_parquet", "q_join_anti", "q_join_semi", "q_join_full",
+    # (a) new/changed in round 12
+    "q_agg_approx_percentile_portable", "q_sim_pq_portable",
+    "q_pack_firstfit", "q_multimodal_pipeline_portable",
+    # (b) the complete r8-stale tail (22 rows — the r11 slip set)
+    "q_join_range", "q_topk", "q_sink_parquet",
+    "q_join_anti", "q_join_semi", "q_join_full",
     "q_join_left", "q_join_inner", "q_join_broadcast", "q_join_cross",
     "q_set_except", "q_set_intersect", "q_set_union",
     "q_fn_array", "q_fn_date", "q_fn_math", "q_fn_string",
     "q_case", "q_filter", "q_filter_pred", "q_project", "q_scan",
+    # (c) the 45 r9-stale rows, composite faces first; the trailing
+    # simple stats/sources are the r13 slip candidates
+    "q_dedup_clusters_portable", "q_dedup_minhash_portable",
+    "q_dedup_ngram_portable", "q_dedup_simhash_portable",
+    "q_decontaminate_bloom_portable", "q_agg_kmv_portable",
+    "q_agg_approx", "q_agg_approx_percentile", "q_agg_percentile",
+    "q_agg_filtered", "q_agg_grouping_sets",
+    "q_stream_tumble", "q_stream_slide", "q_stream_dedup",
+    "q_stream_enrich", "q_stream_join", "q_stream_join_outer",
+    "q_merge_acid", "q_sql_timetravel", "q_schema_evolution",
+    "q_dedup_exact", "q_dedup_embed", "q_dedup_ngram",
+    "q_mix_apply", "q_mix_temperature", "q_mix_temperature_apply",
+    "q_mix_weights", "q_sample_stratified", "q_quantile_sketch",
+    "q_profile", "q_pipeline", "q_multimodal", "q_join_salted",
+    "q_text_chunk", "q_text_quality", "q_text_tfidf", "q_text_tokens",
+    "q_embed_centroid", "q_embed_stats", "q_fn_date2",
+    "q_distinct_cols", "q_sink_partitioned",
+    "q_source_http", "q_source_http_ds", "q_source_json",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"
