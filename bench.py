@@ -164,7 +164,15 @@ def main() -> None:
         "errors": errors,
         "queries_missing_from_baseline": sorted(set(timings) - set(baseline)),
     }
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+    # BENCH_FULL.json is the DRIVER's artifact (VERDICT r11 "wrong" #3:
+    # builder quiet-window reruns kept overwriting the normative
+    # record).  Local adjudication runs must set SPARK_GRAFT_BENCH_OUT
+    # to a scratch path; committed adjudications live in
+    # BENCH_ADJUDICATION.json / SCALE.md, never here.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "BENCH_FULL.json")
+    )
+    with open(out_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
     out = {
