@@ -49,7 +49,8 @@ ORACLE: dict[str, str] = {}
 PRIORITY: list[str] = [
     # (a) new/changed in round 12
     "q_agg_approx_percentile_portable", "q_sim_pq_portable",
-    "q_pack_firstfit", "q_multimodal_pipeline_portable",
+    "q_sim_ivf_pq_portable", "q_pack_firstfit",
+    "q_multimodal_pipeline_portable",
     # (b) the complete r8-stale tail (22 rows — the r11 slip set)
     "q_join_range", "q_topk", "q_sink_parquet",
     "q_join_anti", "q_join_semi", "q_join_full",

@@ -586,14 +586,17 @@ def test_semantic_portable_pairs_meet_in_equi_join(spark):
 
 
 def test_pq_portable_plan_mirrors_production_shape(spark):
-    """q_sim_pq_portable (r12): the portable twin must keep the
-    production PQ scale shape — the codebook/LUT relations arrive via
-    broadcast joins, the ADC cut runs the shared two-phase machinery
-    (a FlatMapGroupsInPandas/mapInPandas partial cut before the final
-    window), and nothing plans as a cartesian or nested-loop product."""
-    p = _formatted_plan(spark, "q_sim_pq_portable")
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    assert "BroadcastHashJoin" in p
-    # the production _bounded_topk partial cut is an Arrow mapInPandas
-    assert "MapInPandas" in p or "FlatMapGroupsInPandas" in p, p[:2000]
+    """q_sim_pq_portable / q_sim_ivf_pq_portable (r12): the portable
+    twins must keep the production PQ scale shape — the
+    codebook/centroid/LUT relations arrive via broadcast joins, the
+    ADC cut runs the shared two-phase machinery (an Arrow mapInPandas
+    partial cut before the final window), and nothing plans as a
+    cartesian or nested-loop product."""
+    for name in ("q_sim_pq_portable", "q_sim_ivf_pq_portable"):
+        p = _formatted_plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+        # the production _bounded_topk partial cut is an Arrow mapInPandas
+        assert "MapInPandas" in p or "FlatMapGroupsInPandas" in p, (
+            name, p[:2000])
