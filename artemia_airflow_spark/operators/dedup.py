@@ -540,7 +540,11 @@ def connected_components(
         .distinct()
     )
     labels = involved.select("node", F.col("node").alias("label"))
-    labels = truncate_lineage(labels, checkpoint_dir, eager=False)
+    # eager=True: on the local tier laziness was a micro-optimization
+    # (the first iteration materializes it anyway), and on the reliable
+    # tier eager is mandatory — passing False here would now trip the
+    # coercion UserWarning on every checkpoint_dir run (r12 review)
+    labels = truncate_lineage(labels, checkpoint_dir, eager=True)
     changed = 0
     for _ in range(max_iters):
         # propagate: each node takes min(label) over itself + neighbors

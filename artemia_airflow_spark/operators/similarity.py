@@ -404,42 +404,9 @@ def q_sim_ann_lsh_portable(spark, sf_dir):
     comps = embedding_comps(
         emb, id_col="vec_id", vec_col="embedding"
     ).localCheckpoint(eager=True)
-    norms = comps.groupBy("vec_id").agg(
-        F.sum(F.col("v6") * F.col("v6")).alias("n12")
-    )
-    comps_p = comps.select(
-        F.col("vec_id").alias("probe_id"), "d", F.col("v6").alias("vp6")
-    )
-    dots = (
-        cand.join(comps, "vec_id")
-        .join(comps_p, ["probe_id", "d"])
-        .groupBy("probe_id", "vec_id")
-        .agg(F.sum(F.col("v6") * F.col("vp6")).alias("dot12"))
-    )
-    norms_p = norms.select(
-        F.col("vec_id").alias("probe_id"), F.col("n12").alias("np12")
-    )
-    cos = F.col("dot12").cast("double") / (
-        F.sqrt(F.col("n12").cast("double"))
-        * F.sqrt(F.col("np12").cast("double"))
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id")
-    )
-    return (
-        dots.join(norms, "vec_id")
-        .join(norms_p, "probe_id")
-        .select("probe_id", "vec_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "probe_id",
-            "vec_id",
-            F.floor(F.col("cos") * 1_000_000 + F.lit(0.5))
-            .cast("bigint").alias("cos_e6"),
-            "rank",
-        )
-    )
+    # shared rerank tail (r12): one implementation across the three
+    # portable ANN twins, so a rerank fix can never silently diverge
+    return _portable_exact_rerank(comps, cand, k=10)
 
 
 @declared(
@@ -982,7 +949,8 @@ def q_sim_pq_portable(spark, sf_dir):
             (codes["j"] == luts["j"]) & (codes["code"] == luts["c"]),
         )
         .groupBy("probe_id", "vec_id")
-        # |adc| <= m * 2^18 * 2^20 < 2^53: the double cast is exact, so
+        # |adc| <= m * sub * 2^18 * 2^20 = 2^44 < 2^53 (each lut(j,c)
+        # sums sub=8 component products): the double cast is exact, so
         # the production two-phase cut orders identically to the oracle
         .agg(F.sum("lut").cast("double").alias("__adc"))
     )

@@ -170,6 +170,13 @@ def histogram_partials_stacked(
     BEFORE the clamp — Spark's ``greatest`` skips NULLs, which would
     silently bin NULLs at the lo edge) and is dropped for that metric
     only."""
+    if not specs:
+        raise ValueError("need at least one MetricSpec")
+    names = [s.metric for s in specs]
+    if len(names) != len(set(names)):
+        # duplicate names would silently merge two columns' counts into
+        # one blended histogram (r12 review)
+        raise ValueError(f"duplicate metric names in specs: {names}")
     entries = []
     for s in specs:
         if not s.hi > s.lo:
