@@ -264,7 +264,12 @@ def sample_frames_portable(
                 pdf["doc_id"], pdf["width"], pdf["height"], pdf["payload"]
             ):
                 data = bytes(payload)
-                hx = data.hex().upper()
+                # hex only the bytes the frame windows can reach: at
+                # most max_frames * every_n_bytes — hexing the whole
+                # payload builds a 2x-payload string per row, exactly
+                # the blowup the Arrow batching exists to avoid on
+                # 100 MB media blobs (r12 review)
+                hx = data[: max_frames * every_n_bytes].hex().upper()
                 for i in range(
                     min(max_frames, max(len(data) // every_n_bytes, 1))
                 ):

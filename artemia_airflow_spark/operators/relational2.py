@@ -369,10 +369,22 @@ def q_agg_approx_percentile_portable(spark: SparkSession, sf_dir: str) -> DataFr
     scaled = (
         F.floor(F.col("quantile_est") * 100 + F.lit(0.5)).cast("bigint")
     )
-    return est.groupBy("l_returnflag").agg(
-        F.max(F.when(F.col("metric") == "qty", scaled)).alias("med_qty_e2"),
-        F.max(F.when(F.col("metric") == "price", scaled))
-        .alias("p90_price_cents"),
+    return (
+        est.groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("metric") == "qty", scaled))
+            .alias("med_qty_e2"),
+            F.max(F.when(F.col("metric") == "price", scaled))
+            .alias("p90_price_cents"),
+        )
+        # inner-join semantics of the two-scan form (r12 review): a
+        # group whose values are all-NULL in ONE metric has no partials
+        # for it — the oracle's `mq JOIN pp` drops that group, so the
+        # pivot must too, not emit a half-NULL row
+        .filter(
+            F.col("med_qty_e2").isNotNull()
+            & F.col("p90_price_cents").isNotNull()
+        )
     )
 
 

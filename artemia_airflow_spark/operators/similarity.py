@@ -954,10 +954,9 @@ def q_sim_pq_portable(spark, sf_dir):
         # the production two-phase cut orders identically to the oracle
         .agg(F.sum("lut").cast("double").alias("__adc"))
     )
-    cand = _bounded_topk(
-        scored, probe_id_col="probe_id", id_col="vec_id",
-        score_col="__adc", k=r_cut, rank_col="__r",
-    ).select("probe_id", "vec_id")
+    cand = _adc_candidate_cut(
+        scored, probe_id_col="probe_id", id_col="vec_id", r=r_cut
+    )
     return _portable_exact_rerank(comps, cand, k=k)
 
 
@@ -1208,10 +1207,9 @@ def q_sim_ivf_pq_portable(spark, sf_dir):
         # |score| <= 64*2^18*2^20 + m*2^41 < 2^53: exact double cast
         .agg((F.max("pdot") + F.sum("lut")).cast("double").alias("__adc"))
     )
-    cand = _bounded_topk(
-        scored, probe_id_col="probe_id", id_col="vec_id",
-        score_col="__adc", k=r_cut, rank_col="__r",
-    ).select("probe_id", "vec_id")
+    cand = _adc_candidate_cut(
+        scored, probe_id_col="probe_id", id_col="vec_id", r=r_cut
+    )
     return _portable_exact_rerank(comps, cand, k=k)
 
 

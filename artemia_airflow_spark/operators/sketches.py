@@ -216,7 +216,18 @@ def quantile_estimates_stacked(
     broadcast |metrics|-row join, and the crossing rule + interpolation
     are the exact-integer-fed double arithmetic of
     ``quantile_estimates`` — bit-identical across engines and to the
-    single-metric form (same op order: lo + (bin + frac) * width)."""
+    single-metric form (same op order: lo + (bin + frac) * width).
+
+    One quantile per metric: the crossing window partitions by
+    (group, metric), so duplicate metric names would silently keep one
+    arbitrary estimate — rejected up front, like the partials builder
+    (for several quantiles of ONE column use ``quantile_estimates``,
+    whose window partitions by q)."""
+    if not specs:
+        raise ValueError("need at least one MetricSpec")
+    names = [s.metric for s in specs]
+    if len(names) != len(set(names)):
+        raise ValueError(f"duplicate metric names in specs: {names}")
     spark = partials.sparkSession
     spec_df = spark.createDataFrame(
         [(s.metric, float(s.q), float(s.lo), (s.hi - s.lo) / s.bins)
