@@ -476,3 +476,40 @@ def test_bounded_topk_matches_naive_window(spark, rows, k):
         .filter(F.col("rank") <= k).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=40),
+    st.integers(min_value=5, max_value=60),
+    st.integers(min_value=1, max_value=4),
+)
+def test_firstfit_packing_matches_python_reference(spark, n_tokens, capacity, shards):
+    """pack_sequences_firstfit == the obvious per-shard Python loop on
+    adversarial random token counts (r12 — the same recurrence the new
+    DuckDB recursive-CTE oracle replays on the fixtures): walk docs in
+    id order within each shard, open a new sequence whenever the
+    current one would overflow capacity, oversize docs get their own
+    sequence."""
+    from artemia_airflow_spark.operators.curation import pack_sequences_firstfit
+
+    # synthesize texts with exactly the drawn token counts
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(n_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.shard, r.seq_id)
+        for r in pack_sequences_firstfit(
+            df, "text", "doc_id", capacity=capacity, shards=shards
+        ).collect()
+    }
+    want = {}
+    for shard in range(shards):
+        seq, used = 0, 0
+        for i, n in enumerate(n_tokens):
+            if i % shards != shard:
+                continue
+            if used > 0 and used + n > capacity:
+                seq, used = seq + 1, 0
+            want[i] = (shard, seq)
+            used += n
+    assert got == want
