@@ -357,7 +357,13 @@ def q_agg_approx_percentile_portable(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     ensure_engine_conf(spark)
-    li = scan(spark, sf_dir, "lineitem")
+    # NULL group keys never match the oracle's USING join (nor the old
+    # two-scan form's key-list join) — drop them before stacking so the
+    # pivot cannot group NULL as a key (r12 review; theoretical on
+    # TPC-H, where l_returnflag is NOT NULL)
+    li = scan(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+    )
     specs = [
         MetricSpec("qty", "l_quantity", 0.5, 0.0, 64.0, 256),
         MetricSpec("price", "l_extendedprice", 0.9, 0.0, 131072.0, 256),

@@ -152,6 +152,20 @@ def quantile_estimates(
     )
 
 
+def _check_specs(specs: list[MetricSpec]) -> None:
+    """Shared stacked-spec validation: non-empty, unique metric names
+    (duplicates silently blend histograms / drop estimates — r12
+    review), valid domains."""
+    if not specs:
+        raise ValueError("need at least one MetricSpec")
+    names = [s.metric for s in specs]
+    if len(names) != len(set(names)):
+        raise ValueError(f"duplicate metric names in specs: {names}")
+    for s in specs:
+        if not s.hi > s.lo:
+            raise ValueError(f"need hi > lo for metric {s.metric!r}")
+
+
 def histogram_partials_stacked(
     df: DataFrame, specs: list[MetricSpec], group_cols: list[str],
 ) -> DataFrame:
@@ -170,17 +184,9 @@ def histogram_partials_stacked(
     BEFORE the clamp — Spark's ``greatest`` skips NULLs, which would
     silently bin NULLs at the lo edge) and is dropped for that metric
     only."""
-    if not specs:
-        raise ValueError("need at least one MetricSpec")
-    names = [s.metric for s in specs]
-    if len(names) != len(set(names)):
-        # duplicate names would silently merge two columns' counts into
-        # one blended histogram (r12 review)
-        raise ValueError(f"duplicate metric names in specs: {names}")
+    _check_specs(specs)
     entries = []
     for s in specs:
-        if not s.hi > s.lo:
-            raise ValueError(f"need hi > lo for metric {s.metric!r}")
         v = F.col(s.value_col).cast("double")
         width = (s.hi - s.lo) / s.bins
         bin_col = F.least(
@@ -223,11 +229,7 @@ def quantile_estimates_stacked(
     arbitrary estimate — rejected up front, like the partials builder
     (for several quantiles of ONE column use ``quantile_estimates``,
     whose window partitions by q)."""
-    if not specs:
-        raise ValueError("need at least one MetricSpec")
-    names = [s.metric for s in specs]
-    if len(names) != len(set(names)):
-        raise ValueError(f"duplicate metric names in specs: {names}")
+    _check_specs(specs)
     spark = partials.sparkSession
     spec_df = spark.createDataFrame(
         [(s.metric, float(s.q), float(s.lo), (s.hi - s.lo) / s.bins)
