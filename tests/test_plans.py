@@ -585,6 +585,31 @@ def test_semantic_portable_pairs_meet_in_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_multimodal_pipeline_portable_plan(spark):
+    """q_multimodal_pipeline_portable (r12): the composed chain must
+    stay three Arrow hops (decode -> resize -> frame-sample, all
+    MapInPandas/mapInPandas — never row-at-a-time Python), with no
+    join anywhere (payload rides through the stages; a doc_id re-join
+    would shuffle the blobs a second time) and the only exchanges the
+    two rollup aggregations."""
+    p = _formatted_plan(spark, "q_multimodal_pipeline_portable")
+    n_arrow = len(re.findall(r"\(\d+\) MapInPandas", p))
+    assert n_arrow == 3, (n_arrow, p[:2000])
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p, p[:2000]
+
+
+def test_pack_firstfit_plan_is_one_grouped_arrow_pass(spark):
+    """q_pack_firstfit (r12 oracle upgrade): per-shard sequential
+    packing must plan as ONE FlatMapGroupsInPandas over a hash
+    exchange on the shard key — parallelism = shards, no join, no
+    row-at-a-time Python."""
+    p = _formatted_plan(spark, "q_pack_firstfit")
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1, p[:2000]
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p, p[:2000]
+
+
 def test_pq_portable_plan_mirrors_production_shape(spark):
     """q_sim_pq_portable / q_sim_ivf_pq_portable (r12): the portable
     twins must keep the production PQ scale shape — the
