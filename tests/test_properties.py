@@ -513,3 +513,48 @@ def test_firstfit_packing_matches_python_reference(spark, n_tokens, capacity, sh
             want[i] = (shard, seq)
             used += n
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.one_of(st.none(), st.floats(min_value=-1e12, max_value=1e12,
+                                           allow_nan=False, allow_infinity=False)),
+            st.one_of(st.none(), st.floats(min_value=-1e12, max_value=1e12,
+                                           allow_nan=False, allow_infinity=False)),
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+def test_stacked_histogram_matches_single_metric_on_random_data(spark, rows):
+    """Property form of the r12 stacked-sketch equivalence: on random
+    data including NULLs and far-out-of-domain values (exercising the
+    NULL-guard-before-clamp and the long-clamp edge bins), the stacked
+    partials equal the union of per-metric single-scan partials
+    bit-for-bit."""
+    from artemia_airflow_spark.operators.sketches import (
+        MetricSpec,
+        histogram_partials,
+        histogram_partials_stacked,
+    )
+
+    df = spark.createDataFrame(
+        [(g, x, y) for g, x, y in rows], "grp int, x double, y double"
+    )
+    specs = [
+        MetricSpec("x", "x", 0.5, 0.0, 64.0, 8),
+        MetricSpec("y", "y", 0.9, -1024.0, 1024.0, 16),
+    ]
+    got = sorted(
+        map(tuple, histogram_partials_stacked(df, specs, ["grp"]).collect())
+    )
+    want = sorted(
+        (r.grp, s.metric, r.bin, r.cnt)
+        for s in specs
+        for r in histogram_partials(
+            df, s.value_col, ["grp"], lo=s.lo, hi=s.hi, bins=s.bins
+        ).collect()
+    )
+    assert got == want
