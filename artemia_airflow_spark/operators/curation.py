@@ -641,7 +641,10 @@ def q_pack_sequences(spark, sf_dir):
 @declared(
     "q_pack_firstfit",
     oracle="""
-    WITH RECURSIVE t AS (
+    WITH RECURSIVE t AS MATERIALIZED (
+      -- MATERIALIZED: the recursive step joins t every iteration, and
+      -- without it DuckDB re-tokenizes all of documents per rank
+      -- (r12 review — quadratic oracle wall-clock as the corpus grows)
       SELECT doc_id, doc_id % 16 AS shard,
              len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
              ROW_NUMBER() OVER (PARTITION BY doc_id % 16
@@ -661,11 +664,13 @@ def q_pack_sequences(spark, sf_dir):
                   ELSE w.used + t.n_tokens END
       FROM walk w JOIN t ON t.shard = w.shard AND t.rn = w.rn + 1
     ), per_seq AS (
-      SELECT shard, seq_id, SUM(n_tokens) AS seq_tokens
+      SELECT shard, seq_id, SUM(n_tokens) AS seq_tokens,
+             COUNT(*) AS n_docs
       FROM walk GROUP BY shard, seq_id
     )
     SELECT shard, COUNT(*) AS n_seqs,
-           CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens
+           CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens,
+           CAST(MAX(n_docs) AS BIGINT) AS max_seq_docs
     FROM per_seq GROUP BY shard
     """,
 )
@@ -679,9 +684,10 @@ def q_pack_firstfit(spark, sf_dir):
     :func:`pack_sequences_firstfit`'s Python loop) and reproduces
     WHICH sequence every doc lands in.  Recursion depth = max docs per
     shard (bounded by sharding, ~n/16), all integer arithmetic.
-    Output: sequences per shard plus the largest sequence fill, which
-    must stay <= capacity for multi-doc sequences (unit tests also pin
-    the exact packing on constructed cases)."""
+    Output: sequences per shard, the largest sequence fill (must stay
+    <= capacity for multi-doc sequences), and the largest per-sequence
+    doc count (unit tests also pin the exact packing on constructed
+    cases)."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     packed = pack_sequences_firstfit(d, "text", "doc_id", capacity=512, shards=16)
@@ -691,6 +697,7 @@ def q_pack_firstfit(spark, sf_dir):
     return per_seq.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_seqs"),
         F.max("seq_tokens").alias("max_seq_tokens"),
+        F.max("n_docs").cast("bigint").alias("max_seq_docs"),
     )
 
 

@@ -291,16 +291,22 @@ def sample_frames_portable(
     "q_multimodal_pipeline_portable",
     oracle="""
     WITH media AS (
-      SELECT doc_id, encode(text) AS payload,
+      -- hex ONCE up front and never carry a BLOB across CTEs: with
+      -- text read natively from parquet, DuckDB 1.0's optimizer turns
+      -- a BLOB column threaded through stacked CTEs into a
+      -- STRING -> BLOB cast that hard-errors on any non-ASCII byte
+      -- (r12 review; latent on the ASCII fixtures, reproduced with a
+      -- UTF-8 parquet corpus).  len(h)//2 == octet_length(encode()).
+      SELECT doc_id, hex(encode(text)) AS h,
              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
                   WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type
       FROM documents
     ), decoded AS (
       SELECT doc_id, media_type,
-             octet_length(payload) AS n_bytes,
-             CAST(octet_length(payload) % 640 + 16 AS INT) AS width,
-             CAST((octet_length(payload) // 7) % 480 + 16 AS INT) AS height,
-             payload
+             len(h) // 2 AS n_bytes,
+             CAST((len(h) // 2) % 640 + 16 AS INT) AS width,
+             CAST(((len(h) // 2) // 7) % 480 + 16 AS INT) AS height,
+             h
       FROM media
     ), resized AS (
       SELECT doc_id, media_type, n_bytes,
@@ -308,13 +314,13 @@ def sample_frames_portable(
                256.0 / greatest(width, height))) AS INT)) AS width,
              greatest(1, CAST(trunc(height * least(1.0,
                256.0 / greatest(width, height))) AS INT)) AS height,
-             payload
+             h
       FROM decoded
     ), frames AS (
       SELECT doc_id, width, height,
-             md5(substr(hex(payload), CAST(i * 128 + 1 AS INT), 128)) AS fp
+             md5(substr(h, CAST(i * 128 + 1 AS INT), 128)) AS fp
       FROM (
-        SELECT doc_id, width, height, payload,
+        SELECT doc_id, width, height, h,
                unnest(range(0, least(8, greatest(n_bytes // 64, 1)))) AS i
         FROM resized WHERE media_type = 'video/mp4'
       )

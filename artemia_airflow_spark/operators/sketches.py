@@ -155,7 +155,8 @@ def quantile_estimates(
 def _check_specs(specs: list[MetricSpec]) -> None:
     """Shared stacked-spec validation: non-empty, unique metric names
     (duplicates silently blend histograms / drop estimates — r12
-    review), valid domains."""
+    review), valid domains, at least one bin (bins<=0 would divide by
+    zero or clamp everything into a negative edge bin)."""
     if not specs:
         raise ValueError("need at least one MetricSpec")
     names = [s.metric for s in specs]
@@ -164,6 +165,8 @@ def _check_specs(specs: list[MetricSpec]) -> None:
     for s in specs:
         if not s.hi > s.lo:
             raise ValueError(f"need hi > lo for metric {s.metric!r}")
+        if s.bins < 1:
+            raise ValueError(f"need bins >= 1 for metric {s.metric!r}")
 
 
 def histogram_partials_stacked(
