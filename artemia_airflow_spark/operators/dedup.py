@@ -130,6 +130,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(
+    df: DataFrame, text_col: str, id_col: str, score_col: str,
+) -> DataFrame:
+    """B40 extension (r12): quality-priority exact dedup — keep the
+    HIGHEST-scoring duplicate per normalized text (score desc, id asc
+    tiebreak) instead of the min-id one.  Production curation keeps
+    the best version of a duplicated document (longest, highest
+    quality score, most recent crawl), not an arbitrary one; pass any
+    numeric ``score_col`` (length, quality score, timestamp).
+
+    Same scale shape as :func:`exact_dedup`: the window partitions on
+    the 256-bit digest of the normalized text — fixed-width shuffle
+    keys, whole documents never shuffle twice."""
+    h = F.sha2(normalized_text(text_col), 256)
+    w = Window.partitionBy(h).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _normalize_py(text: str) -> list[str]:
     """Python twin of :func:`normalized_text` (lower/trim/collapse) --
     must stay in lockstep so expression- and UDF-side keys agree."""
@@ -479,6 +503,40 @@ def q_dedup_exact(spark, sf_dir):
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@declared(
+    "q_dedup_keep_best",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+        ORDER BY n_chars DESC, doc_id) AS __rk
+      FROM documents
+    ) t WHERE __rk = 1
+    GROUP BY lang
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """B40 extension (r12), ORACLE-CHECKED: quality-priority exact
+    dedup — per duplicate group keep the LONGEST version (n_chars
+    desc, doc_id asc tiebreak), the curation policy real pipelines use
+    instead of min-id.  Per-lang kept counts + kept-id sums (the id
+    sum attests exact membership, not just cardinality).  Oracle is
+    the hash-free argmax-per-normalized-text formulation, mirroring
+    q_dedup_exact's recipe."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    kept = dedup_keep_best(d, "text", "doc_id", "n_chars")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
 
 

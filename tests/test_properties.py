@@ -558,3 +558,37 @@ def test_stacked_histogram_matches_single_metric_on_random_data(spark, rows):
         ).collect()
     )
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab ", min_size=0, max_size=20),
+            st.integers(min_value=0, max_value=50),  # score
+        ),
+        min_size=1, max_size=15,
+    )
+)
+def test_dedup_keep_best_matches_python_reference(spark, rows):
+    """dedup_keep_best keeps exactly the (score desc, id asc) argmax
+    per normalized text — checked against the obvious Python loop on
+    adversarial inputs including whitespace-degenerate texts and score
+    ties (r12)."""
+    import re
+
+    from artemia_airflow_spark.operators.dedup import dedup_keep_best
+
+    data = [(i, t, sc) for i, (t, sc) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, text string, score long")
+    kept = sorted(
+        r.doc_id
+        for r in dedup_keep_best(df, "text", "doc_id", "score").collect()
+    )
+    norm = lambda t: re.sub(r"\s+", " ", t.strip().lower())  # noqa: E731
+    best = {}
+    for i, t, sc in data:
+        k = norm(t)
+        if k not in best or (-sc, i) < best[k][0]:
+            best[k] = ((-sc, i), i)
+    assert kept == sorted(v[1] for v in best.values())
