@@ -1489,6 +1489,98 @@ def q_dedup_clusters_portable(spark, sf_dir):
 
 
 @declared(
+    "q_dedup_representatives",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id, i,
+             min(substr(md5(CAST(i // 4 AS VARCHAR) || ':' || tok),
+                        CAST((i % 4) * 8 + 1 AS INT), 8)) AS h
+      FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(sig, b*8+1, b*8+8), ',')) AS bv
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS b)
+    ), mn AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY b, bv) AS mnid
+      FROM banded
+    ), edges AS (
+      SELECT DISTINCT mnid AS src, doc_id AS dst FROM mn WHERE doc_id > mnid
+    ), sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), comp AS (
+      SELECT src AS node, LEAST(src, MIN(dst)) AS label
+      FROM reach GROUP BY src
+    ), lbl AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             COALESCE(c.label, d.doc_id) AS label
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM lbl
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_survivor_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked WHERE rk = 1 GROUP BY lang
+    """,
+)
+def q_dedup_representatives(spark, sf_dir):
+    """The COMPLETE near-dup curation story end-to-end, ORACLE-CHECKED
+    (r12): candidate pairs -> connected components -> keep ONE
+    representative per duplicate cluster — the highest-quality member
+    (n_chars desc, doc_id asc), the policy of :func:`dedup_keep_best`
+    applied at CLUSTER granularity instead of exact-text granularity.
+    Docs in no cluster survive as their own representative (left join
+    + coalesce, so the survivor set is a real curation output, not
+    just cluster metadata).  Built on the md5-portable MinHash bands +
+    the REAL iterative CC engine; DuckDB replays banding, the
+    recursive transitive closure, and the per-cluster argmax — id and
+    char sums attest exact survivor membership.
+
+    Scale shape: banding is the one fact shuffle, CC iterates over
+    LSH-bounded star edges only, the representative pick is one window
+    over |docs| rows keyed by cluster label, and isolated docs never
+    enter the CC loop."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    banded = _minhash_portable_bands(d, "text", "doc_id")
+    edges = _bucket_star_pairs(banded, "doc_id")
+    labels = connected_components(edges, max_iters=10).withColumnRenamed(
+        "node", "doc_id"
+    )
+    lbl = d.join(labels, "doc_id", "left").withColumn(
+        "__label", F.coalesce(F.col("label"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("__label").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        lbl.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("doc_id").cast("bigint").alias("sum_survivor_ids"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@declared(
     "q_dedup_ngram_portable",
     oracle="""
     WITH RECURSIVE tok AS (

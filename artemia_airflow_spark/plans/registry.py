@@ -44,15 +44,15 @@ ORACLE: dict[str, str] = {}
 # "Next round" #2 lists them by name), then
 # (c) the 45 r9-stale rows, composite/expensive faces first (the r9
 # portable-twin batch, the approx-agg family, the stream batch) so the
-# ~24 rows that slip to r13's front are the simplest untouched
-# full-oracle scans/stats.  7 + 22 + 45 = 74 > the ~50 cap.
+# ~25 rows that slip to r13's front are the simplest untouched
+# full-oracle scans/stats.  8 + 22 + 45 = 75 > the ~50 cap.
 PRIORITY: list[str] = [
     # (a) new/changed in round 12 (q_sim_ann_lsh_portable: rerank tail
     # refactored onto the shared _portable_exact_rerank)
     "q_agg_approx_percentile_portable", "q_sim_pq_portable",
     "q_sim_ivf_pq_portable", "q_pack_firstfit",
     "q_multimodal_pipeline_portable", "q_sim_ann_lsh_portable",
-    "q_dedup_keep_best",
+    "q_dedup_keep_best", "q_dedup_representatives",
     # (b) the complete r8-stale tail (22 rows — the r11 slip set)
     "q_join_range", "q_topk", "q_sink_parquet",
     "q_join_anti", "q_join_semi", "q_join_full",
