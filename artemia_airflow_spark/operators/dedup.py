@@ -114,6 +114,18 @@ def normalized_text(col) -> "F.Column":
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+def _keep_one(df: DataFrame, partition_by, order_by) -> DataFrame:
+    """Keep exactly the first row per partition under the given order
+    (row_number == 1) — the shared keep-one idiom of the dedup family
+    (r12 review: three inline copies invited drift)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """B40: exact dedup — keep the min-id row per normalized-text hash.
 
@@ -122,12 +134,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     and shuffling whole documents.
     """
     h = F.sha2(normalized_text(text_col), 256)
-    w = Window.partitionBy(h).orderBy(F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return _keep_one(df, [h], [F.col(id_col)])
 
 
 def dedup_keep_best(
@@ -144,14 +151,7 @@ def dedup_keep_best(
     the 256-bit digest of the normalized text — fixed-width shuffle
     keys, whole documents never shuffle twice."""
     h = F.sha2(normalized_text(text_col), 256)
-    w = Window.partitionBy(h).orderBy(
-        F.col(score_col).desc(), F.col(id_col)
-    )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return _keep_one(df, [h], [F.col(score_col).desc(), F.col(id_col)])
 
 
 def _normalize_py(text: str) -> list[str]:
@@ -1254,10 +1254,13 @@ def _minhash_portable_bands(
     )
 
 
-@declared(
-    "q_dedup_minhash_portable",
-    oracle="""
-    WITH tok AS (
+# Shared DuckDB CTE text of the portable-MinHash oracle family (r12
+# review: four oracles carried byte-identical copies of this chain; a
+# change to the portable hash family now edits ONE string and every
+# oracle follows).  _PORTABLE_BANDING_SQL = tok/hashes/sig/banded,
+# _PORTABLE_MN_SQL adds the per-bucket min, _PORTABLE_CC_SQL the
+# star-edge symmetric closure + component labels.
+_PORTABLE_BANDING_SQL = """tok AS (
       SELECT DISTINCT doc_id,
              unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
       FROM documents
@@ -1273,7 +1276,31 @@ def _minhash_portable_bands(
       SELECT doc_id, b,
              md5(array_to_string(list_slice(sig, b*8+1, b*8+8), ',')) AS bv
       FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS b)
-    ), dups AS (
+    )"""
+
+_PORTABLE_MN_SQL = _PORTABLE_BANDING_SQL + """, mn AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY b, bv) AS mnid
+      FROM banded
+    )"""
+
+_PORTABLE_CC_SQL = _PORTABLE_MN_SQL + """, edges AS (
+      SELECT DISTINCT mnid AS src, doc_id AS dst FROM mn WHERE doc_id > mnid
+    ), sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), comp AS (
+      SELECT src AS node, LEAST(src, MIN(dst)) AS label
+      FROM reach GROUP BY src
+    )"""
+
+
+@declared(
+    "q_dedup_minhash_portable",
+    oracle=f"""
+    WITH {_PORTABLE_BANDING_SQL}, dups AS (
       SELECT DISTINCT a.doc_id
       FROM banded a JOIN banded x ON a.b = x.b AND a.bv = x.bv
                                  AND x.doc_id < a.doc_id
@@ -1415,38 +1442,8 @@ def q_dedup_simhash_portable(spark, sf_dir):
 
 @declared(
     "q_dedup_clusters_portable",
-    oracle="""
-    WITH RECURSIVE tok AS (
-      SELECT DISTINCT doc_id,
-             unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
-      FROM documents
-    ), hashes AS (
-      SELECT doc_id, i,
-             min(substr(md5(CAST(i // 4 AS VARCHAR) || ':' || tok),
-                        CAST((i % 4) * 8 + 1 AS INT), 8)) AS h
-      FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
-      GROUP BY doc_id, i
-    ), sig AS (
-      SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
-    ), banded AS (
-      SELECT doc_id, b,
-             md5(array_to_string(list_slice(sig, b*8+1, b*8+8), ',')) AS bv
-      FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS b)
-    ), mn AS (
-      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY b, bv) AS mnid
-      FROM banded
-    ), edges AS (
-      SELECT DISTINCT mnid AS src, doc_id AS dst FROM mn WHERE doc_id > mnid
-    ), sym AS (
-      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
-    ), reach(src, dst) AS (
-      SELECT src, dst FROM sym
-      UNION
-      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-    ), comp AS (
-      SELECT src AS node, LEAST(src, MIN(dst)) AS label
-      FROM reach GROUP BY src
-    ), sizes AS (
+    oracle=f"""
+    WITH RECURSIVE {_PORTABLE_CC_SQL}, sizes AS (
       SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label
     )
     SELECT cluster_size,
@@ -1490,38 +1487,8 @@ def q_dedup_clusters_portable(spark, sf_dir):
 
 @declared(
     "q_dedup_representatives",
-    oracle="""
-    WITH RECURSIVE tok AS (
-      SELECT DISTINCT doc_id,
-             unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
-      FROM documents
-    ), hashes AS (
-      SELECT doc_id, i,
-             min(substr(md5(CAST(i // 4 AS VARCHAR) || ':' || tok),
-                        CAST((i % 4) * 8 + 1 AS INT), 8)) AS h
-      FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
-      GROUP BY doc_id, i
-    ), sig AS (
-      SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
-    ), banded AS (
-      SELECT doc_id, b,
-             md5(array_to_string(list_slice(sig, b*8+1, b*8+8), ',')) AS bv
-      FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS b)
-    ), mn AS (
-      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY b, bv) AS mnid
-      FROM banded
-    ), edges AS (
-      SELECT DISTINCT mnid AS src, doc_id AS dst FROM mn WHERE doc_id > mnid
-    ), sym AS (
-      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
-    ), reach(src, dst) AS (
-      SELECT src, dst FROM sym
-      UNION
-      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-    ), comp AS (
-      SELECT src AS node, LEAST(src, MIN(dst)) AS label
-      FROM reach GROUP BY src
-    ), lbl AS (
+    oracle=f"""
+    WITH RECURSIVE {_PORTABLE_CC_SQL}, lbl AS (
       SELECT d.doc_id, d.lang, d.n_chars,
              COALESCE(c.label, d.doc_id) AS label
       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
@@ -1565,13 +1532,11 @@ def q_dedup_representatives(spark, sf_dir):
     lbl = d.join(labels, "doc_id", "left").withColumn(
         "__label", F.coalesce(F.col("label"), F.col("doc_id"))
     )
-    w = Window.partitionBy("__label").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
+    reps = _keep_one(
+        lbl, ["__label"], [F.col("n_chars").desc(), F.col("doc_id")]
     )
     return (
-        lbl.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .groupBy("lang")
+        reps.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_survivors"),
             F.sum("doc_id").cast("bigint").alias("sum_survivor_ids"),
@@ -1582,27 +1547,8 @@ def q_dedup_representatives(spark, sf_dir):
 
 @declared(
     "q_dedup_ngram_portable",
-    oracle="""
-    WITH RECURSIVE tok AS (
-      SELECT DISTINCT doc_id,
-             unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
-      FROM documents
-    ), hashes AS (
-      SELECT doc_id, i,
-             min(substr(md5(CAST(i // 4 AS VARCHAR) || ':' || tok),
-                        CAST((i % 4) * 8 + 1 AS INT), 8)) AS h
-      FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
-      GROUP BY doc_id, i
-    ), sig AS (
-      SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
-    ), banded AS (
-      SELECT doc_id, b,
-             md5(array_to_string(list_slice(sig, b*8+1, b*8+8), ',')) AS bv
-      FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS b)
-    ), mn AS (
-      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY b, bv) AS mnid
-      FROM banded
-    ), pairs AS (
+    oracle=f"""
+    WITH RECURSIVE {_PORTABLE_MN_SQL}, pairs AS (
       SELECT DISTINCT mnid AS a, doc_id AS bdoc FROM mn WHERE doc_id > mnid
     ), g AS (
       SELECT doc_id,
