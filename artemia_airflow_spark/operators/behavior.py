@@ -1,0 +1,284 @@
+"""Behavioral / event-stream batch analytics: gap sessionization,
+ordered funnels, retention cohorts.
+
+Reference parity: the reference's DAGs poll an external events feed and
+delegate all behavioral rollups to an external repo
+(dags/update_tr_from_ex_dag.py:88-90); these operators are the engine's
+in-house replacement for that delegated surface — the three canonical
+event-log reports every product pipeline runs (sessions, funnels,
+cohort retention).
+
+Scale notes (one shuffle each): all three operators hash-partition the
+events fact ONCE on ``user_id`` and keep every later step —
+chained window functions, the per-(user, session) / per-(user, stage)
+aggregate — inside that partitioning.  ``HashPartitioning(user_id)``
+satisfies ``ClusteredDistribution(user_id, session_idx)`` (a subset of
+the grouping keys clusters the data), so Catalyst inserts no second
+exchange; at 100 TB the cost is a single fact-sized shuffle plus
+in-partition sorts.  Money-like sums go through DECIMAL so partial
+aggregation order cannot perturb the result (the TPC-H idiom).
+All comparisons use ``unix_micros``/``epoch_us`` — exact int64
+microseconds in both engines, no floating-point epoch math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.plans.registry import declared
+from artemia_airflow_spark.session import ensure_engine_conf
+
+_VALUE_DEC = "decimal(28,6)"
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 3600,
+    order_tiebreak: str = "event_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts when the
+    time since the user's previous event exceeds ``gap_s``.
+
+    Returns one row per (user, session): ``session_idx`` (1-based per
+    user), ``session_start``, ``session_end``, ``n_events`` and
+    ``total_value`` (DECIMAL sum, exact under any partial-agg order).
+
+    Determinism: the lag/running-sum windows order by
+    ``(ts, order_tiebreak)``, but the session BOUNDARIES depend only on
+    ts — two events with equal ts have gap 0 and always share a
+    session, so tie order cannot change the output.
+
+    Scale: lag, running sum and the final aggregate all live in the
+    single ``user_id`` hash partitioning — one exchange total.  The
+    streaming face of the same semantics is
+    streaming/windows.py session_window (B47); this is the batch face.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    micros = F.unix_micros(F.col(ts_col))
+    prev = F.lag(micros).over(w)
+    is_new = F.when(
+        prev.isNull() | ((micros - prev) > F.lit(int(gap_s) * 1_000_000)), 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        *( [F.col(value_col)] if value_col else [] ),
+        F.col(order_tiebreak),
+        is_new.alias("__new"),
+    ).withColumn("session_idx", F.sum("__new").over(run))
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast(_VALUE_DEC)).cast("double").alias("total_value")
+        )
+    return flagged.groupBy(user_col, "session_idx").agg(*aggs)
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: for each user, stage k counts only if an event of
+    ``stages[k]`` occurs at-or-after the user's entry time for stage
+    k-1 (earliest valid chain, the standard "min ts ≥ previous stage"
+    semantics).  Returns (stage_idx, stage, n_users) with n_users
+    monotonically non-increasing by construction.
+
+    Plan: ``len(stages)`` chained unbounded MIN windows over the SAME
+    ``user_id`` partitioning (one exchange, one in-partition sort),
+    then a per-user collapse and a tiny stage-count aggregate.  No
+    self-joins — the classic k-way join funnel shape would shuffle the
+    fact k times; this shape shuffles it once regardless of k.
+    """
+    w = Window.partitionBy(user_col)
+    cur = events.select(user_col, ts_col, type_col)
+    prev_entry = None
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev_entry is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev_entry))
+        entry = f"__t{i}"
+        cur = cur.withColumn(entry, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_entry = entry
+    per_user = cur.groupBy(user_col).agg(
+        *[F.min(f"__t{i}").alias(f"t{i}") for i in range(len(stages))]
+    )
+    # stage reached = deepest non-null entry time (chain construction
+    # guarantees t_i null => t_{i+1} null).
+    reached = per_user.select(
+        sum(
+            (F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0) for i in range(len(stages))),
+            F.lit(0),
+        ).alias("depth")
+    )
+    # Collapse to a depth histogram (≤ len(stages)+1 rows, map-side
+    # partial agg) BEFORE the non-equi suffix-sum join: the broadcast
+    # nested loop then touches |stages| x |stages| rows instead of
+    # |stages| x |users| — the only non-equi comparison in the plan is
+    # aggregate-sized at any corpus scale.
+    depth_hist = reached.groupBy("depth").agg(F.count(F.lit(1)).alias("__n"))
+    stage_dim = [(i + 1, s) for i, s in enumerate(stages)]
+    dims = reached.sparkSession.createDataFrame(stage_dim, "stage_idx INT, stage STRING")
+    return (
+        depth_hist.join(F.broadcast(dims), F.col("depth") >= F.col("stage_idx"))
+        .groupBy("stage_idx", "stage")
+        .agg(F.sum("__n").alias("n_users"))
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: cohort = Monday-truncated week of the
+    user's first event; one output row per (cohort_week, week_offset)
+    with the distinct active users.  week_offset is exact integer
+    arithmetic on microsecond epochs of week-truncated timestamps
+    (both engines truncate to Monday 00:00), never calendar diffs.
+
+    Plan: first-event window + offset derivation share the single
+    ``user_id`` exchange; the (cohort, offset) aggregate is the only
+    further shuffle and its cardinality is weeks², not fact-sized.
+    """
+    w = Window.partitionBy(user_col)
+    week = F.date_trunc("week", F.col(ts_col))
+    first_week = F.date_trunc("week", F.min(F.col(ts_col)).over(w))
+    enriched = events.select(
+        F.col(user_col),
+        first_week.cast("date").alias("cohort_week"),
+        ((F.unix_micros(week) - F.unix_micros(first_week)) / F.lit(604_800_000_000))
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return (
+        enriched.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+@declared(
+    "q_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value, event_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > CAST(3600 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization over events (1h gap), ORACLE-CHECKED:
+    session boundaries via exact int64 microsecond gaps, value sums via
+    DECIMAL — every column bit-stable cross-engine."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return sessionize(e, gap_s=3600)
+
+
+@declared(
+    "q_funnel",
+    oracle="""
+    WITH l0 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ), l1 AS (
+      SELECT user_id, ts, event_type, t0,
+             MIN(CASE WHEN event_type = 'view' AND ts >= t0 THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM l0
+    ), l2 AS (
+      SELECT user_id, ts, event_type, t0, t1,
+             MIN(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM l1
+    ), l3 AS (
+      SELECT user_id, t0, t1, t2,
+             MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM l2
+    ), per_user AS (
+      SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1,
+             MIN(t2) AS t2, MIN(t3) AS t3
+      FROM l3 GROUP BY user_id
+    ), depth AS (
+      SELECT (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+      FROM per_user
+    ), dims AS (
+      SELECT * FROM (VALUES (1, 'signup'), (2, 'view'),
+                            (3, 'click'), (4, 'purchase')) AS v(stage_idx, stage)
+    )
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM depth JOIN dims ON depth >= stage_idx
+    GROUP BY stage_idx, stage
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 4-stage funnel (signup→view→click→purchase),
+    ORACLE-CHECKED: chained MIN windows over one user_id exchange; the
+    ts>=prev chain is exact timestamp comparison in both engines."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return funnel(e, ["signup", "view", "click", "purchase"])
+
+
+@declared(
+    "q_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts,
+             date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cohort_week
+      FROM events
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST((epoch_us(date_trunc('week', ts)) - epoch_us(cohort_week))
+                / 604800000000 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM firsts GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix, ORACLE-CHECKED: Monday-truncated
+    first-event cohorts, exact integer week offsets, distinct-user
+    counts."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return retention_cohorts(e)

@@ -49,6 +49,7 @@ ORACLE: dict[str, str] = {}
 PRIORITY: list[str] = [
     # (a) new/changed in round 12 (q_sim_ann_lsh_portable: rerank tail
     # refactored onto the shared _portable_exact_rerank)
+    "q_sessionize", "q_funnel", "q_retention",
     "q_agg_approx_percentile_portable", "q_sim_pq_portable",
     "q_sim_ivf_pq_portable", "q_pack_firstfit",
     "q_multimodal_pipeline_portable", "q_sim_ann_lsh_portable",
@@ -110,6 +111,7 @@ def load_all_query_modules() -> None:
     """Import every module that declares queries (idempotent)."""
     import artemia_airflow_spark.ledger  # noqa: F401
     import artemia_airflow_spark.operators.analytics  # noqa: F401
+    import artemia_airflow_spark.operators.behavior  # noqa: F401
     import artemia_airflow_spark.operators.cdc  # noqa: F401
     import artemia_airflow_spark.operators.curation  # noqa: F401
     import artemia_airflow_spark.operators.dedup  # noqa: F401

@@ -1,0 +1,118 @@
+"""Semantic edge-case tests for the behavioral operators (behavior.py):
+gap boundaries, timestamp ties, funnel ordering, cohort offsets.
+The oracle face (test_oracle.py) proves corpus-level equivalence; these
+pin the boundary semantics a differential run might never exercise."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.operators.behavior import (
+    funnel,
+    retention_cohorts,
+    sessionize,
+)
+
+_TS = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, t, v)
+         for i, (s, u, t, v) in enumerate(rows)],
+        _TS,
+    )
+
+
+def test_sessionize_gap_boundary_is_strict(spark):
+    """A gap of EXACTLY gap_s seconds stays in the same session (the
+    split condition is strictly greater-than); one microsecond more
+    splits."""
+    e = _events(spark, [
+        (0, 1, "view", 1.0),
+        (3600, 1, "view", 1.0),          # exactly 1h later -> same session
+        (3600 * 2 + 1, 1, "view", 1.0),  # 1h + 1s after prev -> new session
+    ])
+    out = sessionize(e, gap_s=3600).orderBy("session_idx").collect()
+    assert [(r.session_idx, r.n_events) for r in out] == [(1, 2), (2, 1)]
+
+
+def test_sessionize_equal_ts_share_a_session_and_decimal_sum(spark):
+    """Tied timestamps have gap 0 -> always one session regardless of
+    tiebreak order; the value sum is the exact decimal total."""
+    e = _events(spark, [
+        (0, 7, "view", 0.1),
+        (0, 7, "click", 0.2),
+        (0, 7, "purchase", 0.3),
+    ])
+    out = sessionize(e, gap_s=1).collect()
+    assert len(out) == 1
+    assert out[0].n_events == 3
+    assert abs(out[0].total_value - 0.6) < 1e-12
+
+
+def test_sessionize_sessions_are_per_user(spark):
+    e = _events(spark, [(0, 1, "view", 1.0), (0, 2, "view", 1.0)])
+    out = sessionize(e, gap_s=60).collect()
+    assert sorted((r.user_id, r.session_idx) for r in out) == [(1, 1), (2, 1)]
+
+
+def test_funnel_requires_stage_order(spark):
+    """A purchase BEFORE the user's click must not count as stage 3:
+    user 1 converts in order (depth 3), user 2 purchases before
+    clicking (depth 2 only)."""
+    e = _events(spark, [
+        # user 1: view -> click -> purchase (in order)
+        (0, 1, "view", 0.0), (10, 1, "click", 0.0), (20, 1, "purchase", 0.0),
+        # user 2: purchase first, then view -> click, no purchase after
+        (0, 2, "purchase", 0.0), (10, 2, "view", 0.0), (20, 2, "click", 0.0),
+    ])
+    out = funnel(e, ["view", "click", "purchase"]).collect()
+    counts = {r.stage: r.n_users for r in out}
+    assert counts == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_ts_satisfies_at_or_after(spark):
+    """The chain uses ts >= previous entry: a click at the SAME instant
+    as the view counts."""
+    e = _events(spark, [(0, 1, "view", 0.0), (0, 1, "click", 0.0)])
+    out = funnel(e, ["view", "click"]).collect()
+    counts = {r.stage: r.n_users for r in out}
+    assert counts == {"view": 1, "click": 1}
+
+
+def test_funnel_counts_are_monotone_on_fixture(spark):
+    from artemia_airflow_spark.catalog import scan
+    from tests.conftest import SF_ORACLE
+
+    e = scan(spark, SF_ORACLE, "events")
+    out = funnel(e, ["signup", "view", "click", "purchase"]).orderBy("stage_idx").collect()
+    ns = [r.n_users for r in out]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_retention_offsets_are_week_exact(spark):
+    """User first seen Tue Jan 2 cohorts to Mon Jan 1; an event the
+    following Wed is offset 1; same-week events are offset 0."""
+    day = 86400
+    e = _events(spark, [
+        (1 * day, 5, "view", 0.0),        # Tue Jan 2 -> cohort Mon Jan 1
+        (3 * day, 5, "view", 0.0),        # Thu Jan 4 -> offset 0
+        (9 * day, 5, "view", 0.0),        # Wed Jan 10 -> offset 1
+    ])
+    out = retention_cohorts(e).orderBy("week_offset").collect()
+    assert [(str(r.cohort_week), r.week_offset, r.n_users) for r in out] == [
+        ("2024-01-01", 0, 1),
+        ("2024-01-01", 1, 1),
+    ]
+
+
+def test_retention_counts_distinct_users(spark):
+    e = _events(spark, [
+        (0, 1, "view", 0.0), (10, 1, "view", 0.0),  # same user twice, week 0
+        (0, 2, "view", 0.0),
+    ])
+    out = retention_cohorts(e).collect()
+    assert len(out) == 1 and out[0].n_users == 2

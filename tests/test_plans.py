@@ -625,3 +625,37 @@ def test_pq_portable_plan_mirrors_production_shape(spark):
         # the production _bounded_topk partial cut is an Arrow mapInPandas
         assert "MapInPandas" in p or "FlatMapGroupsInPandas" in p, (
             name, p[:2000])
+
+
+def test_behavioral_ops_single_fact_exchange(spark):
+    """q_sessionize / q_funnel / q_retention (r12): each behavioral
+    operator must hash-partition the events fact exactly ONCE (on
+    user_id) — the chained windows and the per-(user, ...) aggregate
+    reuse that partitioning (HashPartitioning(user_id) satisfies the
+    grouping's ClusteredDistribution).  Any further exchange must be
+    aggregate-sized (stage/cohort keys), never a second fact shuffle,
+    and nothing may plan as a cartesian product."""
+    for name, agg_keys in (
+        ("q_sessionize", ()),  # session agg reuses user_id partitioning
+        ("q_funnel", ("stage_idx",)),
+        ("q_retention", ("cohort_week",)),
+    ):
+        p = _formatted_plan(spark, name)
+        # formatted mode puts Exchange args on their own "Arguments:"
+        # line — count fact repartitionings by key, not by operator name
+        fact_exchanges = re.findall(r"hashpartitioning\(user_id", p)
+        assert len(fact_exchanges) == 1, (name, p[:2000])
+        assert "CartesianProduct" not in p, name
+        if name == "q_funnel":
+            # the suffix-sum join (depth >= stage_idx) is non-equi BY
+            # SEMANTICS, but both sides are aggregate-sized (depth
+            # histogram x stage dim, <= |stages|+1 rows each) — the
+            # BNLJ must sit ABOVE the depth HashAggregate, never
+            # against the per-user relation.
+            assert "BroadcastNestedLoopJoin" in p
+            # ...and the depth histogram aggregate exists for it to sit on
+            assert re.search(r"Keys \[1\]: \[depth", p), p[:2000]
+        else:
+            assert "BroadcastNestedLoopJoin" not in p, name
+        for k in agg_keys:
+            assert re.search(rf"hashpartitioning\({k}", p), (name, k)
