@@ -1488,3 +1488,120 @@ def q_dedup_substring_portable(spark, sf_dir):
             F.count(F.col("__o")).alias("n_overlap_docs"),
         )
     )
+
+
+def dedup_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Segment-level dedup (the CCNet paragraph-dedup recipe adapted to
+    a corpus without newlines): split each document into fixed
+    ``seg_words``-word segments, drop every segment appearing in more
+    than ``max_doc_freq`` DISTINCT documents, and reassemble the
+    survivors in original order.  Boilerplate shared across documents
+    (headers, license blocks, templated spans) disappears while unique
+    content stays — the standard pre-training cleanup between exact
+    dedup (whole-doc) and winnowing (arbitrary substrings).
+
+    Returns one row per input document: ``n_segments``, ``n_dropped``
+    and the reassembled ``text_clean`` ('' when everything was shared).
+
+    Scale shape: one Generate (segment explode), a segment-keyed
+    aggregate for document frequency, a left-semi join back that REUSES
+    the same segment partitioning (no extra exchange), then a doc-keyed
+    reassembly.  The frequency relation is segment-vocabulary-sized —
+    like tf-idf's token relation it shuffles rather than broadcasts,
+    and nothing is ever all-pairs.  At 100 TB the shuffle key can be
+    narrowed to xxhash64(segment) (CCNet ships 64-bit segment hashes);
+    the declared query keeps raw-segment equality so the oracle attests
+    exact semantics, and a 64-bit rehash changes results only on hash
+    collision (~n²/2⁶⁴).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__tk"),
+        F.ceil(F.size(toks) / F.lit(float(seg_words))).cast("long").alias("n_segments"),
+    )
+    segs = base.select(
+        id_col,
+        "n_segments",
+        F.explode(F.sequence(F.lit(0), (F.col("n_segments") - 1).cast("int"))).alias("__seg"),
+        "__tk",
+    ).select(
+        id_col,
+        "__seg",
+        F.array_join(
+            F.slice(F.col("__tk"), F.col("__seg") * seg_words + 1, F.lit(seg_words)), " "
+        ).alias("__segment"),
+    )
+    freq = segs.groupBy("__segment").agg(F.countDistinct(id_col).alias("__df"))
+    # Inner-join every segment row to its document frequency, then one
+    # per-doc conditional aggregate produces counts AND the reassembled
+    # text — all-dropped documents keep their rows (filtered inside the
+    # array), so no third pass over the corpus and no left join back:
+    # the scan lineage executes exactly twice (segment rows + the freq
+    # aggregate), the tf-idf shape.
+    annotated = segs.join(freq, "__segment")
+    dropped = F.col("__df") > max_doc_freq
+    return annotated.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(dropped.cast("long")).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("__seg", "__segment", "__df"))
+                    ),
+                    lambda s: s["__df"] <= F.lit(max_doc_freq),
+                ),
+                lambda s: s["__segment"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+
+
+@declared(
+    "q_dedup_segments",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), ex AS (
+      SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS seg
+      FROM toks
+    ), segs AS (
+      SELECT doc_id, seg,
+             array_to_string(list_slice(tk, seg * 10 + 1, seg * 10 + 10), ' ')
+               AS segment
+      FROM ex
+    ), freq AS (
+      SELECT segment, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY segment
+    ), kept AS (
+      SELECT s.doc_id, s.seg, s.segment
+      FROM segs s JOIN freq f USING (segment) WHERE f.df <= 1
+    ), re AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(segment, ' ' ORDER BY seg) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(ceil(len(t.tk) / 10.0) AS BIGINT) AS n_segments,
+           CAST(ceil(len(t.tk) / 10.0) AS BIGINT) - COALESCE(r.n_kept, 0)
+             AS n_dropped,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM toks t LEFT JOIN re r USING (doc_id)
+    """,
+)
+def q_dedup_segments(spark, sf_dir):
+    """Segment-level (CCNet paragraph) dedup, ORACLE-CHECKED per
+    document: which 10-word segments are cross-document boilerplate,
+    which survive, and the exact reassembled text — value-for-value in
+    both engines (string ops and integer slicing only, no hashing)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return dedup_segments(d, "text", "doc_id")

@@ -292,3 +292,53 @@ def test_scrub_web_noise_removes_noise_keeps_text(spark):
     assert "!!!!" not in out
     assert out.startswith("keep this") and out.endswith("end")
     assert "  " not in out             # whitespace re-collapsed
+
+
+# ---- segment-level (CCNet paragraph) dedup -------------------------------
+
+
+def _seg_docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_segments_drops_shared_keeps_unique(spark):
+    from artemia_airflow_spark.operators.curation import dedup_segments
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    u1 = " ".join(f"a{i}" for i in range(10))
+    u2 = " ".join(f"b{i}" for i in range(10))
+    d = _seg_docs(spark, [(1, f"{shared} {u1}"), (2, f"{shared} {u2}")])
+    out = {r.doc_id: r for r in dedup_segments(d).collect()}
+    assert out[1].n_segments == 2 and out[1].n_dropped == 1
+    assert out[1].text_clean == u1
+    assert out[2].text_clean == u2
+
+
+def test_dedup_segments_all_boilerplate_doc_empties(spark):
+    from artemia_airflow_spark.operators.curation import dedup_segments
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    d = _seg_docs(spark, [(1, shared), (2, shared)])
+    out = dedup_segments(d).collect()
+    assert all(r.text_clean == "" and r.n_dropped == 1 for r in out)
+
+
+def test_dedup_segments_preserves_order_and_short_tail(spark):
+    from artemia_airflow_spark.operators.curation import dedup_segments
+
+    # 25 words -> segments [0:10], [10:20], [20:25] (short tail kept)
+    words = [f"w{i}" for i in range(25)]
+    d = _seg_docs(spark, [(1, " ".join(words))])
+    out = dedup_segments(d).collect()[0]
+    assert out.n_segments == 3 and out.n_dropped == 0
+    assert out.text_clean == " ".join(words)
+
+
+def test_dedup_segments_within_doc_repeat_is_not_cross_doc(spark):
+    from artemia_airflow_spark.operators.curation import dedup_segments
+
+    # the SAME segment twice within one doc: doc-frequency is 1 -> kept
+    seg = " ".join(f"r{i}" for i in range(10))
+    d = _seg_docs(spark, [(1, f"{seg} {seg}")])
+    out = dedup_segments(d).collect()[0]
+    assert out.n_dropped == 0 and out.text_clean == f"{seg} {seg}"

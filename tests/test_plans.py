@@ -659,3 +659,16 @@ def test_behavioral_ops_single_fact_exchange(spark):
             assert "BroadcastNestedLoopJoin" not in p, name
         for k in agg_keys:
             assert re.search(rf"hashpartitioning\({k}", p), (name, k)
+
+
+def test_dedup_segments_two_pass_no_third_scan(spark):
+    """q_dedup_segments (r12): the segment explode + frequency agg may
+    execute the scan lineage at most TWICE (Spark does not dedupe
+    common subplans — the tf-idf shape); the per-doc conditional
+    reassembly must add no third scan, no extra Generate, and no
+    cartesian."""
+    p = _formatted_plan(spark, "q_dedup_segments")
+    assert p.count("documents.parquet") <= 2, p[:1500]
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 2, p[:1500]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
