@@ -531,3 +531,96 @@ def q_text_oov(spark, sf_dir):
             1e6 * F.sum("n_oov") / F.sum("n_tok") + F.lit(0.5)
         ).cast("bigint").alias("oov_rate_e6"),
     )
+
+
+def unigram_nll(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus unigram
+    model with add-one smoothing: nll(doc) = -avg ln((c_tok + 1) /
+    (total_tokens + |V|)).  The engine-portable reduction of the KenLM
+    perplexity filter every production curation pipeline runs — docs
+    whose token distribution diverges from the corpus (gibberish,
+    boilerplate, wrong-language) score high and get filtered upstream
+    of training.
+
+    Returns (id_col, n_tokens, nll) per document.
+
+    Scale shape (the tf-idf twin): token explode -> vocabulary-sized
+    count aggregate; corpus totals (sum of counts, |V|) attach to the
+    count relation via an UNPARTITIONED window — counts is already
+    vocabulary-sized and aggregated, so the window is cheap and avoids
+    the agg+crossJoin re-execution trap (Spark does not dedupe common
+    subplans).  The token->count join shuffles on token (both sides
+    already partitioned by token from the count agg), then one per-doc
+    aggregate.  The scan lineage executes exactly twice.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    g = counts.select(
+        "token",
+        "c",
+        F.sum("c").over(Window.partitionBy()).alias("__total"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__v"),
+    )
+    lp = F.log(
+        (F.col("c") + 1).cast("double") / (F.col("__total") + F.col("__v")).cast("double")
+    )
+    return (
+        toks.join(g, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.avg(lp)).alias("nll"),
+        )
+    )
+
+
+@declared(
+    "q_text_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+    ), g AS (
+      SELECT token, c, SUM(c) OVER () AS total, COUNT(*) OVER () AS v
+      FROM counts
+    ), per_doc AS (
+      SELECT t.doc_id,
+             -AVG(ln((g.c + 1.0) / (g.total + g.v))) AS nll
+      FROM toks t JOIN g USING (token)
+      GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(MIN(p.nll), 6) AS min_nll,
+           round(MAX(p.nll), 6) AS max_nll,
+           round(AVG(p.nll), 6) AS avg_nll
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def q_text_perplexity(spark, sf_dir):
+    """Unigram-LM perplexity-proxy scoring, ORACLE-CHECKED per source:
+    min/max/avg of per-doc NLL under the corpus unigram model.  JVM and
+    libm ln() agree far below the 6dp round (the q_text_tfidf
+    precedent); counts and smoothing arithmetic are exact integers
+    until the final division."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    scores = unigram_nll(d, "text", "doc_id")
+    return (
+        scores.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("nll"), 6).alias("min_nll"),
+            F.round(F.max("nll"), 6).alias("max_nll"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )

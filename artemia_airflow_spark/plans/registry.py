@@ -50,6 +50,7 @@ PRIORITY: list[str] = [
     # (a) new/changed in round 12 (q_sim_ann_lsh_portable: rerank tail
     # refactored onto the shared _portable_exact_rerank)
     "q_sessionize", "q_funnel", "q_retention", "q_dedup_segments",
+    "q_text_perplexity",
     "q_agg_approx_percentile_portable", "q_sim_pq_portable",
     "q_sim_ivf_pq_portable", "q_pack_firstfit",
     "q_multimodal_pipeline_portable", "q_sim_ann_lsh_portable",

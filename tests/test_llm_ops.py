@@ -741,3 +741,36 @@ def test_sq8_dequantize_error_bound(spark, emb):
     ).count()
     assert viol == 0
     assert recon.count() == truth.count()
+
+
+def test_unigram_nll_ranks_rare_above_common(spark):
+    """The perplexity proxy must score a rare-token document above a
+    common-token document, and every score must be positive and finite
+    (add-one smoothing: no zero-probability blowups even for
+    singletons)."""
+    import math
+
+    from artemia_airflow_spark.operators.text import unigram_nll
+
+    rows = [(1, "the the the the"), (2, "zq xv qj wk"), (3, "the the zq the")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in unigram_nll(d, "text", "doc_id").collect()}
+    assert all(math.isfinite(r.nll) and r.nll > 0 for r in out.values())
+    # doc 2 (all-rare) > doc 3 (mixed) > doc 1 (all-common)
+    assert out[2].nll > out[3].nll > out[1].nll
+    assert out[1].n_tokens == 4
+
+
+def test_unigram_nll_matches_hand_model(spark):
+    """Exact hand computation on a 2-doc corpus: tokens {a:3, b:1},
+    total=4, V=2 -> p(a)=(3+1)/6, p(b)=(1+1)/6."""
+    import math
+
+    from artemia_airflow_spark.operators.text import unigram_nll
+
+    d = spark.createDataFrame([(1, "a a b"), (2, "a")], ["doc_id", "text"])
+    out = {r.doc_id: r.nll for r in unigram_nll(d, "text", "doc_id").collect()}
+    p_a, p_b = 4 / 6, 2 / 6
+    exp1 = -(2 * math.log(p_a) + math.log(p_b)) / 3
+    exp2 = -math.log(p_a)
+    assert abs(out[1] - exp1) < 1e-12 and abs(out[2] - exp2) < 1e-12
