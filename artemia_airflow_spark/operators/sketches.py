@@ -587,3 +587,168 @@ def _register_kmv() -> None:
 
 
 _register_kmv()
+
+
+def cms_state(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    depth: int = 4,
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Count-Min Sketch state per group: ``depth`` independent counter
+    rows of ``16^bucket_hex`` buckets, keyed by a 2-hex-char prefix of
+    the salted md5 digest (no hex->int conversion, so the bucket
+    function is value-for-value reproducible in any engine — the
+    portable-oracle recipe of the MinHash/KMV family).
+
+    The returned relation (group..., j, bucket, cnt) IS the sketch:
+    mergeable by union + sum (counters are additive), O(depth * width)
+    rows per group regardless of corpus size, point-queryable via
+    :func:`cms_estimate`.  This is the heavy-hitters / frequency
+    sibling of the KMV distinct sketch (B61) and the mergeable
+    histogram quantile sketch (B92).
+
+    Shape: one Inline generate (depth rows per occurrence) into a
+    map-side-combined count aggregate — the shuffle carries at most
+    depth * width rows per map partition, not the corpus.
+    """
+    group_cols = list(group_cols or [])
+    width = 16 ** bucket_hex
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and bucket_hex >= 1")
+    val = F.col(value_col).cast("string")
+    rows = F.inline(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(j)), val)), 1, bucket_hex
+                    ).alias("bucket"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    return (
+        df.filter(val.isNotNull())
+        .select(*group_cols, rows)
+        .groupBy(*group_cols, "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge two CMS states built with the same (depth, bucket_hex):
+    union + per-cell sum.  Counter additivity makes the sketch exactly
+    mergeable — cms(A ∪ B) == merge(cms(A), cms(B)) cell-for-cell
+    (pinned in tests), which is what makes it safe to build per
+    partition/shard/day and roll up."""
+    group_cols = list(group_cols or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Point-query a CMS state: for each key, the minimum counter over
+    the ``depth`` rows at the key's buckets — the classic CMS
+    over-estimate (never under).  The sketch relation is bounded
+    (depth * width rows), so it broadcasts; probing N keys costs one
+    broadcast hash join, never a corpus pass."""
+    val = F.col(key_col).cast("string")
+    probes = keys.select(
+        key_col,
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.lit(str(j)), val)), 1, bucket_hex
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def _register_cms() -> None:
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_sketch_cms_portable",
+        oracle="""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+          FROM documents
+        ), cms AS (
+          SELECT j,
+                 substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 2) AS bucket,
+                 COUNT(*) AS cnt
+          FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+          GROUP BY 1, 2
+        ), tc AS (
+          SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+        ), top AS (
+          SELECT token, c FROM tc ORDER BY c DESC, token LIMIT 20
+        ), probes AS (
+          SELECT token, unnest(range(0, 4)) AS j FROM top
+        ), est AS (
+          SELECT p.token, MIN(m.cnt) AS cms_est
+          FROM probes p JOIN cms m
+            ON m.j = p.j
+           AND m.bucket = substr(md5(CAST(p.j AS VARCHAR) || ':' || p.token), 1, 2)
+          GROUP BY p.token
+        )
+        SELECT top.token,
+               CAST(top.c AS BIGINT) AS exact_cnt,
+               CAST(est.cms_est AS BIGINT) AS cms_est
+        FROM top JOIN est USING (token)
+        """,
+    )
+    def q_sketch_cms_portable(spark, sf_dir):
+        """Count-Min heavy-hitters sketch, FULL hash-match oracle: the
+        top-20 exact tokens (deterministic count-desc/token tiebreak)
+        probed against the CMS built over the same corpus — DuckDB
+        reproduces every counter cell and every min-over-rows
+        estimate, so the driver attests the sketch's entire mechanism
+        (salted bucketing, additive counters, point query).  CMS
+        over-estimate and merge laws are pinned in unit tests."""
+        ensure_engine_conf(spark)
+        d = scan(spark, sf_dir, "documents")
+        toks = d.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        )
+        sketch = cms_state(toks, "token", depth=4, bucket_hex=2)
+        top = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("exact_cnt"))
+            .orderBy(F.col("exact_cnt").desc(), "token")
+            .limit(20)
+        )
+        est = cms_estimate(sketch, top.select("token"), "token", depth=4, bucket_hex=2)
+        return top.join(est, "token").select("token", "exact_cnt", "cms_est")
+
+
+_register_cms()

@@ -663,3 +663,77 @@ def test_ivf_pq_recall_floor_and_cell_tuning_direction(spark, ann_fixture):
     )
     assert r8 >= 0.6, f"ivf-pq c8/r50 mean recall@10 = {r8}"
     assert r8 >= r3 - 0.05, (r8, r3)
+
+
+# ---- Count-Min Sketch laws ------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_tight_on_fixture(spark):
+    """CMS point estimates are >= exact by construction (counters only
+    ever include the key's own occurrences plus collisions); on the
+    fixture corpus the top-token over-estimate stays within the
+    eps*N = (e/width)*N classical bound with room to spare."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.operators.sketches import cms_estimate, cms_state
+    from tests.conftest import SF_ORACLE
+
+    d = scan(spark, SF_ORACLE, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    n_total = toks.count()
+    sketch = cms_state(toks, "token")
+    top = (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), "token").limit(50)
+    )
+    est = cms_estimate(sketch, top.select("token"), "token")
+    rows = top.join(est, "token").collect()
+    # the fixture corpus has a small closed vocabulary (31 tokens at
+    # sf0.01) — every top token must come back with an estimate
+    assert len(rows) == min(50, toks.select("token").distinct().count())
+    bound = math.e / 256 * n_total
+    for r in rows:
+        assert r.cms_est >= r.exact, (r.token, r.cms_est, r.exact)
+        assert r.cms_est - r.exact <= bound, (r.token, r.cms_est - r.exact, bound)
+
+
+def test_cms_merge_equals_whole(spark):
+    """Counter additivity: cms(A) ⊕ cms(B) must equal cms(A ∪ B)
+    cell-for-cell — the property that makes per-shard builds safe."""
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.operators.sketches import cms_merge, cms_state
+    from tests.conftest import SF_ORACLE
+
+    d = scan(spark, SF_ORACLE, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    )
+    a = toks.filter(F.col("doc_id") % 2 == 0)
+    b = toks.filter(F.col("doc_id") % 2 == 1)
+    merged = sorted(
+        tuple(r) for r in cms_merge(cms_state(a, "token"), cms_state(b, "token")).collect()
+    )
+    whole = sorted(tuple(r) for r in cms_state(toks, "token").collect())
+    assert merged == whole
+
+
+def test_cms_probe_of_unseen_key_collides_or_missing(spark):
+    """A key never inserted either lands on colliding buckets (small
+    over-estimate) or simply doesn't join — the estimate must never
+    exceed the most-loaded cell."""
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.operators.sketches import cms_estimate, cms_state
+
+    base = spark.createDataFrame([("a",)] * 10 + [("b",)] * 3, ["v"])
+    sk = cms_state(base, "v")
+    probe = spark.createDataFrame([("zzz-unseen",)], ["v"])
+    rows = cms_estimate(sk, probe, "v").collect()
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0].cms_est <= 13
