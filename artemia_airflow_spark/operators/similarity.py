@@ -1813,3 +1813,50 @@ def q_sim_ivf_pq(spark, sf_dir):
         emb.filter(F.col("vec_id") >= 5), probes,
         id_col="vec_id", probe_id_col="probe_id", k=10,
     )
+
+
+@declared(
+    "q_sim_topk_filtered",
+    oracle="""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
+      FROM embeddings WHERE vec_id < 3
+    ), corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE label = 3 AND vec_id >= 3
+    ), scored AS (
+      SELECT probe_id, vec_id, list_cosine_similarity(v, p) AS cs
+      FROM corpus CROSS JOIN probes
+    ), ranked AS (
+      SELECT probe_id, vec_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cs DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, ROUND(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_sim_topk_filtered(spark, sf_dir):
+    """B42 extension, ORACLE-CHECKED: metadata-FILTERED exact top-k —
+    the retrieval-with-predicate shape (RAG "search within label=3").
+    The label predicate is a plain filter ahead of the two-phase
+    cosine cut, so it PUSHES to the parquet scan (plan-pinned): at
+    100 TB the engine reads only the qualifying row groups rather
+    than post-filtering candidates, which is the difference between
+    filtered search costing |matching| and costing |corpus|."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec"))
+    )
+    corpus = emb.filter((F.col("label") == 3) & (F.col("vec_id") >= 3))
+    out = cosine_topk(
+        corpus, probes, id_col="vec_id", probe_id_col="probe_id", k=10
+    )
+    return out.select(
+        "probe_id", "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )

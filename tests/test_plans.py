@@ -672,3 +672,14 @@ def test_dedup_segments_two_pass_no_third_scan(spark):
     assert len(re.findall(r"\(\d+\) Generate", p)) == 2, p[:1500]
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_filtered_similarity_pushes_label_to_scan(spark):
+    """q_sim_topk_filtered (r12): the metadata predicate must reach the
+    parquet scan (PushedFilters shows label + vec_id), so filtered
+    retrieval reads |matching| rows, not |corpus| — and the two-phase
+    cut machinery stays (MapInPandas partial before the final
+    window)."""
+    p = _formatted_plan(spark, "q_sim_topk_filtered")
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,3\)", p), p[:1500]
+    assert "MapInPandas" in p, p[:1500]
