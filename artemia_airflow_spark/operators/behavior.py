@@ -64,9 +64,9 @@ def sessionize(
     is_new = F.when(
         prev.isNull() | ((micros - prev) > F.lit(int(gap_s) * 1_000_000)), 1
     ).otherwise(0)
-    run = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # the running sum derives its frame from the SAME window spec as
+    # the lag, so a tiebreak change can never desynchronize the two
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = events.select(
         F.col(user_col),
         F.col(ts_col),
@@ -134,10 +134,12 @@ def funnel(
     depth_hist = reached.groupBy("depth").agg(F.count(F.lit(1)).alias("__n"))
     stage_dim = [(i + 1, s) for i, s in enumerate(stages)]
     dims = reached.sparkSession.createDataFrame(stage_dim, "stage_idx INT, stage STRING")
+    # LEFT join from the stage dim: a stage no user reached must still
+    # report n_users=0 (consumers index rows by stage), not vanish
     return (
-        depth_hist.join(F.broadcast(dims), F.col("depth") >= F.col("stage_idx"))
+        dims.join(F.broadcast(depth_hist), F.col("depth") >= F.col("stage_idx"), "left")
         .groupBy("stage_idx", "stage")
-        .agg(F.sum("__n").alias("n_users"))
+        .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("n_users"))
     )
 
 
@@ -246,8 +248,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (3, 'click'), (4, 'purchase')) AS v(stage_idx, stage)
     )
     SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
-           CAST(COUNT(*) AS BIGINT) AS n_users
-    FROM depth JOIN dims ON depth >= stage_idx
+           CAST(COUNT(depth) AS BIGINT) AS n_users
+    FROM dims LEFT JOIN depth ON depth >= stage_idx
     GROUP BY stage_idx, stage
     """,
 )

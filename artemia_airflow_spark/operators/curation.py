@@ -1509,10 +1509,16 @@ def dedup_segments(
     Returns one row per input document: ``n_segments``, ``n_dropped``
     and the reassembled ``text_clean`` ('' when everything was shared).
 
+    NULL text is treated as '' (one empty segment), so the contract
+    "one row per input document" holds for every input row.
+
     Scale shape: one Generate (segment explode), a segment-keyed
-    aggregate for document frequency, a left-semi join back that REUSES
-    the same segment partitioning (no extra exchange), then a doc-keyed
-    reassembly.  The frequency relation is segment-vocabulary-sized —
+    aggregate for document frequency, then an INNER frequency-
+    annotation join that reuses the same segment partitioning (no
+    extra exchange) — dropped segments stay in the relation and are
+    filtered INSIDE the per-doc aggregate (n_dropped and the
+    all-boilerplate reassembly depend on that; do not "optimize" this
+    to a semi join), then a doc-keyed reassembly.  The frequency relation is segment-vocabulary-sized —
     like tf-idf's token relation it shuffles rather than broadcasts,
     and nothing is ever all-pairs.  At 100 TB the shuffle key can be
     narrowed to xxhash64(segment) (CCNet ships 64-bit segment hashes);
@@ -1520,7 +1526,7 @@ def dedup_segments(
     exact semantics, and a 64-bit rehash changes results only on hash
     collision (~n²/2⁶⁴).
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     base = df.select(
         F.col(id_col),
         toks.alias("__tk"),
@@ -1569,7 +1575,7 @@ def dedup_segments(
     "q_dedup_segments",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk FROM documents
     ), ex AS (
       SELECT doc_id, tk,
              unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS seg

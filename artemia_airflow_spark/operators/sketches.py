@@ -619,7 +619,23 @@ def cms_state(
     if depth < 1 or width < 2:
         raise ValueError("depth must be >= 1 and bucket_hex >= 1")
     val = F.col(value_col).cast("string")
-    rows = F.inline(
+    return (
+        df.filter(val.isNotNull())
+        .select(*group_cols, _cms_bucket_rows(val, depth, bucket_hex))
+        .groupBy(*group_cols, "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cms_bucket_rows(val: "F.Column", depth: int, bucket_hex: int) -> "F.Column":
+    """The ONE definition of the CMS bucket function, shared by insert
+    (:func:`cms_state`) and probe (:func:`cms_estimate`): an inline
+    generator of (j, bucket) rows where bucket = first ``bucket_hex``
+    hex chars of md5(j ':' value).  Insert and probe MUST hash
+    identically or every estimate silently degrades to collision
+    noise — keeping the expression in one place makes that structural,
+    not a convention."""
+    return F.inline(
         F.array(
             *[
                 F.struct(
@@ -631,12 +647,6 @@ def cms_state(
                 for j in range(depth)
             ]
         )
-    )
-    return (
-        df.filter(val.isNotNull())
-        .select(*group_cols, rows)
-        .groupBy(*group_cols, "j", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -664,30 +674,21 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query a CMS state: for each key, the minimum counter over
     the ``depth`` rows at the key's buckets — the classic CMS
-    over-estimate (never under).  The sketch relation is bounded
-    (depth * width rows), so it broadcasts; probing N keys costs one
-    broadcast hash join, never a corpus pass."""
+    over-estimate (never under).  An EMPTY cell counts as 0 (LEFT join
+    + coalesce): a key with any un-hit bucket estimates 0, and every
+    non-NULL probe key returns exactly one row.  NULL keys are
+    excluded, mirroring :func:`cms_state`'s insert-side exclusion.
+    The sketch relation is bounded (depth * width rows), so it
+    broadcasts; probing N keys costs one broadcast hash join, never a
+    corpus pass."""
     val = F.col(key_col).cast("string")
-    probes = keys.select(
-        key_col,
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.substring(
-                            F.md5(F.concat_ws(":", F.lit(str(j)), val)), 1, bucket_hex
-                        ).alias("bucket"),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ),
+    probes = keys.filter(val.isNotNull()).select(
+        key_col, _cms_bucket_rows(val, depth, bucket_hex)
     )
     return (
-        probes.join(F.broadcast(cms), ["j", "bucket"])
+        probes.join(F.broadcast(cms), ["j", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 
 
@@ -735,11 +736,11 @@ def _register_cms() -> None:
         estimate, so the driver attests the sketch's entire mechanism
         (salted bucketing, additive counters, point query).  CMS
         over-estimate and merge laws are pinned in unit tests."""
+        from artemia_airflow_spark.operators.text import tokenize
+
         ensure_engine_conf(spark)
         d = scan(spark, sf_dir, "documents")
-        toks = d.select(
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
-        )
+        toks = tokenize(d, "text")
         sketch = cms_state(toks, "token", depth=4, bucket_hex=2)
         top = (
             toks.groupBy("token")

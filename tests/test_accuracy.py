@@ -722,18 +722,29 @@ def test_cms_merge_equals_whole(spark):
     assert merged == whole
 
 
-def test_cms_probe_of_unseen_key_collides_or_missing(spark):
-    """A key never inserted either lands on colliding buckets (small
-    over-estimate) or simply doesn't join — the estimate must never
-    exceed the most-loaded cell."""
-    from pyspark.sql import functions as F
-
+def test_cms_probe_of_unseen_key_returns_zero_or_collision(spark):
+    """A key never inserted returns EXACTLY one row (empty cells count
+    as 0 via the left join): with only 13 insertions over 256 buckets
+    at depth 4, at least one of the unseen key's cells is empty with
+    overwhelming probability, so the min-estimate reads 0 — and can
+    never exceed the most-loaded cell."""
     from artemia_airflow_spark.operators.sketches import cms_estimate, cms_state
 
     base = spark.createDataFrame([("a",)] * 10 + [("b",)] * 3, ["v"])
     sk = cms_state(base, "v")
     probe = spark.createDataFrame([("zzz-unseen",)], ["v"])
     rows = cms_estimate(sk, probe, "v").collect()
-    assert len(rows) <= 1
-    if rows:
-        assert rows[0].cms_est <= 13
+    assert len(rows) == 1
+    assert 0 <= rows[0].cms_est <= 13
+
+
+def test_cms_estimate_excludes_null_keys(spark):
+    """NULL probe keys are excluded (mirroring insert-side exclusion)
+    instead of hashing the bare salt string into phantom buckets."""
+    from artemia_airflow_spark.operators.sketches import cms_estimate, cms_state
+
+    base = spark.createDataFrame([("a",)] * 5, ["v"])
+    sk = cms_state(base, "v")
+    probe = spark.createDataFrame([(None,), ("a",)], "v STRING")
+    rows = cms_estimate(sk, probe, "v").collect()
+    assert len(rows) == 1 and rows[0].v == "a" and rows[0].cms_est >= 5

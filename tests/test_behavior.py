@@ -74,6 +74,16 @@ def test_funnel_requires_stage_order(spark):
     assert counts == {"view": 2, "click": 2, "purchase": 1}
 
 
+def test_funnel_unreached_stage_reports_zero(spark):
+    """A stage no user reached must still appear with n_users=0 —
+    consumers index rows by stage position (conversion ratios)."""
+    e = _events(spark, [(0, 1, "view", 0.0), (10, 1, "click", 0.0)])
+    out = funnel(e, ["view", "click", "purchase"]).orderBy("stage_idx").collect()
+    assert [(r.stage, r.n_users) for r in out] == [
+        ("view", 1), ("click", 1), ("purchase", 0),
+    ]
+
+
 def test_funnel_same_ts_satisfies_at_or_after(spark):
     """The chain uses ts >= previous entry: a click at the SAME instant
     as the view counts."""

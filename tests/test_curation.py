@@ -342,3 +342,18 @@ def test_dedup_segments_within_doc_repeat_is_not_cross_doc(spark):
     d = _seg_docs(spark, [(1, f"{seg} {seg}")])
     out = dedup_segments(d).collect()[0]
     assert out.n_dropped == 0 and out.text_clean == f"{seg} {seg}"
+
+
+def test_dedup_segments_null_text_keeps_row(spark):
+    """NULL text is treated as '' — the one-row-per-document contract
+    must hold even for NULL inputs (they reassemble to '' or to the
+    shared empty segment, never vanish)."""
+    from artemia_airflow_spark.operators.curation import dedup_segments
+
+    d = spark.createDataFrame(
+        [(1, "alpha " + " ".join(f"x{i}" for i in range(9))), (2, None)],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in dedup_segments(d).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_segments == 1 and out[2].text_clean == ""
