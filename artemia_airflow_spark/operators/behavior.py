@@ -284,3 +284,69 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return retention_cohorts(e)
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (prev_type, next_type) pair, the transition
+    count and row-normalized probability.  The standard behavioral
+    model behind next-action prediction and funnel-leak diagnosis.
+
+    Determinism: sequence order is (ts, tiebreak), so tied timestamps
+    have a stable successor in both engines.
+
+    Scale: the lag window shares the behavioral family's single
+    user_id exchange; the (prev, next) aggregate is |event_types|²
+    rows, and the row total attaches via an unpartitioned-by-prev
+    window over that tiny relation — no second fact pass.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    pairs = events.select(
+        F.lag(F.col(type_col)).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / row_total, 6).alias("p_transition"),
+    )
+
+
+@declared(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ), counts AS (
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           round(n_transitions / SUM(n_transitions)
+                   OVER (PARTITION BY prev_type), 6) AS p_transition
+    FROM counts
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event transition matrix, ORACLE-CHECKED: exact
+    integer transition counts; probabilities are one division of
+    identical integers in both engines, rounded at 6dp."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return event_transitions(e)

@@ -624,3 +624,66 @@ def q_text_perplexity(spark, sf_dir):
             F.round(F.avg("nll"), 6).alias("avg_nll"),
         )
     )
+
+
+def postings(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 20
+) -> DataFrame:
+    """Capped inverted index: one row per token with its document
+    frequency and the first ``k`` posting ids in ascending id order —
+    the search/retrieval primitive next to tf-idf.
+
+    Scale shape: distinct (doc, token) pairs via a per-doc
+    array_distinct (map-side, before the explode), ONE exchange on
+    token for the ranking window, and the final aggregate reuses that
+    partitioning.  The cap bounds every output row to k ids, so
+    stop-word rows cost k, not |corpus|; the inherent skew of ordered
+    postings (the most frequent token's rows land on one reducer for
+    the in-partition sort) is the documented trade for globally
+    sorted posting lists — shard the corpus id space upstream if one
+    token's row count exceeds a reducer.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    )
+    w = Window.partitionBy("token").orderBy(id_col)
+    ranked = toks.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__rn") <= k, F.col(id_col)))
+        ).alias("postings"),
+    )
+
+
+@declared(
+    "q_text_postings",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ), toks AS (
+      SELECT DISTINCT doc_id, token FROM raw
+    ), ranked AS (
+      SELECT token, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM toks
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 20) AS postings
+    FROM ranked GROUP BY token
+    """,
+)
+def q_text_postings(spark, sf_dir):
+    """Capped inverted index, ORACLE-CHECKED: per-token document
+    frequency + the first 20 posting ids — exact integers and a
+    deterministic ascending-id cap, so DuckDB attests the full posting
+    structure value-for-value."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return postings(d, "text", "doc_id", k=20)

@@ -37,9 +37,10 @@ ORACLE: dict[str, str] = {}
 # compensating evidence between driver visits.
 #
 # Round-12 window: (a) queries NEW or ORACLE/IMPLEMENTATION-CHANGED in
-# round 12 — the seven new operators (behavioral trio, segment dedup,
-# unigram perplexity, CMS sketch, filtered similarity), the single-scan
-# percentile rework, the PQ portable twins, the first-fit
+# round 12 — the nine new operators (behavioral quartet, segment dedup,
+# unigram perplexity, CMS sketch, filtered similarity, postings),
+# the single-scan stacked-histogram percentile rework, the PQ
+# portable twins, the first-fit
 # recursive-CTE oracle upgrade, and the composed multimodal-pipeline
 # portable face — then
 # (b) the 22-row r8-stale tail IN FULL (the r11 slip set; VERDICT r11
@@ -47,12 +48,13 @@ ORACLE: dict[str, str] = {}
 # (c) the 45 r9-stale rows, composite/expensive faces first (the r9
 # portable-twin batch, the approx-agg family, the stream batch) so the
 # ~25 rows that slip to r13's front are the simplest untouched
-# full-oracle scans/stats.  15 + 22 + 45 = 82 > the ~50 cap.
+# full-oracle scans/stats.  17 + 22 + 45 = 84 > the ~50 cap.
 PRIORITY: list[str] = [
     # (a) new/changed in round 12 (q_sim_ann_lsh_portable: rerank tail
     # refactored onto the shared _portable_exact_rerank)
     "q_sessionize", "q_funnel", "q_retention", "q_dedup_segments",
     "q_text_perplexity", "q_sketch_cms_portable", "q_sim_topk_filtered",
+    "q_event_transitions", "q_text_postings",
     "q_agg_approx_percentile_portable", "q_sim_pq_portable",
     "q_sim_ivf_pq_portable", "q_pack_firstfit",
     "q_multimodal_pipeline_portable", "q_sim_ann_lsh_portable",

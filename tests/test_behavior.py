@@ -126,3 +126,39 @@ def test_retention_counts_distinct_users(spark):
     ])
     out = retention_cohorts(e).collect()
     assert len(out) == 1 and out[0].n_users == 2
+
+
+def test_event_transitions_hand_matrix(spark):
+    """Sequence a->b->a->b for one user: transitions ab x2, ba x1;
+    probabilities row-normalize over prev_type."""
+    e = _events(spark, [
+        (0, 1, "a", 0.0), (1, 1, "b", 0.0), (2, 1, "a", 0.0), (3, 1, "b", 0.0),
+    ])
+    from artemia_airflow_spark.operators.behavior import event_transitions
+
+    out = {(r.prev_type, r.next_type): r for r in event_transitions(e).collect()}
+    assert out[("a", "b")].n_transitions == 2 and out[("a", "b")].p_transition == 1.0
+    assert out[("b", "a")].n_transitions == 1 and out[("b", "a")].p_transition == 1.0
+    assert ("b", "b") not in out
+
+
+def test_event_transitions_do_not_cross_users(spark):
+    """The last event of user 1 must not chain into user 2's first."""
+    e = _events(spark, [(0, 1, "a", 0.0), (10, 2, "b", 0.0)])
+    from artemia_airflow_spark.operators.behavior import event_transitions
+
+    assert event_transitions(e).count() == 0
+
+
+def test_event_transitions_rows_sum_to_one(spark):
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.operators.behavior import event_transitions
+    from tests.conftest import SF_ORACLE
+
+    out = event_transitions(scan(spark, SF_ORACLE, "events")).collect()
+    by_prev = {}
+    for r in out:
+        by_prev.setdefault(r.prev_type, 0.0)
+        by_prev[r.prev_type] += r.p_transition
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)

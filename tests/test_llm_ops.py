@@ -774,3 +774,17 @@ def test_unigram_nll_matches_hand_model(spark):
     exp1 = -(2 * math.log(p_a) + math.log(p_b)) / 3
     exp2 = -math.log(p_a)
     assert abs(out[1] - exp1) < 1e-12 and abs(out[2] - exp2) < 1e-12
+
+
+def test_postings_cap_order_and_within_doc_dedup(spark):
+    """Posting lists are ascending-id, capped at k while doc_freq stays
+    exact, and a token repeated WITHIN a doc posts once."""
+    from artemia_airflow_spark.operators.text import postings
+
+    rows = [(i, "common common unique%d" % i) for i in range(5)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.token: r for r in postings(d, "text", "doc_id", k=3).collect()}
+    c = out["common"]
+    assert c.doc_freq == 5 and c.postings == [0, 1, 2]  # capped, sorted, deduped
+    u = out["unique3"]
+    assert u.doc_freq == 1 and u.postings == [3]
