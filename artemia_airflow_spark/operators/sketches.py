@@ -610,20 +610,31 @@ def cms_state(
     sibling of the KMV distinct sketch (B61) and the mergeable
     histogram quantile sketch (B92).
 
-    Shape: one Inline generate (depth rows per occurrence) into a
-    map-side-combined count aggregate — the shuffle carries at most
-    depth * width rows per map partition, not the corpus.
+    Shape: occurrences collapse to (group, value, count) FIRST — a
+    map-side-combined aggregate whose exchange is vocabulary-sized —
+    and only then does the Inline generate hash each DISTINCT value
+    ``depth`` times into the counter cells (summing the pre-counts).
+    The md5 cost is therefore vocabulary-bound, not corpus-bound: a
+    10x corpus with the same vocabulary pays 10x only in the cheap
+    codegen count, not in hashing (measured: the occurrence-hashing
+    shape grew ~7x wall for 10x data; this shape re-hashes nothing).
     """
     group_cols = list(group_cols or [])
     width = 16 ** bucket_hex
     if depth < 1 or width < 2:
         raise ValueError("depth must be >= 1 and bucket_hex >= 1")
     val = F.col(value_col).cast("string")
-    return (
+    per_value = (
         df.filter(val.isNotNull())
-        .select(*group_cols, _cms_bucket_rows(val, depth, bucket_hex))
+        .groupBy(*group_cols, val.alias("__val"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        per_value.select(
+            *group_cols, "__c", _cms_bucket_rows(F.col("__val"), depth, bucket_hex)
+        )
         .groupBy(*group_cols, "j", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__c").alias("cnt"))
     )
 
 
