@@ -687,3 +687,123 @@ def q_text_postings(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return postings(d, "text", "doc_id", k=20)
+
+
+def collocations(
+    df: DataFrame, text_col: str, *, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-``k`` adjacent-bigram collocations ranked by lift — the
+    log-free PMI surrogate ``lift = (c_xy/N) / ((c_x/N)(c_y/N))``
+    (token totals approximate pair totals, documented): phrase mining
+    for tokenizer vocabularies and stop-phrase lists.
+
+    Output: (x, y, c_xy, lift) with lift rounded to 6dp and a
+    deterministic (lift desc, x, y) order, so the ranking is
+    value-oracle-safe (every float op is a correctly-rounded IEEE
+    multiply/divide of exact integer-valued doubles — no
+    order-dependent float summation anywhere).
+
+    Scale shape: TWO corpus scans (unigrams, zipped bigrams — both
+    column-pruned to ``text_col`` with map-side partial aggregation),
+    never a corpus-sized shuffle.  The unigram relation is
+    vocabulary-sized and is joined ONCE: bigrams melt to
+    (pair, side, token) rows (2 per pair), meet the unigram counts in
+    a single token-keyed shuffle join, and fold back with a
+    conditional aggregate — the alternative (join unigrams twice, as
+    x then as y) would re-execute the unigram scan lineage.  The
+    token grand total rides the vocabulary-sized relation as an
+    unpartitioned window (the ``_with_global`` recipe), not a
+    corpus-sized one.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    uni = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("__n_tok", F.sum("c").over(Window.partitionBy()))
+    )
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    cxy = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    melted = cxy.select(
+        "x", "y", "c_xy",
+        F.explode(
+            F.array(
+                F.struct(F.lit("x").alias("side"), F.col("x").alias("token")),
+                F.struct(F.lit("y").alias("side"), F.col("y").alias("token")),
+            )
+        ).alias("m"),
+    ).select("x", "y", "c_xy", "m.side", "m.token")
+    joined = (
+        melted.join(uni, "token")
+        .groupBy("x", "y", "c_xy")
+        .agg(
+            F.max(F.when(F.col("side") == "x", F.col("c"))).alias("c_x"),
+            F.max(F.when(F.col("side") == "y", F.col("c"))).alias("c_y"),
+            F.max("__n_tok").alias("n_tok"),
+        )
+    )
+    lift = F.round(
+        (F.col("c_xy").cast("double") * F.col("n_tok").cast("double"))
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double")),
+        6,
+    )
+    return (
+        joined.select("x", "y", "c_xy", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "x", "y")
+        .limit(k)
+    )
+
+
+@declared(
+    "q_text_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(text), '\\s+') AS a FROM documents
+    ), cu AS (
+      SELECT token, COUNT(*) AS c
+      FROM (SELECT unnest(a) AS token FROM toks) GROUP BY token
+    ), n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM cu
+    ), cxy AS (
+      SELECT x, y, COUNT(*) AS c_xy
+      FROM (
+        SELECT a[CAST(i AS INT)] AS x, a[CAST(i AS INT) + 1] AS y
+        FROM toks, unnest(range(1, len(a))) AS t(i)
+      )
+      GROUP BY x, y
+      HAVING COUNT(*) >= 5
+    )
+    SELECT x, y, c_xy,
+           round(CAST(c_xy AS DOUBLE) * CAST(n.n_tok AS DOUBLE)
+                 / (CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE)), 6) AS lift
+    FROM cxy
+    JOIN cu cx ON cx.token = cxy.x
+    JOIN cu cy ON cy.token = cxy.y
+    CROSS JOIN n
+    ORDER BY lift DESC, x, y
+    LIMIT 20
+    """,
+)
+def q_text_collocations(spark, sf_dir):
+    """Collocation mining, FULL hash-match oracle: top-20 adjacent
+    bigrams by lift (min_count=5) — counts are exact integers and the
+    lift is a single correctly-rounded multiply/divide chain over
+    integer-valued doubles, so DuckDB attests ranking and values
+    bit-for-bit.  No float summation: the one aggregate over doubles
+    is a MAX (order-free)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return collocations(d, "text", min_count=5, k=20)

@@ -54,7 +54,7 @@ PRIORITY: list[str] = [
     # refactored onto the shared _portable_exact_rerank)
     "q_sessionize", "q_funnel", "q_retention", "q_dedup_segments",
     "q_text_perplexity", "q_sketch_cms_portable", "q_sim_topk_filtered",
-    "q_event_transitions", "q_text_postings",
+    "q_event_transitions", "q_text_postings", "q_text_collocations",
     "q_agg_approx_percentile_portable", "q_sim_pq_portable",
     "q_sim_ivf_pq_portable", "q_pack_firstfit",
     "q_multimodal_pipeline_portable", "q_sim_ann_lsh_portable",

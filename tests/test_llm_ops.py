@@ -788,3 +788,33 @@ def test_postings_cap_order_and_within_doc_dedup(spark):
     assert c.doc_freq == 5 and c.postings == [0, 1, 2]  # capped, sorted, deduped
     u = out["unique3"]
     assert u.doc_freq == 1 and u.postings == [3]
+
+
+def test_collocations_lift_hand_model(spark):
+    """Exact hand computation: corpus 'a b a b' + 'c c' + 'a' ->
+    unigrams {a:3, b:2, c:2}, N=7 (the single-token doc counts toward
+    the marginals but contributes no pair); bigrams {ab:2, ba:1, cc:1}.
+    With min_count=1: lift(a,b) = 2*7/(3*2) = 7/3,
+    lift(b,a) = 1*7/(2*3) = 7/6, lift(c,c) = 1*7/(2*2) = 7/4."""
+    from artemia_airflow_spark.operators.text import collocations
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c c"), (3, "a")], ["doc_id", "text"]
+    )
+    out = {(r.x, r.y): r for r in collocations(d, "text", min_count=1, k=10).collect()}
+    assert out[("a", "b")].c_xy == 2 and out[("a", "b")].lift == round(7 / 3, 6)
+    assert out[("b", "a")].c_xy == 1 and out[("b", "a")].lift == round(7 / 6, 6)
+    assert out[("c", "c")].c_xy == 1 and out[("c", "c")].lift == round(7 / 4, 6)
+    assert len(out) == 3  # doc 3 has no bigram
+
+
+def test_collocations_min_count_and_k_cap(spark):
+    """min_count prunes rare pairs BEFORE ranking; k caps the output
+    with the (lift desc, x, y) deterministic order."""
+    from artemia_airflow_spark.operators.text import collocations
+
+    d = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "p q")], ["doc_id", "text"]
+    )
+    rows = collocations(d, "text", min_count=3, k=5).collect()
+    assert [(r.x, r.y) for r in rows] == [("x", "y")]  # p q and y x pruned
