@@ -55,6 +55,7 @@ PRIORITY: list[str] = [
     "q_sessionize", "q_funnel", "q_retention", "q_dedup_segments",
     "q_text_perplexity", "q_sketch_cms_portable", "q_sim_topk_filtered",
     "q_event_transitions", "q_text_postings", "q_text_collocations",
+    "q_retrieval_bm25", "q_retrieval_rrf",
     "q_agg_approx_percentile_portable", "q_sim_pq_portable",
     "q_sim_ivf_pq_portable", "q_pack_firstfit",
     "q_multimodal_pipeline_portable", "q_sim_ann_lsh_portable",
@@ -124,6 +125,7 @@ def load_all_query_modules() -> None:
     import artemia_airflow_spark.operators.multimodal  # noqa: F401
     import artemia_airflow_spark.operators.relational  # noqa: F401
     import artemia_airflow_spark.operators.relational2  # noqa: F401
+    import artemia_airflow_spark.operators.retrieval  # noqa: F401
     import artemia_airflow_spark.operators.similarity  # noqa: F401
     import artemia_airflow_spark.operators.sketches  # noqa: F401
     import artemia_airflow_spark.operators.sqltext  # noqa: F401

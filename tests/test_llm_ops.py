@@ -818,3 +818,74 @@ def test_collocations_min_count_and_k_cap(spark):
     )
     rows = collocations(d, "text", min_count=3, k=5).collect()
     assert [(r.x, r.y) for r in rows] == [("x", "y")]  # p q and y x pruned
+
+
+def test_bm25_hand_model(spark):
+    """Exact BM25 on a 2-doc corpus, single-term query: doc 1 = 'x x y'
+    (tf_x=2, dl=3), doc 2 = 'y z' (dl=2), avgdl=2.5, N=2, df_x=1.
+    idf = ln((2-1+0.5)/(1+0.5)+1) = ln(2); norm = 2*2.2/(2+1.2*(0.25+
+    0.75*3/2.5)); score_e6 = floor(idf*norm*1e6+0.5)."""
+    import math
+
+    from artemia_airflow_spark.operators.retrieval import bm25_topk
+
+    d = spark.createDataFrame([(1, "x x y"), (2, "y z")], ["doc_id", "text"])
+    q = spark.createDataFrame([(7, "x")], ["query_id", "term"])
+    rows = bm25_topk(
+        d, q, text_col="text", id_col="doc_id",
+        query_id_col="query_id", term_col="term", k=5,
+    ).collect()
+    idf = math.log((2 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    norm = (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * (3 / 2.5)))
+    exp = math.floor(idf * norm * 1_000_000.0 + 0.5)
+    assert len(rows) == 1  # doc 2 shares no query term
+    r = rows[0]
+    assert (r.query_id, r.doc_id, r.score_e6, r.rank) == (7, 1, exp, 1)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc matching the query's RARE term outranks one matching only
+    the corpus-wide common term, at equal tf and dl."""
+    from artemia_airflow_spark.operators.retrieval import bm25_topk
+
+    docs = [(i, "common filler") for i in range(1, 9)]
+    docs += [(9, "rare filler"), (10, "common filler")]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    q = spark.createDataFrame([(0, "rare"), (0, "common")], ["query_id", "term"])
+    rows = bm25_topk(
+        d, q, text_col="text", id_col="doc_id",
+        query_id_col="query_id", term_col="term", k=3,
+    ).collect()
+    assert rows[0].doc_id == 9 and rows[0].rank == 1
+
+
+def test_rrf_fuse_hand_model(spark):
+    """Integer RRF on two hand lists: doc 5 at rank 1+2, doc 6 only in
+    list A at rank 2, doc 7 only in list B at rank 1.  Contributions
+    are 1000000 DIV (60+rank): doc5 = 16393+16129, doc6 = 16129,
+    doc7 = 16393; fused order (5, 7, 6), ranks 1..3."""
+    from artemia_airflow_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(0, 5, 1), (0, 6, 2)], ["probe", "id", "rank"])
+    b = spark.createDataFrame([(0, 7, 1), (0, 5, 2)], ["probe", "id", "rank"])
+    rows = rrf_fuse([a, b], probe_id_col="probe", id_col="id", k=10).collect()
+    got = [(r.id, r.rrf_e6, r.rank) for r in sorted(rows, key=lambda r: r.rank)]
+    assert got == [
+        (5, 1_000_000 // 61 + 1_000_000 // 62, 1),
+        (7, 1_000_000 // 61, 2),
+        (6, 1_000_000 // 62, 3),
+    ]
+
+
+def test_rrf_fuse_k_cap_and_empty_input(spark):
+    """k caps the fused output; an empty rankings list raises."""
+    import pytest
+
+    from artemia_airflow_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, i, i) for i in range(1, 6)], ["probe", "id", "rank"]
+    )
+    assert rrf_fuse([a], probe_id_col="probe", id_col="id", k=2).count() == 2
+    with pytest.raises(ValueError):
+        rrf_fuse([], probe_id_col="probe", id_col="id")
