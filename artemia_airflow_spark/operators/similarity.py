@@ -1860,3 +1860,96 @@ def q_sim_topk_filtered(spark, sf_dir):
         F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def matryoshka_renorm(
+    df: DataFrame, *, vec_col: str = "embedding", dim: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Matryoshka (MRL) truncation: keep the first ``dim`` dimensions
+    and L2-renormalize — the standard cheap-retrieval trick for
+    MRL-trained embeddings (prefix dims carry most of the signal, so
+    ANN can run at a fraction of the vector width and rerank at full
+    width).  Zero-norm prefixes yield NULL vectors (consistent with
+    the top-k tiers' non-finite-exclusion contract — a NULL vector
+    scores NULL and is excluded from candidacy, observable via
+    :func:`nonfinite_score_count`).
+
+    Pure built-in expressions (slice/aggregate/transform) — per-row,
+    no shuffle, stays inside whole-stage codegen.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    v = F.slice(F.col(vec_col), 1, dim)
+    norm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    renormed = F.transform(v, lambda x: (x.cast("double") / norm).cast("float"))
+    return df.withColumn(
+        out_col or vec_col,
+        F.when(norm > 0, renormed).otherwise(F.lit(None).cast("array<float>")),
+    )
+
+
+@declared(
+    "q_embed_matryoshka",
+    oracle="""
+    WITH comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v6
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id,
+             SUM(CASE WHEN d < 16 THEN v6 * v6 ELSE 0 END) AS pre12,
+             SUM(v6 * v6) AS full12
+      FROM comps GROUP BY vec_id
+    ), ret AS (
+      SELECT vec_id,
+             CAST(floor(sqrt(CAST(pre12 AS DOUBLE)) / sqrt(CAST(full12 AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS r6
+      FROM norms WHERE full12 > 0
+    )
+    SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(r.r6) AS BIGINT) AS sum_retention_e6
+    FROM ret r JOIN embeddings e ON e.vec_id = r.vec_id
+    GROUP BY e.label
+    """,
+)
+def q_embed_matryoshka(spark, sf_dir):
+    """Matryoshka-truncation audit, FULL hash-match oracle: per-label
+    norm retention of the 16-dim prefix — ``|v[:16]| / |v|`` half-up
+    quantized to 1e-6 BIGINTs per vector, then summed (order-free
+    integer aggregate).  This is the measurement that picks the MRL
+    operating dim before switching ANN to :func:`matryoshka_renorm`
+    vectors; the integer chain (exact v6 squares -> correctly-rounded
+    sqrt/divide -> floor) is bit-identical cross-engine.  The renorm
+    operator itself is pinned by unit tests (unit norm, prefix
+    direction, zero-norm NULL contract) and a top-k-overlap accuracy
+    floor."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    comps = embedding_comps(emb, id_col="vec_id", vec_col="embedding")
+    sq = F.col("v6") * F.col("v6")
+    norms = comps.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("d") < 16, sq).otherwise(F.lit(0))).alias("pre12"),
+        F.sum(sq).alias("full12"),
+    )
+    r6 = F.floor(
+        F.sqrt(F.col("pre12").cast("double"))
+        / F.sqrt(F.col("full12").cast("double"))
+        * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    ret = norms.filter(F.col("full12") > 0).select("vec_id", r6.alias("r6"))
+    return (
+        ret.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("r6").alias("sum_retention_e6"),
+        )
+    )

@@ -748,3 +748,41 @@ def test_cms_estimate_excludes_null_keys(spark):
     probe = spark.createDataFrame([(None,), ("a",)], "v STRING")
     rows = cms_estimate(sk, probe, "v").collect()
     assert len(rows) == 1 and rows[0].v == "a" and rows[0].cms_est >= 5
+
+
+def test_matryoshka_topk_overlap_floor(spark):
+    """MRL truncation quality floor on the gaussian fixture (the
+    truncation-adversarial case — i.i.d. dims carry equal signal, so
+    this is the WORST case; MRL-trained embeddings concentrate signal
+    in the prefix): 48-of-64 dims must recover >= 30% of the exact
+    top-10 slots over 5 probes (measured 52%), and the truncated
+    vectors feed the standard cosine tier unchanged."""
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.operators.similarity import (
+        cosine_topk,
+        matryoshka_renorm,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = scan(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r.probe_id, r.vec_id)
+        for r in cosine_topk(
+            corpus, probes, id_col="vec_id", probe_id_col="probe_id", k=10
+        ).collect()
+    }
+    approx = {
+        (r.probe_id, r.vec_id)
+        for r in cosine_topk(
+            matryoshka_renorm(corpus, dim=48),
+            matryoshka_renorm(probes, vec_col="probe_vec", dim=48),
+            id_col="vec_id", probe_id_col="probe_id", k=10,
+        ).collect()
+    }
+    assert len(approx & exact) >= 15, (len(approx & exact), len(exact))

@@ -889,3 +889,37 @@ def test_rrf_fuse_k_cap_and_empty_input(spark):
     assert rrf_fuse([a], probe_id_col="probe", id_col="id", k=2).count() == 2
     with pytest.raises(ValueError):
         rrf_fuse([], probe_id_col="probe", id_col="id")
+
+
+def test_matryoshka_unit_norm_and_direction(spark):
+    """Renormed prefix has unit L2 norm and preserves the prefix
+    direction (components proportional to the original prefix)."""
+    import math
+
+    from artemia_airflow_spark.operators.similarity import matryoshka_renorm
+
+    d = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, -7.0])], ["vec_id", "embedding"]
+    )
+    (row,) = matryoshka_renorm(d, dim=2).collect()
+    out = row.embedding
+    assert len(out) == 2
+    assert abs(math.hypot(*out) - 1.0) < 1e-6
+    assert abs(out[0] - 0.6) < 1e-6 and abs(out[1] - 0.8) < 1e-6
+
+
+def test_matryoshka_zero_norm_is_null_and_dim_guard(spark):
+    """A zero-norm prefix yields a NULL vector (the non-finite
+    exclusion contract downstream), and dim < 1 raises."""
+    import pytest
+
+    from artemia_airflow_spark.operators.similarity import matryoshka_renorm
+
+    d = spark.createDataFrame(
+        [(1, [0.0, 0.0, 5.0]), (2, [1.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    rows = {r.vec_id: r.embedding for r in matryoshka_renorm(d, dim=2).collect()}
+    assert rows[1] is None
+    assert rows[2] == [1.0, 0.0]
+    with pytest.raises(ValueError, match="dim"):
+        matryoshka_renorm(d, dim=0)
