@@ -807,3 +807,130 @@ def q_text_collocations(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return collocations(d, "text", min_count=5, k=20)
+
+
+def bpe_merges(
+    df: DataFrame, text_col: str, *, n_merges: int
+) -> "list[tuple[int, str, str, int]]":
+    """Learn the first ``n_merges`` BPE merges over the corpus: per
+    step, count adjacent symbol pairs across the vocabulary (weighted
+    by word frequency, overlapping runs counted like the reference
+    BPE), merge the most frequent pair (count desc, pair asc
+    tiebreak), repeat.  Returns [(step, left, right, pair_count)] —
+    the learned merge table, a bounded artifact like a PQ codebook.
+
+    Tokenizer training IS a corpus-scale pipeline op: the corpus is
+    scanned ONCE (word counts); every merge step then runs on the
+    VOCABULARY-sized relation only, so 100 TB of text costs one
+    map-side-combined aggregate plus n_merges vocabulary passes.  The
+    per-step argmax is a 1-row driver read (control-plane, like
+    quantizer training caps).
+
+    Symbol-string encoding: every symbol is space-WRAPPED (``" a "``,
+    concatenated -> ``" a  b  c "``) so a merge is a literal
+    ``replace(" l  r ", " lr ")`` whose matches never share
+    delimiter characters — canonical BPE behavior on runs
+    (``[a,a,a,a] -> [aa,aa]``, not the single-space encoding's
+    ``[aa,a,a]``) and byte-identical semantics in every engine's
+    scan-from-after-match replace (the DuckDB oracle replays the
+    same three steps with the same encoding).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    vocab = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.regexp_replace(F.col("word"), "(.)", " $1 ").alias("s"), "c"
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("s"), " "), lambda x: x != "")
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.size(syms) - 1),
+                    F.slice(syms, 2, F.size(syms) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "c",
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, best[0].cnt
+        merges.append((step, l, r, int(cnt)))
+        vocab = vocab.select(
+            F.replace(
+                F.col("s"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+            ).alias("s"),
+            "c",
+        )
+    return merges
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`bpe_merges` (the
+    q_pack_firstfit recipe: deterministic sequential state IS
+    SQL-expressible when each step is a rank-1 argmax)."""
+    ctes = ["""
+    enc0 AS (
+      SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, COUNT(*) AS c
+      FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents
+      ) GROUP BY 1
+    )"""]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""
+    p{k} AS (
+      SELECT l, r, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+        SELECT a[CAST(i AS INT)] AS l, a[CAST(i AS INT) + 1] AS r, c
+        FROM (
+          SELECT list_filter(string_split(s, ' '), x -> x <> '') AS a, c
+          FROM enc{k - 1}
+        ), unnest(range(1, len(a))) AS t(i)
+      ) GROUP BY l, r
+    ), b{k} AS (
+      SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+    ), enc{k} AS (
+      SELECT replace(s, ' ' || b{k}.l || '  ' || b{k}.r || ' ',
+                        ' ' || b{k}.l || b{k}.r || ' ') AS s, c
+      FROM enc{k - 1}, b{k}
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, l AS left_sym, r AS right_sym, cnt AS pair_count "
+        f"FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n    " + finals
+
+
+@declared("q_text_bpe", oracle=_bpe_oracle(3))
+def q_text_bpe(spark, sf_dir):
+    """BPE tokenizer training (first 3 merges), FULL hash-match
+    oracle: pair counts are exact frequency-weighted integers, the
+    per-step argmax uses the (count desc, pair asc) deterministic
+    tiebreak, and the wrapped-symbol replace encoding makes every
+    engine's literal replace apply the merge identically — so DuckDB
+    replays all three steps (count -> argmax -> merge) and attests
+    the learned merge table value-for-value."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    merges = bpe_merges(d, "text", n_merges=3)
+    return spark.createDataFrame(
+        merges, "step: int, left_sym: string, right_sym: string, pair_count: bigint"
+    ).select(
+        "step", "left_sym", "right_sym", "pair_count"
+    )

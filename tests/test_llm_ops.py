@@ -923,3 +923,37 @@ def test_matryoshka_zero_norm_is_null_and_dim_guard(spark):
     assert rows[2] == [1.0, 0.0]
     with pytest.raises(ValueError, match="dim"):
         matryoshka_renorm(d, dim=0)
+
+
+def test_bpe_merges_hand_model(spark):
+    """Hand-traced 3 merges on {aaab x2, ab x1}: step 1 picks (a,a)
+    with overlap-counted weight 4 and merges runs canonically
+    ([a,a,a,b] -> [aa,a,b], greedy leftmost); step 2 picks (a,b) 3;
+    step 3 picks (aa,ab) 2 — pinning run semantics, frequency
+    weighting, and merged-symbol participation."""
+    from artemia_airflow_spark.operators.text import bpe_merges
+
+    d = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab")], ["doc_id", "text"]
+    )
+    assert bpe_merges(d, "text", n_merges=3) == [
+        (1, "a", "a", 4),
+        (2, "a", "b", 3),
+        (3, "aa", "ab", 2),
+    ]
+
+
+def test_bpe_merges_tiebreak_and_early_stop(spark):
+    """Equal-count pairs break ties pair-ascending; a corpus of
+    single-char words has no pairs and stops early; n_merges < 1
+    raises."""
+    import pytest
+
+    from artemia_airflow_spark.operators.text import bpe_merges
+
+    d = spark.createDataFrame([(1, "xy xy ab ab")], ["doc_id", "text"])
+    assert bpe_merges(d, "text", n_merges=1) == [(1, "a", "b", 2)]
+    single = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    assert bpe_merges(single, "text", n_merges=2) == []
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_merges(d, "text", n_merges=0)
