@@ -310,3 +310,255 @@ def q_retrieval_rrf(spark, sf_dir):
         [lex, vec], probe_id_col="query_id", id_col="doc_id", k=10
     )
     return fused.select("query_id", "doc_id", "rrf_e6", "rank")
+
+
+def mmr_diversify(
+    rel: DataFrame,
+    sims: DataFrame,
+    *,
+    probe_id_col: str,
+    id_col: str,
+    rel_col: str,
+    sim_col: str,
+    n: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: greedily pick ``n``
+    results per probe maximizing ``lam*rel - (1-lam)*max_sim_to_
+    already_selected`` — the standard diversification pass after
+    retrieval (dedup-aware eval sets, diverse few-shot pools).
+
+    ``rel``: (probe, id, rel) bounded top-K relevance per probe.
+    ``sims``: (probe, i, j) pairwise similarity among each probe's OWN
+    candidates (K^2 per probe, both orientations).  Returns
+    (probe, id, mmr_rank, rel, maxsim) with maxsim = 0 for the first
+    pick; candidates missing a similarity edge to the selected set
+    score maxsim 0.
+
+    Greedy selection is inherently sequential PER PROBE but the probes
+    are independent, so the implementation is a cogrouped
+    ``applyInPandas`` (the pack_sequences_firstfit recipe): one
+    shuffle of each bounded relation on the probe key, then an
+    Arrow-batched greedy loop over each probe's <= K^2 rows.  A
+    declarative n-stage unrolling was tried first and rejected —
+    Spark re-executes the shared candidate lineage per stage and the
+    nested selected-set plan compounds (measured 25x the wall of this
+    shape on 60 cached rows).  At lam=0.5 the float score
+    ``0.5*rel - 0.5*maxsim`` orders identically to the integer margin
+    ``rel - maxsim`` (exact halving of <2^52 ints), which is what the
+    DuckDB twin ranks by — other lam values are supported but carry
+    no value oracle.
+    """
+    if not (0.0 < lam <= 1.0):
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    p, i = probe_id_col, id_col
+    rel_f = rel.select(p, i, rel_col)
+    # distinct key alias: sims usually derives from rel (a candidate
+    # self-join), and cogrouping two lineage-sharing frames on the
+    # same column name trips Spark's ambiguous-self-join check
+    sims_f = sims.select(
+        F.col(p).alias("__sim_probe"), F.col("i"), F.col("j"), F.col(sim_col)
+    )
+    rtypes, stypes = dict(rel_f.dtypes), dict(sims_f.dtypes)
+    out_schema = (
+        f"{p} {rtypes[p]}, {i} {rtypes[i]}, mmr_rank int, "
+        f"{rel_col} {rtypes[rel_col]}, maxsim {stypes[sim_col]}"
+    )
+
+    def greedy(key, rel_pdf, sims_pdf):
+        import pandas as pd
+
+        if len(rel_pdf) == 0:
+            return pd.DataFrame(
+                columns=[p, i, "mmr_rank", rel_col, "maxsim"]
+            )
+        relv = dict(zip(rel_pdf[i], rel_pdf[rel_col]))
+        sim = dict(
+            zip(zip(sims_pdf["i"], sims_pdf["j"]), sims_pdf[sim_col])
+        )
+        # maxsim over the selected set can be NEGATIVE (cosine), so it
+        # is only defined after the first pick — initializing it to 0
+        # would silently clamp anti-similar candidates upward (caught
+        # by the sf0.1 oracle).  Missing edges contribute 0 by contract.
+        maxsim: dict = {}
+        rows = []
+        for t in range(1, n + 1):
+            if not relv:
+                break
+            # argmax of lam*rel - (1-lam)*maxsim, ties id-ascending
+            if t == 1:
+                best = min(relv, key=lambda c: (-(lam * relv[c]), c))
+                ms_best = 0
+            else:
+                best = min(
+                    relv,
+                    key=lambda c: (
+                        -(lam * relv[c] - (1.0 - lam) * maxsim[c]), c,
+                    ),
+                )
+                ms_best = maxsim[best]
+            rows.append((key[0], best, t, relv[best], ms_best))
+            del relv[best]
+            for c in relv:
+                s = sim.get((c, best), 0)
+                if t == 1 or s > maxsim[c]:
+                    maxsim[c] = s
+        return pd.DataFrame(rows, columns=[p, i, "mmr_rank", rel_col, "maxsim"])
+
+    return rel_f.groupBy(p).cogroup(sims_f.groupBy("__sim_probe")).applyInPandas(
+        greedy, schema=out_schema
+    )
+
+
+def _mmr_oracle(n: int) -> str:
+    """Unrolled DuckDB twin of the q_retrieval_mmr greedy recurrence
+    (the q_pack_firstfit/_bpe_oracle recipe: fixed-depth sequential
+    state unrolls into one CTE chain per step)."""
+    head = """
+    comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v6
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id, SUM(v6 * v6) AS n12 FROM comps GROUP BY vec_id
+    ), pdot AS (
+      SELECT cp.vec_id AS probe_id, cc.vec_id, SUM(cc.v6 * cp.v6) AS dot12
+      FROM comps cc JOIN comps cp ON cp.d = cc.d
+      WHERE cp.vec_id < 3 AND cc.vec_id >= 3
+      GROUP BY cp.vec_id, cc.vec_id
+    ), cand AS (
+      SELECT probe_id, vec_id, rel_e6 FROM (
+        SELECT d.probe_id, d.vec_id,
+               CAST(floor(CAST(d.dot12 AS DOUBLE)
+                 / (sqrt(CAST(nc.n12 AS DOUBLE)) * sqrt(CAST(np.n12 AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT) AS rel_e6,
+               ROW_NUMBER() OVER (PARTITION BY d.probe_id ORDER BY
+                 CAST(d.dot12 AS DOUBLE)
+                   / (sqrt(CAST(nc.n12 AS DOUBLE)) * sqrt(CAST(np.n12 AS DOUBLE)))
+                 DESC, d.vec_id) AS rank
+        FROM pdot d JOIN norms nc ON nc.vec_id = d.vec_id
+                    JOIN norms np ON np.vec_id = d.probe_id
+      ) WHERE rank <= 20
+    ), cpairs AS (
+      SELECT a.probe_id, a.vec_id AS i, b.vec_id AS j
+      FROM cand a JOIN cand b
+        ON b.probe_id = a.probe_id AND b.vec_id <> a.vec_id
+    ), sdot AS (
+      SELECT p.probe_id, p.i, p.j, SUM(ci.v6 * cj.v6) AS dot12
+      FROM cpairs p
+      JOIN comps ci ON ci.vec_id = p.i
+      JOIN comps cj ON cj.vec_id = p.j AND cj.d = ci.d
+      GROUP BY p.probe_id, p.i, p.j
+    ), sims AS (
+      SELECT s.probe_id, s.i, s.j,
+             CAST(floor(CAST(s.dot12 AS DOUBLE)
+               / (sqrt(CAST(ni.n12 AS DOUBLE)) * sqrt(CAST(nj.n12 AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS sim_e6
+      FROM sdot s JOIN norms ni ON ni.vec_id = s.i
+                  JOIN norms nj ON nj.vec_id = s.j
+    ), p1 AS (
+      SELECT probe_id, vec_id, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6,
+             1 AS mmr_rank
+      FROM (
+        SELECT probe_id, vec_id, rel_e6,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY rel_e6 DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ), s1 AS (SELECT probe_id, vec_id FROM p1)"""
+    parts = [head]
+    for t in range(2, n + 1):
+        parts.append(f"""
+    m{t} AS (
+      SELECT c.probe_id, c.vec_id, c.rel_e6,
+             MAX(coalesce(sm.sim_e6, 0)) AS maxsim_e6
+      FROM cand c
+      JOIN s{t - 1} sel ON sel.probe_id = c.probe_id
+      LEFT JOIN sims sm ON sm.probe_id = c.probe_id
+                       AND sm.i = c.vec_id AND sm.j = sel.vec_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM s{t - 1} x
+        WHERE x.probe_id = c.probe_id AND x.vec_id = c.vec_id
+      )
+      GROUP BY c.probe_id, c.vec_id, c.rel_e6
+    ), p{t} AS (
+      SELECT probe_id, vec_id, rel_e6, maxsim_e6, {t} AS mmr_rank
+      FROM (
+        SELECT probe_id, vec_id, rel_e6, maxsim_e6,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY rel_e6 - maxsim_e6 DESC, vec_id) AS rn
+        FROM m{t}
+      ) WHERE rn = 1
+    ), s{t} AS (
+      SELECT probe_id, vec_id FROM s{t - 1}
+      UNION ALL SELECT probe_id, vec_id FROM p{t}
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT probe_id, vec_id, mmr_rank, rel_e6, maxsim_e6 FROM p{t}"
+        for t in range(1, n + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + finals
+
+
+@declared("q_retrieval_mmr", oracle=_mmr_oracle(5))
+def q_retrieval_mmr(spark, sf_dir):
+    """MMR diversification, FULL hash-match oracle: for 3 probes, the
+    exact-cosine top-20 (scaled-int portable recipe) re-ranks through
+    5 greedy MMR picks at lam=0.5 — relevance and pairwise candidate
+    similarities are e6-quantized BIGINTs, and the engine's float
+    score 0.5*rel - 0.5*maxsim orders identically to the oracle's
+    integer margin rel - maxsim (exact halving), so DuckDB replays
+    candidate generation, the K^2 similarity matrix, and every greedy
+    pick value-for-value.  The engine selection is n unrolled
+    DECLARATIVE stages (anti-join selected, bounded max-sim join,
+    per-probe argmax window) — JVM-side end to end, no driver action,
+    mirroring the oracle's CTE chain."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    comps = embedding_comps(emb, id_col="vec_id", vec_col="embedding")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id")
+    )
+    corpus_ids = emb.filter(F.col("vec_id") >= 3).select("vec_id")
+    cand_all = corpus_ids.crossJoin(F.broadcast(probes))
+    rel = _portable_exact_rerank(comps, cand_all, k=20).select(
+        "probe_id", "vec_id", F.col("cos_e6").alias("rel_e6")
+    )
+    pair_ids = rel.select("probe_id", F.col("vec_id").alias("i")).join(
+        rel.select("probe_id", F.col("vec_id").alias("j")), "probe_id"
+    ).filter(F.col("i") != F.col("j"))
+    ci = comps.select(F.col("vec_id").alias("i"), "d", F.col("v6").alias("vi"))
+    cj = comps.select(F.col("vec_id").alias("j"), "d", F.col("v6").alias("vj"))
+    sdot = (
+        pair_ids.join(ci, "i").join(cj, ["j", "d"])
+        .groupBy("probe_id", "i", "j")
+        .agg(F.sum(F.col("vi") * F.col("vj")).alias("dot12"))
+    )
+    norms = comps.groupBy("vec_id").agg(
+        F.sum(F.col("v6") * F.col("v6")).alias("n12")
+    )
+    cos = F.col("dot12").cast("double") / (
+        F.sqrt(F.col("ni").cast("double")) * F.sqrt(F.col("nj").cast("double"))
+    )
+    sims = (
+        sdot.join(norms.select(F.col("vec_id").alias("i"),
+                               F.col("n12").alias("ni")), "i")
+        .join(norms.select(F.col("vec_id").alias("j"),
+                           F.col("n12").alias("nj")), "j")
+        .select(
+            "probe_id", "i", "j",
+            F.floor(cos * 1_000_000 + F.lit(0.5)).cast("bigint").alias("sim_e6"),
+        )
+    )
+    out = mmr_diversify(
+        rel, sims, probe_id_col="probe_id", id_col="vec_id",
+        rel_col="rel_e6", sim_col="sim_e6", n=5, lam=0.5,
+    )
+    return out.select(
+        "probe_id", "vec_id", "mmr_rank", "rel_e6",
+        F.col("maxsim").alias("maxsim_e6"),
+    )

@@ -957,3 +957,72 @@ def test_bpe_merges_tiebreak_and_early_stop(spark):
     assert bpe_merges(single, "text", n_merges=2) == []
     with pytest.raises(ValueError, match="n_merges"):
         bpe_merges(d, "text", n_merges=0)
+
+
+def test_mmr_diversify_hand_model(spark):
+    """Classic MMR behavior: candidate 2 is nearly a duplicate of the
+    top pick (sim 95), so the diverse candidate 3 (rel 80) outranks
+    the more relevant candidate 2 (rel 90) at lam=0.5."""
+    from artemia_airflow_spark.operators.retrieval import mmr_diversify
+
+    rel = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 90), (0, 3, 80)], ["probe", "id", "rel"]
+    )
+    sims = spark.createDataFrame(
+        [(0, a, b, s) for a, b, s in
+         [(1, 2, 95), (2, 1, 95), (1, 3, 10), (3, 1, 10),
+          (2, 3, 10), (3, 2, 10)]],
+        ["probe", "i", "j", "sim"],
+    )
+    rows = mmr_diversify(
+        rel, sims, probe_id_col="probe", id_col="id",
+        rel_col="rel", sim_col="sim", n=3,
+    ).collect()
+    got = [(r.id, r.maxsim) for r in sorted(rows, key=lambda r: r.mmr_rank)]
+    assert got == [(1, 0), (3, 10), (2, 95)]
+
+
+def test_mmr_diversify_guards_and_short_candidate_set(spark):
+    """n larger than the candidate set returns every candidate once;
+    bad lam / n raise."""
+    import pytest
+
+    from artemia_airflow_spark.operators.retrieval import mmr_diversify
+
+    rel = spark.createDataFrame([(0, 1, 5), (0, 2, 4)], ["probe", "id", "rel"])
+    sims = spark.createDataFrame(
+        [(0, 1, 2, 1), (0, 2, 1, 1)], ["probe", "i", "j", "sim"]
+    )
+    rows = mmr_diversify(
+        rel, sims, probe_id_col="probe", id_col="id",
+        rel_col="rel", sim_col="sim", n=5,
+    ).collect()
+    assert sorted((r.id, r.mmr_rank) for r in rows) == [(1, 1), (2, 2)]
+    with pytest.raises(ValueError, match="lam"):
+        mmr_diversify(rel, sims, probe_id_col="probe", id_col="id",
+                      rel_col="rel", sim_col="sim", lam=0.0)
+    with pytest.raises(ValueError, match="n must"):
+        mmr_diversify(rel, sims, probe_id_col="probe", id_col="id",
+                      rel_col="rel", sim_col="sim", n=0)
+
+
+def test_mmr_diversify_negative_similarity_not_clamped(spark):
+    """Anti-similar candidates (negative cosine) must carry their true
+    negative maxsim — clamping at 0 would rank them below unrelated
+    ones.  Candidate 3 (sim -50 to the top pick) must outrank
+    candidate 2 (sim 0, missing edge) only through the margin:
+    rel2 - 0 = 90 vs rel3 - (-50) = 130 -> candidate 3 first."""
+    from artemia_airflow_spark.operators.retrieval import mmr_diversify
+
+    rel = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 90), (0, 3, 80)], ["probe", "id", "rel"]
+    )
+    sims = spark.createDataFrame(
+        [(0, 3, 1, -50), (0, 1, 3, -50)], ["probe", "i", "j", "sim"]
+    )
+    rows = mmr_diversify(
+        rel, sims, probe_id_col="probe", id_col="id",
+        rel_col="rel", sim_col="sim", n=3,
+    ).collect()
+    got = [(r.id, r.maxsim) for r in sorted(rows, key=lambda r: r.mmr_rank)]
+    assert got == [(1, 0), (3, -50), (2, 0)]
