@@ -72,17 +72,23 @@ def bm25_topk(
     tf = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("tf"))
     dl = F.sum("tf").over(Window.partitionBy(id_col))
     tf = tf.withColumn("dl", dl)
-    dfreq = (
-        toks.select(id_col, "__term").distinct()
-        .groupBy("__term").agg(F.count(F.lit(1)).alias("df"))
-    )
+    # doc frequency from the tf relation (one row per (doc, term)
+    # already) — a separate toks.distinct() would re-tokenize the
+    # whole corpus for a third scan (r12 review)
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("df"))
     totals = df.agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.sum(F.size(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("__n_tok"),
     )
     hits = (
         tf.join(
-            F.broadcast(queries.select(query_id_col, F.col(term_col).alias("__term"))),
+            # document tokens are lowercased above, so query terms must
+            # be too — a verbatim join would silently drop 'The'/'GPU'
+            F.broadcast(
+                queries.select(
+                    query_id_col, F.lower(F.col(term_col)).alias("__term")
+                )
+            ),
             "__term",
         )
         .join(dfreq, "__term")
@@ -513,10 +519,11 @@ def q_retrieval_mmr(spark, sf_dir):
     score 0.5*rel - 0.5*maxsim orders identically to the oracle's
     integer margin rel - maxsim (exact halving), so DuckDB replays
     candidate generation, the K^2 similarity matrix, and every greedy
-    pick value-for-value.  The engine selection is n unrolled
-    DECLARATIVE stages (anti-join selected, bounded max-sim join,
-    per-probe argmax window) — JVM-side end to end, no driver action,
-    mirroring the oracle's CTE chain."""
+    pick value-for-value.  The engine selection runs in
+    :func:`mmr_diversify`'s cogrouped applyInPandas workers (an
+    Arrow-batched greedy over each probe's bounded candidate set —
+    see its docstring for why a declarative unrolling was rejected);
+    the oracle's unrolled CTE chain replays the same recurrence."""
     ensure_engine_conf(spark)
     emb = scan(spark, sf_dir, "embeddings")
     comps = embedding_comps(emb, id_col="vec_id", vec_col="embedding")

@@ -1880,7 +1880,22 @@ def matryoshka_renorm(
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    v = F.slice(F.col(vec_col), 1, dim)
+    # F.slice silently returns the WHOLE array when dim > len(vec), so
+    # an undersized vector would renormalize at full width while the
+    # caller believes it runs at MRL width — fail loudly in-plan
+    # instead (the deletion_variants guard pattern, r12 review)
+    guarded = F.when(
+        F.size(F.col(vec_col)) < dim,
+        F.raise_error(F.concat(
+            F.lit(f"matryoshka_renorm: {vec_col!r} vector of length "),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(
+                f" is shorter than dim={dim}: truncation would silently "
+                "run at full width — pass dim <= the embedding width"
+            ),
+        )),
+    ).otherwise(F.col(vec_col))
+    v = F.slice(guarded, 1, dim)
     norm = F.sqrt(
         F.aggregate(
             v, F.lit(0.0),

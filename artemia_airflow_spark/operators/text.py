@@ -824,7 +824,11 @@ def bpe_merges(
     VOCABULARY-sized relation only, so 100 TB of text costs one
     map-side-combined aggregate plus n_merges vocabulary passes.  The
     per-step argmax is a 1-row driver read (control-plane, like
-    quantizer training caps).
+    quantizer training caps).  Each step's state is persist()ed
+    (recomputable on executor loss) and the step before it released —
+    without the cache, every per-step collect() would replan and
+    re-execute the corpus aggregate plus all prior replace layers
+    (n corpus scans and O(n^2) vocabulary passes, r12 review).
 
     Symbol-string encoding: every symbol is space-WRAPPED (``" a "``,
     concatenated -> ``" a  b  c "``) so a merge is a literal
@@ -846,7 +850,9 @@ def bpe_merges(
         .select(
             F.regexp_replace(F.col("word"), "(.)", " $1 ").alias("s"), "c"
         )
+        .persist()
     )
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         syms = F.filter(F.split(F.col("s"), " "), lambda x: x != "")
@@ -867,16 +873,23 @@ def bpe_merges(
             .limit(1)
             .collect()
         )
+        # the collect above materialized `vocab`'s cache, so the step
+        # before it can be released now
+        if prev is not None:
+            prev.unpersist()
         if not best:
             break
         l, r, cnt = best[0].l, best[0].r, best[0].cnt
         merges.append((step, l, r, int(cnt)))
-        vocab = vocab.select(
+        prev, vocab = vocab, vocab.select(
             F.replace(
                 F.col("s"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
             ).alias("s"),
             "c",
-        )
+        ).persist()
+    vocab.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return merges
 
 

@@ -1026,3 +1026,39 @@ def test_mmr_diversify_negative_similarity_not_clamped(spark):
     ).collect()
     got = [(r.id, r.maxsim) for r in sorted(rows, key=lambda r: r.mmr_rank)]
     assert got == [(1, 0), (3, -50), (2, 0)]
+
+
+def test_matryoshka_short_vector_guard(spark):
+    """dim beyond the vector width must fail LOUDLY in-plan (F.slice
+    would silently return the full-width vector), while dim == width
+    passes."""
+    from pyspark.errors import PySparkException
+
+    from artemia_airflow_spark.operators.similarity import matryoshka_renorm
+
+    d = spark.createDataFrame([(1, [3.0, 4.0])], ["vec_id", "embedding"])
+    assert matryoshka_renorm(d, dim=2).count() == 1  # boundary passes
+    with pytest.raises(PySparkException, match="matryoshka_renorm"):
+        matryoshka_renorm(d, dim=3).collect()
+
+
+def test_bm25_query_terms_are_case_normalized(spark):
+    """Document tokens are lowercased, so query terms must match
+    case-insensitively — 'Common' and 'common' retrieve the same
+    documents with the same scores."""
+    from artemia_airflow_spark.operators.retrieval import bm25_topk
+
+    d = spark.createDataFrame(
+        [(1, "common words"), (2, "other stuff")], ["doc_id", "text"]
+    )
+    out = {}
+    for qid, term in [(0, "common"), (1, "Common")]:
+        q = spark.createDataFrame([(qid, term)], ["query_id", "term"])
+        out[qid] = sorted(
+            (r.doc_id, r.score_e6)
+            for r in bm25_topk(
+                d, q, text_col="text", id_col="doc_id",
+                query_id_col="query_id", term_col="term", k=5,
+            ).collect()
+        )
+    assert out[0] and out[0] == out[1]
