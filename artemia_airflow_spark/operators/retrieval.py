@@ -69,13 +69,14 @@ def bm25_topk(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__term"),
     )
-    tf = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = F.sum("tf").over(Window.partitionBy(id_col))
-    tf = tf.withColumn("dl", dl)
+    tf_base = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("tf"))
     # doc frequency from the tf relation (one row per (doc, term)
     # already) — a separate toks.distinct() would re-tokenize the
-    # whole corpus for a third scan (r12 review)
-    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("df"))
+    # whole corpus with a DIFFERENT partial aggregate, defeating
+    # exchange reuse (r12 review).  Derived from tf_base BEFORE the dl
+    # window so both consumers share the identical aggregate exchange.
+    dfreq = tf_base.groupBy("__term").agg(F.count(F.lit(1)).alias("df"))
+    tf = tf_base.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
     totals = df.agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.sum(F.size(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("__n_tok"),

@@ -683,3 +683,45 @@ def test_filtered_similarity_pushes_label_to_scan(spark):
     p = _formatted_plan(spark, "q_sim_topk_filtered")
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,3\)", p), p[:1500]
     assert "MapInPandas" in p, p[:1500]
+
+
+def test_bm25_plan_broadcasts_and_bounds_scans(spark):
+    """q_retrieval_bm25 (r12): the query relation and corpus scalars
+    broadcast; the corpus parquet appears at most 4x in the initial
+    plan (tf explode, dfreq over the same aggregate, unexploded
+    totals, query-term derivation — dfreq shares tf's aggregate
+    exchange at runtime), and nothing goes cartesian."""
+    p = _formatted_plan(spark, "q_retrieval_bm25")
+    assert p.count("documents.parquet") <= 4, p[:1500]
+    assert p.count("BroadcastHashJoin") >= 2, p[:1500]
+    assert "CartesianProduct" not in p
+
+
+def test_collocations_plan_two_scans_three_generates(spark):
+    """q_text_collocations (r12): exactly two corpus scans (unigrams,
+    zipped bigrams) and three Generates (unigram explode, pair
+    explode, the 2-row melt) — the unigram relation is joined once,
+    never twice."""
+    p = _formatted_plan(spark, "q_text_collocations")
+    assert p.count("documents.parquet") == 2, p[:1500]
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 3, p[:1500]
+    assert "CartesianProduct" not in p
+
+
+def test_matryoshka_audit_plan_two_scans(spark):
+    """q_embed_matryoshka (r12): the retention audit reads embeddings
+    at most twice (v6 components + the label attach) with a single
+    posexplode Generate."""
+    p = _formatted_plan(spark, "q_embed_matryoshka")
+    assert p.count("embeddings.parquet") <= 2, p[:1500]
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1, p[:1500]
+
+
+def test_mmr_selection_is_one_cogrouped_arrow_pass(spark):
+    """q_retrieval_mmr (r12): greedy selection runs as ONE cogrouped
+    Arrow pass (FlatMapCoGroupsInPandas) over bounded per-probe
+    relations — not a stage-per-pick plan — and nothing goes
+    cartesian."""
+    p = _formatted_plan(spark, "q_retrieval_mmr")
+    assert "FlatMapCoGroupsInPandas" in p, p[:1500]
+    assert "CartesianProduct" not in p
