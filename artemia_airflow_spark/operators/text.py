@@ -893,10 +893,11 @@ def bpe_merges(
     return merges
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled-CTE DuckDB twin of :func:`bpe_merges` (the
-    q_pack_firstfit recipe: deterministic sequential state IS
-    SQL-expressible when each step is a rank-1 argmax)."""
+def _bpe_ctes(n_merges: int) -> str:
+    """Shared unrolled CTE chain replaying :func:`bpe_merges` in DuckDB
+    (the q_pack_firstfit recipe: deterministic sequential state IS
+    SQL-expressible when each step is a rank-1 argmax) — composed by
+    both the merge-table oracle and the fertility oracle."""
     ctes = ["""
     enc0 AS (
       SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, COUNT(*) AS c
@@ -922,12 +923,18 @@ def _bpe_oracle(n_merges: int) -> str:
                         ' ' || b{k}.l || b{k}.r || ' ') AS s, c
       FROM enc{k - 1}, b{k}
     )""")
+    return ",".join(ctes)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Merge-table oracle: the CTE chain plus a union of the per-step
+    argmax rows."""
     finals = "\n    UNION ALL ".join(
         f"SELECT {k} AS step, l AS left_sym, r AS right_sym, cnt AS pair_count "
         f"FROM b{k}"
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + ",".join(ctes) + "\n    " + finals
+    return "WITH " + _bpe_ctes(n_merges) + "\n    " + finals
 
 
 @declared("q_text_bpe", oracle=_bpe_oracle(3))
@@ -946,4 +953,72 @@ def q_text_bpe(spark, sf_dir):
         merges, "step: int, left_sym: string, right_sym: string, pair_count: bigint"
     ).select(
         "step", "left_sym", "right_sym", "pair_count"
+    )
+
+
+def bpe_segment_expr(word_col, merges: "list[tuple[int, str, str, int]]"):
+    """Column expression segmenting a (lowercased) word under a learned
+    :func:`bpe_merges` table: wrapped-symbol encode, the merge
+    replaces applied in learned order (the merge table is a bounded
+    driver-side artifact, like a broadcast codebook), split back to a
+    symbol array.  Pure built-in expressions — per-row, codegen."""
+    c = F.col(word_col) if isinstance(word_col, str) else word_col
+    s = F.regexp_replace(c, "(.)", " $1 ")
+    for _step, l, r, _cnt in merges:
+        s = F.replace(s, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    return F.filter(F.split(s, " "), lambda x: x != "")
+
+
+@declared(
+    "q_text_bpe_fertility",
+    oracle="WITH " + _bpe_ctes(3) + """,
+    segs AS (
+      SELECT d.lang,
+             len(list_filter(string_split(
+               replace(replace(replace(
+                 regexp_replace(w.word, '(.)', ' \\1 ', 'g'),
+                 ' ' || b1.l || '  ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+                 ' ' || b2.l || '  ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+                 ' ' || b3.l || '  ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+               ' '), x -> x <> '')) AS n_sym
+      FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents
+      ) w
+      JOIN documents d USING (doc_id)
+      CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+           CAST(SUM(n_sym) * 1000000 // COUNT(*) AS BIGINT) AS fertility_e6
+    FROM segs GROUP BY lang
+    """,
+)
+def q_text_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility evaluation, FULL hash-match oracle: learn 3
+    BPE merges on the corpus, segment every word under them, and
+    report per-language fertility (symbols per word, scaled integer
+    DIV — no float anywhere).  This is the metric that judges a
+    tokenizer against a corpus mix; DuckDB re-learns the same merges
+    and re-segments with the same wrapped-symbol replace chain, so
+    counts match exactly.  The merge table is bounded and compiles
+    into per-row expressions — segmentation runs at scan speed with
+    one lang-sized aggregate."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    merges = bpe_merges(d, "text", n_merges=3)
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    )
+    n_sym = F.size(bpe_segment_expr("word", merges))
+    return (
+        toks.select("lang", n_sym.alias("n_sym"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_symbols"),
+            F.expr("sum(n_sym) * 1000000 DIV count(1)")
+            .cast("bigint").alias("fertility_e6"),
+        )
     )

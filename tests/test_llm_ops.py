@@ -1062,3 +1062,24 @@ def test_bm25_query_terms_are_case_normalized(spark):
             ).collect()
         )
     assert out[0] and out[0] == out[1]
+
+
+def test_bpe_segment_applies_merges_in_order(spark):
+    """Segmenting under the learned merges replays them in order:
+    with merges [(a,a),(a,b),(aa,ab)] the word 'aaab' collapses to
+    ONE symbol, 'ab' to one, and unseen orders stay split."""
+    from artemia_airflow_spark.operators.text import bpe_merges, bpe_segment_expr
+
+    d = spark.createDataFrame([(1, "aaab aaab"), (2, "ab")], ["doc_id", "text"])
+    merges = bpe_merges(d, "text", n_merges=3)
+    w = spark.createDataFrame(
+        [("aaab",), ("ab",), ("ba",), ("aab",)], ["word"]
+    )
+    out = {r.word: r.syms for r in w.select(
+        "word", bpe_segment_expr("word", merges).alias("syms")
+    ).collect()}
+    assert out["aaab"] == ["aaab"]
+    assert out["ab"] == ["ab"]
+    assert out["ba"] == ["b", "a"]
+    # merge 1 collapses the run; merges 2/3 find no ' a  b '/' aa  ab '
+    assert out["aab"] == ["aa", "b"]
