@@ -764,3 +764,109 @@ def _register_cms() -> None:
 
 
 _register_cms()
+
+
+def frequency_drift(
+    df: DataFrame,
+    key_col: str,
+    cohort_col,
+    *,
+    min_count: int = 0,
+) -> DataFrame:
+    """Categorical-distribution drift between two cohorts of one
+    relation (A/B exposure, old-vs-new snapshot, suspect shard): per
+    key, both cohort counts plus two engine-portable statistics —
+    ``rate_ratio_e6`` (cohort-0 share over cohort-1 share, NULL when
+    the key is absent from cohort 1) and ``absdiff_e9``
+    (|share_0 - share_1|, the per-key L1 contribution; SUM it for the
+    total-variation distance x2).  The shares are single
+    correctly-rounded divide chains over exact integer counts, half-up
+    quantized per key BEFORE any summation — the portable-oracle
+    discipline.
+
+    Scale shape: ONE corpus scan into a map-side-combined
+    (key, cohort) count; everything after runs on the key-sized
+    relation (cohort totals attach via unpartitioned windows over it —
+    the `_with_global` recipe, never a corpus-sized window or a
+    second scan).
+    """
+    cohort = cohort_col if not isinstance(cohort_col, str) else F.col(cohort_col)
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"), cohort.cast("int").alias("__g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_key = counts.groupBy("key").agg(
+        F.coalesce(F.sum(F.when(F.col("__g") == 0, F.col("c"))), F.lit(0))
+        .alias("c_a"),
+        F.coalesce(F.sum(F.when(F.col("__g") == 1, F.col("c"))), F.lit(0))
+        .alias("c_b"),
+    )
+    w = Window.partitionBy()
+    per_key = per_key.withColumns(
+        {"n_a": F.sum("c_a").over(w), "n_b": F.sum("c_b").over(w)}
+    )
+    share_a = F.col("c_a").cast("double") / F.col("n_a")
+    share_b = F.col("c_b").cast("double") / F.col("n_b")
+    ratio = F.when(
+        F.col("c_b") > 0,
+        F.floor(share_a / share_b * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("bigint"),
+    )
+    absdiff = F.floor(
+        F.abs(share_a - share_b) * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        per_key.filter((F.col("c_a") + F.col("c_b")) >= min_count)
+        .select(
+            "key", "c_a", "c_b",
+            ratio.alias("rate_ratio_e6"),
+            absdiff.alias("absdiff_e9"),
+        )
+    )
+
+
+def _register_drift_query() -> None:
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_drift_report",
+        oracle="""
+        WITH counts AS (
+          SELECT event_type AS key, CAST(user_id % 2 AS INT) AS g,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1, 2
+        ), per_key AS (
+          SELECT key,
+                 coalesce(SUM(c) FILTER (WHERE g = 0), 0) AS c_a,
+                 coalesce(SUM(c) FILTER (WHERE g = 1), 0) AS c_b
+          FROM counts GROUP BY key
+        ), tot AS (
+          SELECT key, c_a, c_b,
+                 SUM(c_a) OVER () AS n_a, SUM(c_b) OVER () AS n_b
+          FROM per_key
+        )
+        SELECT key, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+               CASE WHEN c_b > 0 THEN CAST(floor(
+                 (CAST(c_a AS DOUBLE) / n_a) / (CAST(c_b AS DOUBLE) / n_b)
+                 * 1000000.0 + 0.5) AS BIGINT) END AS rate_ratio_e6,
+               CAST(floor(abs(CAST(c_a AS DOUBLE) / n_a
+                              - CAST(c_b AS DOUBLE) / n_b)
+                          * 1000000000.0 + 0.5) AS BIGINT) AS absdiff_e9
+        FROM tot
+        """,
+    )
+    def q_drift_report(spark, sf_dir):
+        """Cohort drift report, FULL hash-match oracle: event-type
+        distributions of the user_id-parity cohorts compared per key —
+        exact counts plus quantized share-ratio and L1-contribution
+        statistics, every float op a correctly-rounded divide/subtract
+        chain mirrored in DuckDB.  The production face of 'did the new
+        ingestion shard change the event mix'."""
+        ensure_engine_conf(spark)
+        e = scan(spark, sf_dir, "events")
+        return frequency_drift(e, "event_type", F.col("user_id") % 2)
+
+
+_register_drift_query()

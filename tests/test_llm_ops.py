@@ -1083,3 +1083,31 @@ def test_bpe_segment_applies_merges_in_order(spark):
     assert out["ba"] == ["b", "a"]
     # merge 1 collapses the run; merges 2/3 find no ' a  b '/' aa  ab '
     assert out["aab"] == ["aa", "b"]
+
+
+def test_frequency_drift_hand_model(spark):
+    """Exact drift stats on a 10-row cohort split (n_a=5, n_b=5):
+    shares quantize per key; a key missing from cohort 1 gets NULL
+    ratio, missing from cohort 0 gets ratio 0, and min_count prunes
+    on the combined count."""
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.operators.sketches import frequency_drift
+
+    rows = (
+        [("x", 0)] * 3 + [("x", 1)]
+        + [("y", 0)] + [("y", 1)] * 3
+        + [("z", 1)] + [("w", 0)]
+    )
+    d = spark.createDataFrame(rows, ["k", "g"])
+    out = {r.key: r for r in frequency_drift(d, "k", F.col("g")).collect()}
+    assert (out["x"].c_a, out["x"].c_b) == (3, 1)
+    assert out["x"].rate_ratio_e6 == 3_000_000      # (3/5)/(1/5)
+    assert out["x"].absdiff_e9 == 400_000_000       # |0.6 - 0.2|
+    assert out["y"].rate_ratio_e6 == 333_333        # (1/5)/(3/5)
+    assert out["z"].rate_ratio_e6 == 0              # vanished from A
+    assert out["w"].rate_ratio_e6 is None           # vanished from B
+    assert out["w"].absdiff_e9 == 200_000_000
+    pruned = {r.key for r in
+              frequency_drift(d, "k", F.col("g"), min_count=2).collect()}
+    assert pruned == {"x", "y"}
