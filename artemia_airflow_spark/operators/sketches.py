@@ -784,37 +784,42 @@ def frequency_drift(
     quantized per key BEFORE any summation — the portable-oracle
     discipline.
 
-    Scale shape: ONE corpus scan into a map-side-combined
-    (key, cohort) count; everything after runs on the key-sized
-    relation (cohort totals attach via unpartitioned windows over it —
-    the `_with_global` recipe, never a corpus-sized window or a
-    second scan).
+    An entirely-empty cohort makes every share undefined: both
+    statistics come back NULL for every key (guarded — Spark 4's ANSI
+    mode would otherwise throw DIVIDE_BY_ZERO on the share, r12
+    review) while the raw counts still report.
+
+    Scale shape: ONE corpus scan into a single map-side-combined
+    conditional aggregate keyed on ``key`` (one shuffle — a
+    (key, cohort) pre-count would pay a second exchange for nothing);
+    everything after runs on the key-sized relation (cohort totals
+    attach via unpartitioned windows over it — the `_with_global`
+    recipe, never a corpus-sized window or a second scan).
     """
     cohort = cohort_col if not isinstance(cohort_col, str) else F.col(cohort_col)
-    counts = (
-        df.groupBy(F.col(key_col).alias("key"), cohort.cast("int").alias("__g"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    per_key = counts.groupBy("key").agg(
-        F.coalesce(F.sum(F.when(F.col("__g") == 0, F.col("c"))), F.lit(0))
-        .alias("c_a"),
-        F.coalesce(F.sum(F.when(F.col("__g") == 1, F.col("c"))), F.lit(0))
-        .alias("c_b"),
+    g = cohort.cast("int")
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.coalesce(F.sum(F.when(g == 0, F.lit(1))), F.lit(0)).alias("c_a"),
+        F.coalesce(F.sum(F.when(g == 1, F.lit(1))), F.lit(0)).alias("c_b"),
     )
     w = Window.partitionBy()
     per_key = per_key.withColumns(
         {"n_a": F.sum("c_a").over(w), "n_b": F.sum("c_b").over(w)}
     )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     share_a = F.col("c_a").cast("double") / F.col("n_a")
     share_b = F.col("c_b").cast("double") / F.col("n_b")
     ratio = F.when(
-        F.col("c_b") > 0,
+        both & (F.col("c_b") > 0),
         F.floor(share_a / share_b * F.lit(1_000_000.0) + F.lit(0.5))
         .cast("bigint"),
     )
-    absdiff = F.floor(
-        F.abs(share_a - share_b) * F.lit(1_000_000_000.0) + F.lit(0.5)
-    ).cast("bigint")
+    absdiff = F.when(
+        both,
+        F.floor(
+            F.abs(share_a - share_b) * F.lit(1_000_000_000.0) + F.lit(0.5)
+        ).cast("bigint"),
+    )
     return (
         per_key.filter((F.col("c_a") + F.col("c_b")) >= min_count)
         .select(
@@ -848,12 +853,14 @@ def _register_drift_query() -> None:
           FROM per_key
         )
         SELECT key, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
-               CASE WHEN c_b > 0 THEN CAST(floor(
+               CASE WHEN n_a > 0 AND n_b > 0 AND c_b > 0 THEN CAST(floor(
                  (CAST(c_a AS DOUBLE) / n_a) / (CAST(c_b AS DOUBLE) / n_b)
                  * 1000000.0 + 0.5) AS BIGINT) END AS rate_ratio_e6,
-               CAST(floor(abs(CAST(c_a AS DOUBLE) / n_a
-                              - CAST(c_b AS DOUBLE) / n_b)
-                          * 1000000000.0 + 0.5) AS BIGINT) AS absdiff_e9
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 CAST(floor(abs(CAST(c_a AS DOUBLE) / n_a
+                                - CAST(c_b AS DOUBLE) / n_b)
+                            * 1000000000.0 + 0.5) AS BIGINT)
+               END AS absdiff_e9
         FROM tot
         """,
     )

@@ -972,21 +972,33 @@ def bpe_segment_expr(word_col, merges: "list[tuple[int, str, str, int]]"):
 @declared(
     "q_text_bpe_fertility",
     oracle="WITH " + _bpe_ctes(3) + """,
+    -- m_k: always-one-row twins of b_k.  A corpus that exhausts merge
+    -- pairs before step k leaves b_k EMPTY; CROSS JOINing it would
+    -- empty the whole report while the engine degrades gracefully
+    -- (bpe_merges stops early -> fewer replaces).  The chr(1) sentinel
+    -- contains no space-wrapped symbol, so its replace is a no-op —
+    -- exactly the engine's missing-merge behavior (r12 review).
+    m1 AS (SELECT coalesce((SELECT l FROM b1), chr(1)) AS l,
+                  coalesce((SELECT r FROM b1), chr(1)) AS r),
+    m2 AS (SELECT coalesce((SELECT l FROM b2), chr(1)) AS l,
+                  coalesce((SELECT r FROM b2), chr(1)) AS r),
+    m3 AS (SELECT coalesce((SELECT l FROM b3), chr(1)) AS l,
+                  coalesce((SELECT r FROM b3), chr(1)) AS r),
     segs AS (
       SELECT d.lang,
              len(list_filter(string_split(
                replace(replace(replace(
                  regexp_replace(w.word, '(.)', ' \\1 ', 'g'),
-                 ' ' || b1.l || '  ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
-                 ' ' || b2.l || '  ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
-                 ' ' || b3.l || '  ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+                 ' ' || m1.l || '  ' || m1.r || ' ', ' ' || m1.l || m1.r || ' '),
+                 ' ' || m2.l || '  ' || m2.r || ' ', ' ' || m2.l || m2.r || ' '),
+                 ' ' || m3.l || '  ' || m3.r || ' ', ' ' || m3.l || m3.r || ' '),
                ' '), x -> x <> '')) AS n_sym
       FROM (
         SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
         FROM documents
       ) w
       JOIN documents d USING (doc_id)
-      CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3
+      CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3
     )
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(n_sym) AS BIGINT) AS n_symbols,

@@ -1111,3 +1111,36 @@ def test_frequency_drift_hand_model(spark):
     pruned = {r.key for r in
               frequency_drift(d, "k", F.col("g"), min_count=2).collect()}
     assert pruned == {"x", "y"}
+
+
+def test_frequency_drift_empty_cohort_is_null_not_crash(spark):
+    """A frame where one cohort never appears must return NULL drift
+    statistics with intact counts — not throw DIVIDE_BY_ZERO under
+    Spark 4 ANSI mode (r12 review)."""
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.operators.sketches import frequency_drift
+
+    d = spark.createDataFrame([("x", 0), ("y", 0)], ["k", "g"])
+    out = {r.key: r for r in frequency_drift(d, "k", F.col("g")).collect()}
+    assert (out["x"].c_a, out["x"].c_b) == (1, 0)
+    assert out["x"].rate_ratio_e6 is None and out["x"].absdiff_e9 is None
+
+
+def test_bpe_fertility_degenerate_corpus_parity(spark):
+    """A corpus with only ONE learnable merge: bpe_merges stops early
+    and segmentation applies just that merge — 6 words collapse to 6
+    symbols (fertility exactly 1.0), matching the oracle's sentinel
+    no-op handling of the missing steps (r12 review)."""
+    from artemia_airflow_spark.operators.text import bpe_merges, bpe_segment_expr
+
+    d = spark.createDataFrame(
+        [(0, "ab a b"), (1, "a b c")], ["doc_id", "text"]
+    )
+    merges = bpe_merges(d, "text", n_merges=3)
+    assert merges == [(1, "a", "b", 1)]
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    total = toks.select(
+        F.size(bpe_segment_expr("word", merges)).alias("n")
+    ).agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
+    assert tuple(total) == (6, 6)
