@@ -41,14 +41,17 @@ ORACLE: dict[str, str] = {}
 # unigram perplexity, CMS sketch, filtered similarity, postings),
 # the single-scan stacked-histogram percentile rework, the PQ
 # portable twins, the first-fit
-# recursive-CTE oracle upgrade, and the composed multimodal-pipeline
-# portable face — then
+# recursive-CTE oracle upgrade, the composed multimodal-pipeline
+# portable face, and the session-3 retrieval/tokenizer/data-quality
+# pack (collocations, BM25, RRF, matryoshka, BPE merges + fertility,
+# MMR, drift report; CMS re-pinned after the vocabulary-bound rework)
+# — then
 # (b) the 22-row r8-stale tail IN FULL (the r11 slip set; VERDICT r11
 # "Next round" #2 lists them by name), then
 # (c) the 45 r9-stale rows, composite/expensive faces first (the r9
 # portable-twin batch, the approx-agg family, the stream batch) so the
-# ~25 rows that slip to r13's front are the simplest untouched
-# full-oracle scans/stats.  17 + 22 + 45 = 84 > the ~50 cap.
+# rows that slip to r13's front are the simplest untouched
+# full-oracle scans/stats.  26 + 22 + 45 = 93 > the ~50 cap.
 PRIORITY: list[str] = [
     # (a) new/changed in round 12 (q_sim_ann_lsh_portable: rerank tail
     # refactored onto the shared _portable_exact_rerank)
