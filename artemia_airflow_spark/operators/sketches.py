@@ -877,3 +877,123 @@ def _register_drift_query() -> None:
 
 
 _register_drift_query()
+
+
+def corr_matrix(
+    df: DataFrame, cols: list[str], *, scale: int = 100
+) -> DataFrame:
+    """Pairwise Pearson correlation over EXACT sufficient statistics:
+    inputs are half-up quantized to ``scale``-scaled integers held as
+    decimal(19,0)/decimal(38,0), so every sum (Sx, Sxx, Sxy) is an
+    exact, order-free aggregate — never the float accumulation
+    ordering that makes builtin ``corr`` run-dependent at cluster
+    scale — and r comes out of one correctly-rounded double chain,
+    bit-identical cross-engine.  Zero-variance columns yield NULL r.
+
+    Scale shape: ONE column-pruned scan into a single 1-row
+    map-side-combined aggregate carrying all k + k + k(k-1)/2 sums;
+    the pair rows explode from that 1-row relation (no join, no
+    second scan, no shuffle beyond the partial-aggregate combine).
+    Overflow bound: |x*scale| < 1e12 keeps Sxy within decimal(38,0)
+    at 1e14 rows.
+
+    Returns (x_col, y_col, n, r_e6) per unordered column pair.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    ints = {
+        c: F.floor(F.col(c).cast("double") * scale + F.lit(0.5))
+        .cast("decimal(19,0)")
+        for c in cols
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(ints[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(ints[c] * ints[c]).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(ints[a] * ints[b]).alias(f"sp_{a}_{b}"))
+    one = df.agg(*aggs)
+
+    def r_e6(a: str, b: str):
+        nd = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sxy = F.col(f"sp_{a}_{b}").cast("double")
+        d1 = nd * ssa - sx * sx
+        d2 = nd * ssb - sy * sy
+        r = (nd * sxy - sx * sy) / (F.sqrt(d1) * F.sqrt(d2))
+        return F.when(
+            (d1 > 0) & (d2 > 0),
+            F.floor(r * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint"),
+        )
+
+    rows = F.array(*[
+        F.struct(
+            F.lit(a).alias("x_col"), F.lit(b).alias("y_col"),
+            F.col("n").alias("n"), r_e6(a, b).alias("r_e6"),
+        )
+        for a, b in pairs
+    ])
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def _register_corr_query() -> None:
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def _pair_sql(a: str, b: str) -> str:
+        return f"""
+      SELECT '{a}' AS x_col, '{b}' AS y_col, CAST(n AS BIGINT) AS n,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+                       - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) > 0
+                   AND CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+                       - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) > 0
+             THEN CAST(floor(
+               (CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+                - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+                       - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+                         - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT)
+             END AS r_e6
+      FROM s"""
+
+    sums = ", ".join(
+        [f"SUM(x_{c}) AS s_{c}, SUM(x_{c} * x_{c}) AS ss_{c}"
+         for c in _CORR_COLS]
+        + [f"SUM(x_{a} * x_{b}) AS sp_{a}_{b}"
+           for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]]
+    )
+    quant = ", ".join(
+        f"CAST(floor(CAST({c} AS DOUBLE) * 100 + 0.5) AS HUGEINT) AS x_{c}"
+        for c in _CORR_COLS
+    )
+    body = "\n      UNION ALL".join(
+        _pair_sql(a, b)
+        for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    )
+    oracle = f"""
+    WITH q AS (SELECT {quant} FROM lineitem),
+    s AS (SELECT COUNT(*) AS n, {sums} FROM q)
+    {body}
+    """
+
+    @declared("q_corr_matrix", oracle=oracle)
+    def q_corr_matrix(spark, sf_dir):
+        """Correlation matrix, FULL hash-match oracle: pairwise Pearson
+        r over four lineitem measures from exact decimal sufficient
+        statistics (cent-quantized ints; DuckDB mirrors with HUGEINT
+        sums) — the sums are order-free so the statistic is
+        reproducible run-to-run AND engine-to-engine, unlike builtin
+        float corr.  One scan, one 1-row aggregate, six pair rows."""
+        ensure_engine_conf(spark)
+        li = scan(spark, sf_dir, "lineitem")
+        return corr_matrix(li, _CORR_COLS, scale=100)
+
+
+_register_corr_query()

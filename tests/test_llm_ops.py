@@ -1144,3 +1144,33 @@ def test_bpe_fertility_degenerate_corpus_parity(spark):
         F.size(bpe_segment_expr("word", merges)).alias("n")
     ).agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
     assert tuple(total) == (6, 6)
+
+
+def test_corr_matrix_hand_cases(spark):
+    """Exact-stat Pearson: a perfectly linear pair reads +-1.0, a
+    constant column yields NULL (zero variance), and the matrix
+    matches numpy on the same cent-quantized data."""
+    import numpy as np
+
+    from artemia_airflow_spark.operators.sketches import corr_matrix
+
+    rows = [(float(i), 2.0 * i, -1.0 * i, 7.0) for i in range(1, 21)]
+    d = spark.createDataFrame(rows, ["a", "b", "c", "k"])
+    out = {(r.x_col, r.y_col): r for r in
+           corr_matrix(d, ["a", "b", "c", "k"]).collect()}
+    assert len(out) == 6 and all(r.n == 20 for r in out.values())
+    assert out[("a", "b")].r_e6 == 1_000_000
+    assert out[("a", "c")].r_e6 == -1_000_000
+    assert out[("a", "k")].r_e6 is None  # constant column
+    x = np.array([r[0] for r in rows]); y = np.array([r[1] for r in rows])
+    assert abs(out[("a", "b")].r_e6 / 1e6 - np.corrcoef(x, y)[0, 1]) < 1e-5
+
+
+def test_corr_matrix_needs_two_columns(spark):
+    import pytest
+
+    from artemia_airflow_spark.operators.sketches import corr_matrix
+
+    d = spark.createDataFrame([(1.0,)], ["a"])
+    with pytest.raises(ValueError, match="two columns"):
+        corr_matrix(d, ["a"])
