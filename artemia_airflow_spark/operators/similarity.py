@@ -1006,9 +1006,7 @@ def _portable_exact_rerank(comps: DataFrame, cand: DataFrame, *, k: int) -> Data
     )
 
 
-@declared(
-    "q_sim_ivf_pq_portable",
-    oracle="""
+_IVF_PQ_PORTABLE_ORACLE = """
     WITH cells AS (
       SELECT cell, d,
              (((cell*524287 + d*127 + 3) * 48271 + 54321)
@@ -1105,8 +1103,10 @@ def _portable_exact_rerank(comps: DataFrame, cand: DataFrame, *, k: int) -> Data
            CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6,
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 10
-    """,
-)
+    """
+
+
+@declared("q_sim_ivf_pq_portable", oracle=_IVF_PQ_PORTABLE_ORACLE)
 def q_sim_ivf_pq_portable(spark, sf_dir):
     """IVF-PQ's composed mechanism as a FULL hash-match oracle (round
     12 — VERDICT r11 noted "IVF-PQ can compose the same twin cells"):
@@ -1129,19 +1129,28 @@ def q_sim_ivf_pq_portable(spark, sf_dir):
     |probes| x m x n_codes rows), the cut bounds the exchange, and
     only |probes| x 50 candidates touch vectors again."""
     ensure_engine_conf(spark)
-    m, n_codes, sub = 8, 16, 8
-    n_cells, n_route, r_cut, k = 8, 3, 50, 10
     emb = scan(spark, sf_dir, "embeddings")
-    cells = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
-    books = pq_portable_codebooks_df(
-        spark, m_subspaces=m, n_codes=n_codes, sub_dim=sub, salt=99991
-    )
     comps = embedding_comps(
         emb, id_col="vec_id", vec_col="embedding"
     ).localCheckpoint(eager=True)
     corp = comps.filter(F.col("vec_id") >= 5)
     probe = comps.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "d", F.col("v6").alias("p6")
+    )
+    cells, books, codes = _ivf_pq_portable_build(spark, corp)
+    return _ivf_pq_portable_query(comps, probe, cells, books, codes)
+
+
+def _ivf_pq_portable_build(spark, corp):
+    """INDEX-BUILD phase of the portable IVF-PQ twin: returns
+    (cells, books, codes) for a (vec_id, d, v6) corpus — the coarse
+    dictionary, the residual codebooks, and the per-vector
+    (vec_id, cell, j, code) rows that ARE the index artifact (the only
+    corpus-sized output; cells/books are bounded model metadata)."""
+    m, n_codes, sub, n_cells = 8, 16, 8, 8
+    cells = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
+    books = pq_portable_codebooks_df(
+        spark, m_subspaces=m, n_codes=n_codes, sub_dim=sub, salt=99991
     )
     cdist = (
         corp.join(F.broadcast(cells), "d")
@@ -1152,21 +1161,6 @@ def q_sim_ivf_pq_portable(spark, sf_dir):
     assign = cdist.groupBy("vec_id").agg(
         (F.min(F.col("dist") * n_cells + F.col("cell")) % n_cells)
         .alias("cell")
-    )
-    pstat = (
-        probe.join(F.broadcast(cells), "d")
-        .groupBy("probe_id", "cell")
-        .agg(
-            F.sum((F.col("p6") - F.col("cc6"))
-                  * (F.col("p6") - F.col("cc6"))).alias("dist"),
-            F.sum(F.col("cc6") * F.col("p6")).alias("pdot"),
-        )
-    )
-    wr = Window.partitionBy("probe_id").orderBy("dist", "cell")
-    routed = (
-        pstat.withColumn("__rk", F.row_number().over(wr))
-        .filter(F.col("__rk") <= n_route)
-        .select("probe_id", "cell", "pdot")
     )
     res = (
         corp.join(assign, "vec_id")
@@ -1187,6 +1181,34 @@ def q_sim_ivf_pq_portable(spark, sf_dir):
     codes = rdist.groupBy("vec_id", "cell", "j").agg(
         (F.min(F.col("dist") * n_codes + F.col("c")) % n_codes)
         .alias("code")
+    )
+    return cells, books, codes
+
+
+def _ivf_pq_portable_query(
+    comps, probe, cells, books, codes, *,
+    n_route: int = 3, r_cut: int = 50, k: int = 10,
+):
+    """QUERY phase of the portable IVF-PQ twin over prebuilt index
+    artifacts: probe routing, residual-decomposition ADC gather over
+    the (vec_id, cell, j, code) relation, the shared two-phase cut,
+    exact rerank.  Consumes the artifacts as plain relations, so they
+    can come from the in-plan build or from a reloaded TxTable
+    snapshot (q_sim_index_persisted) interchangeably."""
+    pstat = (
+        probe.join(F.broadcast(cells), "d")
+        .groupBy("probe_id", "cell")
+        .agg(
+            F.sum((F.col("p6") - F.col("cc6"))
+                  * (F.col("p6") - F.col("cc6"))).alias("dist"),
+            F.sum(F.col("cc6") * F.col("p6")).alias("pdot"),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy("dist", "cell")
+    routed = (
+        pstat.withColumn("__rk", F.row_number().over(wr))
+        .filter(F.col("__rk") <= n_route)
+        .select("probe_id", "cell", "pdot")
     )
     psplit = probe.select(
         "probe_id",
@@ -1968,3 +1990,45 @@ def q_embed_matryoshka(spark, sf_dir):
             F.sum("r6").alias("sum_retention_e6"),
         )
     )
+
+
+@declared("q_sim_index_persisted", oracle=_IVF_PQ_PORTABLE_ORACLE)
+def q_sim_index_persisted(spark, sf_dir):
+    """ANN index lifecycle, FULL hash-match oracle: the portable
+    IVF-PQ index artifact — the (vec_id, cell, j, code) relation, the
+    only corpus-sized output of the build — is COMMITTED to a
+    transactional TxTable, reloaded from its snapshot, and queried
+    through the identical routing/ADC/rerank tail.  The oracle is
+    q_sim_ivf_pq_portable's verbatim: persistence must be
+    value-neutral, so a hash match proves the build-once/query-many
+    production shape (write codes at ingest, serve every query from
+    the stored index without touching raw vectors until rerank)
+    round-trips through commit-log parquet exactly.  Cells/books are
+    bounded model metadata and regenerate deterministically — the
+    FAISS convention of tiny codebooks beside a big code file."""
+    import os
+    import shutil
+    import tempfile
+
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    comps = embedding_comps(
+        emb, id_col="vec_id", vec_col="embedding"
+    ).localCheckpoint(eager=True)
+    corp = comps.filter(F.col("vec_id") >= 5)
+    probe = comps.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "d", F.col("v6").alias("p6")
+    )
+    cells, books, codes = _ivf_pq_portable_build(spark, corp)
+    root = os.path.join(tempfile.gettempdir(), "aas_sim_index")
+    shutil.rmtree(root, ignore_errors=True)
+    # one row per (vec, subspace): synthetic unique key for the table
+    artifact = codes.select(
+        (F.col("vec_id") * 8 + F.col("j")).alias("k"),
+        "vec_id", "cell", "j", "code",
+    )
+    t = TxTable.create(spark, artifact, root, key_col="k")
+    loaded = t.snapshot().select("vec_id", "cell", "j", "code")
+    return _ivf_pq_portable_query(comps, probe, cells, books, loaded)

@@ -60,7 +60,7 @@ PRIORITY: list[str] = [
     "q_event_transitions", "q_text_postings", "q_text_collocations",
     "q_retrieval_bm25", "q_retrieval_rrf", "q_embed_matryoshka",
     "q_text_bpe", "q_retrieval_mmr", "q_text_bpe_fertility",
-    "q_drift_report", "q_corr_matrix",
+    "q_drift_report", "q_corr_matrix", "q_sim_index_persisted",
     "q_agg_approx_percentile_portable", "q_sim_pq_portable",
     "q_sim_ivf_pq_portable", "q_pack_firstfit",
     "q_multimodal_pipeline_portable", "q_sim_ann_lsh_portable",

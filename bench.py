@@ -38,6 +38,7 @@ SKIP = {
     "q_schema_evolution",  # creates + evolves a real on-disk table (I/O)
     "q_sql_timetravel",  # creates + deletes a real on-disk table (I/O)
     "q_dedup_incremental",  # seeds + appends a real on-disk hash state (I/O)
+    "q_sim_index_persisted",  # commits + reloads a real on-disk index (I/O)
 }
 
 
