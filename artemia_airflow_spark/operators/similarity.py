@@ -1129,6 +1129,21 @@ def q_sim_ivf_pq_portable(spark, sf_dir):
     |probes| x m x n_codes rows), the cut bounds the exchange, and
     only |probes| x 50 candidates touch vectors again."""
     ensure_engine_conf(spark)
+    comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
+    cells, books, codes = _ivf_pq_portable_build(spark, corp)
+    return _ivf_pq_portable_query(comps, probe, cells, books, codes)
+
+
+# subspace count shared by the build and the persisted-index key
+# encoding (vec_id * m + j) — one constant so they cannot drift
+_IVF_PQ_PORTABLE_M = 8
+
+
+def _ivf_pq_portable_frames(spark, sf_dir):
+    """Shared prelude of the portable IVF-PQ faces: (comps, corp,
+    probe) with the vec_id < 5 probe split — extracted so the
+    persisted-index twin cannot drift from the in-plan twin (their
+    hash-match equivalence is the persistence proof)."""
     emb = scan(spark, sf_dir, "embeddings")
     comps = embedding_comps(
         emb, id_col="vec_id", vec_col="embedding"
@@ -1137,8 +1152,7 @@ def q_sim_ivf_pq_portable(spark, sf_dir):
     probe = comps.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "d", F.col("v6").alias("p6")
     )
-    cells, books, codes = _ivf_pq_portable_build(spark, corp)
-    return _ivf_pq_portable_query(comps, probe, cells, books, codes)
+    return comps, corp, probe
 
 
 def _ivf_pq_portable_build(spark, corp):
@@ -1147,7 +1161,7 @@ def _ivf_pq_portable_build(spark, corp):
     dictionary, the residual codebooks, and the per-vector
     (vec_id, cell, j, code) rows that ARE the index artifact (the only
     corpus-sized output; cells/books are bounded model metadata)."""
-    m, n_codes, sub, n_cells = 8, 16, 8, 8
+    m, n_codes, sub, n_cells = _IVF_PQ_PORTABLE_M, 16, 8, 8
     cells = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
     books = pq_portable_codebooks_df(
         spark, m_subspaces=m, n_codes=n_codes, sub_dim=sub, salt=99991
@@ -2007,26 +2021,22 @@ def q_sim_index_persisted(spark, sf_dir):
     bounded model metadata and regenerate deterministically — the
     FAISS convention of tiny codebooks beside a big code file."""
     import os
-    import shutil
     import tempfile
 
     from artemia_airflow_spark.sources.txtable import TxTable
 
     ensure_engine_conf(spark)
-    emb = scan(spark, sf_dir, "embeddings")
-    comps = embedding_comps(
-        emb, id_col="vec_id", vec_col="embedding"
-    ).localCheckpoint(eager=True)
-    corp = comps.filter(F.col("vec_id") >= 5)
-    probe = comps.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), "d", F.col("v6").alias("p6")
-    )
+    comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
     cells, books, codes = _ivf_pq_portable_build(spark, corp)
-    root = os.path.join(tempfile.gettempdir(), "aas_sim_index")
-    shutil.rmtree(root, ignore_errors=True)
-    # one row per (vec, subspace): synthetic unique key for the table
+    # unique dir per run: a fixed shared path lets concurrent runs
+    # rmtree each other's live table mid-read (r12 review)
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="aas_sim_index_"), "index"
+    )
+    # one row per (vec, subspace): synthetic unique key for the table,
+    # multiplier tied to the build's subspace count
     artifact = codes.select(
-        (F.col("vec_id") * 8 + F.col("j")).alias("k"),
+        (F.col("vec_id") * _IVF_PQ_PORTABLE_M + F.col("j")).alias("k"),
         "vec_id", "cell", "j", "code",
     )
     t = TxTable.create(spark, artifact, root, key_col="k")

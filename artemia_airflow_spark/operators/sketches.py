@@ -890,6 +890,12 @@ def corr_matrix(
     scale — and r comes out of one correctly-rounded double chain,
     bit-identical cross-engine.  Zero-variance columns yield NULL r.
 
+    Rows where ANY requested column is NULL are excluded up front
+    (listwise deletion — the one policy under which every sum comes
+    from the same row set; mixing per-sum NULL skipping with a global
+    count would silently produce invalid r, r12 review).  ``n``
+    reports the complete-row count.
+
     Scale shape: ONE column-pruned scan into a single 1-row
     map-side-combined aggregate carrying all k + k + k(k-1)/2 sums;
     the pair rows explode from that 1-row relation (no join, no
@@ -901,25 +907,30 @@ def corr_matrix(
     """
     if len(cols) < 2:
         raise ValueError("corr_matrix needs at least two columns")
-    ints = {
-        c: F.floor(F.col(c).cast("double") * scale + F.lit(0.5))
+    complete = df
+    for c in cols:
+        complete = complete.filter(F.col(c).isNotNull())
+    # positional aliases: name-derived ones (sp_{a}_{b}) collide for
+    # column names containing underscores (r12 review)
+    ints = [
+        F.floor(F.col(c).cast("double") * scale + F.lit(0.5))
         .cast("decimal(19,0)")
         for c in cols
-    }
+    ]
     aggs = [F.count(F.lit(1)).alias("n")]
-    for c in cols:
-        aggs.append(F.sum(ints[c]).alias(f"s_{c}"))
-        aggs.append(F.sum(ints[c] * ints[c]).alias(f"ss_{c}"))
-    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
-    for a, b in pairs:
-        aggs.append(F.sum(ints[a] * ints[b]).alias(f"sp_{a}_{b}"))
-    one = df.agg(*aggs)
+    for i in range(len(cols)):
+        aggs.append(F.sum(ints[i]).alias(f"s_{i}"))
+        aggs.append(F.sum(ints[i] * ints[i]).alias(f"ss_{i}"))
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    for i, j in pairs:
+        aggs.append(F.sum(ints[i] * ints[j]).alias(f"sp_{i}_{j}"))
+    one = complete.agg(*aggs)
 
-    def r_e6(a: str, b: str):
+    def r_e6(i: int, j: int):
         nd = F.col("n").cast("double")
-        sx, sy = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
-        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
-        sxy = F.col(f"sp_{a}_{b}").cast("double")
+        sx, sy = F.col(f"s_{i}").cast("double"), F.col(f"s_{j}").cast("double")
+        ssa, ssb = F.col(f"ss_{i}").cast("double"), F.col(f"ss_{j}").cast("double")
+        sxy = F.col(f"sp_{i}_{j}").cast("double")
         d1 = nd * ssa - sx * sx
         d2 = nd * ssb - sy * sy
         r = (nd * sxy - sx * sy) / (F.sqrt(d1) * F.sqrt(d2))
@@ -930,10 +941,10 @@ def corr_matrix(
 
     rows = F.array(*[
         F.struct(
-            F.lit(a).alias("x_col"), F.lit(b).alias("y_col"),
-            F.col("n").alias("n"), r_e6(a, b).alias("r_e6"),
+            F.lit(cols[i]).alias("x_col"), F.lit(cols[j]).alias("y_col"),
+            F.col("n").alias("n"), r_e6(i, j).alias("r_e6"),
         )
-        for a, b in pairs
+        for i, j in pairs
     ])
     return one.select(F.explode(rows).alias("p")).select("p.*")
 
@@ -978,7 +989,8 @@ def _register_corr_query() -> None:
         for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
     )
     oracle = f"""
-    WITH q AS (SELECT {quant} FROM lineitem),
+    WITH q AS (SELECT {quant} FROM lineitem
+               WHERE {" AND ".join(f"{c} IS NOT NULL" for c in _CORR_COLS)}),
     s AS (SELECT COUNT(*) AS n, {sums} FROM q)
     {body}
     """

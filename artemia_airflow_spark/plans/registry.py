@@ -51,7 +51,7 @@ ORACLE: dict[str, str] = {}
 # (c) the 45 r9-stale rows, composite/expensive faces first (the r9
 # portable-twin batch, the approx-agg family, the stream batch) so the
 # rows that slip to r13's front are the simplest untouched
-# full-oracle scans/stats.  26 + 22 + 45 = 93 > the ~50 cap.
+# full-oracle scans/stats.  27 + 22 + 45 = 94 > the ~50 cap.
 PRIORITY: list[str] = [
     # (a) new/changed in round 12 (q_sim_ann_lsh_portable: rerank tail
     # refactored onto the shared _portable_exact_rerank)

@@ -1174,3 +1174,17 @@ def test_corr_matrix_needs_two_columns(spark):
     d = spark.createDataFrame([(1.0,)], ["a"])
     with pytest.raises(ValueError, match="two columns"):
         corr_matrix(d, ["a"])
+
+
+def test_corr_matrix_listwise_null_deletion(spark):
+    """Rows with a NULL in ANY requested column are excluded up front,
+    so every sufficient statistic comes from the same row set — the
+    NULL rows must not inflate n or skew r (r12 review: mixed per-sum
+    NULL skipping produced invalid r silently)."""
+    from artemia_airflow_spark.operators.sketches import corr_matrix
+
+    rows = [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (None, 100.0), (4.0, None)]
+    d = spark.createDataFrame(rows, "a double, b double")
+    (r,) = corr_matrix(d, ["a", "b"]).collect()
+    assert r.n == 3  # only complete rows
+    assert r.r_e6 == 1_000_000  # perfectly linear on the complete set
