@@ -1009,3 +1009,116 @@ def _register_corr_query() -> None:
 
 
 _register_corr_query()
+
+
+def discretize_by_sketch(
+    df: DataFrame, value_col: str, *,
+    n_buckets: int, lo: float, hi: float, bins: int = 256,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Quantile feature binning at scale: assign each row its
+    ``n_buckets``-quantile bucket using edges from the mergeable
+    histogram sketch — the ML-prep discretizer (equal-frequency bins
+    for feature crosses, calibration buckets, stratified eval).
+
+    A window-NTILE discretizer needs a GLOBAL ordering, which in Spark
+    is an unpartitioned window — one reducer sorting the corpus.  This
+    one is scale-correct: the sketch pass is a map-side-combined
+    bins-sized aggregate, the n_buckets-1 edges broadcast as ONE row,
+    and assignment is a per-row array scan (strict ``value > edge``
+    count) inside codegen.  Bucket boundaries inherit the sketch's
+    one-bin-width error bound — the standard trade for not sorting
+    100 TB; every value is still binned (edges are exact doubles
+    derived from exact integer state, so assignment is
+    engine-portable and run-reproducible).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    partials = histogram_partials(df, value_col, [], lo=lo, hi=hi, bins=bins)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = quantile_estimates(
+        partials, [], qs, lo=lo, hi=hi, bins=bins, out_col="__edge"
+    )
+    edge_row = edges.agg(
+        F.sort_array(F.collect_list("__edge")).alias("__edges")
+    )
+    v = F.col(value_col).cast("double")
+    bucket = (
+        F.size(F.filter(F.col("__edges"), lambda e: v > e)) + F.lit(1)
+    ).cast("int")
+    return (
+        df.crossJoin(F.broadcast(edge_row))
+        .withColumn(out_col, bucket)
+        .drop("__edges")
+    )
+
+
+def _register_discretize_query() -> None:
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    LO, HI, BINS = 0.0, 600_000.0, 256
+
+    @declared(
+        "q_feature_bins",
+        oracle=f"""
+        WITH part AS (
+          SELECT least({BINS - 1}, greatest(0,
+                   CAST(floor(CAST(o_totalprice AS DOUBLE)
+                              / ({HI!r} / {BINS})) AS INT))) AS bin,
+                 COUNT(*) AS cnt
+          FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        ), cum AS (
+          SELECT bin, cnt,
+                 SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                   AS cum,
+                 SUM(cnt) OVER () AS n
+          FROM part
+        ), est AS (
+          SELECT CAST(0.0 + (bin
+                   + CAST(greatest(1, CAST(ceil(qq * n) AS BIGINT))
+                          - (cum - cnt) AS DOUBLE) / cnt)
+                      * ({HI!r} / {BINS}) AS DOUBLE) AS edge,
+                 ROW_NUMBER() OVER (PARTITION BY qq ORDER BY bin) AS rk
+          FROM cum CROSS JOIN (VALUES (0.25), (0.5), (0.75)) t(qq)
+          WHERE cum >= greatest(1, CAST(ceil(qq * n) AS BIGINT))
+        ), edges AS (SELECT edge FROM est WHERE rk = 1
+        ), b AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                 1 + (SELECT COUNT(*) FROM edges e
+                      WHERE CAST(o.o_totalprice AS DOUBLE) > e.edge)
+                   AS bucket
+          FROM orders o
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(floor(v * 100 + 0.5)) AS BIGINT) AS min_cents,
+               CAST(MAX(floor(v * 100 + 0.5)) AS BIGINT) AS max_cents
+        FROM b GROUP BY bucket
+        """,
+    )
+    def q_feature_bins(spark, sf_dir):
+        """Quantile discretizer, FULL hash-match oracle: orders bin
+        into price quartiles via sketch-derived edges (never a global
+        sort); per bucket the row count and exact cent-quantized
+        min/max attest both the edge computation and every row's
+        assignment.  DuckDB replays the histogram, the interpolated
+        quartile edges, and the strict-greater bucket scan
+        value-for-value."""
+        ensure_engine_conf(spark)
+        o = scan(spark, sf_dir, "orders")
+        binned = discretize_by_sketch(
+            o, "o_totalprice", n_buckets=4, lo=LO, hi=HI, bins=BINS
+        )
+        cents = F.floor(
+            F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)
+        ).cast("bigint")
+        return binned.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+
+
+_register_discretize_query()

@@ -1188,3 +1188,31 @@ def test_corr_matrix_listwise_null_deletion(spark):
     (r,) = corr_matrix(d, ["a", "b"]).collect()
     assert r.n == 3  # only complete rows
     assert r.r_e6 == 1_000_000  # perfectly linear on the complete set
+
+
+def test_discretize_by_sketch_equal_frequency(spark):
+    """Quartile binning on 100 uniform values: each bucket holds ~25
+    rows (within the sketch's one-bin error), buckets are ordered by
+    value, and every row gets exactly one bucket 1..4; n_buckets < 2
+    raises."""
+    from artemia_airflow_spark.operators.sketches import discretize_by_sketch
+
+    d = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], ["id", "v"]
+    )
+    out = discretize_by_sketch(
+        d, "v", n_buckets=4, lo=0.0, hi=100.0, bins=100
+    ).collect()
+    assert len(out) == 100 and all(1 <= r.bucket <= 4 for r in out)
+    sizes = {}
+    hi_lo = {}
+    for r in out:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+        lohi = hi_lo.setdefault(r.bucket, [r.v, r.v])
+        lohi[0], lohi[1] = min(lohi[0], r.v), max(lohi[1], r.v)
+    assert all(20 <= s <= 30 for s in sizes.values()), sizes
+    # buckets partition the value range in order
+    assert hi_lo[1][1] < hi_lo[2][0] and hi_lo[2][1] < hi_lo[3][0]
+    assert hi_lo[3][1] < hi_lo[4][0]
+    with pytest.raises(ValueError, match="n_buckets"):
+        discretize_by_sketch(d, "v", n_buckets=1, lo=0.0, hi=100.0)
