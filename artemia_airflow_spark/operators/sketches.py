@@ -1028,12 +1028,22 @@ def discretize_by_sketch(
     and assignment is a per-row array scan (strict ``value > edge``
     count) inside codegen.  Bucket boundaries inherit the sketch's
     one-bin-width error bound — the standard trade for not sorting
-    100 TB; every value is still binned (edges are exact doubles
+    100 TB; every non-NULL value is binned (edges are exact doubles
     derived from exact integer state, so assignment is
-    engine-portable and run-reproducible).
+    engine-portable and run-reproducible).  NULL values get a NULL
+    bucket (they are excluded from the sketch, so binning them at the
+    lo edge would inflate bucket 1 — the module's r6 NULL finding all
+    over again).  Degenerate caveat: heavily tied data (or n_buckets
+    close to ``bins``) can yield DUPLICATE edges, in which case the
+    strict-greater count skips bucket ids and the skipped buckets stay
+    empty — equal-frequency binning is not defined when one value
+    exceeds a full quantile's mass; raise ``bins`` or lower
+    ``n_buckets`` for such columns.
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
     partials = histogram_partials(df, value_col, [], lo=lo, hi=hi, bins=bins)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     edges = quantile_estimates(
@@ -1043,9 +1053,11 @@ def discretize_by_sketch(
         F.sort_array(F.collect_list("__edge")).alias("__edges")
     )
     v = F.col(value_col).cast("double")
-    bucket = (
-        F.size(F.filter(F.col("__edges"), lambda e: v > e)) + F.lit(1)
-    ).cast("int")
+    bucket = F.when(
+        v.isNotNull(),
+        (F.size(F.filter(F.col("__edges"), lambda e: v > e)) + F.lit(1))
+        .cast("int"),
+    )
     return (
         df.crossJoin(F.broadcast(edge_row))
         .withColumn(out_col, bucket)
@@ -1086,9 +1098,10 @@ def _register_discretize_query() -> None:
         ), edges AS (SELECT edge FROM est WHERE rk = 1
         ), b AS (
           SELECT CAST(o_totalprice AS DOUBLE) AS v,
-                 1 + (SELECT COUNT(*) FROM edges e
-                      WHERE CAST(o.o_totalprice AS DOUBLE) > e.edge)
-                   AS bucket
+                 CASE WHEN o_totalprice IS NOT NULL THEN
+                   1 + (SELECT COUNT(*) FROM edges e
+                        WHERE CAST(o.o_totalprice AS DOUBLE) > e.edge)
+                 END AS bucket
           FROM orders o
         )
         SELECT CAST(bucket AS INT) AS bucket,

@@ -1216,3 +1216,20 @@ def test_discretize_by_sketch_equal_frequency(spark):
     assert hi_lo[3][1] < hi_lo[4][0]
     with pytest.raises(ValueError, match="n_buckets"):
         discretize_by_sketch(d, "v", n_buckets=1, lo=0.0, hi=100.0)
+
+
+def test_discretize_null_values_get_null_bucket(spark):
+    """NULL feature values must come back with a NULL bucket — binning
+    them at the lo edge would inflate bucket 1 (the module's r6 NULL
+    finding); bins < 1 raises."""
+    from artemia_airflow_spark.operators.sketches import discretize_by_sketch
+
+    d = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 90.0)], "id int, v double"
+    )
+    out = {r.id: r.bucket for r in discretize_by_sketch(
+        d, "v", n_buckets=2, lo=0.0, hi=100.0, bins=10
+    ).collect()}
+    assert out[2] is None and out[1] is not None and out[3] is not None
+    with pytest.raises(ValueError, match="bins"):
+        discretize_by_sketch(d, "v", n_buckets=2, lo=0.0, hi=100.0, bins=0)
