@@ -1611,3 +1611,115 @@ def q_dedup_segments(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return dedup_segments(d, "text", "doc_id")
+
+
+def containment_scores(
+    docs: DataFrame, ref: DataFrame, text_col: str, id_col: str, *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram containment against a reference corpus —
+    the SCORED sibling of the boolean decontamination tiers
+    (:func:`decontaminate` / the Bloom probe): ``containment_e6 =
+    hits * 1e6 DIV n_grams`` where hits counts the document's DISTINCT
+    word n-grams present anywhere in the reference.  Use it to RANK
+    suspected contamination/derivative text (or, inverted, to score
+    novelty for mixing weights) where a yes/no gate is too blunt.
+
+    All-integer statistics (distinct-gram counts + integer DIV), so
+    the score is exactly engine-portable.  Documents shorter than
+    ``n`` tokens score over their single truncated gram (the
+    :func:`word_ngrams` convention); the guard keeps ANSI integer
+    division away from 0.
+
+    Scale shape: one scan per side, both column-pruned; the reference
+    collapses to its DISTINCT gram set (vocabulary-like, shuffled on
+    gram — never broadcast, reference corpora are big); document grams
+    deduplicate per doc map-side (array_distinct BEFORE the explode)
+    and meet the reference in one gram-keyed LEFT join whose presence
+    flag folds back into a per-doc count — no row ever carries text
+    past the explode.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    ref_grams = ref.select(
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("gram")
+    ).distinct()
+    hit = ref_grams.withColumn("__hit", F.lit(1))
+    per_doc = (
+        grams.join(hit, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("hits"),
+        )
+    )
+    score = F.when(
+        F.col("n_grams") > 0,
+        F.expr("hits * 1000000 DIV n_grams").cast("bigint"),
+    )
+    return per_doc.select(
+        id_col, "n_grams", "hits", score.alias("containment_e6")
+    )
+
+
+@declared(
+    "q_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS a
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, list_distinct(
+        CASE WHEN len(a) >= 3 THEN
+          [array_to_string(a[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+           FOR i IN range(1, len(a) - 1)]
+        ELSE [array_to_string(a, ' ')] END) AS grams
+      FROM toks
+    ), ref AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0
+    ), doc_grams AS (
+      SELECT doc_id, lang, unnest(grams) AS gram FROM g
+      WHERE doc_id % 10 <> 0
+    ), per_doc AS (
+      SELECT d.doc_id, d.lang, COUNT(*) AS n_grams,
+             CAST(coalesce(SUM(CASE WHEN r.gram IS NOT NULL THEN 1 END), 0)
+                  AS BIGINT) AS hits
+      FROM doc_grams d LEFT JOIN ref r ON r.gram = d.gram
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+           CAST(SUM(hits) AS BIGINT) AS sum_hits,
+           CAST(SUM(hits) * 1000000 // SUM(n_grams) AS BIGINT)
+             AS containment_e6
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_containment(spark, sf_dir):
+    """n-gram containment scoring, FULL hash-match oracle: every 10th
+    document forms the reference corpus; the rest score their distinct
+    trigram containment against it, aggregated per language —
+    all-integer counts and one integer DIV, so DuckDB attests the
+    gram sets, the hit join, and the scores exactly."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 10 == 0)
+    rest = d.filter(F.col("doc_id") % 10 != 0)
+    scores = containment_scores(rest, ref, "text", "doc_id", n=3)
+    return (
+        scores.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("sum_grams"),
+            F.sum("hits").alias("sum_hits"),
+            F.expr("sum(hits) * 1000000 DIV sum(n_grams)")
+            .cast("bigint").alias("containment_e6"),
+        )
+    )

@@ -51,7 +51,7 @@ ORACLE: dict[str, str] = {}
 # (c) the 45 r9-stale rows, composite/expensive faces first (the r9
 # portable-twin batch, the approx-agg family, the stream batch) so the
 # rows that slip to r13's front are the simplest untouched
-# full-oracle scans/stats.  28 + 22 + 45 = 95 > the ~50 cap.
+# full-oracle scans/stats.  29 + 22 + 45 = 96 > the ~50 cap.
 PRIORITY: list[str] = [
     # (a) new/changed in round 12 (q_sim_ann_lsh_portable: rerank tail
     # refactored onto the shared _portable_exact_rerank)
@@ -61,7 +61,7 @@ PRIORITY: list[str] = [
     "q_retrieval_bm25", "q_retrieval_rrf", "q_embed_matryoshka",
     "q_text_bpe", "q_retrieval_mmr", "q_text_bpe_fertility",
     "q_drift_report", "q_corr_matrix", "q_sim_index_persisted",
-    "q_feature_bins",
+    "q_feature_bins", "q_containment",
     "q_agg_approx_percentile_portable", "q_sim_pq_portable",
     "q_sim_ivf_pq_portable", "q_pack_firstfit",
     "q_multimodal_pipeline_portable", "q_sim_ann_lsh_portable",

@@ -1233,3 +1233,25 @@ def test_discretize_null_values_get_null_bucket(spark):
     assert out[2] is None and out[1] is not None and out[3] is not None
     with pytest.raises(ValueError, match="bins"):
         discretize_by_sketch(d, "v", n_buckets=2, lo=0.0, hi=100.0, bins=0)
+
+
+def test_containment_scores_hand_model(spark):
+    """Exact containment on a hand corpus: doc 1 shares one of its two
+    distinct trigrams with the reference (500000), doc 2 shares none
+    (0), and a short doc scores over its single truncated gram."""
+    from artemia_airflow_spark.operators.curation import containment_scores
+
+    ref = spark.createDataFrame([(100, "a b c d")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "a b c x y"),   # trigrams: 'a b c'(hit), 'b c x', 'c x y'
+         (2, "p q r s"),     # no shared grams
+         (3, "a b")],        # truncated gram 'a b' -> not in ref trigrams
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in containment_scores(
+        docs, ref, "text", "doc_id", n=3
+    ).collect()}
+    assert (out[1].n_grams, out[1].hits) == (3, 1)
+    assert out[1].containment_e6 == 1_000_000 // 3
+    assert (out[2].hits, out[2].containment_e6) == (0, 0)
+    assert (out[3].n_grams, out[3].hits) == (1, 0)
