@@ -1639,29 +1639,44 @@ def containment_scores(
     flag folds back into a per-doc count — no row ever carries text
     past the explode.
     """
-    grams = docs.select(
+    # NULL/empty text degenerates to one NULL/empty gram through the
+    # split -> ngram chain; neither is a real gram, and keeping them
+    # would let two empty documents "contain" each other — drop them
+    # so such documents are genuinely zero-gram (r12 review)
+    real = F.col("gram").isNotNull() & (F.col("gram") != "")
+    grams = spread_for_compute(docs).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(word_ngrams(F.col(text_col), n))
         ).alias("gram"),
-    )
-    ref_grams = ref.select(
+    ).filter(real)
+    ref_grams = spread_for_compute(ref).select(
         F.explode(
             F.array_distinct(word_ngrams(F.col(text_col), n))
         ).alias("gram")
-    ).distinct()
+    ).filter(real).distinct()
     hit = ref_grams.withColumn("__hit", F.lit(1))
-    per_doc = (
+    scored = (
         grams.join(hit, "gram", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("hits"),
+            F.count("__hit").alias("hits"),
         )
+    )
+    # left-join back onto the input so a zero-gram document (NULL text
+    # -> explode drops every row) still gets an output row instead of
+    # silently vanishing (r12 review — the sibling decontaminate flags
+    # every input row); only there can n_grams be 0, so the score
+    # guard is live on this relation, not dead code
+    per_doc = docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
     )
     score = F.when(
         F.col("n_grams") > 0,
-        F.expr("hits * 1000000 DIV n_grams").cast("bigint"),
+        F.expr("hits * 1000000 DIV n_grams"),
     )
     return per_doc.select(
         id_col, "n_grams", "hits", score.alias("containment_e6")
@@ -1682,16 +1697,27 @@ def containment_scores(
         ELSE [array_to_string(a, ' ')] END) AS grams
       FROM toks
     ), ref AS (
-      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0
+      SELECT DISTINCT gram FROM (
+        SELECT unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0
+      ) WHERE gram <> ''
     ), doc_grams AS (
-      SELECT doc_id, lang, unnest(grams) AS gram FROM g
-      WHERE doc_id % 10 <> 0
-    ), per_doc AS (
-      SELECT d.doc_id, d.lang, COUNT(*) AS n_grams,
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 <> 0
+      ) WHERE gram <> ''
+    ), hitcounts AS (
+      SELECT d.doc_id, COUNT(*) AS n_grams,
              CAST(coalesce(SUM(CASE WHEN r.gram IS NOT NULL THEN 1 END), 0)
                   AS BIGINT) AS hits
       FROM doc_grams d LEFT JOIN ref r ON r.gram = d.gram
-      GROUP BY d.doc_id, d.lang
+      GROUP BY d.doc_id
+    ), per_doc AS (
+      -- every non-reference input document gets a row, zero-gram or
+      -- not (mirrors the engine's left-join-back contract)
+      SELECT t.doc_id, t.lang,
+             coalesce(h.n_grams, 0) AS n_grams,
+             coalesce(h.hits, 0) AS hits
+      FROM toks t LEFT JOIN hitcounts h ON h.doc_id = t.doc_id
+      WHERE t.doc_id % 10 <> 0
     )
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_grams) AS BIGINT) AS sum_grams,

@@ -1255,3 +1255,22 @@ def test_containment_scores_hand_model(spark):
     assert out[1].containment_e6 == 1_000_000 // 3
     assert (out[2].hits, out[2].containment_e6) == (0, 0)
     assert (out[3].n_grams, out[3].hits) == (1, 0)
+
+
+def test_containment_zero_gram_doc_still_reported(spark):
+    """A NULL-text document must appear in the output with n_grams=0,
+    hits=0, and a NULL (undefined) score — not silently vanish from
+    the per-document report (r12 review)."""
+    from artemia_airflow_spark.operators.curation import containment_scores
+
+    ref = spark.createDataFrame([(100, "a b c")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in containment_scores(
+        docs, ref, "text", "doc_id", n=3
+    ).collect()}
+    assert set(out) == {1, 2}
+    assert (out[2].n_grams, out[2].hits) == (0, 0)
+    assert out[2].containment_e6 is None
+    assert out[1].containment_e6 == 1_000_000
