@@ -84,11 +84,18 @@ def bm25_topk(
     hits = (
         tf.join(
             # document tokens are lowercased above, so query terms must
-            # be too — a verbatim join would silently drop 'The'/'GPU'
+            # be too — a verbatim join would silently drop 'The'/'GPU'.
+            # DISTINCT is part of the BM25 contract (ADVICE r12): a
+            # duplicate (query_id, term) row would multiply that term's
+            # tf rows through the join and double-count its
+            # contribution — term SETS are the only meaningful input,
+            # so dedupe here instead of trusting the caller; the query
+            # relation is small by contract, so the distinct's exchange
+            # is trivia next to the corpus scans.
             F.broadcast(
                 queries.select(
                     query_id_col, F.lower(F.col(term_col)).alias("__term")
-                )
+                ).distinct()
             ),
             "__term",
         )

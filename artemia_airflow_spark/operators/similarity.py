@@ -19,6 +19,7 @@ array (deterministic, broadcast with the plan).
 from __future__ import annotations
 
 import random
+import threading
 
 import numpy as np
 import pandas as pd
@@ -30,6 +31,10 @@ from artemia_airflow_spark.catalog import scan
 from artemia_airflow_spark.functions.vectors import cosine_similarity
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
+
+# q_sim_index_persisted scratch-parent guard (per-invocation mkdtemps
+# under one process-scoped parent; only the parent needs synchronizing)
+_INDEX_SCRATCH_LOCK = threading.Lock()
 
 
 def cosine_topk(
@@ -2020,7 +2025,9 @@ def q_sim_index_persisted(spark, sf_dir):
     round-trips through commit-log parquet exactly.  Cells/books are
     bounded model metadata and regenerate deterministically — the
     FAISS convention of tiny codebooks beside a big code file."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from artemia_airflow_spark.sources.txtable import TxTable
@@ -2029,10 +2036,19 @@ def q_sim_index_persisted(spark, sf_dir):
     comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
     cells, books, codes = _ivf_pq_portable_build(spark, corp)
     # unique dir per run: a fixed shared path lets concurrent runs
-    # rmtree each other's live table mid-read (r12 review)
-    root = os.path.join(
-        tempfile.mkdtemp(prefix="aas_sim_index_"), "index"
-    )
+    # rmtree each other's live table mid-read (r12 review) — but the
+    # returned DataFrame reads the committed parquet LAZILY, so the
+    # dir cannot be removed here either; all invocations nest under
+    # ONE process-scoped parent reaped at exit (the q_ledger_health
+    # recipe; ADVICE r12: a mkdtemp per correctness sweep leaked one
+    # corpus-sized /tmp tree per run otherwise)
+    with _INDEX_SCRATCH_LOCK:
+        parent = globals().get("_INDEX_SCRATCH_PARENT")
+        if parent is None:
+            parent = tempfile.mkdtemp(prefix="aas_sim_index_")
+            globals()["_INDEX_SCRATCH_PARENT"] = parent
+            atexit.register(shutil.rmtree, parent, ignore_errors=True)
+    root = os.path.join(tempfile.mkdtemp(dir=parent), "index")
     # one row per (vec, subspace): synthetic unique key for the table,
     # multiplier tied to the build's subspace count
     artifact = codes.select(

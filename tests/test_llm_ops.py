@@ -1064,6 +1064,31 @@ def test_bm25_query_terms_are_case_normalized(spark):
     assert out[0] and out[0] == out[1]
 
 
+def test_bm25_duplicate_query_terms_do_not_double_count(spark):
+    """BM25 consumes query term SETS (ADVICE r12): a caller handing
+    duplicate (query_id, term) rows — e.g. raw tokenization without
+    array_distinct — must score identically to the deduped input, not
+    multiply that term's contribution through the join."""
+    from artemia_airflow_spark.operators.retrieval import bm25_topk
+
+    d = spark.createDataFrame(
+        [(1, "common words"), (2, "other stuff")], ["doc_id", "text"]
+    )
+    out = {}
+    for qid, terms in [(0, ["common"]), (1, ["common", "common", "Common"])]:
+        q = spark.createDataFrame(
+            [(qid, t) for t in terms], ["query_id", "term"]
+        )
+        out[qid] = sorted(
+            (r.doc_id, r.score_e6)
+            for r in bm25_topk(
+                d, q, text_col="text", id_col="doc_id",
+                query_id_col="query_id", term_col="term", k=5,
+            ).collect()
+        )
+    assert out[0] and out[0] == out[1]
+
+
 def test_bpe_segment_applies_merges_in_order(spark):
     """Segmenting under the learned merges replays them in order:
     with merges [(a,a),(a,b),(aa,ab)] the word 'aaab' collapses to

@@ -725,3 +725,23 @@ def test_mmr_selection_is_one_cogrouped_arrow_pass(spark):
     p = _formatted_plan(spark, "q_retrieval_mmr")
     assert "FlatMapCoGroupsInPandas" in p, p[:1500]
     assert "CartesianProduct" not in p
+
+
+def test_postings_exchange_is_bounded_by_partial_cut(spark):
+    """q_text_postings (r13, VERDICT r12 wrong #2): the capped posting
+    list must NOT plan as a global per-token ranking window over the
+    full (doc, token) relation — the map-side partial top-k (an Arrow
+    MapInPandas cut, the similarity-family machinery) must sit below
+    the token exchange so a stop word's postings never serialize one
+    reducer.  doc_freq stays a plain partially-aggregated count (a
+    pre-exchange HashAggregate on token), and the two vocabulary-sized
+    relations meet in an equi-join, never a cartesian."""
+    p = _formatted_plan(spark, "q_text_postings")
+    assert "MapInPandas" in p, p[:2000]
+    # the partial cut feeds the window; the window's exchange is the
+    # one hashpartitioning(token...) BELOW the row_number sort — and
+    # doc_freq's aggregate contributes the other; no third fact-sized
+    # token exchange exists
+    assert len(re.findall(r"hashpartitioning\(token", p)) == 2, p[:2000]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
