@@ -1358,6 +1358,123 @@ def q_sim_ivf(spark, sf_dir):
     )
 
 
+_IVF_PORTABLE_ORACLE = """
+    WITH cells AS (
+      SELECT cell, d,
+             (((cell*524287 + d*127 + 3) * 48271 + 54321)
+              % 2147483647 % 2048 - 1024) * 256 AS cc6
+      FROM (SELECT unnest(range(0, 8)) AS cell),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v6
+      FROM embeddings
+    ), corp AS (
+      SELECT vec_id, d, v6 FROM comps WHERE vec_id >= 5
+    ), probe AS (
+      SELECT vec_id AS probe_id, d, v6 AS p6 FROM comps WHERE vec_id < 5
+    ), cdist AS (
+      SELECT vec_id, cell, SUM((v6 - cc6) * (v6 - cc6)) AS dist
+      FROM corp JOIN cells USING (d) GROUP BY vec_id, cell
+    ), assign AS (
+      SELECT vec_id, MIN(dist * 8 + cell) % 8 AS cell
+      FROM cdist GROUP BY vec_id
+    ), pstat AS (
+      SELECT probe_id, cell, SUM((p6 - cc6) * (p6 - cc6)) AS dist
+      FROM probe JOIN cells USING (d) GROUP BY probe_id, cell
+    ), routed AS (
+      SELECT probe_id, cell FROM (
+        SELECT probe_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY dist, cell) AS rk
+        FROM pstat
+      ) WHERE rk <= 3
+    ), cand AS (
+      SELECT r.probe_id, a.vec_id FROM assign a JOIN routed r USING (cell)
+    ), norms AS (
+      SELECT vec_id, SUM(v6 * v6) AS n12 FROM comps GROUP BY vec_id
+    ), dots AS (
+      SELECT cand.probe_id, cand.vec_id, SUM(cc.v6 * cp.v6) AS dot12
+      FROM cand
+      JOIN comps cc ON cc.vec_id = cand.vec_id
+      JOIN comps cp ON cp.vec_id = cand.probe_id AND cp.d = cc.d
+      GROUP BY cand.probe_id, cand.vec_id
+    ), scored AS (
+      SELECT d.probe_id, d.vec_id,
+             CAST(d.dot12 AS DOUBLE)
+               / (sqrt(CAST(nc.n12 AS DOUBLE)) * sqrt(CAST(np.n12 AS DOUBLE)))
+               AS cos
+      FROM dots d JOIN norms nc ON nc.vec_id = d.vec_id
+                  JOIN norms np ON np.vec_id = d.probe_id
+    ), ranked AS (
+      SELECT probe_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id,
+           CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@declared("q_sim_ivf_portable", oracle=_IVF_PORTABLE_ORACLE)
+def q_sim_ivf_portable(spark, sf_dir):
+    """IVF's ROUTING-ONLY mechanism as a FULL hash-match oracle (r13,
+    VERDICT r12 next #6 — the last rows-only ANN face whose exact
+    mechanism wasn't value-pinned standalone; the IVF-PQ twin pins
+    routing only COMPOSED with PQ): cell ASSIGNMENT (argmin over exact
+    integer distances to the Lehmer-grid coarse centroids of
+    :func:`ivf_portable_centroids_df`), probe ROUTING (3 nearest of 8
+    cells, (dist, cell) tiebreak), CELL PRUNING (candidates come only
+    from routed cells — the oracle value-checks that pruning keeps and
+    drops exactly the right vectors), and the exact-cosine rerank of
+    the pruned candidates (:func:`_portable_exact_rerank`'s correctly
+    rounded IEEE chain over exact int dots/norms).  The production
+    tier (:func:`ivf_topk`) keeps distributed KMeans, the Arrow argmin
+    router and its rows-only check + recall floors; the ONE
+    substitution here is the deterministic centroid grid.
+
+    Scale shape mirrors the production tier: one broadcast join
+    assigns cells (the centroid relation is n_cells x dim rows), the
+    routing relation is |probes| x 3 rows and broadcasts to meet the
+    assignment in a cell equi-join, and only the vectors inside routed
+    cells — n_probe/n_cells of the corpus — are ever cosine-scored."""
+    ensure_engine_conf(spark)
+    n_cells, n_route, k = 8, 3, 10
+    comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
+    cells = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
+    cdist = (
+        corp.join(F.broadcast(cells), "d")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("v6") - F.col("cc6"))
+                   * (F.col("v6") - F.col("cc6"))).alias("dist"))
+    )
+    assign = cdist.groupBy("vec_id").agg(
+        (F.min(F.col("dist") * n_cells + F.col("cell")) % n_cells)
+        .alias("cell")
+    )
+    pstat = (
+        probe.join(F.broadcast(cells), "d")
+        .groupBy("probe_id", "cell")
+        .agg(F.sum((F.col("p6") - F.col("cc6"))
+                   * (F.col("p6") - F.col("cc6"))).alias("dist"))
+    )
+    wr = Window.partitionBy("probe_id").orderBy("dist", "cell")
+    routed = (
+        pstat.withColumn("__rk", F.row_number().over(wr))
+        .filter(F.col("__rk") <= n_route)
+        .select("probe_id", "cell")
+    )
+    cand = assign.join(F.broadcast(routed), "cell").select(
+        "probe_id", "vec_id"
+    )
+    return _portable_exact_rerank(comps, cand, k=k)
+
+
 def pq_codebooks(
     corpus: DataFrame, *, vec_col: str, m_subspaces: int, n_codes: int,
     seed: int, train_cap: int = 4096, order_col: str | None = None,

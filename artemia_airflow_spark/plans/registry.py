@@ -36,45 +36,23 @@ ORACLE: dict[str, str] = {}
 # ALL declared queries against their oracles at sf0.001/0.01/0.1 as
 # compensating evidence between driver visits.
 #
-# Round-12 window: (a) queries NEW or ORACLE/IMPLEMENTATION-CHANGED in
-# round 12 — the nine new operators (behavioral quartet, segment dedup,
-# unigram perplexity, CMS sketch, filtered similarity, postings),
-# the single-scan stacked-histogram percentile rework, the PQ
-# portable twins, the first-fit
-# recursive-CTE oracle upgrade, the composed multimodal-pipeline
-# portable face, and the session-3 retrieval/tokenizer/data-quality
-# pack (collocations, BM25, RRF, matryoshka, BPE merges + fertility,
-# MMR, drift report; CMS re-pinned after the vocabulary-bound rework)
-# — then
-# (b) the 22-row r8-stale tail IN FULL (the r11 slip set; VERDICT r11
-# "Next round" #2 lists them by name), then
-# (c) the 45 r9-stale rows, composite/expensive faces first (the r9
-# portable-twin batch, the approx-agg family, the stream batch) so the
-# rows that slip to r13's front are the simplest untouched
-# full-oracle scans/stats.  29 + 22 + 45 = 96 > the ~50 cap.
+# Round-13 window (49 rows <= the ~50 cap — the FULL remaining stale
+# tail fits this round, retiring VERDICT r12 "Next round" #2):
+# (a) new or implementation-changed in round 13 — the postings skew
+# fix + string face (its r12 driver row was the round's one error),
+# the runs-report observability face, and the routing-only IVF
+# portable twin; then
+# (b) q_scan, the last r8-vintage row (front-loaded per VERDICT r12),
+# then
+# (c) the 45 r9-stale rows IN FULL (the r12 slip set, same internal
+# order: composite/expensive faces first).  After r13 no driver row
+# should be older than r10.
 PRIORITY: list[str] = [
-    # (a) new/changed in round 12 (q_sim_ann_lsh_portable: rerank tail
-    # refactored onto the shared _portable_exact_rerank)
-    "q_sessionize", "q_funnel", "q_retention", "q_dedup_segments",
-    "q_text_perplexity", "q_sketch_cms_portable", "q_sim_topk_filtered",
-    "q_event_transitions", "q_text_postings", "q_text_collocations",
-    "q_retrieval_bm25", "q_retrieval_rrf", "q_embed_matryoshka",
-    "q_text_bpe", "q_retrieval_mmr", "q_text_bpe_fertility",
-    "q_drift_report", "q_corr_matrix", "q_sim_index_persisted",
-    "q_feature_bins", "q_containment",
-    "q_agg_approx_percentile_portable", "q_sim_pq_portable",
-    "q_sim_ivf_pq_portable", "q_pack_firstfit",
-    "q_multimodal_pipeline_portable", "q_sim_ann_lsh_portable",
-    "q_dedup_keep_best", "q_dedup_representatives",
-    # (b) the complete r8-stale tail (22 rows — the r11 slip set)
-    "q_join_range", "q_topk", "q_sink_parquet",
-    "q_join_anti", "q_join_semi", "q_join_full",
-    "q_join_left", "q_join_inner", "q_join_broadcast", "q_join_cross",
-    "q_set_except", "q_set_intersect", "q_set_union",
-    "q_fn_array", "q_fn_date", "q_fn_math", "q_fn_string",
-    "q_case", "q_filter", "q_filter_pred", "q_project", "q_scan",
-    # (c) the 45 r9-stale rows, composite faces first; the trailing
-    # simple stats/sources are the r13 slip candidates
+    # (a) new/changed in round 13
+    "q_text_postings", "q_runs_report", "q_sim_ivf_portable",
+    # (b) the last r8-stale row
+    "q_scan",
+    # (c) the 45 r9-stale rows (the r12 slip set)
     "q_dedup_clusters_portable", "q_dedup_minhash_portable",
     "q_dedup_ngram_portable", "q_dedup_simhash_portable",
     "q_decontaminate_bloom_portable", "q_agg_kmv_portable",

@@ -35,6 +35,7 @@ SKIP = {
     "q_source_http_ds",
     "q_merge_acid",  # creates + merges a real on-disk table (benches I/O)
     "q_ledger_health",  # records a real on-disk run ledger (benches I/O)
+    "q_runs_report",  # records a real on-disk run ledger (benches I/O)
     "q_schema_evolution",  # creates + evolves a real on-disk table (I/O)
     "q_sql_timetravel",  # creates + deletes a real on-disk table (I/O)
     "q_dedup_incremental",  # seeds + appends a real on-disk hash state (I/O)

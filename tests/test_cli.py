@@ -1,0 +1,69 @@
+"""Packaging + console entry (r13, VERDICT r12 missing #2): the
+engine must be installable (`pip install -e .`) and drivable as
+`python -m artemia_airflow_spark` — the analogue of the reference's
+deploy path (.github/workflows/deploy.yml:1-45).  main() is exercised
+in-process (build_session's getOrCreate reuses the test session, so
+these tests don't pay a second JVM)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from artemia_airflow_spark.__main__ import main
+from tests.conftest import SF_SMOKE
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_pyproject_declares_the_package_and_entrypoint():
+    import tomllib
+
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    proj = meta["project"]
+    assert proj["name"] == "artemia-airflow-spark"
+    assert any(d.startswith("pyspark") for d in proj["dependencies"])
+    # the console entry must point at a real importable callable
+    target = proj["scripts"]["artemia-spark"]
+    mod, _, attr = target.partition(":")
+    import importlib
+
+    assert callable(getattr(importlib.import_module(mod), attr))
+
+
+def test_main_list_prints_registry(spark, capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "* q_agg_group" in out  # flagship, oracle-checked
+    assert "q_runs_report" in out
+
+
+def test_main_smoke_runs_flagship(spark, capsys):
+    assert main(["smoke", "--sf-dir", SF_SMOKE]) == 0
+    assert "q_agg_group ->" in capsys.readouterr().out
+
+
+def test_main_query_rejects_unknown_name(spark, capsys):
+    assert main(["query", "q_no_such_thing"]) == 2
+    assert "unknown query" in capsys.readouterr().err
+
+
+def test_main_report_reads_a_real_ledger(spark, capsys):
+    from artemia_airflow_spark.ledger import RunLedger
+    from artemia_airflow_spark.pipeline import StageResult
+
+    root = tempfile.mkdtemp(prefix="aas_cli_ledger_")
+    try:
+        RunLedger(root).record(
+            spark, "demo", {"s1": StageResult("success", attempts=1)},
+            started_at=1.0, finished_at=2.0,
+        )
+        assert main(["report", root]) == 0
+        out = capsys.readouterr().out
+        assert "demo" in out and "success" in out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

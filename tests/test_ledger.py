@@ -276,3 +276,28 @@ def test_health_rolls_up_runs_stages_and_percentiles(spark, root):
     real = {r.pipeline: r for r in led.health(spark).collect()}["real"]
     assert (real.n_runs, real.n_failed_runs, real.n_stages) == (1, 0, 1)
     assert real.p95_stage_ms >= 0
+
+
+def test_runs_report_orders_newest_first_and_caps(spark, root):
+    """runs_report (r13): one row per run, run_seq 1 = most recently
+    started, limit_per_pipeline trims the tail per pipeline (not
+    globally), and a run is 'failed' iff any stage failed."""
+    led = RunLedger(root)
+    for t0, result in [
+        (10.0, StageResult("success", attempts=1)),
+        (20.0, StageResult("failed", attempts=2)),
+        (30.0, StageResult("success", attempts=1)),
+    ]:
+        led.record(spark, "p", {"s": result},
+                   started_at=t0, finished_at=t0 + 1.0)
+    led.record(spark, "q", {"s": StageResult("success", attempts=1)},
+               started_at=5.0, finished_at=6.5)
+
+    rows = led.runs_report(spark, limit_per_pipeline=2).collect()
+    by = {(r.pipeline, r.run_seq): r for r in rows}
+    assert len(rows) == 3  # p capped at 2, q has 1
+    assert by[("p", 1)].state == "success"  # t0=30 run
+    assert by[("p", 2)].state == "failed"   # t0=20 run
+    assert ("p", 3) not in by               # t0=10 run trimmed
+    assert by[("q", 1)].duration_ms == 1500
+    assert by[("p", 2)].total_attempts == 2

@@ -745,3 +745,15 @@ def test_postings_exchange_is_bounded_by_partial_cut(spark):
     assert len(re.findall(r"hashpartitioning\(token", p)) == 2, p[:2000]
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_portable_routing_stays_broadcast_and_pruned(spark):
+    """q_sim_ivf_portable (r13): the routing-only twin must keep the
+    production IVF scale shape — centroids and the |probes| x 3
+    routing relation arrive via broadcast joins, candidate pruning is
+    a cell equi-join (never a cartesian/nested-loop product), and no
+    corpus-sized relation feeds a global window."""
+    p = _formatted_plan(spark, "q_sim_ivf_portable")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3, p[:2000]
