@@ -1,0 +1,176 @@
+"""Targeted data selection for LLM training corpora (r13): DSIR-style
+hashed n-gram importance weighting (Xie et al. 2023, "Data Selection
+for Language Models via Importance Resampling" — public method).
+
+Given a RAW corpus and a TARGET subset (the distribution you want more
+of: a trusted domain, a language, a curated seed set), estimate bucket
+multinomials over hashed unigram+bigram features for both, score every
+raw document by its log importance ratio sum(count_b * (ln p_target_b
+- ln p_raw_b)), and keep the top-k.  This is the standard cheap
+alternative to model-based quality classifiers for steering a 100 TB
+crawl toward a target domain.
+
+Scale shape: ONE corpus scan — tokens and adjacent bigrams explode
+from the same array, the md5 bucket is map-side codegen per
+occurrence, and the first aggregate collapses to (doc, bucket) counts
+(<= 256 rows per document crossing the exchange, map-side combined).
+Both downstream consumers — the 256-row per-bucket statistics and the
+per-document weights — hang off that SAME aggregate exchange (AQE
+exchange reuse; the BM25 tf/dfreq precedent), the bucket
+log-ratio table is 256 rows and broadcasts, and the final cut is a
+global TakeOrderedAndProject.  Nothing corpus-sized shuffles twice
+and no vocabulary-sized relation ever exceeds the bucket count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.plans.registry import declared
+from artemia_airflow_spark.session import ensure_engine_conf
+
+_N_BUCKETS = 256  # 2 hex chars of md5 — the CMS/portable-oracle recipe
+
+
+def dsir_weights(
+    df: DataFrame, text_col: str, id_col: str, is_target_col: str,
+) -> DataFrame:
+    """Per-document DSIR importance weight (1e-6-scaled BIGINT).
+
+    Features are whitespace unigrams + adjacent bigrams hashed to 256
+    buckets via a 2-hex md5 prefix (engine-portable, the CMS bucket
+    recipe).  Bucket probabilities are Laplace-smoothed (alpha=1);
+    the per-bucket log ratio collapses to ONE ln of an exact rational
+    ``((ct+1)*(Tr+256)) / ((cr+1)*(Tt+256))`` — integer products stay
+    < 2^53 at every test SF, so the double division is correctly
+    rounded and both engines feed ln the identical argument (one
+    transcendental per bucket instead of two, half the libm surface;
+    contributions e6-quantize BEFORE the per-doc sum so the weight is
+    an order-free integer aggregate, the BM25 recipe).  At true 100 TB
+    feature totals the integer products would pass 2^53: the weights
+    remain correct (doubles carry the magnitude; ln is insensitive to
+    the last ulp), only bit-for-bit cross-engine portability of the
+    test oracle degrades.
+
+    Returns (id_col, weight_e6).  Selection = order by (weight desc,
+    id) and cut — :func:`q_select_dsir` keeps the top-k face; the
+    paper's Gumbel-noise resampling drops in by adding a per-row
+    perturbation before the cut.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    rows = df.select(
+        F.col(id_col),
+        F.col(is_target_col).alias("__t"),
+        F.explode(F.concat(toks, bigrams)).alias("__feat"),
+    )
+    # one exchange: (doc, bucket) counts, <= 256 rows per doc
+    db = (
+        rows.select(
+            id_col, "__t",
+            F.substring(F.md5(F.col("__feat")), 1, 2).alias("bucket"),
+        )
+        .groupBy(id_col, "__t", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bs = db.groupBy("bucket").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0)))
+        .alias("ct"),
+    )
+    from pyspark.sql import Window
+
+    # corpus totals ride the 256-row relation as unpartitioned window
+    # sums (the _with_global recipe) — never a second corpus pass
+    w_all = Window.partitionBy()
+    bs = bs.withColumn("tr", F.sum("cr").over(w_all)).withColumn(
+        "tt", F.sum("ct").over(w_all)
+    )
+    nb = F.lit(_N_BUCKETS)
+    ratio = (
+        (F.col("ct") + 1) * (F.col("tr") + nb)
+    ).cast("double") / ((F.col("cr") + 1) * (F.col("tt") + nb)).cast("double")
+    contrib = bs.select(
+        "bucket",
+        F.floor(F.log(ratio) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("bigint").alias("c6"),
+    )
+    return (
+        db.join(F.broadcast(contrib), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("c6")).alias("weight_e6"))
+    )
+
+
+@declared(
+    "q_select_dsir",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             regexp_split_to_array(lower(text), '\\s+') AS a
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, is_t, unnest(a) AS feat FROM toks
+      UNION ALL
+      SELECT doc_id, is_t,
+             a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS feat
+      FROM toks, unnest(range(1, len(a))) AS t(i)
+    ), db AS (
+      SELECT doc_id, is_t, substr(md5(feat), 1, 2) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM feats GROUP BY doc_id, is_t, substr(md5(feat), 1, 2)
+    ), bs AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS BIGINT) AS ct
+      FROM db GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+      FROM bs
+    ), contrib AS (
+      SELECT bucket,
+             CAST(floor(ln(
+               CAST((ct + 1) * (tr + 256) AS DOUBLE)
+               / CAST((cr + 1) * (tt + 256) AS DOUBLE)
+             ) * 1000000.0 + 0.5) AS BIGINT) AS c6
+      FROM bs CROSS JOIN tot
+    ), w AS (
+      SELECT doc_id, CAST(SUM(cnt * c6) AS BIGINT) AS weight_e6
+      FROM db JOIN contrib USING (bucket) GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, weight_e6,
+             ROW_NUMBER() OVER (ORDER BY weight_e6 DESC, doc_id) AS rank
+      FROM w
+    )
+    SELECT doc_id, weight_e6, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def q_select_dsir(spark, sf_dir):
+    """DSIR importance selection, FULL hash-match oracle: target =
+    English documents, raw = the whole corpus; top-20 docs by hashed
+    unigram+bigram log importance ratio.  Counts are exact integers,
+    each bucket's contribution is ONE ln of an exactly-represented
+    rational e6-floored to a BIGINT, and the per-doc weight is an
+    order-free integer sum — so DuckDB attests weights and ranking
+    value-for-value (the BM25/tfidf transcendental precedent)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    weights = dsir_weights(
+        d.withColumn("__is_t", F.col("lang") == "en"),
+        "text", "doc_id", "__is_t",
+    )
+    ranked = weights.orderBy(
+        F.col("weight_e6").desc(), F.col("doc_id")
+    ).limit(20)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("weight_e6").desc(), F.col("doc_id"))
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )

@@ -50,6 +50,7 @@ ORACLE: dict[str, str] = {}
 PRIORITY: list[str] = [
     # (a) new/changed in round 13
     "q_text_postings", "q_runs_report", "q_sim_ivf_portable",
+    "q_select_dsir",
     # (b) the last r8-stale row
     "q_scan",
     # (c) the 45 r9-stale rows (the r12 slip set)
@@ -110,6 +111,7 @@ def load_all_query_modules() -> None:
     import artemia_airflow_spark.operators.relational  # noqa: F401
     import artemia_airflow_spark.operators.relational2  # noqa: F401
     import artemia_airflow_spark.operators.retrieval  # noqa: F401
+    import artemia_airflow_spark.operators.selection  # noqa: F401
     import artemia_airflow_spark.operators.similarity  # noqa: F401
     import artemia_airflow_spark.operators.sketches  # noqa: F401
     import artemia_airflow_spark.operators.sqltext  # noqa: F401

@@ -1299,3 +1299,26 @@ def test_containment_zero_gram_doc_still_reported(spark):
     assert (out[2].n_grams, out[2].hits) == (0, 0)
     assert out[2].containment_e6 is None
     assert out[1].containment_e6 == 1_000_000
+
+
+def test_dsir_weights_favor_target_like_documents(spark):
+    """DSIR hand model: with target docs full of 'alpha' and raw
+    filler full of 'zebra', a raw doc written in target-style
+    vocabulary must outweigh one written in filler vocabulary, and
+    weights must be symmetric for identical docs."""
+    from artemia_airflow_spark.operators.selection import dsir_weights
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "alpha beta alpha beta alpha", True),
+        (1, "alpha beta alpha alpha beta", True),
+        (2, "zebra yak zebra yak zebra", False),
+        (3, "zebra yak yak zebra yak", False),
+        (4, "alpha beta alpha beta alpha", False),  # target-style raw doc
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    w = {r.doc_id: r.weight_e6
+         for r in dsir_weights(d, "text", "doc_id", "is_t").collect()}
+    assert len(w) == 5  # every doc scored, target docs included
+    assert w[4] > w[2] and w[4] > w[3]  # target-like beats filler
+    assert w[4] == w[0]  # identical text -> identical weight

@@ -757,3 +757,19 @@ def test_ivf_portable_routing_stays_broadcast_and_pruned(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("BroadcastHashJoin") >= 3, p[:2000]
+
+
+def test_dsir_single_doc_bucket_exchange_and_broadcast_contrib(spark):
+    """q_select_dsir (r13): the (doc, bucket) aggregate is the ONE
+    corpus-sized exchange (<= 256 rows per doc, map-side combined);
+    the 256-row contribution table arrives via broadcast; the final
+    cut is a TakeOrderedAndProject, and nothing goes cartesian.  The
+    scan lineage may execute at most twice (bucket stats + weights —
+    the BM25 shared-aggregate precedent; AQE reuses the identical
+    exchange at runtime)."""
+    p = _formatted_plan(spark, "q_select_dsir")
+    assert p.count("documents.parquet") <= 2, p[:1500]
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
