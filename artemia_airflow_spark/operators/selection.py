@@ -174,3 +174,86 @@ def q_select_dsir(spark, sf_dir):
     return ranked.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     )
+
+
+def weighted_sample_keys(
+    df: DataFrame, weight_col: str, id_col: str, *, salt: str = "ws",
+) -> DataFrame:
+    """A-ES weighted-sampling key per row (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir" — public method): rank
+    rows by ``u^(1/w)`` descending and the top-k is an exact weighted
+    sample WITHOUT replacement.  The uniform is deterministic —
+    ``u = (hx + 1) / 2^48`` from the first 12 hex chars of
+    ``md5(salt ':' id)`` — so the sample is reproducible across runs
+    AND engines (the stratified-sampling hash-threshold precedent,
+    relational2.py), and re-salting draws an independent sample.
+
+    Portability: the numerator is an exact integer <= 2^48 and the
+    divisor a power of two, so ``u`` is the identical double in every
+    IEEE engine; ranking uses ``ln(u)/w`` (same order as u^(1/w),
+    one transcendental, no pow), e9-quantized via the engine-shared
+    ``floor(x*1e9 + 0.5)`` so DuckDB attests keys value-for-value.
+    Rows with weight <= 0 or NULL get a NULL key (never sampled) —
+    A-ES has no mass for them; callers keep the contract visible.
+
+    Scale shape: pure map-side codegen — one md5 + one ln per row, no
+    exchange here at all; the selection cut downstream is
+    ``ORDER BY key DESC LIMIT k`` which Spark plans as
+    TakeOrderedAndProject (per-partition partial top-k, k rows to the
+    driver), so a 100 TB corpus never globally sorts.
+    """
+    hx = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+        1, 12,
+    )
+    u = (F.conv(hx, 16, 10).cast("long") + F.lit(1)).cast("double") / F.lit(
+        float(2**48)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.when(
+        w > 0,
+        F.floor(F.log(u) / w * F.lit(1_000_000_000.0) + F.lit(0.5))
+        .cast("bigint"),
+    )
+    return df.withColumn("key_e9", key)
+
+
+@declared(
+    "q_sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             CAST(floor(
+               ln((CAST(concat('0x', substr(
+                     md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) + 1) / 281474976710656.0)
+               / CAST(n_chars AS DOUBLE) * 1000000000.0 + 0.5)
+             AS BIGINT) AS key_e9
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT doc_id, source, n_chars, key_e9,
+             ROW_NUMBER() OVER (ORDER BY key_e9 DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT doc_id, source, n_chars, key_e9, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement, FULL hash-match oracle:
+    the 50 documents drawn with probability proportional to length
+    (weight = n_chars) under the deterministic A-ES key — the
+    curation move for "sample a fixed-token budget favoring long/high-
+    quality docs" at corpus scale.  DuckDB computes the identical
+    md5-uniform, single-ln key and ranking, so the driver attests the
+    whole sampler value-for-value."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = weighted_sample_keys(d, "n_chars", "doc_id").select(
+        "doc_id", "source", "n_chars", "key_e9"
+    )
+    top = keyed.orderBy(F.col("key_e9").desc(), F.col("doc_id")).limit(50)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("key_e9").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Ad-hoc single-query oracle check at the 3 SFs: quickcheck.py q_name [q2 ...]"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[16]").appName("quickcheck")
+         .config("spark.sql.shuffle.partitions", "16")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import duckdb
+import __spark_entry__ as E
+q, o = E.queries(), E.oracle_sql()
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+def duck_for(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+rc = 0
+for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+    con = duck_for(sf_dir)
+    for name in sys.argv[1:]:
+        t0 = time.time()
+        try:
+            sdf = q[name](spark, sf_dir)
+            srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+            if name not in o:
+                print(f"{sf_dir} {name}: rows-only n={len(srows)} {time.time()-t0:.1f}s")
+                continue
+            drows = sorted(tuple(str(x) for x in r) for r in con.execute(o[name]).fetchall())
+            if srows == drows:
+                print(f"{sf_dir} {name}: ok n={len(srows)} {time.time()-t0:.1f}s")
+            else:
+                rc = 1
+                print(f"{sf_dir} {name}: MISMATCH spark={len(srows)} duck={len(drows)}")
+                sonly = [r for r in srows if r not in set(drows)][:3]
+                donly = [r for r in drows if r not in set(srows)][:3]
+                print("  spark-only:", sonly)
+                print("  duck-only :", donly)
+        except Exception as e:
+            rc = 1
+            print(f"{sf_dir} {name}: ERROR {type(e).__name__}: {str(e)[:300]}")
+print("DONE rc=", rc)
+sys.exit(rc)

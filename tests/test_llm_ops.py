@@ -1322,3 +1322,29 @@ def test_dsir_weights_favor_target_like_documents(spark):
     assert len(w) == 5  # every doc scored, target docs included
     assert w[4] > w[2] and w[4] > w[3]  # target-like beats filler
     assert w[4] == w[0]  # identical text -> identical weight
+
+
+def test_weighted_sample_keys_proportional_and_guarded(spark):
+    """A-ES hand model: across many salts, a row with 10x the weight
+    of its peer must win the top-1 draw far more often (probability
+    ~10/11); weight<=0 and NULL weights get NULL keys; identical
+    (salt, id, weight) always reproduces the identical key."""
+    from artemia_airflow_spark.operators.selection import weighted_sample_keys
+    from pyspark.sql import functions as F
+
+    rows = [(1, 1000.0), (2, 100.0), (3, 0.0), (4, None)]
+    d = spark.createDataFrame(rows, ["id", "w"])
+    wins = 0
+    for s in range(40):
+        keyed = weighted_sample_keys(d, "w", "id", salt=f"s{s}")
+        got = {r.id: r.key_e9 for r in keyed.collect()}
+        assert got[3] is None and got[4] is None
+        top = max((kv for kv in got.items() if kv[1] is not None),
+                  key=lambda kv: (kv[1], -kv[0]))
+        wins += top[0] == 1
+    assert wins >= 28  # E[wins] ~ 36.4 at p=10/11; 28 is ~5 sigma slack
+    k1 = {r.id: r.key_e9
+          for r in weighted_sample_keys(d, "w", "id", salt="s0").collect()}
+    k2 = {r.id: r.key_e9
+          for r in weighted_sample_keys(d, "w", "id", salt="s0").collect()}
+    assert k1 == k2

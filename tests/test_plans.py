@@ -773,3 +773,15 @@ def test_dsir_single_doc_bucket_exchange_and_broadcast_contrib(spark):
     assert "TakeOrderedAndProject" in p, p[:1500]
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_sample_is_map_side_plus_take_ordered(spark):
+    """q_sample_weighted (r13): the A-ES key is map-side codegen over
+    the scan (no exchange before the cut other than the top-k's own
+    singlePartition gather) and the 50-row cut plans as
+    TakeOrderedAndProject — a 100 TB corpus never globally sorts."""
+    p = _formatted_plan(spark, "q_sample_weighted")
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    assert p.count("documents.parquet") == 1, p[:1500]
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
