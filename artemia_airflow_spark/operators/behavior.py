@@ -350,3 +350,156 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return event_transitions(e)
+
+
+def pagerank_types(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    *,
+    iters: int = 3,
+) -> DataFrame:
+    """PageRank over the event-type transition graph (Brin & Page
+    1998, public): nodes = distinct event types, edge weights = the
+    B114 first-order transition counts, damping 0.85, ``iters`` power
+    iterations from the uniform vector — "which action is the
+    behavioral hub" as a first-class rank instead of eyeballing the
+    transition matrix.  Dangling nodes (no out-transitions)
+    redistribute their mass uniformly, the standard convention.
+
+    ALL arithmetic is non-negative BIGINT so every engine reproduces
+    the ranks bit-for-bit: edge probabilities e6-quantize via
+    ``(cnt * 1e6) DIV out``, ranks live at e9 scale, and each
+    iteration is ``pr' = (0.15e9 DIV n) + (85 * (inc + dm DIV n))
+    DIV 100`` with ``inc`` an order-free integer sum — no float adds,
+    so parallel aggregation order cannot perturb the result (the
+    corr-matrix sufficient-statistics precedent).
+
+    Scale shape: the corpus is touched exactly twice — the behavioral
+    family's single user_id exchange for lag pairs (map-side-combined
+    into a |types|^2 edge relation) and one distinct-type aggregate
+    (carries <= partitions x |types| rows) — then ``truncate_lineage``
+    pins both tiny relations so the iterations never rescan the fact
+    table; every per-iteration join is node- or edge-count-sized and
+    broadcasts.  The bounded-vocabulary contract (|types|^2 edges fit
+    one executor) is what makes type-level PageRank safe at 100 TB;
+    an unbounded-node-id graph belongs to the CC machinery instead.
+
+    Overflow headroom under ANSI mode: cnt*1e6 stays under 2^63 up to
+    ~9.2e12 transitions per (src,dst) pair — beyond any per-pair count
+    at 100 TB; pr*prob_e6 <= 1e9 * 1e6 = 1e15.
+    """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    pairs = events.select(
+        F.lag(F.col(type_col)).over(w).alias("src"),
+        F.col(type_col).alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    out_total = F.sum("cnt").over(Window.partitionBy("src"))
+    eprob = truncate_lineage(
+        edges.select(
+            "src", "dst",
+            ((F.col("cnt") * F.lit(1_000_000))
+             .cast("bigint").alias("__num")),
+            out_total.alias("__out"),
+        ).selectExpr("src", "dst", "__num DIV __out AS prob_e6"),
+        None,
+    )
+    nodes = truncate_lineage(
+        events.select(F.col(type_col).alias("node")).distinct(), None
+    )
+    srcs = eprob.select("src").distinct()
+    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    pr = (
+        nodes.crossJoin(F.broadcast(n_row))
+        .selectExpr("node", "CAST(1000000000 AS BIGINT) DIV __n AS pr_e9")
+    )
+    for _ in range(iters):
+        pr = truncate_lineage(pr, None)
+        inc = (
+            eprob.join(F.broadcast(pr), eprob.src == pr.node)
+            .selectExpr("dst", "(pr_e9 * prob_e6) DIV 1000000 AS __c")
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__inc"))
+        )
+        dang = (
+            pr.join(srcs, pr.node == srcs.src, "left_anti")
+            .agg(F.coalesce(F.sum("pr_e9"), F.lit(0)).alias("__dm"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(n_row))
+            .crossJoin(F.broadcast(dang))
+            .join(F.broadcast(inc), nodes.node == inc.dst, "left")
+            .selectExpr(
+                "node",
+                "(150000000 DIV __n) + "
+                "(85 * (COALESCE(__inc, 0) + __dm DIV __n)) DIV 100 "
+                "AS pr_e9",
+            )
+        )
+    rk = Window.orderBy(F.col("pr_e9").desc(), F.col("node"))
+    return pr.select(
+        F.col("node").alias(type_col),
+        "pr_e9",
+        F.row_number().over(rk).cast("bigint").alias("rank"),
+    )
+
+
+_PAGERANK_ITER_SQL = """
+    inc{k} AS (
+      SELECT ep.dst AS node, SUM((p.pr * ep.prob_e6) // 1000000) AS inc
+      FROM eprob ep JOIN pr{j} p ON ep.src = p.node GROUP BY ep.dst
+    ), d{k} AS (
+      SELECT COALESCE(SUM(p.pr), 0) AS dm FROM pr{j} p
+      WHERE p.node NOT IN (SELECT src FROM eprob)
+    ), pr{k} AS (
+      SELECT nd.node,
+             (150000000 // m.n)
+             + (85 * (COALESCE(i.inc, 0) + d.dm // m.n)) // 100 AS pr
+      FROM nodes nd CROSS JOIN meta m CROSS JOIN d{k} d
+      LEFT JOIN inc{k} i ON nd.node = i.node
+    )"""
+
+
+@declared(
+    "q_graph_pagerank",
+    oracle="""
+    WITH seq AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events
+    ), edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+    ), eprob AS (
+      SELECT src, dst,
+             (cnt * 1000000) // SUM(cnt) OVER (PARTITION BY src) AS prob_e6
+      FROM edges
+    ), nodes AS (
+      SELECT DISTINCT event_type AS node FROM events
+    ), meta AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+    ), pr0 AS (
+      SELECT node, 1000000000 // n AS pr FROM nodes CROSS JOIN meta
+    ),""" + ",".join(
+        _PAGERANK_ITER_SQL.format(k=k, j=k - 1) for k in (1, 2, 3)
+    ) + """
+    SELECT node AS event_type, CAST(pr AS BIGINT) AS pr_e9,
+           ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rank
+    FROM pr3
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type PageRank, FULL hash-match oracle: 3 power
+    iterations of damping-0.85 PageRank over the B114 transition
+    graph in pure BIGINT arithmetic — DuckDB unrolls the identical
+    three iterations as CTEs, so the driver attests every rank and
+    every e9-scaled score value-for-value."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return pagerank_types(e)

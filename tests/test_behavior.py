@@ -162,3 +162,29 @@ def test_event_transitions_rows_sum_to_one(spark):
         by_prev[r.prev_type] += r.p_transition
     for prev, total in by_prev.items():
         assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_pagerank_hub_ranks_first_and_mass_conserved(spark):
+    """PageRank hand model: with every user funneling into H (A->H,
+    B->H, and H's only exit H->A), H must take rank 1; total e9 mass
+    stays within integer-floor slack of 1e9; a dangling type (D has
+    no out-transitions) redistributes rather than absorbing — its
+    score stays at the (1-d)/n floor tier, not above H's."""
+    from artemia_airflow_spark.operators.behavior import pagerank_types
+
+    e = _events(spark, [
+        (0, 1, "A", 1.0), (10, 1, "H", 1.0),
+        (0, 2, "B", 1.0), (10, 2, "H", 1.0),
+        (0, 3, "A", 1.0), (10, 3, "H", 1.0),
+        (0, 4, "H", 1.0), (10, 4, "A", 1.0),
+        (0, 5, "A", 1.0), (10, 5, "D", 1.0),  # D: dangling sink
+    ])
+    out = {r.event_type: (r.pr_e9, r.rank)
+           for r in pagerank_types(e).collect()}
+    assert set(out) == {"A", "B", "H", "D"}
+    assert out["H"][1] == 1
+    total = sum(pr for pr, _ in out.values())
+    assert 970_000_000 <= total <= 1_000_000_000
+    assert out["D"][0] < out["H"][0]
+    # B receives nothing (no in-edges): exactly the teleport floor tier
+    assert out["B"][1] == 4

@@ -785,3 +785,15 @@ def test_weighted_sample_is_map_side_plus_take_ordered(spark):
     assert p.count("documents.parquet") == 1, p[:1500]
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_pagerank_iterations_never_rescan_the_fact_table(spark):
+    """q_graph_pagerank (r13): edges/nodes are lineage-truncated after
+    the single user_id exchange + distinct-type aggregate, so the
+    final 3-iteration plan contains NO events.parquet scan at all —
+    iterations run over node/edge-sized checkpointed relations with
+    broadcast joins only (no shuffle join can appear at |types| scale)."""
+    p = _formatted_plan(spark, "q_graph_pagerank")
+    assert "events.parquet" not in p, p[:1500]
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
