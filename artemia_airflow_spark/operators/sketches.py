@@ -1135,3 +1135,115 @@ def _register_discretize_query() -> None:
 
 
 _register_discretize_query()
+
+
+def mad_outliers(
+    df: DataFrame, value_col: str, group_cols: list[str], *, k: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier profile via median / MAD (median
+    absolute deviation — Hampel's rule, public statistics): per group
+    the exact median, the exact MAD, and how many rows sit more than
+    ``k`` MADs from the median.  The standard distribution-free
+    anomaly gate for pipeline monitoring — unlike mean/stddev z-scores
+    it does not let the outliers drag the threshold toward themselves.
+
+    Engine-exact arithmetic: values e6-quantize (``floor(v*1e6+0.5)``)
+    then DOUBLE to even integers ``v2 = 2*v_e6``, so every percentile
+    interpolation lands on an exactly-representable integer (both
+    engines use the p*(n-1) convention; the midpoint of two even
+    integers is an integer) — median rides at 2x scale (``med_x2_e6``)
+    and MAD at 4x (``mad_x4_e6``), and the flag ``2*dev2 > k*mad4`` is
+    pure BIGINT, so no float threshold can tie-break differently
+    across engines.  NULL values are excluded up front.
+
+    Scale shape: exact medians buffer each group's values inside the
+    percentile aggregate, so the fact relation is scanned three times
+    (median -> MAD -> flags) with the tiny per-group stats BROADCAST
+    back between passes — no corpus-sized shuffle join, but the two
+    percentile exchanges do carry the full value column.  That is the
+    inherent price of EXACT robust statistics; at 100 TB, swap the
+    percentile calls for the mergeable quantile sketch (B92) and keep
+    this face as the audit tier on bounded slices.
+    """
+    v2 = (F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5))
+          .cast("bigint") * F.lit(2)).alias("__v2")
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, v2)
+    )
+    med = rows.groupBy(*group_cols).agg(
+        F.expr("CAST(percentile(__v2, 0.5D) AS BIGINT)").alias("med_x2_e6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = rows.join(F.broadcast(med), group_cols).withColumn(
+        "__dev2", F.abs(F.col("__v2") - F.col("med_x2_e6"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.expr("CAST(percentile(2 * __dev2, 0.5D) AS BIGINT)")
+        .alias("mad_x4_e6"),
+    )
+    stats = med.join(mad, group_cols)
+    flagged = (
+        rows.join(F.broadcast(stats), group_cols)
+        .withColumn(
+            "__out",
+            (F.lit(2) * F.abs(F.col("__v2") - F.col("med_x2_e6"))
+             > F.lit(k) * F.col("mad_x4_e6")).cast("int"),
+        )
+        .groupBy(*group_cols)
+        .agg(F.sum("__out").cast("bigint").alias("n_outliers"))
+    )
+    return stats.join(flagged, group_cols).select(
+        *group_cols, "n", "med_x2_e6", "mad_x4_e6", "n_outliers"
+    )
+
+
+def _register_mad_query():
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_outliers_mad",
+        oracle="""
+        WITH rows_q AS (
+          SELECT event_type,
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) * 2 AS v2
+          FROM events WHERE value IS NOT NULL
+        ), med AS (
+          SELECT event_type,
+                 CAST(quantile_cont(v2, 0.5) AS BIGINT) AS med_x2_e6,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM rows_q GROUP BY event_type
+        ), mad AS (
+          SELECT r.event_type,
+                 CAST(quantile_cont(2 * abs(r.v2 - m.med_x2_e6), 0.5)
+                      AS BIGINT) AS mad_x4_e6
+          FROM rows_q r JOIN med m USING (event_type)
+          GROUP BY r.event_type
+        ), flags AS (
+          SELECT r.event_type,
+                 CAST(SUM(CASE WHEN 2 * abs(r.v2 - m.med_x2_e6)
+                                    > 3 * d.mad_x4_e6
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM rows_q r JOIN med m USING (event_type)
+                        JOIN mad d USING (event_type)
+          GROUP BY r.event_type
+        )
+        SELECT m.event_type, m.n, m.med_x2_e6, d.mad_x4_e6, f.n_outliers
+        FROM med m JOIN mad d USING (event_type)
+                   JOIN flags f USING (event_type)
+        """,
+    )
+    def q_outliers_mad(spark, sf_dir):
+        """Robust MAD outlier profile per event type, FULL hash-match
+        oracle: exact 2x-scaled median, 4x-scaled MAD, and the
+        Hampel-rule (k=3) outlier count — all-BIGINT thresholding, so
+        DuckDB attests medians, MADs, and every flag decision
+        value-for-value."""
+        ensure_engine_conf(spark)
+        e = scan(spark, sf_dir, "events")
+        return mad_outliers(e, "value", ["event_type"], k=3)
+
+
+_register_mad_query()

@@ -1348,3 +1348,26 @@ def test_weighted_sample_keys_proportional_and_guarded(spark):
     k2 = {r.id: r.key_e9
           for r in weighted_sample_keys(d, "w", "id", salt="s0").collect()}
     assert k1 == k2
+
+
+def test_mad_outliers_hand_cases(spark):
+    """MAD hand model: [1,1,1,1,100] has median 1, MAD 0, and Hampel's
+    rule flags exactly the 100 (any nonzero deviation beats 3*0);
+    [1,2,3,4,5] has median 3, MAD 1, and flags nothing at k=3 (max
+    deviation 2 = 2 MADs); NULL values drop from n; even counts
+    interpolate the midpoint exactly ([1,2] -> median 1.5 -> x2=3)."""
+    from artemia_airflow_spark.operators.sketches import mad_outliers
+
+    rows = (
+        [("a", float(v)) for v in (1, 1, 1, 1, 100)]
+        + [("b", float(v)) for v in (1, 2, 3, 4, 5)]
+        + [("c", 1.0), ("c", 2.0), ("c", None)]
+    )
+    d = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = {r.g: r for r in mad_outliers(d, "v", ["g"], k=3).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a.n, a.med_x2_e6, a.mad_x4_e6, a.n_outliers) == (
+        5, 2_000_000, 0, 1)
+    assert (b.n, b.med_x2_e6, b.mad_x4_e6, b.n_outliers) == (
+        5, 6_000_000, 4_000_000, 0)
+    assert (c.n, c.med_x2_e6) == (2, 3_000_000)  # 1.5 * 2 exact
