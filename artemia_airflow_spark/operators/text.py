@@ -9,7 +9,7 @@ speed and shuffle only compact aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
@@ -1071,3 +1071,103 @@ def q_text_bpe_fertility(spark, sf_dir):
             .cast("bigint").alias("fertility_e6"),
         )
     )
+
+
+def vocabulary_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary profile: total tokens, distinct types, hapax
+    legomena (frequency-1 types), and the Zipf rank-frequency slope —
+    the one-glance "is this corpus natural language or boilerplate"
+    panel (a healthy crawl sits near slope -1; template spam flattens,
+    deduped boilerplate steepens; Zipf 1949 / Heaps 1978, public).
+
+    The slope is the least-squares fit of ln(freq) on ln(rank) over
+    the top-100 types (rank ties broken by token, so ranks are
+    engine-stable).  Both logs take EXACT integer arguments and
+    e6-quantize immediately (the DSIR single-ln precedent), the
+    regression sums are then order-free BIGINT arithmetic, and the
+    final slope is one double division of exact integers, e6-floored
+    — so any IEEE engine reproduces the statistic bit-for-bit.
+
+    Scale shape: ONE corpus scan -> explode -> map-side-combined
+    (token) counts; the global panel aggregates that vocab-sized
+    relation, the top-100 cut is a TakeOrderedAndProject, and the
+    regression runs over 100 rows.  Sum headroom: |x_e6| <= ln(100)e6
+    < 5e6, |y_e6| <= ln(corpus tokens)e6 < 42e6 even at 1e18 tokens,
+    so n*Sxy < 100*100*5e6*42e6 ~ 2.1e17 < 2^63.
+    """
+    counts = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " "))
+                  .alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    panel = counts.agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_hapax"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(100)
+    rk = Window.orderBy(F.col("n").desc(), F.col("token"))
+    xy = top.select(
+        F.floor(F.log(F.row_number().over(rk).cast("double"))
+                * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint").alias("x"),
+        F.floor(F.log(F.col("n").cast("double"))
+                * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    slope = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).selectExpr(
+        "CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE)"
+        " / CAST(m * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS BIGINT) AS zipf_slope_e6"
+    )
+    return panel.crossJoin(F.broadcast(slope))
+
+
+@declared(
+    "q_text_zipf",
+    oracle="""
+    WITH counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents) t
+      GROUP BY token
+    ), panel AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM counts
+    ), top AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+      FROM counts ORDER BY n DESC, token LIMIT 100
+    ), xy AS (
+      SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS y
+      FROM top
+    ), slope AS (
+      SELECT CAST(floor(
+               CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+               / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS zipf_slope_e6
+      FROM xy
+    )
+    SELECT n_tokens, n_types, n_hapax, zipf_slope_e6
+    FROM panel CROSS JOIN slope
+    """,
+)
+def q_text_zipf(spark, sf_dir):
+    """Corpus vocabulary panel, FULL hash-match oracle: token/type/
+    hapax totals + the e6-quantized Zipf slope over the top-100
+    rank-frequency curve — logs of exact integers quantize before the
+    integer regression sums, so DuckDB attests the whole statistic
+    value-for-value."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return vocabulary_stats(d, "text")

@@ -1371,3 +1371,28 @@ def test_mad_outliers_hand_cases(spark):
     assert (b.n, b.med_x2_e6, b.mad_x4_e6, b.n_outliers) == (
         5, 6_000_000, 4_000_000, 0)
     assert (c.n, c.med_x2_e6) == (2, 3_000_000)  # 1.5 * 2 exact
+
+
+def test_vocabulary_stats_hand_corpus(spark):
+    """Vocabulary panel hand model: counts a=6 b=3 c=1 d=1 give 11
+    tokens / 4 types / 2 hapax; the Zipf slope equals an independent
+    numpy least-squares fit of the e6-quantized ln(freq)-vs-ln(rank)
+    points (ranks tie-broken by token: c before d)."""
+    import math
+
+    from artemia_airflow_spark.operators.text import vocabulary_stats
+
+    d = spark.createDataFrame(
+        [(1, "a a a a b b c"), (2, "a a b d")], ["doc_id", "text"]
+    )
+    row = vocabulary_stats(d, "text").collect()[0]
+    assert (row.n_tokens, row.n_types, row.n_hapax) == (11, 4, 2)
+    pts = [(1, 6), (2, 3), (3, 1), (4, 1)]
+    xs = [math.floor(math.log(r) * 1e6 + 0.5) for r, _ in pts]
+    ys = [math.floor(math.log(f) * 1e6 + 0.5) for _, f in pts]
+    m = len(pts)
+    num = m * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = m * sum(x * x for x in xs) - sum(xs) ** 2
+    want = math.floor(num / den * 1e6 + 0.5)
+    assert row.zipf_slope_e6 == want
+    assert row.zipf_slope_e6 < 0  # frequency falls with rank
