@@ -2175,3 +2175,161 @@ def q_sim_index_persisted(spark, sf_dir):
     t = TxTable.create(spark, artifact, root, key_col="k")
     loaded = t.snapshot().select("vec_id", "cell", "j", "code")
     return _ivf_pq_portable_query(comps, probe, cells, books, loaded)
+
+
+# --------------------------------------------------------------------------
+# Portable KMeans clustering (Lloyd iterations, r13)
+# --------------------------------------------------------------------------
+
+def kmeans_portable_iterate(
+    comps: DataFrame, cents: DataFrame, *, n_cells: int,
+) -> DataFrame:
+    """ONE Lloyd iteration in exact BIGINT arithmetic: assign every
+    vector to its nearest centroid (squared-L2 over e6-quantized
+    components, argmin via the ``min(dist*k + cell) % k`` integer
+    packing the IVF twins use), then move each centroid to the
+    truncated integer mean of its members — ``SUM(v6) DIV n`` (Spark
+    ``DIV`` and DuckDB ``//`` both truncate toward zero, pinned by
+    test).  Empty cells keep their previous centroid (the standard
+    Lloyd convention that avoids NaN centroids).  Returns the updated
+    (cell, d, cc6) relation.
+
+    Scale shape per iteration: the centroid relation (k x dim rows)
+    broadcasts into the component scan; the assignment aggregate
+    carries k rows per vector (map-side combined), the update
+    aggregate k x dim rows total.  Nothing corpus-sized shuffles
+    beyond the one (vec_id, cell) assignment exchange — the identical
+    shape Lloyd has in any shared-nothing engine.
+    """
+    cdist = (
+        comps.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("v6") - F.col("cc6"))
+                   * (F.col("v6") - F.col("cc6"))).alias("dist"))
+    )
+    assign = cdist.groupBy("vec_id").agg(
+        (F.min(F.col("dist") * n_cells + F.col("cell")) % n_cells)
+        .alias("cell")
+    )
+    upd = (
+        comps.join(assign, "vec_id")
+        .groupBy("cell", "d")
+        .agg(F.sum("v6").alias("__sn"), F.count(F.lit(1)).alias("__c"))
+        .selectExpr("cell", "d", "__sn DIV __c AS new6")
+    )
+    return (
+        cents.join(upd, ["cell", "d"], "left")
+        .select(
+            "cell", "d",
+            F.coalesce(F.col("new6"), F.col("cc6")).alias("cc6"),
+        )
+    )
+
+
+_KMEANS_ITER_SQL = """
+    cd{k} AS (
+      SELECT vec_id, cell, SUM((v6 - cc6) * (v6 - cc6)) AS dist
+      FROM comps JOIN c{j} USING (d) GROUP BY vec_id, cell
+    ), as{k} AS (
+      SELECT vec_id, MIN(dist * 8 + cell) % 8 AS cell
+      FROM cd{k} GROUP BY vec_id
+    ), up{k} AS (
+      SELECT a.cell, p.d, CAST(SUM(p.v6) AS BIGINT) // COUNT(*) AS new6
+      FROM comps p JOIN as{k} a USING (vec_id) GROUP BY a.cell, p.d
+    ), c{k} AS (
+      SELECT c.cell, c.d, COALESCE(u.new6, c.cc6) AS cc6
+      FROM c{j} c LEFT JOIN up{k} u ON u.cell = c.cell AND u.d = c.d
+    )"""
+
+
+@declared(
+    "q_cluster_kmeans",
+    oracle="""
+    WITH c0 AS (
+      SELECT cell, d,
+             (((cell*524287 + d*127 + 3) * 48271 + 54321)
+              % 2147483647 % 2048 - 1024) * 256 AS cc6
+      FROM (SELECT unnest(range(0, 8)) AS cell),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v6
+      FROM embeddings
+    ),""" + ",".join(
+        _KMEANS_ITER_SQL.format(k=k, j=k - 1) for k in (1, 2)
+    ) + """, cd3 AS (
+      SELECT vec_id, cell, SUM((v6 - cc6) * (v6 - cc6)) AS dist
+      FROM comps JOIN c2 USING (d) GROUP BY vec_id, cell
+    ), fin AS (
+      SELECT vec_id, MIN(dist * 8 + cell) AS pk FROM cd3 GROUP BY vec_id
+    ), members AS (
+      SELECT pk % 8 AS cell, vec_id, (pk // 8) // 1000000 AS mind_q
+      FROM fin
+    ), csum AS (
+      SELECT cell, CAST(SUM(cc6) AS BIGINT) AS centroid_sum_e6 FROM c2
+      GROUP BY cell
+    )
+    SELECT s.cell,
+           CAST(COALESCE(COUNT(m.vec_id), 0) AS BIGINT) AS n_members,
+           CAST(COALESCE(SUM(m.vec_id), 0) AS BIGINT) AS sum_vec_id,
+           CAST(COALESCE(SUM(m.mind_q), 0) AS BIGINT) AS inertia_q,
+           s.centroid_sum_e6
+    FROM csum s LEFT JOIN members m USING (cell)
+    GROUP BY s.cell, s.centroid_sum_e6
+    """,
+)
+def q_cluster_kmeans(spark, sf_dir):
+    """Learned KMeans clustering (2 Lloyd iterations), FULL hash-match
+    oracle: the IVF family's Lehmer-grid centroids are only the INIT
+    here — two integer-exact Lloyd refinements (assign + truncated-
+    mean update) then a final assignment, with per-cell membership
+    count, member-id checksum, e6-truncated inertia, and the centroid
+    component sum all value-pinned.  This pins the learning DYNAMICS
+    the routing-only twin never exercises (its centroids stay fixed);
+    the production tier (ivf_topk's trained KMeans, the SemDeDup cell
+    blocker) keeps the fast driver-side training path, and this face
+    is the cluster-balanced-curation primitive (cluster sizes =
+    sampling strata).  Corpus relation is lineage-truncated once;
+    every per-iteration join broadcasts k x dim centroid rows."""
+    ensure_engine_conf(spark)
+    n_cells = 8
+    emb = scan(spark, sf_dir, "embeddings")
+    comps = embedding_comps(
+        emb, id_col="vec_id", vec_col="embedding"
+    ).localCheckpoint(eager=True)
+    cents = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
+    for _ in range(2):
+        cents = kmeans_portable_iterate(comps, cents, n_cells=n_cells)
+    cents = cents.localCheckpoint(eager=True)
+    cdist = (
+        comps.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("v6") - F.col("cc6"))
+                   * (F.col("v6") - F.col("cc6"))).alias("dist"))
+    )
+    fin = cdist.groupBy("vec_id").agg(
+        F.min(F.col("dist") * n_cells + F.col("cell")).alias("pk")
+    )
+    members = fin.select(
+        (F.col("pk") % n_cells).alias("cell"),
+        "vec_id",
+        F.expr(f"(pk DIV {n_cells}) DIV 1000000").alias("mind_q"),
+    )
+    csum = cents.groupBy("cell").agg(
+        F.sum("cc6").alias("centroid_sum_e6")
+    )
+    return (
+        csum.join(members, "cell", "left")
+        .groupBy("cell", "centroid_sum_e6")
+        .agg(
+            F.count("vec_id").alias("n_members"),
+            F.coalesce(F.sum("vec_id"), F.lit(0)).cast("bigint")
+            .alias("sum_vec_id"),
+            F.coalesce(F.sum("mind_q"), F.lit(0)).cast("bigint")
+            .alias("inertia_q"),
+        )
+        .select("cell", "n_members", "sum_vec_id", "inertia_q",
+                "centroid_sum_e6")
+    )

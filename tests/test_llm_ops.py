@@ -1396,3 +1396,41 @@ def test_vocabulary_stats_hand_corpus(spark):
     want = math.floor(num / den * 1e6 + 0.5)
     assert row.zipf_slope_e6 == want
     assert row.zipf_slope_e6 < 0  # frequency falls with rank
+
+
+def test_kmeans_portable_iterate_hand_blobs(spark):
+    """Lloyd hand model in 2-D e6 space: two far blobs and two seed
+    centroids each nearest one blob -> one iteration lands each
+    centroid exactly on its blob's truncated integer mean; a second
+    iteration is a fixed point; a cell with no members keeps its old
+    centroid; and Spark's DIV truncates toward zero like DuckDB's //
+    (-7 DIV 2 = -3), the contract the update step leans on."""
+    from artemia_airflow_spark.operators.similarity import (
+        kmeans_portable_iterate,
+    )
+
+    comps = spark.createDataFrame(
+        # blob A around +1e6, blob B around -1e6 (2 dims)
+        [(1, 0, 900_000), (1, 1, 1_100_000),
+         (2, 0, 1_100_000), (2, 1, 900_000),
+         (3, 0, -900_000), (3, 1, -1_100_000),
+         (4, 0, -1_100_000), (4, 1, -900_001)],
+        "vec_id BIGINT, d BIGINT, v6 BIGINT",
+    )
+    cents = spark.createDataFrame(
+        [(0, 0, 500_000), (0, 1, 500_000),
+         (1, 0, -500_000), (1, 1, -500_000),
+         (2, 0, 90_000_000), (2, 1, 90_000_000)],  # far cell: no members
+        "cell BIGINT, d BIGINT, cc6 BIGINT",
+    )
+    c1 = kmeans_portable_iterate(comps, cents, n_cells=3)
+    got = {(r.cell, r.d): r.cc6 for r in c1.collect()}
+    assert got[(0, 0)] == 1_000_000 and got[(0, 1)] == 1_000_000
+    # truncation toward zero: (-1_100_000 + -900_001) DIV 2 = -1_000_000
+    assert got[(1, 0)] == -1_000_000 and got[(1, 1)] == -1_000_000
+    assert got[(2, 0)] == 90_000_000  # empty cell retained
+    c2 = kmeans_portable_iterate(c1.sparkSession.createDataFrame(
+        comps.collect(), comps.schema), c1, n_cells=3)
+    assert {(r.cell, r.d): r.cc6 for r in c2.collect()} == got  # fixed point
+    div = spark.sql("SELECT -7 DIV 2 AS q").collect()[0].q
+    assert div == -3

@@ -797,3 +797,14 @@ def test_pagerank_iterations_never_rescan_the_fact_table(spark):
     assert "events.parquet" not in p, p[:1500]
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_kmeans_iterations_run_on_checkpointed_comps(spark):
+    """q_cluster_kmeans (r13): the component relation is lineage-
+    truncated once, so the 2-iteration + final-assignment plan never
+    rescans embeddings.parquet; centroid relations enter every join
+    as broadcasts and nothing goes cartesian."""
+    p = _formatted_plan(spark, "q_cluster_kmeans")
+    assert "embeddings.parquet" not in p, p[:1500]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
