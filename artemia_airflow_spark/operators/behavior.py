@@ -503,3 +503,105 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return pagerank_types(e)
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    *,
+    lookback_s: int = 3600,
+) -> DataFrame:
+    """Last-touch conversion attribution: credit each conversion event
+    to the most recent PRECEDING non-conversion event by the same user
+    within ``lookback_s`` seconds; conversions with no touch inside
+    the window report as ``unattributed``.  The standard
+    marketing/behavioral credit model, and the missing consumer of the
+    funnel/transition pair: funnels say users DO convert, attribution
+    says which touchpoint gets the credit.
+
+    Determinism: the carried touch is ``last(..., ignorenulls) OVER
+    (user, ts, tiebreak ROWS ... 1 PRECEDING)`` — the frame excludes
+    the current row, so a conversion can never credit itself, and the
+    tie order matches every other behavioral face.  Age math is exact
+    int64 microseconds (``unix_micros``/``epoch_us``), never float.
+
+    Scale shape: ONE user_id exchange shared by both carried-touch
+    windows (same partition + order), then a channel-sized aggregate;
+    conversion value sums ride DECIMAL(18,2) cents as BIGINT.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) != conversion_type
+    touch_type = F.last(
+        F.when(is_touch, F.col(type_col)), ignorenulls=True
+    ).over(w)
+    touch_us = F.last(
+        F.when(is_touch, F.unix_micros(F.col(ts_col))), ignorenulls=True
+    ).over(w)
+    conv = (
+        events.select(
+            F.col(type_col),
+            F.col(value_col),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            touch_type.alias("__tt"),
+            touch_us.alias("__tus"),
+        )
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.when(
+                F.col("__tus").isNotNull()
+                & (F.col("__us") - F.col("__tus")
+                   <= F.lit(int(lookback_s) * 1_000_000)),
+                F.col("__tt"),
+            ).otherwise(F.lit("unattributed")).alias("channel"),
+            F.col(value_col),
+        )
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint"))
+        .alias("value_cents"),
+    )
+
+
+@declared(
+    "q_attribution",
+    oracle="""
+    WITH carried AS (
+      SELECT event_type, value, epoch_us(ts) AS us,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS tt,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS tus
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN tus IS NOT NULL AND us - tus <= 3600000000
+                THEN tt ELSE 'unattributed' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM carried WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchases, FULL hash-match oracle:
+    per-channel conversion counts and cent-quantized value credited
+    to the most recent preceding non-purchase event within 1 hour —
+    exact microsecond age math, so DuckDB attests every credit
+    decision value-for-value."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return last_touch_attribution(e, "purchase", lookback_s=3600)

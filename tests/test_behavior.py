@@ -188,3 +188,31 @@ def test_pagerank_hub_ranks_first_and_mass_conserved(spark):
     assert out["D"][0] < out["H"][0]
     # B receives nothing (no in-edges): exactly the teleport floor tier
     assert out["B"][1] == 4
+
+
+def test_last_touch_attribution_hand_cases(spark):
+    """Attribution hand model: a purchase 10s after a click credits
+    the click; a purchase with no touch in the 1h lookback (or no
+    prior event at all) is unattributed; a purchase right after
+    another purchase still credits the last NON-conversion touch; the
+    carried touch never crosses users."""
+    from artemia_airflow_spark.operators.behavior import (
+        last_touch_attribution,
+    )
+
+    e = _events(spark, [
+        (0, 1, "click", 1.0),
+        (10, 1, "purchase", 10.0),      # -> click
+        (20, 1, "purchase", 5.0),       # still -> click (10s-old touch)
+        (8000, 1, "purchase", 2.0),     # touch now 8000s old -> unattributed
+        (0, 2, "purchase", 7.0),        # first event ever -> unattributed
+        (5, 2, "view", 1.0),
+        (9, 2, "purchase", 3.0),        # -> view
+    ])
+    out = {r.channel: (r.n_conversions, r.value_cents)
+           for r in last_touch_attribution(e, "purchase").collect()}
+    assert out == {
+        "click": (2, 1500),
+        "view": (1, 300),
+        "unattributed": (2, 900),
+    }

@@ -808,3 +808,12 @@ def test_kmeans_iterations_run_on_checkpointed_comps(spark):
     assert "embeddings.parquet" not in p, p[:1500]
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_attribution_shares_one_user_exchange(spark):
+    """q_attribution (r13): both carried-touch windows share the ONE
+    user_id exchange (same partition + order), so the plan contains
+    exactly one hashpartitioning(user_id ...) exchange and no join."""
+    p = _formatted_plan(spark, "q_attribution")
+    assert p.count("hashpartitioning(user_id") == 1, p[:2000]
+    assert "Join" not in p, p[:2000]
