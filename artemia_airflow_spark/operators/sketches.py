@@ -1247,3 +1247,147 @@ def _register_mad_query():
 
 
 _register_mad_query()
+
+
+def psi_drift(
+    df: DataFrame, value_col: str, cohort_col: str, group_cols: list[str],
+    *, n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group between two cohorts (the
+    industry-standard numeric drift score; PSI < 0.1 stable, > 0.25
+    action): equal-width bins over the group's combined value range,
+    Laplace-smoothed bin shares, ``PSI = sum_b (pA-pB) * ln(pA/pB)``.
+    The NUMERIC-feature sibling of the categorical frequency drift
+    report (B123) — same monitoring seam, continuous columns.
+
+    ``cohort_col`` must be a boolean column (true = cohort A).  Rows
+    with NULL values are excluded.
+
+    Engine-exact: values e6-quantize, the bin index is pure BIGINT
+    (``(v6 - min6) * n_bins DIV (max6 - min6 + 1)`` — the +1 keeps the
+    top value in the last bin and degenerate min==max groups in bin
+    0), and each bin's PSI term is computed from EXACT integer counts
+    (both engines divide/ln the identical arguments) then e9-floored
+    BEFORE the per-group sum, so the total is an order-free integer
+    aggregate (the DSIR contribution recipe).
+
+    Scale shape: two fact passes — a per-group min/max aggregate
+    broadcast back, then the (group, cohort, bin) count aggregate
+    (<= groups x 2 x n_bins rows, map-side combined); totals ride the
+    tiny bin relation as unpartitioned-by-cohort window sums.
+    """
+    v6 = F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(cohort_col).alias("__a"), v6.alias("__v6"))
+    )
+    rng = rows.groupBy(*group_cols).agg(
+        F.min("__v6").alias("__mn"), F.max("__v6").alias("__mx")
+    )
+    binned = (
+        rows.join(F.broadcast(rng), group_cols)
+        .selectExpr(
+            *group_cols, "__a",
+            f"(__v6 - __mn) * {n_bins} DIV (__mx - __mn + 1) AS bin",
+        )
+    )
+    counts = binned.groupBy(*group_cols, "bin").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("bigint")
+        .alias("cb"),
+    )
+    wg = Window.partitionBy(*group_cols)
+    full = counts.withColumn("ta", F.sum("ca").over(wg)).withColumn(
+        "tb", F.sum("cb").over(wg)
+    )
+    nb = F.lit(n_bins)
+    pa = (F.col("ca") + 1).cast("double") / (F.col("ta") + nb).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (F.col("tb") + nb).cast("double")
+    lnr = F.log(
+        ((F.col("ca") + 1) * (F.col("tb") + nb)).cast("double")
+        / ((F.col("cb") + 1) * (F.col("ta") + nb)).cast("double")
+    )
+    term = F.floor((pa - pb) * lnr * F.lit(1_000_000_000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        full.withColumn("__t", term)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("ta").alias("n_a"),
+            F.max("tb").alias("n_b"),
+            F.sum("__t").alias("psi_e9"),
+        )
+    )
+
+
+def _register_psi_query():
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_drift_psi",
+        oracle="""
+        WITH bounds AS (
+          SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+          FROM events
+        ), rows_q AS (
+          SELECT event_type,
+                 epoch_us(ts) < mid AS a,
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+          FROM events CROSS JOIN bounds WHERE value IS NOT NULL
+        ), rng AS (
+          SELECT event_type, MIN(v6) AS mn, MAX(v6) AS mx
+          FROM rows_q GROUP BY event_type
+        ), counts AS (
+          SELECT r.event_type,
+                 (r.v6 - g.mn) * 10 // (g.mx - g.mn + 1) AS bin,
+                 CAST(SUM(CASE WHEN r.a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN r.a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+          FROM rows_q r JOIN rng g USING (event_type)
+          GROUP BY r.event_type, (r.v6 - g.mn) * 10 // (g.mx - g.mn + 1)
+        ), full_t AS (
+          SELECT event_type, ca, cb,
+                 SUM(ca) OVER (PARTITION BY event_type) AS ta,
+                 SUM(cb) OVER (PARTITION BY event_type) AS tb
+          FROM counts
+        ), terms AS (
+          SELECT event_type, ta, tb,
+                 CAST(floor(
+                   (CAST(ca + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+                    - CAST(cb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+                   * ln(CAST((ca + 1) * (tb + 10) AS DOUBLE)
+                        / CAST((cb + 1) * (ta + 10) AS DOUBLE))
+                   * 1000000000.0 + 0.5) AS BIGINT) AS t
+          FROM full_t
+        )
+        SELECT event_type, CAST(MAX(ta) AS BIGINT) AS n_a,
+               CAST(MAX(tb) AS BIGINT) AS n_b,
+               CAST(SUM(t) AS BIGINT) AS psi_e9
+        FROM terms GROUP BY event_type
+        """,
+    )
+    def q_drift_psi(spark, sf_dir):
+        """PSI numeric drift per event type, FULL hash-match oracle:
+        first-half vs second-half time cohorts (exact integer epoch
+        midpoint), 10 equal-width e6-integer bins, per-bin smoothed
+        terms e9-floored before an order-free integer sum — DuckDB
+        attests every bin count and the PSI itself value-for-value."""
+        ensure_engine_conf(spark)
+        e = scan(spark, sf_dir, "events")
+        mid = e.agg(
+            F.expr(
+                "(MIN(unix_micros(ts)) + MAX(unix_micros(ts))) DIV 2"
+            ).alias("mid")
+        )
+        rows = e.crossJoin(F.broadcast(mid)).withColumn(
+            "__cohort_a", F.unix_micros("ts") < F.col("mid")
+        )
+        return psi_drift(rows, "value", "__cohort_a", ["event_type"])
+
+
+_register_psi_query()

@@ -1434,3 +1434,31 @@ def test_kmeans_portable_iterate_hand_blobs(spark):
     assert {(r.cell, r.d): r.cc6 for r in c2.collect()} == got  # fixed point
     div = spark.sql("SELECT -7 DIV 2 AS q").collect()[0].q
     assert div == -3
+
+
+def test_psi_drift_hand_cases(spark):
+    """PSI hand model: identical cohort distributions give PSI ~ 0
+    (only Laplace smoothing noise); a cohort shifted to the opposite
+    end of the range gives a large positive PSI; NULL values drop
+    from both totals; a degenerate min==max group lands everything in
+    bin 0 and stays near zero."""
+    from artemia_airflow_spark.operators.sketches import psi_drift
+
+    same = [("s", a, float(v)) for a in (True, False)
+            for v in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)]
+    shifted = ([("d", True, float(v)) for v in (1, 1, 1, 2, 2)]
+               + [("d", False, float(v)) for v in (9, 9, 10, 10, 10)])
+    degen = [("c", True, 5.0), ("c", False, 5.0), ("c", False, None)]
+    d = spark.createDataFrame(same + shifted + degen,
+                              "g STRING, a BOOLEAN, v DOUBLE")
+    out = {r.g: r for r in psi_drift(d, "v", "a", ["g"]).collect()}
+    assert (out["s"].n_a, out["s"].n_b) == (10, 10)
+    assert abs(out["s"].psi_e9) < 50_000_000  # ~0 up to smoothing
+    # PSI > 0.5 = severe drift (Laplace smoothing damps tiny cohorts:
+    # 10 pseudo-counts against 5 real rows caps how extreme p-ratios
+    # get, so the full-range shift lands ~0.85 here, not its
+    # asymptotic large-sample value)
+    assert out["d"].psi_e9 > 500_000_000
+    assert out["d"].psi_e9 > 10 * abs(out["s"].psi_e9)
+    assert (out["c"].n_a, out["c"].n_b) == (1, 1)
+    assert abs(out["c"].psi_e9) < 50_000_000
