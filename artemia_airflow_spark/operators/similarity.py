@@ -2242,9 +2242,9 @@ _KMEANS_ITER_SQL = """
     )"""
 
 
-@declared(
-    "q_cluster_kmeans",
-    oracle="""
+# Shared CTE prefix of the learned-KMeans faces: grid init, e6
+# components, 2 unrolled Lloyd iterations, final packed assignment.
+_KMEANS_PORTABLE_PREFIX_SQL = """
     WITH c0 AS (
       SELECT cell, d,
              (((cell*524287 + d*127 + 3) * 48271 + 54321)
@@ -2258,13 +2258,44 @@ _KMEANS_ITER_SQL = """
                   AS BIGINT) AS v6
       FROM embeddings
     ),""" + ",".join(
-        _KMEANS_ITER_SQL.format(k=k, j=k - 1) for k in (1, 2)
-    ) + """, cd3 AS (
+    _KMEANS_ITER_SQL.format(k=k, j=k - 1) for k in (1, 2)
+) + """, cd3 AS (
       SELECT vec_id, cell, SUM((v6 - cc6) * (v6 - cc6)) AS dist
       FROM comps JOIN c2 USING (d) GROUP BY vec_id, cell
     ), fin AS (
       SELECT vec_id, MIN(dist * 8 + cell) AS pk FROM cd3 GROUP BY vec_id
-    ), members AS (
+    )"""
+
+
+def _kmeans_portable_assign(spark, sf_dir, *, n_cells: int = 8):
+    """Shared Spark prelude of the learned-KMeans faces: checkpointed
+    e6 components, 2 Lloyd iterations from the Lehmer grid, and the
+    final packed (vec_id, pk) assignment — extracted so the sampling
+    face cannot drift from the clustering face it claims to stratify
+    by (the persisted-index-twin precedent)."""
+    emb = scan(spark, sf_dir, "embeddings")
+    comps = embedding_comps(
+        emb, id_col="vec_id", vec_col="embedding"
+    ).localCheckpoint(eager=True)
+    cents = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
+    for _ in range(2):
+        cents = kmeans_portable_iterate(comps, cents, n_cells=n_cells)
+    cents = cents.localCheckpoint(eager=True)
+    cdist = (
+        comps.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("v6") - F.col("cc6"))
+                   * (F.col("v6") - F.col("cc6"))).alias("dist"))
+    )
+    fin = cdist.groupBy("vec_id").agg(
+        F.min(F.col("dist") * n_cells + F.col("cell")).alias("pk")
+    )
+    return cents, fin
+
+
+@declared(
+    "q_cluster_kmeans",
+    oracle=_KMEANS_PORTABLE_PREFIX_SQL + """, members AS (
       SELECT pk % 8 AS cell, vec_id, (pk // 8) // 1000000 AS mind_q
       FROM fin
     ), csum AS (
@@ -2295,23 +2326,7 @@ def q_cluster_kmeans(spark, sf_dir):
     every per-iteration join broadcasts k x dim centroid rows."""
     ensure_engine_conf(spark)
     n_cells = 8
-    emb = scan(spark, sf_dir, "embeddings")
-    comps = embedding_comps(
-        emb, id_col="vec_id", vec_col="embedding"
-    ).localCheckpoint(eager=True)
-    cents = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
-    for _ in range(2):
-        cents = kmeans_portable_iterate(comps, cents, n_cells=n_cells)
-    cents = cents.localCheckpoint(eager=True)
-    cdist = (
-        comps.join(F.broadcast(cents), "d")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum((F.col("v6") - F.col("cc6"))
-                   * (F.col("v6") - F.col("cc6"))).alias("dist"))
-    )
-    fin = cdist.groupBy("vec_id").agg(
-        F.min(F.col("dist") * n_cells + F.col("cell")).alias("pk")
-    )
+    cents, fin = _kmeans_portable_assign(spark, sf_dir, n_cells=n_cells)
     members = fin.select(
         (F.col("pk") % n_cells).alias("cell"),
         "vec_id",
@@ -2332,4 +2347,57 @@ def q_cluster_kmeans(spark, sf_dir):
         )
         .select("cell", "n_members", "sum_vec_id", "inertia_q",
                 "centroid_sum_e6")
+    )
+
+
+@declared(
+    "q_sample_cluster_balanced",
+    oracle=_KMEANS_PORTABLE_PREFIX_SQL + """, members AS (
+      SELECT pk % 8 AS cell, vec_id FROM fin
+    ), ranked AS (
+      SELECT cell, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cell
+               ORDER BY md5('cb:' || CAST(vec_id AS VARCHAR)) DESC,
+                        vec_id) AS rk
+      FROM members
+    )
+    SELECT cell, vec_id, CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q_sample_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced sampling, FULL hash-match oracle: up to 20
+    vectors drawn uniformly (deterministic md5 rank) from EACH learned
+    KMeans cluster — the SemDeDup-style diversity move: equal
+    representation per semantic region instead of letting the densest
+    cluster dominate the sample.  Reuses the exact learned assignment
+    of :func:`q_cluster_kmeans` via the shared prelude, so the strata
+    here ARE the clusters that face value-pins.
+
+    Scale shape: assignment as in the clustering face; the per-cluster
+    cut rides the similarity family's map-side partial top-k, so the
+    cell exchange carries <= 20 x batches rows per cell — a dense
+    cluster's full membership never serializes one reducer (the B115
+    postings lesson, applied at birth)."""
+    ensure_engine_conf(spark)
+    n_cells, m = 8, 20
+    _, fin = _kmeans_portable_assign(spark, sf_dir, n_cells=n_cells)
+    members = fin.select(
+        (F.col("pk") % n_cells).alias("cell"),
+        "vec_id",
+        F.md5(F.concat(F.lit("cb:"), F.col("vec_id").cast("string")))
+        .alias("__h"),
+    )
+    part = _grouped_partial_topk(
+        members, probe_id_col="cell", id_col="vec_id",
+        score_col="__h", r=m,
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("__h").desc(), F.col("vec_id")
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= m)
+        .select("cell", "vec_id", "rank")
     )

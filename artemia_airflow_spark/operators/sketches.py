@@ -1391,3 +1391,116 @@ def _register_psi_query():
 
 
 _register_psi_query()
+
+
+def ols_trend(
+    df: DataFrame, x_col, y_col, group_cols: list[str],
+) -> DataFrame:
+    """Per-group least-squares trend line from EXACT sufficient
+    statistics (the corr-matrix recipe pointed at slope/intercept
+    instead of r): callers pass integer-valued x/y columns (already
+    quantized — seconds, cents); all five sums (n, Sx, Sy, Sxx, Sxy)
+    accumulate as decimal(38,0) so they are order-free exact integers,
+    and slope/intercept come out of one correctly-rounded double chain
+    — bit-identical cross-engine, unlike float regr_slope.
+
+    slope_e6 = e6-floored dy/dx; icept_e2 = e2-floored intercept (y
+    units at x = 0).  Zero-x-variance groups yield NULLs (no line).
+
+    Scale shape: ONE column-pruned scan into a groups-sized map-side-
+    combined aggregate; no join, no second pass.  Overflow: |x|,|y|
+    < 1e9 keeps Sxy within decimal(38,0) at 1e19 rows.
+    """
+    xi = F.col(x_col).cast("decimal(19,0)")
+    yi = F.col(y_col).cast("decimal(19,0)")
+    g = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xi).alias("sx"), F.sum(yi).alias("sy"),
+            F.sum(xi * xi).alias("sxx"), F.sum(xi * yi).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    den = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / den
+    icept = (sy - slope * sx) / nd
+    return g.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.when(den > 0, F.floor(slope * F.lit(1_000_000.0) + F.lit(0.5))
+               .cast("bigint")).alias("slope_e6"),
+        F.when(den > 0, F.floor(icept * F.lit(100.0) + F.lit(0.5))
+               .cast("bigint")).alias("icept_e2"),
+    )
+
+
+def _register_trend_query():
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_trend_ols",
+        oracle="""
+        WITH t0 AS (
+          SELECT MIN(epoch_us(ts)) AS t_min FROM events
+        ), rows_q AS (
+          SELECT event_type,
+                 (epoch_us(ts) - t_min) // 1000000 AS x,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+          FROM events CROSS JOIN t0 WHERE value IS NOT NULL
+        ), g AS (
+          SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          FROM rows_q GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                    THEN CAST(floor(
+                      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS slope_e6,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                    THEN CAST(floor(
+                      (CAST(sy AS DOUBLE)
+                       - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+               END AS icept_e2
+        FROM g
+        """,
+    )
+    def q_trend_ols(spark, sf_dir):
+        """Per-event-type value trend (cents per second since corpus
+        start), FULL hash-match oracle: exact decimal sufficient
+        statistics, one correctly-rounded double chain for slope and
+        intercept — DuckDB attests both coefficients value-for-value
+        (regr_slope's float accumulation could not be pinned)."""
+        ensure_engine_conf(spark)
+        e = scan(spark, sf_dir, "events")
+        t0 = e.agg(F.min(F.unix_micros("ts")).alias("t_min"))
+        rows = (
+            e.crossJoin(F.broadcast(t0))
+            .filter(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                F.expr("(unix_micros(ts) - t_min) DIV 1000000").alias("x"),
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                .alias("y"),
+            )
+        )
+        return ols_trend(rows, "x", "y", ["event_type"])
+
+
+_register_trend_query()

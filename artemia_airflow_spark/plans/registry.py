@@ -36,8 +36,8 @@ ORACLE: dict[str, str] = {}
 # ALL declared queries against their oracles at sf0.001/0.01/0.1 as
 # compensating evidence between driver visits.
 #
-# Round-13 window (56 rows vs the ~50 cap — new faces front-load, so
-# at most the final ~5 stale rows slip one round; the stale tail is
+# Round-13 window (58 rows vs the ~50 cap — new faces front-load, so
+# at most the final ~8 stale rows slip one round; the stale tail is
 # otherwise retired in full per VERDICT r12 "Next round" #2):
 # (a) new or implementation-changed in round 13 — the postings skew
 # fix + string face (its r12 driver row was the round's one error),
@@ -53,7 +53,8 @@ PRIORITY: list[str] = [
     "q_text_postings", "q_runs_report", "q_sim_ivf_portable",
     "q_select_dsir", "q_sample_weighted", "q_graph_pagerank",
     "q_outliers_mad", "q_text_zipf", "q_cluster_kmeans",
-    "q_attribution", "q_drift_psi",
+    "q_attribution", "q_drift_psi", "q_sample_cluster_balanced",
+    "q_trend_ols",
     # (b) the last r8-stale row
     "q_scan",
     # (c) the 45 r9-stale rows (the r12 slip set)

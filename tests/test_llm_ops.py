@@ -1462,3 +1462,22 @@ def test_psi_drift_hand_cases(spark):
     assert out["d"].psi_e9 > 10 * abs(out["s"].psi_e9)
     assert (out["c"].n_a, out["c"].n_b) == (1, 1)
     assert abs(out["c"].psi_e9) < 50_000_000
+
+
+def test_ols_trend_hand_line_and_degenerate(spark):
+    """OLS hand model: points exactly on y = 3x + 5 recover slope_e6 =
+    3e6 and icept_e2 = 500; a group whose x never varies has no line
+    (NULL slope/intercept); NULL y rows are excluded from n."""
+    from artemia_airflow_spark.operators.sketches import ols_trend
+
+    rows = (
+        [("line", x, 3 * x + 5) for x in (0, 1, 2, 3, 10)]
+        + [("flat", 7, y) for y in (1, 2, 3)]
+        + [("line", 4, None)]
+    )
+    d = spark.createDataFrame(rows, "g STRING, x BIGINT, y BIGINT")
+    out = {r.g: r for r in ols_trend(d, "x", "y", ["g"]).collect()}
+    assert (out["line"].n, out["line"].slope_e6, out["line"].icept_e2) == (
+        5, 3_000_000, 500)
+    assert (out["flat"].n, out["flat"].slope_e6, out["flat"].icept_e2) == (
+        3, None, None)

@@ -817,3 +817,15 @@ def test_attribution_shares_one_user_exchange(spark):
     p = _formatted_plan(spark, "q_attribution")
     assert p.count("hashpartitioning(user_id") == 1, p[:2000]
     assert "Join" not in p, p[:2000]
+
+
+def test_cluster_balanced_sample_uses_partial_cut(spark):
+    """q_sample_cluster_balanced (r13): the per-cluster cut rides the
+    map-side partial top-k (Arrow MapInPandas below the cell
+    exchange), the component relation is checkpointed (no
+    embeddings.parquet rescan), and nothing goes cartesian — a dense
+    cluster's membership never serializes one reducer."""
+    p = _formatted_plan(spark, "q_sample_cluster_balanced")
+    assert "MapInPandas" in p, p[:2000]
+    assert "embeddings.parquet" not in p, p[:1500]
+    assert "CartesianProduct" not in p
