@@ -1163,24 +1163,36 @@ def mad_outliers(
     percentile exchanges do carry the full value column.  That is the
     inherent price of EXACT robust statistics; at 100 TB, swap the
     percentile calls for the mergeable quantile sketch (B92) and keep
-    this face as the audit tier on bounded slices.
+    this face as the audit tier on bounded slices.  The tiny med/mad
+    relations are lineage-truncated so each downstream consumer does
+    NOT re-expand the upstream percentile pass (Spark never dedupes
+    common subplans — the _with_global lesson; without the cut the
+    static plan held SEVEN fact scans, r13 plan audit).
     """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
     v2 = (F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5))
           .cast("bigint") * F.lit(2)).alias("__v2")
     rows = (
         df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, v2)
     )
-    med = rows.groupBy(*group_cols).agg(
-        F.expr("CAST(percentile(__v2, 0.5D) AS BIGINT)").alias("med_x2_e6"),
-        F.count(F.lit(1)).alias("n"),
+    med = truncate_lineage(
+        rows.groupBy(*group_cols).agg(
+            F.expr("CAST(percentile(__v2, 0.5D) AS BIGINT)")
+            .alias("med_x2_e6"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        None,
     )
     dev = rows.join(F.broadcast(med), group_cols).withColumn(
         "__dev2", F.abs(F.col("__v2") - F.col("med_x2_e6"))
     )
-    mad = dev.groupBy(*group_cols).agg(
-        F.expr("CAST(percentile(2 * __dev2, 0.5D) AS BIGINT)")
-        .alias("mad_x4_e6"),
+    mad = truncate_lineage(
+        dev.groupBy(*group_cols).agg(
+            F.expr("CAST(percentile(2 * __dev2, 0.5D) AS BIGINT)")
+            .alias("mad_x4_e6"),
+        ),
+        None,
     )
     stats = med.join(mad, group_cols)
     flagged = (
@@ -1274,8 +1286,11 @@ def psi_drift(
     Scale shape: two fact passes — a per-group min/max aggregate
     broadcast back, then the (group, cohort, bin) count aggregate
     (<= groups x 2 x n_bins rows, map-side combined); totals ride the
-    tiny bin relation as unpartitioned-by-cohort window sums.
+    tiny bin relation as unpartitioned-by-cohort window sums.  The
+    min/max relation is lineage-truncated so the binning pass does not
+    re-expand the range pass (common-subplan rule).
     """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
     v6 = F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
         "bigint"
     )
@@ -1283,8 +1298,11 @@ def psi_drift(
         df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, F.col(cohort_col).alias("__a"), v6.alias("__v6"))
     )
-    rng = rows.groupBy(*group_cols).agg(
-        F.min("__v6").alias("__mn"), F.max("__v6").alias("__mx")
+    rng = truncate_lineage(
+        rows.groupBy(*group_cols).agg(
+            F.min("__v6").alias("__mn"), F.max("__v6").alias("__mx")
+        ),
+        None,
     )
     binned = (
         rows.join(F.broadcast(rng), group_cols)

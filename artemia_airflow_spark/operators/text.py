@@ -1088,12 +1088,14 @@ def vocabulary_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     final slope is one double division of exact integers, e6-floored
     — so any IEEE engine reproduces the statistic bit-for-bit.
 
-    Scale shape: ONE corpus scan -> explode -> map-side-combined
-    (token) counts; the global panel aggregates that vocab-sized
-    relation, the top-100 cut is a TakeOrderedAndProject, and the
-    regression runs over 100 rows.  Sum headroom: |x_e6| <= ln(100)e6
-    < 5e6, |y_e6| <= ln(corpus tokens)e6 < 42e6 even at 1e18 tokens,
-    so n*Sxy < 100*100*5e6*42e6 ~ 2.1e17 < 2^63.
+    Scale shape: one explode -> map-side-combined (token) counts
+    exchange feeds BOTH consumers — the global panel aggregate and the
+    top-100 TakeOrderedAndProject (the static plan shows the lineage
+    twice; the exchange is byte-identical, the AQE-reuse seam the
+    DSIR/BM25 shared aggregates ride) — and the regression runs over
+    100 rows.  Sum headroom: |x_e6| <= ln(100)e6 < 5e6, |y_e6| <=
+    ln(corpus tokens)e6 < 42e6 even at 1e18 tokens, so n*Sxy <
+    100*100*5e6*42e6 ~ 2.1e17 < 2^63.
     """
     counts = (
         df.select(F.explode(F.split(F.lower(F.col(text_col)), " "))

@@ -829,3 +829,16 @@ def test_cluster_balanced_sample_uses_partial_cut(spark):
     assert "MapInPandas" in p, p[:2000]
     assert "embeddings.parquet" not in p, p[:1500]
     assert "CartesianProduct" not in p
+
+
+def test_mad_and_psi_plans_do_not_reexpand_stat_passes(spark):
+    """q_outliers_mad / q_drift_psi (r13 plan audit): the tiny
+    per-group stat relations are lineage-truncated, so downstream
+    consumers re-expand NEITHER the percentile passes (MAD's static
+    plan held seven fact scans before the cut) nor the range pass —
+    the final plans carry at most the flags pass (MAD: 1 scan) and
+    the midpoint + binning passes (PSI: 2 scans)."""
+    p = _formatted_plan(spark, "q_outliers_mad")
+    assert p.count("events.parquet") <= 1, p[:1500]
+    p = _formatted_plan(spark, "q_drift_psi")
+    assert p.count("events.parquet") <= 2, p[:1500]
