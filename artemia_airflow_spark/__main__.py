@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
             print(("*" if name in ORACLE else " "), name)
         return 0
 
+    # validate BEFORE paying JVM startup: a typo'd name should fail
+    # instantly, not after seconds of SparkSession construction
+    if args.cmd == "query" and args.name not in QUERIES:
+        print(f"unknown query {args.name!r} (see `list`)", file=sys.stderr)
+        return 2
+
     spark = _build_spark(args.master)
     if args.cmd == "smoke":
         df = QUERIES["q_agg_group"](spark, args.sf_dir)
@@ -80,10 +86,6 @@ def main(argv: list[str] | None = None) -> int:
         df.show(truncate=False)
         return 0 if rows else 1
     if args.cmd == "query":
-        if args.name not in QUERIES:
-            print(f"unknown query {args.name!r} (see `list`)",
-                  file=sys.stderr)
-            return 2
         QUERIES[args.name](spark, args.sf_dir).show(
             args.limit, truncate=False
         )

@@ -109,3 +109,36 @@ def lehmer_bucket(id_col: Column | str, seed: int, *, buckets: int = 1_000_000) 
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     m31 = F.lit(2147483647)
     return ((c % m31) * F.lit(48271) + F.lit(seed)) % m31 % F.lit(buckets)
+
+
+# -- process-scoped scratch directories --------------------------------
+
+import threading as _threading
+
+_SCRATCH_LOCK = _threading.Lock()  # module-scoped: lazy creation of the
+# lock itself would be the very race it exists to prevent
+_SCRATCH_PARENTS: dict[str, str] = {}
+
+
+def process_scratch_dir(prefix: str) -> str:
+    """A fresh per-invocation temp dir nested under ONE process-scoped,
+    atexit-reaped parent per ``prefix`` — the shared implementation of
+    the q_ledger_health / q_runs_report / q_sim_index_persisted
+    scratch idiom (r13 review: three pasted copies of the
+    lock+globals+atexit block were one future fix away from diverging).
+
+    Per-invocation children stay unique (concurrent callers can never
+    rmtree each other's live data); the parent is removed once, at
+    interpreter exit, so repeated correctness sweeps cannot leak one
+    /tmp tree per run (ADVICE r12)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    with _SCRATCH_LOCK:
+        parent = _SCRATCH_PARENTS.get(prefix)
+        if parent is None:
+            parent = tempfile.mkdtemp(prefix=prefix)
+            _SCRATCH_PARENTS[prefix] = parent
+            atexit.register(shutil.rmtree, parent, ignore_errors=True)
+    return tempfile.mkdtemp(dir=parent)

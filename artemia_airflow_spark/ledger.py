@@ -26,15 +26,10 @@ immutable.
 from __future__ import annotations
 
 import os
-import threading
 import uuid
 from typing import TYPE_CHECKING, Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
-
-# q_ledger_health scratch-parent creation guard (the dirs themselves
-# are per-invocation mkdtemps, so only the parent needs synchronizing)
-_HEALTH_SCRATCH_LOCK = threading.Lock()
 
 if TYPE_CHECKING:
     from artemia_airflow_spark.pipeline import StageResult
@@ -194,7 +189,10 @@ class RunLedger:
 
     def runs(self, spark: SparkSession, pipeline: str | None = None) -> DataFrame:
         """One row per committed run with aggregate state (``success``
-        iff no stage failed)."""
+        iff no stage failed), attempt and SLA-miss totals — the ONE
+        definition of "a run" every consumer (health, runs_report,
+        depends_on_past, tests) builds on; r13 review retired
+        runs_report's parallel copy of this aggregate."""
         from pyspark.sql import functions as F
 
         df = self.read(spark)
@@ -205,6 +203,9 @@ class RunLedger:
             F.max(
                 F.when(F.col("state").isin("failed", "upstream_failed"), 1).otherwise(0)
             ).alias("any_failed"),
+            F.sum("attempts").cast("bigint").alias("total_attempts"),
+            F.sum(F.when(F.col("sla_missed"), 1).otherwise(0))
+            .cast("bigint").alias("n_sla_missed"),
             F.min("started_at").alias("started_at"),
             F.max("finished_at").alias("finished_at"),
             # one source per run (every stage row carries the same
@@ -236,23 +237,7 @@ class RunLedger:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        per_run = self.read(spark).groupBy("pipeline", "run_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_stages"),
-            F.sum("attempts").cast("bigint").alias("total_attempts"),
-            F.sum(F.when(F.col("sla_missed"), 1).otherwise(0))
-            .cast("bigint").alias("n_sla_missed"),
-            F.when(
-                F.max(
-                    F.when(
-                        F.col("state").isin("failed", "upstream_failed"), 1
-                    ).otherwise(0)
-                ) == 1,
-                F.lit("failed"),
-            ).otherwise(F.lit("success")).alias("state"),
-            F.min("started_at").alias("started_at"),
-            F.max("finished_at").alias("finished_at"),
-            F.max("source").alias("source"),
-        )
+        per_run = self.runs(spark)
         w = Window.partitionBy("pipeline").orderBy(
             F.col("started_at").desc(), F.col("run_id")
         )
@@ -262,7 +247,10 @@ class RunLedger:
             )
             .filter(F.col("run_seq") <= limit_per_pipeline)
             .select(
-                "pipeline", "run_seq", "state", "n_stages",
+                "pipeline", "run_seq",
+                F.when(F.col("any_failed") == 1, F.lit("failed"))
+                .otherwise(F.lit("success")).alias("state"),
+                F.col("n_stages").cast("bigint").alias("n_stages"),
                 "total_attempts", "n_sla_missed",
                 F.floor(
                     (F.col("finished_at") - F.col("started_at")) * 1000
@@ -358,19 +346,10 @@ def _register_health_query() -> None:
         all of them live under ONE process-scoped parent that is
         removed at process exit, so repeated driver/test runs never
         accumulate litter beyond the process lifetime."""
-        import atexit
-        import shutil
-        import tempfile
-
+        from artemia_airflow_spark.functions.core import process_scratch_dir
         from artemia_airflow_spark.pipeline import StageResult
 
-        with _HEALTH_SCRATCH_LOCK:
-            parent = globals().get("_HEALTH_SCRATCH_PARENT")
-            if parent is None:
-                parent = tempfile.mkdtemp(prefix="ledger_health_")
-                globals()["_HEALTH_SCRATCH_PARENT"] = parent
-                atexit.register(shutil.rmtree, parent, ignore_errors=True)
-        led = RunLedger(tempfile.mkdtemp(dir=parent))
+        led = RunLedger(process_scratch_dir("ledger_health_"))
         ok = lambda d, **kw: StageResult("success", duration_s=d, **kw)  # noqa: E731
         runs = [
             ("ingest", {"s1": ok(1.0), "s2": ok(3.0)}),
@@ -424,19 +403,10 @@ def _register_runs_report_query() -> None:
         design.  Shares q_ledger_health's process-scoped scratch
         hygiene (one mkdtemp per invocation under one atexit-reaped
         parent)."""
-        import atexit
-        import shutil
-        import tempfile
-
+        from artemia_airflow_spark.functions.core import process_scratch_dir
         from artemia_airflow_spark.pipeline import StageResult
 
-        with _HEALTH_SCRATCH_LOCK:
-            parent = globals().get("_HEALTH_SCRATCH_PARENT")
-            if parent is None:
-                parent = tempfile.mkdtemp(prefix="ledger_health_")
-                globals()["_HEALTH_SCRATCH_PARENT"] = parent
-                atexit.register(shutil.rmtree, parent, ignore_errors=True)
-        led = RunLedger(tempfile.mkdtemp(dir=parent))
+        led = RunLedger(process_scratch_dir("ledger_health_"))
         ok = lambda a: StageResult("success", attempts=a)  # noqa: E731
         runs = [
             # (pipeline, started, finished, source, {stage: result})

@@ -24,7 +24,7 @@ and no vocabulary-sized relation ever exceeds the bucket count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
@@ -84,8 +84,6 @@ def dsir_weights(
         F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0)))
         .alias("ct"),
     )
-    from pyspark.sql import Window
-
     # corpus totals ride the 256-row relation as unpartitioned window
     # sums (the _with_global recipe) — never a second corpus pass
     w_all = Window.partitionBy()
@@ -168,8 +166,6 @@ def q_select_dsir(spark, sf_dir):
     ranked = weights.orderBy(
         F.col("weight_e6").desc(), F.col("doc_id")
     ).limit(20)
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.col("weight_e6").desc(), F.col("doc_id"))
     return ranked.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
@@ -253,7 +249,5 @@ def q_sample_weighted(spark, sf_dir):
         "doc_id", "source", "n_chars", "key_e9"
     )
     top = keyed.orderBy(F.col("key_e9").desc(), F.col("doc_id")).limit(50)
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.col("key_e9").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

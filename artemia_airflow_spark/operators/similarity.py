@@ -19,7 +19,6 @@ array (deterministic, broadcast with the plan).
 from __future__ import annotations
 
 import random
-import threading
 
 import numpy as np
 import pandas as pd
@@ -31,11 +30,6 @@ from artemia_airflow_spark.catalog import scan
 from artemia_airflow_spark.functions.vectors import cosine_similarity
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
-
-# q_sim_index_persisted scratch-parent guard (per-invocation mkdtemps
-# under one process-scoped parent; only the parent needs synchronizing)
-_INDEX_SCRATCH_LOCK = threading.Lock()
-
 
 def cosine_topk(
     corpus: DataFrame, probes: DataFrame, *, id_col: str, probe_id_col: str,
@@ -1171,16 +1165,7 @@ def _ivf_pq_portable_build(spark, corp):
     books = pq_portable_codebooks_df(
         spark, m_subspaces=m, n_codes=n_codes, sub_dim=sub, salt=99991
     )
-    cdist = (
-        corp.join(F.broadcast(cells), "d")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum((F.col("v6") - F.col("cc6"))
-                   * (F.col("v6") - F.col("cc6"))).alias("dist"))
-    )
-    assign = cdist.groupBy("vec_id").agg(
-        (F.min(F.col("dist") * n_cells + F.col("cell")) % n_cells)
-        .alias("cell")
-    )
+    assign = _nearest_cells(corp, cells, n_cells=n_cells)
     res = (
         corp.join(assign, "vec_id")
         .join(F.broadcast(cells), ["cell", "d"])
@@ -1447,16 +1432,7 @@ def q_sim_ivf_portable(spark, sf_dir):
     n_cells, n_route, k = 8, 3, 10
     comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
     cells = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
-    cdist = (
-        corp.join(F.broadcast(cells), "d")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum((F.col("v6") - F.col("cc6"))
-                   * (F.col("v6") - F.col("cc6"))).alias("dist"))
-    )
-    assign = cdist.groupBy("vec_id").agg(
-        (F.min(F.col("dist") * n_cells + F.col("cell")) % n_cells)
-        .alias("cell")
-    )
+    assign = _nearest_cells(corp, cells, n_cells=n_cells)
     pstat = (
         probe.join(F.broadcast(cells), "d")
         .groupBy("probe_id", "cell")
@@ -2142,10 +2118,7 @@ def q_sim_index_persisted(spark, sf_dir):
     round-trips through commit-log parquet exactly.  Cells/books are
     bounded model metadata and regenerate deterministically — the
     FAISS convention of tiny codebooks beside a big code file."""
-    import atexit
     import os
-    import shutil
-    import tempfile
 
     from artemia_airflow_spark.sources.txtable import TxTable
 
@@ -2159,13 +2132,9 @@ def q_sim_index_persisted(spark, sf_dir):
     # ONE process-scoped parent reaped at exit (the q_ledger_health
     # recipe; ADVICE r12: a mkdtemp per correctness sweep leaked one
     # corpus-sized /tmp tree per run otherwise)
-    with _INDEX_SCRATCH_LOCK:
-        parent = globals().get("_INDEX_SCRATCH_PARENT")
-        if parent is None:
-            parent = tempfile.mkdtemp(prefix="aas_sim_index_")
-            globals()["_INDEX_SCRATCH_PARENT"] = parent
-            atexit.register(shutil.rmtree, parent, ignore_errors=True)
-    root = os.path.join(tempfile.mkdtemp(dir=parent), "index")
+    from artemia_airflow_spark.functions.core import process_scratch_dir
+
+    root = os.path.join(process_scratch_dir("aas_sim_index_"), "index")
     # one row per (vec, subspace): synthetic unique key for the table,
     # multiplier tied to the build's subspace count
     artifact = codes.select(
@@ -2180,6 +2149,33 @@ def q_sim_index_persisted(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Portable KMeans clustering (Lloyd iterations, r13)
 # --------------------------------------------------------------------------
+
+def _nearest_cells(
+    comps: DataFrame, cents: DataFrame, *, n_cells: int,
+    packed: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment over e6 integer components — THE
+    shared argmin of every portable cell-routing face (r13 review:
+    four pasted copies of broadcast-join + squared-L2 agg + packed
+    ``min(dist*k + cell)`` held the overflow contract in four places).
+    ``comps`` is (vec_id, d, v6), ``cents`` is (cell, d, cc6);
+    returns (vec_id, cell), or (vec_id, pk) with ``packed=True`` when
+    the caller also needs the distance (``pk DIV n_cells``).
+    Overflow contract: dist * n_cells must stay under 2^63 — holds to
+    ~1e17 squared-e6 distance at n_cells=8 (64 dims of |v|<=1e3)."""
+    cdist = (
+        comps.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("v6") - F.col("cc6"))
+                   * (F.col("v6") - F.col("cc6"))).alias("dist"))
+    )
+    pk = cdist.groupBy("vec_id").agg(
+        F.min(F.col("dist") * n_cells + F.col("cell")).alias("pk")
+    )
+    if packed:
+        return pk
+    return pk.select("vec_id", (F.col("pk") % n_cells).alias("cell"))
+
 
 def kmeans_portable_iterate(
     comps: DataFrame, cents: DataFrame, *, n_cells: int,
@@ -2201,16 +2197,7 @@ def kmeans_portable_iterate(
     beyond the one (vec_id, cell) assignment exchange — the identical
     shape Lloyd has in any shared-nothing engine.
     """
-    cdist = (
-        comps.join(F.broadcast(cents), "d")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum((F.col("v6") - F.col("cc6"))
-                   * (F.col("v6") - F.col("cc6"))).alias("dist"))
-    )
-    assign = cdist.groupBy("vec_id").agg(
-        (F.min(F.col("dist") * n_cells + F.col("cell")) % n_cells)
-        .alias("cell")
-    )
+    assign = _nearest_cells(comps, cents, n_cells=n_cells)
     upd = (
         comps.join(assign, "vec_id")
         .groupBy("cell", "d")
@@ -2281,15 +2268,7 @@ def _kmeans_portable_assign(spark, sf_dir, *, n_cells: int = 8):
     for _ in range(2):
         cents = kmeans_portable_iterate(comps, cents, n_cells=n_cells)
     cents = cents.localCheckpoint(eager=True)
-    cdist = (
-        comps.join(F.broadcast(cents), "d")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum((F.col("v6") - F.col("cc6"))
-                   * (F.col("v6") - F.col("cc6"))).alias("dist"))
-    )
-    fin = cdist.groupBy("vec_id").agg(
-        F.min(F.col("dist") * n_cells + F.col("cell")).alias("pk")
-    )
+    fin = _nearest_cells(comps, cents, n_cells=n_cells, packed=True)
     return cents, fin
 
 

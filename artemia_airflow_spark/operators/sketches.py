@@ -1281,7 +1281,13 @@ def psi_drift(
     0), and each bin's PSI term is computed from EXACT integer counts
     (both engines divide/ln the identical arguments) then e9-floored
     BEFORE the per-group sum, so the total is an order-free integer
-    aggregate (the DSIR contribution recipe).
+    aggregate (the DSIR contribution recipe).  ALL ``n_bins`` bins
+    contribute — a bin empty in BOTH cohorts still carries a nonzero
+    smoothed term whenever the cohort sizes differ (its pseudo-count
+    shares 1/(ta+n) vs 1/(tb+n) diverge), so the count relation joins
+    onto the full group x bin grid rather than only observed bins
+    (r13 review: skipping them silently deviated from the documented
+    formula).
 
     Scale shape: two fact passes — a per-group min/max aggregate
     broadcast back, then the (group, cohort, bin) count aggregate
@@ -1316,6 +1322,21 @@ def psi_drift(
         .alias("ca"),
         F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("bigint")
         .alias("cb"),
+    )
+    grid = rng.select(
+        *group_cols,
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"),
+                       F.lit(n_bins - 1).cast("bigint"))
+        ).alias("bin"),
+    )
+    counts = (
+        grid.join(counts, [*group_cols, "bin"], "left")
+        .select(
+            *group_cols, "bin",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
     )
     wg = Window.partitionBy(*group_cols)
     full = counts.withColumn("ta", F.sum("ca").over(wg)).withColumn(
@@ -1368,11 +1389,19 @@ def _register_psi_query():
                  CAST(SUM(CASE WHEN r.a THEN 0 ELSE 1 END) AS BIGINT) AS cb
           FROM rows_q r JOIN rng g USING (event_type)
           GROUP BY r.event_type, (r.v6 - g.mn) * 10 // (g.mx - g.mn + 1)
+        ), grid AS (
+          SELECT event_type, CAST(unnest(range(0, 10)) AS BIGINT) AS bin
+          FROM rng
+        ), counts_full AS (
+          SELECT g.event_type, g.bin,
+                 COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+          FROM grid g LEFT JOIN counts c
+            ON c.event_type = g.event_type AND c.bin = g.bin
         ), full_t AS (
           SELECT event_type, ca, cb,
                  SUM(ca) OVER (PARTITION BY event_type) AS ta,
                  SUM(cb) OVER (PARTITION BY event_type) AS tb
-          FROM counts
+          FROM counts_full
         ), terms AS (
           SELECT event_type, ta, tb,
                  CAST(floor(

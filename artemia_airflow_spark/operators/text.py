@@ -553,8 +553,6 @@ def unigram_nll(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     already partitioned by token from the count agg), then one per-doc
     aggregate.  The scan lineage executes exactly twice.
     """
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
@@ -653,8 +651,6 @@ def postings(
     ascending-id array (the operator API); the declared query face
     projects it to a comma-joined string for hash portability.
     """
-    from pyspark.sql import Window
-
     from artemia_airflow_spark.operators.similarity import (
         _grouped_partial_topk,
     )
@@ -752,8 +748,6 @@ def collocations(
     unpartitioned window (the ``_with_global`` recipe), not a
     corpus-sized one.
     """
-    from pyspark.sql import Window
-
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     uni = (
         df.select(F.explode(toks).alias("token"))

@@ -21,7 +21,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -87,17 +86,11 @@ def build_emb(spark, dst: str) -> None:
 
 
 def time_query(spark, fn, sf_dir: str) -> float:
-    import gc
-
-    best = float("inf")
-    spark.catalog.clearCache()
-    gc.collect()
-    spark._jvm.System.gc()
-    for _ in range(3):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+    # ONE measurement protocol for both r13 scale records (r13 review:
+    # a pasted copy here could silently desynchronize from the
+    # behavioral script SCALE.md presents as sharing the protocol)
+    from scaleup_r13_behavior import time_query as _tq
+    return _tq(spark, fn, sf_dir)
 
 
 def main() -> None:

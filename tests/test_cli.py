@@ -20,7 +20,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_pyproject_declares_the_package_and_entrypoint():
-    import tomllib
+    # tomllib is 3.11+; pyproject declares >=3.10, so fall back to the
+    # third-party tomli on 3.10 rather than failing the very test that
+    # pins the packaging claim (r13 review)
+    try:
+        import tomllib
+    except ModuleNotFoundError:  # pragma: no cover - py3.10 path
+        import tomli as tomllib
 
     with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
         meta = tomllib.load(f)

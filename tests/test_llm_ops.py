@@ -1481,3 +1481,25 @@ def test_ols_trend_hand_line_and_degenerate(spark):
         5, 3_000_000, 500)
     assert (out["flat"].n, out["flat"].slope_e6, out["flat"].icept_e2) == (
         3, None, None)
+
+
+def test_psi_drift_counts_empty_bins(spark):
+    """Empty-in-both bins still carry their smoothed pseudo-count term
+    when cohort sizes differ (r13 review): a group with all values
+    equal (everything in bin 0, nine empty bins) and ta=3 vs tb=1 must
+    reproduce the full 10-term hand-computed PSI, not just bin 0's."""
+    import math
+
+    from artemia_airflow_spark.operators.sketches import psi_drift
+
+    rows = ([("u", True, 1.0)] * 3) + [("u", False, 1.0)]
+    d = spark.createDataFrame(rows, "g STRING, a BOOLEAN, v DOUBLE")
+    out = psi_drift(d, "v", "a", ["g"]).collect()[0]
+    ta, tb = 3, 1
+    want = 0
+    for b in range(10):
+        ca, cb = (3, 1) if b == 0 else (0, 0)
+        pa, pb = (ca + 1) / (ta + 10), (cb + 1) / (tb + 10)
+        lnr = math.log(((ca + 1) * (tb + 10)) / ((cb + 1) * (ta + 10)))
+        want += math.floor((pa - pb) * lnr * 1e9 + 0.5)
+    assert (out.n_a, out.n_b, out.psi_e9) == (3, 1, want)
