@@ -1551,3 +1551,116 @@ def _register_trend_query():
 
 
 _register_trend_query()
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str,
+) -> DataFrame:
+    """Mutual information + marginal entropies of two categorical
+    columns (nats, e9-quantized) — the categorical association
+    statistic next to the numeric corr matrix: "does source predict
+    language" as one number, the standard leakage/redundancy probe
+    before stratifying or mixing on a column pair.  NULL categories
+    count as real levels (they carry mass).
+
+    Engine-exact: cell/margin/total counts are exact integers; each
+    cell's ``(n_xy/N) * ln(n_xy*N / (n_x*n_y))`` takes ONE ln of a
+    double built from exact integer products (< 2^63 up to ~3e9 rows
+    per margin pair) and e9-floors BEFORE the order-free integer sum
+    (the PSI/DSIR contribution recipe); entropies mirror it.
+
+    Scale shape: ONE fact scan into the (x, y) cell aggregate
+    (map-side combined, |X| x |Y| rows); the cell relation is
+    lineage-truncated and every margin/total rides it via windows —
+    no second corpus pass, no join.
+    """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    cells = truncate_lineage(
+        df.groupBy(
+            F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+        ).agg(F.count(F.lit(1)).alias("nxy")),
+        None,
+    )
+    wx = Window.partitionBy("__x")
+    wy = Window.partitionBy("__y")
+    wall = Window.partitionBy()
+    m = (
+        cells.withColumn("nx", F.sum("nxy").over(wx))
+        .withColumn("ny", F.sum("nxy").over(wy))
+        .withColumn("n", F.sum("nxy").over(wall))
+    )
+    term = F.floor(
+        (F.col("nxy").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("nxy") * F.col("n")).cast("double")
+            / (F.col("nx") * F.col("ny")).cast("double")
+        )
+        * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    hx_term = F.floor(
+        (F.col("nxy").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("n").cast("double") / F.col("nx").cast("double"))
+        * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    hy_term = F.floor(
+        (F.col("nxy").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("n").cast("double") / F.col("ny").cast("double"))
+        * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    # entropies distribute over cells (sum of per-cell mass x marginal
+    # surprisal == classic marginal form), so ONE aggregate covers all
+    # three statistics without re-deriving margin relations
+    return m.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(term).alias("mi_e9"),
+        F.sum(hx_term).alias("h_x_e9"),
+        F.sum(hy_term).alias("h_y_e9"),
+    )
+
+
+def _register_mi_query():
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_mutual_info",
+        oracle="""
+        WITH cells AS (
+          SELECT lang AS x, source AS y, CAST(COUNT(*) AS BIGINT) AS nxy
+          FROM documents GROUP BY lang, source
+        ), m AS (
+          SELECT nxy,
+                 SUM(nxy) OVER (PARTITION BY x) AS nx,
+                 SUM(nxy) OVER (PARTITION BY y) AS ny,
+                 SUM(nxy) OVER () AS n
+          FROM cells
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(
+                 (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(nxy * n AS DOUBLE) / CAST(nx * ny AS DOUBLE))
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mi_e9,
+               CAST(SUM(CAST(floor(
+                 (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(n AS DOUBLE) / CAST(nx AS DOUBLE))
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_x_e9,
+               CAST(SUM(CAST(floor(
+                 (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(n AS DOUBLE) / CAST(ny AS DOUBLE))
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_y_e9
+        FROM m
+        """,
+    )
+    def q_mutual_info(spark, sf_dir):
+        """Mutual information between document language and source,
+        FULL hash-match oracle: exact integer cell/margin counts, one
+        e9-floored ln contribution per cell, order-free integer sums —
+        DuckDB attests MI and both entropies value-for-value."""
+        ensure_engine_conf(spark)
+        d = scan(spark, sf_dir, "documents")
+        return mutual_information(d, "lang", "source")
+
+
+_register_mi_query()

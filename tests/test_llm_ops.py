@@ -1503,3 +1503,31 @@ def test_psi_drift_counts_empty_bins(spark):
         lnr = math.log(((ca + 1) * (tb + 10)) / ((cb + 1) * (ta + 10)))
         want += math.floor((pa - pb) * lnr * 1e9 + 0.5)
     assert (out.n_a, out.n_b, out.psi_e9) == (3, 1, want)
+
+
+def test_mutual_information_hand_cases(spark):
+    """MI hand model: independent uniform 2x2 gives MI ~ 0 with
+    H(X) = H(Y) = ln 2; a perfectly dependent pair (x == y) gives
+    MI = H(X) = H(Y) = ln 2; values match an independent Python
+    recomputation of the quantized formula; NULL is a real level."""
+    import math
+
+    from artemia_airflow_spark.operators.sketches import mutual_information
+
+    ind = [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")] * 5
+    d = spark.createDataFrame(ind, "x STRING, y STRING")
+    r = mutual_information(d, "x", "y").collect()[0]
+    ln2_e9 = math.floor(0.5 * math.log(1.0) * 1e9 + 0.5)  # per-cell MI term
+    assert r.n == 20 and r.mi_e9 == 4 * ln2_e9  # == 0
+    assert abs(r.h_x_e9 - math.floor(1e9 * math.log(2) / 2 + 0.5) * 2) <= 2
+    dep = [("a", "a")] * 7 + [("b", "b")] * 3
+    d2 = spark.createDataFrame(dep, "x STRING, y STRING")
+    r2 = mutual_information(d2, "x", "y").collect()[0]
+    want = sum(
+        math.floor(p * math.log(1 / p) * 1e9 + 0.5) for p in (0.7, 0.3)
+    )
+    assert r2.mi_e9 == want and r2.h_x_e9 == want and r2.h_y_e9 == want
+    withnull = [("a", "p"), (None, "p"), (None, "q")]
+    d3 = spark.createDataFrame(withnull, "x STRING, y STRING")
+    r3 = mutual_information(d3, "x", "y").collect()[0]
+    assert r3.n == 3  # NULL level carries mass
