@@ -605,3 +605,86 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return last_touch_attribution(e, "purchase", lookback_s=3600)
+
+
+def interevent_gaps(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-type inter-arrival profile: exact median and p90 of the gap
+    (in microseconds) between consecutive SAME-TYPE events of the same
+    user, plus gap count — the churn/engagement primitive ("how often
+    does a user come back to X"), and the empirical base for session
+    gap thresholds (B107's gap_s should sit past the typical p90).
+
+    Exact percentiles stay engine-identical via the MAD face's
+    even-integer trick: gaps double to even ints so every p*(n-1)
+    interpolation lands on an exact integer — median at 2x
+    (``med_x2_us``), p90 at 10x (``p90_x10_us``, since a p90 fraction
+    is k/10 an exact value needs the 10x scale: 2*(...) interpolates
+    tenths, so scale by 10 instead).  Gap math is int64 microseconds.
+
+    Scale shape: ONE (user, type) exchange for the lag window (the
+    behavioral family's key plus type — same order columns), then a
+    types-sized percentile aggregate; the buffered-values caveat of
+    exact percentiles applies as in B133 (sketch tier is the 100 TB
+    path).
+    """
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        ts_col, order_tiebreak
+    )
+    us = F.unix_micros(F.col(ts_col))
+    gaps = (
+        events.select(
+            F.col(type_col),
+            (us - F.lag(us).over(w)).alias("__gap"),
+        )
+        .filter(F.col("__gap").isNotNull())
+        # 10x: both the 0.5*(n-1) and 0.9*(n-1) interpolation points
+        # have fractional parts in tenths, so 10x-scaled integers make
+        # every interpolated value an exact integer double
+        .withColumn("__g10", F.col("__gap") * 10)
+    )
+    # floor(x + 0.5), not a truncating CAST: the interpolated value is
+    # integer-valued mathematically, but 0.9 is not a binary fraction,
+    # so the double can sit one ulp under the integer — half-up
+    # rounding absorbs the drift on both engines (the q_agg_percentile
+    # ROUND precedent)
+    return gaps.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("CAST(floor(percentile(__g10, 0.5D) / 5 + 0.5) AS BIGINT)")
+        .alias("med_x2_us"),
+        F.expr("CAST(floor(percentile(__g10, 0.9D) + 0.5) AS BIGINT)")
+        .alias("p90_x10_us"),
+    )
+
+
+@declared(
+    "q_interevent_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id)) * 10 AS g10
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(floor(quantile_cont(g10, 0.5) / 5 + 0.5) AS BIGINT)
+             AS med_x2_us,
+           CAST(floor(quantile_cont(g10, 0.9) + 0.5) AS BIGINT)
+             AS p90_x10_us
+    FROM g WHERE g10 IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival medians/p90s, FULL hash-match oracle:
+    exact integer-microsecond gaps at 10x scale so both interpolated
+    percentiles are exact integers in both engines."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return interevent_gaps(e)

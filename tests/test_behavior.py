@@ -216,3 +216,24 @@ def test_last_touch_attribution_hand_cases(spark):
         "view": (1, 300),
         "unattributed": (2, 900),
     }
+
+
+def test_interevent_gaps_hand_cases(spark):
+    """Gap hand model: user 1 hits 'view' at 0/10/30s -> gaps 10s,20s:
+    median 15s (interpolated midpoint, med_x2 = 30s worth of us), p90
+    = 19s (0.9*(2-1)=0.9 between 10 and 20 -> 19s at 10x); same-type
+    partitioning means the interleaved 'click' contributes its own
+    stream, and a type seen once per user yields no gap row."""
+    from artemia_airflow_spark.operators.behavior import interevent_gaps
+
+    e = _events(spark, [
+        (0, 1, "view", 1.0), (5, 1, "click", 1.0),
+        (10, 1, "view", 1.0), (30, 1, "view", 1.0),
+        (100, 2, "solo", 1.0),
+    ])
+    out = {r.event_type: r for r in interevent_gaps(e).collect()}
+    assert set(out) == {"view"}  # click: 1 event; solo: 1 event
+    v = out["view"]
+    assert v.n_gaps == 2
+    assert v.med_x2_us == 30_000_000          # 2 x 15s
+    assert v.p90_x10_us == 190_000_000        # 10 x 19s
