@@ -1872,3 +1872,59 @@ def incremental_minhash_dedup(
         # skips empty commits on replayed batches (r9 review)
         state.merge(new_buckets)
     return new_df.join(survivors.select(id_col), id_col, "left_semi")
+
+
+@declared(
+    "q_dedup_cross_source",
+    oracle=f"""
+    WITH {_PORTABLE_BANDING_SQL}, pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, x.doc_id AS d2
+      FROM banded a JOIN banded x ON a.b = x.b AND a.bv = x.bv
+                                 AND a.doc_id < x.doc_id
+    ), labeled AS (
+      SELECT LEAST(s1.source, s2.source) AS source_a,
+             GREATEST(s1.source, s2.source) AS source_b
+      FROM pairs p JOIN documents s1 ON s1.doc_id = p.d1
+                   JOIN documents s2 ON s2.doc_id = p.d2
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM labeled GROUP BY source_a, source_b
+    """,
+)
+def q_dedup_cross_source(spark, sf_dir):
+    """Cross-source near-duplicate matrix, FULL hash-match oracle:
+    distinct MinHash-band candidate pairs rolled up by unordered
+    source pair — corpus forensics ("which crawls copy from which")
+    on the exact banding the portable dedup tier value-pins; the
+    mirror-scrape / syndication signal that decides whether two
+    sources should share one dedup pass or a quota.
+
+    Scale shape: banded LSH candidate pairs only (the within-bucket
+    self-join the whole dedup family is built on — bucket-bounded,
+    never all-pairs), distinct-pair reduction BEFORE the two source
+    lookups, source-pair-sized output.
+    """
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    banded = _minhash_portable_bands(d, "text", "doc_id")
+    a, x = banded.alias("a"), banded.alias("x")
+    pairs = (
+        a.join(x, ["b", "bv"])
+        .filter(F.col("a.doc_id") < F.col("x.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("x.doc_id").alias("d2"))
+        .distinct()
+    )
+    src = d.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("source", "__s1"),
+                   F.col("d1") == F.col("doc_id")).drop("doc_id")
+        .join(src.withColumnRenamed("source", "__s2"),
+              F.col("d2") == F.col("doc_id")).drop("doc_id")
+        .select(
+            F.least("__s1", "__s2").alias("source_a"),
+            F.greatest("__s1", "__s2").alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -1531,3 +1531,32 @@ def test_mutual_information_hand_cases(spark):
     d3 = spark.createDataFrame(withnull, "x STRING, y STRING")
     r3 = mutual_information(d3, "x", "y").collect()[0]
     assert r3.n == 3  # NULL level carries mass
+
+
+def test_cross_source_matrix_orders_source_pairs(spark):
+    """Cross-source hand model: identical texts across web/wiki land
+    one pair under the ORDERED key (web, wiki) regardless of doc-id
+    order; an unrelated text contributes nothing; within-source dups
+    land on the diagonal."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "wiki"),
+        (2, "the quick brown fox jumps over the lazy dog", "web"),
+        (3, "the quick brown fox jumps over the lazy dog", "web"),
+        (4, "completely different text about spark engines only", "web"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    from artemia_airflow_spark.operators.dedup import (
+        _minhash_portable_bands,
+    )
+    from pyspark.sql import functions as F
+
+    banded = _minhash_portable_bands(d, "text", "doc_id")
+    a, x = banded.alias("a"), banded.alias("x")
+    pairs = (
+        a.join(x, ["b", "bv"])
+        .filter(F.col("a.doc_id") < F.col("x.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("x.doc_id").alias("d2"))
+        .distinct()
+    )
+    got = {(r.d1, r.d2) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}  # doc 4 pairs with nothing
