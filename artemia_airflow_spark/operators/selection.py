@@ -251,3 +251,70 @@ def q_sample_weighted(spark, sf_dir):
     top = keyed.orderBy(F.col("key_e9").desc(), F.col("doc_id")).limit(50)
     w = Window.orderBy(F.col("key_e9").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def hash_split(
+    df: DataFrame, id_col: str, *, salt: str = "split",
+    val_permille: int = 100, test_permille: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = the first 12
+    md5 hex chars of ``salt ':' id`` mod 1000 (the stratified-sampling
+    hash-threshold recipe) — test takes the lowest ``test_permille``
+    buckets, val the next ``val_permille``, train the rest.  Hash
+    splitting is the ONLY split that stays stable as the corpus grows:
+    a doc's split never changes when other docs arrive, so eval sets
+    stay frozen across recrawls (no reshuffling leakage), and
+    re-salting draws an independent split.
+
+    Scale shape: one md5 + one mod per row, map-side codegen, no
+    exchange — the split column composes with any downstream write
+    (`partitionBy("split")` gives physically separated sets).
+    """
+    hx = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+        1, 12,
+    )
+    bucket = F.conv(hx, 16, 10).cast("long") % 1000
+    return df.withColumn(
+        "split",
+        F.when(bucket < test_permille, F.lit("test"))
+        .when(bucket < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+@declared(
+    "q_split_manifest",
+    oracle="""
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN b < 100 THEN 'test'
+                  WHEN b < 200 THEN 'val' ELSE 'train' END AS split
+      FROM (
+        SELECT lang, n_chars,
+               CAST(concat('0x', substr(
+                 md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))
+               AS BIGINT) % 1000 AS b
+        FROM documents)
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split, lang
+    """,
+)
+def q_split_manifest(spark, sf_dir):
+    """Train/val/test split manifest, FULL hash-match oracle: per
+    (split, lang) doc and char totals under the deterministic 80/10/10
+    md5 split — DuckDB reproduces every assignment, so the manifest
+    (and therefore membership of every frozen eval set) is attested
+    value-for-value."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

@@ -1560,3 +1560,23 @@ def test_cross_source_matrix_orders_source_pairs(spark):
     )
     got = {(r.d1, r.d2) for r in pairs.collect()}
     assert got == {(1, 2), (1, 3), (2, 3)}  # doc 4 pairs with nothing
+
+
+def test_hash_split_stable_and_proportional(spark):
+    """Split hand model: assignments are a pure function of (salt, id)
+    — adding rows never moves an existing row's split; proportions
+    land near 80/10/10 over 2000 ids; a different salt draws a
+    different split."""
+    from artemia_airflow_spark.operators.selection import hash_split
+
+    d = spark.createDataFrame([(i,) for i in range(2000)], "id BIGINT")
+    s1 = {r.id: r.split for r in hash_split(d, "id").collect()}
+    half = spark.createDataFrame([(i,) for i in range(1000)], "id BIGINT")
+    s_half = {r.id: r.split for r in hash_split(half, "id").collect()}
+    assert all(s1[i] == s_half[i] for i in range(1000))  # growth-stable
+    from collections import Counter
+    c = Counter(s1.values())
+    assert 1500 < c["train"] < 1700 and 140 < c["val"] < 260 \
+        and 140 < c["test"] < 260
+    s2 = {r.id: r.split for r in hash_split(d, "id", salt="v2").collect()}
+    assert any(s1[i] != s2[i] for i in range(2000))
