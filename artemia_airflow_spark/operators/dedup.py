@@ -1874,6 +1874,46 @@ def incremental_minhash_dedup(
     return new_df.join(survivors.select(id_col), id_col, "left_semi")
 
 
+def cross_source_matrix(
+    df: DataFrame, text_col: str, id_col: str, source_col: str,
+) -> DataFrame:
+    """Cross-source near-duplicate matrix: distinct MinHash-band
+    candidate pairs rolled up by UNORDERED source pair — corpus
+    forensics ("which crawls copy from which"); the mirror-scrape /
+    syndication signal that decides whether two sources should share
+    one dedup pass or a quota.  Within-source duplication lands on
+    the diagonal (source_a == source_b).
+
+    Scale shape: banded LSH candidate pairs only (the within-bucket
+    self-join the whole dedup family is built on — bucket-bounded,
+    never all-pairs), distinct-pair reduction BEFORE the two source
+    lookups, source-pair-sized output.
+    """
+    banded = _minhash_portable_bands(df, text_col, id_col)
+    a, x = banded.alias("a"), banded.alias("x")
+    pairs = (
+        a.join(x, ["b", "bv"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"x.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("d1"),
+                F.col(f"x.{id_col}").alias("d2"))
+        .distinct()
+    )
+    src = df.select(id_col, source_col)
+    labeled = (
+        pairs.join(src.withColumnRenamed(source_col, "__s1"),
+                   F.col("d1") == F.col(id_col)).drop(id_col)
+        .join(src.withColumnRenamed(source_col, "__s2"),
+              F.col("d2") == F.col(id_col)).drop(id_col)
+        .select(
+            F.least("__s1", "__s2").alias("source_a"),
+            F.greatest("__s1", "__s2").alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 @declared(
     "q_dedup_cross_source",
     oracle=f"""
@@ -1892,39 +1932,8 @@ def incremental_minhash_dedup(
     """,
 )
 def q_dedup_cross_source(spark, sf_dir):
-    """Cross-source near-duplicate matrix, FULL hash-match oracle:
-    distinct MinHash-band candidate pairs rolled up by unordered
-    source pair — corpus forensics ("which crawls copy from which")
-    on the exact banding the portable dedup tier value-pins; the
-    mirror-scrape / syndication signal that decides whether two
-    sources should share one dedup pass or a quota.
-
-    Scale shape: banded LSH candidate pairs only (the within-bucket
-    self-join the whole dedup family is built on — bucket-bounded,
-    never all-pairs), distinct-pair reduction BEFORE the two source
-    lookups, source-pair-sized output.
-    """
+    """Declared face of :func:`cross_source_matrix` on documents,
+    FULL hash-match oracle over the exact value-pinned banding."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
-    banded = _minhash_portable_bands(d, "text", "doc_id")
-    a, x = banded.alias("a"), banded.alias("x")
-    pairs = (
-        a.join(x, ["b", "bv"])
-        .filter(F.col("a.doc_id") < F.col("x.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("x.doc_id").alias("d2"))
-        .distinct()
-    )
-    src = d.select("doc_id", "source")
-    labeled = (
-        pairs.join(src.withColumnRenamed("source", "__s1"),
-                   F.col("d1") == F.col("doc_id")).drop("doc_id")
-        .join(src.withColumnRenamed("source", "__s2"),
-              F.col("d2") == F.col("doc_id")).drop("doc_id")
-        .select(
-            F.least("__s1", "__s2").alias("source_a"),
-            F.greatest("__s1", "__s2").alias("source_b"),
-        )
-    )
-    return labeled.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    )
+    return cross_source_matrix(d, "text", "doc_id", "source")

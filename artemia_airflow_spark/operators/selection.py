@@ -269,6 +269,12 @@ def hash_split(
     Scale shape: one md5 + one mod per row, map-side codegen, no
     exchange — the split column composes with any downstream write
     (`partitionBy("split")` gives physically separated sets).
+
+    NULL ids get a NULL split (r13 review: ``concat_ws`` would
+    otherwise silently collapse every NULL-id row into the one bucket
+    of ``md5(salt)`` — and the engines disagree on NULL concat, so a
+    silent assignment could never be attested).  Callers decide
+    whether NULL-id rows are an error or a filter.
     """
     hx = F.substring(
         F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
@@ -277,7 +283,8 @@ def hash_split(
     bucket = F.conv(hx, 16, 10).cast("long") % 1000
     return df.withColumn(
         "split",
-        F.when(bucket < test_permille, F.lit("test"))
+        F.when(F.col(id_col).isNull(), F.lit(None).cast("string"))
+        .when(bucket < test_permille, F.lit("test"))
         .when(bucket < test_permille + val_permille, F.lit("val"))
         .otherwise(F.lit("train")),
     )

@@ -1,18 +1,32 @@
 #!/usr/bin/env python
-"""Round-13 closing dry run (FIXTURES.md round-verification protocol):
-the full PRIORITY window at sf0.001 + sf0.01 + sf0.1, every remaining
-registry query at sf0.01 — driver-gate semantics (sorted stringified
-rows vs the DuckDB oracle; rows-only queries execute + row count)."""
+"""Shared round-closing dry run (FIXTURES.md round-verification
+protocol): the full PRIORITY window at sf0.001 + sf0.01 + sf0.1,
+every remaining registry query at sf0.01 — driver-gate semantics
+(sorted stringified rows vs the DuckDB oracle; rows-only queries
+execute + row count).
+
+ONE implementation for every round (r13 review: the per-round copies
+r9-r12 were five diverging replicas of the gate).  Usage:
+
+    python scripts/dryrun.py [round-tag]
+
+The historical scripts/dryrun_r{9..12}.py are frozen records of what
+ran those rounds; new rounds call this one.
+"""
+from __future__ import annotations
+
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
+TAG = sys.argv[1] if len(sys.argv) > 1 else "rX"
+
 from pyspark.sql import SparkSession
 
 spark = (
     SparkSession.builder.master("local[16]")
-    .appName("dryrun-r13")
+    .appName(f"dryrun-{TAG}")
     .config("spark.sql.shuffle.partitions", "16")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
@@ -68,9 +82,11 @@ for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
             msg = "FAIL " + repr(e)[:120]
         print(f"{sf_dir.split('/')[-1]:8s} {name:36s} {msg} "
               f"({time.time()-t0:.1f}s)", flush=True)
+    con.close()
 
 con = duck_for("/root/testdata/sf0.01")
-rest = [n for n in q if n not in set(PRIORITY)]
+prio = set(PRIORITY)
+rest = [n for n in q if n not in prio]
 for name in rest:
     t0 = time.time()
     try:
@@ -80,6 +96,7 @@ for name in rest:
         msg = "FAIL " + repr(e)[:120]
     print(f"{'sf0.01':8s} {name:36s} {msg} ({time.time()-t0:.1f}s)",
           flush=True)
+con.close()
 
 print(f"\nTOTAL queries: {len(q)}  PRIORITY: {len(PRIORITY)}  "
       f"FAILS: {len(fails)}")

@@ -1517,8 +1517,8 @@ def test_mutual_information_hand_cases(spark):
     ind = [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")] * 5
     d = spark.createDataFrame(ind, "x STRING, y STRING")
     r = mutual_information(d, "x", "y").collect()[0]
-    ln2_e9 = math.floor(0.5 * math.log(1.0) * 1e9 + 0.5)  # per-cell MI term
-    assert r.n == 20 and r.mi_e9 == 4 * ln2_e9  # == 0
+    # each uniform cell's MI term is 0.25*ln(1) = 0 exactly -> MI 0
+    assert r.n == 20 and r.mi_e9 == 0
     assert abs(r.h_x_e9 - math.floor(1e9 * math.log(2) / 2 + 0.5) * 2) <= 2
     dep = [("a", "a")] * 7 + [("b", "b")] * 3
     d2 = spark.createDataFrame(dep, "x STRING, y STRING")
@@ -1534,10 +1534,14 @@ def test_mutual_information_hand_cases(spark):
 
 
 def test_cross_source_matrix_orders_source_pairs(spark):
-    """Cross-source hand model: identical texts across web/wiki land
-    one pair under the ORDERED key (web, wiki) regardless of doc-id
-    order; an unrelated text contributes nothing; within-source dups
-    land on the diagonal."""
+    """Cross-source hand model THROUGH the real operator: identical
+    texts across web/wiki land under the ORDERED key (web, wiki)
+    regardless of doc-id order, within-source dups land on the
+    diagonal (web, web), and an unrelated text contributes nothing
+    (r13 review: the first version rebuilt the pair stage inline and
+    never asserted the source labeling)."""
+    from artemia_airflow_spark.operators.dedup import cross_source_matrix
+
     rows = [
         (1, "the quick brown fox jumps over the lazy dog", "wiki"),
         (2, "the quick brown fox jumps over the lazy dog", "web"),
@@ -1545,21 +1549,11 @@ def test_cross_source_matrix_orders_source_pairs(spark):
         (4, "completely different text about spark engines only", "web"),
     ]
     d = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
-    from artemia_airflow_spark.operators.dedup import (
-        _minhash_portable_bands,
-    )
-    from pyspark.sql import functions as F
-
-    banded = _minhash_portable_bands(d, "text", "doc_id")
-    a, x = banded.alias("a"), banded.alias("x")
-    pairs = (
-        a.join(x, ["b", "bv"])
-        .filter(F.col("a.doc_id") < F.col("x.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("x.doc_id").alias("d2"))
-        .distinct()
-    )
-    got = {(r.d1, r.d2) for r in pairs.collect()}
-    assert got == {(1, 2), (1, 3), (2, 3)}  # doc 4 pairs with nothing
+    got = {(r.source_a, r.source_b): r.n_pairs
+           for r in cross_source_matrix(d, "text", "doc_id", "source").collect()}
+    # pairs (1,2) and (1,3) cross wiki/web -> ordered key (web, wiki);
+    # pair (2,3) is the web diagonal; doc 4 pairs with nothing
+    assert got == {("web", "wiki"): 2, ("web", "web"): 1}
 
 
 def test_hash_split_stable_and_proportional(spark):
