@@ -1876,6 +1876,7 @@ def incremental_minhash_dedup(
 
 def cross_source_matrix(
     df: DataFrame, text_col: str, id_col: str, source_col: str,
+    *, max_bucket: int = 10_000,
 ) -> DataFrame:
     """Cross-source near-duplicate matrix: distinct MinHash-band
     candidate pairs rolled up by UNORDERED source pair — corpus
@@ -1885,11 +1886,37 @@ def cross_source_matrix(
     the diagonal (source_a == source_b).
 
     Scale shape: banded LSH candidate pairs only (the within-bucket
-    self-join the whole dedup family is built on — bucket-bounded,
-    never all-pairs), distinct-pair reduction BEFORE the two source
-    lookups, source-pair-sized output.
+    self-join the whole dedup family is built on), distinct-pair
+    reduction BEFORE the two source lookups, source-pair-sized output.
+    UNLIKE the dedup faces (which reduce buckets to per-doc facts),
+    this face MATERIALIZES the pairs, so its cost is
+    sum_bucket C(|bucket|, 2) — quadratic in residual duplicate
+    MULTIPLICITY, not corpus size.  The r13 100x-replica scale run
+    (every doc copied 100x -> pair count x10^4) hit exactly this, so
+    buckets larger than ``max_bucket`` fail loudly via an in-plan
+    guard (the fuzzy_join raise_error precedent) instead of silently
+    running a 10-billion-pair join: run exact dedup (B40) upstream
+    first — residual near-dup multiplicity in a deduped corpus is
+    small — or raise ``max_bucket`` deliberately.
     """
     banded = _minhash_portable_bands(df, text_col, id_col)
+    wb = Window.partitionBy("b", "bv")
+    banded = banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+    # the guard rides the JOIN KEY itself (bv), not a droppable side
+    # column Catalyst would prune away unevaluated
+    guarded_bv = F.when(
+        F.col("__bn") > max_bucket,
+        F.raise_error(F.concat(
+            F.lit("cross_source_matrix: band bucket of "),
+            F.col("__bn").cast("string"),
+            F.lit(
+                f" docs exceeds max_bucket={max_bucket}: pair"
+                " materialization is quadratic per bucket — exact-dedup"
+                " the corpus first, or raise max_bucket deliberately"
+            ),
+        )),
+    ).otherwise(F.col("bv"))
+    banded = banded.withColumn("bv", guarded_bv).drop("__bn")
     a, x = banded.alias("a"), banded.alias("x")
     pairs = (
         a.join(x, ["b", "bv"])

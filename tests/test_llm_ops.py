@@ -1574,3 +1574,25 @@ def test_hash_split_stable_and_proportional(spark):
         and 140 < c["test"] < 260
     s2 = {r.id: r.split for r in hash_split(d, "id", salt="v2").collect()}
     assert any(s1[i] != s2[i] for i in range(2000))
+
+
+def test_cross_source_matrix_bucket_guard_fires(spark):
+    """The max_bucket guard fails loudly on a pathological bucket
+    (every doc identical -> one bucket holding the whole corpus)
+    instead of silently materializing a quadratic pair join; the same
+    corpus passes with a cap above its bucket size (r13 100x-replica
+    scale finding)."""
+    import pytest
+
+    from artemia_airflow_spark.operators.dedup import cross_source_matrix
+
+    rows = [(i, "same exact text in every document here", "web")
+            for i in range(8)]
+    d = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    with pytest.raises(Exception, match="max_bucket"):
+        cross_source_matrix(d, "text", "doc_id", "source",
+                            max_bucket=4).collect()
+    ok = cross_source_matrix(d, "text", "doc_id", "source",
+                             max_bucket=100).collect()
+    assert {(r.source_a, r.source_b, r.n_pairs) for r in ok} == {
+        ("web", "web", 28)}  # C(8,2) pairs, all on the diagonal
