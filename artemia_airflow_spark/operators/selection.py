@@ -325,3 +325,60 @@ def q_split_manifest(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+@declared(
+    "q_sample_weighted_group",
+    oracle="""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(floor(
+               ln((CAST(concat('0x', substr(
+                     md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) + 1) / 281474976710656.0)
+               / CAST(n_chars AS DOUBLE) * 1000000000.0 + 0.5)
+             AS BIGINT) AS key_e9
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT lang, doc_id, n_chars, key_e9,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY key_e9 DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, key_e9, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_sample_weighted_group(spark, sf_dir):
+    """Per-stratum weighted sampling without replacement, FULL
+    hash-match oracle: the 10 documents per language drawn with
+    probability proportional to length under the SAME deterministic
+    A-ES key as the global face (q_sample_weighted) — "equal-depth
+    per-language eval slices, long docs favored" in one pass.
+
+    Scale shape: the map-side A-ES key feeds the similarity family's
+    grouped partial top-k BEFORE the per-stratum ranking window, so
+    the lang exchange carries <= 10 x batches rows per stratum — the
+    dominant language's corpus never serializes one reducer (the same
+    bound every per-group cut in this engine rides)."""
+    from artemia_airflow_spark.operators.similarity import (
+        _grouped_partial_topk,
+    )
+
+    ensure_engine_conf(spark)
+    m = 10
+    d = scan(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = weighted_sample_keys(d, "n_chars", "doc_id").select(
+        "lang", "doc_id", "n_chars", "key_e9"
+    )
+    part = _grouped_partial_topk(
+        keyed, probe_id_col="lang", id_col="doc_id",
+        score_col="key_e9", r=m,
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("key_e9").desc(), F.col("doc_id")
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= m)
+    )

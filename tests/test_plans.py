@@ -842,3 +842,14 @@ def test_mad_and_psi_plans_do_not_reexpand_stat_passes(spark):
     assert p.count("events.parquet") <= 1, p[:1500]
     p = _formatted_plan(spark, "q_drift_psi")
     assert p.count("events.parquet") <= 2, p[:1500]
+
+
+def test_weighted_group_sample_uses_partial_cut(spark):
+    """q_sample_weighted_group (r13): the per-stratum cut rides the
+    map-side partial top-k (Arrow MapInPandas below the lang
+    exchange), one documents scan, no join — the dominant language's
+    corpus never serializes one reducer."""
+    p = _formatted_plan(spark, "q_sample_weighted_group")
+    assert "MapInPandas" in p, p[:2000]
+    assert p.count("documents.parquet") == 1, p[:1500]
+    assert "Join" not in p
