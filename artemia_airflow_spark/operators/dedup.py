@@ -1545,6 +1545,57 @@ def q_dedup_representatives(spark, sf_dir):
     )
 
 
+def _portable_scored_pairs(d: DataFrame) -> DataFrame:
+    """(a, bdoc, i, na, nb) for every md5-banded candidate pair: the
+    exact-trigram intersection count and both shingle-set sizes — the
+    shared verify prelude of the portable ngram face and the r13
+    threshold sweep (Jaccard = i / (na + nb - i), compared in scaled
+    integers downstream so no float division can diverge).
+
+    Scale shape: ONE banded shuffle for candidates; shingles
+    materialize ONLY for docs in some candidate pair (semi-join prune
+    BEFORE the explode), and both the pair and shingle relations are
+    checkpointed so their multiple consumers run the banding/ngram
+    passes once, not three times (r9 review — the documented
+    common-subplan-rescan pitfall)."""
+    from artemia_airflow_spark.operators.curation import word_ngrams
+
+    banded = _minhash_portable_bands(d, "text", "doc_id")
+    pairs = (
+        _bucket_star_pairs(banded, "doc_id")
+        .withColumnsRenamed({"src": "a", "dst": "bdoc"})
+        .localCheckpoint(eager=True)
+    )
+    pair_docs = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("bdoc").alias("doc_id")))
+        .distinct()
+    )
+    g = (
+        d.join(pair_docs, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_ngrams("text", 3))).alias("gram"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    gsize = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = g.select(F.col("doc_id").alias("a"), "gram")
+    gb = g.select(F.col("doc_id").alias("bdoc"), "gram")
+    inter = (
+        pairs.join(ga, "a")
+        .join(gb, ["bdoc", "gram"])
+        .groupBy("a", "bdoc")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(gsize.select(F.col("doc_id").alias("a"),
+                                F.col("n").alias("na")), "a")
+        .join(gsize.select(F.col("doc_id").alias("bdoc"),
+                           F.col("n").alias("nb")), "bdoc")
+    )
+
+
 @declared(
     "q_dedup_ngram_portable",
     oracle=f"""
@@ -1608,47 +1659,8 @@ def q_dedup_ngram_portable(spark, sf_dir):
     from artemia_airflow_spark.operators.curation import word_ngrams
 
     d = scan(spark, sf_dir, "documents")
-    banded = _minhash_portable_bands(d, "text", "doc_id")
-    # pairs feeds TWO consumers (the pair-doc prune and the verify
-    # join); checkpoint so the banding subtree runs once, not twice
-    pairs = (
-        _bucket_star_pairs(banded, "doc_id")
-        .withColumnsRenamed({"src": "a", "dst": "bdoc"})
-        .localCheckpoint(eager=True)
-    )
-    # shingles materialize ONLY for docs in some candidate pair
-    # (semi-join prune BEFORE the explode), and the exploded frame is
-    # checkpointed so its three consumers (sizes + both join sides)
-    # run the tokenize/ngram pass once, not three times (r9 review —
-    # the documented common-subplan-rescan pitfall)
-    pair_docs = (
-        pairs.select(F.col("a").alias("doc_id"))
-        .union(pairs.select(F.col("bdoc").alias("doc_id")))
-        .distinct()
-    )
-    g = (
-        d.join(pair_docs, "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(word_ngrams("text", 3))).alias("gram"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    gsize = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = g.select(F.col("doc_id").alias("a"), "gram")
-    gb = g.select(F.col("doc_id").alias("bdoc"), "gram")
-    inter = (
-        pairs.join(ga, "a")
-        .join(gb, ["bdoc", "gram"])
-        .groupBy("a", "bdoc")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    verified = (
-        inter.join(gsize.select(F.col("doc_id").alias("a"),
-                                F.col("n").alias("na")), "a")
-        .join(gsize.select(F.col("doc_id").alias("bdoc"),
-                           F.col("n").alias("nb")), "bdoc")
-        .filter(10 * F.col("i") >= 8 * (F.col("na") + F.col("nb") - F.col("i")))
+    verified = _portable_scored_pairs(d).filter(
+        10 * F.col("i") >= 8 * (F.col("na") + F.col("nb") - F.col("i"))
     )
     dup_docs = (
         verified.select(F.col("a").alias("doc_id"))
@@ -1964,3 +1976,105 @@ def q_dedup_cross_source(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return cross_source_matrix(d, "text", "doc_id", "source")
+
+
+@declared(
+    "q_dedup_threshold_sweep",
+    oracle=f"""
+    WITH RECURSIVE {_PORTABLE_MN_SQL}, pairs AS (
+      SELECT DISTINCT mnid AS a, doc_id AS bdoc FROM mn WHERE doc_id > mnid
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+            FROM documents)
+    ), gsize AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id
+    ), inter AS (
+      SELECT p.a, p.bdoc, CAST(COUNT(*) AS BIGINT) AS i
+      FROM pairs p
+      JOIN g ga ON ga.doc_id = p.a
+      JOIN g gb ON gb.doc_id = p.bdoc AND gb.gram = ga.gram
+      GROUP BY p.a, p.bdoc
+    ), scored AS (
+      SELECT i.a, i.bdoc, i.i, sa.n AS na, sb.n AS nb
+      FROM inter i
+      JOIN gsize sa ON sa.doc_id = i.a
+      JOIN gsize sb ON sb.doc_id = i.bdoc
+    ), thr AS (
+      SELECT unnest([60, 80, 95]) AS threshold_pct
+    ), ok_t AS (
+      SELECT t.threshold_pct, s.a, s.bdoc
+      FROM scored s CROSS JOIN thr t
+      WHERE 100 * s.i >= t.threshold_pct * (s.na + s.nb - s.i)
+    ), pair_counts AS (
+      SELECT threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM ok_t GROUP BY threshold_pct
+    ), doc_counts AS (
+      SELECT threshold_pct,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_dup_docs
+      FROM (SELECT threshold_pct, a AS doc_id FROM ok_t
+            UNION ALL
+            SELECT threshold_pct, bdoc AS doc_id FROM ok_t)
+      GROUP BY threshold_pct
+    )
+    SELECT t.threshold_pct,
+           COALESCE(p.n_pairs, 0) AS n_pairs,
+           COALESCE(d.n_dup_docs, 0) AS n_dup_docs
+    FROM thr t LEFT JOIN pair_counts p USING (threshold_pct)
+               LEFT JOIN doc_counts d USING (threshold_pct)
+    """,
+)
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Near-dup threshold sweep, FULL hash-match oracle: verified pair
+    and affected-doc counts at Jaccard 0.60 / 0.80 / 0.95 from ONE
+    scored-pair pass — the tuning face every dedup deployment needs
+    ("how much does the corpus shrink if we loosen the threshold")
+    without re-running the pipeline per setting.  All thresholds
+    compare in scaled integers (``100*i >= t*(union)``), the exact
+    arithmetic both engines reproduce.
+
+    Scale shape: the candidate/verify cost is paid ONCE
+    (:func:`_portable_scored_pairs` — banded candidates, semi-join-
+    pruned shingles, checkpointed); the sweep itself is a 3x explode
+    over the pair-sized scored relation plus two tiny aggregates."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    scored = _portable_scored_pairs(d)
+    thr = F.explode(F.array(F.lit(60), F.lit(80), F.lit(95))).alias(
+        "threshold_pct"
+    )
+    ok = (
+        scored.select("a", "bdoc", "i", "na", "nb", thr)
+        .filter(
+            100 * F.col("i")
+            >= F.col("threshold_pct")
+            * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .localCheckpoint(eager=True)  # two tiny consumers below
+    )
+    pair_counts = ok.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    doc_counts = (
+        ok.select("threshold_pct", F.col("a").alias("doc_id"))
+        .unionAll(ok.select("threshold_pct", F.col("bdoc").alias("doc_id")))
+        .groupBy("threshold_pct")
+        .agg(F.countDistinct("doc_id").alias("n_dup_docs"))
+    )
+    base = spark.range(1).select(
+        F.explode(F.array(F.lit(60), F.lit(80), F.lit(95)))
+        .alias("threshold_pct")
+    )
+    return (
+        base.join(pair_counts, "threshold_pct", "left")
+        .join(doc_counts, "threshold_pct", "left")
+        .select(
+            "threshold_pct",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_dup_docs", F.lit(0)).cast("bigint")
+            .alias("n_dup_docs"),
+        )
+    )
