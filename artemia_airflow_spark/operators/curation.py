@@ -1749,3 +1749,91 @@ def q_containment(spark, sf_dir):
             .cast("bigint").alias("containment_e6"),
         )
     )
+
+
+@declared(
+    "q_leakage_audit",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+             CAST(concat('0x', substr(
+               md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))
+             AS BIGINT) % 1000 AS b
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, lang, b,
+             regexp_split_to_array(lower(text), '\\s+') AS a
+      FROM s
+    ), g AS (
+      SELECT doc_id, lang, b, list_distinct(
+        CASE WHEN len(a) >= 3 THEN
+          [array_to_string(a[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+           FOR i IN range(1, len(a) - 1)]
+        ELSE [array_to_string(a, ' ')] END) AS grams
+      FROM toks
+    ), train_grams AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest(grams) AS gram FROM g WHERE b >= 200
+      ) WHERE gram <> ''
+    ), test_grams AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, unnest(grams) AS gram FROM g WHERE b < 100
+      ) WHERE gram <> ''
+    ), hitcounts AS (
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(coalesce(SUM(CASE WHEN r.gram IS NOT NULL THEN 1 END), 0)
+                  AS BIGINT) AS hits
+      FROM test_grams d LEFT JOIN train_grams r ON r.gram = d.gram
+      GROUP BY d.doc_id
+    ), per_doc AS (
+      SELECT t.doc_id, t.lang,
+             coalesce(h.n_grams, 0) AS n_grams,
+             coalesce(h.hits, 0) AS hits,
+             CASE WHEN coalesce(h.n_grams, 0) > 0
+                  THEN coalesce(h.hits, 0) * 1000000 // h.n_grams END AS c6
+      FROM toks t LEFT JOIN hitcounts h ON h.doc_id = t.doc_id
+      WHERE t.b < 100
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(SUM(CASE WHEN c6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+           CAST(SUM(hits) AS BIGINT) AS sum_hits,
+           CAST(COALESCE(MAX(c6), 0) AS BIGINT) AS max_containment_e6
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_leakage_audit(spark, sf_dir):
+    """Train->test leakage audit, FULL hash-match oracle — the
+    composition every eval pipeline needs before trusting a held-out
+    number: split the corpus with the growth-stable hash split (B143),
+    score every TEST document's trigram containment against the TRAIN
+    split's gram set (B127), and report per-language test-doc counts,
+    docs past the 0.5-containment flag line, and the worst offender.
+    A flagged doc means the eval set shares half its trigrams with
+    training data — the leak decontamination (B57/B81) must remove.
+
+    Scale shape inherits both parents: map-side split assignment, one
+    gram-keyed left join (train grams stay shuffled, never broadcast),
+    per-doc counts fold map-side; the lang rollup is groups-sized."""
+    from artemia_airflow_spark.operators.selection import hash_split
+
+    ensure_engine_conf(spark)
+    d = hash_split(scan(spark, sf_dir, "documents"), "doc_id")
+    train = d.filter(F.col("split") == "train")
+    test = d.filter(F.col("split") == "test")
+    scores = containment_scores(test, train, "text", "doc_id", n=3)
+    return (
+        test.select("doc_id", "lang")
+        .join(scores, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(F.when(F.col("containment_e6") >= 500_000, 1)
+                  .otherwise(0)).cast("bigint").alias("n_flagged"),
+            F.sum("n_grams").cast("bigint").alias("sum_grams"),
+            F.sum("hits").cast("bigint").alias("sum_hits"),
+            F.coalesce(F.max("containment_e6"), F.lit(0)).cast("bigint")
+            .alias("max_containment_e6"),
+        )
+    )
