@@ -1636,7 +1636,14 @@ def _grouped_partial_topk(
                 [probe_id_col, score_col, id_col],
                 ascending=[True, False, True], kind="mergesort",
             )
-            yield pdf.groupby(probe_id_col, sort=False).head(r)[cols]
+            # dropna=False (r13 review): pandas groupby silently DROPS
+            # NULL group keys by default — the similarity probes are
+            # never NULL, but data-column group keys (the per-stratum
+            # sampler's lang) legitimately are, and a NULL stratum must
+            # cut to its top-r like any other, not vanish
+            yield pdf.groupby(
+                probe_id_col, sort=False, dropna=False
+            ).head(r)[cols]
 
     return scored.mapInPandas(cut, schema=scored.schema)
 

@@ -37,7 +37,7 @@ ORACLE: dict[str, str] = {}
 # compensating evidence between driver visits.
 #
 # Round-13 window (66 rows vs the ~50 cap — new faces front-load, so
-# at most the final ~14 stale rows slip one round; the stale tail is
+# at most the final ~16 stale rows slip one round; the stale tail is
 # otherwise retired in full per VERDICT r12 "Next round" #2):
 # (a) new or implementation-changed in round 13 — the postings skew
 # fix + string face (its r12 driver row was the round's one error),

@@ -1596,3 +1596,25 @@ def test_cross_source_matrix_bucket_guard_fires(spark):
                              max_bucket=100).collect()
     assert {(r.source_a, r.source_b, r.n_pairs) for r in ok} == {
         ("web", "web", 28)}  # C(8,2) pairs, all on the diagonal
+
+
+def test_grouped_partial_topk_keeps_null_strata(spark):
+    """_grouped_partial_topk must not drop NULL group keys (r13
+    review: pandas groupby dropna default) — a NULL stratum cuts to
+    its top-r exactly like a real one."""
+    from artemia_airflow_spark.operators.similarity import (
+        _grouped_partial_topk,
+    )
+
+    rows = [("a", 1, 10), ("a", 2, 20), (None, 3, 30), (None, 4, 40),
+            (None, 5, 50)]
+    # single partition = single Arrow batch, so the per-batch cut is
+    # the global answer (multi-batch, the helper only BOUNDS rows and
+    # the downstream window finishes the cut)
+    d = spark.createDataFrame(rows, "g STRING, id BIGINT, s BIGINT").coalesce(1)
+    out = _grouped_partial_topk(
+        d, probe_id_col="g", id_col="id", score_col="s", r=2
+    ).collect()
+    nulls = sorted(r.id for r in out if r.g is None)
+    assert nulls == [4, 5]  # top-2 of the NULL stratum survive the cut
+    assert sorted(r.id for r in out if r.g == "a") == [1, 2]
