@@ -688,3 +688,87 @@ def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return interevent_gaps(e)
+
+
+def active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Daily / rolling-window active users + stickiness (DAU/WAU) —
+    the standard engagement panel.  Days are exact epoch-day integers
+    (``unix_micros DIV 86400e6`` — the behavioral family's no-float
+    timestamp rule), the rolling distinct is computed by fanning each
+    (user, day) fact out to the ``window_days`` report days it covers
+    (a bounded map-side explode — never a distinct-over-window, which
+    Spark cannot express, and never a per-day self-join), and
+    stickiness is one integer DIV at e6.
+
+    Only days with at least one event report (their WAU still counts
+    the full lookback).  Output: (day, dau, wau, stickiness_e6).
+
+    Scale shape: ONE (user, day) distinct exchange feeds both
+    aggregates; the fan-out multiplies that already-collapsed relation
+    (users x active-days, tiny next to the event corpus) by
+    window_days before the second distinct.  At 100 TB the fact
+    relation never shuffles twice and nothing is user-partitioned, so
+    hot users cost nothing extra.
+    """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    day = F.expr(f"unix_micros({ts_col}) DIV 86400000000")
+    ud = truncate_lineage(
+        events.select(F.col(user_col).alias("u"), day.alias("day"))
+        .distinct(),
+        None,
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    fan = (
+        ud.select(
+            "u", "day",
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1)))
+            .alias("__off"),
+        )
+        .select("u", (F.col("day") + F.col("__off")).alias("day"))
+        .distinct()
+    )
+    wau = fan.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.expr("dau * 1000000 DIV wau").alias("stickiness_e6"),
+        )
+    )
+
+
+@declared(
+    "q_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ), fan AS (
+      SELECT DISTINCT u, day + off AS day
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS off)
+    ), wau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM fan GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_e6
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/stickiness engagement panel, FULL hash-match oracle:
+    exact epoch-day integers, fan-out rolling distinct, integer-DIV
+    stickiness — DuckDB attests every day's counts value-for-value."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return active_users(e)

@@ -237,3 +237,27 @@ def test_interevent_gaps_hand_cases(spark):
     assert v.n_gaps == 2
     assert v.med_x2_us == 30_000_000          # 2 x 15s
     assert v.p90_x10_us == 190_000_000        # 10 x 19s
+
+
+def test_active_users_rolling_window_hand_case(spark):
+    """DAU/WAU hand model: user 1 active day 0 only, user 2 active
+    days 0 and 6 -> day 0: DAU 2 / WAU 2; day 6: DAU 1 (user 2) but
+    WAU 2 (both users' day-0 activity still inside the 7-day window);
+    a user active twice in one day counts once; day 7 (only user 2's
+    day-6 fact in range) reports nothing because no event lands ON
+    day 7."""
+    from artemia_airflow_spark.operators.behavior import active_users
+
+    e = _events(spark, [
+        (0, 1, "view", 1.0),
+        (100, 1, "view", 1.0),              # same day, same user
+        (50, 2, "view", 1.0),
+        (6 * 86400, 2, "view", 1.0),        # day 6
+    ])
+    out = {r.day: (r.dau, r.wau, r.stickiness_e6)
+           for r in active_users(e).collect()}
+    days = sorted(out)
+    d0, d6 = days[0], days[-1]
+    assert d6 - d0 == 6 and len(out) == 2  # only event days report
+    assert out[d0] == (2, 2, 1_000_000)
+    assert out[d6] == (1, 2, 500_000)
