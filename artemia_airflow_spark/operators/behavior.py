@@ -772,3 +772,126 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return active_users(e)
+
+
+def covisitation_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    *,
+    gap_s: int = 3600,
+) -> DataFrame:
+    """Session-level co-visitation lift: for each unordered event-type
+    pair, in how many (user, session) baskets both occur, and the lift
+    ``P(a,b) / (P(a) P(b))`` — "users who do X in a session also do Y",
+    the classic market-basket association at the granularity the B107
+    sessionizer defines.  Lift > 1 = the pair co-occurs more than
+    independence predicts.
+
+    All counts are exact integers over distinct (session, type) facts;
+    lift is ONE integer expression ``n_ab * n_sessions * 1e6 DIV
+    (n_a * n_b)`` — exact in both engines, overflow-safe to ~3e9
+    sessions per pair product.
+
+    Scale shape: the B107 single user_id exchange assigns sessions;
+    the distinct (user, session, type) relation (<= |types| rows per
+    session) self-joins on its OWN session key — per-session work is
+    |types|^2-bounded, so no basket can blow up the pair stage (the
+    bounded-vocabulary contract, as with B114/B132); margins ride the
+    same collapsed relation.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    micros = F.unix_micros(F.col(ts_col))
+    prev = F.lag(micros).over(w)
+    is_new = F.when(
+        prev.isNull() | ((micros - prev) > F.lit(int(gap_s) * 1_000_000)), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(order_tiebreak),
+            F.col(type_col).alias("t"),
+            is_new.alias("__new"),
+        )
+        .withColumn("sidx", F.sum("__new").over(run))
+        .select(F.col(user_col).alias("u"), "sidx", "t")
+        .distinct()
+    )
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    st = truncate_lineage(st, None)  # 3 consumers: pairs x2 + margins
+    a = st.withColumnsRenamed({"t": "type_a"})
+    b = st.withColumnsRenamed({"t": "type_b"})
+    pairs = (
+        a.join(b, ["u", "sidx"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    margins = st.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    total = st.select("u", "sidx").distinct().count()
+    return (
+        pairs.join(F.broadcast(margins.withColumnsRenamed(
+            {"t": "type_a", "n_t": "n_a"})), "type_a")
+        .join(F.broadcast(margins.withColumnsRenamed(
+            {"t": "type_b", "n_t": "n_b"})), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.expr(f"n_both * {total} * 1000000 DIV (n_a * n_b)")
+            .alias("lift_e6"),
+        )
+    )
+
+
+@declared(
+    "q_covisitation",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id AS u, event_type AS t,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                     > CAST(3600 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS is_new,
+             ts, event_id
+      FROM events
+    ), st AS (
+      SELECT DISTINCT u, t,
+             SUM(is_new) OVER (PARTITION BY u ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM ordered
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+        (SELECT DISTINCT u, sidx FROM st)
+    ), pairs AS (
+      SELECT a.t AS type_a, b.t AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM st a JOIN st b ON a.u = b.u AND a.sidx = b.sidx
+                          AND a.t < b.t
+      GROUP BY a.t, b.t
+    ), margins AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t FROM st GROUP BY t
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           CAST(p.n_both * tot.n * 1000000 // (ma.n_t * mb.n_t)
+                AS BIGINT) AS lift_e6
+    FROM pairs p
+    JOIN margins ma ON ma.t = p.type_a
+    JOIN margins mb ON mb.t = p.type_b
+    CROSS JOIN tot
+    """,
+)
+def q_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session co-visitation lift matrix, FULL hash-match oracle:
+    exact (session, type) basket facts under the B107 gap sessions,
+    integer lift — DuckDB attests every pair count and lift
+    value-for-value."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return covisitation_lift(e)

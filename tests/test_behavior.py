@@ -261,3 +261,24 @@ def test_active_users_rolling_window_hand_case(spark):
     assert d6 - d0 == 6 and len(out) == 2  # only event days report
     assert out[d0] == (2, 2, 1_000_000)
     assert out[d6] == (1, 2, 500_000)
+
+
+def test_covisitation_lift_hand_case(spark):
+    """Lift hand model over 4 single-user sessions (gaps > 1h apart):
+    sessions {A,B}, {A,B}, {A}, {C} -> (A,B): n_both=2, P(ab)=1/2,
+    P(a)=3/4, P(b)=1/2 -> lift 4/3 (e6-floored via integer DIV);
+    (A,C) and (B,C) never co-occur and don't report; duplicate events
+    of one type within a session count the basket once."""
+    from artemia_airflow_spark.operators.behavior import covisitation_lift
+
+    h = 7200
+    e = _events(spark, [
+        (0, 1, "A", 1.0), (1, 1, "A", 1.0), (2, 1, "B", 1.0),
+        (h, 1, "A", 1.0), (h + 1, 1, "B", 1.0),
+        (2 * h, 1, "A", 1.0),
+        (3 * h, 1, "C", 1.0),
+    ])
+    out = {(r.type_a, r.type_b): (r.n_both, r.lift_e6)
+           for r in covisitation_lift(e, gap_s=3600).collect()}
+    # n_both * N * 1e6 DIV (n_a * n_b) = 2*4*1e6 DIV (3*2) = 1_333_333
+    assert out == {("A", "B"): (2, 1_333_333)}
