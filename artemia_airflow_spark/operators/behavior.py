@@ -895,3 +895,130 @@ def q_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return covisitation_lift(e)
+
+
+def funnel_stage_latency(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert between consecutive funnel stages: for each
+    stage pair (k -> k+1), how many users made the transition and the
+    exact median / p90 of the transition time — the diagnosis layer on
+    top of the B108 funnel counts ("users DO drop between view and
+    purchase; how long do the converters take?").
+
+    Entry times use the identical earliest-valid-chain windows as
+    :func:`funnel` (``min ts >= previous stage``), so the latency face
+    can never disagree with the count face about who converted.
+    Percentiles ride the inter-event-gap recipe: second-granular gaps
+    at 10x scale make both interpolation points exact integers
+    (median reported at 2x — ``med_x2_s`` — and p90 at 10x —
+    ``p90_x10_s``), half-up floored against ulp drift.
+
+    Scale shape: the chained MIN windows share the B108 single
+    user_id exchange; the per-pair percentile aggregate is
+    |stages|-sized (the exact-percentile buffering caveat of B133
+    applies per stage pair; B92 sketch is the 100 TB tier).
+    """
+    w = Window.partitionBy(user_col)
+    cur = events.select(user_col, ts_col, type_col)
+    prev_entry = None
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev_entry is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev_entry))
+        entry = f"__t{i}"
+        cur = cur.withColumn(
+            entry, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev_entry = entry
+    per_user = cur.groupBy(user_col).agg(
+        *[F.min(f"__t{i}").alias(f"t{i}") for i in range(len(stages))]
+    )
+    gaps = None
+    for i in range(len(stages) - 1):
+        g = per_user.select(
+            F.lit(i + 1).cast("int").alias("stage_idx"),
+            F.lit(f"{stages[i]}->{stages[i + 1]}").alias("transition"),
+            # integer DIV, not /1e6-then-cast: a correctly-rounded
+            # double division can land one ulp ABOVE the true quotient
+            # and truncate to the next second where // floors
+            F.expr(
+                f"(unix_micros(t{i + 1}) - unix_micros(t{i}))"
+                " DIV 1000000"
+            ).alias("__gap_s"),
+        ).filter(F.col("__gap_s").isNotNull())
+        gaps = g if gaps is None else gaps.unionAll(g)
+    gaps = gaps.withColumn("__g10", F.col("__gap_s") * 10)
+    return gaps.groupBy("stage_idx", "transition").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("CAST(floor(percentile(__g10, 0.5D) / 5 + 0.5) AS BIGINT)")
+        .alias("med_x2_s"),
+        F.expr("CAST(floor(percentile(__g10, 0.9D) + 0.5) AS BIGINT)")
+        .alias("p90_x10_s"),
+    )
+
+
+@declared(
+    "q_funnel_latency",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_type FROM events
+    ), w0 AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+      FROM base GROUP BY user_id
+    ), w1 AS (
+      SELECT b.user_id,
+             MIN(CASE WHEN b.event_type = 'view' AND b.ts >= w0.t0
+                      THEN b.ts END) AS t1
+      FROM base b JOIN w0 ON w0.user_id = b.user_id GROUP BY b.user_id
+    ), w2 AS (
+      SELECT b.user_id,
+             MIN(CASE WHEN b.event_type = 'click' AND b.ts >= w1.t1
+                      THEN b.ts END) AS t2
+      FROM base b JOIN w1 ON w1.user_id = b.user_id GROUP BY b.user_id
+    ), w3 AS (
+      SELECT b.user_id,
+             MIN(CASE WHEN b.event_type = 'purchase' AND b.ts >= w2.t2
+                      THEN b.ts END) AS t3
+      FROM base b JOIN w2 ON w2.user_id = b.user_id GROUP BY b.user_id
+    ), ent AS (
+      SELECT w0.user_id, w0.t0, w1.t1, w2.t2, w3.t3
+      FROM w0 JOIN w1 USING (user_id) JOIN w2 USING (user_id)
+              JOIN w3 USING (user_id)
+    ), gaps AS (
+      SELECT 1 AS stage_idx, 'signup->view' AS transition,
+             (epoch_us(t1) - epoch_us(t0)) // 1000000 * 10 AS g10
+      FROM ent WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+      UNION ALL
+      SELECT 2, 'view->click',
+             (epoch_us(t2) - epoch_us(t1)) // 1000000 * 10
+      FROM ent WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      UNION ALL
+      SELECT 3, 'click->purchase',
+             (epoch_us(t3) - epoch_us(t2)) // 1000000 * 10
+      FROM ent WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    )
+    SELECT CAST(stage_idx AS INT) AS stage_idx, transition,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(floor(quantile_cont(g10, 0.5) / 5 + 0.5) AS BIGINT)
+             AS med_x2_s,
+           CAST(floor(quantile_cont(g10, 0.9) + 0.5) AS BIGINT)
+             AS p90_x10_s
+    FROM gaps GROUP BY stage_idx, transition
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel stage-transition latency, FULL hash-match oracle: per
+    consecutive stage pair of the B108 signup->view->click->purchase
+    funnel, converter counts and exact second-granular median/p90
+    transition times (10x-scaled interpolation, half-up floored)."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return funnel_stage_latency(
+        e, ["signup", "view", "click", "purchase"]
+    )

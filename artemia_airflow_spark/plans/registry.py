@@ -36,7 +36,7 @@ ORACLE: dict[str, str] = {}
 # ALL declared queries against their oracles at sf0.001/0.01/0.1 as
 # compensating evidence between driver visits.
 #
-# Round-13 window (68 rows vs the ~50 cap — new faces front-load, so
+# Round-13 window (69 rows vs the ~50 cap — new faces front-load, so
 # at most the final ~16 stale rows slip one round; the stale tail is
 # otherwise retired in full per VERDICT r12 "Next round" #2):
 # (a) new or implementation-changed in round 13 — the postings skew
@@ -57,7 +57,7 @@ PRIORITY: list[str] = [
     "q_trend_ols", "q_mutual_info", "q_interevent_gaps",
     "q_dedup_cross_source", "q_split_manifest",
     "q_sample_weighted_group", "q_dedup_threshold_sweep",
-    "q_leakage_audit", "q_active_users", "q_covisitation",
+    "q_leakage_audit", "q_active_users", "q_covisitation", "q_funnel_latency",
     # (b) the last r8-stale row
     "q_scan",
     # (c) the 45 r9-stale rows (the r12 slip set)

@@ -282,3 +282,23 @@ def test_covisitation_lift_hand_case(spark):
            for r in covisitation_lift(e, gap_s=3600).collect()}
     # n_both * N * 1e6 DIV (n_a * n_b) = 2*4*1e6 DIV (3*2) = 1_333_333
     assert out == {("A", "B"): (2, 1_333_333)}
+
+
+def test_funnel_latency_hand_case(spark):
+    """Latency hand model: two converters through signup->view (10s
+    and 30s) give median 20s (med_x2 = 40) and p90 = 28s (0.9 between
+    10 and 30 at 10x = 280); a user who views BEFORE signing up does
+    not convert (chain order), so only the valid chains count."""
+    from artemia_airflow_spark.operators.behavior import (
+        funnel_stage_latency,
+    )
+
+    e = _events(spark, [
+        (0, 1, "signup", 1.0), (10, 1, "view", 1.0),
+        (0, 2, "signup", 1.0), (30, 2, "view", 1.0),
+        (0, 3, "view", 1.0), (10, 3, "signup", 1.0),  # wrong order
+    ])
+    out = {r.transition: r
+           for r in funnel_stage_latency(e, ["signup", "view"]).collect()}
+    t = out["signup->view"]
+    assert (t.n_converted, t.med_x2_s, t.p90_x10_s) == (2, 40, 280)
