@@ -36,9 +36,11 @@ ORACLE: dict[str, str] = {}
 # ALL declared queries against their oracles at sf0.001/0.01/0.1 as
 # compensating evidence between driver visits.
 #
-# Round-13 window (69 rows vs the ~50 cap — new faces front-load, so
-# at most the final ~16 stale rows slip one round; the stale tail is
-# otherwise retired in full per VERDICT r12 "Next round" #2):
+# Round-13 window (69 rows vs the ~50 cap: 23 new r13 faces +
+# q_scan front-load, so ~26 of the 45 r9-stale rows get driver
+# re-checks this round and the final ~19 slip to r14 — VERDICT r12
+# "Next round" #2 retires in two windows instead of one; the local
+# dry run covers the whole tail at 3 SFs as compensating evidence):
 # (a) new or implementation-changed in round 13 — the postings skew
 # fix + string face (its r12 driver row was the round's one error),
 # the runs-report observability face, and the routing-only IVF
