@@ -33,6 +33,42 @@ from artemia_airflow_spark.session import ensure_engine_conf
 _VALUE_DEC = "decimal(28,6)"
 
 
+def session_event_index(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 3600,
+    order_tiebreak: str = "event_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-EVENT session assignment — the ONE definition of the gap
+    boundary (strictly-greater than ``gap_s``; r13 review: the
+    covisitation face had re-implemented this inline, so a boundary
+    change could silently desynchronize the faces).  Returns the
+    events with a 1-based per-user ``session_idx`` column; both the
+    per-session aggregate face (:func:`sessionize`) and the basket
+    faces consume it.  Lag + running sum share one window spec, so
+    the single user_id exchange rule holds."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    micros = F.unix_micros(F.col(ts_col))
+    prev = F.lag(micros).over(w)
+    is_new = F.when(
+        prev.isNull() | ((micros - prev) > F.lit(int(gap_s) * 1_000_000)), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(order_tiebreak),
+            *[F.col(c) for c in (keep_cols or [])],
+            is_new.alias("__new"),
+        )
+        .withColumn("session_idx", F.sum("__new").over(run))
+        .drop("__new")
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",
@@ -58,22 +94,10 @@ def sessionize(
     streaming face of the same semantics is
     streaming/windows.py session_window (B47); this is the batch face.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
-    micros = F.unix_micros(F.col(ts_col))
-    prev = F.lag(micros).over(w)
-    is_new = F.when(
-        prev.isNull() | ((micros - prev) > F.lit(int(gap_s) * 1_000_000)), 1
-    ).otherwise(0)
-    # the running sum derives its frame from the SAME window spec as
-    # the lag, so a tiebreak change can never desynchronize the two
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged = events.select(
-        F.col(user_col),
-        F.col(ts_col),
-        *( [F.col(value_col)] if value_col else [] ),
-        F.col(order_tiebreak),
-        is_new.alias("__new"),
-    ).withColumn("session_idx", F.sum("__new").over(run))
+    flagged = session_event_index(
+        events, user_col, ts_col, gap_s, order_tiebreak,
+        keep_cols=[value_col] if value_col else [],
+    )
     aggs = [
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
@@ -84,6 +108,35 @@ def sessionize(
             F.sum(F.col(value_col).cast(_VALUE_DEC)).cast("double").alias("total_value")
         )
     return flagged.groupBy(user_col, "session_idx").agg(*aggs)
+
+
+def _chained_entry_times(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Per-user earliest-valid-chain entry times (t0..t{k-1}) — the
+    ONE implementation of the ``min ts >= previous stage`` chain
+    shared by the funnel count face and the latency face (r13 review:
+    a hand-maintained copy was the only thing keeping their
+    who-converted answers identical)."""
+    w = Window.partitionBy(user_col)
+    cur = events.select(user_col, ts_col, type_col)
+    prev_entry = None
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev_entry is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev_entry))
+        entry = f"__t{i}"
+        cur = cur.withColumn(
+            entry, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev_entry = entry
+    return cur.groupBy(user_col).agg(
+        *[F.min(f"__t{i}").alias(f"t{i}") for i in range(len(stages))]
+    )
 
 
 def funnel(
@@ -105,18 +158,8 @@ def funnel(
     self-joins — the classic k-way join funnel shape would shuffle the
     fact k times; this shape shuffles it once regardless of k.
     """
-    w = Window.partitionBy(user_col)
-    cur = events.select(user_col, ts_col, type_col)
-    prev_entry = None
-    for i, stage in enumerate(stages):
-        cond = F.col(type_col) == stage
-        if prev_entry is not None:
-            cond = cond & (F.col(ts_col) >= F.col(prev_entry))
-        entry = f"__t{i}"
-        cur = cur.withColumn(entry, F.min(F.when(cond, F.col(ts_col))).over(w))
-        prev_entry = entry
-    per_user = cur.groupBy(user_col).agg(
-        *[F.min(f"__t{i}").alias(f"t{i}") for i in range(len(stages))]
+    per_user = _chained_entry_times(
+        events, stages, user_col, ts_col, type_col
     )
     # stage reached = deepest non-null entry time (chain construction
     # guarantees t_i null => t_{i+1} null).
@@ -802,23 +845,16 @@ def covisitation_lift(
     bounded-vocabulary contract, as with B114/B132); margins ride the
     same collapsed relation.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
-    micros = F.unix_micros(F.col(ts_col))
-    prev = F.lag(micros).over(w)
-    is_new = F.when(
-        prev.isNull() | ((micros - prev) > F.lit(int(gap_s) * 1_000_000)), 1
-    ).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     st = (
-        events.select(
-            F.col(user_col),
-            F.col(ts_col),
-            F.col(order_tiebreak),
-            F.col(type_col).alias("t"),
-            is_new.alias("__new"),
+        session_event_index(
+            events, user_col, ts_col, gap_s, order_tiebreak,
+            keep_cols=[type_col],
         )
-        .withColumn("sidx", F.sum("__new").over(run))
-        .select(F.col(user_col).alias("u"), "sidx", "t")
+        .select(
+            F.col(user_col).alias("u"),
+            F.col("session_idx").alias("sidx"),
+            F.col(type_col).alias("t"),
+        )
         .distinct()
     )
     from artemia_airflow_spark.operators.dedup import truncate_lineage
@@ -833,17 +869,29 @@ def covisitation_lift(
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
     margins = st.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
-    total = st.select("u", "sidx").distinct().count()
+    # lazy 1-row total via broadcast cross join (r13 review: an eager
+    # .count() here ran a full distinct job at PLAN-BUILD time and
+    # froze the total into the plan as a literal)
+    total = (
+        st.select("u", "sidx").distinct()
+        .agg(F.count(F.lit(1)).alias("__n_sessions"))
+    )
+    # decimal numerator (r13 review): n_both * total * 1e6 passes 2^63
+    # at ~3e6 sessions for a ubiquitous pair — decimal(38,0) carries
+    # it exactly to ~3e12 sessions; DIV of exact integers stays exact
     return (
         pairs.join(F.broadcast(margins.withColumnsRenamed(
             {"t": "type_a", "n_t": "n_a"})), "type_a")
         .join(F.broadcast(margins.withColumnsRenamed(
             {"t": "type_b", "n_t": "n_b"})), "type_b")
+        .crossJoin(F.broadcast(total))
         .select(
             "type_a", "type_b",
             F.col("n_both").cast("bigint").alias("n_both"),
-            F.expr(f"n_both * {total} * 1000000 DIV (n_a * n_b)")
-            .alias("lift_e6"),
+            F.expr(
+                "CAST(n_both AS DECIMAL(38,0)) * __n_sessions * 1000000"
+                " DIV (CAST(n_a AS BIGINT) * n_b)"
+            ).cast("bigint").alias("lift_e6"),
         )
     )
 
@@ -879,7 +927,8 @@ def covisitation_lift(
       SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t FROM st GROUP BY t
     )
     SELECT p.type_a, p.type_b, p.n_both,
-           CAST(p.n_both * tot.n * 1000000 // (ma.n_t * mb.n_t)
+           CAST(CAST(p.n_both AS HUGEINT) * tot.n * 1000000
+                // (CAST(ma.n_t AS BIGINT) * mb.n_t)
                 AS BIGINT) AS lift_e6
     FROM pairs p
     JOIN margins ma ON ma.t = p.type_a
@@ -923,20 +972,15 @@ def funnel_stage_latency(
     |stages|-sized (the exact-percentile buffering caveat of B133
     applies per stage pair; B92 sketch is the 100 TB tier).
     """
-    w = Window.partitionBy(user_col)
-    cur = events.select(user_col, ts_col, type_col)
-    prev_entry = None
-    for i, stage in enumerate(stages):
-        cond = F.col(type_col) == stage
-        if prev_entry is not None:
-            cond = cond & (F.col(ts_col) >= F.col(prev_entry))
-        entry = f"__t{i}"
-        cur = cur.withColumn(
-            entry, F.min(F.when(cond, F.col(ts_col))).over(w)
+    if len(stages) < 2:
+        raise ValueError(
+            "funnel_stage_latency needs at least two stages — there is "
+            "no transition to time with fewer (r13 review: the sibling "
+            "funnel() accepts one stage, so make the contract explicit "
+            "here rather than crash on a None frame)"
         )
-        prev_entry = entry
-    per_user = cur.groupBy(user_col).agg(
-        *[F.min(f"__t{i}").alias(f"t{i}") for i in range(len(stages))]
+    per_user = _chained_entry_times(
+        events, stages, user_col, ts_col, type_col
     )
     gaps = None
     for i in range(len(stages) - 1):
