@@ -1092,8 +1092,9 @@ def vocabulary_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     100*100*5e6*42e6 ~ 2.1e17 < 2^63.
     """
     counts = (
-        df.select(F.explode(F.split(F.lower(F.col(text_col)), " "))
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
                   .alias("token"))
+        .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1117,9 +1118,12 @@ def vocabulary_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     ).selectExpr(
-        "CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE)"
+        # zero-denominator guard (one distinct type => vertical fit),
+        # same CASE as ols_trend: NULL, never NaN/ANSI error
+        "CASE WHEN m * sxx - sx * sx > 0 THEN"
+        " CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE)"
         " / CAST(m * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)"
-        " AS BIGINT) AS zipf_slope_e6"
+        " AS BIGINT) END AS zipf_slope_e6"
     )
     return panel.crossJoin(F.broadcast(slope))
 
@@ -1129,8 +1133,10 @@ def vocabulary_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     oracle="""
     WITH counts AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS n
-      FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+'))
+              AS token
             FROM documents) t
+      WHERE token <> ''
       GROUP BY token
     ), panel AS (
       SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
@@ -1148,10 +1154,11 @@ def vocabulary_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                   AS BIGINT) AS y
       FROM top
     ), slope AS (
-      SELECT CAST(floor(
+      SELECT CASE WHEN COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) > 0 THEN
+               CAST(floor(
                CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
                / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
-               * 1000000.0 + 0.5) AS BIGINT) AS zipf_slope_e6
+               * 1000000.0 + 0.5) AS BIGINT) END AS zipf_slope_e6
       FROM xy
     )
     SELECT n_tokens, n_types, n_hapax, zipf_slope_e6

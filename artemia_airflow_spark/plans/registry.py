@@ -36,49 +36,39 @@ ORACLE: dict[str, str] = {}
 # ALL declared queries against their oracles at sf0.001/0.01/0.1 as
 # compensating evidence between driver visits.
 #
-# Round-13 window (69 rows vs the ~50 cap: 23 new r13 faces +
-# q_scan front-load, so ~26 of the 45 r9-stale rows get driver
-# re-checks this round and the final ~19 slip to r14 — VERDICT r12
-# "Next round" #2 retires in two windows instead of one; the local
-# dry run covers the whole tail at 3 SFs as compensating evidence):
-# (a) new or implementation-changed in round 13 — the postings skew
-# fix + string face (its r12 driver row was the round's one error),
-# the runs-report observability face, and the routing-only IVF
-# portable twin; then
-# (b) q_scan, the last r8-vintage row (front-loaded per VERDICT r12),
-# then
-# (c) the 45 r9-stale rows IN FULL (the r12 slip set, same internal
-# order: composite/expensive faces first).  After r13 no driver row
-# should be older than r10.
+# Round-14 window (VERDICT r13 "Next round" #1/#2; 50 rows = the cap):
+# (a) q_sample_cluster_balanced FIRST — the one red r13 driver row,
+# fixed at HEAD in 4c75de6 (judge-verified MATCH) and needing a green
+# CORRECTNESS_r14 row to close; then the new r14 faces (names listed
+# before their modules register them — ordered_queries() skips
+# unregistered names, so the list is forward-safe); then
+# (b) the 19 r9-stale rows (the r13 slip set — CORRECTNESS_r13 cut
+# off after q_mix_temperature_apply, position 50 of 69); then
+# (c) the oldest r10 rows, composite/expensive shapes first, up to
+# the cap: 1 + 4 + 19 = 24 front rows leaves 26 r10 slots, so 21 of
+# the 47 r10 rows slip to r15 (one more window retires r10 fully).
+# The per-round dry run covers the whole tail at 3 SFs meanwhile.
 PRIORITY: list[str] = [
-    # (a) new/changed in round 13
-    "q_text_postings", "q_runs_report", "q_sim_ivf_portable",
-    "q_select_dsir", "q_sample_weighted", "q_graph_pagerank",
-    "q_outliers_mad", "q_text_zipf", "q_cluster_kmeans",
-    "q_attribution", "q_drift_psi", "q_sample_cluster_balanced",
-    "q_trend_ols", "q_mutual_info", "q_interevent_gaps",
-    "q_dedup_cross_source", "q_split_manifest",
-    "q_sample_weighted_group", "q_dedup_threshold_sweep",
-    "q_leakage_audit", "q_active_users", "q_covisitation", "q_funnel_latency",
-    # (b) the last r8-stale row
-    "q_scan",
-    # (c) the 45 r9-stale rows (the r12 slip set)
-    "q_dedup_clusters_portable", "q_dedup_minhash_portable",
-    "q_dedup_ngram_portable", "q_dedup_simhash_portable",
-    "q_decontaminate_bloom_portable", "q_agg_kmv_portable",
-    "q_agg_approx", "q_agg_approx_percentile", "q_agg_percentile",
-    "q_agg_filtered", "q_agg_grouping_sets",
-    "q_stream_tumble", "q_stream_slide", "q_stream_dedup",
-    "q_stream_enrich", "q_stream_join", "q_stream_join_outer",
-    "q_merge_acid", "q_sql_timetravel", "q_schema_evolution",
-    "q_dedup_exact", "q_dedup_embed", "q_dedup_ngram",
-    "q_mix_apply", "q_mix_temperature", "q_mix_temperature_apply",
+    # (a) the r13 red row, then new/changed in round 14
+    "q_sample_cluster_balanced",
+    "q_select_classifier", "q_attribution_session",
+    "q_index_upsert_portable", "q_text_zipf",
+    # (b) the 19 r9-stale rows (the r13 slip set)
     "q_mix_weights", "q_sample_stratified", "q_quantile_sketch",
     "q_profile", "q_pipeline", "q_multimodal", "q_join_salted",
     "q_text_chunk", "q_text_quality", "q_text_tfidf", "q_text_tokens",
     "q_embed_centroid", "q_embed_stats", "q_fn_date2",
     "q_distinct_cols", "q_sink_partitioned",
     "q_source_http", "q_source_http_ds", "q_source_json",
+    # (c) 26 of the 47 r10 rows, oldest/composite first
+    "q_tpch_q2", "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_merge_upsert", "q_scd2", "q_rollup_incremental",
+    "q_dedup_substring_portable", "q_dedup_incremental",
+    "q_join_fuzzy", "q_multimodal_neardup_portable",
+    "q_sim_ivf_pq", "q_ledger_health",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"

@@ -1398,6 +1398,25 @@ def test_vocabulary_stats_hand_corpus(spark):
     assert row.zipf_slope_e6 < 0  # frequency falls with rank
 
 
+def test_vocabulary_stats_whitespace_and_degenerate(spark):
+    """ADVICE r13 fixes: (a) tokenization splits on \\s+ and drops
+    empty tokens, so tabs/newlines/double spaces neither glue words
+    nor mint '' types; (b) a corpus with ONE distinct type has a
+    zero regression denominator and yields a NULL slope (never
+    NaN/ANSI error), matching ols_trend's guard."""
+    from artemia_airflow_spark.operators.text import vocabulary_stats
+
+    d = spark.createDataFrame(
+        [(1, "a\tb\nb  a"), (2, " a ")], ["doc_id", "text"]
+    )
+    row = vocabulary_stats(d, "text").collect()[0]
+    assert (row.n_tokens, row.n_types, row.n_hapax) == (5, 2, 0)
+
+    one = spark.createDataFrame([(1, "x x x")], ["doc_id", "text"])
+    r1 = vocabulary_stats(one, "text").collect()[0]
+    assert (r1.n_tokens, r1.n_types, r1.zipf_slope_e6) == (3, 1, None)
+
+
 def test_kmeans_portable_iterate_hand_blobs(spark):
     """Lloyd hand model in 2-D e6 space: two far blobs and two seed
     centroids each nearest one blob -> one iteration lands each
