@@ -382,3 +382,191 @@ def q_sample_weighted_group(spark, sf_dir):
         part.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= m)
     )
+
+
+def classifier_scores(
+    df: DataFrame, text_col: str, id_col: str, is_target_col: str,
+) -> DataFrame:
+    """Model-based quality score: a binarized Naive-Bayes log-odds
+    linear classifier over the SAME 256 hashed unigram+bigram buckets
+    as :func:`dsir_weights` — the fastText-style hashed linear scorer
+    (public recipe: Wang & Manning 2012's NBSVM generative baseline;
+    Joulin et al. 2016's hashed bag-of-ngrams features), closed-form
+    "trained" in-plan from the target/non-target split instead of by
+    driver-side gradient steps, so scoring stays fully distributed and
+    engine-portable.
+
+    Differences from DSIR (its importance-ratio sibling): the
+    contrast is target vs NON-target (discriminative log-odds, not
+    target vs all-raw), features are per-document bucket PRESENCE
+    (binarized counts — the Bernoulli/NBSVM trick, robust to length
+    and token repetition where DSIR's count features are length-
+    sensitive), and the score carries the class-prior bias term, so
+    ``score > 0`` IS the NB decision rule.  The sigmoid is monotone in
+    the log-odds, so top-k by ``score_e6`` is exactly top-k by
+    P(target | doc) without ever evaluating exp() — zero extra libm
+    surface in the hash-matched face.
+
+    Per-bucket weight (Laplace alpha=1 on doc frequencies):
+    ``w_b = ln( ((n_t+1)/(N_t+2)) / ((n_n+1)/(N_n+2)) )`` — ONE ln of
+    an exact rational ``(n_t+1)*(N_n+2) / ((n_n+1)*(N_t+2))`` (the
+    DSIR single-ln precedent; integer products < 2^53 at every test
+    SF), e6-floored to a BIGINT before the per-doc sum, which is then
+    an order-free integer aggregate.  Bias = ``ln((N_t+1)/(N_n+1))``,
+    same recipe.
+
+    Scale shape: the per-(doc, bucket) PRESENCE relation (map-side
+    partial-distinct, <= 256 rows per doc crossing its one exchange)
+    feeds BOTH the 256-row per-bucket doc frequencies and the per-doc
+    score aggregate (the DSIR/BM25 shared-aggregate seam — AQE reuses
+    the identical exchange); the doc-count priors are a 1-row
+    aggregate over the is-target column only (a column-pruned third
+    scan — trivial columnar IO at any scale) and ride a broadcast
+    nested-loop attach onto the 256-row weight table (bounded on both
+    sides), never onto the corpus.
+    Tokenization mirrors dsir_weights exactly (raw \\s+ split, no
+    empty-token filter) so the two selectors score the identical
+    feature space.
+
+    Returns (id_col, score_e6, pred_target) for every document.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    rows = df.select(
+        F.col(id_col),
+        F.col(is_target_col).alias("__t"),
+        F.explode(F.concat(toks, bigrams)).alias("__feat"),
+    )
+    # one exchange: distinct (doc, bucket) presence, <= 256 rows/doc
+    db = rows.select(
+        id_col, "__t",
+        F.substring(F.md5(F.col("__feat")), 1, 2).alias("bucket"),
+    ).distinct()
+    bs = db.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("bigint")
+        .alias("n_t"),
+    )
+    # class priors: 1-row aggregate over the pruned is-target column
+    pri = df.select(F.col(is_target_col).alias("__t")).agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("bigint")
+        .alias("ndt"),
+        F.count(F.lit(1)).alias("nd"),
+    ).withColumn(
+        "bias6",
+        F.floor(
+            F.log((F.col("ndt") + 1).cast("double")
+                  / (F.col("nd") - F.col("ndt") + 1).cast("double"))
+            * F.lit(1_000_000.0) + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    ratio = (
+        (F.col("n_t") + 1) * (F.col("nd") - F.col("ndt") + 2)
+    ).cast("double") / (
+        (F.col("n_all") - F.col("n_t") + 1) * (F.col("ndt") + 2)
+    ).cast("double")
+    # 1-row prior onto 256-row stats: a broadcast nested-loop attach is
+    # the right plan here (bounded on BOTH sides; a literal join key
+    # would constant-fold into the same physical join anyway)
+    contrib = (
+        bs.crossJoin(F.broadcast(pri))
+        .select(
+            "bucket",
+            F.floor(F.log(ratio) * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("bigint").alias("w6"),
+            "bias6",
+        )
+    )
+    return (
+        db.join(F.broadcast(contrib), "bucket")
+        .groupBy(id_col)
+        .agg(
+            (F.sum("w6") + F.max("bias6")).cast("bigint")
+            .alias("score_e6"),
+        )
+        .withColumn(
+            "pred_target",
+            F.when(F.col("score_e6") > 0, 1).otherwise(0).cast("bigint"),
+        )
+    )
+
+
+@declared(
+    "q_select_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             regexp_split_to_array(lower(text), '\\s+') AS a
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, is_t, unnest(a) AS feat FROM toks
+      UNION ALL
+      SELECT doc_id, is_t,
+             a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS feat
+      FROM toks, unnest(range(1, len(a))) AS t(i)
+    ), db AS (
+      SELECT DISTINCT doc_id, is_t, substr(md5(feat), 1, 2) AS bucket
+      FROM feats
+    ), bs AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+      FROM db GROUP BY bucket
+    ), pri AS (
+      SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ndt,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(floor(ln(
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1
+                    AS DOUBLE)
+               / CAST(COUNT(*)
+                      - SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1
+                      AS DOUBLE)
+             ) * 1000000.0 + 0.5) AS BIGINT) AS bias6
+      FROM documents
+    ), contrib AS (
+      SELECT bucket,
+             CAST(floor(ln(
+               CAST((n_t + 1) * (nd - ndt + 2) AS DOUBLE)
+               / CAST((n_all - n_t + 1) * (ndt + 2) AS DOUBLE)
+             ) * 1000000.0 + 0.5) AS BIGINT) AS w6,
+             bias6
+      FROM bs CROSS JOIN pri
+    ), sc AS (
+      SELECT doc_id,
+             CAST(SUM(w6) + MAX(bias6) AS BIGINT) AS score_e6
+      FROM db JOIN contrib USING (bucket) GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, score_e6,
+             CAST(CASE WHEN score_e6 > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS pred_target,
+             ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS rank
+      FROM sc
+    )
+    SELECT doc_id, score_e6, pred_target, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def q_select_classifier(spark, sf_dir):
+    """Hashed linear quality classifier, FULL hash-match oracle:
+    target = English documents; every doc scored by the closed-form
+    binarized-NB log-odds (presence features over 256 md5 buckets,
+    Laplace-smoothed doc frequencies, class-prior bias), top-20 by
+    (score desc, doc_id).  Each bucket weight and the bias are ONE ln
+    of an exact integer rational e6-floored BEFORE the order-free
+    per-doc integer sum, so DuckDB attests scores, predictions, and
+    ranking value-for-value (the DSIR/BM25 transcendental recipe)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    sc = classifier_scores(
+        d.withColumn("__is_t", F.col("lang") == "en"),
+        "text", "doc_id", "__is_t",
+    )
+    ranked = sc.orderBy(F.col("score_e6").desc(), F.col("doc_id")).limit(20)
+    w = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )

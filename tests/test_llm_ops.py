@@ -1637,3 +1637,50 @@ def test_grouped_partial_topk_keeps_null_strata(spark):
     nulls = sorted(r.id for r in out if r.g is None)
     assert nulls == [4, 5]  # top-2 of the NULL stratum survive the cut
     assert sorted(r.id for r in out if r.g == "a") == [1, 2]
+
+
+def test_classifier_scores_hand_model(spark):
+    """NB log-odds hand model: recompute one document's score in pure
+    Python (hashlib md5 buckets, Laplace doc frequencies, prior bias)
+    and demand exact equality; directionally, a target-vocabulary doc
+    must outscore filler and cross the score>0 decision boundary while
+    filler stays below it; identical text gives identical scores."""
+    import hashlib
+    import math
+
+    from artemia_airflow_spark.operators.selection import classifier_scores
+
+    rows = [
+        (0, "alpha beta alpha beta alpha", True),
+        (1, "alpha beta gamma alpha beta", True),
+        (2, "zebra yak zebra yak zebra", False),
+        (3, "zebra yak yak zebra yak", False),
+        (4, "alpha beta alpha beta alpha", False),  # target-style text
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    got = {r.doc_id: (r.score_e6, r.pred_target)
+           for r in classifier_scores(d, "text", "doc_id", "is_t").collect()}
+    assert len(got) == 5
+
+    def buckets(text):
+        toks = text.lower().split(" ")
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return {hashlib.md5(f.encode()).hexdigest()[:2] for f in feats}
+
+    pres = {i: buckets(t) for i, t, _ in rows}
+    tgt = {i for i, _, is_t in rows if is_t}
+    nt, nn = len(tgt), len(rows) - len(tgt)
+    allb = set().union(*pres.values())
+    w6 = {}
+    for b in allb:
+        n_t = sum(1 for i in tgt if b in pres[i])
+        n_n = sum(1 for i in pres if i not in tgt and b in pres[i])
+        w6[b] = math.floor(math.log(
+            ((n_t + 1) * (nn + 2)) / ((n_n + 1) * (nt + 2))) * 1e6 + 0.5)
+    bias6 = math.floor(math.log((nt + 1) / (nn + 1)) * 1e6 + 0.5)
+    for i in pres:
+        want = sum(w6[b] for b in pres[i]) + bias6
+        assert got[i][0] == want, (i, got[i][0], want)
+    assert got[4][0] > got[2][0] and got[4][0] > got[3][0]
+    assert got[4] == got[0]  # identical text -> identical score+pred
+    assert got[4][1] == 1 and got[2][1] == 0 and got[3][1] == 0

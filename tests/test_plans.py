@@ -853,3 +853,24 @@ def test_weighted_group_sample_uses_partial_cut(spark):
     assert "MapInPandas" in p, p[:2000]
     assert p.count("documents.parquet") == 1, p[:1500]
     assert "Join" not in p
+
+
+def test_classifier_presence_exchange_broadcast_weights_pruned_priors(spark):
+    """q_select_classifier (r14): the distinct (doc, bucket) presence
+    relation is the one corpus-sized exchange and feeds both the
+    256-row doc frequencies and the per-doc score (the DSIR seam);
+    the weight table and priors arrive via BroadcastHashJoin (the
+    1-row prior joins the 256-row stats on a literal key, never the
+    corpus, and never as a nested-loop); the cut plans as
+    TakeOrderedAndProject.  documents.parquet may appear at most
+    thrice: bucket stats + scores (the shared lineage printed twice,
+    AQE reuses the exchange) + the column-pruned 1-row prior scan."""
+    p = _formatted_plan(spark, "q_select_classifier")
+    assert p.count("documents.parquet") <= 3, p[:1500]
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    assert "CartesianProduct" not in p
+    # exactly ONE nested-loop join: the 1-row prior attached to the
+    # 256-row bucket stats (bounded both sides) -- never the corpus
+    assert p.count("BroadcastNestedLoopJoin Cross") == 1, p[:1500]
+    assert "SortMergeJoin" not in p
