@@ -1066,3 +1066,161 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_stage_latency(
         e, ["signup", "view", "click", "purchase"]
     )
+
+
+def session_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    *,
+    gap_s: int = 3600,
+) -> DataFrame:
+    """Session-grain last-touch attribution (r14, VERDICT r13 #6 —
+    closes the funnel/session/attribution triangle): credit each
+    CONVERTED SESSION to one channel, instead of crediting raw
+    conversion events with a fixed-seconds lookback like
+    :func:`last_touch_attribution`.
+
+    Semantics: events get their B107 session via
+    :func:`session_event_index` (the ONE gap-boundary definition);
+    each conversion's touch is the most recent preceding
+    non-conversion event by the same user, and it earns credit only
+    if it lies in the SAME session (session-scoped lookback — the
+    carried touch's session index must equal the conversion's, which
+    also proves it precedes the conversion since session_idx is
+    monotone per user).  A session's channel is its FIRST conversion's
+    channel (by (ts, tiebreak) — deterministic), its value the
+    cent-quantized sum of all its conversions.  Output: per channel,
+    converted-session count, conversion count, and credited value.
+
+    Scale shape: the session index, the carried-touch window, the
+    per-session rollup, and the first-conversion rank all live inside
+    the ONE ``user_id`` hash partitioning — ``hashpartitioning(user)``
+    satisfies the clustered distribution of every (user, session_idx)
+    window/aggregate downstream, so Catalyst adds sorts, never a
+    second corpus exchange; the only other exchange is channel-sized.
+    """
+    idx = session_event_index(
+        events, user_col, ts_col, gap_s, order_tiebreak,
+        keep_cols=[type_col, value_col],
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) != conversion_type
+    carried_t = F.last(
+        F.when(is_touch, F.col(type_col)), ignorenulls=True
+    ).over(w)
+    carried_s = F.last(
+        F.when(is_touch, F.col("session_idx")), ignorenulls=True
+    ).over(w)
+    conv = (
+        idx.select(
+            F.col(user_col),
+            F.col("session_idx"),
+            F.col(type_col),
+            F.col(value_col),
+            F.col(order_tiebreak),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            carried_t.alias("__tt"),
+            carried_s.alias("__tsess"),
+        )
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            user_col, "session_idx", value_col, "__us", order_tiebreak,
+            F.when(
+                F.col("__tsess") == F.col("session_idx"), F.col("__tt")
+            ).otherwise(F.lit("unattributed")).alias("channel"),
+        )
+    )
+    ws = Window.partitionBy(user_col, "session_idx").orderBy(
+        "__us", order_tiebreak
+    )
+    sess = (
+        conv.withColumn("__rn", F.row_number().over(ws))
+        .groupBy(user_col, "session_idx")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("channel")))
+            .alias("channel"),
+            F.count(F.lit(1)).alias("n_conv"),
+            F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5))
+                  .cast("bigint")).alias("cents"),
+        )
+    )
+    return sess.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_conv").cast("bigint").alias("n_conversions"),
+        F.sum("cents").cast("bigint").alias("value_cents"),
+    )
+
+
+@declared(
+    "q_attribution_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type, value, event_id,
+             epoch_us(ts) AS us,
+             lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                          OR us - prev_us > CAST(3600 AS BIGINT) * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts, event_type, value, event_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ), carried AS (
+      SELECT user_id, session_idx, event_type, value, event_id, us,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS tt,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN session_idx END IGNORE NULLS)
+               OVER w AS tsess
+      FROM sess
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), conv AS (
+      SELECT user_id, session_idx, value, us, event_id,
+             CASE WHEN tsess = session_idx THEN tt
+                  ELSE 'unattributed' END AS channel
+      FROM carried WHERE event_type = 'purchase'
+    ), per_sess AS (
+      SELECT user_id, session_idx,
+             MAX(CASE WHEN rn = 1 THEN channel END) AS channel,
+             CAST(COUNT(*) AS BIGINT) AS n_conv,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id, session_idx
+              ORDER BY us, event_id) AS rn
+            FROM conv) t
+      GROUP BY user_id, session_idx
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_conv) AS BIGINT) AS n_conversions,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM per_sess GROUP BY channel
+    """,
+)
+def q_attribution_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain last-touch attribution of purchases, FULL
+    hash-match oracle: each converted 1h-gap session credited to the
+    channel of its first purchase's same-session preceding touch —
+    per-channel session counts, conversion counts, and cent-exact
+    credited value; session boundaries, credit decisions, and sums
+    all integer-exact so DuckDB attests them value-for-value."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return session_attribution(e, "purchase", gap_s=3600)

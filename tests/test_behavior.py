@@ -302,3 +302,36 @@ def test_funnel_latency_hand_case(spark):
            for r in funnel_stage_latency(e, ["signup", "view"]).collect()}
     t = out["signup->view"]
     assert (t.n_converted, t.med_x2_s, t.p90_x10_s) == (2, 40, 280)
+
+
+def test_session_attribution_hand_cases(spark):
+    """Session-grain attribution hand model: a purchase credits its
+    same-session preceding touch; a touch in a PRIOR session does not
+    carry across the gap (unattributed, even though the event-grain
+    1h-lookback face might still credit it); a session's channel is
+    its FIRST purchase's, while all its purchases' values roll into
+    that one session row; a first-ever-event purchase is unattributed."""
+    from artemia_airflow_spark.operators.behavior import session_attribution
+
+    e = _events(spark, [
+        # user 1, session 1: click -> purchase, purchase (one session,
+        # channel = click, 2 conversions, 1500 cents)
+        (0, 1, "click", 1.0),
+        (10, 1, "purchase", 10.0),
+        (20, 1, "purchase", 5.0),
+        # user 1, session 2 (gap > 1h): purchase first, then view ->
+        # purchase: first purchase unattributed names the session
+        (8000, 1, "purchase", 2.0),
+        (8005, 1, "view", 1.0),
+        (8010, 1, "purchase", 3.0),
+        # user 2: touch only in session 1, purchase opens session 2
+        # 2h later -> carried touch has session_idx 1 != 2 -> unattributed
+        (0, 2, "view", 1.0),
+        (7200, 2, "purchase", 7.0),
+    ])
+    out = {r.channel: (r.n_sessions, r.n_conversions, r.value_cents)
+           for r in session_attribution(e, "purchase").collect()}
+    assert out == {
+        "click": (1, 2, 1500),
+        "unattributed": (2, 3, 1200),
+    }

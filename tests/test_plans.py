@@ -874,3 +874,17 @@ def test_classifier_presence_exchange_broadcast_weights_pruned_priors(spark):
     # 256-row bucket stats (bounded both sides) -- never the corpus
     assert p.count("BroadcastNestedLoopJoin Cross") == 1, p[:1500]
     assert "SortMergeJoin" not in p
+
+
+def test_session_attribution_shares_one_user_exchange(spark):
+    """q_attribution_session (r14): the session index, carried-touch
+    window, per-(user, session) rollup, and first-conversion rank all
+    ride ONE hashpartitioning(user_id) exchange — hashpartitioning
+    on user satisfies every (user, session_idx) clustered
+    distribution downstream, so Catalyst adds sorts, never a second
+    corpus exchange; the only other exchange is channel-sized; no join
+    appears at all."""
+    p = _formatted_plan(spark, "q_attribution_session")
+    assert p.count("hashpartitioning(user_id") == 1, p[:2000]
+    assert "Join" not in p, p[:2000]
+    assert "CartesianProduct" not in p
