@@ -1154,17 +1154,18 @@ def _ivf_pq_portable_frames(spark, sf_dir):
     return comps, corp, probe
 
 
-def _ivf_pq_portable_build(spark, corp):
-    """INDEX-BUILD phase of the portable IVF-PQ twin: returns
-    (cells, books, codes) for a (vec_id, d, v6) corpus — the coarse
-    dictionary, the residual codebooks, and the per-vector
-    (vec_id, cell, j, code) rows that ARE the index artifact (the only
-    corpus-sized output; cells/books are bounded model metadata)."""
-    m, n_codes, sub, n_cells = _IVF_PQ_PORTABLE_M, 16, 8, 8
-    cells = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
-    books = pq_portable_codebooks_df(
-        spark, m_subspaces=m, n_codes=n_codes, sub_dim=sub, salt=99991
-    )
+def _ivf_pq_portable_encode(
+    corp: DataFrame, cells: DataFrame, books: DataFrame, *,
+    n_codes: int = 16, n_cells: int = 8,
+) -> DataFrame:
+    """ENCODE phase of the portable IVF-PQ twin — route each vector to
+    its nearest frozen cell and PQ-encode the residual against the
+    frozen codebooks, yielding the (vec_id, cell, j, code) index rows.
+    Extracted from the one-shot build (r14) so incremental index
+    maintenance (:func:`index_upsert`) provably encodes an increment
+    with the IDENTICAL arithmetic as a full rebuild — the
+    maintained == rebuilt equivalence rests on this being one code
+    path, not two copies."""
     assign = _nearest_cells(corp, cells, n_cells=n_cells)
     res = (
         corp.join(assign, "vec_id")
@@ -1182,9 +1183,25 @@ def _ivf_pq_portable_build(spark, corp):
         .agg(F.sum((F.col("r6") - F.col("c6"))
                    * (F.col("r6") - F.col("c6"))).alias("dist"))
     )
-    codes = rdist.groupBy("vec_id", "cell", "j").agg(
+    return rdist.groupBy("vec_id", "cell", "j").agg(
         (F.min(F.col("dist") * n_codes + F.col("c")) % n_codes)
         .alias("code")
+    )
+
+
+def _ivf_pq_portable_build(spark, corp):
+    """INDEX-BUILD phase of the portable IVF-PQ twin: returns
+    (cells, books, codes) for a (vec_id, d, v6) corpus — the coarse
+    dictionary, the residual codebooks, and the per-vector
+    (vec_id, cell, j, code) rows that ARE the index artifact (the only
+    corpus-sized output; cells/books are bounded model metadata)."""
+    m, n_codes, sub, n_cells = _IVF_PQ_PORTABLE_M, 16, 8, 8
+    cells = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
+    books = pq_portable_codebooks_df(
+        spark, m_subspaces=m, n_codes=n_codes, sub_dim=sub, salt=99991
+    )
+    codes = _ivf_pq_portable_encode(
+        corp, cells, books, n_codes=n_codes, n_cells=n_cells
     )
     return cells, books, codes
 
@@ -2149,6 +2166,125 @@ def q_sim_index_persisted(spark, sf_dir):
         "vec_id", "cell", "j", "code",
     )
     t = TxTable.create(spark, artifact, root, key_col="k")
+    loaded = t.snapshot().select("vec_id", "cell", "j", "code")
+    return _ivf_pq_portable_query(comps, probe, cells, books, loaded)
+
+
+def index_upsert(
+    table, increment_comps: DataFrame, cells: DataFrame, books: DataFrame,
+    *, delete_ids: DataFrame | None = None,
+    n_codes: int = 16, n_cells: int = 8,
+) -> int:
+    """Incremental ANN index maintenance (r14, VERDICT r13 #5 — the
+    production "index follows the corpus" loop composing B125 + B102):
+    encode an increment of new/changed vectors against the FROZEN
+    coarse cells and PQ codebooks and MERGE their (vec_id, cell, j,
+    code) rows into the persisted index TxTable; vectors named in
+    ``delete_ids`` are tombstoned.  One atomic MERGE commit carries
+    both, so a reader never observes a half-applied increment.
+
+    ``increment_comps`` is a (vec_id, d, v6) relation (the changed
+    vectors' components); ``delete_ids`` a (vec_id) relation.  A
+    vec_id must not appear in both — standard MERGE precondition (the
+    key would carry two verdicts).  Returns the new table version.
+
+    Correctness contract: encoding reuses the rebuild's ONE code path
+    (:func:`_ivf_pq_portable_encode`), so a maintained index is
+    row-identical to a from-scratch rebuild of the same corpus state
+    (value-neutrality, the B125 precedent — pinned by test), and
+    re-applying the same increment is a no-op on content (MERGE
+    upserts same-key rows to the same values; deletes of absent keys
+    drop out in the full-outer merge) — the exactly-once re-apply
+    property CDC restarts need.
+
+    Scale shape: the increment, not the corpus, pays the encode
+    (broadcast cells/books, increment-sized exchanges); the MERGE
+    rewrites only the index files whose key range intersects the
+    increment's keys (TxTable file pruning) — an append-mostly
+    increment touches O(increment) files, never O(index).
+    """
+    m = _IVF_PQ_PORTABLE_M
+    codes = _ivf_pq_portable_encode(
+        increment_comps, cells, books, n_codes=n_codes, n_cells=n_cells
+    )
+    changes = codes.select(
+        (F.col("vec_id") * m + F.col("j")).alias("k"),
+        "vec_id", "cell", "j", "code",
+        F.lit(False).alias("__tomb"),
+    )
+    if delete_ids is not None:
+        dels = (
+            delete_ids.select("vec_id").distinct()
+            .select(
+                "vec_id",
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__j"),
+            )
+            .select("vec_id", F.col("__j").cast("bigint").alias("j"))
+            .select(
+                (F.col("vec_id") * m + F.col("j")).alias("k"),
+                "vec_id",
+                F.lit(None).cast("bigint").alias("cell"),
+                "j",
+                F.lit(None).cast("bigint").alias("code"),
+                F.lit(True).alias("__tomb"),
+            )
+        )
+        changes = changes.unionByName(dels)
+    return table.merge(changes, delete_col="__tomb")
+
+
+@declared("q_index_upsert_portable", oracle=_IVF_PQ_PORTABLE_ORACLE)
+def q_index_upsert_portable(spark, sf_dir):
+    """Incremental index maintenance, FULL hash-match oracle: start
+    from a STALE persisted index — a third of the corpus encoded with
+    deliberately wrong codes (cell 0 / code 0) and the probe vectors
+    indexed when they should not be — then one :func:`index_upsert`
+    commit re-encodes the stale third against the frozen quantizers
+    and tombstones the probes.  The query tail runs over the MAINTAINED
+    table, and the oracle is q_sim_ivf_pq_portable's VERBATIM: a hash
+    match proves maintained == full-rebuild value-neutrality end to
+    end (routing, ADC, rerank — every downstream decision identical),
+    not merely that rows changed."""
+    import os
+
+    from artemia_airflow_spark.functions.core import process_scratch_dir
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    ensure_engine_conf(spark)
+    m = _IVF_PQ_PORTABLE_M
+    comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
+    cells, books, _ = _ivf_pq_portable_build(spark, corp)
+    keep = corp.filter(F.col("vec_id") % 3 != 0)
+    incr = corp.filter(F.col("vec_id") % 3 == 0)
+    # stale state: keep-part encoded correctly; increment-part present
+    # with WRONG codes; probe vectors indexed although they are queries
+    good = _ivf_pq_portable_encode(keep, cells, books)
+    stale = (
+        incr.select("vec_id").distinct()
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__j"),
+        )
+        .select("vec_id", F.lit(0).cast("bigint").alias("cell"),
+                F.col("__j").cast("bigint").alias("j"),
+                F.lit(0).cast("bigint").alias("code"))
+    )
+    ghosts = _ivf_pq_portable_encode(
+        comps.filter(F.col("vec_id") < 5), cells, books
+    )
+    initial = good.unionByName(stale).unionByName(ghosts).select(
+        (F.col("vec_id") * m + F.col("j")).alias("k"),
+        "vec_id", "cell", "j", "code",
+    )
+    root = os.path.join(
+        process_scratch_dir("aas_index_upsert_"), "index"
+    )
+    t = TxTable.create(spark, initial, root, key_col="k")
+    index_upsert(
+        t, incr, cells, books,
+        delete_ids=comps.filter(F.col("vec_id") < 5)
+        .select("vec_id").distinct(),
+    )
     loaded = t.snapshot().select("vec_id", "cell", "j", "code")
     return _ivf_pq_portable_query(comps, probe, cells, books, loaded)
 

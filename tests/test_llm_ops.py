@@ -1684,3 +1684,83 @@ def test_classifier_scores_hand_model(spark):
     assert got[4][0] > got[2][0] and got[4][0] > got[3][0]
     assert got[4] == got[0]  # identical text -> identical score+pred
     assert got[4][1] == 1 and got[2][1] == 0 and got[3][1] == 0
+
+
+def test_index_upsert_value_neutral_and_exactly_once(spark, tmp_path):
+    """Incremental index maintenance contract: starting from a stale
+    persisted index (odd vectors encoded wrong, two ghost vectors that
+    should not be indexed), ONE index_upsert commit makes the table
+    row-identical to a from-scratch rebuild of the true corpus; and
+    re-applying the identical increment is content-neutral (the
+    exactly-once property a restarted CDC maintenance loop needs)."""
+    from artemia_airflow_spark.operators.similarity import (
+        _IVF_PQ_PORTABLE_M,
+        _ivf_pq_portable_encode,
+        index_upsert,
+        ivf_portable_centroids_df,
+        pq_portable_codebooks_df,
+    )
+    from artemia_airflow_spark.sources.txtable import TxTable
+    from pyspark.sql import functions as F
+
+    m = _IVF_PQ_PORTABLE_M
+    rows = [
+        (v, d, ((v * 17 + d * 31) % 2000 - 1000) * 1000)
+        for v in list(range(10)) + [100, 101]
+        for d in range(64)
+    ]
+    comps = spark.createDataFrame(rows, "vec_id bigint, d bigint, v6 bigint")
+    cells = ivf_portable_centroids_df(spark, n_cells=8, dim=64)
+    books = pq_portable_codebooks_df(
+        spark, m_subspaces=m, n_codes=16, sub_dim=8, salt=99991
+    )
+    true_corpus = comps.filter(F.col("vec_id") < 100)
+    rebuild = sorted(
+        tuple(r) for r in
+        _ivf_pq_portable_encode(true_corpus, cells, books).collect()
+    )
+
+    evens = true_corpus.filter(F.col("vec_id") % 2 == 0)
+    odds = true_corpus.filter(F.col("vec_id") % 2 == 1)
+    ghosts = comps.filter(F.col("vec_id") >= 100)
+    stale = (
+        odds.select("vec_id").distinct()
+        .select("vec_id",
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__j"))
+        .select("vec_id", F.lit(0).cast("bigint").alias("cell"),
+                F.col("__j").cast("bigint").alias("j"),
+                F.lit(0).cast("bigint").alias("code"))
+    )
+    initial = (
+        _ivf_pq_portable_encode(evens, cells, books)
+        .unionByName(stale)
+        .unionByName(_ivf_pq_portable_encode(ghosts, cells, books))
+        .select((F.col("vec_id") * m + F.col("j")).alias("k"),
+                "vec_id", "cell", "j", "code")
+    )
+    t = TxTable.create(spark, initial, str(tmp_path / "idx"), key_col="k")
+    assert sorted(
+        tuple(r) for r in
+        t.snapshot().select("vec_id", "cell", "j", "code").collect()
+    ) != rebuild  # genuinely stale before maintenance
+
+    v1 = index_upsert(
+        t, odds, cells, books,
+        delete_ids=ghosts.select("vec_id").distinct(),
+    )
+    got = sorted(
+        tuple(r) for r in
+        t.snapshot().select("vec_id", "cell", "j", "code").collect()
+    )
+    assert got == rebuild  # maintained == full rebuild, row for row
+
+    v2 = index_upsert(
+        t, odds, cells, books,
+        delete_ids=ghosts.select("vec_id").distinct(),
+    )
+    assert v2 > v1  # a commit happened...
+    again = sorted(
+        tuple(r) for r in
+        t.snapshot().select("vec_id", "cell", "j", "code").collect()
+    )
+    assert again == rebuild  # ...but content is exactly-once
