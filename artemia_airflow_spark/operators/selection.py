@@ -570,3 +570,93 @@ def q_select_classifier(spark, sf_dir):
     return ranked.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     )
+
+
+def temporal_split(
+    df: DataFrame, ts_col: str, *,
+    train_permille: int = 800, embargo_s: int = 86400,
+) -> DataFrame:
+    """Temporal train/test split with an embargo gap (r14): train =
+    the first ``train_permille``/1000 of the corpus's observed time
+    span, then an ``embargo_s``-second buffer whose rows belong to
+    NEITHER side, then test — the standard leakage guard for
+    temporally-correlated data (a model must not see events adjacent
+    in time to its eval set; the purged/embargoed split of the
+    time-series CV literature, public method).  The hash split
+    (:func:`hash_split`) keeps eval sets frozen as the corpus grows;
+    THIS split answers the orthogonal question "does the model
+    generalize FORWARD in time", and the embargo is what makes the
+    answer honest.
+
+    Boundaries are exact int64 microseconds: ``cutoff = min_us +
+    (max_us - min_us) * train_permille DIV 1000``; train takes
+    ``us <= cutoff``, embargo ``us <= cutoff + embargo_s * 1e6``,
+    test the rest.  Adds a ``split`` column.
+
+    Scale shape: one 1-row min/max aggregate over the pruned ts
+    column, attached back map-side via a 1-row broadcast (a
+    nested-loop join with a 1-row build side is a per-row constant
+    attach — no shuffle, no row amplification); the split expression
+    itself is codegen.  Two scans total, one of them single-column.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    stats = df.select(us.alias("__us")).agg(
+        F.min("__us").alias("__mn"), F.max("__us").alias("__mx")
+    )
+    cutoff = (
+        F.col("__mn")
+        + F.expr(f"(__mx - __mn) * {int(train_permille)} DIV 1000")
+    )
+    emb_end = cutoff + F.lit(int(embargo_s) * 1_000_000)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "split",
+            F.when(us <= cutoff, F.lit("train"))
+            .when(us <= emb_end, F.lit("embargo"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("__mn", "__mx")
+    )
+
+
+@declared(
+    "q_split_temporal",
+    oracle="""
+    WITH stats AS (
+      SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ), tagged AS (
+      SELECT event_type, user_id, value,
+             CASE WHEN epoch_us(ts) <= mn + (mx - mn) * 800 // 1000
+                  THEN 'train'
+                  WHEN epoch_us(ts) <= mn + (mx - mn) * 800 // 1000
+                                       + 86400000000
+                  THEN 'embargo'
+                  ELSE 'test' END AS split
+      FROM events CROSS JOIN stats
+    )
+    SELECT split, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM tagged GROUP BY split, event_type
+    """,
+)
+def q_split_temporal(spark, sf_dir):
+    """Temporal embargo split manifest, FULL hash-match oracle: per
+    (split, event_type) event/user/value totals under the 80%-of-span
+    train cutoff with a 1-day embargo — boundaries are exact integer
+    microseconds, so DuckDB attests every membership decision."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return (
+        temporal_split(e, "ts")
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .alias("value_cents"),
+        )
+    )

@@ -1664,3 +1664,168 @@ def _register_mi_query():
 
 
 _register_mi_query()
+
+
+def js_token_divergence(
+    df: DataFrame, text_col: str, is_a_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's token unigram
+    distributions (r14) — the LEXICAL sibling of PSI (numeric drift,
+    B137) and mutual information (categorical association, B140):
+    "how differently do these two sources speak", the statistic that
+    drives mixture design and recrawl drift alarms.  Symmetric,
+    bounded by ln 2 nats, finite even for tokens one side has never
+    seen (unlike KL) — the standard corpus-comparison measure
+    (Lin 1991, public).
+
+    ``JS = (sum_t p_t ln(p_t/m_t))/2 + (sum_t q_t ln(q_t/m_t))/2``
+    with ``m = (p+q)/2``.  Written over exact integer counts:
+    ``p_t/m_t = 2*ca*T2 / (ca*T2 + cb*T1)`` — ONE ln of an exact
+    rational per (token, side), e6-floored, weighted by the integer
+    count ``ca`` and summed order-free (the DSIR contribution
+    recipe), then the two sums take one exact-int64->double division
+    each by their corpus totals.  Sum headroom: |term| <= ca *
+    ln(2)e6 <= ca * 7e5, so the side sum is <= 7e5 * T1 — int64-safe
+    to ~1.3e13 tokens per side; beyond that (true 100 TB) the sums
+    would need DECIMAL(38,0) partials, a one-line widening that
+    trades nothing but the test oracle's bit-parity.
+
+    Both sides must be non-empty (an empty side has no distribution
+    to compare — ln(0) would poison the sum; callers gate upstream).
+
+    Tokenization: ``\\s+`` split, lowercased, empty tokens dropped
+    (the vocabulary_stats convention).
+
+    Scale shape: ONE corpus scan — explode feeds a map-side-combined
+    (token) count aggregate carrying both sides' counts as
+    conditional sums; the vocab-sized count relation is
+    lineage-truncated once and re-read by the totals row and the term
+    aggregate (never a second corpus pass); everything after the
+    vocab aggregate is 1-row arithmetic.
+
+    Returns ONE row: token totals, type counts (per side + shared),
+    and ``js_e6``.
+    """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    toks = df.select(
+        F.col(is_a_col).alias("__a"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = truncate_lineage(
+        toks.groupBy("token").agg(
+            F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("bigint")
+            .alias("cb"),
+        ),
+        None,
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("t1"), F.sum("cb").alias("t2"),
+        F.sum(F.when(F.col("ca") > 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_types_a"),
+        F.sum(F.when(F.col("cb") > 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_types_b"),
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0))
+        .cast("bigint").alias("n_types_shared"),
+    )
+    den = (F.col("ca") * F.col("t2") + F.col("cb") * F.col("t1"))
+    ln6_a = F.floor(
+        F.log((2 * F.col("ca") * F.col("t2")).cast("double")
+              / den.cast("double")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    ln6_b = F.floor(
+        F.log((2 * F.col("cb") * F.col("t1")).cast("double")
+              / den.cast("double")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    sums = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("ca") > 0, F.col("ca") * ln6_a).otherwise(F.lit(0))
+            .alias("sa"),
+            F.when(F.col("cb") > 0, F.col("cb") * ln6_b).otherwise(F.lit(0))
+            .alias("sb"),
+        )
+        .agg(F.sum("sa").alias("sa"), F.sum("sb").alias("sb"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(sums))
+        .select(
+            F.col("t1").alias("n_tokens_a"),
+            F.col("t2").alias("n_tokens_b"),
+            "n_types_a", "n_types_b", "n_types_shared",
+            F.floor(
+                (F.col("sa").cast("double") / F.col("t1").cast("double")
+                 + F.col("sb").cast("double") / F.col("t2").cast("double"))
+                / 2 + F.lit(0.5)
+            ).cast("bigint").alias("js_e6"),
+        )
+    )
+
+
+def _register_js_query():
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_divergence_js",
+        oracle="""
+        WITH toks AS (
+          SELECT lang = 'en' AS is_a,
+                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+          FROM documents
+        ), counts AS (
+          SELECT token,
+                 CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+          FROM toks WHERE token <> '' GROUP BY token
+        ), tot AS (
+          SELECT CAST(SUM(ca) AS BIGINT) AS t1,
+                 CAST(SUM(cb) AS BIGINT) AS t2,
+                 CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_types_a,
+                 CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_types_b,
+                 CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_types_shared
+          FROM counts
+        ), sums AS (
+          SELECT
+            CAST(SUM(CASE WHEN ca > 0 THEN ca * CAST(floor(ln(
+                   CAST(2 * ca * t2 AS DOUBLE)
+                   / CAST(ca * t2 + cb * t1 AS DOUBLE)
+                 ) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+              AS sa,
+            CAST(SUM(CASE WHEN cb > 0 THEN cb * CAST(floor(ln(
+                   CAST(2 * cb * t1 AS DOUBLE)
+                   / CAST(ca * t2 + cb * t1 AS DOUBLE)
+                 ) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+              AS sb
+          FROM counts CROSS JOIN tot
+        )
+        SELECT t1 AS n_tokens_a, t2 AS n_tokens_b,
+               n_types_a, n_types_b, n_types_shared,
+               CAST(floor(
+                 (CAST(sa AS DOUBLE) / CAST(t1 AS DOUBLE)
+                  + CAST(sb AS DOUBLE) / CAST(t2 AS DOUBLE)) / 2 + 0.5
+               ) AS BIGINT) AS js_e6
+        FROM tot CROSS JOIN sums
+        """,
+    )
+    def q_divergence_js(spark, sf_dir):
+        """Token-distribution JS divergence, FULL hash-match oracle:
+        English vs non-English documents compared as unigram
+        distributions — exact integer counts, one e6-floored ln of an
+        exact rational per (token, side), order-free integer sums, two
+        final exact-int divisions; DuckDB attests the whole statistic
+        (and the type-overlap panel) value-for-value."""
+        ensure_engine_conf(spark)
+        d = scan(spark, sf_dir, "documents")
+        return js_token_divergence(
+            d.withColumn("__is_a", F.col("lang") == "en"), "text", "__is_a"
+        )
+
+
+_register_js_query()

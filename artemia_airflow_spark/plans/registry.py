@@ -53,6 +53,7 @@ PRIORITY: list[str] = [
     "q_sample_cluster_balanced",
     "q_select_classifier", "q_attribution_session",
     "q_index_upsert_portable", "q_text_zipf",
+    "q_split_temporal", "q_divergence_js",
     # (b) the 19 r9-stale rows (the r13 slip set)
     "q_mix_weights", "q_sample_stratified", "q_quantile_sketch",
     "q_profile", "q_pipeline", "q_multimodal", "q_join_salted",
@@ -68,7 +69,6 @@ PRIORITY: list[str] = [
     "q_merge_upsert", "q_scd2", "q_rollup_incremental",
     "q_dedup_substring_portable", "q_dedup_incremental",
     "q_join_fuzzy", "q_multimodal_neardup_portable",
-    "q_sim_ivf_pq", "q_ledger_health",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"

@@ -1764,3 +1764,71 @@ def test_index_upsert_value_neutral_and_exactly_once(spark, tmp_path):
         t.snapshot().select("vec_id", "cell", "j", "code").collect()
     )
     assert again == rebuild  # ...but content is exactly-once
+
+
+def test_temporal_split_boundaries_and_embargo(spark):
+    """Temporal split hand model over a 1000s span: with an 800-permille
+    cutoff and a 100s embargo, the event AT the cutoff is train, one
+    microsecond past it is embargo, the event at exactly cutoff+100s is
+    embargo, and past that is test; growth stability does NOT hold (by
+    design — extending the span moves the cutoff), which is why this
+    face complements, not replaces, the hash split."""
+    import datetime as dt
+
+    from artemia_airflow_spark.operators.selection import temporal_split
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),                                        # mn
+        (2, base + dt.timedelta(seconds=800)),            # == cutoff
+        (3, base + dt.timedelta(seconds=800, microseconds=1)),
+        (4, base + dt.timedelta(seconds=900)),            # == embargo end
+        (5, base + dt.timedelta(seconds=900, microseconds=1)),
+        (6, base + dt.timedelta(seconds=1000)),           # mx
+    ]
+    d = spark.createDataFrame(rows, "id bigint, ts timestamp")
+    out = {r.id: r.split
+           for r in temporal_split(d, "ts", embargo_s=100).collect()}
+    assert out == {1: "train", 2: "train", 3: "embargo",
+                   4: "embargo", 5: "test", 6: "test"}
+
+
+def test_js_token_divergence_hand_model(spark):
+    """JS divergence hand model: identical corpora give exactly 0;
+    fully disjoint vocabularies give ln(2) e6-scaled (the JS upper
+    bound, 693147); the statistic is symmetric under side swap; and a
+    mixed case equals the pure-Python recompute of the exact integer
+    recipe term for term."""
+    import math
+
+    from artemia_airflow_spark.operators.sketches import js_token_divergence
+
+    def js(rows):
+        d = spark.createDataFrame(rows, ["text", "is_a"])
+        return js_token_divergence(d, "text", "is_a").collect()[0]
+
+    same = js([("a b c", True), ("a b c", False)])
+    assert same.js_e6 == 0 and same.n_types_shared == 3
+
+    disj = js([("a a b", True), ("x y z z", False)])
+    assert disj.js_e6 == 693147 and disj.n_types_shared == 0
+
+    mixed_rows = [("a a b", True), ("a c c c", False)]
+    got = js(mixed_rows)
+    swapped = js([(t, not s) for t, s in mixed_rows])
+    assert got.js_e6 == swapped.js_e6
+
+    counts = {"a": (2, 1), "b": (1, 0), "c": (0, 3)}
+    t1 = sum(ca for ca, _ in counts.values())
+    t2 = sum(cb for _, cb in counts.values())
+    sa = sum(ca * math.floor(
+        math.log(2 * ca * t2 / (ca * t2 + cb * t1)) * 1e6 + 0.5)
+        for ca, cb in counts.values() if ca > 0)
+    sb = sum(cb * math.floor(
+        math.log(2 * cb * t1 / (ca * t2 + cb * t1)) * 1e6 + 0.5)
+        for ca, cb in counts.values() if cb > 0)
+    want = math.floor((sa / t1 + sb / t2) / 2 + 0.5)
+    assert got.js_e6 == want
+    assert (got.n_tokens_a, got.n_tokens_b) == (3, 4)
+    assert (got.n_types_a, got.n_types_b, got.n_types_shared) == (2, 2, 1)
