@@ -1224,3 +1224,101 @@ def q_attribution_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return session_attribution(e, "purchase", gap_s=3600)
+
+
+def decayed_engagement(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    *,
+    half_life_days: int = 1,
+    horizon_days: int = 20,
+) -> DataFrame:
+    """Recency-weighted engagement score per user (r14): each event
+    contributes its cent value halved once per ``half_life_days``
+    elapsed since the event (day granularity, stepwise), events older
+    than ``horizon_days`` contribute nothing — the standard
+    exponential-decay engagement/recency score, written so BOTH
+    engines compute it EXACTLY.
+
+    The trick: weights are powers of TWO attached by integer shift —
+    ``cents << ((horizon - age_days) DIV half_life_days)`` — so the
+    per-user score is a plain int64 sum with zero transcendentals
+    (exp/pow are libm-lottery; a left shift is not).  Scores are a
+    constant ``2^(horizon/half_life)`` multiple of the textbook
+    sum(v * 2^(-age/h)) form, so ratios and rankings are identical.
+
+    Headroom: cents * 2^20 <= ~2^34 per event at test values, int64-
+    safe past 2^28 events per user; widen to DECIMAL partials (or
+    lower ``horizon_days``) for corpora beyond that.
+
+    Reference time is the corpus max timestamp (reproducible — wall
+    clock would make the statistic unattestable); production callers
+    pass a frozen ``as_of`` by filtering upstream.
+
+    Scale shape: a 1-row max-ts aggregate over the pruned ts column
+    broadcast back (constant attach, no shuffle), then ONE map-side
+    weighted sum per user — a single user-keyed exchange of partial
+    sums; the top-k face cuts with TakeOrderedAndProject.
+
+    Returns (user, score) for every user seen in events.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    ref = events.select(us.alias("__us")).agg(F.max("__us").alias("__mx"))
+    age_days = F.expr("(__mx - __eus) DIV 86400000000")
+    # shiftleft with a COLUMN bit count must go through SQL (the
+    # PySpark wrapper only takes a literal numBits)
+    weight = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(({int(horizon_days)} - (__mx - __eus) DIV 86400000000)"
+        f" DIV {int(half_life_days)} AS INT))"
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    contrib = F.when(
+        age_days <= F.lit(int(horizon_days)), cents * weight
+    ).otherwise(F.lit(0))
+    return (
+        events.select(F.col(user_col), F.col(value_col), us.alias("__eus"))
+        .crossJoin(F.broadcast(ref))
+        .groupBy(user_col)
+        .agg(F.sum(contrib).alias("score"))
+    )
+
+
+@declared(
+    "q_engagement_decay",
+    oracle="""
+    WITH ref AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+    per AS (
+      SELECT user_id,
+             CAST(SUM(CASE
+               WHEN (mx - epoch_us(ts)) // 86400000000 <= 20
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    * (CAST(1 AS BIGINT) <<
+                       CAST(20 - (mx - epoch_us(ts)) // 86400000000 AS INT))
+               ELSE 0 END) AS BIGINT) AS score
+      FROM events CROSS JOIN ref GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rank
+      FROM per
+    )
+    SELECT user_id, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def q_engagement_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement top-20, FULL hash-match oracle:
+    per-user cent values decayed by a power-of-two shift per elapsed
+    day (20-day horizon, 1-day half-life) — zero transcendentals, the
+    whole statistic is int64 arithmetic, so DuckDB attests every score
+    and the ranking value-for-value."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    per = decayed_engagement(e)
+    ranked = per.orderBy(F.col("score").desc(), F.col("user_id")).limit(20)
+    w = Window.orderBy(F.col("score").desc(), F.col("user_id"))
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )

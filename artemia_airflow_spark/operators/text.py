@@ -1174,3 +1174,107 @@ def q_text_zipf(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return vocabulary_stats(d, "text")
+
+
+def vocabulary_coverage(
+    df: DataFrame, text_col: str = "text",
+    vocab_sizes: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """Vocabulary coverage curve (r14): for each candidate vocabulary
+    size N, what fraction of all corpus token OCCURRENCES the top-N
+    most frequent types cover — THE statistic that sizes a tokenizer
+    vocabulary (coverage knees tell you where bigger vocab stops
+    paying) and predicts the OOV rate a closed vocab of size N incurs
+    (1 - coverage).  Complements the Zipf panel (B134: shape of the
+    curve) with the cumulative view (area under it).
+
+    Exactness: counts are integers, the top-N cut orders by
+    (count desc, token) — the engine-stable tiebreak — and coverage
+    is ``covered * 1e6 DIV total`` (integer division, bit-identical
+    cross-engine).  ``covered * 1e6`` is int64-safe to ~9e12 corpus
+    tokens; widen to DECIMAL beyond.
+
+    Scale shape: ONE corpus scan — the map-side-combined (token)
+    count aggregate is lineage-truncated and feeds both the 1-row
+    total and the bounded top-max(N) cut (TakeOrdered semantics via
+    orderBy+limit over the vocab-sized relation); ranking and the
+    per-N rollup then run over <= max(N) rows, each row exploding
+    only to the N thresholds it falls under (one pass, no per-N
+    rescans).  Tokenization: the vocabulary_stats convention
+    (lowercase, ``\\s+``, empty tokens dropped).
+
+    Returns one row per N: (n_vocab, covered_tokens, coverage_e6).
+    """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    sizes = sorted(set(int(n) for n in vocab_sizes))
+    if not sizes or sizes[0] < 1:
+        raise ValueError(f"vocab_sizes must be positive, got {vocab_sizes}")
+    counts = truncate_lineage(
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                  .alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n")),
+        None,
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(sizes[-1])
+    rk = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = top.withColumn("__r", F.row_number().over(rk))
+    arr = F.array(*[F.lit(s) for s in sizes])
+    fanned = ranked.select(
+        "n",
+        F.explode(F.filter(arr, lambda t: t >= F.col("__r")))
+        .alias("n_vocab"),
+    )
+    return (
+        fanned.groupBy("n_vocab")
+        .agg(F.sum("n").alias("covered_tokens"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("n_vocab").cast("bigint").alias("n_vocab"),
+            "covered_tokens",
+            F.expr("covered_tokens * 1000000 DIV __total")
+            .alias("coverage_e6"),
+        )
+    )
+
+
+@declared(
+    "q_vocab_coverage",
+    oracle="""
+    WITH counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+'))
+              AS token
+            FROM documents) t
+      WHERE token <> ''
+      GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts
+    ), top AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+      FROM counts ORDER BY n DESC, token LIMIT 10000
+    ), tgt AS (
+      SELECT unnest([100, 1000, 10000]) AS n_vocab
+    ), cov AS (
+      SELECT n_vocab,
+             CAST(SUM(CASE WHEN r <= n_vocab THEN n ELSE 0 END) AS BIGINT)
+               AS covered_tokens
+      FROM top CROSS JOIN tgt GROUP BY n_vocab
+    )
+    SELECT CAST(n_vocab AS BIGINT) AS n_vocab, covered_tokens,
+           covered_tokens * 1000000 // total AS coverage_e6
+    FROM cov CROSS JOIN tot
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve, FULL hash-match oracle: fraction of
+    corpus token occurrences covered by the top-100/1k/10k types —
+    exact integer counts, engine-stable (count desc, token) ranking,
+    integer-division coverage; DuckDB attests every point of the
+    curve value-for-value."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return vocabulary_coverage(d, "text")

@@ -45,15 +45,17 @@ ORACLE: dict[str, str] = {}
 # (b) the 19 r9-stale rows (the r13 slip set — CORRECTNESS_r13 cut
 # off after q_mix_temperature_apply, position 50 of 69); then
 # (c) the oldest r10 rows, composite/expensive shapes first, up to
-# the cap: 1 + 4 + 19 = 24 front rows leaves 26 r10 slots, so 21 of
-# the 47 r10 rows slip to r15 (one more window retires r10 fully).
-# The per-round dry run covers the whole tail at 3 SFs meanwhile.
+# the cap: 1 + 8 + 19 = 28 front rows (the red row + 8 r14 faces +
+# the r9 slip set) leaves 22 r10 slots, so 25 of the 47 r10 rows slip
+# to r15 (one more window retires r10 fully).  The per-round dry run
+# covers the whole tail at 3 SFs meanwhile.
 PRIORITY: list[str] = [
     # (a) the r13 red row, then new/changed in round 14
     "q_sample_cluster_balanced",
     "q_select_classifier", "q_attribution_session",
     "q_index_upsert_portable", "q_text_zipf",
     "q_split_temporal", "q_divergence_js",
+    "q_engagement_decay", "q_vocab_coverage",
     # (b) the 19 r9-stale rows (the r13 slip set)
     "q_mix_weights", "q_sample_stratified", "q_quantile_sketch",
     "q_profile", "q_pipeline", "q_multimodal", "q_join_salted",
@@ -68,7 +70,6 @@ PRIORITY: list[str] = [
     "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_merge_upsert", "q_scd2", "q_rollup_incremental",
     "q_dedup_substring_portable", "q_dedup_incremental",
-    "q_join_fuzzy", "q_multimodal_neardup_portable",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"

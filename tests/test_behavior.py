@@ -335,3 +335,32 @@ def test_session_attribution_hand_cases(spark):
         "click": (1, 2, 1500),
         "unattributed": (2, 3, 1200),
     }
+
+
+def test_decayed_engagement_exact_shift_weights(spark):
+    """Decay hand model (horizon 20, half-life 1): an event today
+    weighs 2^20 per cent, yesterday 2^19, at the horizon 2^0, past it
+    exactly 0 — and the score is the exact integer sum of shifted
+    cents (recomputed in pure Python); day boundaries use DIV (an
+    event 23h59m old still counts as day 0)."""
+    import datetime as dt
+
+    from artemia_airflow_spark.operators.behavior import decayed_engagement
+
+    ref = dt.datetime(2024, 2, 1)
+
+    def ev(days_ago, user, cents):
+        return (user, ref - dt.timedelta(days=days_ago), cents / 100.0)
+
+    rows = [
+        ev(0, 1, 100), ev(1, 1, 100),          # 100*2^20 + 100*2^19
+        ev(20, 2, 100), ev(21, 2, 100),        # horizon in, past-horizon out
+        (3, ref - dt.timedelta(hours=23, minutes=59), 1.0),  # still day 0
+        ev(0, 9, 0),                           # anchor: fixes ref = max ts
+    ]
+    d = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = {r.user_id: r.score for r in decayed_engagement(d).collect()}
+    assert out[1] == 100 * 2**20 + 100 * 2**19
+    assert out[2] == 100 * 2**0          # the 21-day-old event adds 0
+    assert out[3] == 100 * 2**20         # 23h59m old -> day 0 weight
+    assert out[9] == 0

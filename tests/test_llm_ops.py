@@ -1832,3 +1832,22 @@ def test_js_token_divergence_hand_model(spark):
     assert got.js_e6 == want
     assert (got.n_tokens_a, got.n_tokens_b) == (3, 4)
     assert (got.n_types_a, got.n_types_b, got.n_types_shared) == (2, 2, 1)
+
+
+def test_vocabulary_coverage_hand_model(spark):
+    """Coverage hand model: counts a=5 b=3 c=1 d=1 (total 10); N=1
+    covers 5/10 (500000 e6), N=2 covers 8/10, N=10 (beyond the vocab)
+    covers everything; ties rank by token so c precedes d."""
+    from artemia_airflow_spark.operators.text import vocabulary_coverage
+
+    d = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a a b d")], ["doc_id", "text"]
+    )
+    out = {r.n_vocab: (r.covered_tokens, r.coverage_e6)
+           for r in vocabulary_coverage(d, "text", (1, 2, 3, 10)).collect()}
+    assert out == {
+        1: (5, 500000),
+        2: (8, 800000),
+        3: (9, 900000),
+        10: (10, 1000000),
+    }
