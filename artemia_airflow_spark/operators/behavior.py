@@ -1322,3 +1322,224 @@ def q_engagement_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    *,
+    bucket_s: int = 3600,
+    trailing: int = 12,
+    min_history: int = 8,
+    z_threshold_e6: int = 3_000_000,
+) -> DataFrame:
+    """Event-rate spike detection (r14): per (type, time bucket)
+    counts scored against the TRAILING window of up to ``trailing``
+    prior buckets — the ops-monitoring z-score alarm ("did purchases
+    spike 3 sigma this hour"), written engine-exact.
+
+    The z-score never divides by a float mean/std: with w trailing
+    counts of sum S and sum-of-squares Q, ``z = (w*x - S) /
+    sqrt(w*Q - S*S)`` — numerator and radicand are EXACT int64, the
+    sqrt is IEEE-correctly-rounded in both engines, so the e6-floored
+    z is bit-stable.  Buckets with fewer than ``min_history`` trailing
+    observations, or zero trailing variance, score NULL (never NaN /
+    a division error).
+
+    Trailing buckets are selected by a RANGE frame on the integer
+    bucket index, so a silent hour does not shift the window onto
+    stale data; note the statistic is over OBSERVED buckets — a type
+    whose rate drops to literally zero emits no bucket row (compose
+    with the gap-fill operator upstream for true zero-count
+    semantics; documented trade).
+
+    Scale shape: one map-side-combined (type, bucket) count exchange
+    collapses the corpus; every window after that runs on the
+    bucket-grain relation (types x time buckets — bounded), so the
+    second (type-keyed) exchange is metadata-sized.
+
+    Returns per type: n_buckets, n_scored, n_anomalies, max_z_e6.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    b = events.select(
+        F.col(type_col),
+        F.expr(f"unix_micros({ts_col}) DIV {int(bucket_s) * 1_000_000}")
+        .alias("bucket"),
+    ).groupBy(type_col, "bucket").agg(F.count(F.lit(1)).alias("x"))
+    del us
+    wt = (
+        Window.partitionBy(type_col)
+        .orderBy("bucket")
+        .rangeBetween(-int(trailing), -1)
+    )
+    scored = b.select(
+        type_col, "bucket", "x",
+        F.count("x").over(wt).alias("w"),
+        F.sum("x").over(wt).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wt).alias("q"),
+    )
+    den = F.col("w") * F.col("q") - F.col("s") * F.col("s")
+    z = F.when(
+        (F.col("w") >= int(min_history)) & (den > 0),
+        F.floor(
+            (F.col("w") * F.col("x") - F.col("s")).cast("double")
+            / F.sqrt(den.cast("double"))
+            * F.lit(1_000_000.0) + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    return (
+        scored.withColumn("z_e6", z)
+        .groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("z_e6").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_scored"),
+            F.sum(
+                F.when(F.col("z_e6") > int(z_threshold_e6), 1).otherwise(0)
+            ).cast("bigint").alias("n_anomalies"),
+            F.max("z_e6").alias("max_z_e6"),
+        )
+    )
+
+
+@declared(
+    "q_rate_anomalies",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+    ), scored AS (
+      SELECT event_type, x,
+             COUNT(x) OVER w AS w,
+             SUM(x) OVER w AS s,
+             SUM(x * x) OVER w AS q
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   RANGE BETWEEN 12 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT event_type,
+             CASE WHEN w >= 8 AND w * q - s * s > 0 THEN
+               CAST(floor(
+                 CAST(w * x - s AS DOUBLE)
+                 / sqrt(CAST(w * q - s * s AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT)
+             END AS z_e6
+      FROM scored
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN z_e6 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN z_e6 > 3000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies,
+           MAX(z_e6) AS max_z_e6
+    FROM z GROUP BY event_type
+    """,
+)
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate spike detection, FULL hash-match oracle: per
+    type, buckets scored 3-sigma against their trailing 12 observed
+    hours — exact integer z-score algebra under one correctly-rounded
+    sqrt, so DuckDB attests every alarm decision value-for-value."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return rate_anomalies(e)
+
+
+def weekly_churn(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Week-over-week churn / retention / resurrection panel (r14) —
+    the lifecycle decomposition next to the DAU/WAU levels (B147):
+    per calendar-agnostic week index (epoch microseconds DIV one week
+    — deterministic, no ISO-week engine quirks), every active user is
+    exactly one of NEW (first week ever), RETAINED (also active the
+    immediately previous week), or RESURRECTED (last active 2+ weeks
+    ago); CHURNED INTO a week = the previous week's actives who did
+    not return = prev active - retained.
+
+    Scale shape: ONE user_id exchange — per-user week ordering both
+    dedupes (user, week) pairs (lag equality filter; no second
+    distinct exchange) and carries the previous distinct week; the
+    weekly rollup and its trailing-active lag then run on the
+    week-grain relation (bounded).  All counts exact integers.
+    """
+    wk = F.expr(f"unix_micros({ts_col}) DIV {7 * 86_400_000_000}")
+    w1 = Window.partitionBy(user_col).orderBy("week", order_tiebreak)
+    rows = (
+        events.select(F.col(user_col), F.col(order_tiebreak),
+                      wk.alias("week"))
+        .withColumn("__prev_any", F.lag("week").over(w1))
+        .filter(
+            F.col("__prev_any").isNull()
+            | (F.col("__prev_any") != F.col("week"))
+        )
+    )
+    w2 = Window.partitionBy(user_col).orderBy("week")
+    uw = rows.select(
+        user_col, "week", F.lag("week").over(w2).alias("prev_week")
+    )
+    weekly = uw.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("prev_week") == F.col("week") - 1, 1)
+              .otherwise(0)).cast("bigint").alias("n_retained"),
+        F.sum(F.when(F.col("prev_week") <= F.col("week") - 2, 1)
+              .otherwise(0)).cast("bigint").alias("n_resurrected"),
+    )
+    w3 = Window.orderBy("week")
+    prev_active = F.lag("n_active").over(w3)
+    return weekly.select(
+        "week", "n_active", "n_new", "n_retained", "n_resurrected",
+        F.when(
+            F.lag("week").over(w3) == F.col("week") - 1,
+            prev_active - F.col("n_retained"),
+        ).otherwise(F.coalesce(prev_active, F.lit(0)))
+        .cast("bigint").alias("n_churned_from_prev"),
+    )
+
+
+@declared(
+    "q_churn_weekly",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      FROM events
+    ), flagged AS (
+      SELECT user_id, week,
+             lag(week) OVER (PARTITION BY user_id ORDER BY week)
+               AS prev_week
+      FROM uw
+    ), weekly AS (
+      SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN prev_week <= week - 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_resurrected
+      FROM flagged GROUP BY week
+    )
+    SELECT week, n_active, n_new, n_retained, n_resurrected,
+           CAST(CASE WHEN lag(week) OVER (ORDER BY week) = week - 1
+                THEN lag(n_active) OVER (ORDER BY week) - n_retained
+                ELSE COALESCE(lag(n_active) OVER (ORDER BY week), 0)
+                END AS BIGINT) AS n_churned_from_prev
+    FROM weekly
+    """,
+)
+def q_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn/retention/resurrection panel, FULL hash-match
+    oracle: per epoch-week actives decomposed into new, retained, and
+    resurrected, plus how many of the previous week's actives churned
+    — exact integer week indices and counts, attested value-for-value
+    (the oracle dedupes (user, week) with DISTINCT; the engine gets
+    the same set from its lag-equality filter inside one exchange)."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return weekly_churn(e)

@@ -364,3 +364,72 @@ def test_decayed_engagement_exact_shift_weights(spark):
     assert out[2] == 100 * 2**0          # the 21-day-old event adds 0
     assert out[3] == 100 * 2**20         # 23h59m old -> day 0 weight
     assert out[9] == 0
+
+
+def test_rate_anomalies_exact_z_and_guards(spark):
+    """Anomaly hand model: 12 alternating 9/11 hours then a 40-count
+    spike — trailing stats w=12, S=120, Q=1212 give z = (12*40-120) /
+    sqrt(144) = 30 exactly (30e6 at e6 scale); early buckets with
+    fewer than 8 trailing observations score NULL, and a constant
+    (zero-variance) history scores NULL rather than dividing by 0."""
+    import datetime as dt
+
+    from artemia_airflow_spark.operators.behavior import rate_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    counts = [9, 11] * 6 + [40]
+    for h, c in enumerate(counts):
+        for i in range(c):
+            rows.append((len(rows), base + dt.timedelta(hours=h, seconds=i),
+                         1, "spiky", 1.0))
+    # constant-rate type: 10 every hour -> variance 0 -> never scored
+    for h in range(13):
+        for i in range(10):
+            rows.append((len(rows), base + dt.timedelta(hours=h, seconds=i),
+                         1, "flat", 1.0))
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    out = {r.event_type: r for r in rate_anomalies(e).collect()}
+    s = out["spiky"]
+    assert s.n_buckets == 13
+    # buckets 0..7 have < 8 trailing rows -> NULL; 8..12 scored
+    assert s.n_scored == 5
+    assert s.n_anomalies == 1
+    assert s.max_z_e6 == 30_000_000
+    f = out["flat"]
+    assert (f.n_scored, f.n_anomalies, f.max_z_e6) == (0, 0, None)
+
+
+def test_weekly_churn_lifecycle_decomposition(spark):
+    """Churn hand model on week-aligned timestamps: u1 active weeks
+    0/1/2 (new, retained, retained), u2 weeks 0/2 (new, resurrected),
+    u3 week 0 only (new, then churned); week 1 loses u2+u3 (churned 2),
+    week 2 loses nobody from week 1; duplicate events within a week
+    count once; every active user is in exactly one lifecycle class."""
+    import datetime as dt
+
+    from artemia_airflow_spark.operators.behavior import weekly_churn
+
+    week0 = dt.datetime.utcfromtimestamp(2818 * 604800)
+
+    def ev(week, user, sec=0):
+        return (week * 1000 + user * 10 + sec,
+                week0 + dt.timedelta(weeks=week, seconds=sec), user)
+
+    rows = [ev(0, 1), ev(0, 1, 1), ev(1, 1), ev(2, 1),
+            ev(0, 2), ev(2, 2),
+            ev(0, 3)]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint")
+    out = {r.week - 2818: (r.n_active, r.n_new, r.n_retained,
+                           r.n_resurrected, r.n_churned_from_prev)
+           for r in weekly_churn(e).collect()}
+    assert out == {
+        0: (3, 3, 0, 0, 0),
+        1: (1, 0, 1, 0, 2),
+        2: (2, 0, 1, 1, 0),
+    }
+    for active, new, ret, res, _ in out.values():
+        assert active == new + ret + res

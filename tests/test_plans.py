@@ -888,3 +888,25 @@ def test_session_attribution_shares_one_user_exchange(spark):
     assert p.count("hashpartitioning(user_id") == 1, p[:2000]
     assert "Join" not in p, p[:2000]
     assert "CartesianProduct" not in p
+
+
+def test_weekly_churn_single_user_exchange_dedup_in_window(spark):
+    """q_churn_weekly (r14): the (user, week) dedup happens via a
+    lag-equality filter INSIDE the one user_id partitioning (no
+    separate distinct exchange on (user, week)); everything after is
+    week-grain.  Exactly one hashpartitioning(user_id ...) exchange,
+    no join anywhere."""
+    p = _formatted_plan(spark, "q_churn_weekly")
+    assert p.count("hashpartitioning(user_id") == 1, p[:2000]
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_rate_anomalies_bucket_grain_after_one_corpus_exchange(spark):
+    """q_rate_anomalies (r14): the corpus collapses through ONE
+    map-side-combined (type, bucket) count aggregate; the trailing
+    window's type-keyed exchange then carries only the bucket-grain
+    relation.  events.parquet scans once; no join."""
+    p = _formatted_plan(spark, "q_rate_anomalies")
+    assert p.count("events.parquet") == 1, p[:2000]
+    assert "Join" not in p
