@@ -660,3 +660,164 @@ def q_split_temporal(spark, sf_dir):
             .alias("value_cents"),
         )
     )
+
+
+_N_BUDGET_BINS = 1024
+
+
+def token_budget_select(
+    df: DataFrame, score_col: str, tokens_col: str, id_col: str,
+    budget_tokens,
+) -> DataFrame:
+    """Token-budget corpus selection (r14): keep documents in
+    (``score_col`` desc, ``id_col`` asc) order while the running token
+    total stays within ``budget_tokens`` — THE fundamental pretraining
+    cut ("the best N-token corpus this scorer can buy"; greedy
+    knapsack with unit value density, optimal for a fixed ranking).
+
+    The naive rule is a GLOBAL running sum — one reducer over the
+    corpus, the exact shape this engine bans.  Implemented instead as
+    an exact two-phase cut (the TDigest/threshold refinement idea):
+
+    1. a 1024-bin equal-width histogram over the integer score
+       (map-side, one aggregate exchange of <= 1024 x partitions
+       rows) locates the THRESHOLD BIN — the bin where the
+       budget runs out — via a running sum over <= 1024 rows;
+    2. docs in strictly higher bins are selected by a map-side filter
+       (equal scores always share a bin, so higher-bin membership is
+       order-exact, never a tie split); only the threshold bin's docs
+       pay a ranking window, consuming the leftover budget.
+
+    The result is ROW-IDENTICAL to the naive global cut — the
+    declared face's DuckDB oracle runs the naive version, so the
+    hash match is an algebraic proof the two algorithms agree.
+
+    Degradation note: the boundary window serializes the threshold
+    bin through one task; a pathological corpus with most of its mass
+    on ONE score value concentrates there (everything else stays
+    distributed).  Scores with natural spread (quality e6 ints) keep
+    the bin ~1/1024 of the corpus.
+
+    ``budget_tokens`` may be an int or a 1-row single-column
+    DataFrame (computed budgets, e.g. permille-of-total, stay in
+    plan — no driver collect).  Returns the selected rows of ``df``.
+    """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    if not isinstance(budget_tokens, DataFrame):
+        budget_tokens = (
+            df.sparkSession.range(1)
+            .select(F.lit(int(budget_tokens)).alias("__budget"))
+        )
+    # every tiny relation is lineage-truncated: Spark re-expands shared
+    # subplans into each consumer, and this operator fans the corpus
+    # into THREE consumers — without the cuts the static plan held 10
+    # corpus scans (stats/budget/threshold lineage re-entering full and
+    # boundary multiplicatively); with them it holds one per consumer
+    budget = truncate_lineage(
+        budget_tokens.select(
+            F.col(budget_tokens.columns[0]).cast("bigint")
+            .alias("__budget")
+        ),
+        None,
+    )
+    nb = _N_BUDGET_BINS
+    stats = truncate_lineage(
+        df.agg(
+            F.min(score_col).alias("__mn"), F.max(score_col).alias("__mx")
+        ),
+        None,
+    )
+    binned = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__bin",
+        F.expr(f"({score_col} - __mn) * {nb} DIV (__mx - __mn + 1)"),
+    ).drop("__mn", "__mx")
+    hist = binned.groupBy("__bin").agg(
+        F.sum(tokens_col).cast("bigint").alias("__btok")
+    )
+    wdesc = (
+        Window.orderBy(F.col("__bin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "__above", F.coalesce(F.sum("__btok").over(wdesc), F.lit(0))
+    ).crossJoin(F.broadcast(budget))
+    # threshold bin: the LOWEST bin whose strictly-above mass still
+    # leaves budget — bins above it are consumed whole, bins below it
+    # start past the budget; the boundary window spends the remainder
+    thr = truncate_lineage(
+        cum.filter(F.col("__above") < F.col("__budget"))
+        .orderBy(F.col("__bin").asc())
+        .limit(1)
+        .select(
+            F.col("__bin").alias("__tbin"),
+            (F.col("__budget") - F.col("__above")).alias("__rem"),
+        ),
+        None,
+    )
+    tagged = binned.crossJoin(F.broadcast(thr))
+    full = tagged.filter(F.col("__bin") > F.col("__tbin"))
+    wb = (
+        Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        tagged.filter(F.col("__bin") == F.col("__tbin"))
+        .withColumn("__cum", F.sum(tokens_col).over(wb))
+        .filter(F.col("__cum") <= F.col("__rem"))
+        .drop("__cum")
+    )
+    drop = ["__bin", "__tbin", "__rem"]
+    return full.drop(*drop).unionByName(boundary.drop(*drop))
+
+
+@declared(
+    "q_select_budget",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+               AS n_tok,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               * 1000000 // length(text) AS score_e6
+      FROM documents WHERE length(text) > 0
+    ), budget AS (
+      SELECT SUM(n_tok) * 500 // 1000 AS b FROM scored
+    ), ranked AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (ORDER BY score_e6 DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    ), sel AS (
+      SELECT lang, n_tok FROM ranked CROSS JOIN budget WHERE cum <= b
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM sel GROUP BY lang
+    """,
+)
+def q_select_budget(spark, sf_dir):
+    """Token-budget selection manifest, FULL hash-match oracle: the
+    best half-of-the-corpus token budget bought by alphabetic-density
+    quality (exact integer e6 score), reported per language.  The
+    ORACLE computes the naive global running-sum cut; the engine runs
+    the two-phase histogram + boundary-bin algorithm — the hash match
+    at 3 SFs proves the scalable algorithm selects the IDENTICAL
+    document set."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    scored = d.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
+        .alias("n_tok"),
+        F.expr(
+            "length(regexp_replace(text, '[^A-Za-z]', ''))"
+            " * 1000000 DIV length(text)"
+        ).alias("score_e6"),
+    )
+    budget = scored.agg(F.expr("SUM(n_tok) * 500 DIV 1000").alias("b"))
+    sel = token_budget_select(scored, "score_e6", "n_tok", "doc_id", budget)
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )

@@ -1851,3 +1851,29 @@ def test_vocabulary_coverage_hand_model(spark):
         3: (9, 900000),
         10: (10, 1000000),
     }
+
+
+def test_token_budget_select_greedy_cut_and_edges(spark):
+    """Budget-cut hand model: docs (score, tokens) = a:(9,4) b:(9,3)
+    c:(5,5) d:(1,2) under budget 8 select a then b (cum 7) and stop —
+    c would overshoot; equal scores consume in id order (a before b);
+    budget >= total selects everything; budget smaller than the first
+    document selects nothing; budget 0 selects nothing."""
+    from artemia_airflow_spark.operators.selection import (
+        token_budget_select,
+    )
+
+    rows = [("a", 9, 4), ("b", 9, 3), ("c", 5, 5), ("d", 1, 2)]
+    d = spark.createDataFrame(rows, "doc_id string, s bigint, t bigint")
+
+    def sel(budget):
+        out = token_budget_select(d, "s", "t", "doc_id", budget)
+        return sorted(r.doc_id for r in out.collect())
+
+    assert sel(8) == ["a", "b"]
+    assert sel(7) == ["a", "b"]
+    assert sel(6) == ["a"]       # b's cum 7 > 6
+    assert sel(14) == ["a", "b", "c", "d"]
+    assert sel(100) == ["a", "b", "c", "d"]
+    assert sel(3) == []          # first doc alone overshoots
+    assert sel(0) == []

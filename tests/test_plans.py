@@ -910,3 +910,16 @@ def test_rate_anomalies_bucket_grain_after_one_corpus_exchange(spark):
     p = _formatted_plan(spark, "q_rate_anomalies")
     assert p.count("events.parquet") == 1, p[:2000]
     assert "Join" not in p
+
+
+def test_budget_select_two_phase_never_sorts_the_corpus(spark):
+    """q_select_budget (r14): the two-phase cut's FINAL plan scans the
+    corpus exactly twice (higher-bin map-side filter + threshold-bin
+    boundary window) — the tiny stats/budget/threshold relations are
+    lineage-truncated so they cannot re-expand multiplicatively (10
+    scans before the cut), and no corpus-wide sort/merge join or
+    cartesian appears; the only global Sort ranks the threshold bin."""
+    p = _formatted_plan(spark, "q_select_budget")
+    assert p.count("documents.parquet") == 2, p[:2000]
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
