@@ -2078,3 +2078,65 @@ def q_dedup_threshold_sweep(spark, sf_dir):
             .alias("n_dup_docs"),
         )
     )
+
+
+def dedup_rate_by_source(
+    df: DataFrame, text_col: str, group_col: str,
+) -> DataFrame:
+    """Per-source exact-duplication profile (r14): for each source,
+    how many documents it contributes, how many DISTINCT texts that
+    is, the duplication rate, and the largest identical-text cluster
+    — the one-glance "which feed is recrawling itself" report that
+    decides where dedup budget goes (per-source dup rate is the
+    standard crawl-health metric next to the corpus-wide B40 pass).
+
+    Scale shape: texts collapse to md5 keys map-side, ONE
+    (source, hash) count exchange (map-side combined), then a
+    source-grain rollup — the corpus never shuffles raw text.  All
+    outputs exact integers; rate = ``(n - distinct) * 1e6 DIV n``.
+    """
+    h = F.md5(F.col(text_col))
+    per_text = (
+        df.select(F.col(group_col), h.alias("__h"))
+        .groupBy(group_col, "__h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_text.groupBy(group_col).agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.max("c").cast("bigint").alias("max_cluster"),
+        F.expr("(sum(c) - count(1)) * 1000000 DIV sum(c)")
+        .alias("dup_rate_e6"),
+    )
+
+
+def _register_dedup_rate_query():
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_dedup_rate_by_source",
+        oracle="""
+        WITH per_text AS (
+          SELECT source, md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY source, md5(text)
+        )
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+               CAST(MAX(c) AS BIGINT) AS max_cluster,
+               (SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS dup_rate_e6
+        FROM per_text GROUP BY source
+        """,
+    )
+    def q_dedup_rate_by_source(spark, sf_dir):
+        """Per-source exact-dup profile, FULL hash-match oracle: doc
+        and distinct-text counts, largest identical cluster, and the
+        integer-exact duplication rate per source — DuckDB attests
+        the crawl-health report value-for-value."""
+        ensure_engine_conf(spark)
+        d = scan(spark, sf_dir, "documents")
+        return dedup_rate_by_source(d, "text", "source")
+
+
+_register_dedup_rate_query()

@@ -1877,3 +1877,21 @@ def test_token_budget_select_greedy_cut_and_edges(spark):
     assert sel(100) == ["a", "b", "c", "d"]
     assert sel(3) == []          # first doc alone overshoots
     assert sel(0) == []
+
+
+def test_dedup_rate_by_source_hand_model(spark):
+    """Dup-rate hand model: source A has 4 docs / 2 distinct texts
+    (one text three times -> max_cluster 3, rate (4-2)/4 = 500000);
+    source B is all unique (rate 0); identical texts across DIFFERENT
+    sources do NOT count against either (per-source grouping)."""
+    from artemia_airflow_spark.operators.dedup import dedup_rate_by_source
+
+    rows = [
+        ("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+        ("B", "x"), ("B", "z"),
+    ]
+    d = spark.createDataFrame(rows, ["source", "text"])
+    out = {r.source: (r.n_docs, r.n_distinct_texts, r.max_cluster,
+                      r.dup_rate_e6)
+           for r in dedup_rate_by_source(d, "text", "source").collect()}
+    assert out == {"A": (4, 2, 3, 500000), "B": (2, 2, 1, 0)}
