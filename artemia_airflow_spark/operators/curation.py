@@ -1837,3 +1837,119 @@ def q_leakage_audit(spark, sf_dir):
             .alias("max_containment_e6"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, group_col: str,
+    *, n: int = 8,
+) -> DataFrame:
+    """Per-group n-gram novelty report (r14): for each document, the
+    share of its DISTINCT word n-grams that occur NOWHERE else in the
+    corpus (document frequency 1) — "how much genuinely new content
+    does this doc add", the positive-selection complement of the
+    near-dup/containment family (high containment says copied; high
+    novelty says worth keeping; the n-gram-uniqueness signal of the
+    dedup literature used as a value score).  Rolled up per
+    ``group_col``: doc count, mean novelty, and fully-novel count.
+
+    Exactness: grams are md5 of the space-joined token window over
+    the raw ``\\s+`` split (identical arrays in both engines), per-doc
+    novelty = ``unique * 1e6 DIV n_grams``, group mean =
+    ``sum(novelty) DIV n_docs`` — all integer.  Documents with fewer
+    than ``n`` tokens have no grams and are excluded (reported by the
+    complementary length-bucket face).
+
+    Scale shape: per-doc DISTINCT grams materialize map-side
+    (transform + array_distinct before the explode), then the
+    (doc, gram) relation feeds the gram doc-frequency aggregate and
+    rejoins it on the gram equi-join (the containment shape — never
+    all-pairs); the scan lineage executes twice, everything shuffled
+    is hashes, never text.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            )
+        ),
+    )
+    rows = df.select(
+        F.col(id_col), F.col(group_col), F.explode(grams).alias("__g")
+    )
+    dfreq = rows.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        rows.join(dfreq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.min(group_col).alias(group_col),
+            F.count(F.lit(1)).alias("__n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .alias("__n_unique"),
+        )
+        .withColumn(
+            "novelty_e6",
+            F.expr("__n_unique * 1000000 DIV __n_grams"),
+        )
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(novelty_e6) DIV count(1)").cast("bigint")
+        .alias("avg_novelty_e6"),
+        F.sum(F.when(F.col("novelty_e6") == 1_000_000, 1).otherwise(0))
+        .cast("bigint").alias("n_fully_novel"),
+    )
+
+
+def _register_novelty_query():
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_text_novelty",
+        oracle="""
+        WITH arr AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(lower(text), '\\s+') AS a
+          FROM documents
+        ), rows_ AS (
+          SELECT DISTINCT doc_id, source,
+                 md5(array_to_string(a[CAST(i AS INT):CAST(i AS INT) + 7],
+                                     ' ')) AS g
+          FROM arr, unnest(range(1, len(a) - 6)) AS t(i)
+          WHERE len(a) >= 8
+        ), dfreq AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM rows_ GROUP BY g
+        ), per_doc AS (
+          SELECT doc_id, MIN(source) AS source,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique
+          FROM rows_ JOIN dfreq USING (g) GROUP BY doc_id
+        ), nov AS (
+          SELECT doc_id, source,
+                 n_unique * 1000000 // n_grams AS novelty_e6
+          FROM per_doc
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(novelty_e6) // COUNT(*) AS BIGINT)
+                 AS avg_novelty_e6,
+               CAST(SUM(CASE WHEN novelty_e6 = 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fully_novel
+        FROM nov GROUP BY source
+        """,
+    )
+    def q_text_novelty(spark, sf_dir):
+        """Per-source 8-gram novelty report, FULL hash-match oracle:
+        mean share of corpus-unique n-grams per doc and fully-novel
+        doc counts per source — exact integer ratios over identical
+        md5 gram sets, attested value-for-value."""
+        ensure_engine_conf(spark)
+        d = scan(spark, sf_dir, "documents")
+        return ngram_novelty(d, "text", "doc_id", "source")
+
+
+_register_novelty_query()

@@ -2523,3 +2523,130 @@ def q_sample_cluster_balanced(spark, sf_dir):
         .filter(F.col("rank") <= m)
         .select("cell", "vec_id", "rank")
     )
+
+
+def centroid_drift_matrix(
+    emb: DataFrame, *, id_col: str, vec_col: str, label_col: str,
+) -> DataFrame:
+    """Pairwise label-centroid distance matrix (r14): exact squared-L2
+    distance between every pair of per-label embedding centroids —
+    "are these sources/cohorts drifting apart in embedding space", the
+    embedding-side sibling of PSI (numeric columns) and JS divergence
+    (token distributions).  Rising off-diagonal distance between
+    recrawls of the same source is THE early signal that its content
+    distribution moved.
+
+    Exactness without float centroids: the centroid is the exact
+    rational ``s_d / n`` (integer component sums over e6-quantized
+    values), and ``|c_a - c_b|^2 = sum_d (s_ad*n_b - s_bd*n_a)^2 /
+    (n_a*n_b)^2``.  The cross term ``s_ad*n_b`` stays int64; its
+    square would NOT — it goes through DECIMAL(19,0) x DECIMAL(19,0)
+    -> DECIMAL(38,0), and the 64-dim sum is an order-free EXACT
+    decimal aggregate in both engines; the single final division
+    happens in doubles on identically-rounded operands.  Headroom:
+    |s_d| * n <= 2^63 holds to ~3e6 vectors per label at unit-scale
+    components; the decimal sum is exact to 1e38 (~1e9 vectors).
+
+    Scale shape: ONE corpus exchange — the (label, d) component-sum
+    aggregate (map-side combined, <= labels x dims rows out); label
+    counts ride a second tiny aggregate on the pruned label column;
+    the pair matrix is a (labels x dims)^2 self-join on d — bounded
+    model-metadata arithmetic, broadcast both sides.
+    """
+    comps = embedding_comps(emb, id_col=id_col, vec_col=vec_col)
+    sums = (
+        emb.select(F.col(id_col), F.col(label_col).alias("__lbl"))
+        .join(comps, id_col)
+        .groupBy("__lbl", "d")
+        .agg(F.sum("v6").alias("s"))
+    )
+    counts = (
+        emb.select(F.col(label_col).alias("__lbl"))
+        .groupBy("__lbl")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cents = sums.join(F.broadcast(counts), "__lbl")
+    a = cents.select(
+        F.col("__lbl").alias("label_a"), "d",
+        F.col("s").alias("sa"), F.col("n").alias("na"),
+    )
+    b = cents.select(
+        F.col("__lbl").alias("label_b"), "d",
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    diff = F.expr("CAST(sa * nb - sb * na AS DECIMAL(19,0))")
+    pairs = (
+        a.join(F.broadcast(b), "d")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.sum(diff * diff).alias("__num"),
+        )
+    )
+    den = (
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        * (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return pairs.select(
+        "label_a", "label_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.floor(F.col("__num").cast("double") / den + F.lit(0.5))
+        .cast("bigint").alias("dist2_e12"),
+    )
+
+
+def _register_drift_matrix_query():
+    @declared(
+        "q_embed_drift",
+        oracle="""
+        WITH comps AS (
+          SELECT vec_id,
+                 CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                            + 0.5) AS BIGINT) AS v6
+          FROM embeddings
+        ), sums AS (
+          SELECT e.label AS lbl, c.d, CAST(SUM(c.v6) AS BIGINT) AS s
+          FROM comps c JOIN embeddings e USING (vec_id)
+          GROUP BY e.label, c.d
+        ), counts AS (
+          SELECT label AS lbl, CAST(COUNT(*) AS BIGINT) AS n
+          FROM embeddings GROUP BY label
+        ), cents AS (
+          SELECT lbl, d, s, n FROM sums JOIN counts USING (lbl)
+        ), pairs AS (
+          SELECT a.lbl AS label_a, b.lbl AS label_b,
+                 MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+                 SUM(CAST(a.s * b.n - b.s * a.n AS DECIMAL(19,0))
+                     * CAST(a.s * b.n - b.s * a.n AS DECIMAL(19,0)))
+                   AS num
+          FROM cents a JOIN cents b ON a.d = b.d AND a.lbl < b.lbl
+          GROUP BY a.lbl, b.lbl
+        )
+        SELECT label_a, label_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(floor(
+                 CAST(num AS DOUBLE)
+                 / (CAST(n_a * n_b AS DOUBLE) * CAST(n_a * n_b AS DOUBLE))
+                 + 0.5) AS BIGINT) AS dist2_e12
+        FROM pairs
+        """,
+    )
+    def q_embed_drift(spark, sf_dir):
+        """Label-centroid drift matrix, FULL hash-match oracle:
+        pairwise exact squared-L2 distances between per-label
+        centroids (e12-scaled) — integer component sums, the cross
+        term squared through DECIMAL(38,0) so the 64-dim aggregate is
+        exact and order-free, one final double division; DuckDB
+        attests every pair value-for-value."""
+        ensure_engine_conf(spark)
+        emb = scan(spark, sf_dir, "embeddings")
+        return centroid_drift_matrix(
+            emb, id_col="vec_id", vec_col="embedding", label_col="label"
+        )
+
+
+_register_drift_matrix_query()

@@ -1895,3 +1895,53 @@ def test_dedup_rate_by_source_hand_model(spark):
                       r.dup_rate_e6)
            for r in dedup_rate_by_source(d, "text", "source").collect()}
     assert out == {"A": (4, 2, 3, 500000), "B": (2, 2, 1, 0)}
+
+
+def test_ngram_novelty_hand_model(spark):
+    """Novelty hand model with 3-grams: doc 1 and doc 2 share one gram
+    ('a b c'), each owns the rest — doc 1 has 2 grams (1 unique ->
+    500000), doc 2 has 3 grams (2 unique -> 666666); a doc shorter
+    than n tokens contributes nothing; a doc with entirely unseen
+    grams is fully novel."""
+    from artemia_airflow_spark.operators.curation import ngram_novelty
+
+    rows = [
+        (1, "A", "a b c d"),        # grams: 'a b c', 'b c d'
+        (2, "A", "z a b c q"),      # grams: 'z a b', 'a b c', 'b c q'
+        (3, "B", "p q"),            # too short for n=3
+        (4, "B", "u v w x"),        # fully novel (2 grams, both unique)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: (r.n_docs, r.avg_novelty_e6, r.n_fully_novel)
+           for r in ngram_novelty(d, "text", "doc_id", "source", n=3)
+           .collect()}
+    # doc1: 1/2 -> 500000; doc2: 2/3 -> 666666; avg = 1166666 DIV 2
+    assert out["A"] == (2, 583333, 0)
+    assert out["B"] == (1, 1_000_000, 1)
+
+
+def test_centroid_drift_matrix_exact_distances(spark):
+    """Drift-matrix hand model in 2-D: label A = {(0,0), (2,0)} has
+    centroid (1,0); B = {(4,3)} centroid (4,3); C = {(1,0)} equals
+    A's centroid exactly.  |A-B|^2 = 9+9 = 18 (18e12 at e12 scale,
+    exact), |A-C|^2 = 0 despite different counts (the n_a*n_b
+    denominator normalizes), and the matrix is upper-triangular
+    (label_a < label_b, no self-pairs)."""
+    from artemia_airflow_spark.operators.similarity import (
+        centroid_drift_matrix,
+    )
+
+    rows = [
+        (1, [0.0, 0.0], "A"), (2, [2.0, 0.0], "A"),
+        (3, [4.0, 3.0], "B"),
+        (4, [1.0, 0.0], "C"),
+    ]
+    d = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label string")
+    out = {(r.label_a, r.label_b): (r.n_a, r.n_b, r.dist2_e12)
+           for r in centroid_drift_matrix(
+               d, id_col="vec_id", vec_col="embedding", label_col="label"
+           ).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert out[("A", "B")] == (2, 1, 18_000_000_000_000)
+    assert out[("A", "C")] == (2, 1, 0)
+    assert out[("B", "C")] == (1, 1, 18_000_000_000_000)
