@@ -1543,3 +1543,69 @@ def q_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return weekly_churn(e)
+
+
+def value_percentiles_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(type, day) value-distribution panel (r14): exact median
+    and p90 of event value plus count and total — the daily
+    monitoring table under every revenue/latency dashboard ("did
+    p90 order value move yesterday"), at day granularity where the
+    rate-anomaly face (B157) watches counts.
+
+    Exactness: cent values are integers and percentiles ride the B133
+    recipe — 10x-scaled integers make every interpolated value an
+    exact integer double, half-up floored against the one-ulp drift
+    of non-binary quantile fractions (median reported at 2x, p90 at
+    10x; consumers divide back).
+
+    Scale shape: ONE (type, day) exchange; the exact-percentile
+    buffering caveat of B133 applies per (type, day) cell — cells are
+    day-bounded, and the quantile-sketch tier (B92) is the 100 TB
+    path when they are not.
+    """
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    rows = events.select(
+        F.col(type_col),
+        F.expr(f"unix_micros({ts_col}) DIV 86400000000").alias("day"),
+        (cents * 10).alias("__c10"),
+    )
+    return rows.groupBy(type_col, "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(sum(__c10) DIV 10 AS BIGINT)").alias("value_cents"),
+        F.expr("CAST(floor(percentile(__c10, 0.5D) / 5 + 0.5) AS BIGINT)")
+        .alias("med_cents_x2"),
+        F.expr("CAST(floor(percentile(__c10, 0.9D) + 0.5) AS BIGINT)")
+        .alias("p90_cents_x10"),
+    )
+
+
+@declared(
+    "q_value_percentiles_daily",
+    oracle="""
+    WITH rows_ AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) * 10 AS c10
+      FROM events
+    )
+    SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(c10) // 10 AS BIGINT) AS value_cents,
+           CAST(floor(quantile_cont(c10, 0.5) / 5 + 0.5) AS BIGINT)
+             AS med_cents_x2,
+           CAST(floor(quantile_cont(c10, 0.9) + 0.5) AS BIGINT)
+             AS p90_cents_x10
+    FROM rows_ GROUP BY event_type, day
+    """,
+)
+def q_value_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type value percentiles, FULL hash-match oracle:
+    count, cent-exact total, and exact interpolated median/p90 (2x
+    and 10x integer scaling) per (event_type, day) — every cell
+    attested value-for-value."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return value_percentiles_daily(e)

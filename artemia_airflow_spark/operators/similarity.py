@@ -2650,3 +2650,127 @@ def _register_drift_matrix_query():
 
 
 _register_drift_matrix_query()
+
+
+def knn_label_noise(
+    emb: DataFrame, *, id_col: str, vec_col: str, label_col: str,
+    n_probes: int = 50, k: int = 10,
+) -> DataFrame:
+    """KNN label-noise audit (r14): for a bounded probe set, find each
+    probe's exact k nearest neighbors and measure how often the
+    neighbor's label DISAGREES with the probe's — the standard
+    data-centric label-quality signal (a clean label sits among
+    same-label neighbors; high disagreement marks noisy labels or
+    genuinely overlapping classes; kNN-based noise detection,
+    public).  Reported per probe label so the answer is "WHICH class
+    is noisy", not just "how noisy".
+
+    Exactness: distances are squared L2 over e6 integer components —
+    an order-free int64 sum (|diff|^2 x 64 dims stays < 2^63 to
+    component scale ~1e9) — and ranking ties break by neighbor id, so
+    both engines pick the identical neighbor sets.
+
+    Scale shape: the brute-force probe tier (the B42 baseline) —
+    corpus x |probes| component join, bounded by the FIXED probe
+    count, cut by the shared map-side grouped partial top-k before
+    the per-probe ranking exchange; for corpus-scale probe sets route
+    through the IVF/PQ tiers instead (B103) and rerank exactly.
+    """
+    comps = embedding_comps(emb, id_col=id_col, vec_col=vec_col)
+    probes = comps.filter(F.col(id_col) < n_probes).select(
+        F.col(id_col).alias("__pid"), "d", F.col("v6").alias("p6")
+    )
+    d2 = (
+        comps.join(F.broadcast(probes), "d")
+        .filter(F.col(id_col) != F.col("__pid"))
+        .groupBy("__pid", id_col)
+        .agg(
+            F.sum((F.col("v6") - F.col("p6")) * (F.col("v6") - F.col("p6")))
+            .alias("__dist"),
+        )
+        .withColumn("__score", -F.col("__dist"))
+    )
+    part = _grouped_partial_topk(
+        d2, probe_id_col="__pid", id_col=id_col, score_col="__score", r=k,
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("__dist").asc(), F.col(id_col).asc()
+    )
+    nn = part.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    joined = (
+        nn.join(F.broadcast(labels.withColumnRenamed(label_col, "__nl")),
+                id_col)
+        .join(
+            F.broadcast(
+                labels.select(F.col(id_col).alias("__pid"),
+                              F.col(label_col).alias("__pl"))
+            ),
+            "__pid",
+        )
+    )
+    return joined.groupBy(F.col("__pl").alias("label")).agg(
+        F.countDistinct("__pid").cast("bigint").alias("n_probes"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum(F.when(F.col("__nl") != F.col("__pl"), 1).otherwise(0))
+        .cast("bigint").alias("n_disagree"),
+        F.expr("sum(CASE WHEN __nl <> __pl THEN 1 ELSE 0 END) * 1000000"
+               " DIV count(1)").alias("disagree_rate_e6"),
+    )
+
+
+def _register_label_noise_query():
+    @declared(
+        "q_label_noise",
+        oracle="""
+        WITH comps AS (
+          SELECT vec_id,
+                 CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                            + 0.5) AS BIGINT) AS v6
+          FROM embeddings
+        ), probes AS (
+          SELECT vec_id AS pid, d, v6 AS p6 FROM comps WHERE vec_id < 50
+        ), d2 AS (
+          SELECT p.pid, c.vec_id,
+                 SUM((c.v6 - p.p6) * (c.v6 - p.p6)) AS dist
+          FROM comps c JOIN probes p USING (d)
+          WHERE c.vec_id <> p.pid
+          GROUP BY p.pid, c.vec_id
+        ), nn AS (
+          SELECT pid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY pid
+                                    ORDER BY dist ASC, vec_id ASC) AS rk
+          FROM d2
+        ), joined AS (
+          SELECT pl.label AS pl, nl.label AS nl, n.pid
+          FROM nn n
+          JOIN embeddings nl ON nl.vec_id = n.vec_id
+          JOIN embeddings pl ON pl.vec_id = n.pid
+          WHERE n.rk <= 10
+        )
+        SELECT pl AS label,
+               CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_probes,
+               CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               CAST(SUM(CASE WHEN nl <> pl THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_disagree,
+               SUM(CASE WHEN nl <> pl THEN 1 ELSE 0 END) * 1000000
+                 // COUNT(*) AS disagree_rate_e6
+        FROM joined GROUP BY pl
+        """,
+    )
+    def q_label_noise(spark, sf_dir):
+        """KNN label-noise audit, FULL hash-match oracle: for 50 probe
+        vectors, exact integer-L2 10-NN label disagreement per probe
+        label — neighbor sets, ranks, and rates all attested
+        value-for-value."""
+        ensure_engine_conf(spark)
+        emb = scan(spark, sf_dir, "embeddings")
+        return knn_label_noise(
+            emb, id_col="vec_id", vec_col="embedding", label_col="label"
+        )
+
+
+_register_label_noise_query()

@@ -1829,3 +1829,144 @@ def _register_js_query():
 
 
 _register_js_query()
+
+
+def calibration_curve(
+    df: DataFrame, score_col: str, label_col: str, *, n_bins: int = 10,
+) -> DataFrame:
+    """Score-calibration curve (r14): equal-width bins over the
+    observed integer score range, and per bin the positive-label rate
+    — "does a higher quality score actually mean more target-like" in
+    one relation; THE acceptance check for any learned/heuristic
+    scorer before it gates a corpus (reliability-diagram recipe,
+    public).  Pairs with B150: the classifier emits log-odds, this
+    face audits them against the labels.
+
+    Exactness: the bin index is the budget-cut recipe
+    (``(s - mn) * n DIV (mx - mn + 1)``), rates and means are integer
+    divisions — every cell attestable.  Output per non-empty bin:
+    (bin, n, n_pos, pos_rate_e6, mean_score_e6).
+
+    Scale shape: a 1-row min/max broadcast attach, then ONE
+    map-side-combined bin aggregate — bins-sized output.
+    """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    stats = truncate_lineage(
+        df.agg(F.min(score_col).alias("__mn"),
+               F.max(score_col).alias("__mx")),
+        None,
+    )
+    nb = int(n_bins)
+    return (
+        df.select(F.col(score_col), F.col(label_col).alias("__pos"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bin",
+            F.expr(f"({score_col} - __mn) * {nb} DIV (__mx - __mn + 1)")
+            .cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).cast("bigint")
+            .alias("n_pos"),
+            F.expr("sum(CASE WHEN __pos THEN 1 ELSE 0 END) * 1000000"
+                   " DIV count(1)").alias("pos_rate_e6"),
+            F.expr(f"sum({score_col}) DIV count(1)").cast("bigint")
+            .alias("mean_score_e6"),
+        )
+    )
+
+
+def _register_calibration_query():
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.plans.registry import declared
+    from artemia_airflow_spark.session import ensure_engine_conf
+
+    @declared(
+        "q_select_calibration",
+        oracle="""
+        WITH toks AS (
+          SELECT doc_id, lang = 'en' AS is_t,
+                 regexp_split_to_array(lower(text), '\\s+') AS a
+          FROM documents
+        ), feats AS (
+          SELECT doc_id, is_t, unnest(a) AS feat FROM toks
+          UNION ALL
+          SELECT doc_id, is_t,
+                 a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS feat
+          FROM toks, unnest(range(1, len(a))) AS t(i)
+        ), db AS (
+          SELECT DISTINCT doc_id, is_t, substr(md5(feat), 1, 2) AS bucket
+          FROM feats
+        ), bs AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_all,
+                 CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t
+          FROM db GROUP BY bucket
+        ), pri AS (
+          SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ndt,
+                 CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(floor(ln(
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1
+                        AS DOUBLE)
+                   / CAST(COUNT(*)
+                          - SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          + 1 AS DOUBLE)
+                 ) * 1000000.0 + 0.5) AS BIGINT) AS bias6
+          FROM documents
+        ), contrib AS (
+          SELECT bucket,
+                 CAST(floor(ln(
+                   CAST((n_t + 1) * (nd - ndt + 2) AS DOUBLE)
+                   / CAST((n_all - n_t + 1) * (ndt + 2) AS DOUBLE)
+                 ) * 1000000.0 + 0.5) AS BIGINT) AS w6,
+                 bias6
+          FROM bs CROSS JOIN pri
+        ), sc AS (
+          SELECT d.doc_id, MAX(d.is_t) AS is_t,
+                 CAST(SUM(w6) + MAX(bias6) AS BIGINT) AS score_e6
+          FROM db d JOIN contrib USING (bucket) GROUP BY d.doc_id
+        ), stats AS (
+          SELECT MIN(score_e6) AS mn, MAX(score_e6) AS mx FROM sc
+        ), binned AS (
+          SELECT (score_e6 - mn) * 10 // (mx - mn + 1) AS bin,
+                 is_t, score_e6
+          FROM sc CROSS JOIN stats
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               SUM(CASE WHEN is_t THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                 AS pos_rate_e6,
+               CAST(SUM(score_e6) // COUNT(*) AS BIGINT)
+                 AS mean_score_e6
+        FROM binned GROUP BY bin
+        """,
+    )
+    def q_select_calibration(spark, sf_dir):
+        """Classifier calibration curve, FULL hash-match oracle: the
+        B150 NB log-odds scores binned into deciles of their observed
+        range with per-bin positive (English) rates — monotone rising
+        rates mean the scorer orders documents correctly; DuckDB
+        recomputes scores AND the curve value-for-value."""
+        from artemia_airflow_spark.operators.selection import (
+            classifier_scores,
+        )
+
+        ensure_engine_conf(spark)
+        d = scan(spark, sf_dir, "documents")
+        scored = classifier_scores(
+            d.withColumn("__is_t", F.col("lang") == "en"),
+            "text", "doc_id", "__is_t",
+        ).join(
+            d.select("doc_id", (F.col("lang") == "en").alias("__pos")),
+            "doc_id",
+        )
+        return calibration_curve(scored, "score_e6", "__pos")
+
+
+_register_calibration_query()

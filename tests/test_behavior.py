@@ -433,3 +433,32 @@ def test_weekly_churn_lifecycle_decomposition(spark):
     }
     for active, new, ret, res, _ in out.values():
         assert active == new + ret + res
+
+
+def test_value_percentiles_daily_exact_interpolation(spark):
+    """Percentile-panel hand model: one (type, day) cell with values
+    1.00/2.00/3.00 -> total 600 cents, exact median 200 cents
+    (med_x2 = 400), interpolated p90 280 cents (p90_x10 = 2800); a
+    second day splits into its own cell."""
+    import datetime as dt
+
+    from artemia_airflow_spark.operators.behavior import (
+        value_percentiles_daily,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "buy", 1.0),
+        (2, base + dt.timedelta(hours=1), 1, "buy", 2.0),
+        (3, base + dt.timedelta(hours=2), 1, "buy", 3.0),
+        (4, base + dt.timedelta(days=1), 1, "buy", 5.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    out = {r.day: (r.n_events, r.value_cents, r.med_cents_x2,
+                   r.p90_cents_x10)
+           for r in value_percentiles_daily(e).collect()}
+    days = sorted(out)
+    assert out[days[0]] == (3, 600, 400, 2800)
+    assert out[days[1]] == (1, 500, 1000, 5000)

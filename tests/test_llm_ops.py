@@ -1945,3 +1945,42 @@ def test_centroid_drift_matrix_exact_distances(spark):
     assert out[("A", "B")] == (2, 1, 18_000_000_000_000)
     assert out[("A", "C")] == (2, 1, 0)
     assert out[("B", "C")] == (1, 1, 18_000_000_000_000)
+
+
+def test_calibration_curve_bins_and_rates(spark):
+    """Calibration hand model: integer scores 0..9 with label =
+    score >= 5 bin one per decile (equal-width math (s-0)*10 DIV 10),
+    giving rate 0 in bins 0-4 and 1e6 in bins 5-9; mean_score equals
+    the bin's single score."""
+    from artemia_airflow_spark.operators.sketches import calibration_curve
+
+    rows = [(s, s >= 5) for s in range(10)]
+    d = spark.createDataFrame(rows, "score bigint, pos boolean")
+    out = {r.bin: (r.n, r.n_pos, r.pos_rate_e6, r.mean_score_e6)
+           for r in calibration_curve(d, "score", "pos").collect()}
+    assert set(out) == set(range(10))
+    for b in range(10):
+        want_rate = 1_000_000 if b >= 5 else 0
+        assert out[b] == (1, 1 if b >= 5 else 0, want_rate, b)
+
+
+def test_knn_label_noise_hand_model(spark):
+    """Label-noise hand model in 1-D-ish 2-D space: probe 0 (label A)
+    has nearest neighbors one A and one B -> 50% disagreement; probe 1
+    (label B) sits in a pure-B neighborhood -> 0%; distances are exact
+    integer squared-L2 and ties cannot occur."""
+    from artemia_airflow_spark.operators.similarity import knn_label_noise
+
+    rows = [
+        (0, [0.0, 0.0], "A"), (1, [10.0, 0.0], "B"),
+        (100, [1.0, 0.0], "A"), (101, [2.0, 0.0], "B"),
+        (102, [11.0, 0.0], "B"),
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string")
+    out = {r.label: (r.n_probes, r.n_neighbors, r.n_disagree,
+                     r.disagree_rate_e6)
+           for r in knn_label_noise(
+               d, id_col="vec_id", vec_col="embedding",
+               label_col="label", n_probes=50, k=2).collect()}
+    assert out == {"A": (1, 2, 1, 500000), "B": (1, 2, 0, 0)}
