@@ -1361,13 +1361,11 @@ def rate_anomalies(
 
     Returns per type: n_buckets, n_scored, n_anomalies, max_z_e6.
     """
-    us = F.unix_micros(F.col(ts_col))
     b = events.select(
         F.col(type_col),
         F.expr(f"unix_micros({ts_col}) DIV {int(bucket_s) * 1_000_000}")
         .alias("bucket"),
     ).groupBy(type_col, "bucket").agg(F.count(F.lit(1)).alias("x"))
-    del us
     wt = (
         Window.partitionBy(type_col)
         .orderBy("bucket")

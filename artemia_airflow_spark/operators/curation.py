@@ -1903,53 +1903,45 @@ def ngram_novelty(
     )
 
 
-def _register_novelty_query():
-    from artemia_airflow_spark.catalog import scan
-    from artemia_airflow_spark.plans.registry import declared
-    from artemia_airflow_spark.session import ensure_engine_conf
-
-    @declared(
-        "q_text_novelty",
-        oracle="""
-        WITH arr AS (
-          SELECT doc_id, source,
-                 regexp_split_to_array(lower(text), '\\s+') AS a
-          FROM documents
-        ), rows_ AS (
-          SELECT DISTINCT doc_id, source,
-                 md5(array_to_string(a[CAST(i AS INT):CAST(i AS INT) + 7],
-                                     ' ')) AS g
-          FROM arr, unnest(range(1, len(a) - 6)) AS t(i)
-          WHERE len(a) >= 8
-        ), dfreq AS (
-          SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM rows_ GROUP BY g
-        ), per_doc AS (
-          SELECT doc_id, MIN(source) AS source,
-                 CAST(COUNT(*) AS BIGINT) AS n_grams,
-                 CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_unique
-          FROM rows_ JOIN dfreq USING (g) GROUP BY doc_id
-        ), nov AS (
-          SELECT doc_id, source,
-                 n_unique * 1000000 // n_grams AS novelty_e6
-          FROM per_doc
-        )
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(novelty_e6) // COUNT(*) AS BIGINT)
-                 AS avg_novelty_e6,
-               CAST(SUM(CASE WHEN novelty_e6 = 1000000 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_fully_novel
-        FROM nov GROUP BY source
-        """,
+@declared(
+    "q_text_novelty",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(text), '\\s+') AS a
+      FROM documents
+    ), rows_ AS (
+      SELECT DISTINCT doc_id, source,
+             md5(array_to_string(a[CAST(i AS INT):CAST(i AS INT) + 7],
+                                 ' ')) AS g
+      FROM arr, unnest(range(1, len(a) - 6)) AS t(i)
+      WHERE len(a) >= 8
+    ), dfreq AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM rows_ GROUP BY g
+    ), per_doc AS (
+      SELECT doc_id, MIN(source) AS source,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM rows_ JOIN dfreq USING (g) GROUP BY doc_id
+    ), nov AS (
+      SELECT doc_id, source,
+             n_unique * 1000000 // n_grams AS novelty_e6
+      FROM per_doc
     )
-    def q_text_novelty(spark, sf_dir):
-        """Per-source 8-gram novelty report, FULL hash-match oracle:
-        mean share of corpus-unique n-grams per doc and fully-novel
-        doc counts per source — exact integer ratios over identical
-        md5 gram sets, attested value-for-value."""
-        ensure_engine_conf(spark)
-        d = scan(spark, sf_dir, "documents")
-        return ngram_novelty(d, "text", "doc_id", "source")
-
-
-_register_novelty_query()
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(novelty_e6) // COUNT(*) AS BIGINT)
+             AS avg_novelty_e6,
+           CAST(SUM(CASE WHEN novelty_e6 = 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fully_novel
+    FROM nov GROUP BY source
+    """,
+)
+def q_text_novelty(spark, sf_dir):
+    """Per-source 8-gram novelty report, FULL hash-match oracle:
+    mean share of corpus-unique n-grams per doc and fully-novel
+    doc counts per source — exact integer ratios over identical
+    md5 gram sets, attested value-for-value."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return ngram_novelty(d, "text", "doc_id", "source")

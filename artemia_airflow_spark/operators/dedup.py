@@ -2110,33 +2110,25 @@ def dedup_rate_by_source(
     )
 
 
-def _register_dedup_rate_query():
-    from artemia_airflow_spark.catalog import scan
-    from artemia_airflow_spark.plans.registry import declared
-    from artemia_airflow_spark.session import ensure_engine_conf
-
-    @declared(
-        "q_dedup_rate_by_source",
-        oracle="""
-        WITH per_text AS (
-          SELECT source, md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS c
-          FROM documents GROUP BY source, md5(text)
-        )
-        SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
-               CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
-               CAST(MAX(c) AS BIGINT) AS max_cluster,
-               (SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS dup_rate_e6
-        FROM per_text GROUP BY source
-        """,
+@declared(
+    "q_dedup_rate_by_source",
+    oracle="""
+    WITH per_text AS (
+      SELECT source, md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, md5(text)
     )
-    def q_dedup_rate_by_source(spark, sf_dir):
-        """Per-source exact-dup profile, FULL hash-match oracle: doc
-        and distinct-text counts, largest identical cluster, and the
-        integer-exact duplication rate per source — DuckDB attests
-        the crawl-health report value-for-value."""
-        ensure_engine_conf(spark)
-        d = scan(spark, sf_dir, "documents")
-        return dedup_rate_by_source(d, "text", "source")
-
-
-_register_dedup_rate_query()
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+           CAST(MAX(c) AS BIGINT) AS max_cluster,
+           (SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS dup_rate_e6
+    FROM per_text GROUP BY source
+    """,
+)
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Per-source exact-dup profile, FULL hash-match oracle: doc
+    and distinct-text counts, largest identical cluster, and the
+    integer-exact duplication rate per source — DuckDB attests
+    the crawl-health report value-for-value."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return dedup_rate_by_source(d, "text", "source")

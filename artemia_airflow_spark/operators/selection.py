@@ -386,6 +386,7 @@ def q_sample_weighted_group(spark, sf_dir):
 
 def classifier_scores(
     df: DataFrame, text_col: str, id_col: str, is_target_col: str,
+    *, keep_target: bool = False,
 ) -> DataFrame:
     """Model-based quality score: a binarized Naive-Bayes log-odds
     linear classifier over the SAME 256 hashed unigram+bigram buckets
@@ -481,13 +482,18 @@ def classifier_scores(
             "bias6",
         )
     )
+    aggs = [
+        (F.sum("w6") + F.max("bias6")).cast("bigint").alias("score_e6"),
+    ]
+    if keep_target:
+        # the label already flows through the presence relation —
+        # carrying it here spares calibration-style consumers a
+        # doc-grain rejoin onto the input (r14 review finding)
+        aggs.append(F.max("__t").alias("is_target"))
     return (
         db.join(F.broadcast(contrib), "bucket")
         .groupBy(id_col)
-        .agg(
-            (F.sum("w6") + F.max("bias6")).cast("bigint")
-            .alias("score_e6"),
-        )
+        .agg(*aggs)
         .withColumn(
             "pred_target",
             F.when(F.col("score_e6") > 0, 1).otherwise(0).cast("bigint"),
@@ -701,6 +707,14 @@ def token_budget_select(
     ``budget_tokens`` may be an int or a 1-row single-column
     DataFrame (computed budgets, e.g. permille-of-total, stay in
     plan — no driver collect).  Returns the selected rows of ``df``.
+
+    Token counts must be POSITIVE — enforced by an in-plan raise (the
+    matryoshka guard precedent): a zero-token row costs nothing in
+    the naive cut, so it rides the running sum's current value and
+    can be selected at ANY rank once the budget is exactly exhausted
+    — a shape the bin decomposition cannot reproduce (r14 review
+    finding).  Callers with empty documents filter or floor them
+    upstream.
     """
     from artemia_airflow_spark.operators.dedup import truncate_lineage
 
@@ -720,6 +734,20 @@ def token_budget_select(
             .alias("__budget")
         ),
         None,
+    )
+    df = df.withColumn(
+        tokens_col,
+        F.when(
+            F.col(tokens_col) <= 0,
+            F.raise_error(F.concat(
+                F.lit(f"token_budget_select: {tokens_col!r} must be "
+                      "positive, got "),
+                F.col(tokens_col).cast("string"),
+                F.lit(" — zero-token rows make the naive cut "
+                      "rank-independent at exact exhaustion; filter or "
+                      "floor them upstream"),
+            )),
+        ).otherwise(F.col(tokens_col)),
     )
     nb = _N_BUDGET_BINS
     stats = truncate_lineage(

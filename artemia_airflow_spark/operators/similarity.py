@@ -2598,58 +2598,54 @@ def centroid_drift_matrix(
     )
 
 
-def _register_drift_matrix_query():
-    @declared(
-        "q_embed_drift",
-        oracle="""
-        WITH comps AS (
-          SELECT vec_id,
-                 CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
-                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
-                            + 0.5) AS BIGINT) AS v6
-          FROM embeddings
-        ), sums AS (
-          SELECT e.label AS lbl, c.d, CAST(SUM(c.v6) AS BIGINT) AS s
-          FROM comps c JOIN embeddings e USING (vec_id)
-          GROUP BY e.label, c.d
-        ), counts AS (
-          SELECT label AS lbl, CAST(COUNT(*) AS BIGINT) AS n
-          FROM embeddings GROUP BY label
-        ), cents AS (
-          SELECT lbl, d, s, n FROM sums JOIN counts USING (lbl)
-        ), pairs AS (
-          SELECT a.lbl AS label_a, b.lbl AS label_b,
-                 MAX(a.n) AS n_a, MAX(b.n) AS n_b,
-                 SUM(CAST(a.s * b.n - b.s * a.n AS DECIMAL(19,0))
-                     * CAST(a.s * b.n - b.s * a.n AS DECIMAL(19,0)))
-                   AS num
-          FROM cents a JOIN cents b ON a.d = b.d AND a.lbl < b.lbl
-          GROUP BY a.lbl, b.lbl
-        )
-        SELECT label_a, label_b,
-               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-               CAST(floor(
-                 CAST(num AS DOUBLE)
-                 / (CAST(n_a * n_b AS DOUBLE) * CAST(n_a * n_b AS DOUBLE))
-                 + 0.5) AS BIGINT) AS dist2_e12
-        FROM pairs
-        """,
+@declared(
+    "q_embed_drift",
+    oracle="""
+    WITH comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT) AS v6
+      FROM embeddings
+    ), sums AS (
+      SELECT e.label AS lbl, c.d, CAST(SUM(c.v6) AS BIGINT) AS s
+      FROM comps c JOIN embeddings e USING (vec_id)
+      GROUP BY e.label, c.d
+    ), counts AS (
+      SELECT label AS lbl, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ), cents AS (
+      SELECT lbl, d, s, n FROM sums JOIN counts USING (lbl)
+    ), pairs AS (
+      SELECT a.lbl AS label_a, b.lbl AS label_b,
+             MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+             SUM(CAST(a.s * b.n - b.s * a.n AS DECIMAL(19,0))
+                 * CAST(a.s * b.n - b.s * a.n AS DECIMAL(19,0)))
+               AS num
+      FROM cents a JOIN cents b ON a.d = b.d AND a.lbl < b.lbl
+      GROUP BY a.lbl, b.lbl
     )
-    def q_embed_drift(spark, sf_dir):
-        """Label-centroid drift matrix, FULL hash-match oracle:
-        pairwise exact squared-L2 distances between per-label
-        centroids (e12-scaled) — integer component sums, the cross
-        term squared through DECIMAL(38,0) so the 64-dim aggregate is
-        exact and order-free, one final double division; DuckDB
-        attests every pair value-for-value."""
-        ensure_engine_conf(spark)
-        emb = scan(spark, sf_dir, "embeddings")
-        return centroid_drift_matrix(
-            emb, id_col="vec_id", vec_col="embedding", label_col="label"
-        )
-
-
-_register_drift_matrix_query()
+    SELECT label_a, label_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(floor(
+             CAST(num AS DOUBLE)
+             / (CAST(n_a * n_b AS DOUBLE) * CAST(n_a * n_b AS DOUBLE))
+             + 0.5) AS BIGINT) AS dist2_e12
+    FROM pairs
+    """,
+)
+def q_embed_drift(spark, sf_dir):
+    """Label-centroid drift matrix, FULL hash-match oracle:
+    pairwise exact squared-L2 distances between per-label
+    centroids (e12-scaled) — integer component sums, the cross
+    term squared through DECIMAL(38,0) so the 64-dim aggregate is
+    exact and order-free, one final double division; DuckDB
+    attests every pair value-for-value."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    return centroid_drift_matrix(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label"
+    )
 
 
 def knn_label_noise(
@@ -2721,56 +2717,52 @@ def knn_label_noise(
     )
 
 
-def _register_label_noise_query():
-    @declared(
-        "q_label_noise",
-        oracle="""
-        WITH comps AS (
-          SELECT vec_id,
-                 CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
-                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
-                            + 0.5) AS BIGINT) AS v6
-          FROM embeddings
-        ), probes AS (
-          SELECT vec_id AS pid, d, v6 AS p6 FROM comps WHERE vec_id < 50
-        ), d2 AS (
-          SELECT p.pid, c.vec_id,
-                 SUM((c.v6 - p.p6) * (c.v6 - p.p6)) AS dist
-          FROM comps c JOIN probes p USING (d)
-          WHERE c.vec_id <> p.pid
-          GROUP BY p.pid, c.vec_id
-        ), nn AS (
-          SELECT pid, vec_id,
-                 ROW_NUMBER() OVER (PARTITION BY pid
-                                    ORDER BY dist ASC, vec_id ASC) AS rk
-          FROM d2
-        ), joined AS (
-          SELECT pl.label AS pl, nl.label AS nl, n.pid
-          FROM nn n
-          JOIN embeddings nl ON nl.vec_id = n.vec_id
-          JOIN embeddings pl ON pl.vec_id = n.pid
-          WHERE n.rk <= 10
-        )
-        SELECT pl AS label,
-               CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_probes,
-               CAST(COUNT(*) AS BIGINT) AS n_neighbors,
-               CAST(SUM(CASE WHEN nl <> pl THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_disagree,
-               SUM(CASE WHEN nl <> pl THEN 1 ELSE 0 END) * 1000000
-                 // COUNT(*) AS disagree_rate_e6
-        FROM joined GROUP BY pl
-        """,
+@declared(
+    "q_label_noise",
+    oracle="""
+    WITH comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT) AS v6
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS pid, d, v6 AS p6 FROM comps WHERE vec_id < 50
+    ), d2 AS (
+      SELECT p.pid, c.vec_id,
+             SUM((c.v6 - p.p6) * (c.v6 - p.p6)) AS dist
+      FROM comps c JOIN probes p USING (d)
+      WHERE c.vec_id <> p.pid
+      GROUP BY p.pid, c.vec_id
+    ), nn AS (
+      SELECT pid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY dist ASC, vec_id ASC) AS rk
+      FROM d2
+    ), joined AS (
+      SELECT pl.label AS pl, nl.label AS nl, n.pid
+      FROM nn n
+      JOIN embeddings nl ON nl.vec_id = n.vec_id
+      JOIN embeddings pl ON pl.vec_id = n.pid
+      WHERE n.rk <= 10
     )
-    def q_label_noise(spark, sf_dir):
-        """KNN label-noise audit, FULL hash-match oracle: for 50 probe
-        vectors, exact integer-L2 10-NN label disagreement per probe
-        label — neighbor sets, ranks, and rates all attested
-        value-for-value."""
-        ensure_engine_conf(spark)
-        emb = scan(spark, sf_dir, "embeddings")
-        return knn_label_noise(
-            emb, id_col="vec_id", vec_col="embedding", label_col="label"
-        )
-
-
-_register_label_noise_query()
+    SELECT pl AS label,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_probes,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN nl <> pl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_disagree,
+           SUM(CASE WHEN nl <> pl THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS disagree_rate_e6
+    FROM joined GROUP BY pl
+    """,
+)
+def q_label_noise(spark, sf_dir):
+    """KNN label-noise audit, FULL hash-match oracle: for 50 probe
+    vectors, exact integer-L2 10-NN label disagreement per probe
+    label — neighbor sets, ranks, and rates all attested
+    value-for-value."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    return knn_label_noise(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label"
+    )

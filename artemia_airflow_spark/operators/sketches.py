@@ -1684,11 +1684,13 @@ def js_token_divergence(
     rational per (token, side), e6-floored, weighted by the integer
     count ``ca`` and summed order-free (the DSIR contribution
     recipe), then the two sums take one exact-int64->double division
-    each by their corpus totals.  Sum headroom: |term| <= ca *
-    ln(2)e6 <= ca * 7e5, so the side sum is <= 7e5 * T1 — int64-safe
-    to ~1.3e13 tokens per side; beyond that (true 100 TB) the sums
-    would need DECIMAL(38,0) partials, a one-line widening that
-    trades nothing but the test oracle's bit-parity.
+    each by their corpus totals.  Headroom (r14 review: the PER-TOKEN
+    PRODUCTS bind long before the side sums): the top token has
+    ca ~ O(t1), so ``2*ca*t2 ~ 2*t1*t2`` must stay under 2^63 —
+    roughly 2e9 tokens per side; the side sums (<= 7e5 * T) bind only
+    at ~1.3e13.  Beyond ~2e9 tokens per side, widen the ln arguments
+    and term products to DECIMAL(38,0) — a mechanical change trading
+    nothing but the test oracle's bit-parity.
 
     Both sides must be non-empty (an empty side has no distribution
     to compare — ln(0) would poison the sum; callers gate upstream).
@@ -1961,12 +1963,9 @@ def _register_calibration_query():
         d = scan(spark, sf_dir, "documents")
         scored = classifier_scores(
             d.withColumn("__is_t", F.col("lang") == "en"),
-            "text", "doc_id", "__is_t",
-        ).join(
-            d.select("doc_id", (F.col("lang") == "en").alias("__pos")),
-            "doc_id",
+            "text", "doc_id", "__is_t", keep_target=True,
         )
-        return calibration_curve(scored, "score_e6", "__pos")
+        return calibration_curve(scored, "score_e6", "is_target")
 
 
 _register_calibration_query()
