@@ -1607,3 +1607,178 @@ def q_value_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return value_percentiles_daily(e)
+
+
+def user_features(
+    events: DataFrame,
+    type_counts: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    gap_s: int = 3600,
+) -> DataFrame:
+    """Per-user behavioral feature table (r14): the bread-and-butter
+    feature-store export under churn/propensity models — one row per
+    user with event totals, session count (the B107 index), active
+    days, first/last seen, cent-exact value, and a conditional count
+    per requested event type.  Everything integer/epoch-exact.
+
+    Scale shape: the session index and the per-user rollup share the
+    ONE user_id exchange (the B107 contract); active days are a
+    distinct-count over day indices inside the same aggregate.  A
+    predicate on the user column pushes below the window because
+    per-user features are user-independent.
+    """
+    idx = session_event_index(
+        events, user_col, ts_col, gap_s,
+        keep_cols=[type_col, value_col],
+    )
+    us = F.unix_micros(F.col(ts_col))
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("session_idx").cast("bigint").alias("n_sessions"),
+        F.countDistinct(F.expr(f"unix_micros({ts_col}) DIV 86400000000"))
+        .cast("bigint").alias("n_active_days"),
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+        F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint"))
+        .alias("value_cents"),
+    ]
+    for t in type_counts:
+        aggs.append(
+            F.sum(F.when(F.col(type_col) == t, 1).otherwise(0))
+            .cast("bigint").alias(f"n_{t}"),
+        )
+    return idx.groupBy(user_col).agg(*aggs)
+
+
+@declared(
+    "q_user_features",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type, value, event_id,
+             lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events WHERE user_id < 50
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                          OR epoch_us(ts) - prev_us
+                             > CAST(3600 AS BIGINT) * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts, event_type, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(session_idx) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+             AS n_active_days,
+           MIN(epoch_us(ts)) AS first_us,
+           MAX(epoch_us(ts)) AS last_us,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase
+    FROM sess GROUP BY user_id
+    """,
+)
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature export, FULL hash-match oracle: totals,
+    session count, active days, first/last seen, cent-exact value,
+    and view/click/purchase counts for a bounded user slice —
+    every feature integer-exact and attested value-for-value."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return user_features(e, ["view", "click", "purchase"])
+
+
+def winsorized_mean(
+    events: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    *,
+    lo_q: float = 0.1,
+    hi_q: float = 0.9,
+) -> DataFrame:
+    """Winsorized (clamped) mean value per group (r14): values below
+    the group's lo_q percentile or above its hi_q percentile are
+    clamped to those bounds before averaging — the robust mean that
+    tolerates fat-tailed value distributions where MAD (B133) flags
+    outliers and the plain mean chases them.
+
+    Exactness: values ride the 10x-cent integer recipe; the
+    percentile BOUNDS are half-up floored to BIGINTs (a defined
+    0.1-cent rounding of the interpolated bound), so the clamp
+    compares integers to integers and the clamped sum is an
+    order-free int64 aggregate; the winsorized mean is one integer
+    division (reported at 10x cents).
+
+    Scale shape: two passes over the one (group) exchange — bounds
+    aggregate (exact-percentile buffering per group, the B133
+    caveat; B92's sketch is the unbounded tier), broadcast back,
+    then the clamped sum.
+    """
+    cents10 = (
+        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint") * 10
+    )
+    rows = events.select(F.col(type_col), cents10.alias("__c10"))
+    bounds = rows.groupBy(type_col).agg(
+        F.expr(f"CAST(floor(percentile(__c10, {lo_q}D) + 0.5) AS BIGINT)")
+        .alias("__lo"),
+        F.expr(f"CAST(floor(percentile(__c10, {hi_q}D) + 0.5) AS BIGINT)")
+        .alias("__hi"),
+    )
+    return (
+        rows.join(F.broadcast(bounds), type_col)
+        .groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("__lo").alias("lo_cents_x10"),
+            F.max("__hi").alias("hi_cents_x10"),
+            F.expr(
+                "sum(least(greatest(__c10, __lo), __hi)) DIV count(1)"
+            ).cast("bigint").alias("wmean_cents_x10"),
+        )
+    )
+
+
+@declared(
+    "q_value_winsorized",
+    oracle="""
+    WITH rows_ AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) * 10 AS c10
+      FROM events
+    ), bounds AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(c10, 0.1) + 0.5) AS BIGINT) AS lo,
+             CAST(floor(quantile_cont(c10, 0.9) + 0.5) AS BIGINT) AS hi
+      FROM rows_ GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(lo) AS lo_cents_x10, MAX(hi) AS hi_cents_x10,
+           CAST(SUM(least(greatest(c10, lo), hi)) // COUNT(*) AS BIGINT)
+             AS wmean_cents_x10
+    FROM rows_ r JOIN bounds b USING (event_type)
+    GROUP BY r.event_type
+    """,
+)
+def q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean value per type, FULL hash-match oracle: values
+    clamped at the exact p10/p90 (10x-integer interpolation, bounds
+    half-up floored) before an order-free integer mean — the robust
+    companion to the daily percentile panel, attested
+    value-for-value."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return winsorized_mean(e)

@@ -462,3 +462,60 @@ def test_value_percentiles_daily_exact_interpolation(spark):
     days = sorted(out)
     assert out[days[0]] == (3, 600, 400, 2800)
     assert out[days[1]] == (1, 500, 1000, 5000)
+
+
+def test_user_features_hand_model(spark):
+    """Feature-export hand model: u1 has 3 events across 2 sessions
+    (1h+1us gap) and 2 distinct days, 1 view + 1 click + 1 purchase,
+    630 value cents; u2 is a single-event user with zero of the
+    counted types."""
+    import datetime as dt
+
+    from artemia_airflow_spark.operators.behavior import user_features
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "view", 1.0),
+        (2, base + dt.timedelta(seconds=3600, microseconds=1), 1,
+         "click", 2.0),
+        (3, base + dt.timedelta(days=1), 1, "purchase", 3.3),
+        (4, base, 2, "signup", 0.5),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    out = {r.user_id: r for r in
+           user_features(e, ["view", "click", "purchase"]).collect()}
+    u1 = out[1]
+    assert (u1.n_events, u1.n_sessions, u1.n_active_days) == (3, 3, 2)
+    assert (u1.n_view, u1.n_click, u1.n_purchase) == (1, 1, 1)
+    assert u1.value_cents == 630
+    u2 = out[2]
+    assert (u2.n_events, u2.n_sessions, u2.n_view) == (1, 1, 0)
+    assert u2.value_cents == 50
+
+
+def test_winsorized_mean_clamps_exactly(spark):
+    """Winsorize hand model: values 1..10 (cents 100..1000, c10
+    1000..10000): p10 = 1900x10-cents? no — quantile_cont(0.1) over
+    1000..10000 = 1900- wait: positions 0..9, 0.1*9 = 0.9 ->
+    1000 + 0.9*1000 = 1900; p90 = 9100.  Clamped sum = 1900 + 2000 +
+    ... + 9000 + 9100 = 55000 -> mean 5500 (== unclamped mean x10
+    since the clamp is symmetric here); a fat outlier moves the plain
+    mean but not the winsorized one."""
+    from artemia_airflow_spark.operators.behavior import winsorized_mean
+
+    rows = [(i, "t", float(i)) for i in range(1, 11)]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double")
+    r = winsorized_mean(e).collect()[0]
+    assert (r.n, r.lo_cents_x10, r.hi_cents_x10) == (10, 1900, 9100)
+    assert r.wmean_cents_x10 == 5500
+
+    rows_out = rows + [(99, "t", 1000000.0)]
+    e2 = spark.createDataFrame(
+        rows_out, "event_id bigint, event_type string, value double")
+    r2 = winsorized_mean(e2).collect()[0]
+    # the outlier enters as the (clamped) p90 bound, not as 1e6
+    assert r2.hi_cents_x10 < 200000
+    assert r2.wmean_cents_x10 < 20000
