@@ -212,3 +212,94 @@ def q_source_json(spark, sf_dir):
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.min("event_id").alias("min_id")
     )
+
+
+@declared(
+    "q_sink_orc",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sink_orc(spark, sf_dir):
+    """ORC sink + source round-trip (r14), ORACLE-CHECKED: Spark's
+    second first-class columnar format (native ORC reader/writer, no
+    extra packages) — a lineitem slice written to ORC, re-read, and
+    aggregated with the DECIMAL money recipe.  ORC round-trips these
+    types losslessly, and the write predicate re-applies on read (ORC
+    pushes it to stripe/row-group indexes), so the oracle computes
+    the identical aggregate straight from the parquet source; a hash
+    match proves the format conversion is value-neutral end to end.
+    Scratch lives under the reaped process dir (the q_sim_index
+    precedent — never a fixed /tmp name)."""
+    from artemia_airflow_spark.functions.core import process_scratch_dir
+
+    ensure_engine_conf(spark)
+    out = os.path.join(process_scratch_dir("aas_sink_orc_"), "lineitem")
+    li = scan(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+    )
+    li.select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"
+    ).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@declared(
+    "q_compact_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction value-neutrality (r14), ORACLE-CHECKED:
+    an orders slice lands in a TxTable through FIVE separate append
+    commits (the small-file accretion every long-running ingest
+    suffers), ``compact()`` bin-packs the live files in one
+    data_change=false commit, and the aggregate runs over the
+    COMPACTED snapshot — the oracle computes it straight from the
+    source, so a hash match proves compaction rewrote bytes, not
+    rows.  The file-count drop and time-travel survival are pinned by
+    the storage tests; this face puts the value-neutrality claim
+    under the driver's differential gate."""
+    from artemia_airflow_spark.functions.core import process_scratch_dir
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    ensure_engine_conf(spark)
+    root = os.path.join(process_scratch_dir("aas_compact_"), "orders")
+    o = scan(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    t = TxTable.create(
+        spark, o.filter(F.col("o_orderkey") % 50 == 0), root,
+        key_col="o_orderkey",
+    )
+    for r in range(1, 5):
+        t.append(o.filter(
+            (F.col("o_orderkey") % 50 == 10 * r)
+        ))
+    before = len(t.files())
+    t.compact(target_files=2)
+    after = len(t.files())
+    assert after < before, (before, after)  # compaction really ran
+    return t.snapshot().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .alias("sum_price"),
+    )
