@@ -465,10 +465,11 @@ def test_value_percentiles_daily_exact_interpolation(spark):
 
 
 def test_user_features_hand_model(spark):
-    """Feature-export hand model: u1 has 3 events across 2 sessions
-    (1h+1us gap) and 2 distinct days, 1 view + 1 click + 1 purchase,
-    630 value cents; u2 is a single-event user with zero of the
-    counted types."""
+    """Feature-export hand model: u1 has 3 events across 3 sessions
+    (the 1h+1us gap opens session 2, the next-day event session 3 —
+    the strictly-greater-than-gap contract) and 2 distinct days,
+    1 view + 1 click + 1 purchase, 630 value cents; u2 is a
+    single-event user with zero of the counted types."""
     import datetime as dt
 
     from artemia_airflow_spark.operators.behavior import user_features
@@ -496,13 +497,13 @@ def test_user_features_hand_model(spark):
 
 
 def test_winsorized_mean_clamps_exactly(spark):
-    """Winsorize hand model: values 1..10 (cents 100..1000, c10
-    1000..10000): p10 = 1900x10-cents? no — quantile_cont(0.1) over
-    1000..10000 = 1900- wait: positions 0..9, 0.1*9 = 0.9 ->
-    1000 + 0.9*1000 = 1900; p90 = 9100.  Clamped sum = 1900 + 2000 +
-    ... + 9000 + 9100 = 55000 -> mean 5500 (== unclamped mean x10
-    since the clamp is symmetric here); a fat outlier moves the plain
-    mean but not the winsorized one."""
+    """Winsorize hand model: values 1..10 give c10 = 1000..10000;
+    interpolated p10 = 1000 + 0.9*1000 = 1900 (positions 0..9,
+    0.1*9 = 0.9) and p90 = 9100.  Clamped sum = 1900 + 2000 + ... +
+    9000 + 9100 = 55000 -> mean 5500, equal to the unclamped mean
+    here because the clamp is symmetric; a fat outlier moves the
+    plain mean but enters the winsorized one only as the p90
+    bound."""
     from artemia_airflow_spark.operators.behavior import winsorized_mean
 
     rows = [(i, "t", float(i)) for i in range(1, 11)]
