@@ -1416,3 +1416,115 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_mode")
     )
+
+
+@declared(
+    "q_gapfill_interpolate",
+    oracle="""
+    WITH cal AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                                         DATE '1995-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+        AND o_orderkey % 19 = 0
+      GROUP BY day
+    ), joined AS (
+      SELECT cal.day, daily.v FROM cal LEFT JOIN daily USING (day)
+    ), carried AS (
+      SELECT day, v,
+             last_value(v IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END
+                        IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS pd,
+             first_value(v IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END
+                         IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT day,
+           CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS observed,
+           CAST(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (day - pd) // (nd - pd)
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END AS BIGINT) AS value_cents
+    FROM carried
+    """,
+)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill by LINEAR INTERPOLATION (r14) — the resample
+    companion to q_gapfill's zero-fill: missing days take the exact
+    integer interpolation ``prev + (next - prev) * gap_pos DIV
+    gap_len`` between the bracketing observed days (truncating DIV,
+    identical in both engines including negative slopes), the head
+    back-fills and the tail forward-fills — pandas
+    ``interpolate(limit_direction='both')`` semantics for a daily
+    metric, engine-exact at cent scale.
+
+    Scale shape: the dense axis is GENERATED (one row exploded) and
+    calendar-bounded, so the carried prev/next windows — unpartitioned
+    by construction — only ever rank the day-grain relation; the
+    corpus contributes one map-side-combined daily aggregate.  A
+    sparse slice of orders (1 in 19) makes real gaps at every SF."""
+    ensure_engine_conf(spark)
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        scan(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 19 == 0)
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                  .cast("bigint")).alias("v")
+        )
+    )
+    joined = cal.join(daily, "day", "left")
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    carried = joined.select(
+        "day", "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = F.expr(
+        "pv + (nv - pv) * datediff(day, pd) DIV datediff(nd, pd)"
+    )
+    return carried.select(
+        "day",
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).cast("bigint")
+        .alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+        .cast("bigint").alias("value_cents"),
+    )

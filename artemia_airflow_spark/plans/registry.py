@@ -45,8 +45,8 @@ ORACLE: dict[str, str] = {}
 # (b) the 19 r9-stale rows (the r13 slip set — CORRECTNESS_r13 cut
 # off after q_mix_temperature_apply, position 50 of 69); then
 # (c) the oldest r10 rows, composite/expensive shapes first, up to
-# the cap: 1 + 21 + 19 = 41 front rows (the red row + 21 r14 faces +
-# the r9 slip set) leaves 9 r10 slots, so 38 of the 47 r10 rows slip
+# the cap: 1 + 22 + 19 = 42 front rows (the red row + 22 r14 faces +
+# the r9 slip set) leaves 8 r10 slots, so 39 of the 47 r10 rows slip
 # to r15 (one more window retires r10 fully).  The per-round dry run
 # covers the whole tail at 3 SFs meanwhile.
 PRIORITY: list[str] = [
@@ -60,7 +60,7 @@ PRIORITY: list[str] = [
     "q_dedup_rate_by_source", "q_text_novelty", "q_embed_drift",
     "q_select_calibration", "q_value_percentiles_daily", "q_label_noise",
     "q_user_features", "q_value_winsorized",
-    "q_sink_orc", "q_compact_roundtrip",
+    "q_sink_orc", "q_compact_roundtrip", "q_gapfill_interpolate",
     # (b) the 19 r9-stale rows (the r13 slip set)
     "q_mix_weights", "q_sample_stratified", "q_quantile_sketch",
     "q_profile", "q_pipeline", "q_multimodal", "q_join_salted",
@@ -68,9 +68,9 @@ PRIORITY: list[str] = [
     "q_embed_centroid", "q_embed_stats", "q_fn_date2",
     "q_distinct_cols", "q_sink_partitioned",
     "q_source_http", "q_source_http_ds", "q_source_json",
-    # (c) 9 of the 47 r10 rows, oldest/composite first
+    # (c) 8 of the 47 r10 rows, oldest/composite first
     "q_tpch_q2", "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-    "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"

@@ -1984,3 +1984,46 @@ def test_knn_label_noise_hand_model(spark):
                d, id_col="vec_id", vec_col="embedding",
                label_col="label", n_probes=50, k=2).collect()}
     assert out == {"A": (1, 2, 1, 500000), "B": (1, 2, 0, 0)}
+
+
+def test_gapfill_interpolate_hand_model(spark):
+    """Interpolation hand model built directly on the operator's
+    expression recipe via a tiny orders-shaped frame is impractical
+    (the face generates its own calendar), so model the algebra: with
+    observations day0=100 and day3=400, days 1 and 2 interpolate to
+    100 + 300*1 DIV 3 = 200 and 100 + 300*2 DIV 3 = 300; a NEGATIVE
+    slope (400 -> 100) gives 300 and 200 (truncating DIV is exact
+    here); head days before the first observation back-fill, tail
+    days forward-fill.  Verified through the same Spark expressions
+    the face uses."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.date(2024, 1, 1)
+    days = [(base + dt.timedelta(days=i),
+             {0: 100, 3: 400}.get(i)) for i in range(-1, 6)]
+    d = spark.createDataFrame(days, "day date, v bigint")
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    carried = d.select(
+        "day", "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = F.expr(
+        "pv + (nv - pv) * datediff(day, pd) DIV datediff(nd, pd)")
+    out = carried.select(
+        "day",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv")).cast("bigint").alias("val"),
+    ).collect()
+    got = {(r.day - base).days: r.val for r in out}
+    assert got == {-1: 100, 0: 100, 1: 200, 2: 300, 3: 400,
+                   4: 400, 5: 400}
