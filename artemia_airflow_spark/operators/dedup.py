@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
-from artemia_airflow_spark.functions.core import spread_for_compute
+from artemia_airflow_spark.functions.core import (
+    process_scratch_dir,
+    spread_for_compute,
+)
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
 
@@ -1793,7 +1796,7 @@ def q_dedup_incremental(spark, sf_dir):
     import tempfile
 
     ensure_engine_conf(spark)
-    root = os.path.join(tempfile.gettempdir(), "aas_dedup_incr")
+    root = os.path.join(process_scratch_dir("aas_dedup_incr_"), "t")
     shutil.rmtree(root, ignore_errors=True)
     d = scan(spark, sf_dir, "documents")
     b1 = d.filter(F.col("doc_id") % 2 == 0)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from artemia_airflow_spark.catalog import run_sql
+from artemia_airflow_spark.functions.core import process_scratch_dir
 from artemia_airflow_spark.plans.registry import declared
 
 # One string, two engines: Spark executes this verbatim via run_sql and
@@ -213,7 +214,7 @@ def q_sql_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from artemia_airflow_spark.sources.txtable import TxTable
 
     ensure_engine_conf(spark)
-    root = os.path.join(tempfile.gettempdir(), "aas_sql_tt")
+    root = os.path.join(process_scratch_dir("aas_sql_tt_"), "t")
     shutil.rmtree(root, ignore_errors=True)
     o = scan(spark, sf_dir, "orders")
     target = o.select(

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.functions.core import process_scratch_dir
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
 
@@ -60,7 +61,7 @@ def q_sink_parquet(spark, sf_dir):
     losslessly: the oracle computes the same aggregate straight from
     the source table."""
     ensure_engine_conf(spark)
-    out = os.path.join(tempfile.gettempdir(), "aas_sink_parquet")
+    out = os.path.join(process_scratch_dir("aas_sink_parquet_"), "t")
     o = scan(spark, sf_dir, "orders")
     write_parquet(o, out, partition_by=["o_orderstatus"])
     back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
@@ -105,7 +106,7 @@ def q_sink_partitioned(spark, sf_dir):
     straight from the source table (o_month string == the partition
     directory value Spark reads back)."""
     ensure_engine_conf(spark)
-    out = os.path.join(tempfile.gettempdir(), "aas_sink_partitioned")
+    out = os.path.join(process_scratch_dir("aas_sink_partitioned_"), "t")
     write_partitioned_by_month(spark, sf_dir, out)
     back = spark.read.parquet(out).filter(
         (F.col("o_month") >= "1995-01") & (F.col("o_month") <= "1995-12")
@@ -195,7 +196,7 @@ def q_source_json(spark, sf_dir):
     the aggregate uses only them), so the oracle computes the same
     aggregate straight from the source table."""
     ensure_engine_conf(spark)
-    out = os.path.join(tempfile.gettempdir(), "aas_source_json")
+    out = os.path.join(process_scratch_dir("aas_source_json_"), "t")
     e = scan(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", F.col("ts").cast("string").alias("ts_str")
     )
@@ -236,8 +237,6 @@ def q_sink_orc(spark, sf_dir):
     match proves the format conversion is value-neutral end to end.
     Scratch lives under the reaped process dir (the q_sim_index
     precedent — never a fixed /tmp name)."""
-    from artemia_airflow_spark.functions.core import process_scratch_dir
-
     ensure_engine_conf(spark)
     out = os.path.join(process_scratch_dir("aas_sink_orc_"), "lineitem")
     li = scan(spark, sf_dir, "lineitem").filter(
@@ -278,7 +277,6 @@ def q_compact_roundtrip(spark, sf_dir):
     rows.  The file-count drop and time-travel survival are pinned by
     the storage tests; this face puts the value-neutrality claim
     under the driver's differential gate."""
-    from artemia_airflow_spark.functions.core import process_scratch_dir
     from artemia_airflow_spark.sources.txtable import TxTable
 
     ensure_engine_conf(spark)

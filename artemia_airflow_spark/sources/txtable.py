@@ -1939,7 +1939,11 @@ def _register_queries() -> None:
         storage path (create -> footer stats -> pruned rewrite ->
         commit -> snapshot read) preserves exact MERGE semantics."""
         ensure_engine_conf(spark)
-        root = os.path.join(tempfile.gettempdir(), "aas_merge_acid")
+        from artemia_airflow_spark.functions.core import (
+            process_scratch_dir,
+        )
+
+        root = os.path.join(process_scratch_dir("aas_merge_acid_"), "t")
         shutil.rmtree(root, ignore_errors=True)
         o = scan(spark, sf_dir, "orders")
         target = o.select(
@@ -1996,7 +2000,11 @@ def _register_queries() -> None:
         through the mapping correctly: base rows' ``amount`` is served
         from files whose parquet column is still named ``price``."""
         ensure_engine_conf(spark)
-        root = os.path.join(tempfile.gettempdir(), "aas_schema_evo")
+        from artemia_airflow_spark.functions.core import (
+            process_scratch_dir,
+        )
+
+        root = os.path.join(process_scratch_dir("aas_schema_evo_"), "t")
         shutil.rmtree(root, ignore_errors=True)
         o = scan(spark, sf_dir, "orders")
         target = o.select(
