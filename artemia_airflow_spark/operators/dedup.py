@@ -2123,7 +2123,8 @@ def dedup_rate_by_source(
     SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
            CAST(MAX(c) AS BIGINT) AS max_cluster,
-           (SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS dup_rate_e6
+           CAST((SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS BIGINT)
+             AS dup_rate_e6
     FROM per_text GROUP BY source
     """,
 )

@@ -2475,7 +2475,7 @@ def q_cluster_kmeans(spark, sf_dir):
 @declared(
     "q_sample_cluster_balanced",
     oracle=_KMEANS_PORTABLE_PREFIX_SQL + """, members AS (
-      SELECT pk % 8 AS cell, vec_id FROM fin
+      SELECT CAST(pk % 8 AS BIGINT) AS cell, vec_id FROM fin
     ), ranked AS (
       SELECT cell, vec_id,
              ROW_NUMBER() OVER (
@@ -2751,8 +2751,8 @@ def knn_label_noise(
            CAST(COUNT(*) AS BIGINT) AS n_neighbors,
            CAST(SUM(CASE WHEN nl <> pl THEN 1 ELSE 0 END) AS BIGINT)
              AS n_disagree,
-           SUM(CASE WHEN nl <> pl THEN 1 ELSE 0 END) * 1000000
-             // COUNT(*) AS disagree_rate_e6
+           CAST(SUM(CASE WHEN nl <> pl THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS disagree_rate_e6
     FROM joined GROUP BY pl
     """,
 )

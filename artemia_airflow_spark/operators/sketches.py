@@ -1942,8 +1942,8 @@ def _register_calibration_query():
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_pos,
-               SUM(CASE WHEN is_t THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
-                 AS pos_rate_e6,
+               CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS pos_rate_e6,
                CAST(SUM(score_e6) // COUNT(*) AS BIGINT)
                  AS mean_score_e6
         FROM binned GROUP BY bin

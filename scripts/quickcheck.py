@@ -17,6 +17,43 @@ def duck_for(sf_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con
+
+# Rendered-type classes (same map as tests/test_oracle.py): the driver
+# hashes pandas-rendered values, so DuckDB/Spark type divergence (esp.
+# HUGEINT -> float64) fails the driver even when VALUES match here.
+def duck_cls(t):
+    u = t.upper()
+    if "HUGEINT" in u: return "HUGEINT"
+    if u in ("BIGINT","INTEGER","SMALLINT","TINYINT","UBIGINT","UINTEGER","USMALLINT","UTINYINT"): return "int"
+    if u in ("DOUBLE","FLOAT","REAL"): return "float"
+    if u.startswith("DECIMAL"): return "decimal"
+    if u in ("VARCHAR","TEXT","STRING"): return "str"
+    if u == "BOOLEAN": return "bool"
+    if u == "DATE": return "date"
+    if u.startswith("TIMESTAMP"): return "timestamp"
+    if u in ("BLOB","BYTEA"): return "binary"
+    if u.endswith("[]") or u.startswith(("LIST","STRUCT","MAP")): return "nested"
+    return "other:" + u
+
+def spark_cls(s):
+    if s in ("bigint","int","smallint","tinyint"): return "int"
+    if s in ("double","float"): return "float"
+    if s == "string": return "str"
+    if s == "boolean": return "bool"
+    if s == "date": return "date"
+    if s.startswith("timestamp"): return "timestamp"
+    if s == "binary": return "binary"
+    if s.startswith(("array","struct","map")): return "nested"
+    if s.startswith("decimal"): return "decimal"
+    return "other:" + s
+
+def type_check(sdf, con, sql):
+    sp = {f.name.lower(): spark_cls(f.dataType.simpleString()) for f in sdf.schema.fields}
+    du = {r[0].lower(): duck_cls(r[1]) for r in con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()}
+    probs = [f"{c}: HUGEINT in oracle" for c, cls in du.items() if cls == "HUGEINT"]
+    probs += [f"{c}: spark={sp.get(c)} duck={du.get(c)}"
+              for c in set(sp) | set(du) if sp.get(c) != du.get(c) and du.get(c) != "HUGEINT"]
+    return probs
 rc = 0
 for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
     con = duck_for(sf_dir)
@@ -29,7 +66,11 @@ for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdat
                 print(f"{sf_dir} {name}: rows-only n={len(srows)} {time.time()-t0:.1f}s")
                 continue
             drows = sorted(tuple(str(x) for x in r) for r in con.execute(o[name]).fetchall())
-            if srows == drows:
+            tprobs = type_check(sdf, con, o[name])
+            if tprobs:
+                rc = 1
+                print(f"{sf_dir} {name}: TYPE-MISMATCH {tprobs} (driver hash WILL fail even if values match)")
+            elif srows == drows:
                 print(f"{sf_dir} {name}: ok n={len(srows)} {time.time()-t0:.1f}s")
             else:
                 rc = 1

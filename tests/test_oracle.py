@@ -42,6 +42,82 @@ def _all_oracle_cases():
 NAMES, _QUERIES, _ORACLE = _all_oracle_cases()
 
 
+# --- oracle output-type lint (VERDICT r14 item 2) -------------------
+#
+# The driver's value-hash renders each side through pandas/Arrow, so a
+# column whose DuckDB type widens differently from the Spark type breaks
+# the hash even when the VALUES are identical (the r13/r14 red-row class:
+# DuckDB widens SUM(BIGINT)-derived arithmetic to HUGEINT, which pandas
+# materializes as float64 — `316667.0` vs `316667`).  Value comparison
+# (this file's test_oracle_match, scripts/quickcheck.py) is blind to it.
+# The lint therefore checks RENDERED-TYPE agreement per column: map both
+# engines' types onto the pandas-render class and require equality, and
+# ban HUGEINT/UHUGEINT outright (it never renders as int64).
+
+def _duck_render_class(t: str) -> str:
+    u = t.upper()
+    if "HUGEINT" in u:
+        return "HUGEINT"  # banned — renders float64/object, never int64
+    if u in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+             "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
+        return "int"
+    if u in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if u.startswith("DECIMAL"):
+        return "decimal"
+    if u in ("VARCHAR", "TEXT", "STRING"):
+        return "str"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "DATE":
+        return "date"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if u in ("BLOB", "BYTEA"):
+        return "binary"
+    if u.endswith("[]") or u.startswith(("LIST", "STRUCT", "MAP")):
+        return "nested"
+    return "other:" + u
+
+
+def _spark_render_class(s: str) -> str:
+    if s in ("bigint", "int", "smallint", "tinyint"):
+        return "int"
+    if s in ("double", "float"):
+        return "float"
+    if s == "string":
+        return "str"
+    if s == "boolean":
+        return "bool"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "binary":
+        return "binary"
+    if s.startswith(("array", "struct", "map")):
+        return "nested"
+    if s.startswith("decimal"):
+        return "decimal"
+    return "other:" + s
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_no_hugeint(duck, name):
+    """DESCRIBE-only lint (cheap, no Spark): no oracle column may be
+    HUGEINT/UHUGEINT — the class that shipped all four r13/r14 reds."""
+    du = duck.execute(
+        f"DESCRIBE SELECT * FROM ({_ORACLE[name]})"
+    ).fetchall()
+    huge = [r[0] for r in du if "HUGEINT" in r[1].upper()]
+    assert not huge, (
+        f"{name}: oracle column(s) {huge} are HUGEINT — cast to BIGINT "
+        "(DuckDB widens SUM(BIGINT)-derived arithmetic; the driver's "
+        "hash renders HUGEINT as float64 and fails on integer-equal "
+        "values)"
+    )
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_oracle_match(spark, duck, name):
     sdf = _QUERIES[name](spark, SF_ORACLE)
@@ -61,6 +137,25 @@ def test_oracle_match(spark, duck, name):
     ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
     assert not mismatches, f"{name}: first value mismatch {mismatches[0]}"
+
+    # Rendered-type agreement (VERDICT r14 item 2): the driver's hash
+    # renders both sides through pandas/Arrow, so per-column render
+    # classes must match even when values do (HUGEINT→float64 broke
+    # four integer-identical results in r13/r14).
+    sp = {
+        f.name.lower(): _spark_render_class(f.dataType.simpleString())
+        for f in sdf.schema.fields
+    }
+    du = {
+        d[0].lower(): _duck_render_class(d[1])
+        for d in duck.execute(
+            f"DESCRIBE SELECT * FROM ({_ORACLE[name]})"
+        ).fetchall()
+    }
+    assert sp == du, (
+        f"{name}: rendered-type mismatch spark={sp} duckdb={du} — the "
+        "driver's value-hash will diverge even if values are equal"
+    )
 
 
 def test_rows_only_queries_run(spark):
