@@ -738,11 +738,12 @@ def token_budget_select(
     df = df.withColumn(
         tokens_col,
         F.when(
-            F.col(tokens_col) <= 0,
+            F.col(tokens_col).isNull() | (F.col(tokens_col) <= 0),
             F.raise_error(F.concat(
                 F.lit(f"token_budget_select: {tokens_col!r} must be "
                       "positive, got "),
-                F.col(tokens_col).cast("string"),
+                F.coalesce(F.col(tokens_col).cast("string"),
+                           F.lit("NULL")),
                 F.lit(" — zero-token rows make the naive cut "
                       "rank-independent at exact exhaustion; filter or "
                       "floor them upstream"),

@@ -2539,13 +2539,16 @@ def centroid_drift_matrix(
     Exactness without float centroids: the centroid is the exact
     rational ``s_d / n`` (integer component sums over e6-quantized
     values), and ``|c_a - c_b|^2 = sum_d (s_ad*n_b - s_bd*n_a)^2 /
-    (n_a*n_b)^2``.  The cross term ``s_ad*n_b`` stays int64; its
-    square would NOT — it goes through DECIMAL(19,0) x DECIMAL(19,0)
-    -> DECIMAL(38,0), and the 64-dim sum is an order-free EXACT
-    decimal aggregate in both engines; the single final division
-    happens in doubles on identically-rounded operands.  Headroom:
-    |s_d| * n <= 2^63 holds to ~3e6 vectors per label at unit-scale
-    components; the decimal sum is exact to 1e38 (~1e9 vectors).
+    (n_a*n_b)^2``.  The cross products are computed in DECIMAL(20,0)
+    (exact to 1e38 — never int64, which would wrap silently past ~3e6
+    vectors per label); their difference is cast back to DECIMAL(19,0)
+    so the square goes DECIMAL(19,0) x DECIMAL(19,0) -> DECIMAL(38,0),
+    and the 64-dim sum is an order-free EXACT decimal aggregate in
+    both engines; the single final division happens in doubles on
+    identically-rounded operands.  Headroom: |diff| < 1e19 holds to
+    ~3e6 vectors per label at unit-scale components, and past it the
+    ANSI DECIMAL(19,0) downcast FAILS LOUD instead of corrupting
+    distances (ADVICE r14); the decimal sum is exact to 1e38.
 
     Scale shape: ONE corpus exchange — the (label, d) component-sum
     aggregate (map-side combined, <= labels x dims rows out); label
@@ -2574,7 +2577,10 @@ def centroid_drift_matrix(
         F.col("__lbl").alias("label_b"), "d",
         F.col("s").alias("sb"), F.col("n").alias("nb"),
     )
-    diff = F.expr("CAST(sa * nb - sb * na AS DECIMAL(19,0))")
+    diff = F.expr(
+        "CAST(CAST(sa AS DECIMAL(20,0)) * nb"
+        " - CAST(sb AS DECIMAL(20,0)) * na AS DECIMAL(19,0))"
+    )
     pairs = (
         a.join(F.broadcast(b), "d")
         .filter(F.col("label_a") < F.col("label_b"))

@@ -1666,6 +1666,11 @@ def _register_mi_query():
 _register_mi_query()
 
 
+# int64 stays safe while t1*t2 < 2^62 (every downstream product is
+# bounded by 2*t1*t2); module-level so the guard test can lower it.
+_JS_MAX_T1T2 = 2 ** 62
+
+
 def js_token_divergence(
     df: DataFrame, text_col: str, is_a_col: str,
 ) -> DataFrame:
@@ -1688,9 +1693,11 @@ def js_token_divergence(
     PRODUCTS bind long before the side sums): the top token has
     ca ~ O(t1), so ``2*ca*t2 ~ 2*t1*t2`` must stay under 2^63 —
     roughly 2e9 tokens per side; the side sums (<= 7e5 * T) bind only
-    at ~1.3e13.  Beyond ~2e9 tokens per side, widen the ln arguments
-    and term products to DECIMAL(38,0) — a mechanical change trading
-    nothing but the test oracle's bit-parity.
+    at ~1.3e13.  The bound is ENFORCED in-plan (ADVICE r14): a
+    raise_error guard on ``t1*t2 < 2^62`` fails loud instead of
+    silently wrapping.  Beyond it, widen the ln arguments and term
+    products to DECIMAL(38,0) — a mechanical change trading nothing
+    but the test oracle's bit-parity.
 
     Both sides must be non-empty (an empty side has no distribution
     to compare — ln(0) would poison the sum; callers gate upstream).
@@ -1731,6 +1738,25 @@ def js_token_divergence(
         .alias("n_types_b"),
         F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0))
         .cast("bigint").alias("n_types_shared"),
+    )
+    # In-plan headroom guard (ADVICE r14): every downstream product is
+    # bounded by 2*t1*t2, so int64 is safe iff t1*t2 < 2^62.  The guard
+    # rides t1 itself (not a prunable side column) and fails loud the
+    # moment the corpus outgrows the documented bound, instead of
+    # silently wrapping the per-token products.
+    tot = tot.withColumn(
+        "t1",
+        F.when(
+            F.col("t1").cast("decimal(20,0)") * F.col("t2")
+            > F.lit(_JS_MAX_T1T2).cast("decimal(38,0)"),
+            F.raise_error(F.concat(
+                F.lit("js_token_divergence: token totals t1*t2 ("),
+                F.col("t1").cast("string"), F.lit(" * "),
+                F.col("t2").cast("string"),
+                F.lit(") exceed the int64 headroom 2^62 — shard the"
+                      " corpus or rescale counts before comparing"),
+            )).cast("bigint"),
+        ).otherwise(F.col("t1")),
     )
     den = (F.col("ca") * F.col("t2") + F.col("cb") * F.col("t1"))
     ln6_a = F.floor(

@@ -74,7 +74,9 @@ def build_events(spark, dst: str, skewed: bool) -> None:
     from artemia_airflow_spark.catalog import scan
 
     path = f"{dst}/events.parquet"
-    if os.path.exists(path):
+    # a partially-written dir from an interrupted run must rebuild:
+    # only trust the parquet commit marker (ADVICE r14)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
     os.makedirs(dst, exist_ok=True)
     e = scan(spark, SRC, "events")
@@ -102,7 +104,9 @@ def build_docs(spark, dst: str) -> None:
     from artemia_airflow_spark.catalog import scan
 
     path = f"{dst}/documents.parquet"
-    if os.path.exists(path):
+    # a partially-written dir from an interrupted run must rebuild:
+    # only trust the parquet commit marker (ADVICE r14)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
     os.makedirs(dst, exist_ok=True)
     d = scan(spark, SRC, "documents")
@@ -124,7 +128,9 @@ def build_embeddings(spark, dst: str) -> None:
     from artemia_airflow_spark.catalog import scan
 
     path = f"{dst}/embeddings.parquet"
-    if os.path.exists(path):
+    # a partially-written dir from an interrupted run must rebuild:
+    # only trust the parquet commit marker (ADVICE r14)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
     os.makedirs(dst, exist_ok=True)
     emb = scan(spark, SRC, "embeddings")

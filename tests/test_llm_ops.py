@@ -1834,6 +1834,42 @@ def test_js_token_divergence_hand_model(spark):
     assert (got.n_types_a, got.n_types_b, got.n_types_shared) == (2, 2, 1)
 
 
+def test_js_token_divergence_headroom_guard(spark, monkeypatch):
+    """ADVICE r14: the t1*t2 < 2^62 int64 headroom is enforced in-plan.
+    With the bound lowered below the test corpus, the query fails loud
+    (raise_error), and the default bound leaves the result untouched."""
+    import pytest
+
+    from artemia_airflow_spark.operators import sketches
+
+    d = spark.createDataFrame(
+        [("a a b", True), ("a c c c", False)], ["text", "is_a"]
+    )
+    ok = sketches.js_token_divergence(d, "text", "is_a").collect()
+    assert len(ok) == 1
+
+    monkeypatch.setattr(sketches, "_JS_MAX_T1T2", 10)  # t1*t2 = 12 > 10
+    with pytest.raises(Exception, match="exceed the int64 headroom"):
+        sketches.js_token_divergence(d, "text", "is_a").collect()
+
+
+def test_token_budget_select_null_tokens_fail_loud(spark):
+    """ADVICE r14: NULL token counts must hit the positivity guard
+    (NULL <= 0 is NULL, so the pre-fix filter silently KEPT such rows
+    on the map side while the naive oracle's window dropped them)."""
+    import pytest
+
+    from artemia_airflow_spark.operators.selection import (
+        token_budget_select,
+    )
+
+    d = spark.createDataFrame(
+        [("a", 9, 4), ("b", 9, None)], "doc_id string, s bigint, t bigint"
+    )
+    with pytest.raises(Exception, match="must be positive, got NULL"):
+        token_budget_select(d, "s", "t", "doc_id", 100).collect()
+
+
 def test_vocabulary_coverage_hand_model(spark):
     """Coverage hand model: counts a=5 b=3 c=1 d=1 (total 10); N=1
     covers 5/10 (500000 e6), N=2 covers 8/10, N=10 (beyond the vocab)
