@@ -119,24 +119,41 @@ def _chained_entry_times(
 ) -> DataFrame:
     """Per-user earliest-valid-chain entry times (t0..t{k-1}) — the
     ONE implementation of the ``min ts >= previous stage`` chain
-    shared by the funnel count face and the latency face (r13 review:
-    a hand-maintained copy was the only thing keeping their
-    who-converted answers identical)."""
+    shared by the funnel count face, the latency face, and the
+    stage-value face (r13 review: a hand-maintained copy was the only
+    thing keeping their who-converted answers identical)."""
+    cur = _with_chain_columns(
+        events.select(user_col, ts_col, type_col),
+        stages, user_col, ts_col, type_col,
+    )
+    return cur.groupBy(user_col).agg(
+        *[F.min(f"__t{i}").alias(f"t{i}") for i in range(len(stages))]
+    )
+
+
+def _with_chain_columns(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Append the chained ``__t0..__t{k-1}`` entry-time window columns
+    to an existing per-event relation (all windows partition by
+    ``user_col`` only, so they compose with other same-partitioning
+    windows without a second exchange)."""
     w = Window.partitionBy(user_col)
-    cur = events.select(user_col, ts_col, type_col)
     prev_entry = None
     for i, stage in enumerate(stages):
         cond = F.col(type_col) == stage
         if prev_entry is not None:
             cond = cond & (F.col(ts_col) >= F.col(prev_entry))
         entry = f"__t{i}"
-        cur = cur.withColumn(
+        df = df.withColumn(
             entry, F.min(F.when(cond, F.col(ts_col))).over(w)
         )
         prev_entry = entry
-    return cur.groupBy(user_col).agg(
-        *[F.min(f"__t{i}").alias(f"t{i}") for i in range(len(stages))]
-    )
+    return df
 
 
 def funnel(
@@ -1224,6 +1241,198 @@ def q_attribution_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return session_attribution(e, "purchase", gap_s=3600)
+
+
+def funnel_stage_value(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    *,
+    gap_s: int = 3600,
+) -> DataFrame:
+    """Value-weighted funnel (r15, VERDICT r14 #6 — the behavioral→
+    revenue report at the funnel grain): each funnel stage reports not
+    just how many users reached it but how much SESSION-ATTRIBUTED
+    conversion value those users generated — "users who made it to
+    stage k are worth X", the report a growth team actually reads.
+
+    Semantics — a composition, not a re-derivation: stage reach uses
+    the B108 earliest-valid-chain (:func:`_with_chain_columns`, the
+    one shared chain implementation), and a conversion's value counts
+    only if it is ATTRIBUTED under the B151 rule — its most recent
+    preceding event by the same user is a non-conversion touch in the
+    SAME B107 gap session.  Per stage: users who reached it, their
+    attributed conversion count, and cent-exact attributed value —
+    all three monotonically non-increasing with depth by construction.
+
+    Scale shape: the session index, the carried-touch window, the k
+    chained entry-time windows, and the per-user collapse ALL live in
+    the ONE ``user_id`` hash partitioning (every window partitions by
+    user, so Catalyst adds sorts, never a second corpus exchange);
+    the per-user relation collapses to a depth histogram (≤ k+1 rows)
+    BEFORE the only non-equi join, which is therefore stage×depth
+    sized at any corpus scale — the B108 shape, carrying two more
+    int64 sums.
+    """
+    conversion_type = stages[-1]
+    idx = session_event_index(
+        events, user_col, ts_col, gap_s, order_tiebreak,
+        keep_cols=[type_col, value_col],
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) != conversion_type
+    carried_s = F.last(
+        F.when(is_touch, F.col("session_idx")), ignorenulls=True
+    ).over(w)
+    enriched = _with_chain_columns(
+        idx.withColumn("__tsess", carried_s),
+        stages, user_col, ts_col, type_col,
+    )
+    attributed = (F.col(type_col) == conversion_type) & (
+        F.col("__tsess") == F.col("session_idx")
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    per_user = enriched.groupBy(user_col).agg(
+        *[F.min(f"__t{i}").alias(f"t{i}") for i in range(len(stages))],
+        F.sum(F.when(attributed, 1).otherwise(0)).cast("bigint")
+        .alias("__nc"),
+        F.sum(F.when(attributed, cents).otherwise(F.lit(0)))
+        .cast("bigint").alias("__cents"),
+    )
+    depth = sum(
+        (F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+         for i in range(len(stages))),
+        F.lit(0),
+    )
+    hist = (
+        per_user.select(depth.alias("depth"), "__nc", "__cents")
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__nc").alias("__c"),
+            F.sum("__cents").alias("__v"),
+        )
+    )
+    stage_dim = [(i + 1, s) for i, s in enumerate(stages)]
+    dims = events.sparkSession.createDataFrame(
+        stage_dim, "stage_idx INT, stage STRING"
+    )
+    return (
+        dims.join(
+            F.broadcast(hist),
+            F.col("depth") >= F.col("stage_idx"), "left",
+        )
+        .groupBy("stage_idx", "stage")
+        .agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint")
+            .alias("n_users"),
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint")
+            .alias("n_conversions"),
+            F.coalesce(F.sum("__v"), F.lit(0)).cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+
+
+@declared(
+    "q_funnel_value",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type, value, event_id,
+             epoch_us(ts) AS us,
+             lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_type, value, event_id,
+             SUM(CASE WHEN prev_us IS NULL
+                           OR us - prev_us > CAST(3600 AS BIGINT) * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM ordered
+    ), carried AS (
+      SELECT user_id, ts, event_type, value, session_idx,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN session_idx END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS tsess
+      FROM sess
+    ), attr AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                                AND tsess = session_idx
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                                AND tsess = session_idx
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents
+      FROM carried GROUP BY user_id
+    ), l0 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ), l1 AS (
+      SELECT user_id, ts, event_type, t0,
+             MIN(CASE WHEN event_type = 'view' AND ts >= t0 THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM l0
+    ), l2 AS (
+      SELECT user_id, ts, event_type, t0, t1,
+             MIN(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM l1
+    ), l3 AS (
+      SELECT user_id, t0, t1, t2,
+             MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM l2
+    ), chain AS (
+      SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1,
+             MIN(t2) AS t2, MIN(t3) AS t3
+      FROM l3 GROUP BY user_id
+    ), pu AS (
+      SELECT c.user_id,
+             (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS depth,
+             a.nc, a.cents
+      FROM chain c JOIN attr a USING (user_id)
+    ), dims AS (
+      SELECT * FROM (VALUES (1, 'signup'), (2, 'view'),
+                            (3, 'click'), (4, 'purchase'))
+             AS v(stage_idx, stage)
+    )
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+           CAST(COUNT(pu.depth) AS BIGINT) AS n_users,
+           CAST(COALESCE(SUM(pu.nc), 0) AS BIGINT) AS n_conversions,
+           CAST(COALESCE(SUM(pu.cents), 0) AS BIGINT) AS value_cents
+    FROM dims LEFT JOIN pu ON pu.depth >= dims.stage_idx
+    GROUP BY stage_idx, stage
+    """,
+)
+def q_funnel_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-weighted 4-stage funnel (signup→view→click→purchase),
+    FULL hash-match oracle: per stage, the users who reached it plus
+    the count and cent-exact value of their SESSION-ATTRIBUTED
+    purchases (B151's same-session preceding-touch rule) — the B108
+    chain and B151 attribution composed on one user_id exchange,
+    attested value-for-value by DuckDB."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return funnel_stage_value(e, ["signup", "view", "click", "purchase"])
 
 
 def decayed_engagement(

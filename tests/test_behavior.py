@@ -337,6 +337,46 @@ def test_session_attribution_hand_cases(spark):
     }
 
 
+def test_funnel_stage_value_hand_cases(spark):
+    """Value-funnel hand model (stages signup→view→click→purchase):
+    u1 walks the full chain with an attributed 1.25 purchase (depth 4,
+    125 cents count at every stage); u2's purchase is their FIRST
+    event (no preceding touch → unattributed, its 10.00 never counts)
+    and depth is 1 (signup only); u3 reaches view, their purchase sits
+    in a LATER session than its carried touch (unattributed); u4's
+    click precedes their view so the chain stops at depth 2, yet their
+    same-session 0.995 purchase is attributed (rounds to 100 cents) —
+    so stage value is NOT 'value of chain completers', it is the
+    attributed value of everyone who got at least that far."""
+    from artemia_airflow_spark.operators.behavior import funnel_stage_value
+
+    e = _events(spark, [
+        # u1: full chain, purchase attributed (touch = click, same sess)
+        (0, 1, "signup", 1.0), (10, 1, "view", 1.0),
+        (20, 1, "click", 1.0), (30, 1, "purchase", 1.25),
+        # u2: purchase first (unattributed), then signup -> depth 1
+        (0, 2, "purchase", 10.0), (5, 2, "signup", 1.0),
+        # u3: signup, view; purchase 3990s after view -> new session,
+        # carried touch is prior-session view -> unattributed; depth 2
+        (0, 3, "signup", 1.0), (10, 3, "view", 1.0),
+        (4000, 3, "purchase", 2.0),
+        # u4: click BEFORE view -> chain depth 2 (signup, view);
+        # purchase attributed (touch = view, same session), 0.995 ->
+        # floor(99.5 + 0.5) = 100 cents
+        (0, 4, "signup", 1.0), (5, 4, "click", 1.0),
+        (10, 4, "view", 1.0), (15, 4, "purchase", 0.995),
+    ])
+    out = {r.stage: (r.n_users, r.n_conversions, r.value_cents)
+           for r in funnel_stage_value(
+               e, ["signup", "view", "click", "purchase"]).collect()}
+    assert out == {
+        "signup": (4, 2, 225),
+        "view": (3, 2, 225),
+        "click": (1, 1, 125),
+        "purchase": (1, 1, 125),
+    }
+
+
 def test_decayed_engagement_exact_shift_weights(spark):
     """Decay hand model (horizon 20, half-life 1): an event today
     weighs 2^20 per cent, yesterday 2^19, at the horizon 2^0, past it

@@ -890,6 +890,19 @@ def test_session_attribution_shares_one_user_exchange(spark):
     assert "CartesianProduct" not in p
 
 
+def test_funnel_value_single_user_exchange(spark):
+    """q_funnel_value (r15): the session index, carried-touch window,
+    four chained entry-time windows, and the per-user collapse all
+    ride ONE hashpartitioning(user_id) exchange over ONE events scan;
+    the only join is the broadcast nested-loop of the 4-row stage dim
+    against the ≤5-row depth histogram — never the corpus."""
+    p = _formatted_plan(spark, "q_funnel_value")
+    assert p.count("hashpartitioning(user_id") == 1, p[:2000]
+    assert p.count("events.parquet") == 1, p[:2000]
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_weekly_churn_single_user_exchange_dedup_in_window(spark):
     """q_churn_weekly (r14): the (user, week) dedup happens via a
     lag-equality filter INSIDE the one user_id partitioning (no
