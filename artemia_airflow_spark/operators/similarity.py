@@ -2173,7 +2173,7 @@ def q_sim_index_persisted(spark, sf_dir):
 def index_upsert(
     table, increment_comps: DataFrame, cells: DataFrame, books: DataFrame,
     *, delete_ids: DataFrame | None = None,
-    n_codes: int = 16, n_cells: int = 8,
+    n_codes: int = 16, n_cells: int = 8, meta: dict | None = None,
 ) -> int:
     """Incremental ANN index maintenance (r14, VERDICT r13 #5 — the
     production "index follows the corpus" loop composing B125 + B102):
@@ -2230,7 +2230,7 @@ def index_upsert(
             )
         )
         changes = changes.unionByName(dels)
-    return table.merge(changes, delete_col="__tomb")
+    return table.merge(changes, delete_col="__tomb", meta=meta)
 
 
 @declared("q_index_upsert_portable", oracle=_IVF_PQ_PORTABLE_ORACLE)
@@ -2286,6 +2286,158 @@ def q_index_upsert_portable(spark, sf_dir):
         .select("vec_id").distinct(),
     )
     loaded = t.snapshot().select("vec_id", "cell", "j", "code")
+    return _ivf_pq_portable_query(comps, probe, cells, books, loaded)
+
+
+def stream_index_maintenance(
+    stream_df: DataFrame, corpus_table, index_table,
+    cells: DataFrame, books: DataFrame, checkpoint: str, *,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    delete_col: str = "is_del", sink_id: str = "cdc-index",
+    n_codes: int = 16, n_cells: int = 8, timeout_s: int = 300,
+) -> None:
+    """The online "corpus moves, index follows" loop (r15, VERDICT r14
+    #5 — composes B99 exactly-once stream maintenance with B152
+    incremental index maintenance): each micro-batch of a keyed change
+    stream (``id_col``, ``vec_col``, ``delete_col`` tombstone flag)
+    first MERGEs into the corpus TxTable, then upserts the persisted
+    IVF-PQ index with the SAME increment — so after every drained
+    batch the index serves exactly the corpus the table holds.
+
+    Exactly-once across BOTH tables: each commit carries the
+    (sink_id, batch_id) idempotence stamp, checked per table — a crash
+    between the corpus commit and the index commit redelivers the
+    batch, the corpus skip-checks it, and the index applies it, which
+    converges because :func:`index_upsert` re-application is
+    content-neutral (MERGE re-upserts same-key rows to the same
+    values).  Dedupe to at most one row per key within a batch
+    upstream, the stream_to_txtable contract.
+
+    Scale shape: per batch, the increment — never the corpus or the
+    index — pays the encode (broadcast frozen cells/books), and both
+    MERGEs rewrite only key-range-intersecting files.  Driven with
+    Trigger.AvailableNow like every batch-drain face.
+    """
+    m = _IVF_PQ_PORTABLE_M
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stamp = {"sink_id": sink_id, "batch_id": int(batch_id)}
+        if int(batch_id) not in corpus_table.committed_stream_batches(
+            sink_id
+        ):
+            corpus_table.merge(batch_df, delete_col=delete_col, meta=stamp)
+        if int(batch_id) not in index_table.committed_stream_batches(
+            sink_id
+        ):
+            tomb = F.coalesce(F.col(delete_col), F.lit(False))
+            incr = embedding_comps(
+                batch_df.filter(~tomb), id_col=id_col, vec_col=vec_col
+            ).withColumnRenamed(id_col, "vec_id")
+            dels = (
+                batch_df.filter(tomb)
+                .select(F.col(id_col).alias("vec_id"))
+            )
+            index_upsert(
+                index_table, incr, cells, books, delete_ids=dels,
+                n_codes=n_codes, n_cells=n_cells, meta=stamp,
+            )
+
+    q = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(
+            f"stream_index_maintenance did not drain in {timeout_s}s"
+        )
+
+
+@declared("q_index_stream_portable", oracle=_IVF_PQ_PORTABLE_ORACLE)
+def q_index_stream_portable(spark, sf_dir):
+    """Streaming corpus+index maintenance, FULL hash-match oracle: the
+    corpus TxTable starts STALE (a third of the vectors zeroed out,
+    the probe vectors present as ghosts) with the index encoding that
+    stale state; a keyed change stream of corrections + ghost
+    tombstones then drains through :func:`stream_index_maintenance`
+    in multiple micro-batches (maxFilesPerTrigger=1), maintaining
+    BOTH tables exactly-once.  The query tail runs over the
+    stream-MAINTAINED index, and the oracle is q_sim_ivf_pq_portable's
+    VERBATIM full-rebuild twin — a hash match proves
+    stream-maintained == batch-rebuilt through the entire loop
+    (stream → table → index → routing → ADC → rerank)."""
+    import os
+
+    from artemia_airflow_spark.functions.core import process_scratch_dir
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    ensure_engine_conf(spark)
+    comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
+    cells, books, _ = _ivf_pq_portable_build(spark, corp)
+
+    emb = scan(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double")
+        ).alias("embedding"),
+    )
+    truth = emb.filter(F.col("vec_id") >= 5)
+    # stale corpus: every third vector zeroed; probes present as ghosts
+    stale_corpus = truth.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 3 == 0,
+            F.transform("embedding", lambda x: x * F.lit(0.0)),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    ).unionByName(emb.filter(F.col("vec_id") < 5))
+
+    root = process_scratch_dir("aas_index_stream_")
+    corpus_t = TxTable.create(
+        spark, stale_corpus, os.path.join(root, "corpus"),
+        key_col="vec_id",
+    )
+    m = _IVF_PQ_PORTABLE_M
+    stale_comps = embedding_comps(
+        stale_corpus, id_col="vec_id", vec_col="embedding"
+    )
+    initial = _ivf_pq_portable_encode(stale_comps, cells, books).select(
+        (F.col("vec_id") * m + F.col("j")).alias("k"),
+        "vec_id", "cell", "j", "code",
+    )
+    index_t = TxTable.create(
+        spark, initial, os.path.join(root, "index"), key_col="k"
+    )
+
+    # the change stream: corrections for the zeroed third (split into
+    # two files -> two micro-batches) + tombstones for the ghosts
+    src = os.path.join(root, "changes")
+    corrections = truth.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "embedding", F.lit(False).alias("is_del")
+    )
+    tombs = emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", "embedding", F.lit(True).alias("is_del")
+    )
+    corrections.filter(F.col("vec_id") % 2 == 0).coalesce(1)\
+        .write.parquet(os.path.join(src, "b1"))
+    corrections.filter(F.col("vec_id") % 2 == 1).coalesce(1)\
+        .write.parquet(os.path.join(src, "b2"))
+    tombs.coalesce(1).write.parquet(os.path.join(src, "b3"))
+
+    ch_schema = corrections.schema
+    stream = (
+        spark.readStream.schema(ch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    stream_index_maintenance(
+        stream, corpus_t, index_t, cells, books,
+        os.path.join(root, "ckpt"),
+    )
+    loaded = index_t.snapshot().select("vec_id", "cell", "j", "code")
     return _ivf_pq_portable_query(comps, probe, cells, books, loaded)
 
 

@@ -598,3 +598,104 @@ def test_running_stats_ttl_resets_idle_state_and_keeps_active(spark, tmp_path):
     assert (third[3].n_events, third[3].sum_value, third[3].max_value) == (
         1, 7.0, 7.0,
     ), "intra-batch gap > ttl did not reset"
+
+
+def test_stream_index_maintenance_exactly_once_stream_equals_batch(spark, tmp_path):
+    """The composed online loop (B99 + B152): a keyed change stream
+    maintains corpus TxTable AND persisted IVF-PQ index per batch.
+    Pins (a) the maintained corpus equals the truth (corrections
+    applied, ghosts gone), (b) the stream-maintained index is
+    row-identical to a DIRECT batch index_upsert of the same increment
+    (stream == batch), and (c) a re-drain on the same checkpoint
+    commits nothing (exactly-once on both tables)."""
+    from artemia_airflow_spark.operators import similarity as S
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    emb = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> "
+            "cast((id * 67 + d * 13) % 41 - 20 as double) / 10.0)"
+        ).alias("embedding"),
+    )
+    comps_of = lambda df: S.embedding_comps(  # noqa: E731
+        df, id_col="vec_id", vec_col="embedding"
+    )
+    cells, books, _ = S._ivf_pq_portable_build(spark, comps_of(emb))
+
+    truth = emb.filter(F.col("vec_id") < 10)       # ids 10/11 = ghosts
+    stale = truth.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 3 == 0,
+            F.expr("transform(embedding, x -> 0.0d)"),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    ).unionByName(emb.filter(F.col("vec_id") >= 10))
+    m = S._IVF_PQ_PORTABLE_M
+
+    def encode_keyed(df):
+        return S._ivf_pq_portable_encode(comps_of(df), cells, books).select(
+            (F.col("vec_id") * m + F.col("j")).alias("k"),
+            "vec_id", "cell", "j", "code",
+        )
+
+    corpus_t = TxTable.create(
+        spark, stale, str(tmp_path / "corpus"), key_col="vec_id"
+    )
+    index_t = TxTable.create(
+        spark, encode_keyed(stale), str(tmp_path / "index"), key_col="k"
+    )
+
+    src = str(tmp_path / "chg")
+    corrections = truth.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "embedding", F.lit(False).alias("is_del")
+    )
+    tombs = emb.filter(F.col("vec_id") >= 10).select(
+        "vec_id", "embedding", F.lit(True).alias("is_del")
+    )
+    corrections.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    tombs.coalesce(1).write.parquet(os.path.join(src, "b2"))
+    stream = (
+        spark.readStream.schema(corrections.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    S.stream_index_maintenance(stream, corpus_t, index_t, cells, books, ckpt)
+
+    # (a) corpus == truth
+    got = {
+        r.vec_id: tuple(r.embedding)
+        for r in corpus_t.snapshot().collect()
+    }
+    want = {r.vec_id: tuple(r.embedding) for r in truth.collect()}
+    assert got == want
+
+    # (b) stream-maintained index == direct batch upsert of the same
+    # increment on a fresh stale index
+    direct_t = TxTable.create(
+        spark, encode_keyed(stale), str(tmp_path / "direct"), key_col="k"
+    )
+    S.index_upsert(
+        direct_t,
+        comps_of(truth.filter(F.col("vec_id") % 3 == 0)),
+        cells, books,
+        delete_ids=emb.filter(F.col("vec_id") >= 10).select("vec_id"),
+    )
+    rows = lambda t: sorted(  # noqa: E731
+        map(tuple, t.snapshot().select("k", "vec_id", "cell", "j", "code")
+            .collect())
+    )
+    assert rows(index_t) == rows(direct_t)
+    # and both equal a from-scratch encode of the truth
+    assert rows(index_t) == sorted(map(tuple, encode_keyed(truth).collect()))
+
+    # (c) exactly-once: re-drain the same files on the same checkpoint
+    cv, iv = corpus_t.version(), index_t.version()
+    stream2 = (
+        spark.readStream.schema(corrections.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    S.stream_index_maintenance(
+        stream2, corpus_t, index_t, cells, books, ckpt
+    )
+    assert (corpus_t.version(), index_t.version()) == (cv, iv)
