@@ -1241,6 +1241,123 @@ def q_mix_temperature_apply(spark, sf_dir):
     )
 
 
+def epoch_plan(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    *,
+    budget_tokens_factor: int = 2,
+    epoch_warn_e6: int = 4_000_000,
+) -> DataFrame:
+    """Training-mix epoch plan (r15): given sqrt-temperature sampling
+    masses (the B-mix_temperature schedule) and a total training token
+    budget, compute per source how many PASSES over it the schedule
+    implies — the "how many epochs of each source" table a pretraining
+    data team signs off before a run, and the place the "you would
+    repeat this source 12 times" warning comes from.
+
+    Arithmetic, all integer-exact: mass = floor(sqrt(n_tokens)*1e6+.5)
+    (IEEE sqrt is correctly rounded everywhere — the
+    q_mix_temperature argument), budget = ``budget_tokens_factor`` x
+    corpus tokens, target_s = budget * mass_s DIV sum(mass),
+    epochs_e6 = target_s * 1e6 DIV n_tokens, plus a boolean warn flag
+    past ``epoch_warn_e6``.  Headroom: the two products bind at
+    budget * max(mass) and target * 1e6; both are guarded in-plan
+    (raise_error past 2^62, the ADVICE r14 convention) — holds to
+    ~2e12 corpus tokens at factor 2, past which the products move to
+    DECIMAL(38,0) mechanically.
+
+    Scale shape: ONE corpus scan into the per-source token aggregate;
+    everything after is |sources|-row arithmetic with the two global
+    sums attached via the unpartitioned window (:func:`_with_global`).
+    """
+    s = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(_tokens(text_col))).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "mass_e6",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000
+                + F.lit(0.5)).cast("bigint"),
+    )
+    s = _with_global(
+        s,
+        total_mass=F.sum("mass_e6"),
+        budget=F.sum("n_tokens"),
+    ).withColumn("budget", F.col("budget") * budget_tokens_factor)
+    # division-only comparisons: the guard itself must not overflow
+    # (budget * 1e6 would, at exactly the scales it protects against)
+    lim = 2 ** 62
+    guarded_mass = F.when(
+        (F.col("budget") > F.expr(f"CAST({lim} AS BIGINT) DIV mass_e6"))
+        | (F.col("budget") > F.lit(lim // 1_000_000)),
+        F.raise_error(F.concat(
+            F.lit("epoch_plan: budget*mass exceeds the int64 headroom "
+                  "2^62 — widen the plan arithmetic to DECIMAL(38,0) "
+                  "past ~2e12 corpus tokens"),
+        )).cast("bigint"),
+    ).otherwise(F.col("mass_e6"))
+    # the guard must ride the consumed column ITSELF, in a projection
+    # BEFORE the product consumes it (same-select references resolve to
+    # the unguarded input and would overflow first)
+    planned = s.withColumn("mass_e6", guarded_mass).select(
+        F.col(source_col),
+        "n_docs", "n_tokens", "mass_e6",
+        F.expr(
+            "CAST(budget * mass_e6 DIV total_mass AS BIGINT)"
+        ).alias("target_tokens"),
+    ).withColumn(
+        "epochs_e6",
+        F.expr("target_tokens * 1000000 DIV n_tokens").cast("bigint"),
+    ).withColumn(
+        "repeat_warn", (F.col("epochs_e6") > F.lit(epoch_warn_e6)),
+    )
+    return planned
+
+
+@declared(
+        "q_mix_epoch_plan",
+        oracle="""
+        WITH s AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(regexp_split_to_array(lower(text), '\\s+')))
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), g AS (
+          SELECT source, n_docs, n_tokens,
+                 CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                      AS BIGINT) AS mass_e6,
+                 CAST(SUM(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                                     * 1000000 + 0.5) AS BIGINT))
+                      OVER () AS BIGINT) AS total_mass,
+                 CAST(2 * SUM(n_tokens) OVER () AS BIGINT) AS budget
+          FROM s
+        ), p AS (
+          SELECT source, n_docs, n_tokens, mass_e6,
+                 CAST(budget * mass_e6 // total_mass AS BIGINT)
+                   AS target_tokens
+          FROM g
+        )
+        SELECT source, n_docs, n_tokens, mass_e6, target_tokens,
+               CAST(target_tokens * 1000000 // n_tokens AS BIGINT)
+                 AS epochs_e6,
+               (target_tokens * 1000000 // n_tokens > 4000000)
+                 AS repeat_warn
+        FROM p
+        """,
+    )
+def q_mix_epoch_plan(spark, sf_dir):
+    """Training-mix epoch plan, FULL hash-match oracle: per source,
+    the sqrt-temperature sampling mass, the token target under a
+    2x-corpus budget, and the implied epochs over the source
+    (e6-scaled, with the >4-epoch repeat warning flag) — every
+    number integer-exact so DuckDB attests the whole plan
+    value-for-value."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return epoch_plan(d, "text", "source")
+
+
 def decontaminate_bloom_portable(
     train: DataFrame, eval_df: DataFrame, text_col: str, id_col: str, *,
     n: int = 4, k: int = 3, hex_chars: int = 5,

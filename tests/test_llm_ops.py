@@ -1870,6 +1870,42 @@ def test_token_budget_select_null_tokens_fail_loud(spark):
         token_budget_select(d, "s", "t", "doc_id", 100).collect()
 
 
+def test_epoch_plan_hand_model_and_guard(spark):
+    """Epoch-plan hand model: sources with 9/4/1 tokens get sqrt
+    masses 3e6/2e6/1e6; under a 2x budget (28 tokens) the targets are
+    14/9/4 (truncating DIV) and the implied epochs 1.555/2.25/4.0 e6 —
+    with warn at 3e6 only the 1-token source flags (exactly-4e6 under
+    the default 4e6 threshold does NOT).  An absurd budget factor
+    trips the in-plan 2^62 headroom guard loudly."""
+    import pytest
+
+    from artemia_airflow_spark.operators.curation import epoch_plan
+
+    d = spark.createDataFrame(
+        [("A", "a b c"), ("A", "d e f"), ("A", "g h i"),
+         ("B", "a b c d"), ("C", "x")],
+        ["source", "text"],
+    )
+    out = {r.source: r for r in epoch_plan(
+        d, "text", "source", epoch_warn_e6=3_000_000).collect()}
+    assert (out["A"].n_tokens, out["A"].mass_e6,
+            out["A"].target_tokens, out["A"].epochs_e6,
+            out["A"].repeat_warn) == (9, 3_000_000, 14, 1_555_555, False)
+    assert (out["B"].target_tokens, out["B"].epochs_e6,
+            out["B"].repeat_warn) == (9, 2_250_000, False)
+    assert (out["C"].target_tokens, out["C"].epochs_e6,
+            out["C"].repeat_warn) == (4, 4_000_000, True)
+    # default threshold: exactly 4e6 does not warn (strictly greater)
+    out4 = {r.source: r.repeat_warn
+            for r in epoch_plan(d, "text", "source").collect()}
+    assert out4 == {"A": False, "B": False, "C": False}
+
+    with pytest.raises(Exception, match="exceeds the int64 headroom"):
+        epoch_plan(
+            d, "text", "source", budget_tokens_factor=2 ** 45
+        ).collect()
+
+
 def test_vocabulary_coverage_hand_model(spark):
     """Coverage hand model: counts a=5 b=3 c=1 d=1 (total 10); N=1
     covers 5/10 (500000 e6), N=2 covers 8/10, N=10 (beyond the vocab)
