@@ -1358,6 +1358,101 @@ def q_mix_epoch_plan(spark, sf_dir):
     return epoch_plan(d, "text", "source")
 
 
+def source_influence(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Leave-one-source-out influence on the corpus mean document
+    length (r15): for each source, what the mean tokens-per-doc
+    becomes if the source is REMOVED — the cheapest honest answer to
+    "which source is dragging this statistic", computed exactly from
+    one aggregate pass instead of |sources| recomputations (the
+    leave-one-out identity: removing s changes the mean to
+    (T - t_s)/(N - n_s), all four inputs already in the per-source
+    rollup).
+
+    All integer-exact e6 rationals: global_mean_e6 = T*1e6 DIV N,
+    mean_wo_e6 = (T - t_s)*1e6 DIV (N - n_s), influence_e6 = the
+    difference (positive ⇒ the source drags the mean DOWN).  A source
+    that IS the whole corpus has no leave-one-out mean — emitted as
+    influence 0 with mean_wo_e6 = global (the only defensible
+    convention; NULL would poison downstream sorts).  Headroom:
+    T*1e6 < 2^62 holds to ~4.6e12 corpus tokens, guarded in-plan
+    (division-only comparison, the epoch_plan convention).
+
+    Scale shape: ONE corpus scan into the per-source aggregate;
+    |sources|-row arithmetic after the unpartitioned-window totals.
+    """
+    s = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(_tokens(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    s = _with_global(
+        s, total_tokens=F.sum("n_tokens"), total_docs=F.sum("n_docs")
+    )
+    lim = 2 ** 62
+    guarded_tokens = F.when(
+        F.col("total_tokens") > F.lit(lim // 1_000_000),
+        F.raise_error(F.lit(
+            "source_influence: corpus tokens exceed the int64 headroom "
+            "2^62/1e6 — widen the e6 products to DECIMAL(38,0) past "
+            "~4.6e12 tokens"
+        )).cast("bigint"),
+    ).otherwise(F.col("total_tokens"))
+    s = s.withColumn("total_tokens", guarded_tokens)
+    global_e6 = F.expr("total_tokens * 1000000 DIV total_docs")
+    wo_e6 = F.when(
+        F.col("total_docs") == F.col("n_docs"), global_e6
+    ).otherwise(F.expr(
+        "(total_tokens - n_tokens) * 1000000 DIV (total_docs - n_docs)"
+    ))
+    return s.select(
+        F.col(source_col),
+        "n_docs", "n_tokens",
+        global_e6.cast("bigint").alias("global_mean_e6"),
+        wo_e6.cast("bigint").alias("mean_wo_e6"),
+        (wo_e6 - global_e6).cast("bigint").alias("influence_e6"),
+    )
+
+
+@declared(
+    "q_select_influence",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(lower(text), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), g AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS tt,
+             CAST(SUM(n_docs) OVER () AS BIGINT) AS td
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(tt * 1000000 // td AS BIGINT) AS global_mean_e6,
+           CAST(CASE WHEN td = n_docs THEN tt * 1000000 // td
+                ELSE (tt - n_tokens) * 1000000 // (td - n_docs)
+                END AS BIGINT) AS mean_wo_e6,
+           CAST(CASE WHEN td = n_docs THEN 0
+                ELSE (tt - n_tokens) * 1000000 // (td - n_docs)
+                     - tt * 1000000 // td
+                END AS BIGINT) AS influence_e6
+    FROM g
+    """,
+)
+def q_select_influence(spark, sf_dir):
+    """Leave-one-source-out influence panel, FULL hash-match oracle:
+    per source, the corpus mean tokens-per-doc with and without the
+    source and the e6-exact delta — the "which source moves this
+    statistic" report, attested value-for-value by DuckDB."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return source_influence(d, "text", "source")
+
+
 def decontaminate_bloom_portable(
     train: DataFrame, eval_df: DataFrame, text_col: str, id_col: str, *,
     n: int = 4, k: int = 3, hex_chars: int = 5,

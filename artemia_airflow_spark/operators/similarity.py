@@ -2806,6 +2806,126 @@ def q_embed_drift(spark, sf_dir):
     )
 
 
+def embedding_outliers(
+    emb: DataFrame, *, id_col: str, vec_col: str, label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-label embedding outlier audit (r15): the ``k`` vectors
+    FARTHEST from their own label's centroid — the "these are probably
+    mislabeled or garbage" candidates a curation pass reviews first,
+    the within-label sibling of the across-label drift matrix
+    (:func:`centroid_drift_matrix`) and the cheap-screen companion to
+    the exact KNN label-noise audit (B165: neighborhood vote; this:
+    one centroid distance, no pairwise work).
+
+    Exactness: centroid = s_d/n exactly, and ``|v - c|^2 =
+    sum_d (v6_d*n - s_d)^2 / n^2`` — the cross term computed in
+    DECIMAL(20,0) (never int64, the centroid-drift ADVICE fix), its
+    square DECIMAL(38,0), the 64-dim sum order-free exact, one final
+    double division e12-floored.  Ranking uses the floored value with
+    a vec_id tiebreak, so ties are deterministic cross-engine.
+
+    Scale shape: one (label, d) stats aggregate (labels x dims rows,
+    broadcast back), one (label, vec) score aggregate — the corpus
+    shuffles once for each, nothing pairwise; the top-k rides a
+    per-label window over label-partitioned score rows (labels are
+    few; skewed label sizes cost one window task each, the documented
+    behavioral-face trade).
+    """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    comps = embedding_comps(emb, id_col=id_col, vec_col=vec_col)
+    labeled = comps.join(
+        emb.select(F.col(id_col), F.col(label_col).alias("__lbl")),
+        id_col,
+    )
+    stats = truncate_lineage(
+        labeled.groupBy("__lbl", "d").agg(
+            F.sum("v6").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        None,
+    )
+    diff = F.expr("CAST(CAST(v6 AS DECIMAL(20,0)) * n - s AS DECIMAL(19,0))")
+    scored = (
+        labeled.join(F.broadcast(stats), ["__lbl", "d"])
+        .groupBy("__lbl", id_col)
+        .agg(
+            F.sum(diff * diff).alias("__num"),
+            F.max("n").alias("__n"),
+        )
+        .select(
+            F.col("__lbl").alias("label"),
+            F.col(id_col),
+            F.floor(
+                F.col("__num").cast("double")
+                / (F.col("__n") * F.col("__n")).cast("double")
+                + F.lit(0.5)
+            ).cast("bigint").alias("dist2_e12"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2_e12").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("label", "rank", id_col, "dist2_e12")
+    )
+
+
+@declared(
+    "q_embed_outliers",
+    oracle="""
+    WITH comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT) AS v6
+      FROM comps_src
+    ), stats AS (
+      SELECT e.label AS lbl, c.d,
+             CAST(SUM(c.v6) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM comps c JOIN embeddings e USING (vec_id)
+      GROUP BY e.label, c.d
+    ), scored AS (
+      SELECT st.lbl AS label, c.vec_id,
+             SUM(CAST(c.v6 * st.n - st.s AS DECIMAL(19,0))
+                 * CAST(c.v6 * st.n - st.s AS DECIMAL(19,0))) AS num,
+             MAX(st.n) AS n
+      FROM comps c
+      JOIN embeddings e USING (vec_id)
+      JOIN stats st ON st.lbl = e.label AND st.d = c.d
+      GROUP BY st.lbl, c.vec_id
+    ), q AS (
+      SELECT label, vec_id,
+             CAST(floor(CAST(num AS DOUBLE)
+                        / CAST(n * n AS DOUBLE) + 0.5) AS BIGINT)
+               AS dist2_e12
+      FROM scored
+    )
+    SELECT label,
+           CAST(ROW_NUMBER() OVER (PARTITION BY label
+                ORDER BY dist2_e12 DESC, vec_id ASC) AS BIGINT) AS rank,
+           vec_id, dist2_e12
+    FROM q
+    QUALIFY rank <= 5
+    """.replace("comps_src", "embeddings"),
+)
+def q_embed_outliers(spark, sf_dir):
+    """Per-label embedding outliers, FULL hash-match oracle: the 5
+    vectors farthest from their own label centroid (exact rational
+    centroid, DECIMAL-exact numerator, e12-floored distance,
+    vec_id-tiebroken rank) — the mislabel/garbage screening list,
+    attested value-for-value by DuckDB."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    return embedding_outliers(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label"
+    )
+
+
 def knn_label_noise(
     emb: DataFrame, *, id_col: str, vec_col: str, label_col: str,
     n_probes: int = 50, k: int = 10,

@@ -205,6 +205,195 @@ def q_text_langid(spark, sf_dir):
     )
 
 
+def langid_quality(
+    df: DataFrame, text_col: str, label_col: str = "lang"
+) -> DataFrame:
+    """Classifier quality panel for the language-ID heuristic (r15):
+    per TRUE language, precision / recall / F1 against the labels —
+    the metric sheet you read before trusting lang-ID for filtering,
+    derived from the B-langid confusion in one pass (tp from the
+    diagonal, fp/fn from the row/column margins, F1 via the margin
+    identity ``2*tp / (n_pred + n_true)``).
+
+    Conventions: a language the classifier NEVER predicts has
+    precision 0 (not NULL — downstream sorts must not poison); 'und'
+    predictions depress recall of their true class but form no output
+    row (rows are true languages).  All rates are e6-exact BIGINT
+    rationals.
+
+    Scale shape: one corpus scan into the (lang, pred) confusion
+    aggregate (≤ |langs|² rows, map-side combined, lineage-truncated
+    once); everything after is margin arithmetic on that tiny frame.
+    """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    conf = truncate_lineage(
+        language_id(df, text_col)
+        .groupBy(F.col(label_col).alias("lang"), "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+        None,
+    )
+    rows = conf.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_true"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang_pred") == F.col("lang"),
+                         F.col("n"))),
+            F.lit(0),
+        ).cast("bigint").alias("tp"),
+    )
+    cols = conf.groupBy("lang_pred").agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    j = rows.join(
+        cols, rows["lang"] == cols["lang_pred"], "left"
+    ).select(
+        "lang", "n_true", "tp",
+        F.coalesce(F.col("n_pred"), F.lit(0)).cast("bigint")
+        .alias("n_pred"),
+    )
+    return j.select(
+        "lang", "n_true", "n_pred", "tp",
+        F.when(F.col("n_pred") > 0,
+               F.expr("tp * 1000000 DIV n_pred"))
+        .otherwise(F.lit(0)).cast("bigint").alias("precision_e6"),
+        F.expr("tp * 1000000 DIV n_true").cast("bigint")
+        .alias("recall_e6"),
+        F.when(F.col("n_pred") + F.col("n_true") > 0,
+               F.expr("2 * tp * 1000000 DIV (n_pred + n_true)"))
+        .otherwise(F.lit(0)).cast("bigint").alias("f1_e6"),
+    )
+
+
+_LANGID_CONF_SQL = """
+    WITH h AS (
+      SELECT lang,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['the','and','of','to','in'])) AS h_en,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['el','la','de','que','los'])) AS h_es,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['le','la','les','des','est'])) AS h_fr,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['der','die','das','und','ist'])) AS h_de,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['de5','shi4','le5','zai4','he2'])) AS h_zh
+      FROM documents
+    ), p AS (
+      SELECT lang,
+             CASE WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'und'
+                  WHEN h_zh = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'zh'
+                  WHEN h_fr = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM h
+    ), conf AS (
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY lang, lang_pred
+    )"""
+
+
+@declared(
+    "q_text_langid_quality",
+    oracle=_LANGID_CONF_SQL + """, r AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true,
+             CAST(COALESCE(SUM(CASE WHEN lang_pred = lang THEN n END), 0)
+                  AS BIGINT) AS tp
+      FROM conf GROUP BY lang
+    ), c AS (
+      SELECT lang_pred, CAST(SUM(n) AS BIGINT) AS n_pred
+      FROM conf GROUP BY lang_pred
+    ), j AS (
+      SELECT r.lang, r.n_true, r.tp,
+             CAST(COALESCE(c.n_pred, 0) AS BIGINT) AS n_pred
+      FROM r LEFT JOIN c ON c.lang_pred = r.lang
+    )
+    SELECT lang, n_true, n_pred, tp,
+           CAST(CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred
+                ELSE 0 END AS BIGINT) AS precision_e6,
+           CAST(tp * 1000000 // n_true AS BIGINT) AS recall_e6,
+           CAST(CASE WHEN n_pred + n_true > 0
+                THEN 2 * tp * 1000000 // (n_pred + n_true)
+                ELSE 0 END AS BIGINT) AS f1_e6
+    FROM j
+    """,
+)
+def q_text_langid_quality(spark, sf_dir):
+    """Language-ID precision/recall/F1 panel, FULL hash-match oracle:
+    the B-langid confusion reduced to per-true-language e6-exact
+    quality rates (never-predicted convention: precision 0) — the
+    classifier sign-off sheet, attested value-for-value by DuckDB."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return langid_quality(d, "text", "lang")
+
+
+def text_compression(
+    df: DataFrame, text_col: str, source_col: str
+) -> DataFrame:
+    """Tokenizer-efficiency panel (r15): per source, UTF-8 bytes,
+    characters, and whitespace tokens with the two ratios a tokenizer
+    team tracks — bytes-per-token (the compression denominator: how
+    many bytes one token 'buys') and the multibyte share (how much of
+    the corpus is non-ASCII, the first-order predictor of BPE
+    fertility blow-up on a byte-level tokenizer).  Both e6-exact
+    BIGINT rationals; byte counts are ``octet_length`` (Spark) /
+    ``strlen`` (DuckDB) — UTF-8 octets in both.
+
+    Scale shape: ONE corpus scan, one per-source map-side-combined
+    aggregate; the ratios are |sources|-row arithmetic.
+    """
+    return (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.octet_length(F.col(text_col))).cast("bigint")
+            .alias("n_bytes"),
+            F.sum(F.length(F.col(text_col))).cast("bigint")
+            .alias("n_chars"),
+            F.sum(F.size(F.split(F.lower(F.col(text_col)), r"\s+")))
+            .cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            source_col, "n_docs", "n_bytes", "n_chars", "n_tokens",
+            F.expr("n_bytes * 1000000 DIV n_tokens").cast("bigint")
+            .alias("bytes_per_token_e6"),
+            F.expr("(n_bytes - n_chars) * 1000000 DIV n_bytes")
+            .cast("bigint").alias("multibyte_ratio_e6"),
+        )
+    )
+
+
+@declared(
+    "q_text_compression",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             CAST(SUM(len(regexp_split_to_array(lower(text), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_bytes, n_chars, n_tokens,
+           CAST(n_bytes * 1000000 // n_tokens AS BIGINT)
+             AS bytes_per_token_e6,
+           CAST((n_bytes - n_chars) * 1000000 // n_bytes AS BIGINT)
+             AS multibyte_ratio_e6
+    FROM s
+    """,
+)
+def q_text_compression(spark, sf_dir):
+    """Per-source tokenizer-efficiency panel, FULL hash-match oracle:
+    UTF-8 bytes / chars / whitespace tokens with e6-exact
+    bytes-per-token and multibyte-share ratios — the corpus-encoding
+    cost sheet, attested value-for-value by DuckDB."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return text_compression(d, "text", "source")
+
+
 @declared(
     "q_text_fingerprint",
     oracle="""

@@ -52,10 +52,10 @@ PRIORITY: list[str] = [
     # (a) the four r14 reds (oracle HUGEINT casts, fixed at HEAD)
     "q_sample_cluster_balanced", "q_dedup_rate_by_source",
     "q_select_calibration", "q_label_noise",
-    # new r15 faces (forward-safe: skipped until registered)
+    # the 7 new r15 faces
     "q_index_stream_portable", "q_funnel_value",
-    "q_dedup_fuzzy_minhash", "q_select_influence",
-    "q_text_langid_confusion", "q_embed_outliers",
+    "q_text_compression", "q_select_influence",
+    "q_text_langid_quality", "q_embed_outliers",
     "q_mix_epoch_plan",
     # (b) the full 39-row r10-stale backlog — retires the rotation
     "q_dedup_substring", "q_dedup_substring_portable",

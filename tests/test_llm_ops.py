@@ -1870,6 +1870,102 @@ def test_token_budget_select_null_tokens_fail_loud(spark):
         token_budget_select(d, "s", "t", "doc_id", 100).collect()
 
 
+def test_embedding_outliers_exact_distances_and_tiebreak(spark):
+    """Outlier hand model: label A = {(0,0), (0,0), (3,0)} has
+    centroid (1,0); distances² are 1, 1, 4 — so rank 1 is the (3,0)
+    vector at 4e12 and rank 2 the LOWER vec_id of the tied (0,0) pair
+    at 1e12; label B's two mirrored vectors tie and break by vec_id."""
+    from artemia_airflow_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    rows = [
+        (1, "A", [0.0, 0.0]), (2, "A", [0.0, 0.0]), (3, "A", [3.0, 0.0]),
+        (10, "B", [1.0, 0.0]), (11, "B", [-1.0, 0.0]),  # centroid (0,0)
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = [(r.label, r.rank, r.vec_id, r.dist2_e12)
+           for r in embedding_outliers(
+               d, id_col="vec_id", vec_col="embedding",
+               label_col="label", k=2,
+           ).orderBy("label", "rank").collect()]
+    assert out == [
+        ("A", 1, 3, 4_000_000_000_000),
+        ("A", 2, 1, 1_000_000_000_000),
+        ("B", 1, 10, 1_000_000_000_000),
+        ("B", 2, 11, 1_000_000_000_000),
+    ]
+
+
+def test_text_compression_hand_model(spark):
+    """Byte/char/token hand model: 'héllo wörld' is 13 UTF-8 bytes /
+    11 chars / 2 tokens (two 2-byte letters) → 6.5e6 bytes-per-token
+    and multibyte share 2/13; pure ASCII has share exactly 0."""
+    from artemia_airflow_spark.operators.text import text_compression
+
+    d = spark.createDataFrame(
+        [("A", "héllo wörld"), ("B", "ab cd")], ["source", "text"]
+    )
+    out = {r.source: (r.n_bytes, r.n_chars, r.n_tokens,
+                      r.bytes_per_token_e6, r.multibyte_ratio_e6)
+           for r in text_compression(d, "text", "source").collect()}
+    assert out == {
+        "A": (13, 11, 2, 6_500_000, 153_846),
+        "B": (5, 5, 2, 2_500_000, 0),
+    }
+
+
+def test_langid_quality_hand_model(spark):
+    """P/R/F1 hand model: en has 2 true docs (1 correctly predicted,
+    1 und) and 2 predictions (1 stolen from es) → P=R=F1=0.5; es has
+    perfect precision but 0.5 recall (F1 = 2/3); fr is never
+    predicted → precision 0 by convention, recall 0, F1 0."""
+    from artemia_airflow_spark.operators.text import langid_quality
+
+    d = spark.createDataFrame(
+        [("en", "the cat"), ("en", "xyz zz"),
+         ("es", "the"), ("es", "el gato"),
+         ("fr", "zzz")],
+        ["lang", "text"],
+    )
+    out = {r.lang: (r.n_true, r.n_pred, r.tp, r.precision_e6,
+                    r.recall_e6, r.f1_e6)
+           for r in langid_quality(d, "text", "lang").collect()}
+    assert out == {
+        "en": (2, 2, 1, 500_000, 500_000, 500_000),
+        "es": (2, 1, 1, 1_000_000, 500_000, 666_666),
+        "fr": (1, 0, 0, 0, 0, 0),
+    }
+
+
+def test_source_influence_hand_model(spark):
+    """Leave-one-out hand model: A = 2 docs/10 tokens, B = 1 doc/1
+    token → global mean 11/3 (3666666 e6); dropping A leaves 1/1
+    (influence -2666666), dropping B leaves 10/2 (influence
+    +1333334).  A single-source corpus takes the convention
+    mean_wo == global, influence 0."""
+    from artemia_airflow_spark.operators.curation import source_influence
+
+    d = spark.createDataFrame(
+        [("A", "a b c d e"), ("A", "f g h i j"), ("B", "x")],
+        ["source", "text"],
+    )
+    out = {r.source: (r.global_mean_e6, r.mean_wo_e6, r.influence_e6)
+           for r in source_influence(d, "text", "source").collect()}
+    assert out == {
+        "A": (3_666_666, 1_000_000, -2_666_666),
+        "B": (3_666_666, 5_000_000, 1_333_334),
+    }
+
+    solo = source_influence(
+        spark.createDataFrame([("A", "a b")], ["source", "text"]),
+        "text", "source",
+    ).collect()[0]
+    assert (solo.mean_wo_e6, solo.influence_e6) == (2_000_000, 0)
+
+
 def test_epoch_plan_hand_model_and_guard(spark):
     """Epoch-plan hand model: sources with 9/4/1 tokens get sqrt
     masses 3e6/2e6/1e6; under a 2x budget (28 tokens) the targets are
