@@ -890,6 +890,27 @@ def test_session_attribution_shares_one_user_exchange(spark):
     assert "CartesianProduct" not in p
 
 
+def test_r15_panel_faces_single_scan_no_corpus_join(spark):
+    """The r15 one-pass panels (epoch plan, influence, compression)
+    each scan documents ONCE and join nothing — the per-source
+    aggregate plus unpartitioned-window totals shape; langid-quality's
+    only joins are broadcast margins of the lineage-truncated
+    confusion; embed-outliers reads embeddings at most twice (stats
+    pass truncated + score pass) with broadcast-only joins."""
+    for name in ("q_mix_epoch_plan", "q_select_influence",
+                 "q_text_compression"):
+        p = _formatted_plan(spark, name)
+        assert p.count("documents.parquet") == 1, (name, p[:1500])
+        assert "Join" not in p, (name, p[:1500])
+    p = _formatted_plan(spark, "q_text_langid_quality")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    p = _formatted_plan(spark, "q_embed_outliers")
+    assert p.count("embeddings.parquet") <= 2, p[:1500]
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_funnel_value_single_user_exchange(spark):
     """q_funnel_value (r15): the session index, carried-touch window,
     four chained entry-time windows, and the per-user collapse all
