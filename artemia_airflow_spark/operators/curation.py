@@ -1256,16 +1256,23 @@ def epoch_plan(
     data team signs off before a run, and the place the "you would
     repeat this source 12 times" warning comes from.
 
-    Arithmetic, all integer-exact: mass = floor(sqrt(n_tokens)*1e6+.5)
-    (IEEE sqrt is correctly rounded everywhere — the
-    q_mix_temperature argument), budget = ``budget_tokens_factor`` x
-    corpus tokens, target_s = budget * mass_s DIV sum(mass),
-    epochs_e6 = target_s * 1e6 DIV n_tokens, plus a boolean warn flag
-    past ``epoch_warn_e6``.  Headroom: the two products bind at
-    budget * max(mass) and target * 1e6; both are guarded in-plan
-    (raise_error past 2^62, the ADVICE r14 convention) — holds to
-    ~2e12 corpus tokens at factor 2, past which the products move to
-    DECIMAL(38,0) mechanically.
+    Arithmetic, all integer-exact: mass = round(sqrt(n_tokens)) (IEEE
+    sqrt is correctly rounded everywhere — the q_mix_temperature
+    argument; integer-grain masses keep every product in int64, see
+    below), budget = ``budget_tokens_factor`` x corpus tokens,
+    target_s = floor(budget * mass_s / sum(mass)) and
+    epochs_e6 = floor(target_s * 1e6 / n_tokens) — BOTH evaluated
+    through the exact split identity
+    ``floor(a*m/b) = (a DIV b)*m + ((a MOD b)*m) DIV b``
+    so no intermediate ever multiplies two corpus-scale numbers (the
+    r15 review found the naive ``budget * mass`` form binds at ~2e8
+    corpus tokens because it grows as T^1.5).  Residual headroom,
+    guarded in-plan with division-free comparisons: (a) the split's
+    cross term binds at sum(mass)^2 — sum(mass) <= 2^31 holds to
+    ~1e16/|sources|^2 corpus tokens; (b) the epochs split multiplies
+    a per-source remainder by 1e6 — n_tokens <= 2^62/1e6 (~4.6e12
+    tokens PER SOURCE); (c) a degenerate plan implying more than
+    ~4.6e12 epochs of one source.  Each fails loud past its bound.
 
     Scale shape: ONE corpus scan into the per-source token aggregate;
     everything after is |sources|-row arithmetic with the two global
@@ -1275,40 +1282,56 @@ def epoch_plan(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(_tokens(text_col))).cast("bigint").alias("n_tokens"),
     ).withColumn(
-        "mass_e6",
-        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000
-                + F.lit(0.5)).cast("bigint"),
+        "mass",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) + F.lit(0.5))
+        .cast("bigint"),
     )
     s = _with_global(
         s,
-        total_mass=F.sum("mass_e6"),
+        total_mass=F.sum("mass"),
         budget=F.sum("n_tokens"),
     ).withColumn("budget", F.col("budget") * budget_tokens_factor)
-    # division-only comparisons: the guard itself must not overflow
-    # (budget * 1e6 would, at exactly the scales it protects against)
     lim = 2 ** 62
     guarded_mass = F.when(
-        (F.col("budget") > F.expr(f"CAST({lim} AS BIGINT) DIV mass_e6"))
-        | (F.col("budget") > F.lit(lim // 1_000_000)),
+        (F.col("total_mass") > F.lit(2 ** 31))
+        | (F.col("n_tokens") > F.lit(lim // 1_000_000)),
         F.raise_error(F.concat(
-            F.lit("epoch_plan: budget*mass exceeds the int64 headroom "
-                  "2^62 — widen the plan arithmetic to DECIMAL(38,0) "
-                  "past ~2e12 corpus tokens"),
+            F.lit("epoch_plan: int64 headroom exceeded (sum(mass) > "
+                  "2^31 or a source past ~4.6e12 tokens) — widen the "
+                  "plan arithmetic to DECIMAL(38,0)"),
         )).cast("bigint"),
-    ).otherwise(F.col("mass_e6"))
+    ).otherwise(F.col("mass"))
     # the guard must ride the consumed column ITSELF, in a projection
-    # BEFORE the product consumes it (same-select references resolve to
+    # BEFORE the products consume it (same-select references resolve to
     # the unguarded input and would overflow first)
-    planned = s.withColumn("mass_e6", guarded_mass).select(
+    planned = s.withColumn("mass", guarded_mass).select(
         F.col(source_col),
-        "n_docs", "n_tokens", "mass_e6",
+        "n_docs", "n_tokens", "mass",
+        # floor(budget*mass/total_mass) via the split identity: the
+        # quotient term multiplies by a small per-source mass, the
+        # remainder term is < total_mass * mass <= total_mass^2
         F.expr(
-            "CAST(budget * mass_e6 DIV total_mass AS BIGINT)"
+            "CAST((budget DIV total_mass) * mass"
+            " + ((budget % total_mass) * mass) DIV total_mass"
+            " AS BIGINT)"
         ).alias("target_tokens"),
-    ).withColumn(
+    )
+    epochs_full = F.expr("target_tokens DIV n_tokens")
+    guarded_full = F.when(
+        epochs_full > F.lit(lim // 1_000_000),
+        F.raise_error(F.lit(
+            "epoch_plan: plan implies more than ~4.6e12 epochs of one "
+            "source — degenerate mix, int64 headroom exceeded"
+        )).cast("bigint"),
+    ).otherwise(epochs_full)
+    planned = planned.withColumn("__full", guarded_full).withColumn(
         "epochs_e6",
-        F.expr("target_tokens * 1000000 DIV n_tokens").cast("bigint"),
-    ).withColumn(
+        F.expr(
+            "CAST(__full * 1000000"
+            " + ((target_tokens % n_tokens) * 1000000) DIV n_tokens"
+            " AS BIGINT)"
+        ),
+    ).drop("__full").withColumn(
         "repeat_warn", (F.col("epochs_e6") > F.lit(epoch_warn_e6)),
     )
     return planned
@@ -1325,24 +1348,27 @@ def epoch_plan(
           FROM documents GROUP BY source
         ), g AS (
           SELECT source, n_docs, n_tokens,
-                 CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
-                      AS BIGINT) AS mass_e6,
+                 CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) + 0.5)
+                      AS BIGINT) AS mass,
                  CAST(SUM(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
-                                     * 1000000 + 0.5) AS BIGINT))
+                                     + 0.5) AS BIGINT))
                       OVER () AS BIGINT) AS total_mass,
                  CAST(2 * SUM(n_tokens) OVER () AS BIGINT) AS budget
           FROM s
         ), p AS (
-          SELECT source, n_docs, n_tokens, mass_e6,
-                 CAST(budget * mass_e6 // total_mass AS BIGINT)
-                   AS target_tokens
+          SELECT source, n_docs, n_tokens, mass,
+                 CAST((budget // total_mass) * mass
+                      + ((budget % total_mass) * mass) // total_mass
+                      AS BIGINT) AS target_tokens
           FROM g
         )
-        SELECT source, n_docs, n_tokens, mass_e6, target_tokens,
-               CAST(target_tokens * 1000000 // n_tokens AS BIGINT)
-                 AS epochs_e6,
-               (target_tokens * 1000000 // n_tokens > 4000000)
-                 AS repeat_warn
+        SELECT source, n_docs, n_tokens, mass, target_tokens,
+               CAST((target_tokens // n_tokens) * 1000000
+                    + ((target_tokens % n_tokens) * 1000000) // n_tokens
+                 AS BIGINT) AS epochs_e6,
+               ((target_tokens // n_tokens) * 1000000
+                + ((target_tokens % n_tokens) * 1000000) // n_tokens
+                > 4000000) AS repeat_warn
         FROM p
         """,
     )

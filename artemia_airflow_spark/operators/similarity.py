@@ -2318,7 +2318,6 @@ def stream_index_maintenance(
     MERGEs rewrite only key-range-intersecting files.  Driven with
     Trigger.AvailableNow like every batch-drain face.
     """
-    m = _IVF_PQ_PORTABLE_M
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         stamp = {"sink_id": sink_id, "batch_id": int(batch_id)}

@@ -18,34 +18,11 @@ def duck_for(sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con
 
-# Rendered-type classes (same map as tests/test_oracle.py): the driver
-# hashes pandas-rendered values, so DuckDB/Spark type divergence (esp.
-# HUGEINT -> float64) fails the driver even when VALUES match here.
-def duck_cls(t):
-    u = t.upper()
-    if "HUGEINT" in u: return "HUGEINT"
-    if u in ("BIGINT","INTEGER","SMALLINT","TINYINT","UBIGINT","UINTEGER","USMALLINT","UTINYINT"): return "int"
-    if u in ("DOUBLE","FLOAT","REAL"): return "float"
-    if u.startswith("DECIMAL"): return "decimal"
-    if u in ("VARCHAR","TEXT","STRING"): return "str"
-    if u == "BOOLEAN": return "bool"
-    if u == "DATE": return "date"
-    if u.startswith("TIMESTAMP"): return "timestamp"
-    if u in ("BLOB","BYTEA"): return "binary"
-    if u.endswith("[]") or u.startswith(("LIST","STRUCT","MAP")): return "nested"
-    return "other:" + u
-
-def spark_cls(s):
-    if s in ("bigint","int","smallint","tinyint"): return "int"
-    if s in ("double","float"): return "float"
-    if s == "string": return "str"
-    if s == "boolean": return "bool"
-    if s == "date": return "date"
-    if s.startswith("timestamp"): return "timestamp"
-    if s == "binary": return "binary"
-    if s.startswith(("array","struct","map")): return "nested"
-    if s.startswith("decimal"): return "decimal"
-    return "other:" + s
+# Rendered-type classes: the driver hashes pandas-rendered values, so
+# DuckDB/Spark type divergence (esp. HUGEINT -> float64) fails the
+# driver even when VALUES match here.  One shared map (plans/typelint).
+from artemia_airflow_spark.plans.typelint import duck_render_class as duck_cls
+from artemia_airflow_spark.plans.typelint import spark_render_class as spark_cls
 
 def type_check(sdf, con, sql):
     sp = {f.name.lower(): spark_cls(f.dataType.simpleString()) for f in sdf.schema.fields}

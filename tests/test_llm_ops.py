@@ -1968,7 +1968,7 @@ def test_source_influence_hand_model(spark):
 
 def test_epoch_plan_hand_model_and_guard(spark):
     """Epoch-plan hand model: sources with 9/4/1 tokens get sqrt
-    masses 3e6/2e6/1e6; under a 2x budget (28 tokens) the targets are
+    masses 3/2/1; under a 2x budget (28 tokens) the targets are
     14/9/4 (truncating DIV) and the implied epochs 1.555/2.25/4.0 e6 —
     with warn at 3e6 only the 1-token source flags (exactly-4e6 under
     the default 4e6 threshold does NOT).  An absurd budget factor
@@ -1984,9 +1984,9 @@ def test_epoch_plan_hand_model_and_guard(spark):
     )
     out = {r.source: r for r in epoch_plan(
         d, "text", "source", epoch_warn_e6=3_000_000).collect()}
-    assert (out["A"].n_tokens, out["A"].mass_e6,
+    assert (out["A"].n_tokens, out["A"].mass,
             out["A"].target_tokens, out["A"].epochs_e6,
-            out["A"].repeat_warn) == (9, 3_000_000, 14, 1_555_555, False)
+            out["A"].repeat_warn) == (9, 3, 14, 1_555_555, False)
     assert (out["B"].target_tokens, out["B"].epochs_e6,
             out["B"].repeat_warn) == (9, 2_250_000, False)
     assert (out["C"].target_tokens, out["C"].epochs_e6,
@@ -1996,7 +1996,7 @@ def test_epoch_plan_hand_model_and_guard(spark):
             for r in epoch_plan(d, "text", "source").collect()}
     assert out4 == {"A": False, "B": False, "C": False}
 
-    with pytest.raises(Exception, match="exceeds the int64 headroom"):
+    with pytest.raises(Exception, match="headroom exceeded"):
         epoch_plan(
             d, "text", "source", budget_tokens_factor=2 ** 45
         ).collect()

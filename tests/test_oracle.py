@@ -52,55 +52,13 @@ NAMES, _QUERIES, _ORACLE = _all_oracle_cases()
 # (this file's test_oracle_match, scripts/quickcheck.py) is blind to it.
 # The lint therefore checks RENDERED-TYPE agreement per column: map both
 # engines' types onto the pandas-render class and require equality, and
-# ban HUGEINT/UHUGEINT outright (it never renders as int64).
-
-def _duck_render_class(t: str) -> str:
-    u = t.upper()
-    if "HUGEINT" in u:
-        return "HUGEINT"  # banned — renders float64/object, never int64
-    if u in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT",
-             "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
-        return "int"
-    if u in ("DOUBLE", "FLOAT", "REAL"):
-        return "float"
-    if u.startswith("DECIMAL"):
-        return "decimal"
-    if u in ("VARCHAR", "TEXT", "STRING"):
-        return "str"
-    if u == "BOOLEAN":
-        return "bool"
-    if u == "DATE":
-        return "date"
-    if u.startswith("TIMESTAMP"):
-        return "timestamp"
-    if u in ("BLOB", "BYTEA"):
-        return "binary"
-    if u.endswith("[]") or u.startswith(("LIST", "STRUCT", "MAP")):
-        return "nested"
-    return "other:" + u
-
-
-def _spark_render_class(s: str) -> str:
-    if s in ("bigint", "int", "smallint", "tinyint"):
-        return "int"
-    if s in ("double", "float"):
-        return "float"
-    if s == "string":
-        return "str"
-    if s == "boolean":
-        return "bool"
-    if s == "date":
-        return "date"
-    if s.startswith("timestamp"):
-        return "timestamp"
-    if s == "binary":
-        return "binary"
-    if s.startswith(("array", "struct", "map")):
-        return "nested"
-    if s.startswith("decimal"):
-        return "decimal"
-    return "other:" + s
-
+# ban HUGEINT/UHUGEINT outright (it never renders as int64).  The maps
+# live in artemia_airflow_spark.plans.typelint — ONE implementation
+# shared with scripts/quickcheck.py.
+from artemia_airflow_spark.plans.typelint import (
+    duck_render_class as _duck_render_class,
+    spark_render_class as _spark_render_class,
+)
 
 @pytest.mark.parametrize("name", NAMES)
 def test_oracle_no_hugeint(duck, name):

@@ -699,3 +699,51 @@ def test_stream_index_maintenance_exactly_once_stream_equals_batch(spark, tmp_pa
         stream2, corpus_t, index_t, cells, books, ckpt
     )
     assert (corpus_t.version(), index_t.version()) == (cv, iv)
+
+    # (d) REDELIVERY: a FRESH checkpoint re-delivers every batch with
+    # the same batch_ids — the (sink_id, batch_id) stamp check must
+    # skip them on BOTH tables (r15 review: the same-checkpoint
+    # re-drain above never reaches committed_stream_batches, so a
+    # broken stamp would have passed (c) silently)
+    stream3 = (
+        spark.readStream.schema(corrections.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    S.stream_index_maintenance(
+        stream3, corpus_t, index_t, cells, books,
+        str(tmp_path / "ckpt_fresh"),
+    )
+    assert (corpus_t.version(), index_t.version()) == (cv, iv), (
+        "redelivered batches were re-committed despite idempotence stamps"
+    )
+    assert rows(index_t) == rows(direct_t)
+
+    # (e) crash BETWEEN the two commits: corpus already stamped, index
+    # not — redelivery must skip the corpus and apply the index, and
+    # converge to the same content (the docstring's crash window)
+    corpus2 = TxTable.create(
+        spark, stale, str(tmp_path / "corpus2"), key_col="vec_id"
+    )
+    index2 = TxTable.create(
+        spark, encode_keyed(stale), str(tmp_path / "index2"), key_col="k"
+    )
+    # simulate: batch 0 corpus commit landed, then a crash pre-index
+    b0 = spark.read.parquet(os.path.join(src, "b1"))
+    corpus2.merge(b0, delete_col="is_del",
+                  meta={"sink_id": "cdc-index", "batch_id": 0})
+    cv2 = corpus2.version()
+    stream4 = (
+        spark.readStream.schema(corrections.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    S.stream_index_maintenance(
+        stream4, corpus2, index2, cells, books,
+        str(tmp_path / "ckpt_crash"),
+    )
+    # batch 0 (same files => same batch_id 0) skipped on corpus,
+    # applied on index; batch 1 applied on both
+    assert corpus2.version() == cv2 + 1  # only the tombstone batch
+    assert rows(index2) == rows(direct_t)
+    got2 = {r.vec_id: tuple(r.embedding)
+            for r in corpus2.snapshot().collect()}
+    assert got2 == want
