@@ -1870,6 +1870,44 @@ def test_token_budget_select_null_tokens_fail_loud(spark):
         token_budget_select(d, "s", "t", "doc_id", 100).collect()
 
 
+def test_sim_recall_properties_and_self_recall(spark):
+    """Recall-audit invariants on the fixture: one row per probe,
+    hits bounded by k, recall_e6 exactly n_hits*1e5, deterministic
+    across runs, and strictly between the degenerate extremes (the
+    quantized index finds SOME true neighbors but routing 3 of 8
+    cells cannot find them all on random data) — plus the
+    intersection arithmetic pinned by self-recall: the exact tier
+    joined with itself scores 1e6 on every probe."""
+    import __spark_entry__ as E
+
+    from artemia_airflow_spark.operators import similarity as S
+    from tests.conftest import SF_ORACLE
+
+    q = E.queries()["q_sim_recall_portable"]
+    rows = sorted(map(tuple, q(spark, SF_ORACLE).collect()))
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+    assert all(0 <= r[1] <= 10 and r[2] == r[1] * 100_000 for r in rows)
+    assert any(r[1] > 0 for r in rows), "index found nothing"
+    assert any(r[1] < 10 for r in rows), "suspiciously perfect"
+    assert rows == sorted(map(tuple, q(spark, SF_ORACLE).collect()))
+
+    # self-recall: exact-vs-exact intersection is 10/10 per probe
+    comps, corp, probe = S._ivf_pq_portable_frames(spark, SF_ORACLE)
+    probe_ids = comps.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id")).distinct()
+    corp_ids = comps.filter(F.col("vec_id") >= 5).select(
+        "vec_id").distinct()
+    exact = S._portable_exact_rerank(
+        comps, F.broadcast(probe_ids).crossJoin(corp_ids), k=10,
+    )
+    hits = (
+        exact.select("probe_id", "vec_id")
+        .join(exact.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+        .groupBy("probe_id").count()
+    )
+    assert {r["count"] for r in hits.collect()} == {10}
+
+
 def test_embedding_outliers_exact_distances_and_tiebreak(spark):
     """Outlier hand model: label A = {(0,0), (0,0), (3,0)} has
     centroid (1,0); distances² are 1, 1, 4 — so rank 1 is the (3,0)
