@@ -3033,6 +3033,147 @@ def q_embed_outliers(spark, sf_dir):
     )
 
 
+def triplet_mining(
+    emb: DataFrame, *, id_col: str, vec_col: str, label_col: str,
+    n_anchors: int = 50,
+) -> DataFrame:
+    """Contrastive training-triplet mining (r15): for each anchor in a
+    bounded sample, the NEAREST same-label vector (the positive) and
+    the NEAREST different-label vector (the hardest negative) with the
+    exact squared-L2 margin between them — the (anchor, positive,
+    hard-negative) relation an embedding-model trainer consumes, and
+    the per-anchor ``hard`` flag (negative at least as close as the
+    positive) that marks exactly the examples metric learning needs
+    most (hard-negative mining, public).
+
+    Anchors whose label has no second member cannot form a triplet and
+    are dropped (inner join of the two sides — the trainer convention;
+    a lone-label anchor has no positive to contrast).  Distances are
+    the label-noise audit's exact integer recipe; both argmins break
+    ties by neighbor id, so both engines mine identical triplets.
+
+    Scale shape: the bounded brute probe tier (|anchors| x corpus
+    component join, the B165 shape) with the shared map-side partial
+    top-1 cut per side before the per-anchor ranking exchange; for
+    corpus-scale anchor sets route candidate generation through the
+    IVF/PQ tiers and rerank exactly, as with every similarity face.
+    """
+    comps = embedding_comps(emb, id_col=id_col, vec_col=vec_col)
+    anchors = comps.filter(F.col(id_col) < n_anchors).select(
+        F.col(id_col).alias("__aid"), "d", F.col("v6").alias("a6")
+    )
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    d2 = (
+        comps.join(F.broadcast(anchors), "d")
+        .filter(F.col(id_col) != F.col("__aid"))
+        .groupBy("__aid", id_col)
+        .agg(
+            F.sum((F.col("v6") - F.col("a6"))
+                  * (F.col("v6") - F.col("a6"))).alias("__dist"),
+        )
+        .join(F.broadcast(labels.withColumnRenamed(label_col, "__nl")),
+              id_col)
+        .join(
+            F.broadcast(labels.select(
+                F.col(id_col).alias("__aid"),
+                F.col(label_col).alias("__al"),
+            )),
+            "__aid",
+        )
+        .withColumn("__score", -F.col("__dist"))
+    )
+
+    def argmin(side: DataFrame) -> DataFrame:
+        cut = _grouped_partial_topk(
+            side, probe_id_col="__aid", id_col=id_col,
+            score_col="__score", r=1,
+        )
+        w = Window.partitionBy("__aid").orderBy(
+            F.col("__dist").asc(), F.col(id_col).asc()
+        )
+        return (
+            cut.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+        )
+
+    pos = argmin(d2.filter(F.col("__nl") == F.col("__al"))).select(
+        "__aid", F.col("__al").alias("label"),
+        F.col(id_col).alias("pos_id"),
+        F.col("__dist").cast("bigint").alias("pos_dist2"),
+    )
+    neg = argmin(d2.filter(F.col("__nl") != F.col("__al"))).select(
+        "__aid",
+        F.col(id_col).alias("neg_id"),
+        F.col("__dist").cast("bigint").alias("neg_dist2"),
+    )
+    return (
+        pos.join(neg, "__aid")
+        .select(
+            F.col("__aid").alias("anchor_id"), "label",
+            "pos_id", "pos_dist2", "neg_id", "neg_dist2",
+            (F.col("neg_dist2") - F.col("pos_dist2")).cast("bigint")
+            .alias("margin"),
+            (F.col("neg_dist2") <= F.col("pos_dist2")).alias("hard"),
+        )
+    )
+
+
+@declared(
+    "q_pairs_triplets",
+    oracle="""
+    WITH comps AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT) AS v6
+      FROM embeddings
+    ), d2 AS (
+      SELECT a.vec_id AS aid, c.vec_id AS nid,
+             SUM((c.v6 - a.v6) * (c.v6 - a.v6)) AS dist
+      FROM comps c JOIN comps a ON a.d = c.d
+      WHERE a.vec_id < 50 AND c.vec_id <> a.vec_id
+      GROUP BY a.vec_id, c.vec_id
+    ), j AS (
+      SELECT d2.aid, d2.nid, d2.dist, la.label AS al, ln.label AS nl
+      FROM d2
+      JOIN embeddings la ON la.vec_id = d2.aid
+      JOIN embeddings ln ON ln.vec_id = d2.nid
+    ), pos AS (
+      SELECT aid, al, nid, dist FROM (
+        SELECT aid, al, nid, dist,
+               ROW_NUMBER() OVER (PARTITION BY aid
+                                  ORDER BY dist, nid) AS rk
+        FROM j WHERE nl = al
+      ) WHERE rk = 1
+    ), neg AS (
+      SELECT aid, nid, dist FROM (
+        SELECT aid, nid, dist,
+               ROW_NUMBER() OVER (PARTITION BY aid
+                                  ORDER BY dist, nid) AS rk
+        FROM j WHERE nl <> al
+      ) WHERE rk = 1
+    )
+    SELECT p.aid AS anchor_id, p.al AS label,
+           p.nid AS pos_id, CAST(p.dist AS BIGINT) AS pos_dist2,
+           n.nid AS neg_id, CAST(n.dist AS BIGINT) AS neg_dist2,
+           CAST(n.dist - p.dist AS BIGINT) AS margin,
+           (n.dist <= p.dist) AS hard
+    FROM pos p JOIN neg n USING (aid)
+    """,
+)
+def q_pairs_triplets(spark, sf_dir):
+    """Contrastive triplet mining, FULL hash-match oracle: for 50
+    anchors, the nearest same-label positive and hardest different-
+    label negative with the exact integer-L2 margin and the hard flag
+    — the metric-learning training relation, attested neighbor-for-
+    neighbor by DuckDB."""
+    ensure_engine_conf(spark)
+    emb = scan(spark, sf_dir, "embeddings")
+    return triplet_mining(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label"
+    )
+
+
 def knn_label_noise(
     emb: DataFrame, *, id_col: str, vec_col: str, label_col: str,
     n_probes: int = 50, k: int = 10,

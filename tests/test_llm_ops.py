@@ -1870,6 +1870,39 @@ def test_token_budget_select_null_tokens_fail_loud(spark):
         token_budget_select(d, "s", "t", "doc_id", 100).collect()
 
 
+def test_triplet_mining_hand_model(spark):
+    """Triplet hand model on a 1-d line (A at 0,1,5; B at 2,3; C at 9):
+    each anchor pairs its nearest same-label and nearest other-label
+    point with id tiebreaks (anchor 3's negative ties 1e12 between ids
+    0? no — candidates 1 and others; lowest id at the min distance
+    wins), `hard` fires exactly when the negative is at least as close
+    as the positive, and the lone-label C anchor forms no triplet."""
+    from artemia_airflow_spark.operators.similarity import triplet_mining
+
+    rows = [
+        (0, "A", [0.0, 0.0]), (1, "A", [1.0, 0.0]), (2, "A", [5.0, 0.0]),
+        (3, "B", [2.0, 0.0]), (4, "B", [3.0, 0.0]),
+        (5, "C", [9.0, 0.0]),
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    e12 = 10 ** 12
+    out = {r.anchor_id: (r.pos_id, r.pos_dist2, r.neg_id, r.neg_dist2,
+                         r.margin, r.hard)
+           for r in triplet_mining(
+               d, id_col="vec_id", vec_col="embedding",
+               label_col="label").collect()}
+    assert out == {
+        0: (1, 1 * e12, 3, 4 * e12, 3 * e12, False),
+        1: (0, 1 * e12, 3, 1 * e12, 0, True),
+        2: (1, 16 * e12, 4, 4 * e12, -12 * e12, True),
+        3: (4, 1 * e12, 1, 1 * e12, 0, True),
+        4: (3, 1 * e12, 1, 4 * e12, 3 * e12, False),
+    }
+    assert 5 not in out  # lone-label anchor: no positive, no triplet
+
+
 def test_sim_recall_properties_and_self_recall(spark):
     """Recall-audit invariants on the fixture: one row per probe,
     hits bounded by k, recall_e6 exactly n_hits*1e5, deterministic
