@@ -1479,6 +1479,165 @@ def q_select_influence(spark, sf_dir):
     return source_influence(d, "text", "source")
 
 
+def curriculum_phases(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_phases: int = 4,
+) -> DataFrame:
+    """Curriculum ordering manifest (r15): assign every document a
+    training PHASE by quality quantile (score = chars-per-token, the
+    cheap fluency proxy — low score first, so the curriculum runs
+    easy-to-hard) and attest the assignment with a per-phase rollup:
+    doc/token totals, the exact score boundaries, and the md5-argmin
+    "first document" of each phase (pins the within-phase shuffle
+    order a trainer would consume without hashing the whole manifest).
+
+    Quantiles are VALUE-GRAIN: the thresholds are the smallest scores
+    whose cumulative count reaches ceil(N*k/n), and equal scores never
+    split across phases (the property a curriculum actually wants —
+    two equally-hard documents belong to the same phase), so phase
+    sizes are near-N/n, exact only when no ties straddle a boundary.
+
+    Scale shape: NO global row sort — per-doc scores are map-side; the
+    thresholds come from a (score)-grain count aggregate with a
+    running sum over score values (bounded by distinct scores, the
+    rate-anomalies bucket-grain window precedent) and broadcast back;
+    phase assignment is then a map-side comparison and the rollup one
+    phase-grain aggregate.  The two corpus scans (score stats + rollup)
+    mirror the classifier face's audited shape.
+    """
+    toks = F.size(_tokens(text_col))
+    scored = df.select(
+        F.col(id_col),
+        toks.cast("bigint").alias("__t"),
+        F.expr(
+            f"CAST(length({text_col}) AS BIGINT) * 1000000"
+            f" DIV CAST(size(split(lower({text_col}), '\\\\s+')) AS BIGINT)"
+        ).alias("score_e6"),
+    )
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    hist = truncate_lineage(
+        scored.groupBy("score_e6").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        ),
+        None,
+    )
+    wcum = Window.orderBy("score_e6").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "score_e6",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    )
+    # threshold k = smallest score with cum >= ceil(N*k/n_phases)
+    thresholds = (
+        cum.select(
+            "score_e6",
+            *[
+                F.when(
+                    F.col("__cum") * n_phases >= F.col("__n") * k,
+                    F.col("score_e6"),
+                ).alias(f"__q{k}")
+                for k in range(1, n_phases)
+            ],
+        )
+        .agg(*[F.min(f"__q{k}").alias(f"q{k}")
+               for k in range(1, n_phases)])
+    )
+    phase = sum(
+        (F.when(F.col("score_e6") > F.col(f"q{k}"), 1).otherwise(0)
+         for k in range(1, n_phases)),
+        F.lit(1),
+    ).cast("bigint")
+    assigned = scored.crossJoin(F.broadcast(thresholds)).select(
+        F.col(id_col), "__t", "score_e6", phase.alias("phase"),
+        F.md5(F.concat(F.lit("cur:"), F.col(id_col).cast("string")))
+        .alias("__h"),
+    )
+    wf = Window.partitionBy("phase").orderBy("__h", id_col)
+    first = (
+        assigned.withColumn("__rk", F.row_number().over(wf))
+        .filter(F.col("__rk") == 1)
+        .select("phase", F.col(id_col).alias("first_doc_id"))
+    )
+    roll = assigned.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__t").cast("bigint").alias("n_tokens"),
+        F.min("score_e6").cast("bigint").alias("min_score_e6"),
+        F.max("score_e6").cast("bigint").alias("max_score_e6"),
+    )
+    return roll.join(F.broadcast(first), "phase").select(
+        "phase", "n_docs", "n_tokens",
+        "min_score_e6", "max_score_e6", "first_doc_id",
+    )
+
+
+@declared(
+    "q_curriculum",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                  AS BIGINT) AS t,
+             CAST(length(text) AS BIGINT) * 1000000
+               // CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                       AS BIGINT) AS score_e6
+      FROM documents
+    ), hist AS (
+      SELECT score_e6, CAST(COUNT(*) AS BIGINT) AS c
+      FROM scored GROUP BY score_e6
+    ), cum AS (
+      SELECT score_e6,
+             SUM(c) OVER (ORDER BY score_e6
+                          ROWS UNBOUNDED PRECEDING) AS cm,
+             SUM(c) OVER () AS n
+      FROM hist
+    ), th AS (
+      SELECT MIN(CASE WHEN cm * 4 >= n * 1 THEN score_e6 END) AS q1,
+             MIN(CASE WHEN cm * 4 >= n * 2 THEN score_e6 END) AS q2,
+             MIN(CASE WHEN cm * 4 >= n * 3 THEN score_e6 END) AS q3
+      FROM cum
+    ), assigned AS (
+      SELECT s.doc_id, s.t, s.score_e6,
+             CAST(1 + CASE WHEN s.score_e6 > th.q1 THEN 1 ELSE 0 END
+                    + CASE WHEN s.score_e6 > th.q2 THEN 1 ELSE 0 END
+                    + CASE WHEN s.score_e6 > th.q3 THEN 1 ELSE 0 END
+                  AS BIGINT) AS phase,
+             md5('cur:' || CAST(s.doc_id AS VARCHAR)) AS h
+      FROM scored s CROSS JOIN th
+    ), firsts AS (
+      SELECT phase, doc_id AS first_doc_id FROM (
+        SELECT phase, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY phase
+                                  ORDER BY h, doc_id) AS rk
+        FROM assigned
+      ) WHERE rk = 1
+    )
+    SELECT a.phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(a.t) AS BIGINT) AS n_tokens,
+           CAST(MIN(a.score_e6) AS BIGINT) AS min_score_e6,
+           CAST(MAX(a.score_e6) AS BIGINT) AS max_score_e6,
+           MAX(f.first_doc_id) AS first_doc_id
+    FROM assigned a JOIN firsts f USING (phase)
+    GROUP BY a.phase
+    """,
+)
+def q_curriculum(spark, sf_dir):
+    """Curriculum phase manifest, FULL hash-match oracle: documents
+    quartiled easy-to-hard by exact chars-per-token score with
+    value-grain (tie-preserving) boundaries, per-phase doc/token
+    totals, score ranges, and the md5-first document — the training
+    order attested value-for-value by DuckDB."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return curriculum_phases(d, "text", "doc_id")
+
+
 def decontaminate_bloom_portable(
     train: DataFrame, eval_df: DataFrame, text_col: str, id_col: str, *,
     n: int = 4, k: int = 3, hex_chars: int = 5,

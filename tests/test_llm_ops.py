@@ -1870,6 +1870,36 @@ def test_token_budget_select_null_tokens_fail_loud(spark):
         token_budget_select(d, "s", "t", "doc_id", 100).collect()
 
 
+def test_curriculum_phases_value_grain_quartiles(spark):
+    """Curriculum hand model: single-token docs of 1,1,1,2,3,4,5,6
+    chars score 1..6e6; value-grain thresholds are q1=1, q2=2, q3=4
+    (smallest score whose cumulative count reaches ceil(N*k/4)), so
+    the tied score-1 trio stays together in phase 1, score 4 lands in
+    phase 3 WITH score 3 (ties/boundaries never split a value), and
+    first_doc_id per phase is the md5('cur:'||id) argmin."""
+    import hashlib
+
+    from artemia_airflow_spark.operators.curation import curriculum_phases
+
+    rows = [(i + 1, "a" * s)
+            for i, s in enumerate([1, 1, 1, 2, 3, 4, 5, 6])]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.phase: (r.n_docs, r.n_tokens, r.min_score_e6,
+                     r.max_score_e6, r.first_doc_id)
+           for r in curriculum_phases(d, "text", "doc_id").collect()}
+
+    def first(ids):
+        return min(ids, key=lambda i: (
+            hashlib.md5(f"cur:{i}".encode()).hexdigest(), i))
+
+    assert out == {
+        1: (3, 3, 1_000_000, 1_000_000, first([1, 2, 3])),
+        2: (1, 1, 2_000_000, 2_000_000, 4),
+        3: (2, 2, 3_000_000, 4_000_000, first([5, 6])),
+        4: (2, 2, 5_000_000, 6_000_000, first([7, 8])),
+    }
+
+
 def test_triplet_mining_hand_model(spark):
     """Triplet hand model on a 1-d line (A at 0,1,5; B at 2,3; C at 9):
     each anchor pairs its nearest same-label and nearest other-label
