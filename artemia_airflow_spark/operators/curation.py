@@ -1509,13 +1509,24 @@ def curriculum_phases(
     mirror the classifier face's audited shape.
     """
     toks = F.size(_tokens(text_col))
+    raw_score = F.expr(
+        f"CAST(length({text_col}) AS BIGINT) * 1000000"
+        f" DIV CAST(size(split(lower({text_col}), '\\\\s+')) AS BIGINT)"
+    )
+    # NULL text scores NULL, and Spark windows sort NULLs FIRST while
+    # DuckDB sorts them LAST — the thresholds would silently diverge
+    # (r15 review).  Fail loud instead, the budget-cut convention.
     scored = df.select(
         F.col(id_col),
         toks.cast("bigint").alias("__t"),
-        F.expr(
-            f"CAST(length({text_col}) AS BIGINT) * 1000000"
-            f" DIV CAST(size(split(lower({text_col}), '\\\\s+')) AS BIGINT)"
-        ).alias("score_e6"),
+        F.when(
+            raw_score.isNull(),
+            F.raise_error(F.concat(
+                F.lit("curriculum_phases: NULL "),
+                F.lit(text_col),
+                F.lit(" has no score — filter NULL documents upstream"),
+            )).cast("bigint"),
+        ).otherwise(raw_score).alias("score_e6"),
     )
     from artemia_airflow_spark.operators.dedup import truncate_lineage
 
@@ -1558,19 +1569,17 @@ def curriculum_phases(
         F.md5(F.concat(F.lit("cur:"), F.col(id_col).cast("string")))
         .alias("__h"),
     )
-    wf = Window.partitionBy("phase").orderBy("__h", id_col)
-    first = (
-        assigned.withColumn("__rk", F.row_number().over(wf))
-        .filter(F.col("__rk") == 1)
-        .select("phase", F.col(id_col).alias("first_doc_id"))
-    )
-    roll = assigned.groupBy("phase").agg(
+    # md5-argmin folded INTO the rollup as a min-of-struct (r15
+    # review: a separate ranking window was a third corpus scan —
+    # Spark never dedupes common subplans)
+    return assigned.groupBy("phase").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("__t").cast("bigint").alias("n_tokens"),
         F.min("score_e6").cast("bigint").alias("min_score_e6"),
         F.max("score_e6").cast("bigint").alias("max_score_e6"),
-    )
-    return roll.join(F.broadcast(first), "phase").select(
+        F.min(F.struct(F.col("__h"), F.col(id_col).alias("__id")))
+        .getField("__id").alias("first_doc_id"),
+    ).select(
         "phase", "n_docs", "n_tokens",
         "min_score_e6", "max_score_e6", "first_doc_id",
     )

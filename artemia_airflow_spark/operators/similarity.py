@@ -2321,80 +2321,79 @@ _EXACT_TOPK_PORTABLE_ORACLE = """
     )"""
 
 
-def _register_sim_recall():
-    @declared(
-        "q_sim_recall_portable",
-        oracle=_EXACT_TOPK_PORTABLE_ORACLE + f""", xapprox AS (
-          SELECT probe_id, vec_id FROM ({_IVF_PQ_PORTABLE_ORACLE}) t
-        ), xhits AS (
-          SELECT a.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-          FROM xapprox a JOIN xexact e
-            ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
-          GROUP BY a.probe_id
-        )
-        SELECT p.probe_id,
-               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-               CAST(COALESCE(h.n_hits, 0) * 1000000 // 10 AS BIGINT)
-                 AS recall_e6
-        FROM (SELECT DISTINCT vec_id AS probe_id FROM embeddings
-              WHERE vec_id < 5) p
-        LEFT JOIN xhits h ON h.probe_id = p.probe_id
-        """,
+@declared(
+    "q_sim_recall_portable",
+    oracle=_EXACT_TOPK_PORTABLE_ORACLE + f""", xapprox AS (
+      SELECT probe_id, vec_id FROM ({_IVF_PQ_PORTABLE_ORACLE}) t
+    ), xhits AS (
+      SELECT a.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM xapprox a JOIN xexact e
+        ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+      GROUP BY a.probe_id
     )
-    def q_sim_recall_portable(spark, sf_dir):
-        """ANN recall audit, FULL hash-match oracle (r15): recall@10 of
-        the portable IVF-PQ index against the exact brute-force cosine
-        top-10 (identical ranking recipe on both tiers: correctly-
-        rounded IEEE chain over integer dots/norms, (cos DESC, vec_id)
-        tiebreak) — the "is the index actually good enough" number
-        every ANN deployment must measure rather than assume, per
-        probe so a single bad routing decision is visible, not
-        averaged away.
+    SELECT p.probe_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) * 1000000 // 10 AS BIGINT)
+             AS recall_e6
+    FROM (SELECT DISTINCT vec_id AS probe_id FROM xcomps
+          WHERE vec_id < 5) p
+    LEFT JOIN xhits h ON h.probe_id = p.probe_id
+    """,
+)
+def q_sim_recall_portable(spark, sf_dir):
+    """ANN recall audit, FULL hash-match oracle (r15): recall@10 of
+    the portable IVF-PQ index against the exact brute-force cosine
+    top-10 (identical ranking recipe on both tiers: correctly-
+    rounded IEEE chain over integer dots/norms, (cos DESC, vec_id)
+    tiebreak) — the "is the index actually good enough" number
+    every ANN deployment must measure rather than assume, per
+    probe so a single bad routing decision is visible, not
+    averaged away.
 
-        Scale shape: the approx side is the production IVF-PQ plan;
-        the exact side is the deliberate bounded brute tier — the
-        probe set is structurally tiny (the shared vec_id < 5 split),
-        so the all-pairs relation is |probes| x corpus formed through
-        the component equi-join, the same shape the KNN label-noise
-        audit rides; at corpus scale the exact tier is what you run on
-        a SAMPLE of probes, which is exactly what the face models.
-        DuckDB recomputes BOTH tiers and the per-probe hit counts
-        value-for-value."""
-        ensure_engine_conf(spark)
-        comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
-        cells, books, codes = _ivf_pq_portable_build(spark, corp)
-        approx = _ivf_pq_portable_query(comps, probe, cells, books, codes)
-        probe_ids = comps.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("probe_id")
-        ).distinct()
-        corp_ids = comps.filter(F.col("vec_id") >= 5).select(
-            "vec_id"
-        ).distinct()
-        # bounded brute tier: <=5 probes by construction, so the
-        # cross join is |probes| x corpus candidate IDs — the exact
-        # ground truth the recall is measured against
-        cand = F.broadcast(probe_ids).crossJoin(corp_ids)
-        exact = _portable_exact_rerank(comps, cand, k=10)
-        hits = (
-            approx.select("probe_id", "vec_id")
-            .join(exact.select("probe_id", "vec_id"),
-                  ["probe_id", "vec_id"])
-            .groupBy("probe_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    Scale shape: the approx side is the production IVF-PQ plan;
+    the exact side is the deliberate bounded brute tier — the
+    probe set is structurally tiny (the shared vec_id < 5 split),
+    so the all-pairs relation is |probes| x corpus formed through
+    the component equi-join, the same shape the KNN label-noise
+    audit rides; at corpus scale the exact tier is what you run on
+    a SAMPLE of probes, which is exactly what the face models.
+    Both sides derive the probe relation from the exploded COMPONENTS
+    (r15 review: deriving one side from the base table would diverge
+    on a NULL/empty embedding, which explodes to zero component rows).
+    DuckDB recomputes BOTH tiers and the per-probe hit counts
+    value-for-value."""
+    ensure_engine_conf(spark)
+    comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
+    cells, books, codes = _ivf_pq_portable_build(spark, corp)
+    approx = _ivf_pq_portable_query(comps, probe, cells, books, codes)
+    probe_ids = comps.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id")
+    ).distinct()
+    corp_ids = comps.filter(F.col("vec_id") >= 5).select(
+        "vec_id"
+    ).distinct()
+    # bounded brute tier: <=5 probes by construction, so the
+    # cross join is |probes| x corpus candidate IDs — the exact
+    # ground truth the recall is measured against
+    cand = F.broadcast(probe_ids).crossJoin(corp_ids)
+    exact = _portable_exact_rerank(comps, cand, k=10)
+    hits = (
+        approx.select("probe_id", "vec_id")
+        .join(exact.select("probe_id", "vec_id"),
+              ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        probe_ids.join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+            .alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) * 1_000_000 / 10)
+            .cast("bigint").alias("recall_e6"),
         )
-        return (
-            probe_ids.join(hits, "probe_id", "left")
-            .select(
-                "probe_id",
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
-                .alias("n_hits"),
-                (F.coalesce(F.col("n_hits"), F.lit(0)) * 1_000_000 / 10)
-                .cast("bigint").alias("recall_e6"),
-            )
-        )
-
-
-_register_sim_recall()
+    )
 
 
 def stream_index_maintenance(
@@ -3082,6 +3081,12 @@ def triplet_mining(
         )
         .withColumn("__score", -F.col("__dist"))
     )
+    # the positive and negative argmins are two consumers of d2 and
+    # Spark never dedupes common subplans (r15 review: without the cut
+    # the |anchors| x corpus distance aggregate executed twice)
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    d2 = truncate_lineage(d2, None)
 
     def argmin(side: DataFrame) -> DataFrame:
         cut = _grouped_partial_topk(

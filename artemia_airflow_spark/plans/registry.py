@@ -72,6 +72,13 @@ PRIORITY: list[str] = [
     "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
     "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
     "q_tpch_q22",
+    # positions 51-53: the three late r15 faces — DELIBERATELY behind
+    # the 50-row window so the full 39-row stale-backlog retirement
+    # (VERDICT r14 #3) stays intact; the new oracle-type lint +
+    # quickcheck's typed-render check already cover the class that
+    # made late faces risky, and these three are first in line for
+    # the r16 window (they sit ahead of all registration-order rows)
+    "q_sim_recall_portable", "q_pairs_triplets", "q_curriculum",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"

@@ -1903,10 +1903,11 @@ def test_curriculum_phases_value_grain_quartiles(spark):
 def test_triplet_mining_hand_model(spark):
     """Triplet hand model on a 1-d line (A at 0,1,5; B at 2,3; C at 9):
     each anchor pairs its nearest same-label and nearest other-label
-    point with id tiebreaks (anchor 3's negative ties 1e12 between ids
-    0? no — candidates 1 and others; lowest id at the min distance
-    wins), `hard` fires exactly when the negative is at least as close
-    as the positive, and the lone-label C anchor forms no triplet."""
+    point; the id tiebreak is exercised by anchor 4, whose negatives
+    ids 1 and 2 tie at 4e12 and resolve to the lower id 1; `hard`
+    fires exactly when the negative is at least as close as the
+    positive (anchors 1 and 3 tie at margin 0, anchor 2's negative is
+    strictly closer), and the lone-label C anchor forms no triplet."""
     from artemia_airflow_spark.operators.similarity import triplet_mining
 
     rows = [

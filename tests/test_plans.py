@@ -911,6 +911,23 @@ def test_r15_panel_faces_single_scan_no_corpus_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_r15_late_faces_plan_shapes(spark):
+    """The three late r15 faces: curriculum reads documents ONCE in
+    the query plan (the score histogram is lineage-truncated and the
+    md5-argmin rides the rollup aggregate — no third-scan ranking
+    window) and joins nothing corpus-sized; the two brute-tier audit
+    faces never degrade to a CartesianProduct (their all-pairs work
+    flows through component equi-joins / the broadcast candidate
+    cross)."""
+    p = _formatted_plan(spark, "q_curriculum")
+    assert p.count("documents.parquet") == 1, p[:1500]
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    for name in ("q_pairs_triplets", "q_sim_recall_portable"):
+        p = _formatted_plan(spark, name)
+        assert "CartesianProduct" not in p, (name, p[:1500])
+
+
 def test_funnel_value_single_user_exchange(spark):
     """q_funnel_value (r15): the session index, carried-touch window,
     four chained entry-time windows, and the per-user collapse all
