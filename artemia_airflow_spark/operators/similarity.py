@@ -2390,7 +2390,9 @@ def q_sim_recall_portable(spark, sf_dir):
             "probe_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
             .alias("n_hits"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) * 1_000_000 / 10)
+            # integer DIV (== DuckDB //): no double true-division, so
+            # the result stays exact for any future k, divisor or not
+            F.expr("coalesce(n_hits, 0) * 1000000 DIV 10")
             .cast("bigint").alias("recall_e6"),
         )
     )
@@ -2883,8 +2885,12 @@ def centroid_drift_matrix(
     ), pairs AS (
       SELECT a.lbl AS label_a, b.lbl AS label_b,
              MAX(a.n) AS n_a, MAX(b.n) AS n_b,
-             SUM(CAST(a.s * b.n - b.s * a.n AS DECIMAL(19,0))
-                 * CAST(a.s * b.n - b.s * a.n AS DECIMAL(19,0)))
+             SUM(CAST(CAST(a.s AS DECIMAL(20,0)) * b.n
+                      - CAST(b.s AS DECIMAL(20,0)) * a.n
+                      AS DECIMAL(19,0))
+                 * CAST(CAST(a.s AS DECIMAL(20,0)) * b.n
+                        - CAST(b.s AS DECIMAL(20,0)) * a.n
+                        AS DECIMAL(19,0)))
                AS num
       FROM cents a JOIN cents b ON a.d = b.d AND a.lbl < b.lbl
       GROUP BY a.lbl, b.lbl
@@ -2928,8 +2934,9 @@ def embedding_outliers(
     sum_d (v6_d*n - s_d)^2 / n^2`` — the cross term computed in
     DECIMAL(20,0) (never int64, the centroid-drift ADVICE fix), its
     square DECIMAL(38,0), the 64-dim sum order-free exact, one final
-    double division e12-floored.  Ranking uses the floored value with
-    a vec_id tiebreak, so ties are deterministic cross-engine.
+    double division e12-rounded (round-half-up: floor(x + 0.5)).
+    Ranking uses the rounded value with a vec_id tiebreak, so ties
+    are deterministic cross-engine.
 
     Scale shape: one (label, d) stats aggregate (labels x dims rows,
     broadcast back), one (label, vec) score aggregate — the corpus
@@ -2997,8 +3004,10 @@ def embedding_outliers(
       GROUP BY e.label, c.d
     ), scored AS (
       SELECT st.lbl AS label, c.vec_id,
-             SUM(CAST(c.v6 * st.n - st.s AS DECIMAL(19,0))
-                 * CAST(c.v6 * st.n - st.s AS DECIMAL(19,0))) AS num,
+             SUM(CAST(CAST(c.v6 AS DECIMAL(20,0)) * st.n - st.s
+                      AS DECIMAL(19,0))
+                 * CAST(CAST(c.v6 AS DECIMAL(20,0)) * st.n - st.s
+                        AS DECIMAL(19,0))) AS num,
              MAX(st.n) AS n
       FROM comps c
       JOIN embeddings e USING (vec_id)
@@ -3056,6 +3065,13 @@ def triplet_mining(
     top-1 cut per side before the per-anchor ranking exchange; for
     corpus-scale anchor sets route candidate generation through the
     IVF/PQ tiers and rerank exactly, as with every similarity face.
+    NOTE the label attachment broadcasts the full corpus-sized
+    (vec_id, label) relation twice (the knn_label_noise precedent) —
+    fine while labels fit driver memory (two narrow columns), but at
+    corpus scale swap the two label joins for plain shuffle joins on
+    ``vec_id`` (the distance relation is already exchanged on that
+    key, so the extra cost is one co-partitioned join, not a new
+    shuffle of the wide side).
     """
     comps = embedding_comps(emb, id_col=id_col, vec_col=vec_col)
     anchors = comps.filter(F.col(id_col) < n_anchors).select(

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -655,6 +656,13 @@ def test_stream_index_maintenance_exactly_once_stream_equals_batch(spark, tmp_pa
     )
     corrections.coalesce(1).write.parquet(os.path.join(src, "b1"))
     tombs.coalesce(1).write.parquet(os.path.join(src, "b2"))
+    # FileStreamSource orders by modification time; force distinct
+    # mtimes so b1 is ALWAYS batch 0 (step (e) stamps batch_id 0 for
+    # b1's corpus commit — a same-mtime tie could flip the order)
+    now = time.time()
+    for sub, ts in (("b1", now - 100), ("b2", now)):
+        for name in os.listdir(os.path.join(src, sub)):
+            os.utime(os.path.join(src, sub, name), (ts, ts))
     stream = (
         spark.readStream.schema(corrections.schema)
         .option("maxFilesPerTrigger", 1).parquet(src + "/*")
