@@ -36,49 +36,39 @@ ORACLE: dict[str, str] = {}
 # ALL declared queries against their oracles at sf0.001/0.01/0.1 as
 # compensating evidence between driver visits.
 #
-# Round-15 window (VERDICT r14 "Next round" #1/#3; 50 rows = the cap):
-# (a) the FOUR r14 red rows FIRST — all four root-caused by the judge
-# to one uncast-HUGEINT oracle column each (values verified identical
-# at 3 SFs); fixed at HEAD by CAST(... AS BIGINT) and needing green
-# CORRECTNESS_r15 rows to close; then the new r15 faces (names listed
-# before their modules register them — ordered_queries() skips
-# unregistered names, so the list is forward-safe); then
-# (b) the ENTIRE 39-row r10-stale backlog (latest driver row r10 for
-# each — the full remaining rotation).  4 + 7 new-face slots + 39 = 50
-# exactly at the cap; after this window no query's latest driver row
-# is older than r11.  The per-round dry run covers the whole tail at
-# 3 SFs meanwhile.
+# Round-16 window (VERDICT r15 "Next round" #1/#2; 50 rows = the cap):
+# (a) the THREE late r15 faces FIRST — the only SURVEY §2 rows without
+# a driver CORRECTNESS row (judge-verified green at 3 SFs in r15, so
+# their first driver rows close the attestation gap); then
+# (b) the new r16 faces (names listed before their modules register
+# them — ordered_queries() skips unregistered names, forward-safe);
+# then (c) the r11 rotation cohort — 50 rows sit at latest-round r11
+# (the histogram's oldest bin); 3 + new-face slots + the cohort head
+# fills the 50-row cap, the cohort tail (the last few registration-
+# order rows below) rolls to the r17 window.  The per-round dry run
+# covers the whole tail at 3 SFs meanwhile.
 PRIORITY: list[str] = [
-    # (a) the four r14 reds (oracle HUGEINT casts, fixed at HEAD)
-    "q_sample_cluster_balanced", "q_dedup_rate_by_source",
-    "q_select_calibration", "q_label_noise",
-    # the 7 new r15 faces
-    "q_index_stream_portable", "q_funnel_value",
-    "q_text_compression", "q_select_influence",
-    "q_text_langid_quality", "q_embed_outliers",
-    "q_mix_epoch_plan",
-    # (b) the full 39-row r10-stale backlog — retires the rotation
-    "q_dedup_substring", "q_dedup_substring_portable",
-    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
-    "q_dedup_embed_lsh", "q_dedup_semantic", "q_dedup_incremental",
-    "q_decontaminate_substring", "q_decontaminate_bloom",
-    "q_multimodal_pipeline", "q_multimodal_neardup",
-    "q_multimodal_neardup_portable",
-    "q_sim_topk", "q_sim_pq", "q_sim_ivf_pq", "q_embed_quantize",
-    "q_join_fuzzy", "q_pii_redact", "q_pack_sequences",
-    "q_merge_upsert", "q_scd2", "q_rollup_incremental",
-    "q_ledger_health", "q_validate", "q_sql_text", "q_sql_join",
-    "q_agg_global", "q_agg_group", "q_agg_hll",
-    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
-    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
-    "q_tpch_q22",
-    # positions 51-53: the three late r15 faces — DELIBERATELY behind
-    # the 50-row window so the full 39-row stale-backlog retirement
-    # (VERDICT r14 #3) stays intact; the new oracle-type lint +
-    # quickcheck's typed-render check already cover the class that
-    # made late faces risky, and these three are first in line for
-    # the r16 window (they sit ahead of all registration-order rows)
+    # (a) the three late r15 faces — first driver rows
     "q_sim_recall_portable", "q_pairs_triplets", "q_curriculum",
+    # (b) the new r16 faces
+    "q_corpus_pipeline",
+    # (c) the r11 rotation cohort (oldest-first by registration order;
+    # whatever exceeds the cap after (a)+(b) rolls to r17)
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_unpivot", "q_gapfill",
+    "q_decontaminate", "q_shard", "q_text_repetition",
+    "q_multimodal_decode", "q_join_asof", "q_agg_distinct",
+    "q_agg_rollup", "q_agg_cube", "q_window_rank", "q_window_lag",
+    "q_window_running", "q_sink_bucketed", "q_stream_first",
+    "q_fn_map", "q_fn_json", "q_fn_null", "q_subq_scalar",
+    "q_subq_in", "q_udf_scalar", "q_pandas_norm", "q_pivot",
+    "q_join_right", "q_subq_exists", "q_window_range_frame",
+    "q_fn_string2", "q_udtf", "q_window_dist", "q_sim_ann_lsh",
+    "q_sim_ivf", "q_text_langid", "q_text_fingerprint",
+    "q_text_wordpiece", "q_text_quality_full", "q_stream_session",
+    "q_length_buckets", "q_tpch_q17", "q_stream_session_state",
+    "q_text_scrub", "q_source_cap", "q_text_oov", "q_sql_window",
+    "q_sql_subq_corr", "q_sql_setop", "q_dedup_semantic_portable",
+    "q_embed_quantize_packed",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"
