@@ -1479,6 +1479,12 @@ def q_select_influence(spark, sf_dir):
     return source_influence(d, "text", "source")
 
 
+# Fixed bin-grid width for the curriculum's two-phase quantile
+# location (the token-budget _N_BUDGET_BINS sibling): the unpartitioned
+# running sum ranks at most this many rows regardless of corpus size.
+_N_CURRICULUM_BINS = 1024
+
+
 def curriculum_phases(
     df: DataFrame,
     text_col: str,
@@ -1501,12 +1507,16 @@ def curriculum_phases(
     sizes are near-N/n, exact only when no ties straddle a boundary.
 
     Scale shape: NO global row sort — per-doc scores are map-side; the
-    thresholds come from a (score)-grain count aggregate with a
-    running sum over score values (bounded by distinct scores, the
-    rate-anomalies bucket-grain window precedent) and broadcast back;
-    phase assignment is then a map-side comparison and the rollup one
-    phase-grain aggregate.  The two corpus scans (score stats + rollup)
-    mirror the classifier face's audited shape.
+    distinct-score histogram is one distributed aggregate, and the
+    quantile thresholds come from the token-budget two-phase recipe
+    (VERDICT r15 #4): a fixed ``_N_CURRICULUM_BINS``-bin grid over the
+    histogram, ONE unpartitioned running sum over <= that many bin
+    rows, then exact score-grain ranking only inside each quantile's
+    boundary bin (a window partitioned by quantile index, ~1/1024 of
+    the distinct scores each).  Thresholds broadcast back; phase
+    assignment is a map-side comparison and the rollup one phase-grain
+    aggregate.  The two corpus scans (score histogram + rollup) mirror
+    the classifier face's audited shape.
     """
     toks = F.size(_tokens(text_col))
     raw_score = F.expr(
@@ -1536,29 +1546,75 @@ def curriculum_phases(
         ),
         None,
     )
-    wcum = Window.orderBy("score_e6").rowsBetween(
+    # Two-phase threshold location (VERDICT r15 #4, the token-budget
+    # B159 recipe): the only UNPARTITIONED running sum ranks a fixed
+    # <= _N_CURRICULUM_BINS-row bin histogram — never the distinct-
+    # score relation, whose size grows with the corpus; exact score-
+    # grain ranking is paid only INSIDE each quantile's boundary bin,
+    # as a window partitioned by quantile index.  Value-grain ties are
+    # preserved exactly: thresholds are still score VALUES and bins
+    # split only BETWEEN distinct scores (equal scores share a bin),
+    # so the result is row-identical to the naive global running sum
+    # — the unchanged DuckDB oracle (which runs the naive version) is
+    # the algebraic proof.
+    nb = _N_CURRICULUM_BINS
+    stats = truncate_lineage(
+        hist.agg(
+            F.min("score_e6").alias("__mn"),
+            F.max("score_e6").alias("__mx"),
+            F.sum("__c").alias("__n"),
+        ),
+        None,
+    )
+    hb = hist.crossJoin(F.broadcast(stats)).withColumn(
+        "__bin",
+        F.expr(f"(score_e6 - __mn) * {nb} DIV (__mx - __mn + 1)"),
+    )
+    wbin = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bincum = (
+        hb.groupBy("__bin").agg(F.sum("__c").alias("__bc"))
+        .withColumn(
+            "__below", F.coalesce(F.sum("__bc").over(wbin), F.lit(0))
+        )
+    )
+    # per quantile k: the boundary bin is the FIRST bin whose end-of-
+    # bin cumulative count reaches ceil(N*k/n_phases); carry its
+    # strictly-below count so the in-bin ranking resumes the global sum
+    bks = (
+        bincum.crossJoin(F.broadcast(stats.select("__n")))
+        .agg(*[
+            F.min(F.when(
+                (F.col("__below") + F.col("__bc")) * n_phases
+                >= F.col("__n") * k,
+                F.struct(F.col("__bin"), F.col("__below")),
+            )).alias(f"__s{k}")
+            for k in range(1, n_phases)
+        ])
+        .select(F.explode(F.array(*[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col(f"__s{k}")["__bin"].alias("__kbin"),
+                F.col(f"__s{k}")["__below"].alias("__kbelow"),
+            )
+            for k in range(1, n_phases)
+        ])).alias("__s"))
+        .select("__s.k", "__s.__kbin", "__s.__kbelow")
+    )
+    wk = Window.partitionBy("k").orderBy("score_e6").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = hist.select(
-        "score_e6",
-        F.sum("__c").over(wcum).alias("__cum"),
-        F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    thr_rows = (
+        hb.join(F.broadcast(bks), hb["__bin"] == bks["__kbin"])
+        .withColumn("__cum", F.col("__kbelow") + F.sum("__c").over(wk))
+        .filter(F.col("__cum") * n_phases >= F.col("__n") * F.col("k"))
+        .groupBy("k").agg(F.min("score_e6").alias("__q"))
     )
-    # threshold k = smallest score with cum >= ceil(N*k/n_phases)
-    thresholds = (
-        cum.select(
-            "score_e6",
-            *[
-                F.when(
-                    F.col("__cum") * n_phases >= F.col("__n") * k,
-                    F.col("score_e6"),
-                ).alias(f"__q{k}")
-                for k in range(1, n_phases)
-            ],
-        )
-        .agg(*[F.min(f"__q{k}").alias(f"q{k}")
-               for k in range(1, n_phases)])
-    )
+    thresholds = thr_rows.agg(*[
+        F.min(F.when(F.col("k") == k, F.col("__q"))).alias(f"q{k}")
+        for k in range(1, n_phases)
+    ])
     phase = sum(
         (F.when(F.col("score_e6") > F.col(f"q{k}"), 1).otherwise(0)
          for k in range(1, n_phases)),

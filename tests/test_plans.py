@@ -974,3 +974,27 @@ def test_budget_select_two_phase_never_sorts_the_corpus(spark):
     assert p.count("documents.parquet") == 2, p[:2000]
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_curriculum_two_phase_unpartitioned_window_is_bin_grain(spark):
+    """q_curriculum (r16, VERDICT r15 #4): the quantile thresholds run
+    the token-budget two-phase recipe — the ONLY unpartitioned window
+    ranks the fixed <=1024-row BIN histogram (windowspec ordered by
+    __bin, fed by the bin-grain aggregate), exact score-grain ranking
+    happens strictly inside the quantile-indexed boundary window
+    (partitioned by k), and no unpartitioned window ever orders the
+    distinct-score relation.  documents scans once (the histogram is
+    lineage-truncated); no corpus-sized join shape appears."""
+    import re
+
+    p = _formatted_plan(spark, "q_curriculum")
+    assert p.count("documents.parquet") == 1, p[:2000]
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # the unpartitioned running sum orders __bin (bounded by the fixed
+    # grid), and the score ordering appears only under the k partition
+    assert re.search(r"windowspecdefinition\(__bin#\d+L ASC", p), p[:2000]
+    assert re.search(r"windowspecdefinition\(k#\d+, score_e6#\d+L ASC", p), p[:2000]
+    assert not re.search(r"windowspecdefinition\(score_e6#\d+L ASC", p), (
+        "an unpartitioned window orders the distinct-score relation"
+    )
