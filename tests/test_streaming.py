@@ -755,3 +755,103 @@ def test_stream_index_maintenance_exactly_once_stream_equals_batch(spark, tmp_pa
     got2 = {r.vec_id: tuple(r.embedding)
             for r in corpus2.snapshot().collect()}
     assert got2 == want
+
+
+def test_stream_index_maintenance_many_batch_drain_o1_probe(spark, tmp_path):
+    """≥20-micro-batch drain through the composed corpus+index loop
+    (VERDICT r15 #6): 24 one-row change files drain as 24 batches
+    (maxFilesPerTrigger=1).  Pins (a) exactly-once bookkeeping at
+    scale — exactly one corpus commit per batch, batch ids 0..23 all
+    stamped on BOTH tables; (b) the maintained corpus equals the
+    truth and the index equals a from-scratch encode of it; (c) the
+    idempotence probe is O(1) once the per-handle cache is warm — a
+    repeated has_stream_batch parses ZERO commit files (the membership
+    test must not rescan or copy per micro-batch)."""
+    import artemia_airflow_spark.sources.txtable as TXMOD
+    from artemia_airflow_spark.operators import similarity as S
+    from artemia_airflow_spark.sources.txtable import TxTable
+
+    n = 24
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> "
+            "cast((id * 67 + d * 13) % 41 - 20 as double) / 10.0)"
+        ).alias("embedding"),
+    )
+    comps_of = lambda df: S.embedding_comps(  # noqa: E731
+        df, id_col="vec_id", vec_col="embedding"
+    )
+    cells, books, _ = S._ivf_pq_portable_build(spark, comps_of(emb))
+    m = S._IVF_PQ_PORTABLE_M
+
+    def encode_keyed(df):
+        return S._ivf_pq_portable_encode(comps_of(df), cells, books).select(
+            (F.col("vec_id") * m + F.col("j")).alias("k"),
+            "vec_id", "cell", "j", "code",
+        )
+
+    stale = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> 0.0d)").alias("embedding")
+    )
+    corpus_t = TxTable.create(
+        spark, stale, str(tmp_path / "corpus"), key_col="vec_id"
+    )
+    index_t = TxTable.create(
+        spark, encode_keyed(stale), str(tmp_path / "index"), key_col="k"
+    )
+    v0_corpus, v0_index = corpus_t.version(), index_t.version()
+
+    src = str(tmp_path / "chg")
+    rows = emb.withColumn("is_del", F.lit(False)).collect()
+    now = time.time()
+    for i, r in enumerate(rows):
+        sub = os.path.join(src, f"b{i:03d}")
+        spark.createDataFrame(
+            [r], "vec_id long, embedding array<double>, is_del boolean"
+        ).coalesce(1).write.parquet(sub)
+        for name in os.listdir(sub):  # distinct mtimes: batch i = file i
+            os.utime(os.path.join(sub, name), (now - 1000 + i, now - 1000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, is_del boolean"
+        ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    S.stream_index_maintenance(
+        stream, corpus_t, index_t, cells, books, str(tmp_path / "ckpt")
+    )
+
+    # (a) one corpus commit per batch, ids 0..23 stamped on both tables
+    assert corpus_t.version() == v0_corpus + n
+    assert index_t.version() == v0_index + n
+    assert corpus_t.committed_stream_batches("cdc-index") == set(range(n))
+    assert index_t.committed_stream_batches("cdc-index") == set(range(n))
+
+    # (b) corpus == truth, index == from-scratch encode of the truth
+    got = {r.vec_id: tuple(r.embedding) for r in corpus_t.snapshot().collect()}
+    want = {r.vec_id: tuple(r.embedding) for r in emb.collect()}
+    assert got == want
+    assert sorted(map(tuple, index_t.snapshot()
+                      .select("k", "vec_id", "cell", "j", "code").collect())) \
+        == sorted(map(tuple, encode_keyed(emb).collect()))
+
+    # (c) warm-cache probes parse ZERO commit files
+    corpus_t.has_stream_batch("cdc-index", 0)   # warm (parses the tail)
+    index_t.has_stream_batch("cdc-index", 0)
+    parsed = []
+    orig = TXMOD._version_path
+
+    def spy(root, v):
+        parsed.append((root, v))
+        return orig(root, v)
+
+    TXMOD._version_path = spy
+    try:
+        assert corpus_t.has_stream_batch("cdc-index", n - 1)
+        assert not corpus_t.has_stream_batch("cdc-index", 10_000)
+        assert index_t.has_stream_batch("cdc-index", n - 1)
+        assert not index_t.has_stream_batch("cdc-index", 10_000)
+    finally:
+        TXMOD._version_path = orig
+    assert parsed == [], parsed
