@@ -111,6 +111,42 @@ def lehmer_bucket(id_col: Column | str, seed: int, *, buckets: int = 1_000_000) 
     return ((c % m31) * F.lit(48271) + F.lit(seed)) % m31 % F.lit(buckets)
 
 
+# int64 headroom for the e6 ratio family: a BIGINT numerator past
+# 2^62 / 1e6 would overflow when scaled to parts-per-million.  ANSI
+# mode already throws on the overflow itself; the guard exists to fail
+# EARLY with the operator's name and the remediation, and to make the
+# guarded shape auditable in plan text (tests/test_properties.py).
+E6_HEADROOM = (2 ** 62) // 1_000_000
+
+
+def guarded_e6_ratio(num_sql: str, den_sql: str, *, op: str) -> Column:
+    """Exact parts-per-million ratio ``num * 1000000 DIV den`` (BIGINT,
+    truncating — Spark DIV == DuckDB //) with the int64-headroom guard
+    INLINE (VERDICT r15 #7): a numerator past ``E6_HEADROOM`` raises a
+    named, actionable error instead of ANSI's anonymous overflow.
+
+    The guard is division-free and sits inside the product expression
+    (``CASE ... END * 1000000``), so the raise evaluates before the
+    multiply — the guard-placement rule the epoch-plan face
+    established: a guard referenced from the SAME select as the
+    product resolves to the unguarded input and overflows first.  The
+    resulting ``END * 1000000) DIV`` plan text is the marker the
+    e6-headroom property test keys on.  ``num_sql``/``den_sql`` are
+    SQL fragments (column names or aggregate expressions); an
+    aggregate numerator appears twice textually but Spark deduplicates
+    identical aggregate expressions, so it computes once.
+    """
+    msg = (
+        f"{op}: e6 numerator past int64 headroom (2^62/1e6 ~ 4.6e12) "
+        "— widen the ratio arithmetic to DECIMAL(38,0)"
+    )
+    return F.expr(
+        f"(CASE WHEN ({num_sql}) > {E6_HEADROOM} THEN "
+        f"CAST(raise_error('{msg}') AS BIGINT) "
+        f"ELSE CAST(({num_sql}) AS BIGINT) END * 1000000) DIV ({den_sql})"
+    ).cast("bigint")
+
+
 # -- process-scoped scratch directories --------------------------------
 
 import threading as _threading

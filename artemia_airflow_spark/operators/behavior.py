@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.functions.core import guarded_e6_ratio
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
 
@@ -462,11 +463,12 @@ def pagerank_types(
     out_total = F.sum("cnt").over(Window.partitionBy("src"))
     eprob = truncate_lineage(
         edges.select(
+            "src", "dst", "cnt", out_total.alias("__out"),
+        ).select(
             "src", "dst",
-            ((F.col("cnt") * F.lit(1_000_000))
-             .cast("bigint").alias("__num")),
-            out_total.alias("__out"),
-        ).selectExpr("src", "dst", "__num DIV __out AS prob_e6"),
+            guarded_e6_ratio("cnt", "__out", op="transition_probs")
+            .alias("prob_e6"),
+        ),
         None,
     )
     nodes = truncate_lineage(
@@ -801,7 +803,8 @@ def active_users(
             "day",
             F.col("dau").cast("bigint").alias("dau"),
             F.col("wau").cast("bigint").alias("wau"),
-            F.expr("dau * 1000000 DIV wau").alias("stickiness_e6"),
+            guarded_e6_ratio("dau", "wau", op="active_users")
+            .alias("stickiness_e6"),
         )
     )
 

@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
-from artemia_airflow_spark.functions.core import lehmer_bucket, spread_for_compute
+from artemia_airflow_spark.functions.core import (
+    guarded_e6_ratio,
+    lehmer_bucket,
+    spread_for_compute,
+)
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
 
@@ -2207,8 +2211,9 @@ def q_containment(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_grams").alias("sum_grams"),
             F.sum("hits").alias("sum_hits"),
-            F.expr("sum(hits) * 1000000 DIV sum(n_grams)")
-            .cast("bigint").alias("containment_e6"),
+            guarded_e6_ratio("sum(hits)", "sum(n_grams)",
+                             op="leakage_audit")
+            .alias("containment_e6"),
         )
     )
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
 from artemia_airflow_spark.functions.core import (
+    guarded_e6_ratio,
     process_scratch_dir,
     spread_for_compute,
 )
@@ -2108,7 +2109,8 @@ def dedup_rate_by_source(
         F.sum("c").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).alias("n_distinct_texts"),
         F.max("c").cast("bigint").alias("max_cluster"),
-        F.expr("(sum(c) - count(1)) * 1000000 DIV sum(c)")
+        guarded_e6_ratio("sum(c) - count(1)", "sum(c)",
+                         op="dup_rate_by_group")
         .alias("dup_rate_e6"),
     )
 

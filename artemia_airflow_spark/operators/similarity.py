@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
+from artemia_airflow_spark.functions.core import guarded_e6_ratio
 from artemia_airflow_spark.functions.vectors import cosine_similarity
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
@@ -3260,8 +3261,10 @@ def knn_label_noise(
         F.count(F.lit(1)).alias("n_neighbors"),
         F.sum(F.when(F.col("__nl") != F.col("__pl"), 1).otherwise(0))
         .cast("bigint").alias("n_disagree"),
-        F.expr("sum(CASE WHEN __nl <> __pl THEN 1 ELSE 0 END) * 1000000"
-               " DIV count(1)").alias("disagree_rate_e6"),
+        guarded_e6_ratio(
+            "sum(CASE WHEN __nl <> __pl THEN 1 ELSE 0 END)", "count(1)",
+            op="knn_label_noise",
+        ).alias("disagree_rate_e6"),
     )
 
 

@@ -27,6 +27,8 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from artemia_airflow_spark.functions import core as _core
+
 
 class MetricSpec(NamedTuple):
     """One metric of a stacked (multi-column, single-scan) histogram
@@ -1899,8 +1901,10 @@ def calibration_curve(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("__pos"), 1).otherwise(0)).cast("bigint")
             .alias("n_pos"),
-            F.expr("sum(CASE WHEN __pos THEN 1 ELSE 0 END) * 1000000"
-                   " DIV count(1)").alias("pos_rate_e6"),
+            _core.guarded_e6_ratio(
+                "sum(CASE WHEN __pos THEN 1 ELSE 0 END)", "count(1)",
+                op="score_calibration",
+            ).alias("pos_rate_e6"),
             F.expr(f"sum({score_col}) DIV count(1)").cast("bigint")
             .alias("mean_score_e6"),
         )

@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
-from artemia_airflow_spark.functions.core import spread_for_compute
+from artemia_airflow_spark.functions.core import (
+    guarded_e6_ratio,
+    spread_for_compute,
+)
 from artemia_airflow_spark.plans.registry import declared
 from artemia_airflow_spark.session import ensure_engine_conf
 
@@ -254,12 +257,13 @@ def langid_quality(
     return j.select(
         "lang", "n_true", "n_pred", "tp",
         F.when(F.col("n_pred") > 0,
-               F.expr("tp * 1000000 DIV n_pred"))
+               guarded_e6_ratio("tp", "n_pred", op="langid_quality"))
         .otherwise(F.lit(0)).cast("bigint").alias("precision_e6"),
-        F.expr("tp * 1000000 DIV n_true").cast("bigint")
+        guarded_e6_ratio("tp", "n_true", op="langid_quality")
         .alias("recall_e6"),
         F.when(F.col("n_pred") + F.col("n_true") > 0,
-               F.expr("2 * tp * 1000000 DIV (n_pred + n_true)"))
+               guarded_e6_ratio("2 * tp", "n_pred + n_true",
+                                op="langid_quality"))
         .otherwise(F.lit(0)).cast("bigint").alias("f1_e6"),
     )
 
@@ -356,10 +360,12 @@ def text_compression(
         )
         .select(
             source_col, "n_docs", "n_bytes", "n_chars", "n_tokens",
-            F.expr("n_bytes * 1000000 DIV n_tokens").cast("bigint")
+            guarded_e6_ratio("n_bytes", "n_tokens",
+                             op="tokenizer_efficiency")
             .alias("bytes_per_token_e6"),
-            F.expr("(n_bytes - n_chars) * 1000000 DIV n_bytes")
-            .cast("bigint").alias("multibyte_ratio_e6"),
+            guarded_e6_ratio("n_bytes - n_chars", "n_bytes",
+                             op="tokenizer_efficiency")
+            .alias("multibyte_ratio_e6"),
         )
     )
 
@@ -1250,8 +1256,9 @@ def q_text_bpe_fertility(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_sym").alias("n_symbols"),
-            F.expr("sum(n_sym) * 1000000 DIV count(1)")
-            .cast("bigint").alias("fertility_e6"),
+            guarded_e6_ratio("sum(n_sym)", "count(1)",
+                             op="bpe_fertility")
+            .alias("fertility_e6"),
         )
     )
 
@@ -1424,7 +1431,8 @@ def vocabulary_coverage(
         .select(
             F.col("n_vocab").cast("bigint").alias("n_vocab"),
             "covered_tokens",
-            F.expr("covered_tokens * 1000000 DIV __total")
+            guarded_e6_ratio("covered_tokens", "__total",
+                             op="vocab_coverage")
             .alias("coverage_e6"),
         )
     )

@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.functions.core import dec_sum
+from tests.conftest import SF_SMOKE
 
 money = st.decimals(
     min_value=-10**9, max_value=10**9, places=2, allow_nan=False, allow_infinity=False
@@ -592,3 +593,87 @@ def test_dedup_keep_best_matches_python_reference(spark, rows):
         if k not in best or (-sc, i) < best[k][0]:
             best[k] = ((-sc, i), i)
     assert kept == sorted(v[1] for v in best.values())
+
+
+def test_every_declared_e6_product_guarded_decimal_or_bounded(spark):
+    """Registry-wide int64-headroom audit (VERDICT r15 #7): walk EVERY
+    declared query's optimized plan and classify each integer
+    parts-per-million product (``x * 1000000``).  Each site must be
+
+    - GUARDED: the product's left operand is the inline headroom CASE
+      (``... END * 1000000`` — the guarded_e6_ratio shape), so a
+      numerator past 2^62/1e6 raises a named error before the multiply;
+    - DECIMAL: the left operand is decimal-typed (widened arithmetic
+      cannot overflow at e6 scale); or
+    - in the ALLOWLIST below with the boundedness argument written out
+      — per-document numerators (bounded by one document's length, not
+      the corpus), k-bounded numerators, or a guard that rides a PRIOR
+      projection (the epoch-plan placement, which the optimizer keeps
+      as a separate Project because raise_error blocks collapse — the
+      product then references the guarded attribute, invisible to the
+      textual END check).
+
+    A new e6 ratio added without a guard or a written-down bound fails
+    here by name.  Double-typed quantizations (``* 1000000.0 + 0.5``
+    then floor) are out of scope: they cannot overflow, only round.
+    """
+    import re
+
+    from artemia_airflow_spark.plans import registry
+
+    registry.load_all_query_modules()
+
+    ALLOWLIST = {
+        # numerator < n_tokens of ONE source, which a projection ABOVE
+        # this product replaces with a raise past 2^62/1e6 (the
+        # epoch-plan guard); the remainder term is < n_tokens by
+        # construction of %
+        "q_mix_epoch_plan",
+        # total_tokens is the guarded attribute from the prior
+        # projection (source_influence's withColumn guard); all six
+        # products consume it or values <= it
+        "q_select_influence",
+        # numerator = length(text) of ONE document (chars-per-token
+        # score): per-document bound, not corpus-scale
+        "q_curriculum",
+        # per-document containment: hits <= n_grams of one document
+        # (the per-SOURCE rollup above it is guarded)
+        "q_leakage_audit",
+        # per-document novelty: unique-gram count of one document
+        "q_text_novelty",
+        # n_hits <= k = 10 by construction of the top-k intersection
+        "q_sim_recall_portable",
+        # numerator = wordpiece char count of ONE document (the
+        # quality-score projection feeding the budget cut)
+        "q_select_budget",
+    }
+
+    def opt_plan(df):
+        s = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("extended"))
+        a = s.find("== Optimized Logical Plan ==")
+        b = s.find("== Physical Plan ==")
+        return s[a:b]
+
+    # a decimal cast closing immediately left of the product (any
+    # paren depth): the multiply is decimal-typed, overflow-free
+    decimal_re = re.compile(r"as decimal\(\d+,\d+\)\)+\s*$")
+    offenders = {}
+    for name, fn in registry.QUERIES.items():
+        p = opt_plan(fn(spark, SF_SMOKE))
+        for m in re.finditer(r"\* 1000000(?![.\d])", p):
+            pre = p[:m.start()].rstrip()
+            if pre.endswith("END"):
+                continue  # inline guard (guarded_e6_ratio)
+            if decimal_re.search(p[max(0, m.start() - 40):m.start()]):
+                continue  # decimal-widened product
+            if name in ALLOWLIST:
+                continue
+            offenders.setdefault(name, []).append(
+                p[max(0, m.start() - 70):m.start() + 12]
+                .replace("\n", " "))
+    assert not offenders, (
+        "unguarded integer e6 products (add guarded_e6_ratio or a "
+        f"written-down bound): {offenders}"
+    )
