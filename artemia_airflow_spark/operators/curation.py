@@ -2412,3 +2412,344 @@ def q_text_novelty(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return ngram_novelty(d, "text", "doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# B181: the corpus-curation capstone — one composed end-to-end pipeline
+# ---------------------------------------------------------------------------
+
+def corpus_pipeline(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    capacity: int = 2048,
+    shards: int = 32,
+    audit: list | None = None,
+) -> DataFrame:
+    """The composed corpus-curation capstone (r16, VERDICT r15 #3):
+    scrub -> language-ID gate -> quality-classifier gate -> exact
+    dedup -> portable near-dup LSH -> eval decontamination -> sqrt-
+    temperature up-sampling -> frozen hash split -> token-budget
+    packing, ending in the per-(split, source) training manifest a
+    data team signs off.  This is the reference's own shape — a DAG of
+    curation stages feeding a training store (reference
+    dags/update_tr_from_ex_dag.py:78-154 composes staged tasks the
+    same way) — re-expressed as ONE Spark dataflow whose every stage
+    is an already-attested engine operator:
+
+    - :func:`scrub_web_noise` (B58 family) on both corpus and eval,
+    - :func:`~..operators.text.language_id` (B43) gating ``und``,
+    - :func:`~..operators.selection.classifier_scores` (B150) gating
+      on the NB decision rule (score > 0, target = ``target_lang``),
+    - :func:`~..operators.dedup.exact_dedup` (B40) min-id per
+      normalized text,
+    - :func:`~..operators.dedup.minhash_portable_duplicates` (B41
+      portable twin) banded-LSH near-dup suppression,
+    - :func:`decontaminate` (B81 family) dropping any doc sharing a
+      4-gram with the eval set,
+    - :func:`apply_temperature` (B-mix) materializing the sqrt
+      schedule with deterministic Lehmer extra copies,
+    - :func:`~..operators.selection.hash_split` (B144 family) frozen
+      80/10/10 assignment,
+    - the :func:`pack_sequences_budget` windowing recipe, partitioned
+      by (split, shard) so each split packs independently.
+
+    STAGE MATERIALIZATION is the scale design, not an optimization:
+    after every gate the surviving frame is lineage-truncated
+    (:func:`~..operators.dedup.truncate_lineage` — localCheckpoint
+    here; a parquet/TxTable stage store on a cluster), because each
+    stage fans into 2-3 consumers (stats pass + join back) and Spark
+    re-expands common subplans — without the cuts the base scan
+    re-executes multiplicatively (the token-budget 10-scans lesson).
+    With them, the raw corpus is scanned exactly ONCE for the train
+    side and ONCE for the eval side across the entire pipeline, and
+    every later stage reads only the previous stage's materialization
+    — pinned by the plan audit test via the ``audit`` hook, which
+    captures each stage's pre-materialization plan.
+
+    Returns the manifest: (split, source, n_rows, n_docs, sum_tokens,
+    split_seqs) — materialized row counts (post-repetition), distinct
+    documents, token totals, and the split's packed-sequence count.
+    """
+    from artemia_airflow_spark.operators.dedup import (
+        exact_dedup,
+        minhash_portable_duplicates,
+        truncate_lineage,
+    )
+    from artemia_airflow_spark.operators.selection import (
+        classifier_scores,
+        hash_split,
+    )
+    from artemia_airflow_spark.operators.text import language_id
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        if audit is not None:
+            audit.append((name, df._jdf.queryExecution().explainString(
+                df.sparkSession._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("extended"))))
+        return truncate_lineage(df, None)
+
+    s_scrub = scrub_web_noise(
+        train.select(id_col, lang_col, source_col, text_col), text_col
+    )
+    ev = scrub_web_noise(eval_df.select(id_col, text_col), text_col)
+    s_lid = _stage(
+        language_id(s_scrub, text_col)
+        .filter(F.col("lang_pred") != "und").drop("lang_pred"),
+        "scrub+langid",
+    )
+    sc = classifier_scores(
+        s_lid.withColumn("__is_t", F.col(lang_col) == target_lang),
+        text_col, id_col, "__is_t",
+    )
+    s_cls = _stage(
+        s_lid.join(
+            sc.filter(F.col("pred_target") == 1).select(id_col),
+            id_col, "left_semi",
+        ),
+        "classifier-gate",
+    )
+    s_ex = _stage(exact_dedup(s_cls, text_col, id_col), "exact-dedup")
+    dups = minhash_portable_duplicates(s_ex, text_col, id_col)
+    s_near = _stage(s_ex.join(dups, id_col, "left_anti"), "near-dedup")
+    s_dec = _stage(
+        decontaminate(s_near, ev, text_col, id_col, n=4)
+        .filter(~F.col("contaminated")).drop("contaminated")
+        .withColumn("__t", F.size(_tokens(text_col)).cast("bigint")),
+        "decontaminate",
+    )
+    mat = hash_split(
+        apply_temperature(s_dec, source_col=source_col, id_col=id_col),
+        id_col,
+    )
+    wpack = (
+        Window.partitionBy("split", "__shard")
+        .orderBy(id_col, "copy_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = _stage(
+        mat.withColumn("__shard", F.col(id_col) % shards)
+        .withColumn("__cum", F.coalesce(F.sum("__t").over(wpack), F.lit(0)))
+        .withColumn(
+            "seq_id",
+            F.floor(F.col("__cum") / F.lit(float(capacity))).cast("bigint"),
+        )
+        .select("split", source_col, id_col, "__t", "__shard", "seq_id"),
+        "mix+split+pack",
+    )
+    m1 = packed.groupBy("split", source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+        F.sum("__t").cast("bigint").alias("sum_tokens"),
+    )
+    m2 = packed.groupBy("split").agg(
+        F.countDistinct("__shard", "seq_id").cast("bigint")
+        .alias("split_seqs"),
+    )
+    return m1.join(m2, "split").select(
+        "split", source_col, "n_rows", "n_docs", "sum_tokens", "split_seqs"
+    )
+
+
+@declared(
+    "q_corpus_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, 'https?://[^\\s]+', '[URL]', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '[!?.,;:]{3,}', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS text
+      FROM documents
+    ), tr AS (
+      SELECT * FROM base WHERE doc_id % 20 <> 0
+    ), ev AS (
+      SELECT doc_id, text FROM base WHERE doc_id % 20 = 0
+    ), lidh AS (
+      SELECT doc_id, lang, source, text,
+        len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+            ['the','and','of','to','in'])) AS h_en,
+        len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+            ['el','la','de','que','los'])) AS h_es,
+        len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+            ['le','la','les','des','est'])) AS h_fr,
+        len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+            ['der','die','das','und','ist'])) AS h_de,
+        len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+            ['de5','shi4','le5','zai4','he2'])) AS h_zh
+      FROM tr
+    ), lid AS (
+      SELECT doc_id, lang, source, text FROM lidh
+      WHERE greatest(h_en, h_es, h_fr, h_de, h_zh) > 0
+    ), toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             regexp_split_to_array(lower(text), '\\s+') AS a
+      FROM lid
+    ), feats AS (
+      SELECT doc_id, is_t, unnest(a) AS feat FROM toks
+      UNION ALL
+      SELECT doc_id, is_t,
+             a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS feat
+      FROM toks, unnest(range(1, len(a))) AS t(i)
+    ), db AS (
+      SELECT DISTINCT doc_id, is_t, substr(md5(feat), 1, 2) AS bucket FROM feats
+    ), bs AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+      FROM db GROUP BY bucket
+    ), pri AS (
+      SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ndt,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(floor(ln(
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+               / CAST(COUNT(*) - SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1
+                      AS DOUBLE)
+             ) * 1000000.0 + 0.5) AS BIGINT) AS bias6
+      FROM lid
+    ), contrib AS (
+      SELECT bucket,
+             CAST(floor(ln(
+               CAST((n_t + 1) * (nd - ndt + 2) AS DOUBLE)
+               / CAST((n_all - n_t + 1) * (ndt + 2) AS DOUBLE)
+             ) * 1000000.0 + 0.5) AS BIGINT) AS w6,
+             bias6
+      FROM bs CROSS JOIN pri
+    ), sc AS (
+      SELECT doc_id, CAST(SUM(w6) + MAX(bias6) AS BIGINT) AS score_e6
+      FROM db JOIN contrib USING (bucket) GROUP BY doc_id
+    ), cls AS (
+      SELECT l.doc_id, l.lang, l.source, l.text
+      FROM lid l JOIN sc USING (doc_id) WHERE sc.score_e6 > 0
+    ), ex AS (
+      SELECT doc_id, lang, source, text FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+          ORDER BY doc_id) AS rn
+        FROM cls)
+      WHERE rn = 1
+    ), tok2 AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM ex
+    ), hashes AS (
+      SELECT doc_id, i,
+             min(substr(md5(CAST(i // 4 AS VARCHAR) || ':' || tok),
+                        CAST((i % 4) * 8 + 1 AS INT), 8)) AS h
+      FROM tok2 CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(sig, b*8+1, b*8+8), ',')) AS bv
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS b)
+    ), ndup AS (
+      SELECT DISTINCT a.doc_id
+      FROM banded a JOIN banded x ON a.b = x.b AND a.bv = x.bv
+                                 AND x.doc_id < a.doc_id
+    ), nd2 AS (
+      SELECT e.* FROM ex e LEFT JOIN ndup USING (doc_id)
+      WHERE ndup.doc_id IS NULL
+    ), t6 AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM nd2
+    ), g6 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 3, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS gram
+      FROM t6
+    ), te AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM ev
+    ), ge AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(t) - 3, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS gram
+      FROM te
+    ), contam AS (
+      SELECT DISTINCT g6.doc_id FROM g6 JOIN ge USING (gram)
+    ), dec AS (
+      SELECT n.*,
+             CAST(len(regexp_split_to_array(lower(n.text), '\\s+')) AS BIGINT) AS t
+      FROM nd2 n LEFT JOIN contam c USING (doc_id)
+      WHERE c.doc_id IS NULL
+    ), s7 AS (
+      SELECT source, CAST(SUM(t) AS BIGINT) AS n_tokens FROM dec GROUP BY source
+    ), m7 AS (
+      SELECT CAST(MAX(n_tokens) AS BIGINT) AS max_tokens FROM s7
+    ), fac AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(max_tokens AS DOUBLE) / n_tokens)) AS INT)
+               AS whole,
+             CAST(floor((sqrt(CAST(max_tokens AS DOUBLE) / n_tokens)
+                         - floor(sqrt(CAST(max_tokens AS DOUBLE) / n_tokens)))
+                        * 1000000 + 0.5) AS BIGINT) AS frac_e6
+      FROM s7 CROSS JOIN m7
+    ), cop AS (
+      SELECT d.doc_id, d.lang, d.source, d.t,
+             unnest(range(1, f.whole
+               + (CASE WHEN ((d.doc_id % 2147483647) * 48271 + 77)
+                         % 2147483647 % 1000000 < f.frac_e6
+                  THEN 1 ELSE 0 END) + 1)) AS copy_id
+      FROM dec d JOIN fac f USING (source)
+    ), sp AS (
+      SELECT *, CASE WHEN b < 100 THEN 'test'
+                     WHEN b < 200 THEN 'val' ELSE 'train' END AS split
+      FROM (
+        SELECT *, CAST(concat('0x', substr(
+            md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))
+          AS BIGINT) % 1000 AS b
+        FROM cop)
+    ), pk AS (
+      SELECT split, source, doc_id, t, doc_id % 32 AS shard,
+             COALESCE(SUM(t) OVER (
+               PARTITION BY split, doc_id % 32
+               ORDER BY doc_id, copy_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM sp
+    ), pk2 AS (
+      SELECT split, source, doc_id, t, shard,
+             CAST(FLOOR(cum_prev / 2048.0) AS BIGINT) AS seq_id
+      FROM pk
+    ), m1 AS (
+      SELECT split, source,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS sum_tokens
+      FROM pk2 GROUP BY split, source
+    ), m2 AS (
+      SELECT split, CAST(COUNT(DISTINCT (shard, seq_id)) AS BIGINT) AS split_seqs
+      FROM pk2 GROUP BY split
+    )
+    SELECT m1.split, m1.source, n_rows, n_docs, sum_tokens, split_seqs
+    FROM m1 JOIN m2 USING (split)
+    """,
+)
+def q_corpus_pipeline(spark, sf_dir):
+    """The corpus-curation capstone, FULL hash-match oracle: the
+    composed scrub -> langid -> classifier -> exact+near dedup ->
+    decontaminate -> temperature mix -> hash split -> pack pipeline
+    over the documents table (train = doc_id % 20 != 0, eval slice =
+    the rest), ending in the per-(split, source) manifest.  The oracle
+    chains the VERBATIM DuckDB recipes of the already-attested stage
+    faces (q_text_scrub, q_text_langid, q_select_classifier,
+    q_dedup_exact, q_dedup_minhash_portable, q_decontaminate,
+    q_mix_temperature_apply, q_split_manifest, q_pack_sequences) into
+    one WITH-chain — a hash match is therefore evidence the 246
+    attested operators COMPOSE: every gate's survivors, every copy
+    count, every split assignment, and every packed-sequence count
+    agree end-to-end across engines."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return corpus_pipeline(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+    )

@@ -357,3 +357,164 @@ def test_dedup_segments_null_text_keeps_row(spark):
     out = {r.doc_id: r for r in dedup_segments(d).collect()}
     assert set(out) == {1, 2}
     assert out[2].n_segments == 1 and out[2].text_clean == ""
+
+
+def test_corpus_pipeline_matches_python_reference_on_crafted_corpus(spark):
+    """The composed capstone vs an independent pure-Python twin on a
+    corpus CRAFTED so every gate provably fires: a marker-free doc
+    dies at language-ID; a byte-identical copy dies at exact dedup; a
+    same-token-set/different-order doc dies at the portable minhash
+    LSH (identical signature — the set semantics exact dedup cannot
+    see); a doc embedding the eval slice's 4-gram dies at
+    decontamination; the tail source's sqrt-temperature factor is
+    exactly 2.0 (deterministic double up-sampling, no Lehmer
+    boundary); packing uses capacity=8 so sequence boundaries land
+    mid-split.  The Python twin recomputes every stage (md5 buckets,
+    NB log-odds, minhash bands, Lehmer, md5 split, running-sum pack)
+    from scratch and the manifests must agree row-for-row."""
+    import hashlib
+    import math
+    import re as _re
+
+    from artemia_airflow_spark.operators.curation import corpus_pipeline
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    # -- fixture ---------------------------------------------------------
+    # eval doc (id 20): its 4-gram "alpha beta gamma delta" is the
+    # contamination probe
+    ev_rows = [(20, "en", "srcA", "alpha beta gamma delta")]
+    tr_rows = [
+        (1, "en", "srcA", "the and of to in quick brown fox"),
+        (2, "en", "srcA", "the and of to in quick brown fox"),   # exact dup
+        (3, "en", "srcA", "in to of and the quick brown fox"),   # set dup
+        (4, "en", "srcA", "the and of to in alpha beta gamma delta"),
+        (6, "en", "srcA", "zz yy xx ww vv uu tt ss"),            # und
+        # 32 tokens via repetition: presence features stay mostly the
+        # shared positive pool, so the NB gate passes it, while the
+        # token SET differs from doc 1's, so the LSH does not merge it
+        (5, "en", "srcB", ("the and of to in red blue sky " * 4).strip()),
+    ]
+    train = spark.createDataFrame(
+        tr_rows, "doc_id long, lang string, source string, text string")
+    ev = spark.createDataFrame(
+        ev_rows, "doc_id long, lang string, source string, text string")
+
+    # -- python twin ------------------------------------------------------
+    MARKERS = {
+        "en": ["the", "and", "of", "to", "in"],
+        "es": ["el", "la", "de", "que", "los"],
+        "fr": ["le", "la", "les", "des", "est"],
+        "de": ["der", "die", "das", "und", "ist"],
+        "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+    }
+
+    def lang_pred(text):
+        toks = set(text.lower().split())
+        best = max(sorted(MARKERS), key=lambda lg: (
+            len(toks & set(MARKERS[lg])), lg))
+        return best if len(toks & set(MARKERS[best])) > 0 else "und"
+
+    lid = [r for r in tr_rows if lang_pred(r[3]) != "und"]
+    assert {r[0] for r in tr_rows} - {r[0] for r in lid} == {6}
+
+    # classifier: NB log-odds over 256 md5 buckets, presence features
+    def buckets(text):
+        t = text.lower().split()
+        feats = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        return {md5(f)[:2] for f in feats}
+
+    nd = len(lid)
+    ndt = sum(1 for r in lid if r[1] == "en")
+    bias6 = math.floor(math.log((ndt + 1) / (nd - ndt + 1)) * 1e6 + 0.5)
+    bstats: dict = {}
+    for r in lid:
+        for b in buckets(r[3]):
+            n_all, n_t = bstats.get(b, (0, 0))
+            bstats[b] = (n_all + 1, n_t + (r[1] == "en"))
+    def score(text):
+        s = bias6
+        for b in buckets(text):
+            n_all, n_t = bstats[b]
+            s += math.floor(math.log(
+                ((n_t + 1) * (nd - ndt + 2))
+                / ((n_all - n_t + 1) * (ndt + 2))) * 1e6 + 0.5)
+        return s
+    cls = [r for r in lid if score(r[3]) > 0]
+    assert {r[0] for r in cls} == {r[0] for r in lid}, (
+        "fixture drift: the classifier gate was crafted to pass all "
+        "langid survivors")
+
+    # exact dedup: min id per normalized text
+    seen: dict = {}
+    for r in sorted(cls):
+        key = _re.sub(r"\s+", " ", r[3].strip().lower())
+        seen.setdefault(key, r)
+    ex = sorted(seen.values())
+    assert {r[0] for r in cls} - {r[0] for r in ex} == {2}
+
+    # portable minhash LSH (16 hashes, 2 bands x 8)
+    def bands(text):
+        toks = set(text.lower().split())
+        sig = [min(md5(f"{i // 4}:{tok}")[(i % 4) * 8:(i % 4) * 8 + 8]
+                   for tok in toks) for i in range(16)]
+        return [(b, md5(",".join(sig[b * 8:(b + 1) * 8]))) for b in (0, 1)]
+    bb = {r[0]: bands(r[3]) for r in ex}
+    dups = {i for i, bs in bb.items()
+            if any(j < i and set(bs) & set(bj) for j, bj in bb.items())}
+    assert dups == {3}, "fixture drift: id 3 must LSH-collide with id 1"
+    near = [r for r in ex if r[0] not in dups]
+
+    # decontaminate: 4-gram overlap with the eval slice
+    def grams(text):
+        t = text.lower().split()
+        return {" ".join(t[i:i + 4]) for i in range(max(len(t) - 3, 1))}
+    eg = set().union(*(grams(r[3]) for r in ev_rows))
+    dec = [r for r in near if not (grams(r[3]) & eg)]
+    assert {r[0] for r in near} - {r[0] for r in dec} == {4}
+
+    # sqrt-temperature: srcB (32 tokens) is the head, srcA (8) doubles
+    ntok = lambda t: len(t.lower().split())  # noqa: E731
+    src_tokens: dict = {}
+    for r in dec:
+        src_tokens[r[2]] = src_tokens.get(r[2], 0) + ntok(r[3])
+    mx = max(src_tokens.values())
+    def copies(r):
+        f = math.sqrt(mx / src_tokens[r[2]])
+        frac_e6 = math.floor((f - math.floor(f)) * 1e6 + 0.5)
+        lehmer = ((r[0] % 2147483647) * 48271 + 77) % 2147483647 % 1000000
+        return int(f) + (1 if lehmer < frac_e6 else 0)
+    assert {r[2]: copies(r) for r in dec} == {"srcA": 2, "srcB": 1}
+
+    # md5 split + capacity-8 pack over 4 shards
+    def split_of(i):
+        b = int(md5(f"split:{i}")[:12], 16) % 1000
+        return "test" if b < 100 else ("val" if b < 200 else "train")
+    rows = [(split_of(r[0]), r[2], r[0], ntok(r[3]), c + 1)
+            for r in dec for c in range(copies(r))]
+    packed = []
+    for sp in sorted({r[0] for r in rows}):
+        for sh in range(4):
+            cum = 0
+            for (s, src, i, t, c) in sorted(rows):
+                if s == sp and i % 4 == sh:
+                    packed.append((s, src, i, t, sh, cum // 8))
+                    cum += t
+    want_m1: dict = {}
+    for (s, src, i, t, sh, q) in packed:
+        k = (s, src)
+        nr, docs, st = want_m1.get(k, (0, set(), 0))
+        want_m1[k] = (nr + 1, docs | {i}, st + t)
+    want_seqs = {
+        s: len({(sh, q) for (s2, _, _, _, sh, q) in packed if s2 == s})
+        for s in {p[0] for p in packed}
+    }
+    want = sorted(
+        (s, src, nr, len(docs), st, want_seqs[s])
+        for (s, src), (nr, docs, st) in want_m1.items()
+    )
+
+    got = sorted(map(tuple, corpus_pipeline(
+        train, ev, capacity=8, shards=4,
+    ).collect()))
+    assert got == want, (got, want)

@@ -998,3 +998,45 @@ def test_curriculum_two_phase_unpartitioned_window_is_bin_grain(spark):
     assert not re.search(r"windowspecdefinition\(score_e6#\d+L ASC", p), (
         "an unpartitioned window orders the distinct-score relation"
     )
+
+
+def test_corpus_pipeline_no_stage_rescans_the_corpus(spark):
+    """q_corpus_pipeline (r16, VERDICT r15 #3): the composed capstone
+    materializes every stage (lineage truncation = the stage-store
+    design), so the raw corpus is scanned exactly ONCE for the train
+    side (the scrub+langid stage) and ONCE for the eval side (inside
+    the decontaminate stage); every other stage — classifier gate,
+    exact dedup, near-dup LSH, mix+split+pack — and the final manifest
+    plan read ONLY the previous stage's materialization, never the
+    parquet source again."""
+    from artemia_airflow_spark.catalog import scan as cat_scan
+    from artemia_airflow_spark.operators.curation import corpus_pipeline
+    from pyspark.sql import functions as F
+
+    d = cat_scan(spark, SF_ORACLE, "documents")
+    audit: list = []
+    manifest = corpus_pipeline(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        audit=audit,
+    )
+    names = [n for n, _ in audit]
+    assert names == [
+        "scrub+langid", "classifier-gate", "exact-dedup", "near-dedup",
+        "decontaminate", "mix+split+pack",
+    ], names
+    expected_scans = {
+        "scrub+langid": 1,     # the ONE train-side corpus scan
+        "classifier-gate": 0,
+        "exact-dedup": 0,
+        "near-dedup": 0,
+        "decontaminate": 1,    # the ONE eval-side corpus scan
+        "mix+split+pack": 0,
+    }
+    for name, plan in audit:
+        got = plan.count("documents.parquet")
+        assert got == expected_scans[name], (name, got, plan[:1200])
+    final = manifest._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("extended"))
+    assert final.count("documents.parquet") == 0, final[:1200]
