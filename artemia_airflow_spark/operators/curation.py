@@ -2753,3 +2753,77 @@ def q_corpus_pipeline(spark, sf_dir):
         d.filter(F.col("doc_id") % 20 != 0),
         d.filter(F.col("doc_id") % 20 == 0),
     )
+
+
+def packing_efficiency(
+    df: DataFrame, text_col: str, id_col: str, *,
+    capacity: int = 2048, shards: int = 32,
+) -> DataFrame:
+    """Per-shard packing-efficiency panel (r16, B182): from the
+    token-budget packing assignment (:func:`pack_sequences_budget`),
+    each shard's sequence count, token total, largest sequence, and
+    the e6-exact FILL RATE ``sum_tokens / (n_seqs * capacity)`` — the
+    padding-waste number a trainer watches (unfilled sequence tail =
+    wasted accelerator steps).  Budget packing lets a boundary-
+    straddling document overflow its sequence, so a shard's largest
+    sequence can exceed ``capacity`` and fill can exceed 1e6; the
+    panel's point is the fleet view — underfilled tail shards and
+    oversize-document hot spots — before committing to a shard count.
+
+    Scale shape: the packing window per shard (the
+    pack_sequences_budget shape), then two shard-grain aggregates —
+    nothing wider than (shard, seq) ever shuffles; the fill ratio
+    rides the guarded e6 recipe (corpus-scale token sums).
+    """
+    packed = pack_sequences_budget(
+        df, text_col, id_col, capacity=capacity, shards=shards
+    )
+    seqs = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+    )
+    return seqs.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("seq_tokens").cast("bigint").alias("sum_tokens"),
+        F.max("seq_tokens").cast("bigint").alias("max_seq_tokens"),
+        guarded_e6_ratio(
+            "sum(seq_tokens)", f"count(1) * {int(capacity)}",
+            op="packing_efficiency",
+        ).alias("fill_e6"),
+    )
+
+
+@declared(
+    "q_pack_efficiency",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 32 AS shard,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM t
+    ), s AS (
+      SELECT shard, CAST(FLOOR(cum_prev / 2048.0) AS BIGINT) AS seq_id,
+             CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+      FROM c GROUP BY 1, 2
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(seq_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens,
+           CAST(SUM(seq_tokens) * 1000000 // (COUNT(*) * 2048) AS BIGINT)
+             AS fill_e6
+    FROM s GROUP BY shard
+    """,
+)
+def q_pack_efficiency(spark, sf_dir):
+    """Packing-efficiency panel, FULL hash-match oracle: per-shard
+    sequence counts, token totals, largest sequence, and e6-exact fill
+    rate under 2048-token budget packing over 32 shards — the padding-
+    waste audit, attested value-for-value (the oracle re-runs the
+    identical running-sum assignment)."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return packing_efficiency(d, "text", "doc_id", capacity=2048, shards=32)

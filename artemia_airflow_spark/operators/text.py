@@ -1475,3 +1475,109 @@ def q_vocab_coverage(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return vocabulary_coverage(d, "text")
+
+
+def agreement_kappa(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Chance-corrected agreement between two categorical labelings —
+    Cohen's kappa (Cohen 1960, public): ``(po - pe) / (1 - pe)`` with
+    observed agreement ``po = D/N`` and chance agreement ``pe =
+    sum_k(row_k * col_k) / N^2`` over the confusion margins.  The
+    curation use: score a cheap labeler (language-ID, a quality
+    classifier) against trusted labels where raw accuracy lies —
+    a 95%-majority class makes 95% accuracy chance-level, and kappa
+    is the number that says so.
+
+    Exact integer arithmetic end to end: ``kappa = (N*D - S) /
+    (N^2 - S)`` as one rational, e6-scaled with a single truncating
+    integer division (Spark DIV and DuckDB // both truncate toward
+    zero, negative kappa included — probed).  The cross terms ride
+    DECIMAL(38,0), so the face survives corpus scale (N^2 passes
+    int64 at ~3e9 rows) without guards; ``N^2 == S`` (both labelings
+    constant — kappa's undefined point) yields NULL, the convention.
+
+    Scale shape: ONE corpus scan into the |labels|^2 confusion
+    aggregate (map-side combined); margins, S, and the kappa row are
+    label-grain arithmetic on the lineage-truncated confusion.
+    """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    conf = truncate_lineage(
+        df.groupBy(
+            F.col(label_col).alias("__a"), F.col(pred_col).alias("__b")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("__n")),
+        None,
+    )
+    rows = conf.groupBy(F.col("__a").alias("__k")).agg(
+        F.sum("__n").cast("bigint").alias("__r")
+    )
+    cols = conf.groupBy(F.col("__b").alias("__k")).agg(
+        F.sum("__n").cast("bigint").alias("__c")
+    )
+    s = rows.join(cols, "__k").agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(__r AS DECIMAL(20,0)) * __c")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__s")
+    )
+    tot = conf.agg(
+        F.sum("__n").cast("bigint").alias("__nn"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))
+              .otherwise(0)).cast("bigint").alias("__d"),
+    )
+    return tot.crossJoin(F.broadcast(s)).select(
+        F.col("__nn").alias("n"),
+        F.col("__d").alias("n_agree"),
+        F.expr("CAST(CAST(__d AS DECIMAL(38,0)) * 1000000 DIV __nn"
+               " AS BIGINT)").alias("po_e6"),
+        F.expr("CAST(__s * 1000000 DIV (CAST(__nn AS DECIMAL(38,0))"
+               " * __nn) AS BIGINT)").alias("pe_e6"),
+        F.expr(
+            "CAST(CASE WHEN CAST(__nn AS DECIMAL(38,0)) * __nn = __s"
+            " THEN NULL"
+            " ELSE (CAST(__nn AS DECIMAL(38,0)) * __d - __s) * 1000000"
+            "      DIV (CAST(__nn AS DECIMAL(38,0)) * __nn - __s)"
+            " END AS BIGINT)"
+        ).alias("kappa_e6"),
+    )
+
+
+@declared(
+    "q_agreement_kappa",
+    oracle=_LANGID_CONF_SQL + """, rows_m AS (
+      SELECT lang AS k, CAST(SUM(n) AS BIGINT) AS r
+      FROM conf GROUP BY lang
+    ), cols_m AS (
+      SELECT lang_pred AS k, CAST(SUM(n) AS BIGINT) AS c
+      FROM conf GROUP BY lang_pred
+    ), sm AS (
+      SELECT COALESCE(CAST(SUM(CAST(r AS HUGEINT) * c) AS HUGEINT),
+                      CAST(0 AS HUGEINT)) AS s
+      FROM rows_m JOIN cols_m USING (k)
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN lang_pred = lang THEN n ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM conf
+    )
+    SELECT nn AS n, d AS n_agree,
+           CAST(CAST(d AS HUGEINT) * 1000000 // nn AS BIGINT) AS po_e6,
+           CAST(s * 1000000 // (CAST(nn AS HUGEINT) * nn) AS BIGINT)
+             AS pe_e6,
+           CAST(CASE WHEN CAST(nn AS HUGEINT) * nn = s THEN NULL
+                ELSE (CAST(nn AS HUGEINT) * d - s) * 1000000
+                     // (CAST(nn AS HUGEINT) * nn - s)
+                END AS BIGINT) AS kappa_e6
+    FROM tot CROSS JOIN sm
+    """,
+)
+def q_agreement_kappa(spark, sf_dir):
+    """Cohen's-kappa agreement panel, FULL hash-match oracle: the
+    language-ID predictor scored against the labeled lang column with
+    chance correction — observed/chance agreement and kappa as exact
+    e6 integers from the same confusion both engines compute; the
+    'is the cheap labeler better than the majority class' number."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return agreement_kappa(language_id(d, "text"), "lang", "lang_pred")

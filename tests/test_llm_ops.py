@@ -2297,3 +2297,50 @@ def test_gapfill_interpolate_hand_model(spark):
     got = {(r.day - base).days: r.val for r in out}
     assert got == {-1: 100, 0: 100, 1: 200, 2: 300, 3: 400,
                    4: 400, 5: 400}
+
+
+def test_packing_efficiency_hand_model(spark):
+    """B182: one shard, capacity 4, docs of 3 tokens each — the first
+    sequence overflows to 6 (the straddling-doc convention), fill is
+    exactly 1e6 (12 tokens over 3 sequences x 4 capacity)."""
+    from artemia_airflow_spark.operators.curation import packing_efficiency
+
+    d = spark.createDataFrame(
+        [(i, "a b c") for i in range(4)], "doc_id long, text string"
+    )
+    rows = packing_efficiency(
+        d, "text", "doc_id", capacity=4, shards=1
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.shard, r.n_seqs, r.sum_tokens, r.max_seq_tokens, r.fill_e6) \
+        == (0, 3, 12, 6, 1_000_000)
+
+
+def test_agreement_kappa_hand_model(spark):
+    """B183 against hand-computed confusions: the classic
+    75%-accuracy/50%-chance case gives kappa exactly 0.5; systematic
+    disagreement gives kappa -1 (negative truncation path); constant
+    labelings on both sides hit the pe=1 undefined point -> NULL."""
+    from artemia_airflow_spark.operators.text import agreement_kappa
+
+    d = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b")],
+        "lab string, pred string",
+    )
+    r = agreement_kappa(d, "lab", "pred").collect()[0]
+    assert (r.n, r.n_agree, r.po_e6, r.pe_e6, r.kappa_e6) == (
+        4, 3, 750_000, 500_000, 500_000,
+    )
+
+    neg = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "lab string, pred string"
+    )
+    r2 = agreement_kappa(neg, "lab", "pred").collect()[0]
+    assert (r2.n, r2.n_agree, r2.kappa_e6) == (2, 0, -1_000_000)
+
+    const = spark.createDataFrame(
+        [("a", "a"), ("a", "a")], "lab string, pred string"
+    )
+    r3 = agreement_kappa(const, "lab", "pred").collect()[0]
+    assert (r3.po_e6, r3.pe_e6, r3.kappa_e6) == (1_000_000, 1_000_000, None)
