@@ -1581,3 +1581,94 @@ def q_agreement_kappa(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     return agreement_kappa(language_id(d, "text"), "lang", "lang_pred")
+
+
+def data_card(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The one-row corpus DATA CARD (r16, B184): the summary panel a
+    dataset release ships (public practice: datasheets/data cards for
+    LLM corpora) — document and token totals, source/language
+    diversity, the exact-duplicate rate, mean document length, and the
+    share of documents the language-ID cannot place.  One glance
+    answers "how big, how diverse, how dirty".
+
+    Everything is exact-integer over ONE corpus scan: the distinct
+    counts (sources, languages, normalized-text digests) ride one
+    multi-distinct aggregate (Catalyst's expand strategy — still a
+    single pass over the data), and the three ratios use the guarded
+    e6 recipe, since token and doc totals are corpus-scale numerators.
+    """
+    from artemia_airflow_spark.operators.dedup import normalized_text
+
+    toks = F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
+    scored = language_id(df, text_col).select(
+        F.col(id_col),
+        F.col("lang_pred"),
+        toks.cast("bigint").alias("__t"),
+        F.md5(normalized_text(text_col)).alias("__h"),
+        F.col("source").alias("__src"),
+        F.col("lang").alias("__lang"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__t").cast("bigint").alias("n_tokens"),
+        F.countDistinct("__src").cast("bigint").alias("n_sources"),
+        F.countDistinct("__lang").cast("bigint").alias("n_langs"),
+        guarded_e6_ratio(
+            "count(1) - count(DISTINCT __h)", "count(1)", op="data_card"
+        ).alias("dup_rate_e6"),
+        guarded_e6_ratio("sum(__t)", "count(1)", op="data_card")
+        .alias("mean_doc_tokens_e6"),
+        guarded_e6_ratio(
+            "sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END)",
+            "count(1)", op="data_card",
+        ).alias("und_share_e6"),
+    )
+
+
+@declared(
+    "q_data_card",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, lang,
+             CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                  AS BIGINT) AS t,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS hh,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['the','and','of','to','in'])) AS h_en,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['el','la','de','que','los'])) AS h_es,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['le','la','les','des','est'])) AS h_fr,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['der','die','das','und','ist'])) AS h_de,
+             len(list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                 ['de5','shi4','le5','zai4','he2'])) AS h_zh
+      FROM documents
+    ), p AS (
+      SELECT doc_id, source, lang, t, hh,
+             CASE WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0
+                  THEN 1 ELSE 0 END AS is_und
+      FROM h
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST((COUNT(*) - COUNT(DISTINCT hh)) * 1000000 // COUNT(*)
+                AS BIGINT) AS dup_rate_e6,
+           CAST(SUM(t) * 1000000 // COUNT(*) AS BIGINT)
+             AS mean_doc_tokens_e6,
+           CAST(SUM(is_und) * 1000000 // COUNT(*) AS BIGINT)
+             AS und_share_e6
+    FROM p
+    """,
+)
+def q_data_card(spark, sf_dir):
+    """The one-row corpus data card, FULL hash-match oracle: document
+    and token totals, source/language diversity, exact-duplicate rate,
+    mean document length, and the language-ID 'und' share — the
+    release summary panel, every number an exact e6 integer DuckDB
+    reproduces from the same single-pass definitions."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return data_card(d, "text", "doc_id")

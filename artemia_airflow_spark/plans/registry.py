@@ -52,6 +52,7 @@ PRIORITY: list[str] = [
     "q_sim_recall_portable", "q_pairs_triplets", "q_curriculum",
     # (b) the new r16 faces
     "q_corpus_pipeline", "q_pack_efficiency", "q_agreement_kappa",
+    "q_data_card",
     # (c) the r11 rotation cohort (oldest-first by registration order;
     # whatever exceeds the cap after (a)+(b) rolls to r17)
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_unpivot", "q_gapfill",

@@ -2344,3 +2344,30 @@ def test_agreement_kappa_hand_model(spark):
     )
     r3 = agreement_kappa(const, "lab", "pred").collect()[0]
     assert (r3.po_e6, r3.pe_e6, r3.kappa_e6) == (1_000_000, 1_000_000, None)
+
+
+def test_data_card_hand_model(spark):
+    """B184: 4 docs — one exact-dup pair (whitespace-normalized), one
+    marker-free 'und' doc, two sources, two label langs — every card
+    number hand-computed."""
+    from artemia_airflow_spark.operators.text import data_card
+
+    d = spark.createDataFrame(
+        [
+            (1, "the and of to in", "en", "s1"),
+            (2, "  THE and   of to in ", "en", "s1"),   # normalized dup
+            (3, "el la de que los", "es", "s2"),
+            (4, "qq rr ss tt uu vv", "en", "s2"),       # und
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = data_card(d, "text", "doc_id").collect()[0]
+    # tokens: 5 + 5 + 5 + 6 = 21 (split of doc 2's padded text: leading/
+    # trailing blanks make empty tokens? split('\\s+') on ' THE and...'
+    # yields a leading empty string token — counted, the raw-tokenizer
+    # convention shared with the oracle (regexp_split_to_array).
+    assert r.n_docs == 4
+    assert r.n_sources == 2 and r.n_langs == 2
+    assert r.dup_rate_e6 == 250_000            # 1 dup of 4
+    assert r.und_share_e6 == 250_000           # 1 und of 4
+    assert r.mean_doc_tokens_e6 == r.n_tokens * 1_000_000 // 4
