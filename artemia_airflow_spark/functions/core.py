@@ -137,11 +137,16 @@ def guarded_e6_ratio(num_sql: str, den_sql: str, *, op: str) -> Column:
     identical aggregate expressions, so it computes once.
     """
     msg = (
-        f"{op}: e6 numerator past int64 headroom (2^62/1e6 ~ 4.6e12) "
-        "— widen the ratio arithmetic to DECIMAL(38,0)"
+        f"{op}: e6 numerator past int64 headroom (|num| > 2^62/1e6 ~ "
+        "4.6e12) — widen the ratio arithmetic to DECIMAL(38,0)"
     )
+    # both signs guarded (r16 review): the current call sites are
+    # provably non-negative, but the helper is the designated recipe
+    # for the whole e6 family — a signed difference numerator must hit
+    # the named raise, not ANSI's anonymous overflow
     return F.expr(
-        f"(CASE WHEN ({num_sql}) > {E6_HEADROOM} THEN "
+        f"(CASE WHEN ({num_sql}) > {E6_HEADROOM}"
+        f" OR ({num_sql}) < -{E6_HEADROOM} THEN "
         f"CAST(raise_error('{msg}') AS BIGINT) "
         f"ELSE CAST(({num_sql}) AS BIGINT) END * 1000000) DIV ({den_sql})"
     ).cast("bigint")

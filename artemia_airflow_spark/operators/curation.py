@@ -555,6 +555,26 @@ def q_pii_redact(spark, sf_dir):
 # Sequence packing (training-batch construction)
 # --------------------------------------------------------------------------
 
+def _budget_pack_seq_id(
+    tokens_col: str, partition_cols, order_cols, capacity: int
+) -> "F.Column":
+    """The ONE running-sum packing rule (r16 review: the capstone
+    carried an inline copy): ``seq_id = floor(prev-cumulative-tokens /
+    capacity)`` within the given partition, walking the given order —
+    a boundary-straddling row stays in the sequence where it started.
+    Shared by :func:`pack_sequences_budget` (per-shard, id order) and
+    :func:`corpus_pipeline` (per split+shard, (id, copy) order), so
+    the straddling/boundary convention can never drift between the
+    packing faces."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return F.floor(cum_prev / F.lit(float(capacity)))
+
+
 def pack_sequences_budget(
     df: DataFrame, text_col: str, id_col: str, *, capacity: int = 2048, shards: int = 32
 ) -> DataFrame:
@@ -570,13 +590,10 @@ def pack_sequences_budget(
     toks = F.size(F.split(F.col(text_col), r"\s+"))
     shard = (F.col(id_col) % shards).alias("shard")
     base = df.select(F.col(id_col), shard, toks.alias("n_tokens"))
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    return base.withColumn(
+        "seq_id",
+        _budget_pack_seq_id("n_tokens", ["shard"], [id_col], capacity),
     )
-    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return base.withColumn("seq_id", F.floor(cum_prev / F.lit(float(capacity))))
 
 
 def pack_sequences_firstfit(
@@ -1146,7 +1163,7 @@ def q_source_cap(spark, sf_dir):
 
 def apply_temperature(
     df: DataFrame, *, source_col: str = "source", id_col: str = "doc_id",
-    seed: int = 77,
+    text_col: str = "text", seed: int = 77,
 ) -> DataFrame:
     """Materialize the sqrt-temperature mixture (the q_mix_temperature
     schedule): each source's rows are REPEATED by its up-sampling
@@ -1165,7 +1182,7 @@ def apply_temperature(
     so downstream packing/sharding can spread duplicates.  At 100 TB
     repetition multiplies bytes written, not bytes read."""
     per_src = df.groupBy(source_col).agg(
-        F.sum(F.size(_tokens("text"))).cast("bigint").alias("__n_tokens")
+        F.sum(F.size(_tokens(text_col))).cast("bigint").alias("__n_tokens")
     )
     # NULL/zero token sums (a source whose documents all have NULL
     # text) pass through at factor 1 instead of silently vanishing —
@@ -2524,20 +2541,18 @@ def corpus_pipeline(
         "decontaminate",
     )
     mat = hash_split(
-        apply_temperature(s_dec, source_col=source_col, id_col=id_col),
+        apply_temperature(
+            s_dec, source_col=source_col, id_col=id_col, text_col=text_col
+        ),
         id_col,
-    )
-    wpack = (
-        Window.partitionBy("split", "__shard")
-        .orderBy(id_col, "copy_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
     )
     packed = _stage(
         mat.withColumn("__shard", F.col(id_col) % shards)
-        .withColumn("__cum", F.coalesce(F.sum("__t").over(wpack), F.lit(0)))
         .withColumn(
             "seq_id",
-            F.floor(F.col("__cum") / F.lit(float(capacity))).cast("bigint"),
+            _budget_pack_seq_id(
+                "__t", ["split", "__shard"], [id_col, "copy_id"], capacity
+            ).cast("bigint"),
         )
         .select("split", source_col, id_col, "__t", "__shard", "seq_id"),
         "mix+split+pack",

@@ -1583,7 +1583,10 @@ def q_agreement_kappa(spark, sf_dir):
     return agreement_kappa(language_id(d, "text"), "lang", "lang_pred")
 
 
-def data_card(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def data_card(
+    df: DataFrame, text_col: str, *,
+    source_col: str = "source", lang_col: str = "lang",
+) -> DataFrame:
     """The one-row corpus DATA CARD (r16, B184): the summary panel a
     dataset release ships (public practice: datasheets/data cards for
     LLM corpora) — document and token totals, source/language
@@ -1601,12 +1604,11 @@ def data_card(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     toks = F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
     scored = language_id(df, text_col).select(
-        F.col(id_col),
         F.col("lang_pred"),
         toks.cast("bigint").alias("__t"),
         F.md5(normalized_text(text_col)).alias("__h"),
-        F.col("source").alias("__src"),
-        F.col("lang").alias("__lang"),
+        F.col(source_col).alias("__src"),
+        F.col(lang_col).alias("__lang"),
     )
     return scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1671,4 +1673,4 @@ def q_data_card(spark, sf_dir):
     reproduces from the same single-pass definitions."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
-    return data_card(d, "text", "doc_id")
+    return data_card(d, "text")

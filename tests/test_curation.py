@@ -496,7 +496,10 @@ def test_corpus_pipeline_matches_python_reference_on_crafted_corpus(spark):
     for sp in sorted({r[0] for r in rows}):
         for sh in range(4):
             cum = 0
-            for (s, src, i, t, c) in sorted(rows):
+            # pack in (doc_id, copy_id) order — the engine's window
+            # order within (split, shard); sorting whole tuples would
+            # walk (source, id) and only coincidentally agree
+            for (s, src, i, t, c) in sorted(rows, key=lambda r: (r[2], r[4])):
                 if s == sp and i % 4 == sh:
                     packed.append((s, src, i, t, sh, cum // 8))
                     cum += t

@@ -2361,7 +2361,7 @@ def test_data_card_hand_model(spark):
         ],
         "doc_id long, text string, lang string, source string",
     )
-    r = data_card(d, "text", "doc_id").collect()[0]
+    r = data_card(d, "text").collect()[0]
     # tokens: 5 + 5 + 5 + 6 = 21 (split of doc 2's padded text: leading/
     # trailing blanks make empty tokens? split('\\s+') on ' THE and...'
     # yields a leading empty string token — counted, the raw-tokenizer
