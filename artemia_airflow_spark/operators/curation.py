@@ -1163,7 +1163,7 @@ def q_source_cap(spark, sf_dir):
 
 def apply_temperature(
     df: DataFrame, *, source_col: str = "source", id_col: str = "doc_id",
-    text_col: str = "text", seed: int = 77,
+    text_col: str = "text", tokens_col: str | None = None, seed: int = 77,
 ) -> DataFrame:
     """Materialize the sqrt-temperature mixture (the q_mix_temperature
     schedule): each source's rows are REPEATED by its up-sampling
@@ -1181,8 +1181,15 @@ def apply_temperature(
     read once, never shuffled, and output order carries a ``copy_id``
     so downstream packing/sharding can spread duplicates.  At 100 TB
     repetition multiplies bytes written, not bytes read."""
+    # a caller that already materialized per-row token counts passes
+    # tokens_col and spares the mix stage a second full tokenization
+    # pass over every document (r16 review — the capstone's case)
+    row_tokens = (
+        F.col(tokens_col) if tokens_col is not None
+        else F.size(_tokens(text_col))
+    )
     per_src = df.groupBy(source_col).agg(
-        F.sum(F.size(_tokens(text_col))).cast("bigint").alias("__n_tokens")
+        F.sum(row_tokens).cast("bigint").alias("__n_tokens")
     )
     # NULL/zero token sums (a source whose documents all have NULL
     # text) pass through at factor 1 instead of silently vanishing —
@@ -2542,7 +2549,8 @@ def corpus_pipeline(
     )
     mat = hash_split(
         apply_temperature(
-            s_dec, source_col=source_col, id_col=id_col, text_col=text_col
+            s_dec, source_col=source_col, id_col=id_col,
+            text_col=text_col, tokens_col="__t",
         ),
         id_col,
     )

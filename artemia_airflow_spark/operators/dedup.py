@@ -2110,7 +2110,7 @@ def dedup_rate_by_source(
         F.count(F.lit(1)).alias("n_distinct_texts"),
         F.max("c").cast("bigint").alias("max_cluster"),
         guarded_e6_ratio("sum(c) - count(1)", "sum(c)",
-                         op="dup_rate_by_group")
+                         op="dedup_rate_by_source")
         .alias("dup_rate_e6"),
     )
 

@@ -1648,7 +1648,11 @@ def data_card(
       FROM documents
     ), p AS (
       SELECT doc_id, source, lang, t, hh,
-             CASE WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0
+             -- COALESCE: NULL text has NULL marker hits; the engine's
+             -- language_id classifies it 'und' (r16 review — a bare
+             -- greatest() = 0 would silently count it as placed)
+             CASE WHEN COALESCE(greatest(h_en, h_es, h_fr, h_de, h_zh),
+                                0) = 0
                   THEN 1 ELSE 0 END AS is_und
       FROM h
     )

@@ -2362,12 +2362,14 @@ def test_data_card_hand_model(spark):
         "doc_id long, text string, lang string, source string",
     )
     r = data_card(d, "text").collect()[0]
-    # tokens: 5 + 5 + 5 + 6 = 21 (split of doc 2's padded text: leading/
-    # trailing blanks make empty tokens? split('\\s+') on ' THE and...'
-    # yields a leading empty string token — counted, the raw-tokenizer
-    # convention shared with the oracle (regexp_split_to_array).
+    # tokens: 5 + 7 + 5 + 6 = 23 — doc 2's padded text splits to a
+    # LEADING and a TRAILING empty token besides its 5 words (both
+    # engines' raw '\\s+' split keeps them: Spark split(limit=-1) ==
+    # DuckDB regexp_split_to_array), pinned as a literal so the
+    # empty-token convention can never silently diverge
     assert r.n_docs == 4
+    assert r.n_tokens == 23
     assert r.n_sources == 2 and r.n_langs == 2
     assert r.dup_rate_e6 == 250_000            # 1 dup of 4
     assert r.und_share_e6 == 250_000           # 1 und of 4
-    assert r.mean_doc_tokens_e6 == r.n_tokens * 1_000_000 // 4
+    assert r.mean_doc_tokens_e6 == 23 * 1_000_000 // 4

@@ -646,6 +646,11 @@ def test_every_declared_e6_product_guarded_decimal_or_bounded(spark):
         # numerator = wordpiece char count of ONE document (the
         # quality-score projection feeding the budget cut)
         "q_select_budget",
+        # both numerators are DECIMAL(38,0) ATTRIBUTES (__s, the margin
+        # cross-term sum, and the N*D - S difference built from it) —
+        # overflow-free by type, but the textual check cannot see an
+        # attribute's type, only inline casts
+        "q_agreement_kappa",
     }
 
     def opt_plan(df):
@@ -656,11 +661,26 @@ def test_every_declared_e6_product_guarded_decimal_or_bounded(spark):
         b = s.find("== Physical Plan ==")
         return s[a:b]
 
+    # Faces whose BUILDER performs real work (table writes, stream
+    # drains, ledger commits — bench.py's SKIP set plus the two
+    # stream/table index loops): constructing them just to regex a
+    # plan string would re-run minutes of I/O and couple this unit
+    # test to shared table names (r16 review).  Their query tails are
+    # built from the same audited operator recipes, so the audit
+    # loses no unique e6 surface.
+    import bench
+
+    heavy = set(bench.SKIP) | {
+        "q_index_stream_portable", "q_index_upsert_portable",
+    }
+
     # a decimal cast closing immediately left of the product (any
     # paren depth): the multiply is decimal-typed, overflow-free
     decimal_re = re.compile(r"as decimal\(\d+,\d+\)\)+\s*$")
     offenders = {}
     for name, fn in registry.QUERIES.items():
+        if name in heavy:
+            continue
         p = opt_plan(fn(spark, SF_SMOKE))
         for m in re.finditer(r"\* 1000000(?![.\d])", p):
             pre = p[:m.start()].rstrip()

@@ -836,22 +836,24 @@ def test_stream_index_maintenance_many_batch_drain_o1_probe(spark, tmp_path):
                       .select("k", "vec_id", "cell", "j", "code").collect())) \
         == sorted(map(tuple, encode_keyed(emb).collect()))
 
-    # (c) warm-cache probes parse ZERO commit files
+    # (c) warm-cache probes parse ZERO commit files (each probe still
+    # pays exactly one existence stat past the high-water mark — never
+    # a directory listing, never a JSON parse)
     corpus_t.has_stream_batch("cdc-index", 0)   # warm (parses the tail)
     index_t.has_stream_batch("cdc-index", 0)
     parsed = []
-    orig = TXMOD._version_path
+    orig = TXMOD._read_version_meta
 
     def spy(root, v):
         parsed.append((root, v))
         return orig(root, v)
 
-    TXMOD._version_path = spy
+    TXMOD._read_version_meta = spy
     try:
         assert corpus_t.has_stream_batch("cdc-index", n - 1)
         assert not corpus_t.has_stream_batch("cdc-index", 10_000)
         assert index_t.has_stream_batch("cdc-index", n - 1)
         assert not index_t.has_stream_batch("cdc-index", 10_000)
     finally:
-        TXMOD._version_path = orig
+        TXMOD._read_version_meta = orig
     assert parsed == [], parsed
