@@ -27,14 +27,14 @@ ORACLE: dict[str, str] = {}
 # in insertion order and caps at ~50 entries per round (observed: 50 in
 # r07/r10, 48 in r08, 45 in r09 — treat 50 as a hard cap).
 #
-# STEADY-STATE CADENCE (VERDICT r10 item 1): with 167 declared queries
-# and a 50-row window, a full rotation takes ceil(167/50) = 4 windows —
-# every row is driver re-checked at worst every 4 rounds, 3.3 on
-# average, and the new-query rate is now near zero (the operator
+# STEADY-STATE CADENCE (VERDICT r10 item 1, arithmetic refreshed r16):
+# with 250 declared queries and a 50-row window, a full rotation takes
+# ceil(250/50) = 5 windows — every row is driver re-checked at worst
+# every 5 rounds, and the new-query rate is near zero (the operator
 # surface is complete, so windows are spent almost entirely on
-# rotation).  The per-round local dry run (scripts/dryrun_r*.py) runs
-# ALL declared queries against their oracles at sf0.001/0.01/0.1 as
-# compensating evidence between driver visits.
+# rotation).  The per-round local dry run (scripts/dryrun.py) runs
+# ALL declared queries against their oracles (PRIORITY at three SFs,
+# the rest at sf0.01) as compensating evidence between driver visits.
 #
 # Round-16 window (VERDICT r15 "Next round" #1/#2; 50 rows = the cap):
 # (a) the THREE late r15 faces FIRST — the only SURVEY §2 rows without
