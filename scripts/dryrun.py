@@ -36,10 +36,40 @@ spark.sparkContext.setLogLevel("ERROR")
 import duckdb
 
 import __spark_entry__ as E
-from artemia_airflow_spark.plans.registry import PRIORITY
+from artemia_airflow_spark.plans.registry import (
+    DRIVER_WINDOW,
+    derive_priority,
+    latest_attested_rounds,
+)
 
 q, o = E.queries(), E.oracle_sql()
+PRIORITY = derive_priority()
 assert set(PRIORITY) <= set(q), sorted(set(PRIORITY) - set(q))
+
+# Rotation-staleness gate (VERDICT r16 item 4): oldest-first rotation
+# over a DRIVER_WINDOW-row window guarantees every declared query a
+# green driver row at worst every ceil(total/window) rounds (floor 5,
+# the historical cadence).  Project the upcoming window as attested at
+# round N (parsed from the tag) and assert nothing else is older.
+import math
+import re as _re
+
+_m = _re.search(r"r(\d+)", TAG)
+if _m and latest_attested_rounds():
+    N = int(_m.group(1))
+    period = max(5, math.ceil(len(q) / DRIVER_WINDOW))
+    attested = latest_attested_rounds()
+    # never-attested sorts infinitely stale: it must be in the window
+    projected = {n: attested.get(n, -(10 ** 9)) for n in q}
+    projected.update({n: N for n in PRIORITY})
+    stale = sorted(n for n, r in projected.items() if r < N - period)
+    assert not stale, (
+        f"rotation leaves {len(stale)} queries older than {period} "
+        f"rounds after the r{N} window: {stale}"
+    )
+    print(f"rotation gate: {len(q)} queries, window {len(PRIORITY)}, "
+          f"period {period}, oldest projected attestation "
+          f"r{min(projected.values())}")
 
 TABLES = (
     "region nation customer supplier part orders lineitem "
