@@ -3043,9 +3043,30 @@ def q_embed_outliers(spark, sf_dir):
     )
 
 
+#: Above this many label rows the audit faces stop broadcasting the
+#: (id, label) relation and fall back to plain co-partitioned shuffle
+#: joins (VERDICT r16 item 3: a corpus-sized broadcast is driver-
+#: memory-bound; the distance relation is already exchanged, so the
+#: swap costs one shuffle of two narrow columns, not a new plan).
+MAX_BROADCAST_LABEL_ROWS = 2_000_000
+
+
+def _label_join_hint(labels: DataFrame, cap: int):
+    """Pick the label-attachment tier by probing the row count with an
+    early-stopping ``limit(cap+1).count()`` (a bounded scan of the
+    two-column projection, not a full count): at or below ``cap``
+    return :func:`F.broadcast`, above it the identity — callers apply
+    the hint to each renamed projection of the label relation so both
+    attachment joins ride the same tier."""
+    if labels.limit(cap + 1).count() <= cap:
+        return F.broadcast
+    return lambda df: df
+
+
 def triplet_mining(
     emb: DataFrame, *, id_col: str, vec_col: str, label_col: str,
     n_anchors: int = 50,
+    max_broadcast_labels: int = MAX_BROADCAST_LABEL_ROWS,
 ) -> DataFrame:
     """Contrastive training-triplet mining (r15): for each anchor in a
     bounded sample, the NEAREST same-label vector (the positive) and
@@ -3067,19 +3088,19 @@ def triplet_mining(
     top-1 cut per side before the per-anchor ranking exchange; for
     corpus-scale anchor sets route candidate generation through the
     IVF/PQ tiers and rerank exactly, as with every similarity face.
-    NOTE the label attachment broadcasts the full corpus-sized
-    (vec_id, label) relation twice (the knn_label_noise precedent) —
-    fine while labels fit driver memory (two narrow columns), but at
-    corpus scale swap the two label joins for plain shuffle joins on
-    ``vec_id`` (the distance relation is already exchanged on that
-    key, so the extra cost is one co-partitioned join, not a new
-    shuffle of the wide side).
+    Label attachment is tiered on ``max_broadcast_labels``: at or
+    below the cap the two narrow (id, label) joins broadcast; above it
+    they run as plain co-partitioned shuffle joins on the id keys the
+    distance relation already carries, so a corpus-sized label
+    relation never lands on the driver (r17; value-neutral — the
+    hash-match oracle is tier-independent).
     """
     comps = embedding_comps(emb, id_col=id_col, vec_col=vec_col)
     anchors = comps.filter(F.col(id_col) < n_anchors).select(
         F.col(id_col).alias("__aid"), "d", F.col("v6").alias("a6")
     )
     labels = emb.select(F.col(id_col), F.col(label_col))
+    hint = _label_join_hint(labels, max_broadcast_labels)
     d2 = (
         comps.join(F.broadcast(anchors), "d")
         .filter(F.col(id_col) != F.col("__aid"))
@@ -3088,10 +3109,10 @@ def triplet_mining(
             F.sum((F.col("v6") - F.col("a6"))
                   * (F.col("v6") - F.col("a6"))).alias("__dist"),
         )
-        .join(F.broadcast(labels.withColumnRenamed(label_col, "__nl")),
+        .join(hint(labels.withColumnRenamed(label_col, "__nl")),
               id_col)
         .join(
-            F.broadcast(labels.select(
+            hint(labels.select(
                 F.col(id_col).alias("__aid"),
                 F.col(label_col).alias("__al"),
             )),
@@ -3200,6 +3221,7 @@ def q_pairs_triplets(spark, sf_dir):
 def knn_label_noise(
     emb: DataFrame, *, id_col: str, vec_col: str, label_col: str,
     n_probes: int = 50, k: int = 10,
+    max_broadcast_labels: int = MAX_BROADCAST_LABEL_ROWS,
 ) -> DataFrame:
     """KNN label-noise audit (r14): for a bounded probe set, find each
     probe's exact k nearest neighbors and measure how often the
@@ -3220,6 +3242,9 @@ def knn_label_noise(
     count, cut by the shared map-side grouped partial top-k before
     the per-probe ranking exchange; for corpus-scale probe sets route
     through the IVF/PQ tiers instead (B103) and rerank exactly.
+    Label attachment is tiered on ``max_broadcast_labels`` exactly as
+    in :func:`triplet_mining`: broadcast at or below the cap, plain
+    co-partitioned shuffle joins above it (r17).
     """
     comps = embedding_comps(emb, id_col=id_col, vec_col=vec_col)
     probes = comps.filter(F.col(id_col) < n_probes).select(
@@ -3245,11 +3270,12 @@ def knn_label_noise(
         F.col("__rk") <= k
     )
     labels = emb.select(F.col(id_col), F.col(label_col))
+    hint = _label_join_hint(labels, max_broadcast_labels)
     joined = (
-        nn.join(F.broadcast(labels.withColumnRenamed(label_col, "__nl")),
+        nn.join(hint(labels.withColumnRenamed(label_col, "__nl")),
                 id_col)
         .join(
-            F.broadcast(
+            hint(
                 labels.select(F.col(id_col).alias("__pid"),
                               F.col(label_col).alias("__pl"))
             ),
