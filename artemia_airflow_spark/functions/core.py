@@ -135,6 +135,14 @@ def guarded_e6_ratio(num_sql: str, den_sql: str, *, op: str) -> Column:
     SQL fragments (column names or aggregate expressions); an
     aggregate numerator appears twice textually but Spark deduplicates
     identical aggregate expressions, so it computes once.
+
+    Contract (r16 advice): ``num_sql``/``den_sql`` MUST be
+    deterministic SQL fragments — the numerator is textually inlined
+    three times into one CASE expression, so a nondeterministic
+    fragment (e.g. containing ``rand()``) would evaluate independently
+    per occurrence and the guard could test a different value than the
+    one multiplied.  ``op`` must not contain single quotes: it is
+    spliced unescaped into the ``raise_error`` message literal.
     """
     msg = (
         f"{op}: e6 numerator past int64 headroom (|num| > 2^62/1e6 ~ "

@@ -112,8 +112,14 @@ def _read_version_meta(root: str, version: int) -> dict:
     """Commit metadata of one version file (empty dict when absent) —
     a separate seam so the streaming idempotence tests can spy on
     exactly 'how many commit files did the warm-cache probe parse'."""
-    with open(_version_path(root, version)) as f:
-        return json.load(f).get("meta") or {}
+    try:
+        with open(_version_path(root, version)) as f:
+            return json.load(f).get("meta") or {}
+    except FileNotFoundError:
+        # honor the documented contract (r16 advice): callers that
+        # probe a version that was never committed get {} rather than
+        # an unhandled exception
+        return {}
 
 
 def _enforce_constraints(
