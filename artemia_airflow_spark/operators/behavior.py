@@ -182,10 +182,7 @@ def funnel(
     # stage reached = deepest non-null entry time (chain construction
     # guarantees t_i null => t_{i+1} null).
     reached = per_user.select(
-        sum(
-            (F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0) for i in range(len(stages))),
-            F.lit(0),
-        ).alias("depth")
+        _chain_depth([f"t{i}" for i in range(len(stages))]).alias("depth")
     )
     # Collapse to a depth histogram (≤ len(stages)+1 rows, map-side
     # partial agg) BEFORE the non-equi suffix-sum join: the broadcast
@@ -193,10 +190,30 @@ def funnel(
     # |stages| x |users| — the only non-equi comparison in the plan is
     # aggregate-sized at any corpus scale.
     depth_hist = reached.groupBy("depth").agg(F.count(F.lit(1)).alias("__n"))
+    return _funnel_counts_from_depth_hist(depth_hist, stages)
+
+
+def _chain_depth(entry_cols: list[str]):
+    """Funnel depth = number of non-null chained entry times (chain
+    construction guarantees t_i null => t_{i+1} null)."""
+    return sum(
+        (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in entry_cols),
+        F.lit(0),
+    )
+
+
+def _funnel_counts_from_depth_hist(
+    depth_hist: DataFrame, stages: list[str]
+) -> DataFrame:
+    """(stage_idx, stage, n_users) from a (depth, __n) histogram — the
+    ONE suffix-sum tail shared by :func:`funnel` and
+    :func:`behavior_pipeline`.  LEFT join from the stage dim: a stage
+    no user reached must still report n_users=0 (consumers index rows
+    by stage), not vanish."""
     stage_dim = [(i + 1, s) for i, s in enumerate(stages)]
-    dims = reached.sparkSession.createDataFrame(stage_dim, "stage_idx INT, stage STRING")
-    # LEFT join from the stage dim: a stage no user reached must still
-    # report n_users=0 (consumers index rows by stage), not vanish
+    dims = depth_hist.sparkSession.createDataFrame(
+        stage_dim, "stage_idx INT, stage STRING"
+    )
     return (
         dims.join(F.broadcast(depth_hist), F.col("depth") >= F.col("stage_idx"), "left")
         .groupBy("stage_idx", "stage")
@@ -1994,3 +2011,318 @@ def q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     e = scan(spark, sf_dir, "events")
     return winsorized_mean(e)
+
+
+# -- composed behavioral pipeline (r17, B185) ---------------------------
+
+
+def behavior_pipeline(
+    events: DataFrame,
+    stages: list[str],
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    *,
+    gap_s: int = 3600,
+    audit: list | None = None,
+) -> DataFrame:
+    """The composed behavioral pipeline (r17, VERDICT r16 #7 — the
+    events-family analogue of the corpus capstone): gap sessionization
+    (B107), ordered funnel (B108), session-grain last-touch
+    attribution (B151) and weekly retention cohorts (B109) computed in
+    ONE dataflow and returned as a long-format report —
+    ``(section, item, pos, m1, m2, m3)`` with sections ``sessions``
+    (count / events / cent-exact value), ``funnel`` (per stage,
+    n_users), ``attribution`` (per channel: sessions / conversions /
+    credited cents) and ``retention`` (per (cohort_week, offset):
+    active users).  Every section reproduces its standalone face's
+    values exactly (the WITH-chain oracle composes those faces'
+    VERBATIM recipes), so a hash match is evidence the behavioral
+    operators COMPOSE.
+
+    Scale design — the whole point of the composition: the events
+    fact is scanned ONCE and hash-partitioned on ``user_id`` ONCE.
+    All per-event derivations ride that single exchange as chained
+    windows (session boundary lag+running-sum, the carried-touch
+    lookback, the first-conversion ordinal, the funnel entry-time
+    chain, the cohort first-week — ``HashPartitioning(user_id)``
+    satisfies every one of their distributions), and the ONE
+    ``groupBy(user, session_idx)`` collapse to session grain also
+    rides it (clustered-distribution subset rule).  The session-grain
+    store is then lineage-truncated (the capstone stage-store design —
+    Spark re-expands common subplans, and four panels consume it), so
+    the four panel aggregates touch session-grain data only: a global
+    sum, a depth histogram via distinct-user count, a channel rollup,
+    and the (cohort, week) distinct-user matrix.  No second
+    fact-sized exchange exists anywhere — pinned by the plan test via
+    the ``audit`` hook (stage plan: one events scan, one
+    hashpartitioning(user_id); final plan: zero of both).
+
+    Retention rides the collapse as ``collect_set(week_offset)`` per
+    session (a 1h-gap session spans at most 2 distinct weeks, so the
+    sets are tiny) exploded back at session grain — the distinct
+    (user, week) relation without a second pass over events.
+    """
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    k = len(stages)
+    w_ord = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    w_user = Window.partitionBy(user_col)
+    micros = F.unix_micros(F.col(ts_col))
+    prev = F.lag(micros).over(w_ord)
+    is_new = F.when(
+        prev.isNull() | ((micros - prev) > F.lit(int(gap_s) * 1_000_000)), 1
+    ).otherwise(0)
+    week = F.date_trunc("week", F.col(ts_col))
+    first_week = F.date_trunc("week", F.min(F.col(ts_col)).over(w_user))
+    base = _with_chain_columns(
+        events.select(
+            user_col, ts_col, type_col, value_col, order_tiebreak
+        ),
+        stages, user_col, ts_col, type_col,
+    ).select(
+        user_col, ts_col, type_col, value_col, order_tiebreak,
+        *[f"__t{i}" for i in range(k)],
+        is_new.alias("__new"),
+        first_week.alias("__cohort_week"),
+        ((F.unix_micros(week) - F.unix_micros(first_week))
+         / F.lit(604_800_000_000)).cast("long").alias("__wk"),
+    )
+    run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sess = base.withColumn(
+        "session_idx", F.sum("__new").over(run)
+    )
+    look = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    is_touch = F.col(type_col) != conversion_type
+    is_conv = F.col(type_col) == conversion_type
+    w_conv = (
+        Window.partitionBy(user_col, "session_idx")
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = with_sess.select(
+        user_col, type_col, value_col, "session_idx",
+        *[f"__t{i}" for i in range(k)],
+        "__cohort_week", "__wk",
+        F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True)
+        .over(look).alias("__tt"),
+        F.last(F.when(is_touch, F.col("session_idx")), ignorenulls=True)
+        .over(look).alias("__tsess"),
+        F.sum(F.when(is_conv, 1).otherwise(0)).over(w_conv)
+        .alias("__cord"),
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    channel = F.when(
+        F.col("__tsess") == F.col("session_idx"), F.col("__tt")
+    ).otherwise(F.lit("unattributed"))
+    sess = enriched.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("cents"),
+        *[F.min(f"__t{i}").alias(f"t{i}") for i in range(k)],
+        F.min("__cohort_week").alias("cohort_week"),
+        F.collect_set("__wk").alias("weeks"),
+        F.sum(F.when(is_conv, 1).otherwise(0)).alias("n_conv"),
+        F.sum(F.when(is_conv, cents)).alias("conv_cents"),
+        F.max(F.when(is_conv & (F.col("__cord") == 1), channel))
+        .alias("channel"),
+    )
+    if audit is not None:
+        audit.append(("session-store", sess._jdf.queryExecution()
+                      .explainString(
+                          sess.sparkSession._jvm.org.apache.spark.sql
+                          .execution.ExplainMode.fromString("extended"))))
+    sess = truncate_lineage(sess, None)
+
+    def _panel(section: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(section).alias("section"), "item", "pos",
+            "m1", "m2", "m3",
+        )
+
+    zero = F.lit(0).cast("bigint")
+    sessions_panel = _panel("sessions", sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m1"),
+        F.sum("n_events").cast("bigint").alias("m2"),
+        F.sum("cents").cast("bigint").alias("m3"),
+    ).select(F.lit("all").alias("item"), zero.alias("pos"),
+             "m1", "m2", "m3"))
+    # funnel: depth is user-constant across the user's sessions, so a
+    # distinct-user count per depth replaces a second groupBy(user) —
+    # the exchange carries distinct (depth, user) pairs, never keyed
+    # on user_id alone
+    depth_hist = (
+        sess.select(
+            F.col(user_col),
+            _chain_depth([f"t{i}" for i in range(k)]).alias("depth"),
+        )
+        .groupBy("depth")
+        .agg(F.countDistinct(user_col).alias("__n"))
+    )
+    funnel_panel = _panel("funnel", _funnel_counts_from_depth_hist(
+        depth_hist, stages,
+    ).select(F.col("stage").alias("item"),
+             F.col("stage_idx").cast("bigint").alias("pos"),
+             F.col("n_users").cast("bigint").alias("m1"),
+             zero.alias("m2"), zero.alias("m3")))
+    attribution_panel = _panel("attribution", sess.filter(
+        F.col("n_conv") > 0
+    ).groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m1"),
+        F.sum("n_conv").cast("bigint").alias("m2"),
+        F.sum("conv_cents").cast("bigint").alias("m3"),
+    ).select(F.col("channel").alias("item"), zero.alias("pos"),
+             "m1", "m2", "m3"))
+    retention_panel = _panel("retention", sess.select(
+        F.col(user_col), "cohort_week", F.explode("weeks").alias("pos")
+    ).groupBy("cohort_week", "pos").agg(
+        F.countDistinct(user_col).cast("bigint").alias("m1"),
+    ).select(F.col("cohort_week").cast("date").cast("string").alias("item"),
+             F.col("pos").cast("bigint").alias("pos"),
+             "m1", zero.alias("m2"), zero.alias("m3")))
+    return (
+        sessions_panel.unionByName(funnel_panel)
+        .unionByName(attribution_panel)
+        .unionByName(retention_panel)
+    )
+
+
+@declared(
+    "q_behavior_pipeline",
+    oracle="""
+    WITH ordered AS (
+  SELECT user_id, ts, event_type, value, event_id,
+         epoch_us(ts) AS us,
+         lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                      OR us - prev_us > CAST(3600 AS BIGINT) * 1000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sess AS (
+  SELECT user_id, ts, event_type, value, event_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), sess_rows AS (
+  SELECT user_id, session_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM sess GROUP BY user_id, session_idx
+), sessions_panel AS (
+  SELECT 'sessions' AS section, 'all' AS item, CAST(0 AS BIGINT) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS m1,
+         CAST(SUM(n_events) AS BIGINT) AS m2,
+         CAST(SUM(cents) AS BIGINT) AS m3
+  FROM sess_rows
+), l0 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t0
+  FROM events
+), l1 AS (
+  SELECT user_id, ts, event_type, t0,
+         MIN(CASE WHEN event_type = 'view' AND ts >= t0 THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM l0
+), l2 AS (
+  SELECT user_id, ts, event_type, t0, t1,
+         MIN(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM l1
+), l3 AS (
+  SELECT user_id, t0, t1, t2,
+         MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM l2
+), per_user AS (
+  SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1,
+         MIN(t2) AS t2, MIN(t3) AS t3
+  FROM l3 GROUP BY user_id
+), depth AS (
+  SELECT (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+  FROM per_user
+), dims AS (
+  SELECT * FROM (VALUES (1, 'signup'), (2, 'view'),
+                        (3, 'click'), (4, 'purchase')) AS v(stage_idx, stage)
+), funnel_panel AS (
+  SELECT 'funnel' AS section, stage AS item, CAST(stage_idx AS BIGINT) AS pos,
+         CAST(COUNT(depth) AS BIGINT) AS m1,
+         CAST(0 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m3
+  FROM dims LEFT JOIN depth ON depth >= stage_idx
+  GROUP BY stage_idx, stage
+), carried AS (
+  SELECT user_id, session_idx, event_type, value, event_id, us,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS tt,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN session_idx END IGNORE NULLS)
+           OVER w AS tsess
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), conv AS (
+  SELECT user_id, session_idx, value, us, event_id,
+         CASE WHEN tsess = session_idx THEN tt
+              ELSE 'unattributed' END AS channel
+  FROM carried WHERE event_type = 'purchase'
+), per_sess AS (
+  SELECT user_id, session_idx,
+         MAX(CASE WHEN rn = 1 THEN channel END) AS channel,
+         CAST(COUNT(*) AS BIGINT) AS n_conv,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, session_idx
+          ORDER BY us, event_id) AS rn
+        FROM conv) t
+  GROUP BY user_id, session_idx
+), attribution_panel AS (
+  SELECT 'attribution' AS section, channel AS item, CAST(0 AS BIGINT) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS m1,
+         CAST(SUM(n_conv) AS BIGINT) AS m2,
+         CAST(SUM(cents) AS BIGINT) AS m3
+  FROM per_sess GROUP BY channel
+), firsts AS (
+  SELECT user_id, ts,
+         date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cohort_week
+  FROM events
+), retention_panel AS (
+  SELECT 'retention' AS section,
+         CAST(CAST(cohort_week AS DATE) AS VARCHAR) AS item,
+         CAST((epoch_us(date_trunc('week', ts)) - epoch_us(cohort_week))
+              / 604800000000 AS BIGINT) AS pos,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS m1,
+         CAST(0 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m3
+  FROM firsts GROUP BY 1, 2, 3
+)
+SELECT * FROM sessions_panel
+UNION ALL SELECT * FROM funnel_panel
+UNION ALL SELECT * FROM attribution_panel
+UNION ALL SELECT * FROM retention_panel
+    """,
+)
+def q_behavior_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed behavioral pipeline, FULL hash-match oracle:
+    sessionize + funnel + session-attribution + retention off ONE
+    events scan and ONE user_id exchange, reported as the long-format
+    (section, item, pos, m1, m2, m3) panel.  The oracle WITH-chain
+    composes the VERBATIM recipes of q_sessionize, q_funnel,
+    q_attribution_session and q_retention, so a hash match attests
+    that the four standalone faces and the composed single-exchange
+    dataflow agree value-for-value."""
+    ensure_engine_conf(spark)
+    e = scan(spark, sf_dir, "events")
+    return behavior_pipeline(
+        e, ["signup", "view", "click", "purchase"], "purchase",
+        gap_s=3600,
+    )

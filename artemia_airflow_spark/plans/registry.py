@@ -48,7 +48,9 @@ DRIVER_WINDOW = 50
 # Faces with no driver CORRECTNESS row yet (new this round) — they
 # lead the derived window.  Names not yet registered are skipped
 # (forward-safe); remove entries once a green driver row exists.
-NEW_FACES: list[str] = []
+NEW_FACES: list[str] = [
+    "q_behavior_pipeline",  # r17 B185 composed behavioral pipeline
+]
 
 # Override-only fallback: the driver-check order used when no
 # CORRECTNESS history is readable (fresh clone / installed package).

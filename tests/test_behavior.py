@@ -560,3 +560,48 @@ def test_winsorized_mean_clamps_exactly(spark):
     # the outlier enters as the (clamped) p90 bound, not as 1e6
     assert r2.hi_cents_x10 < 200000
     assert r2.wmean_cents_x10 < 20000
+
+
+def test_behavior_pipeline_hand_model(spark):
+    """Composed behavioral pipeline on a hand-computable log: 2 users,
+    2024-01-01 (a Monday) base.  User 1 converts twice — once with a
+    same-session 'view' touch (credited) and once in a fresh session
+    whose only preceding touch lives in the previous session
+    ('unattributed').  User 2 never signs up (funnel depth 0) but is
+    active in weeks 0 and 1 (retention)."""
+    import datetime as dt
+
+    from artemia_airflow_spark.operators.behavior import behavior_pipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        (1, s(0), "signup", 1.004, 1),
+        (1, s(100), "view", 2.0, 2),
+        (1, s(200), "purchase", 10.0, 3),
+        (1, s(8000), "purchase", 5.0, 4),
+        (2, s(0), "view", 1.0, 5),
+        (2, s(100), "click", 0.0, 6),
+        (2, s(8 * 86400), "view", 0.0, 7),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_type string, "
+        "value double, event_id long",
+    )
+    out = sorted(
+        tuple(r) for r in behavior_pipeline(
+            e, ["signup", "view", "click", "purchase"], "purchase"
+        ).collect()
+    )
+    assert out == sorted([
+        ("sessions", "all", 0, 4, 7, 1900),
+        ("funnel", "signup", 1, 1, 0, 0),
+        ("funnel", "view", 2, 1, 0, 0),
+        ("funnel", "click", 3, 0, 0, 0),
+        ("funnel", "purchase", 4, 0, 0, 0),
+        ("attribution", "view", 0, 1, 1, 1000),
+        ("attribution", "unattributed", 0, 1, 1, 500),
+        ("retention", "2024-01-01", 0, 2, 0, 0),
+        ("retention", "2024-01-01", 1, 1, 0, 0),
+    ])

@@ -1103,3 +1103,33 @@ def test_label_attach_shuffle_tier_above_cap(spark):
             assert srows == brows, fn.__name__
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_behavior_pipeline_single_user_exchange(spark):
+    """q_behavior_pipeline (r17, B185): the four behavioral faces
+    share ONE events scan and ONE hashpartitioning(user_id) exchange
+    end-to-end — the session-store stage plan (captured via the audit
+    hook, pre-truncation) shows exactly one of each, and the final
+    four-panel plan reads only the truncated session store (zero
+    events scans, zero user_id exchanges — the panel aggregates key on
+    depth/channel/cohort, never on user_id alone)."""
+    from artemia_airflow_spark.catalog import scan as cat_scan
+    from artemia_airflow_spark.operators.behavior import behavior_pipeline
+
+    e = cat_scan(spark, SF_ORACLE, "events")
+    audit = []
+    out = behavior_pipeline(
+        e, ["signup", "view", "click", "purchase"], "purchase",
+        audit=audit,
+    )
+    (name, stage_plan), = audit
+    assert name == "session-store"
+    assert stage_plan.count("events.parquet") == 1, stage_plan[:2000]
+    assert stage_plan.count("hashpartitioning(user_id") == 1, (
+        stage_plan[:2000])
+    final = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("extended"))
+    assert final.count("events.parquet") == 0, final[:2000]
+    assert final.count("hashpartitioning(user_id") == 0, final[:2000]
+    assert "CartesianProduct" not in final
