@@ -1546,6 +1546,36 @@ def curriculum_phases(
     aggregate.  The two corpus scans (score histogram + rollup) mirror
     the classifier face's audited shape.
     """
+    assigned = curriculum_assign(df, text_col, id_col, n_phases=n_phases)
+    # md5-argmin folded INTO the rollup as a min-of-struct (r15
+    # review: a separate ranking window was a third corpus scan —
+    # Spark never dedupes common subplans)
+    return assigned.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__t").cast("bigint").alias("n_tokens"),
+        F.min("score_e6").cast("bigint").alias("min_score_e6"),
+        F.max("score_e6").cast("bigint").alias("max_score_e6"),
+        F.min(F.struct(F.col("__h"), F.col(id_col).alias("__id")))
+        .getField("__id").alias("first_doc_id"),
+    ).select(
+        "phase", "n_docs", "n_tokens",
+        "min_score_e6", "max_score_e6", "first_doc_id",
+    )
+
+
+def curriculum_assign(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_phases: int = 4,
+) -> DataFrame:
+    """Per-document curriculum phase assignment — the B180 recipe up
+    to (but not including) the rollup: ``(id, __t, score_e6, phase,
+    __h)`` with phase 1..n_phases by value-grain chars-per-token
+    quantile.  Shared seam (r17): :func:`curriculum_phases` rolls it
+    up into the manifest, :func:`corpus_release` orders the training
+    export with it."""
     toks = F.size(_tokens(text_col))
     raw_score = F.expr(
         f"CAST(length({text_col}) AS BIGINT) * 1000000"
@@ -1648,24 +1678,10 @@ def curriculum_phases(
          for k in range(1, n_phases)),
         F.lit(1),
     ).cast("bigint")
-    assigned = scored.crossJoin(F.broadcast(thresholds)).select(
+    return scored.crossJoin(F.broadcast(thresholds)).select(
         F.col(id_col), "__t", "score_e6", phase.alias("phase"),
         F.md5(F.concat(F.lit("cur:"), F.col(id_col).cast("string")))
         .alias("__h"),
-    )
-    # md5-argmin folded INTO the rollup as a min-of-struct (r15
-    # review: a separate ranking window was a third corpus scan —
-    # Spark never dedupes common subplans)
-    return assigned.groupBy("phase").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("__t").cast("bigint").alias("n_tokens"),
-        F.min("score_e6").cast("bigint").alias("min_score_e6"),
-        F.max("score_e6").cast("bigint").alias("max_score_e6"),
-        F.min(F.struct(F.col("__h"), F.col(id_col).alias("__id")))
-        .getField("__id").alias("first_doc_id"),
-    ).select(
-        "phase", "n_docs", "n_tokens",
-        "min_score_e6", "max_score_e6", "first_doc_id",
     )
 
 
@@ -2442,6 +2458,79 @@ def q_text_novelty(spark, sf_dir):
 # B181: the corpus-curation capstone — one composed end-to-end pipeline
 # ---------------------------------------------------------------------------
 
+def _stage_fn(audit: list | None):
+    """The capstone stage-store seam: capture the pre-materialization
+    plan when auditing, then lineage-truncate (Spark re-expands common
+    subplans, and every stage fans into 2-3 consumers)."""
+    from artemia_airflow_spark.operators.dedup import truncate_lineage
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        if audit is not None:
+            audit.append((name, df._jdf.queryExecution().explainString(
+                df.sparkSession._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("extended"))))
+        return truncate_lineage(df, None)
+
+    return _stage
+
+
+def corpus_survivors(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    audit: list | None = None,
+) -> DataFrame:
+    """The capstone's curation gates through decontamination — scrub ->
+    language-ID gate -> quality-classifier gate -> exact dedup ->
+    portable near-dup LSH -> eval 4-gram decontamination — returning
+    the lineage-truncated survivor store ``(id, lang, source, text,
+    __t)``.  Shared seam (r17): :func:`corpus_pipeline` continues into
+    mix/split/pack, :func:`corpus_release` into curriculum ordering +
+    the versioned training export."""
+    from artemia_airflow_spark.operators.dedup import (
+        exact_dedup,
+        minhash_portable_duplicates,
+    )
+    from artemia_airflow_spark.operators.selection import classifier_scores
+    from artemia_airflow_spark.operators.text import language_id
+
+    _stage = _stage_fn(audit)
+    s_scrub = scrub_web_noise(
+        train.select(id_col, lang_col, source_col, text_col), text_col
+    )
+    ev = scrub_web_noise(eval_df.select(id_col, text_col), text_col)
+    s_lid = _stage(
+        language_id(s_scrub, text_col)
+        .filter(F.col("lang_pred") != "und").drop("lang_pred"),
+        "scrub+langid",
+    )
+    sc = classifier_scores(
+        s_lid.withColumn("__is_t", F.col(lang_col) == target_lang),
+        text_col, id_col, "__is_t",
+    )
+    s_cls = _stage(
+        s_lid.join(
+            sc.filter(F.col("pred_target") == 1).select(id_col),
+            id_col, "left_semi",
+        ),
+        "classifier-gate",
+    )
+    s_ex = _stage(exact_dedup(s_cls, text_col, id_col), "exact-dedup")
+    dups = minhash_portable_duplicates(s_ex, text_col, id_col)
+    s_near = _stage(s_ex.join(dups, id_col, "left_anti"), "near-dedup")
+    return _stage(
+        decontaminate(s_near, ev, text_col, id_col, n=4)
+        .filter(~F.col("contaminated")).drop("contaminated")
+        .withColumn("__t", F.size(_tokens(text_col)).cast("bigint")),
+        "decontaminate",
+    )
+
+
 def corpus_pipeline(
     train: DataFrame,
     eval_df: DataFrame,
@@ -2500,53 +2589,14 @@ def corpus_pipeline(
     split_seqs) — materialized row counts (post-repetition), distinct
     documents, token totals, and the split's packed-sequence count.
     """
-    from artemia_airflow_spark.operators.dedup import (
-        exact_dedup,
-        minhash_portable_duplicates,
-        truncate_lineage,
-    )
-    from artemia_airflow_spark.operators.selection import (
-        classifier_scores,
-        hash_split,
-    )
-    from artemia_airflow_spark.operators.text import language_id
+    from artemia_airflow_spark.operators.selection import hash_split
 
-    def _stage(df: DataFrame, name: str) -> DataFrame:
-        if audit is not None:
-            audit.append((name, df._jdf.queryExecution().explainString(
-                df.sparkSession._jvm.org.apache.spark.sql.execution
-                .ExplainMode.fromString("extended"))))
-        return truncate_lineage(df, None)
-
-    s_scrub = scrub_web_noise(
-        train.select(id_col, lang_col, source_col, text_col), text_col
+    s_dec = corpus_survivors(
+        train, eval_df, text_col=text_col, id_col=id_col,
+        source_col=source_col, lang_col=lang_col,
+        target_lang=target_lang, audit=audit,
     )
-    ev = scrub_web_noise(eval_df.select(id_col, text_col), text_col)
-    s_lid = _stage(
-        language_id(s_scrub, text_col)
-        .filter(F.col("lang_pred") != "und").drop("lang_pred"),
-        "scrub+langid",
-    )
-    sc = classifier_scores(
-        s_lid.withColumn("__is_t", F.col(lang_col) == target_lang),
-        text_col, id_col, "__is_t",
-    )
-    s_cls = _stage(
-        s_lid.join(
-            sc.filter(F.col("pred_target") == 1).select(id_col),
-            id_col, "left_semi",
-        ),
-        "classifier-gate",
-    )
-    s_ex = _stage(exact_dedup(s_cls, text_col, id_col), "exact-dedup")
-    dups = minhash_portable_duplicates(s_ex, text_col, id_col)
-    s_near = _stage(s_ex.join(dups, id_col, "left_anti"), "near-dedup")
-    s_dec = _stage(
-        decontaminate(s_near, ev, text_col, id_col, n=4)
-        .filter(~F.col("contaminated")).drop("contaminated")
-        .withColumn("__t", F.size(_tokens(text_col)).cast("bigint")),
-        "decontaminate",
-    )
+    _stage = _stage_fn(audit)
     mat = hash_split(
         apply_temperature(
             s_dec, source_col=source_col, id_col=id_col,
@@ -2579,9 +2629,11 @@ def corpus_pipeline(
     )
 
 
-@declared(
-    "q_corpus_pipeline",
-    oracle="""
+# The capstone oracle's shared prefix — the VERBATIM curation-gate
+# chain through the decontaminated survivor set ``dec``; both
+# composed faces (q_corpus_pipeline, q_corpus_release) extend it,
+# mirroring the corpus_survivors() seam in the engine.
+_CAPSTONE_GATES_SQL = """
     WITH base AS (
       SELECT doc_id, lang, source,
              trim(regexp_replace(
@@ -2704,7 +2756,12 @@ def corpus_pipeline(
              CAST(len(regexp_split_to_array(lower(n.text), '\\s+')) AS BIGINT) AS t
       FROM nd2 n LEFT JOIN contam c USING (doc_id)
       WHERE c.doc_id IS NULL
-    ), s7 AS (
+    )"""
+
+
+@declared(
+    "q_corpus_pipeline",
+    oracle=_CAPSTONE_GATES_SQL + """, s7 AS (
       SELECT source, CAST(SUM(t) AS BIGINT) AS n_tokens FROM dec GROUP BY source
     ), m7 AS (
       SELECT CAST(MAX(n_tokens) AS BIGINT) AS max_tokens FROM s7
@@ -2775,6 +2832,157 @@ def q_corpus_pipeline(spark, sf_dir):
     return corpus_pipeline(
         d.filter(F.col("doc_id") % 20 != 0),
         d.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
+@declared(
+    "q_corpus_release",
+    oracle=_CAPSTONE_GATES_SQL + """, cscored AS (
+      SELECT doc_id, t,
+             CAST(length(text) AS BIGINT) * 1000000 // t AS score_e6
+      FROM dec
+    ), chist AS (
+      SELECT score_e6, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cscored GROUP BY score_e6
+    ), ccum AS (
+      SELECT score_e6,
+             SUM(c) OVER (ORDER BY score_e6
+                          ROWS UNBOUNDED PRECEDING) AS cm,
+             SUM(c) OVER () AS n
+      FROM chist
+    ), cth AS (
+      SELECT MIN(CASE WHEN cm * 4 >= n * 1 THEN score_e6 END) AS q1,
+             MIN(CASE WHEN cm * 4 >= n * 2 THEN score_e6 END) AS q2,
+             MIN(CASE WHEN cm * 4 >= n * 3 THEN score_e6 END) AS q3
+      FROM ccum
+    ), cassigned AS (
+      SELECT s.doc_id, s.t, s.score_e6,
+             CAST(1 + CASE WHEN s.score_e6 > cth.q1 THEN 1 ELSE 0 END
+                    + CASE WHEN s.score_e6 > cth.q2 THEN 1 ELSE 0 END
+                    + CASE WHEN s.score_e6 > cth.q3 THEN 1 ELSE 0 END
+                  AS BIGINT) AS phase
+      FROM cscored s CROSS JOIN cth
+    ), sharded AS (
+      SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 2)) AS INT) % 16 AS shard
+      FROM cassigned
+    )
+    SELECT phase, CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CAST(MIN(score_e6) AS BIGINT) AS min_score_e6,
+           CAST(MAX(score_e6) AS BIGINT) AS max_score_e6
+    FROM sharded GROUP BY phase, shard
+    """,
+)
+def q_corpus_release(spark, sf_dir):
+    """The trainer hand-off capstone, FULL hash-match oracle: the
+    curation gates' survivors, curriculum-phase-assigned (verbatim
+    B180 recipe), committed as a TxTable version, exported to the
+    sharded ``shard=<n>/`` training layout (md5-prefix routing,
+    within-shard easy-to-hard order), and READ BACK from the exported
+    files into the per-(phase, shard) release audit panel.  The oracle
+    extends the capstone's verbatim gate chain with the curriculum and
+    shard recipes and recomputes the panel from scratch — a hash match
+    attests the entire release chain including the physical export."""
+    ensure_engine_conf(spark)
+    d = scan(spark, sf_dir, "documents")
+    return corpus_release(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
+def corpus_release(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    shards: int = 16,
+    n_phases: int = 4,
+    out_root: str | None = None,
+    audit: list | None = None,
+    manifest_out: list | None = None,
+) -> DataFrame:
+    """The trainer hand-off (r17, VERDICT r16 #5, B186): compose the
+    capstone's curation gates (:func:`corpus_survivors`), curriculum
+    ordering (:func:`curriculum_assign`, B180) and the versioned
+    training export (B95/B89) into the release artifact the
+    reference's own deploy step ships — pipeline survivors, phase-
+    assigned, committed as an exact TxTable version, exported to the
+    ``shard=<n>/`` layout with within-shard easy-to-hard ordering and
+    a footer-harvested ``_manifest.json``.
+
+    The returned relation is the RELEASE AUDIT PANEL — per (phase,
+    shard): doc count, token total, and the exact score range — and it
+    is computed FROM THE EXPORTED FILES (read back through the
+    partitioned layout), so a hash match against the from-scratch
+    DuckDB recomputation attests the entire hand-off chain: every
+    curation gate's survivors, every phase assignment, the md5-prefix
+    shard routing, the TxTable snapshot, the partitioned write, and
+    the read-back all agree value-for-value.
+
+    Scale shape: everything upstream is the audited capstone /
+    curriculum shape (stage-store lineage cuts, two-scan histogram
+    thresholds); the export adds one corpus write partitioned by the
+    256-bucket-folded md5 shard (bounded skew by construction) with an
+    in-partition sort for curriculum order — no new exchange class.
+    The manifest's counts come from the written parquet footers
+    (metadata-only), so the release validation never rescans data.
+    """
+    import os
+    import shutil
+
+    from artemia_airflow_spark.functions.core import process_scratch_dir
+    from artemia_airflow_spark.sources.txtable import (
+        TxTable,
+        export_for_training,
+    )
+
+    spark = train.sparkSession
+    root = out_root or os.path.join(
+        process_scratch_dir("aas_release_"), "r"
+    )
+    table_root = os.path.join(root, "table")
+    export_dir = os.path.join(root, "export")
+    shutil.rmtree(table_root, ignore_errors=True)
+    shutil.rmtree(export_dir, ignore_errors=True)
+
+    s_dec = corpus_survivors(
+        train, eval_df, text_col=text_col, id_col=id_col,
+        source_col=source_col, lang_col=lang_col,
+        target_lang=target_lang, audit=audit,
+    )
+    assigned = curriculum_assign(
+        s_dec, text_col, id_col, n_phases=n_phases
+    )
+    rel = s_dec.select(id_col, lang_col, source_col).join(
+        assigned.select(
+            id_col, F.col("__t").alias("n_tokens"), "score_e6", "phase"
+        ),
+        id_col,
+    )
+    t = TxTable.create(spark, rel, table_root, key_col=id_col)
+    manifest = export_for_training(
+        t, export_dir, shards=shards, id_col=id_col,
+        order_by=["phase", "score_e6", id_col],
+    )
+    if manifest_out is not None:
+        manifest_out.append(manifest)
+    released = spark.read.parquet(export_dir)
+    return released.groupBy("phase", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("score_e6").cast("bigint").alias("min_score_e6"),
+        F.max("score_e6").cast("bigint").alias("max_score_e6"),
+    ).select(
+        F.col("phase").cast("bigint").alias("phase"),
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs", "n_tokens", "min_score_e6", "max_score_e6",
     )
 
 

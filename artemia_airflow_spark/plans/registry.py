@@ -50,6 +50,7 @@ DRIVER_WINDOW = 50
 # (forward-safe); remove entries once a green driver row exists.
 NEW_FACES: list[str] = [
     "q_behavior_pipeline",  # r17 B185 composed behavioral pipeline
+    "q_corpus_release",  # r17 B186 curriculum + versioned training export
 ]
 
 # Override-only fallback: the driver-check order used when no

@@ -40,6 +40,7 @@ SKIP = {
     "q_sql_timetravel",  # creates + deletes a real on-disk table (I/O)
     "q_dedup_incremental",  # seeds + appends a real on-disk hash state (I/O)
     "q_sim_index_persisted",  # commits + reloads a real on-disk index (I/O)
+    "q_corpus_release",  # commits a table + writes the sharded export (I/O)
 }
 
 

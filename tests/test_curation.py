@@ -521,3 +521,85 @@ def test_corpus_pipeline_matches_python_reference_on_crafted_corpus(spark):
         train, ev, capacity=8, shards=4,
     ).collect()))
     assert got == want, (got, want)
+
+
+def test_corpus_release_manifest_order_and_pruning(spark, tmp_path):
+    """corpus_release (B186) on a crafted all-survivor corpus: 8
+    English docs in 4 score pairs (equal chars-per-token within a
+    pair) quartile cleanly into phases 1-4 with 2 docs each.  The
+    export manifest's footer-harvested counts must equal the read-back
+    panel, the TxTable version is pinned, reading one shard prunes
+    partitions (PartitionFilters on shard), and rows inside a shard's
+    files are written in curriculum order (phase, then score)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from artemia_airflow_spark.operators.curation import corpus_release
+
+    # filler length doubles every pair, so chars-per-token scores come
+    # in 4 equal pairs; the doc-id suffix keeps token SETS distinct
+    # across docs (LSH must not merge a pair)
+    fill = {1: "aa", 2: "ee", 3: "aaaa", 4: "eeee",
+            5: "aaaaaaaa", 6: "eeeeeeee",
+            7: "a" * 16, 8: "e" * 16}
+    tr_rows = [
+        (i, "en", "srcA", "the and of to in " + " ".join(
+            f"{fill[i]}{i}x{j}" for j in range(4)))
+        for i in range(1, 9)
+    ]
+    train = spark.createDataFrame(
+        tr_rows, "doc_id long, lang string, source string, text string")
+    ev = spark.createDataFrame(
+        [(20, "en", "srcA", "alpha beta gamma delta")],
+        "doc_id long, lang string, source string, text string")
+
+    out_root = str(tmp_path / "rel")
+    manifest_out: list = []
+    panel = sorted(map(tuple, corpus_release(
+        train, ev, shards=4, out_root=out_root,
+        manifest_out=manifest_out,
+    ).collect()))
+
+    (manifest,) = manifest_out
+    assert manifest["version"] == 0  # create commits version 0
+    assert manifest["shards"] == 4
+    assert manifest["total_rows"] == 8 == sum(r[2] for r in panel)
+    # per-phase doc counts: the 4 score pairs quartile 2-2-2-2
+    per_phase: dict = {}
+    for (phase, _sh, n, _t, _mn, _mx) in panel:
+        per_phase[phase] = per_phase.get(phase, 0) + n
+    assert per_phase == {1: 2, 2: 2, 3: 2, 4: 2}
+    # footer-harvested manifest counts equal the read-back panel's
+    per_shard: dict = {}
+    for (_ph, sh, n, _t, _mn, _mx) in panel:
+        per_shard[sh] = per_shard.get(sh, 0) + n
+    assert {int(k): v for k, v in manifest["shard_rows"].items()
+            if v} == per_shard
+    # the on-disk manifest is the same object
+    with open(os.path.join(out_root, "export", "_manifest.json")) as f:
+        assert json.load(f) == manifest
+
+    # partition pruning: a shard filter must reach PartitionFilters
+    some_shard = next(iter(per_shard))
+    plan = (
+        spark.read.parquet(os.path.join(out_root, "export"))
+        .filter(F.col("shard") == some_shard)
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    )
+    import re as _re
+    assert _re.search(r"PartitionFilters: \[[^\]]*shard", plan), plan[:1500]
+
+    # curriculum order within each shard's files: (phase, score_e6)
+    # non-decreasing in row order
+    for d in sorted(glob.glob(os.path.join(out_root, "export", "shard=*"))):
+        rows = []
+        for fn in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            t = pq.read_table(fn, columns=["phase", "score_e6"])
+            rows.extend(zip(t["phase"].to_pylist(),
+                            t["score_e6"].to_pylist()))
+        assert rows == sorted(rows), (d, rows)
