@@ -1327,11 +1327,7 @@ def funnel_stage_value(
         F.sum(F.when(attributed, cents).otherwise(F.lit(0)))
         .cast("bigint").alias("__cents"),
     )
-    depth = sum(
-        (F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
-         for i in range(len(stages))),
-        F.lit(0),
-    )
+    depth = _chain_depth([f"t{i}" for i in range(len(stages))])
     hist = (
         per_user.select(depth.alias("depth"), "__nc", "__cents")
         .groupBy("depth")
@@ -2066,8 +2062,6 @@ def behavior_pipeline(
     sets are tiny) exploded back at session grain — the distinct
     (user, week) relation without a second pass over events.
     """
-    from artemia_airflow_spark.operators.dedup import truncate_lineage
-
     k = len(stages)
     w_ord = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     w_user = Window.partitionBy(user_col)
@@ -2129,12 +2123,9 @@ def behavior_pipeline(
         F.max(F.when(is_conv & (F.col("__cord") == 1), channel))
         .alias("channel"),
     )
-    if audit is not None:
-        audit.append(("session-store", sess._jdf.queryExecution()
-                      .explainString(
-                          sess.sparkSession._jvm.org.apache.spark.sql
-                          .execution.ExplainMode.fromString("extended"))))
-    sess = truncate_lineage(sess, None)
+    from artemia_airflow_spark.operators.dedup import stage_fn
+
+    sess = stage_fn(audit)(sess, "session-store")
 
     def _panel(section: str, df: DataFrame) -> DataFrame:
         return df.select(
@@ -2152,14 +2143,17 @@ def behavior_pipeline(
     # funnel: depth is user-constant across the user's sessions, so a
     # distinct-user count per depth replaces a second groupBy(user) —
     # the exchange carries distinct (depth, user) pairs, never keyed
-    # on user_id alone
+    # on user_id alone.  distinct-then-count, NOT countDistinct: a
+    # NULL user is a real per-user group in the standalone funnel and
+    # the oracle, and countDistinct would silently drop it
     depth_hist = (
         sess.select(
             F.col(user_col),
             _chain_depth([f"t{i}" for i in range(k)]).alias("depth"),
         )
+        .distinct()
         .groupBy("depth")
-        .agg(F.countDistinct(user_col).alias("__n"))
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
     funnel_panel = _panel("funnel", _funnel_counts_from_depth_hist(
         depth_hist, stages,

@@ -2458,22 +2458,6 @@ def q_text_novelty(spark, sf_dir):
 # B181: the corpus-curation capstone — one composed end-to-end pipeline
 # ---------------------------------------------------------------------------
 
-def _stage_fn(audit: list | None):
-    """The capstone stage-store seam: capture the pre-materialization
-    plan when auditing, then lineage-truncate (Spark re-expands common
-    subplans, and every stage fans into 2-3 consumers)."""
-    from artemia_airflow_spark.operators.dedup import truncate_lineage
-
-    def _stage(df: DataFrame, name: str) -> DataFrame:
-        if audit is not None:
-            audit.append((name, df._jdf.queryExecution().explainString(
-                df.sparkSession._jvm.org.apache.spark.sql.execution
-                .ExplainMode.fromString("extended"))))
-        return truncate_lineage(df, None)
-
-    return _stage
-
-
 def corpus_survivors(
     train: DataFrame,
     eval_df: DataFrame,
@@ -2495,11 +2479,12 @@ def corpus_survivors(
     from artemia_airflow_spark.operators.dedup import (
         exact_dedup,
         minhash_portable_duplicates,
+        stage_fn,
     )
     from artemia_airflow_spark.operators.selection import classifier_scores
     from artemia_airflow_spark.operators.text import language_id
 
-    _stage = _stage_fn(audit)
+    _stage = stage_fn(audit)
     s_scrub = scrub_web_noise(
         train.select(id_col, lang_col, source_col, text_col), text_col
     )
@@ -2589,6 +2574,7 @@ def corpus_pipeline(
     split_seqs) — materialized row counts (post-repetition), distinct
     documents, token totals, and the split's packed-sequence count.
     """
+    from artemia_airflow_spark.operators.dedup import stage_fn
     from artemia_airflow_spark.operators.selection import hash_split
 
     s_dec = corpus_survivors(
@@ -2596,7 +2582,7 @@ def corpus_pipeline(
         source_col=source_col, lang_col=lang_col,
         target_lang=target_lang, audit=audit,
     )
-    _stage = _stage_fn(audit)
+    _stage = stage_fn(audit)
     mat = hash_split(
         apply_temperature(
             s_dec, source_col=source_col, id_col=id_col,

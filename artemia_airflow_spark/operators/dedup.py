@@ -112,6 +112,23 @@ def truncate_lineage(
             df.unpersist()
 
 
+def stage_fn(audit: list | None):
+    """The composed-pipeline stage-store seam (ONE definition, r17
+    review): capture the pre-materialization extended plan when
+    auditing, then lineage-truncate (Spark re-expands common subplans,
+    and every stage fans into 2-3 consumers).  Shared by the corpus
+    capstone/release (curation) and the behavioral pipeline."""
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        if audit is not None:
+            audit.append((name, df._jdf.queryExecution().explainString(
+                df.sparkSession._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("extended"))))
+        return truncate_lineage(df, None)
+
+    return _stage
+
+
 def normalized_text(col) -> "F.Column":
     """Canonical dedup key: lowercase, trimmed, whitespace-collapsed."""
     c = F.col(col) if isinstance(col, str) else col

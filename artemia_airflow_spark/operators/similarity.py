@@ -3051,22 +3051,27 @@ def q_embed_outliers(spark, sf_dir):
 MAX_BROADCAST_LABEL_ROWS = 2_000_000
 
 
-def _label_join_hint(labels: DataFrame, cap: int):
-    """Pick the label-attachment tier by probing the row count with an
-    early-stopping ``limit(cap+1).count()`` (a bounded scan of the
-    two-column projection, not a full count): at or below ``cap``
-    return :func:`F.broadcast`, above it the identity — callers apply
-    the hint to each renamed projection of the label relation so both
-    attachment joins ride the same tier."""
-    if labels.limit(cap + 1).count() <= cap:
-        return F.broadcast
-    return lambda df: df
+def _label_join_hint(labels: DataFrame, cap: int, n_rows: int | None = None):
+    """Pick the label-attachment tier: at or below ``cap`` rows return
+    :func:`F.broadcast`, above it the identity — callers apply the
+    hint to each renamed projection of the label relation so both
+    attachment joins ride the same tier.  When ``n_rows`` is unknown
+    it is probed with an early-stopping ``limit(cap+1).count()`` (a
+    bounded scan of the two-column projection, not a full count) —
+    note this makes construction eager; callers that already know the
+    corpus size pass it to keep the build action-free (r17 review)."""
+    if cap <= 0:
+        return lambda df: df
+    if n_rows is None:
+        n_rows = labels.limit(cap + 1).count()
+    return F.broadcast if n_rows <= cap else (lambda df: df)
 
 
 def triplet_mining(
     emb: DataFrame, *, id_col: str, vec_col: str, label_col: str,
     n_anchors: int = 50,
     max_broadcast_labels: int = MAX_BROADCAST_LABEL_ROWS,
+    n_labels: int | None = None,
 ) -> DataFrame:
     """Contrastive training-triplet mining (r15): for each anchor in a
     bounded sample, the NEAREST same-label vector (the positive) and
@@ -3100,7 +3105,7 @@ def triplet_mining(
         F.col(id_col).alias("__aid"), "d", F.col("v6").alias("a6")
     )
     labels = emb.select(F.col(id_col), F.col(label_col))
-    hint = _label_join_hint(labels, max_broadcast_labels)
+    hint = _label_join_hint(labels, max_broadcast_labels, n_labels)
     d2 = (
         comps.join(F.broadcast(anchors), "d")
         .filter(F.col(id_col) != F.col("__aid"))
@@ -3222,6 +3227,7 @@ def knn_label_noise(
     emb: DataFrame, *, id_col: str, vec_col: str, label_col: str,
     n_probes: int = 50, k: int = 10,
     max_broadcast_labels: int = MAX_BROADCAST_LABEL_ROWS,
+    n_labels: int | None = None,
 ) -> DataFrame:
     """KNN label-noise audit (r14): for a bounded probe set, find each
     probe's exact k nearest neighbors and measure how often the
@@ -3270,7 +3276,7 @@ def knn_label_noise(
         F.col("__rk") <= k
     )
     labels = emb.select(F.col(id_col), F.col(label_col))
-    hint = _label_join_hint(labels, max_broadcast_labels)
+    hint = _label_join_hint(labels, max_broadcast_labels, n_labels)
     joined = (
         nn.join(hint(labels.withColumnRenamed(label_col, "__nl")),
                 id_col)

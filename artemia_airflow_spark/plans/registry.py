@@ -47,7 +47,10 @@ DRIVER_WINDOW = 50
 
 # Faces with no driver CORRECTNESS row yet (new this round) — they
 # lead the derived window.  Names not yet registered are skipped
-# (forward-safe); remove entries once a green driver row exists.
+# (forward-safe), and entries SELF-RETIRE into the normal rotation as
+# soon as a green driver row exists (r17 review: a hand-list that
+# requires manual pruning is the stale-hand-list hazard again);
+# delete them here on the next registry edit purely for tidiness.
 NEW_FACES: list[str] = [
     "q_behavior_pipeline",  # r17 B185 composed behavioral pipeline
     "q_corpus_release",  # r17 B186 curriculum + versioned training export
@@ -90,6 +93,13 @@ def _history_dir() -> Path:
     return Path(__file__).resolve().parents[2]
 
 
+# (files-signature) -> parsed result: E.queries() is called by every
+# driver/dryrun/test/bench entry, and re-parsing a history that grows
+# by one file per round forever is pure waste; the signature (name,
+# mtime, size) invalidates on any new or rewritten file
+_HISTORY_CACHE: dict = {}
+
+
 def latest_attested_rounds(history_dir: Path | None = None) -> dict[str, int]:
     """Per-query round of the most recent GREEN driver row.
 
@@ -100,11 +110,17 @@ def latest_attested_rounds(history_dir: Path | None = None) -> dict[str, int]:
     Returns {} when no history is readable.
     """
     root = history_dir or _history_dir()
-    latest: dict[str, int] = {}
     try:
         files = sorted(root.glob("CORRECTNESS_r*.json"))
+        sig = (str(root),) + tuple(
+            (f.name, f.stat().st_mtime_ns, f.stat().st_size) for f in files
+        )
     except OSError:
         return {}
+    cached = _HISTORY_CACHE.get(str(root))
+    if cached and cached[0] == sig:
+        return dict(cached[1])
+    latest: dict[str, int] = {}
     for f in files:
         m = _CORRECTNESS_RE.search(f.name)
         if not m:
@@ -113,6 +129,11 @@ def latest_attested_rounds(history_dir: Path | None = None) -> dict[str, int]:
         try:
             rows = json.loads(f.read_text())
         except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            # a stray non-object JSON at the repo root must degrade
+            # like any other unreadable history file, not crash the
+            # whole registry (r17 review)
             continue
         for name, row in rows.items():
             if not isinstance(row, dict):
@@ -123,21 +144,29 @@ def latest_attested_rounds(history_dir: Path | None = None) -> dict[str, int]:
             )
             if green and rnd >= latest.get(name, -1):
                 latest[name] = rnd
-    return latest
+    _HISTORY_CACHE[str(root)] = (sig, latest)
+    return dict(latest)
 
 
 def derive_priority(
     window: int = DRIVER_WINDOW, history_dir: Path | None = None
 ) -> list[str]:
     """The driver-check window, derived from attestation history:
-    NEW_FACES first, then every registered query oldest-attested-first
-    (never-attested sorts oldest; registration order breaks ties),
-    capped at ``window``.  Falls back to the hand PRIORITY list when
-    no CORRECTNESS history exists."""
+    NEW_FACES that are still unattested first (an attested new face
+    self-retires into the normal rotation), then every registered
+    query oldest-attested-first (never-attested sorts oldest;
+    registration order breaks ties), capped at ``window``.  Falls back
+    to the hand PRIORITY list (NEW_FACES still leading) when no
+    CORRECTNESS history exists."""
     attested = latest_attested_rounds(history_dir)
     if not attested:
-        return [n for n in PRIORITY if n in QUERIES]
-    front = [n for n in NEW_FACES if n in QUERIES]
+        lead = [n for n in NEW_FACES if n in QUERIES]
+        return lead + [
+            n for n in PRIORITY if n in QUERIES and n not in set(lead)
+        ]
+    front = [
+        n for n in NEW_FACES if n in QUERIES and n not in attested
+    ]
     seen = set(front)
     reg_idx = {n: i for i, n in enumerate(QUERIES)}
     rest = sorted(

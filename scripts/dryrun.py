@@ -62,7 +62,9 @@ if _m and latest_attested_rounds():
     # never-attested sorts infinitely stale: it must be in the window
     projected = {n: attested.get(n, -(10 ** 9)) for n in q}
     projected.update({n: N for n in PRIORITY})
-    stale = sorted(n for n, r in projected.items() if r < N - period)
+    # a row attested at A must be re-attested by round A + period, so
+    # at round N (post-window) any A <= N - period is a violation
+    stale = sorted(n for n, r in projected.items() if r <= N - period)
     assert not stale, (
         f"rotation leaves {len(stale)} queries older than {period} "
         f"rounds after the r{N} window: {stale}"

@@ -1124,12 +1124,16 @@ def test_behavior_pipeline_single_user_exchange(spark):
     )
     (name, stage_plan), = audit
     assert name == "session-store"
+    # a SINGLE-KEY user_id exchange is the fact-sized shuffle; the
+    # funnel panel's distinct-(user, depth) exchange keys on the PAIR
+    # (hashpartitioning(user_id#N, depth#M, ...)) over session-grain
+    # data and must not be confused with it
+    user_exchange = re.compile(r"hashpartitioning\(user_id#\d+L?, \d+\)")
     assert stage_plan.count("events.parquet") == 1, stage_plan[:2000]
-    assert stage_plan.count("hashpartitioning(user_id") == 1, (
-        stage_plan[:2000])
+    assert len(user_exchange.findall(stage_plan)) == 1, stage_plan[:2000]
     final = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("extended"))
     assert final.count("events.parquet") == 0, final[:2000]
-    assert final.count("hashpartitioning(user_id") == 0, final[:2000]
+    assert not user_exchange.findall(final), final[:2000]
     assert "CartesianProduct" not in final

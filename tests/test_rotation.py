@@ -63,8 +63,48 @@ def test_derive_priority_falls_back_without_history(tmp_path, monkeypatch):
     monkeypatch.setattr(
         R, "QUERIES", {n: (lambda s, d: None) for n in R.PRIORITY[:5]}
     )
+    monkeypatch.setattr(R, "NEW_FACES", [])
     got = R.derive_priority(history_dir=tmp_path)
     assert got == R.PRIORITY[:5]
+
+
+def test_fallback_leads_with_new_faces(tmp_path, monkeypatch):
+    """No-history fallback must still front the NEW_FACES (r17 review:
+    omitting them there recreated the never-attested-face gap in the
+    installed-package case the fallback exists for)."""
+    names = {n: (lambda s, d: None) for n in R.PRIORITY[:3]}
+    names["q_new_thing"] = lambda s, d: None
+    monkeypatch.setattr(R, "QUERIES", names)
+    monkeypatch.setattr(R, "NEW_FACES", ["q_new_thing"])
+    got = R.derive_priority(history_dir=tmp_path)
+    assert got == ["q_new_thing"] + R.PRIORITY[:3]
+
+
+def test_new_faces_self_retire_once_attested(tmp_path, monkeypatch):
+    """A NEW_FACES entry with a green driver row stops leading the
+    window (r17 review: a hand-list needing manual pruning is the
+    stale-hand-list hazard the derivation was built to remove)."""
+    _write_history(tmp_path, {
+        1: {"a": GREEN, "b": GREEN},
+        3: {"f": GREEN},
+    })
+    monkeypatch.setattr(R, "QUERIES", {n: (lambda s, d: None) for n in "abf"})
+    monkeypatch.setattr(R, "NEW_FACES", ["f"])
+    # f is attested (r3) -> retires to the back; a/b (r1) lead
+    assert R.derive_priority(window=3, history_dir=tmp_path) == ["a", "b", "f"]
+
+
+def test_history_cache_invalidates_on_new_file(tmp_path):
+    _write_history(tmp_path, {1: {"a": GREEN}})
+    assert R.latest_attested_rounds(tmp_path) == {"a": 1}
+    _write_history(tmp_path, {2: {"a": GREEN, "b": GREEN}})
+    assert R.latest_attested_rounds(tmp_path) == {"a": 2, "b": 2}
+
+
+def test_non_object_history_file_is_skipped(tmp_path):
+    _write_history(tmp_path, {1: {"a": GREEN}})
+    (tmp_path / "CORRECTNESS_r02.json").write_text("[1, 2, 3]")
+    assert R.latest_attested_rounds(tmp_path) == {"a": 1}
 
 
 def test_repo_history_derivation_is_monotone_stale_first():
@@ -77,7 +117,7 @@ def test_repo_history_derivation_is_monotone_stale_first():
     assert att, "repo CORRECTNESS history should be present"
     window = R.derive_priority()
     assert len(window) == R.DRIVER_WINDOW
-    new = [n for n in R.NEW_FACES if n in R.QUERIES]
+    new = [n for n in R.NEW_FACES if n in R.QUERIES and n not in att]
     assert window[: len(new)] == new
     tail_rounds = [att.get(n, -1) for n in window[len(new):]]
     assert tail_rounds == sorted(tail_rounds)
