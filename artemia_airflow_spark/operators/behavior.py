@@ -2058,9 +2058,12 @@ def behavior_pipeline(
     hashpartitioning(user_id); final plan: zero of both).
 
     Retention rides the collapse as ``collect_set(week_offset)`` per
-    session (a 1h-gap session spans at most 2 distinct weeks, so the
-    sets are tiny) exploded back at session grain — the distinct
-    (user, week) relation without a second pass over events.
+    session, exploded back at session grain — the distinct
+    (user, week) relation without a second pass over events.  The set
+    size is the session's calendar span in weeks + 1 (gap
+    sessionization bounds inter-event GAPS, not session length, so a
+    continuously-active user can span many weeks); explode is correct
+    at any size, the sets are merely small in practice.
     """
     k = len(stages)
     w_ord = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)

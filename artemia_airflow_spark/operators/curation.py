@@ -1546,7 +1546,9 @@ def curriculum_phases(
     aggregate.  The two corpus scans (score histogram + rollup) mirror
     the classifier face's audited shape.
     """
-    assigned = curriculum_assign(df, text_col, id_col, n_phases=n_phases)
+    assigned = curriculum_assign(
+        df, text_col, id_col, n_phases=n_phases, op="curriculum_phases"
+    )
     # md5-argmin folded INTO the rollup as a min-of-struct (r15
     # review: a separate ranking window was a third corpus scan —
     # Spark never dedupes common subplans)
@@ -1569,6 +1571,7 @@ def curriculum_assign(
     id_col: str,
     *,
     n_phases: int = 4,
+    op: str = "curriculum_assign",
 ) -> DataFrame:
     """Per-document curriculum phase assignment — the B180 recipe up
     to (but not including) the rollup: ``(id, __t, score_e6, phase,
@@ -1590,7 +1593,7 @@ def curriculum_assign(
         F.when(
             raw_score.isNull(),
             F.raise_error(F.concat(
-                F.lit("curriculum_phases: NULL "),
+                F.lit(f"{op}: NULL "),
                 F.lit(text_col),
                 F.lit(" has no score — filter NULL documents upstream"),
             )).cast("bigint"),
@@ -2944,7 +2947,7 @@ def corpus_release(
         target_lang=target_lang, audit=audit,
     )
     assigned = curriculum_assign(
-        s_dec, text_col, id_col, n_phases=n_phases
+        s_dec, text_col, id_col, n_phases=n_phases, op="corpus_release"
     )
     rel = s_dec.select(id_col, lang_col, source_col).join(
         assigned.select(

@@ -161,9 +161,10 @@ def derive_priority(
     attested = latest_attested_rounds(history_dir)
     if not attested:
         lead = [n for n in NEW_FACES if n in QUERIES]
-        return lead + [
+        out = lead + [
             n for n in PRIORITY if n in QUERIES and n not in set(lead)
         ]
+        return out[: max(window, len(lead))]
     front = [
         n for n in NEW_FACES if n in QUERIES and n not in attested
     ]

@@ -59,6 +59,18 @@ if _m and latest_attested_rounds():
     N = int(_m.group(1))
     period = max(5, math.ceil(len(q) / DRIVER_WINDOW))
     attested = latest_attested_rounds()
+    # DELIVERY check first (r17 review: projecting the window as
+    # attested validates only the plan — a driver that checks fewer
+    # rows than planned must be caught on the NEXT dryrun): a row
+    # attested at A has deadline A + period, so any A < N - period
+    # is already overdue regardless of this round's window.
+    overdue = sorted(
+        n for n in q if attested.get(n, N) < N - period
+    )
+    assert not overdue, (
+        f"{len(overdue)} queries missed their re-attestation deadline "
+        f"before r{N} (driver delivered short windows?): {overdue}"
+    )
     # never-attested sorts infinitely stale: it must be in the window
     projected = {n: attested.get(n, -(10 ** 9)) for n in q}
     projected.update({n: N for n in PRIORITY})
