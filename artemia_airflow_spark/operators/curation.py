@@ -1888,51 +1888,49 @@ def winnowed_fingerprints_portable(
     (:func:`substring_fingerprints`) keeps the production path; this
     twin exists so the winnowing CLASS has a value-for-value oracle.
 
-    Shape: explode(positions) -> md5 -> ONE window per doc (partition
-    by id, ordered by position, ROWS [0, w-1]) -> distinct — all
-    codegen expressions and one doc-keyed shuffle; never all-pairs.
-    Returns (id, fp)."""
+    MAP-SIDE (r17, guide §2.3/§2.4): gram hashing AND window-min
+    selection happen inside the document row with array higher-order
+    functions — the r16 shape exploded one row PER CHARACTER POSITION
+    and ran two windows over a doc-keyed exchange of that relation
+    (at 100 TB that shuffles ~n_chars x 48 B per doc twice; the suite's
+    single heaviest exchange).  Now nothing reaches an exchange until
+    the per-doc DISTINCT fingerprint set (bounded by n_chars / 1, in
+    practice ~2/w of it) is already selected.  Selection semantics are
+    unchanged — classic winnowing over FULL w-windows only (trailing
+    partial windows would make any shared k-char suffix count as
+    overlap), with sub-w-gram documents keeping exactly one partial
+    window so short docs stay represented; ``slice`` past the array
+    end truncates exactly like the old ROWS [0, w-1] frame did at the
+    partition tail.  The per-doc ``array_distinct`` replaces the old
+    global (id, fp) DISTINCT — identical for unique ``id_col`` (the
+    operator's contract), one exchange cheaper.  Returns (id, fp)."""
     body = F.lower(F.col(text_col))
-    grams = (
-        df.select(F.col(id_col), body.alias("__t"))
+    # __keys[p] = md5 of the k-char gram at 1-based position p; docs
+    # shorter than k hash their whole (short) text once
+    # (greatest(.., 1)); fp p = min digest over window [p, p+w-1]
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(F.col("__keys")) - (w - 1), F.lit(1)),
+            ),
+            lambda p: F.array_min(F.slice(F.col("__keys"), p, w)),
+        )
+    )
+    return (
+        spread_for_compute(df.filter(F.col(text_col).isNotNull()))
+        .select(F.col(id_col), body.alias("__t"))
         .select(
             id_col,
-            F.explode(
+            F.transform(
                 F.sequence(
                     F.lit(1),
                     F.greatest(F.length("__t") - (k - 1), F.lit(1)),
-                )
-            ).alias("pos"),
-            "__t",
+                ),
+                lambda p: F.md5(F.expr("__t").substr(p, F.lit(k))),
+            ).alias("__keys"),
         )
-        .select(
-            id_col,
-            "pos",
-            F.md5(F.expr(f"substring(__t, pos, {k})")).alias("key"),
-        )
-    )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    # classic winnowing selects over FULL w-windows only: trailing
-    # partial windows would unconditionally select the final gram and
-    # make any shared 40-char suffix count as overlap (r9 review).
-    # Documents with fewer than w grams keep exactly one (partial)
-    # window so short docs are still represented — the same truncation
-    # convention the gram extraction itself uses.
-    n_grams = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    return (
-        grams.select(
-            id_col,
-            "pos",
-            n_grams.alias("__n"),
-            F.min("key").over(win).alias("fp"),
-        )
-        .filter(F.col("pos") <= F.greatest(F.col("__n") - (w - 1), F.lit(1)))
-        .select(id_col, "fp")
-        .distinct()
+        .select(id_col, F.explode(fps).alias("fp"))
     )
 
 
@@ -1982,9 +1980,13 @@ def q_dedup_substring_portable(spark, sf_dir):
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     fps = winnowed_fingerprints_portable(d, "text", "doc_id")
+    # (doc_id, fp) rows are distinct per doc (array_distinct in the
+    # builder), so COUNT(*) == COUNT(DISTINCT doc_id) per fp — the
+    # plain count keeps map-side partial aggregation and skips the
+    # distinct-aggregate expand (guide §2.3)
     shared = (
         fps.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .agg(F.count(F.lit(1)).alias("__nd"))
         .filter(F.col("__nd") > 1)
         .select("fp")
     )
@@ -2369,36 +2371,63 @@ def ngram_novelty(
     than ``n`` tokens have no grams and are excluded (reported by the
     complementary length-bucket face).
 
-    Scale shape: per-doc DISTINCT grams materialize map-side
-    (transform + array_distinct before the explode), then the
-    (doc, gram) relation feeds the gram doc-frequency aggregate and
-    rejoins it on the gram equi-join (the containment shape — never
-    all-pairs); the scan lineage executes twice, everything shuffled
-    is hashes, never text.
+    Scale shape (r17, guide §2.3 "shuffle keys and metadata instead
+    of payloads"): per-doc DISTINCT grams materialize map-side
+    (transform + array_distinct), so ``n_grams`` is just the array
+    size — no shuffle needed for it.  The exploded (doc, gram)
+    relation then feeds ONE gram-keyed aggregate computing df AND
+    min(doc_id) together: a df==1 gram belongs to exactly one
+    document, namely that min, so per-doc unique counts come from a
+    doc-keyed aggregate over the df==1 grams only — the r16 shape's
+    token-sized join-back of dfreq onto the gram relation plus the
+    second token-sized doc-keyed aggregate are gone.  What crosses
+    exchanges after the gram agg is bounded by the unique-gram
+    vocabulary, then by the doc count.
     """
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-            )
-        ),
-    )
-    rows = df.select(
-        F.col(id_col), F.col(group_col), F.explode(grams).alias("__g")
-    )
-    dfreq = rows.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-    per_doc = (
-        rows.join(dfreq, "__g")
-        .groupBy(id_col)
-        .agg(
-            F.min(group_col).alias(group_col),
-            F.count(F.lit(1)).alias("__n_grams"),
-            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
-            .alias("__n_unique"),
+    # gate on the CHEAP precondition (token count), not on the computed
+    # gram array being non-NULL: Catalyst pushes filters through the
+    # spread repartition, and a filter referencing the md5-gram
+    # expression re-evaluates that whole expression below the exchange
+    # — on the scan's (often single) input partition (measured 6.2s ->
+    # 0.5s at sf0.1 for this stage).  The pushed size(split(..)) gate
+    # is one cheap pass; the gram work runs once, post-spread.
+    # The gram expression must also be TOTAL: Catalyst infers
+    # isnotnull(__gs) from downstream operators, substitutes this
+    # expression into that predicate, and may evaluate it on rows the
+    # size-gate has not yet removed — sequence(0, size-n) runs
+    # DESCENDING for short docs and feeds slice() a 0 start (runtime
+    # error).  greatest(.., 1) keeps the sequence ascending; a short
+    # doc yields one junk gram (its whole token list) that the
+    # explicit filter then drops before the gram is ever used.
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
         )
+    )
+    base = (
+        spread_for_compute(df)
+        .filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.col(group_col), grams.alias("__gs"))
+    )
+    doc_stats = base.select(
+        id_col, group_col, F.size("__gs").alias("__n_grams")
+    )
+    uniq = (
+        base.select(F.col(id_col), F.explode("__gs").alias("__g"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__df"),
+            F.min(id_col).alias("__d0"),
+        )
+        .filter(F.col("__df") == 1)
+        .groupBy(F.col("__d0").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("__n_unique"))
+    )
+    per_doc = (
+        doc_stats.join(uniq, id_col, "left")
+        .withColumn("__n_unique", F.coalesce("__n_unique", F.lit(0)))
         .withColumn(
             "novelty_e6",
             F.expr("__n_unique * 1000000 DIV __n_grams"),

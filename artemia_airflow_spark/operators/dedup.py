@@ -625,29 +625,47 @@ def connected_components(
     # coercion UserWarning on every checkpoint_dir run (r12 review)
     labels = truncate_lineage(labels, checkpoint_dir, eager=True)
     changed = 0
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     for _ in range(max_iters):
-        # propagate: each node takes min(label) over itself + neighbors
-        sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # propagate: each node takes min(label) over itself + neighbors.
+        # The node's OWN current label rides along (tagged union +
+        # conditional agg) so the convergence test below is a plain
+        # filter over the checkpointed result instead of a per-round
+        # join of new vs old labels (r17, guide §2.4 — one exchange
+        # and one job less per round).
         neighbor_labels = (
             sym.join(labels, sym.dst == labels.node)
-            .select(F.col("src").alias("node"), "label")
+            .select(F.col("src").alias("node"), "label",
+                    F.lit(False).alias("__self"))
         )
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            labels.select("node", "label", F.lit(True).alias("__self"))
+            .unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("__self"), F.col("label")))
+                .alias("__old"),
+            )
         )
         # pointer jumping (label = label-of-label): plain min-exchange
         # needs O(component diameter) rounds, so a chain of D near-dups
         # would be silently split at max_iters; the shortcut halves the
         # remaining diameter each round -> O(log D) convergence.  Every
-        # label is itself a node id, so the self-join is total.
+        # label is itself a node id, so the self-join is total.  ONE
+        # jump per round on purpose (r17): measured at sf0.1, extra
+        # jumps did not reduce the round count (8 rounds with 1, 2 or
+        # 3 jumps — convergence here is propagation-bound, not
+        # chain-compression-bound) and each extra self-join added ~30%
+        # wall per round.
         jump = new_labels.select(
             F.col("node").alias("j_node"), F.col("label").alias("j_label")
         )
         new_labels = (
             new_labels.join(jump, new_labels.label == jump.j_node)
-            .select("node", F.col("j_label").alias("label"))
+            .select("node", F.col("j_label").alias("label"), "__old")
         )
         # truncate lineage each round: without this the label DAG
         # doubles per iteration and the convergence check re-executes
@@ -658,13 +676,11 @@ def connected_components(
         # from the doubled lineage.
         new_labels = truncate_lineage(new_labels, checkpoint_dir, eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.filter(F.col("label") != F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
@@ -1223,55 +1239,75 @@ def _minhash_portable_bands(
     """(id, band index b, band bucket bv) under the md5-portable
     MinHash family — the shared candidate-bucket builder behind
     :func:`minhash_portable_duplicates` (bucket-min dup rule) and
-    :func:`q_dedup_clusters_portable` (bucket-star CC edges)."""
+    :func:`q_dedup_clusters_portable` (bucket-star CC edges).
+
+    MAP-SIDE (r17, guide §2.3/§2.4): the whole signature is computed
+    per document row with array higher-order functions — distinct
+    tokens, salted digests, per-hash minima, band digests — so the
+    only rows that ever reach an exchange are the ``bands`` (id, b,
+    bv) rows per doc.  The r16 shape exploded every (token, hash)
+    pair to a row and re-assembled signatures through TWO token-sized
+    shuffles (groupBy(id, i) then groupBy(id) with a collect_list
+    sort); at 100 TB those exchanges carry ~num_hashes x the corpus
+    token count.  Hash values are unchanged: hash i of a token is
+    still the 8-hex-char slice (i % 4) of md5((i//4) || ':' || tok),
+    the per-doc signature the elementwise lexicographic MIN over
+    distinct tokens, and bv = md5 of the comma-joined band slice —
+    the portable-oracle family attests the rewrite value-for-value."""
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError("bands must be >= 1 and divide num_hashes")
     rows = num_hashes // bands
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-        ).alias("tok"),
-    )
-    # hash i = 8-hex-char slice (i % 4) of salted digest md5((i//4) ||
-    # ':' || tok): 4 independent 32-bit hashes per digest, so 16 hash
-    # functions cost 4 md5s per token, not 16 (the digests are
-    # computed ONCE per token, before the explode over i)
     n_salts = (num_hashes + 3) // 4
-    hashed = toks.select(
-        id_col,
-        F.array(
-            *[
-                F.md5(F.concat_ws(":", F.lit(str(j)), F.col("tok")))
-                for j in range(n_salts)
-            ]
-        ).alias("hs"),
-    ).select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-        "hs",
-    ).select(
-        id_col,
-        "i",
-        F.expr("substring(hs[i div 4], (i % 4) * 8 + 1, 8)").alias("h"),
-    )
-    mins = hashed.groupBy(id_col, "i").agg(F.min("h").alias("h"))
-    sigs = mins.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "h"))),
-            lambda s: s["h"],
-        ).alias("sig")
-    )
-    return sigs.select(
+    # HOF lambdas are written as SQL-text transform(...) with a UNIQUE
+    # lambda-variable name per expression: several Python-lambda HOFs
+    # in one projection miscompute on Spark 4.1 (the generated lambda
+    # variables collide across expressions — verified with a minimal
+    # repro; single-lambda projections are fine).
+    # spread before the per-row signature work: interpreted HOF eval
+    # is CPU-bound and a single-file local scan arrives as ONE
+    # partition (no-op at scale, where inputs have thousands of splits)
+    toks = spread_for_compute(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
-        "sig",
-    ).select(
+        F.array_distinct(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("__tk"),
+    )
+    # one salted digest array per salt, materialized as real columns so
+    # the 4 hash slices per digest reference ONE md5 evaluation
+    digests = toks.select(
         id_col,
-        "b",
-        F.md5(
-            F.array_join(F.slice("sig", F.col("b") * rows + 1, rows), ",")
-        ).alias("bv"),
+        *[
+            F.expr(
+                f"transform(__tk, t{j} -> "
+                f"md5(concat_ws(':', '{j}', t{j})))"
+            ).alias(f"__d{j}")
+            for j in range(n_salts)
+        ],
+    )
+    sig = F.array(
+        *[
+            F.expr(
+                f"array_min(transform(__d{i // 4}, h{i} -> "
+                f"substring(h{i}, {(i % 4) * 8 + 1}, 8)))"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    sigs = digests.select(id_col, sig.alias("sig"))
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("b"),
+                F.md5(
+                    F.array_join(F.slice("sig", b * rows + 1, rows), ",")
+                ).alias("bv"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sigs.select(id_col, F.explode(bands_arr).alias("__bb"))
+        .select(id_col, F.col("__bb.b").alias("b"), F.col("__bb.bv").alias("bv"))
     )
 
 
@@ -1368,47 +1404,44 @@ def simhash_portable(
     uniform bits via ``digit >= '8'`` (lowercase hex, bytewise string
     compare in both Spark and DuckDB).
 
-    Scale shape: explode(distinct tokens) x num_bits stays in
-    whole-stage codegen (md5/concat/CASE are JVM intrinsics), then two
-    keyed aggregations — (id, bit) and (id) — with map-side partial
-    aggregation; no window, no all-pairs, no Python.  Returns
-    (id, fingerprint BIGINT)."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-        ).alias("tok"),
-    )
+    Scale shape (r17, guide §2.3): ONE explode of distinct tokens with
+    their digest, then ONE id-keyed aggregation carrying all
+    ``num_bits`` conditional ±1 sums side by side (map-side partial
+    aggregation shrinks each doc to num_bits ints before the
+    exchange); the fingerprint assembles from the sums in the final
+    projection.  The r16 shape additionally exploded every token row
+    x num_bits and paid a second (id, bit)-keyed exchange of that
+    relation — num_bits x more exchange rows for the same sums.  No
+    window, no all-pairs, no Python.  Returns (id, fingerprint
+    BIGINT)."""
     if num_bits > 32:
         raise ValueError("num_bits must be <= 32 (one hex digit per bit)")
     # ONE md5 per token, bit b = hex digit b's top bit (digit >= '8'):
     # md5's hex digits are independent uniform, so 32 bits cost one
     # digest instead of 32 (measured 9.6s -> ~2s at sf0.1)
-    bits = toks.select(
+    toks = spread_for_compute(df).select(
         F.col(id_col),
-        F.md5("tok").alias("h"),
-    ).select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_bits - 1))).alias("b"),
-        "h",
-    ).select(
-        id_col,
-        "b",
-        F.when(
-            F.expr("substring(h, b + 1, 1)") >= F.lit("8"), F.lit(1)
-        )
-        .otherwise(F.lit(-1))
-        .alias("c"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).select(F.col(id_col), F.md5("tok").alias("h"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", b + 1, 1) >= F.lit("8"), 1)
+                .otherwise(-1)
+            ).alias(f"__s{b}")
+            for b in range(num_bits)
+        ]
     )
-    contrib = bits.groupBy(id_col, "b").agg(F.sum("c").alias("s"))
-    return contrib.groupBy(id_col).agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
-                "ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias("fingerprint")
-    )
+    fingerprint = None
+    for b in range(num_bits):
+        term = F.when(
+            F.col(f"__s{b}") > 0,
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select(F.col(id_col), fingerprint.alias("fingerprint"))
 
 
 @declared(
