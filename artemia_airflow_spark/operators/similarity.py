@@ -2231,6 +2231,12 @@ def index_upsert(
             )
         )
         changes = changes.unionByName(dels)
+    # materialize the encoded increment ONCE (r17, guide §5 "cut
+    # lineage when an intermediate is reused"): TxTable.merge consumes
+    # its changes twice — the touched-file key probe and the rewrite —
+    # and without this the whole multi-exchange encode pipeline
+    # re-executes per pass (2x per micro-batch in the streaming loop)
+    changes = changes.localCheckpoint(eager=True)
     return table.merge(changes, delete_col="__tomb", meta=meta)
 
 
