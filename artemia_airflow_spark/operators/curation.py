@@ -1776,8 +1776,12 @@ def decontaminate_bloom_portable(
     # position j of gram g = hex chars [j*hex_chars, (j+1)*hex_chars)
     # of ONE md5(g): disjoint slices of a uniform digest are k
     # independent hash functions at a third of the digest cost
+    # spread both sides before the gram/md5 codegen work: a local
+    # single-file scan arrives as ONE partition and serializes the
+    # CPU-bound hashing onto one core (no-op at scale — guide §2.5)
     grams_e = (
-        eval_df.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        spread_for_compute(eval_df)
+        .select(F.explode(word_ngrams(text_col, n)).alias("gram"))
         .distinct()
     )
     pos = F.expr(f"substring(h, j * {hex_chars} + 1, {hex_chars})")
@@ -1790,7 +1794,8 @@ def decontaminate_bloom_portable(
         .distinct()
     )
     probes = (
-        train.select(
+        spread_for_compute(train)
+        .select(
             F.col(id_col),
             F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
         )

@@ -608,13 +608,22 @@ def media_phash_portable(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     16-hex-char window string is engine-identical, bit b = (hex digit
     b >= '8'), bit = strict majority of window votes (``s > 0`` — the
     stub's ``votes*2 > n`` rule).  Scale shape mirrors
-    simhash_portable: explode windows x 32 codegen rows, two keyed
-    aggregations with map-side combine — fingerprints shuffle, payload
-    bytes never do.  Returns (id, media_type, fp)."""
+    simhash_portable (r17, guide §2.3): ONE explode of windows with
+    their digest, then ONE (id, media_type)-keyed aggregation carrying
+    all 32 conditional ±1 sums side by side (map-side partials shrink
+    each doc to 32 ints before the exchange); the fingerprint
+    assembles from the sums in the final projection.  The r16 shape
+    additionally exploded every window row x 32 bits and paid a
+    second (id, media_type, b)-keyed exchange of that relation — 32x
+    more exchange rows for the same sums.  Fingerprints shuffle,
+    payload bytes never do.  Returns (id, media_type, fp)."""
+    from artemia_airflow_spark.functions.core import spread_for_compute
+
     hx = F.hex(F.col("payload"))
     padded = F.when(F.length(hx) < 16, F.rpad(hx, 16, "0")).otherwise(hx)
     win = (
-        media.select(
+        spread_for_compute(media)
+        .select(
             F.col(id_col),
             F.col("media_meta.media_type").alias("media_type"),
             padded.alias("__h"),
@@ -637,28 +646,23 @@ def media_phash_portable(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.md5(F.expr("substring(__h, p, 16)")).alias("wh"),
         )
     )
-    bits = win.select(
-        id_col,
-        "media_type",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-        "wh",
-    ).select(
-        id_col,
-        "media_type",
-        "b",
-        F.when(F.expr("substring(wh, b + 1, 1)") >= F.lit("8"), F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("c"),
+    sums = win.groupBy(id_col, "media_type").agg(
+        *[
+            F.sum(
+                F.when(F.substring("wh", b + 1, 1) >= F.lit("8"), 1)
+                .otherwise(-1)
+            ).alias(f"__s{b}")
+            for b in range(32)
+        ]
     )
-    contrib = bits.groupBy(id_col, "media_type", "b").agg(F.sum("c").alias("s"))
-    return contrib.groupBy(id_col, "media_type").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias("fp")
-    )
+    fp = None
+    for b in range(32):
+        term = F.when(
+            F.col(f"__s{b}") > 0,
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), F.col("media_type"), fp.alias("fp"))
 
 
 @declared(
@@ -740,6 +744,11 @@ def q_multimodal_neardup_portable(spark, sf_dir):
             ])
         ).alias("bb"),
     ).select("doc_id", "media_type", "fp", "bb.band", "bb.bv")
+    # both sides of the band self-join consume this relation, and
+    # Spark does not dedupe common subplans — materialize the tiny
+    # (4 rows/doc) banded fingerprints so the phash subtree executes
+    # once, not twice (r17; the ngram_jaccard_pairs precedent)
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     pairs = (
