@@ -14,12 +14,16 @@ Scale shape: ONE corpus scan — tokens and adjacent bigrams explode
 from the same array, the md5 bucket is map-side codegen per
 occurrence, and the first aggregate collapses to (doc, bucket) counts
 (<= 256 rows per document crossing the exchange, map-side combined).
-Both downstream consumers — the 256-row per-bucket statistics and the
-per-document weights — hang off that SAME aggregate exchange (AQE
-exchange reuse; the BM25 tf/dfreq precedent), the bucket
-log-ratio table is 256 rows and broadcasts, and the final cut is a
-global TakeOrderedAndProject.  Nothing corpus-sized shuffles twice
-and no vocabulary-sized relation ever exceeds the bucket count.
+That aggregate is MATERIALIZED (localCheckpoint) because both
+downstream consumers — the 256-row per-bucket statistics and the
+per-document weights — read it and Spark does not dedupe common
+subplans: the join-key isnotnull filter Catalyst pushes into one
+branch makes the two subtrees unequal, so without the checkpoint the
+whole scan+tokenize+md5+aggregate executed TWICE (r17, guide §3.3 /
+§5; plans/r17/q_select_dsir_before.txt nodes 1-8 vs 9-15).  The
+bucket log-ratio table is 256 rows and broadcasts, and the final cut
+is a global TakeOrderedAndProject.  Nothing corpus-sized shuffles
+twice and no vocabulary-sized relation ever exceeds the bucket count.
 """
 
 from __future__ import annotations
@@ -59,18 +63,29 @@ def dsir_weights(
     paper's Gumbel-noise resampling drops in by adding a per-row
     perturbation before the cut.
     """
+    from artemia_airflow_spark.functions.core import spread_for_compute
+
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     bigrams = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),
         F.slice(toks, 2, F.size(toks) - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    rows = df.select(
-        F.col(id_col),
-        F.col(is_target_col).alias("__t"),
+    # project to the three needed columns, then spread: a local
+    # single-file scan arrives as ONE partition and serializes the
+    # tokenize/md5 codegen onto one core (no-op at scale — guide §2.5)
+    rows = spread_for_compute(
+        df.select(F.col(id_col), F.col(is_target_col).alias("__t"),
+                  F.col(text_col))
+    ).select(
+        id_col, "__t",
         F.explode(F.concat(toks, bigrams)).alias("__feat"),
     )
-    # one exchange: (doc, bucket) counts, <= 256 rows per doc
+    # one exchange: (doc, bucket) counts, <= 256 rows per doc —
+    # materialized because bs AND the join-back both consume it (the
+    # pushed isnotnull(bucket) join-key filter breaks subtree
+    # identity, so exchange reuse never fires and the corpus would
+    # tokenize twice)
     db = (
         rows.select(
             id_col, "__t",
@@ -78,6 +93,7 @@ def dsir_weights(
         )
         .groupBy(id_col, "__t", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     bs = db.groupBy("bucket").agg(
         F.sum("cnt").alias("cr"),
@@ -419,8 +435,10 @@ def classifier_scores(
     Scale shape: the per-(doc, bucket) PRESENCE relation (map-side
     partial-distinct, <= 256 rows per doc crossing its one exchange)
     feeds BOTH the 256-row per-bucket doc frequencies and the per-doc
-    score aggregate (the DSIR/BM25 shared-aggregate seam — AQE reuses
-    the identical exchange); the doc-count priors are a 1-row
+    score aggregate, and is MATERIALIZED (localCheckpoint) for the
+    same reason as :func:`dsir_weights`: Spark does not dedupe common
+    subplans, so without it the corpus tokenized twice (r17, guide
+    §3.3/§5); the doc-count priors are a 1-row
     aggregate over the is-target column only (a column-pruned third
     scan — trivial columnar IO at any scale) and ride a broadcast
     nested-loop attach onto the 256-row weight table (bounded on both
@@ -431,22 +449,28 @@ def classifier_scores(
 
     Returns (id_col, score_e6, pred_target) for every document.
     """
+    from artemia_airflow_spark.functions.core import spread_for_compute
+
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     bigrams = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),
         F.slice(toks, 2, F.size(toks) - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    rows = df.select(
-        F.col(id_col),
-        F.col(is_target_col).alias("__t"),
+    rows = spread_for_compute(
+        df.select(F.col(id_col), F.col(is_target_col).alias("__t"),
+                  F.col(text_col))
+    ).select(
+        id_col, "__t",
         F.explode(F.concat(toks, bigrams)).alias("__feat"),
     )
-    # one exchange: distinct (doc, bucket) presence, <= 256 rows/doc
+    # one exchange: distinct (doc, bucket) presence, <= 256 rows/doc —
+    # materialized so bs and the join-back share one tokenize pass
+    # (the dsir_weights rationale)
     db = rows.select(
         id_col, "__t",
         F.substring(F.md5(F.col("__feat")), 1, 2).alias("bucket"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     bs = db.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_all"),
         F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("bigint")

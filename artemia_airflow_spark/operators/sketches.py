@@ -1985,6 +1985,7 @@ def _register_calibration_query():
         range with per-bin positive (English) rates — monotone rising
         rates mean the scorer orders documents correctly; DuckDB
         recomputes scores AND the curve value-for-value."""
+        from artemia_airflow_spark.operators.dedup import truncate_lineage
         from artemia_airflow_spark.operators.selection import (
             classifier_scores,
         )
@@ -1995,6 +1996,11 @@ def _register_calibration_query():
             d.withColumn("__is_t", F.col("lang") == "en"),
             "text", "doc_id", "__is_t", keep_target=True,
         )
+        # calibration_curve consumes its input twice (min/max stats,
+        # then binning) and Spark does not dedupe common subplans —
+        # materialize the doc-grain scores so the classifier join/agg
+        # executes once (r17; guide §3.3/§5)
+        scored = truncate_lineage(scored, None)
         return calibration_curve(scored, "score_e6", "is_target")
 
 
