@@ -2441,6 +2441,13 @@ def stream_index_maintenance(
         # than the previous probe and the membership test never copies
         # the known set, so a long drain's skip checks stay constant
         # per micro-batch.
+        #
+        # Materialize the micro-batch once (r17, guide §5): the corpus
+        # MERGE consumes it twice (touched-file probe + rewrite) and
+        # the index path reads it twice more (increment encode +
+        # tombstone split) — without this the batch source re-reads
+        # per consumer.
+        batch_df = batch_df.localCheckpoint(eager=True)
         stamp = {"sink_id": sink_id, "batch_id": int(batch_id)}
         if not corpus_table.has_stream_batch(sink_id, batch_id):
             corpus_table.merge(batch_df, delete_col=delete_col, meta=stamp)
