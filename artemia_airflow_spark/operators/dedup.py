@@ -887,12 +887,17 @@ def embedding_neardup_lsh(
     )
     from artemia_airflow_spark.operators.similarity import srp_buckets
 
+    # Materialize the banded buckets once (r17, guide §3.3/§5): both
+    # sides of the self-join below consume this relation and Spark
+    # does not dedupe common subplans, so without this the scan + SRP
+    # pandas-UDF subtree executed twice.  The checkpoint rows are
+    # (id, table, bucket) ints — tables rows/doc, no vectors.
     bucketed = df.select(
         F.col(id_col),
         F.posexplode(
             srp_buckets(vec_col, dim=dim, bits=bits, tables=tables, seed=seed)
         ).alias("__table", "__bucket"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(

@@ -1877,7 +1877,16 @@ def ivf_pq_topk(
     corpus_n = corpus.withColumn(
         "__nv", l2norm(F.col(vec_col).cast("array<double>"))
     )
-    corpus_v = corpus_n.withColumn("__v", array_to_vector(F.col("__nv")))
+    # Materialize the normalized corpus once (r17, guide §3.3/§5):
+    # KMeans.fit caches only its INTERNAL instances RDD, so without
+    # this the l2norm UDF subtree re-executes for model.transform and
+    # again for every downstream consumer of `resid` below.  Projected
+    # to (id, __nv, __v) so the checkpoint carries no corpus payload.
+    corpus_v = (
+        corpus_n.withColumn("__v", array_to_vector(F.col("__nv")))
+        .select(id_col, "__nv", "__v")
+        .localCheckpoint(eager=True)
+    )
     km = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="__v",
                 predictionCol="__cell")
     model = km.fit(corpus_v)
@@ -1897,7 +1906,15 @@ def ivf_pq_topk(
         R = V - C[cells.to_numpy().astype(np.int64)]
         return pd.Series([row.tolist() for row in R])
 
-    resid = assigned.withColumn("__r", residual(F.col("__nv"), F.col("__cell")))
+    # Materialize residuals once (r17): `resid` is consumed by BOTH
+    # pq_codebooks (training-sample collect) and pq_encode, and Spark
+    # does not dedupe common subplans — without this the KMeans
+    # transform + residual UDF ran once per consumer.
+    resid = (
+        assigned.withColumn("__r", residual(F.col("__nv"), F.col("__cell")))
+        .select(id_col, "__cell", "__r")
+        .localCheckpoint(eager=True)
+    )
     books = pq_codebooks(
         resid.select(F.col("__r").alias(vec_col), F.col(id_col)),
         vec_col=vec_col, m_subspaces=m_subspaces, n_codes=n_codes,
