@@ -598,10 +598,13 @@ def connected_components(
     list ``(src, dst)``; returns ``(node, label)`` for every node with
     at least one edge (label = component-min node id).
 
-    Each round is: min over neighbors' labels, then label-of-label
-    shortcut — so convergence is O(log diameter) rounds, each round
-    a constant number of shuffles sized by the edge list.  Raises on
-    non-convergence rather than returning silently-split components.
+    Each round is: TWO min-over-neighbors propagations, then a
+    label-of-label shortcut — so convergence is O(log diameter)
+    rounds (each round covers at least two hops and halves the
+    remaining pointer depth; any ``max_iters`` tuned for the old
+    one-hop rounds only gains coverage), each round a constant number
+    of shuffles sized by the edge list.  Raises on non-convergence
+    rather than returning silently-split components.
     ``edges`` should be cheap to recompute or already materialized;
     this function caches it for the duration of the loop.
 
@@ -611,8 +614,20 @@ def connected_components(
     a RELIABLE checkpoint so a 1000-executor run survives executor
     loss mid-loop (see :func:`truncate_lineage`).
     """
+    spark = edges.sparkSession
     edges = edges.select("src", "dst").cache()
-    edges.count()  # materialize once; reused every iteration
+    n_edges = edges.count()  # materialize once; reused every iteration
+    # Scale-adaptive loop parallelism (r17, guide §2.2/§2.5): the loop
+    # relations are edge-sized, and the edge count is KNOWN here — so
+    # derive the per-round partition count from it instead of running
+    # every tiny round over the input scan's partitioning (a local
+    # sf0.1 graph is a few thousand rows spread over 60+ map tasks,
+    # and 8 rounds of that is pure scheduling overhead).  ~250k edge
+    # rows per partition, floored at 1, capped at core count; at
+    # cluster scale n_edges is large and p saturates at parallelism.
+    n_cores = spark.sparkContext.defaultParallelism
+    p = max(1, min(n_cores, -(-n_edges // 250_000)))
+    edges = edges.coalesce(p)
     involved = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -625,22 +640,18 @@ def connected_components(
     # coercion UserWarning on every checkpoint_dir run (r12 review)
     labels = truncate_lineage(labels, checkpoint_dir, eager=True)
     changed = 0
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    for _ in range(max_iters):
-        # propagate: each node takes min(label) over itself + neighbors.
-        # The node's OWN current label rides along (tagged union +
-        # conditional agg) so the convergence test below is a plain
-        # filter over the checkpointed result instead of a per-round
-        # join of new vs old labels (r17, guide §2.4 — one exchange
-        # and one job less per round).
+
+    def _propagate(sym, labels):
+        # each node takes min(label) over itself + neighbors; the
+        # node's OWN input label rides along (tagged union +
+        # conditional agg) so convergence is readable from the result
+        # without a join of new vs old labels (r17, guide §2.4)
         neighbor_labels = (
             sym.join(labels, sym.dst == labels.node)
             .select(F.col("src").alias("node"), "label",
                     F.lit(False).alias("__self"))
         )
-        new_labels = (
+        return (
             labels.select("node", "label", F.lit(True).alias("__self"))
             .unionByName(neighbor_labels)
             .groupBy("node")
@@ -650,39 +661,75 @@ def connected_components(
                 .alias("__old"),
             )
         )
-        # pointer jumping (label = label-of-label): plain min-exchange
-        # needs O(component diameter) rounds, so a chain of D near-dups
-        # would be silently split at max_iters; the shortcut halves the
-        # remaining diameter each round -> O(log D) convergence.  Every
-        # label is itself a node id, so the self-join is total.  ONE
-        # jump per round on purpose (r17): measured at sf0.1, extra
-        # jumps did not reduce the round count (8 rounds with 1, 2 or
-        # 3 jumps — convergence here is propagation-bound, not
-        # chain-compression-bound) and each extra self-join added ~30%
-        # wall per round.
-        jump = new_labels.select(
-            F.col("node").alias("j_node"), F.col("label").alias("j_label")
+
+    # Small-graph regime (r17, guide §1.2 "configuration after
+    # algorithm"): each round is a fixed 4-5 stage plan over a
+    # relation whose size is already counted, so AQE's stage-by-stage
+    # scheduling and re-optimization cost more than they can save; run
+    # the loop with AQE off and shuffle partitions pinned to p.  Above
+    # the threshold the AQE path stays (skew-split on hot label nodes
+    # matters there).  Runtime conf is session-shared — a concurrent
+    # query in another thread could briefly observe the pinned values
+    # (perf-only; restored in the finally).
+    small = n_edges <= 2_000_000
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    if small:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        new_labels = (
-            new_labels.join(jump, new_labels.label == jump.j_node)
-            .select("node", F.col("j_label").alias("label"), "__old")
-        )
-        # truncate lineage each round: without this the label DAG
-        # doubles per iteration and the convergence check re-executes
-        # the full history (measured 12s -> ~4s at sf0.1).  MUST be
-        # eager: a lazy checkpoint materialized by the limit(1)
-        # convergence count below would cache only the partitions that
-        # count touched, and later rounds would re-derive the rest
-        # from the doubled lineage.
-        new_labels = truncate_lineage(new_labels, checkpoint_dir, eager=True)
-        changed = (
-            new_labels.filter(F.col("label") != F.col("__old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
+        for _ in range(max_iters):
+            # TWO propagations then ONE pointer jump per round (r17,
+            # measured at sf0.1: 8 rounds x (1 prop + 1 jump) = 6.3s
+            # -> 5 rounds x (2 props + 1 jump) = 4.2s, identical
+            # labels; the jump's self-join is the round's most
+            # expensive op, so covering two hops per jump wins).  The
+            # jump (label = label-of-label) keeps O(log diameter)
+            # convergence: plain propagation alone would silently need
+            # O(diameter) rounds, and every label is itself a node id,
+            # so the self-join is total.
+            step = _propagate(sym, labels)
+            new_labels = _propagate(sym, step.select("node", "label"))
+            jump = new_labels.select(
+                F.col("node").alias("j_node"), F.col("label").alias("j_label")
+            )
+            new_labels = (
+                new_labels.join(jump, new_labels.label == jump.j_node)
+                .select("node", F.col("j_label").alias("label"), "__old")
+            )
+            # truncate lineage each round: without this the label DAG
+            # doubles per iteration and the convergence check re-executes
+            # the full history (measured 12s -> ~4s at sf0.1).  MUST be
+            # eager: a lazy checkpoint materialized by the limit(1)
+            # convergence count below would cache only the partitions that
+            # count touched, and later rounds would re-derive the rest
+            # from the doubled lineage.
+            new_labels = truncate_lineage(
+                new_labels, checkpoint_dir, eager=True
+            )
+            # Soundness of checking post-jump label vs __old (the label
+            # after the round's FIRST propagation): labels decrease
+            # monotonically (min includes self), so label2(label2(n)) <=
+            # label2(n) <= label1(n); equality of the ends forces
+            # label2 == label1 for every node, i.e. the second
+            # propagation was a fixpoint — which IS convergence (and at
+            # a fixpoint the jump is the identity, since every
+            # component's min labels itself).
+            changed = (
+                new_labels.filter(F.col("label") != F.col("__old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels.select("node", "label")
+            if changed == 0:
+                break
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_sp)
     edges.unpersist()
     if changed != 0:
         # stale labels would silently split one duplicate cluster into
