@@ -477,8 +477,11 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
         )
     )
+    # spread before the shingle HOF (r17, guide §2.5): the semi-join
+    # broadcasts, so a local single-file scan keeps ONE partition and
+    # the interpreted shingle transform ran on one core; no-op at scale
     base = (
-        df.join(involved, id_col, "left_semi")
+        spread_for_compute(df.join(involved, id_col, "left_semi"))
         .select(F.col(id_col), shingle_set.alias("__shingles"))
         # consumed by BOTH sides of the verify join below; cached so the
         # semi-join + interpreted shingle HOF run once, not twice.
@@ -1677,8 +1680,12 @@ def _portable_scored_pairs(d: DataFrame) -> DataFrame:
         .union(pairs.select(F.col("bdoc").alias("doc_id")))
         .distinct()
     )
+    # spread before the gram HOF/explode (r17, guide §2.5): the
+    # semi-join is a broadcast, so a local single-file scan stays at
+    # ONE partition and the CPU-bound normalize/split/concat gramming
+    # ran on one core; no-op at scale (thousands of input splits)
     g = (
-        d.join(pair_docs, "doc_id", "left_semi")
+        spread_for_compute(d.join(pair_docs, "doc_id", "left_semi"))
         .select(
             "doc_id",
             F.explode(F.array_distinct(word_ngrams("text", 3))).alias("gram"),
