@@ -2522,10 +2522,19 @@ def corpus_survivors(
     from artemia_airflow_spark.operators.text import language_id
 
     _stage = stage_fn(audit)
+    # spread the single fact scan before the regex/tokenize front
+    # stages (r17, guide §2.5): a local single-file scan arrives as
+    # ONE partition and the scrub+langid chain ran on one core;
+    # no-op at scale (real inputs have thousands of splits)
     s_scrub = scrub_web_noise(
-        train.select(id_col, lang_col, source_col, text_col), text_col
+        spread_for_compute(
+            train.select(id_col, lang_col, source_col, text_col)
+        ),
+        text_col,
     )
-    ev = scrub_web_noise(eval_df.select(id_col, text_col), text_col)
+    ev = scrub_web_noise(
+        spread_for_compute(eval_df.select(id_col, text_col)), text_col
+    )
     s_lid = _stage(
         language_id(s_scrub, text_col)
         .filter(F.col("lang_pred") != "und").drop("lang_pred"),
