@@ -2411,10 +2411,15 @@ def ngram_novelty(
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
         )
     )
+    # materialize the per-doc gram arrays once (r17, guide §3.3/§5):
+    # base feeds BOTH the doc-stats projection and the explode below,
+    # and Spark does not dedupe common subplans — without this the
+    # md5-gram HOF subtree executed once per consumer
     base = (
         spread_for_compute(df)
         .filter(F.size(toks) >= n)
         .select(F.col(id_col), F.col(group_col), grams.alias("__gs"))
+        .localCheckpoint(eager=True)
     )
     doc_stats = base.select(
         id_col, group_col, F.size("__gs").alias("__n_grams")
