@@ -1166,27 +1166,99 @@ def _ivf_pq_portable_encode(
     maintenance (:func:`index_upsert`) provably encodes an increment
     with the IDENTICAL arithmetic as a full rebuild — the
     maintained == rebuilt equivalence rests on this being one code
-    path, not two copies."""
-    assign = _nearest_cells(corp, cells, n_cells=n_cells)
-    res = (
-        corp.join(assign, "vec_id")
-        .join(F.broadcast(cells), ["cell", "d"])
+    path, not two copies.
+
+    MAP-SIDE (r17, guide §2.3/§2.4 — the Change-1 trick applied to
+    the IVF-PQ family): cells (n_cells x dim rows) and books
+    (m x n_codes x sub rows) are bounded model metadata, so they are
+    collected once and baked into literal integer arrays; the cell
+    argmin, the residual and every subspace code then compute inside
+    the vector row with array higher-order functions.  The r16 shape
+    routed through _nearest_cells + two joins + two more keyed
+    aggregations — ~6 exchanges of (vec_id, d)-exploded relations per
+    encode (per MICRO-BATCH on the streaming path); now the only
+    exchange is the one groupBy regrouping the exploded (vec_id, d,
+    v6) contract to per-vector arrays.  Arithmetic is unchanged pure
+    BIGINT — squared-L2 sums and the packed ``min(dist*k + idx) % k``
+    argmin — so values are bit-identical (attested by the hash-match
+    twins).  Input vectors must carry exactly the cells' dim
+    components per vec_id (embedding_comps' posexplode guarantees
+    this); max |dist*k| stays < 2^53 as before.
+    """
+    m = _IVF_PQ_PORTABLE_M
+    cell_rows = cells.collect()
+    book_rows = books.collect()
+    dim = 1 + max(r["d"] for r in cell_rows)
+    sub = dim // m
+    cc = [[0] * dim for _ in range(n_cells)]
+    for r in cell_rows:
+        cc[r["cell"]][r["d"]] = int(r["cc6"])
+    bk = [[[0] * sub for _ in range(n_codes)] for _ in range(m)]
+    for r in book_rows:
+        bk[r["j"]][r["c"]][r["u"]] = int(r["c6"])
+
+    def lit_arr(xs):
+        return "array(" + ",".join(f"{x}L" for x in xs) + ")"
+
+    # ONE exchange: exploded contract -> per-vector component array
+    # (struct sort orders by d, so the array is dim-ordered)
+    varr = (
+        corp.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "v6"))).alias("__p"))
         .select(
-            "vec_id", "cell",
-            F.expr("d div 8").cast("bigint").alias("j"),
-            (F.col("d") % 8).alias("u"),
-            (F.col("v6") - F.col("cc6")).alias("r6"),
+            "vec_id",
+            F.expr("transform(__p, s -> s.v6)").alias("__v"),
         )
     )
-    rdist = (
-        res.join(F.broadcast(books), ["j", "u"])
-        .groupBy("vec_id", "cell", "j", "c")
-        .agg(F.sum((F.col("r6") - F.col("c6"))
-                   * (F.col("r6") - F.col("c6"))).alias("dist"))
+    # nearest cell: packed integer argmin over literal centroid arrays.
+    # SQL-text HOFs with unique lambda-variable names per expression
+    # (the Spark 4.1 lambda-name-collision gotcha from Change 1).
+    packed_cell = "least(" + ", ".join(
+        f"aggregate(zip_with(__v, {lit_arr(cc[cl])}, "
+        f"(xc{cl}, yc{cl}) -> (xc{cl} - yc{cl}) * (xc{cl} - yc{cl})), "
+        f"0L, (ac{cl}, bc{cl}) -> ac{cl} + bc{cl}) * {n_cells} + {cl}"
+        for cl in range(n_cells)
+    ) + ")"
+    cells_lit = "array(" + ",".join(lit_arr(cc[cl]) for cl in range(n_cells)) + ")"
+    routed = varr.withColumn(
+        "__cell", F.expr(f"({packed_cell}) % {n_cells}").cast("bigint")
+    ).withColumn(
+        "__r",
+        F.expr(
+            f"zip_with(__v, element_at({cells_lit}, "
+            "CAST(__cell AS INT) + 1), (xr, yr) -> xr - yr)"
+        ),
     )
-    return rdist.groupBy("vec_id", "cell", "j").agg(
-        (F.min(F.col("dist") * n_codes + F.col("c")) % n_codes)
-        .alias("code")
+    # per-subspace residual slices, then the packed code argmin per j
+    sliced = routed.select(
+        "vec_id", "__cell",
+        *[
+            F.expr(f"slice(__r, {j * sub + 1}, {sub})").alias(f"__s{j}")
+            for j in range(m)
+        ],
+    )
+    code_exprs = []
+    for j in range(m):
+        packed_code = "least(" + ", ".join(
+            f"aggregate(zip_with(__s{j}, {lit_arr(bk[j][c])}, "
+            f"(xj{j}c{c}, yj{j}c{c}) -> "
+            f"(xj{j}c{c} - yj{j}c{c}) * (xj{j}c{c} - yj{j}c{c})), "
+            f"0L, (aj{j}c{c}, bj{j}c{c}) -> aj{j}c{c} + bj{j}c{c}) "
+            f"* {n_codes} + {c}"
+            for c in range(n_codes)
+        ) + ")"
+        code_exprs.append(
+            F.expr(f"({packed_code}) % {n_codes}").cast("bigint")
+            .alias(f"__c{j}")
+        )
+    coded = sliced.select("vec_id", "__cell", *code_exprs)
+    return coded.select(
+        "vec_id",
+        F.col("__cell").alias("cell"),
+        F.posexplode(F.array(*[F.col(f"__c{j}") for j in range(m)]))
+        .alias("j", "code"),
+    ).select(
+        "vec_id", "cell", F.col("j").cast("bigint").alias("j"), "code"
     )
 
 
