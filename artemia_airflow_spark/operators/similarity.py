@@ -256,38 +256,60 @@ def srp_portable_buckets(
     the fast numpy tier (:func:`srp_buckets`) keeps the production
     path.  Returns (id, t, bucket).
 
-    Scale shape: explode(dim) x broadcast(tables*bits*dim tiny plane
-    relation), two keyed aggregations with map-side partials — no
-    window, no Python, no all-pairs."""
-    spark = df.sparkSession
-    planes = (
-        spark.range(tables).select(F.col("id").alias("t"))
-        .crossJoin(spark.range(bits).select(F.col("id").alias("b")))
-        .crossJoin(spark.range(dim).select(F.col("id").alias("d")))
+    Scale shape (r17, guide §2.3/§4.2 — the map-side trick of the
+    MinHash/IVF-PQ portable rewrites): the ±1 plane signs are
+    deterministic md5 digits, so they are computed driver-side
+    (hashlib md5 produces the same lowercase hex as Spark's) and
+    broadcast as a numpy ±1 matrix; every signed projection then
+    computes inside the vector row in ONE Arrow-vectorized int64
+    matmul, and only the final (id, t, bucket) rows exist at all —
+    the r16 shape exploded (id, d) x broadcast planes and paid two
+    keyed aggregations of that N x dim x tables*bits relation.  The
+    e6 quantization (double-widen, floor(x*1e6 + 0.5)) matches
+    embedding_comps exactly and the products/sums are exact int64, so
+    values are unchanged (attested by the hash-match consumers)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _sign(t: int, b: int, d: int) -> int:
+        hx = hashlib.md5(f"srp|{t}|{b}|{d // 32}".encode()).hexdigest()
+        return -1 if hx[d % 32] >= "8" else 1
+
+    S = np.array(
+        [
+            [_sign(t, b, d) for d in range(dim)]
+            for t in range(tables)
+            for b in range(bits)
+        ],
+        dtype=np.int64,
+    )  # (tables*bits, dim)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast(S)
+    n_tables = tables
+
+    @pandas_udf("array<bigint>")
+    def srp_buckets_e6(vecs: pd.Series) -> pd.Series:
+        Sb = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        V6 = np.floor(V * 1_000_000 + 0.5).astype(np.int64)
+        sd = V6 @ Sb.T  # (batch, tables*bits), exact int64
+        bits_set = (sd >= 0).astype(np.int64).reshape(len(V6), n_tables, -1)
+        return pd.Series(list((bits_set * weights).sum(axis=2)))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return (
+        # len-0 / NULL vectors produced no exploded comps rows in the
+        # r16 shape, hence no bucket rows — keep that exact behavior
+        df.filter(c.isNotNull() & (F.size(c) > 0))
+        .select(F.col(id_col), srp_buckets_e6(c).alias("__bks"))
         .select(
-            "t", "b", "d",
-            F.when(
-                F.expr(
-                    "substring(md5(concat_ws('|', 'srp', t, b, d div 32)), "
-                    "CAST(d % 32 AS INT) + 1, 1)"
-                ) >= F.lit("8"),
-                F.lit(-1),
-            ).otherwise(F.lit(1)).alias("s"),
+            id_col,
+            F.posexplode("__bks").alias("t", "bucket"),
         )
-    )
-    comps = embedding_comps(df, id_col=id_col, vec_col=vec_col)
-    sdots = (
-        comps.join(F.broadcast(planes), "d")
-        .groupBy(id_col, "t", "b")
-        .agg(F.sum(F.col("s") * F.col("v6")).alias("sd"))
-    )
-    return sdots.groupBy(id_col, "t").agg(
-        F.sum(
-            F.when(
-                F.col("sd") >= 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("bucket")
+        .select(id_col, F.col("t").cast("bigint").alias("t"), "bucket")
     )
 
 
@@ -1168,37 +1190,65 @@ def _ivf_pq_portable_encode(
     maintained == rebuilt equivalence rests on this being one code
     path, not two copies.
 
-    MAP-SIDE (r17, guide §2.3/§2.4 — the Change-1 trick applied to
-    the IVF-PQ family): cells (n_cells x dim rows) and books
-    (m x n_codes x sub rows) are bounded model metadata, so they are
-    collected once and baked into literal integer arrays; the cell
-    argmin, the residual and every subspace code then compute inside
-    the vector row with array higher-order functions.  The r16 shape
-    routed through _nearest_cells + two joins + two more keyed
-    aggregations — ~6 exchanges of (vec_id, d)-exploded relations per
-    encode (per MICRO-BATCH on the streaming path); now the only
-    exchange is the one groupBy regrouping the exploded (vec_id, d,
-    v6) contract to per-vector arrays.  Arithmetic is unchanged pure
-    BIGINT — squared-L2 sums and the packed ``min(dist*k + idx) % k``
-    argmin — so values are bit-identical (attested by the hash-match
-    twins).  Input vectors must carry exactly the cells' dim
-    components per vec_id (embedding_comps' posexplode guarantees
-    this); max |dist*k| stays < 2^53 as before.
+    MAP-SIDE (r17, guide §2.3/§4.2): cells (n_cells x dim rows) and
+    books (m x n_codes x sub rows) are bounded model metadata, so
+    they are collected once and broadcast as numpy int64 matrices;
+    the cell argmin, the residual and every subspace code then
+    compute inside the vector row in ONE Arrow-vectorized integer
+    kernel.  The r16 shape routed through _nearest_cells + two joins
+    + two more keyed aggregations — ~6 exchanges of (vec_id, d)-
+    exploded relations per encode (per MICRO-BATCH on the streaming
+    path); now the only exchange is the groupBy regrouping the
+    exploded (vec_id, d, v6) contract to per-vector arrays.  (A pure
+    Catalyst HOF formulation was tried first and measured ~2x SLOWER
+    than the r16 joins: array folds evaluate interpreted, outside
+    whole-stage codegen — the minhash_signatures lesson, guide §4.2.)
+    Arithmetic is unchanged pure int64 — squared-L2 sums and the
+    packed ``min(dist*k + idx) % k`` argmin, whose numpy translation
+    ``(d2 * k + arange(k)).min(axis) % k`` has identical smallest-
+    dist-then-smallest-index tie semantics — so values are
+    bit-identical (attested by the hash-match twins).  Input vectors
+    must carry exactly the cells' dim components per vec_id
+    (embedding_comps' posexplode guarantees this); |dist * k| stays
+    < 2^53, far inside exact int64.
     """
+    from pyspark.sql.functions import pandas_udf
+
     m = _IVF_PQ_PORTABLE_M
     cell_rows = cells.collect()
     book_rows = books.collect()
     dim = 1 + max(r["d"] for r in cell_rows)
     sub = dim // m
-    cc = [[0] * dim for _ in range(n_cells)]
+    CC = np.zeros((n_cells, dim), dtype=np.int64)
     for r in cell_rows:
-        cc[r["cell"]][r["d"]] = int(r["cc6"])
-    bk = [[[0] * sub for _ in range(n_codes)] for _ in range(m)]
+        CC[r["cell"], r["d"]] = int(r["cc6"])
+    BK = np.zeros((m, n_codes, sub), dtype=np.int64)
     for r in book_rows:
-        bk[r["j"]][r["c"]][r["u"]] = int(r["c6"])
+        BK[r["j"], r["c"], r["u"]] = int(r["c6"])
+    bc = corp.sparkSession.sparkContext.broadcast((CC, BK))
 
-    def lit_arr(xs):
-        return "array(" + ",".join(f"{x}L" for x in xs) + ")"
+    @pandas_udf("struct<cell: bigint, codes: array<bigint>>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        CCb, BKb = bc.value
+        if len(vecs) == 0:
+            return pd.DataFrame({
+                "cell": pd.Series([], dtype="int64"),
+                "codes": pd.Series([], dtype=object),
+            })
+        V = np.stack(vecs.to_numpy()).astype(np.int64)  # (batch, dim)
+        k = CCb.shape[0]
+        d2 = ((V[:, None, :] - CCb[None, :, :]) ** 2).sum(-1)
+        cell = (d2 * k + np.arange(k, dtype=np.int64)).min(1) % k
+        R = V - CCb[cell]
+        mm, nc, ss = BKb.shape
+        codes = np.empty((len(V), mm), dtype=np.int64)
+        for j in range(mm):
+            S = R[:, j * ss : (j + 1) * ss]
+            dj = ((S[:, None, :] - BKb[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = (
+                dj * nc + np.arange(nc, dtype=np.int64)
+            ).min(1) % nc
+        return pd.DataFrame({"cell": cell, "codes": list(codes)})
 
     # ONE exchange: exploded contract -> per-vector component array
     # (struct sort orders by d, so the array is dim-ordered)
@@ -1210,53 +1260,11 @@ def _ivf_pq_portable_encode(
             F.expr("transform(__p, s -> s.v6)").alias("__v"),
         )
     )
-    # nearest cell: packed integer argmin over literal centroid arrays.
-    # SQL-text HOFs with unique lambda-variable names per expression
-    # (the Spark 4.1 lambda-name-collision gotcha from Change 1).
-    packed_cell = "least(" + ", ".join(
-        f"aggregate(zip_with(__v, {lit_arr(cc[cl])}, "
-        f"(xc{cl}, yc{cl}) -> (xc{cl} - yc{cl}) * (xc{cl} - yc{cl})), "
-        f"0L, (ac{cl}, bc{cl}) -> ac{cl} + bc{cl}) * {n_cells} + {cl}"
-        for cl in range(n_cells)
-    ) + ")"
-    cells_lit = "array(" + ",".join(lit_arr(cc[cl]) for cl in range(n_cells)) + ")"
-    routed = varr.withColumn(
-        "__cell", F.expr(f"({packed_cell}) % {n_cells}").cast("bigint")
-    ).withColumn(
-        "__r",
-        F.expr(
-            f"zip_with(__v, element_at({cells_lit}, "
-            "CAST(__cell AS INT) + 1), (xr, yr) -> xr - yr)"
-        ),
-    )
-    # per-subspace residual slices, then the packed code argmin per j
-    sliced = routed.select(
-        "vec_id", "__cell",
-        *[
-            F.expr(f"slice(__r, {j * sub + 1}, {sub})").alias(f"__s{j}")
-            for j in range(m)
-        ],
-    )
-    code_exprs = []
-    for j in range(m):
-        packed_code = "least(" + ", ".join(
-            f"aggregate(zip_with(__s{j}, {lit_arr(bk[j][c])}, "
-            f"(xj{j}c{c}, yj{j}c{c}) -> "
-            f"(xj{j}c{c} - yj{j}c{c}) * (xj{j}c{c} - yj{j}c{c})), "
-            f"0L, (aj{j}c{c}, bj{j}c{c}) -> aj{j}c{c} + bj{j}c{c}) "
-            f"* {n_codes} + {c}"
-            for c in range(n_codes)
-        ) + ")"
-        code_exprs.append(
-            F.expr(f"({packed_code}) % {n_codes}").cast("bigint")
-            .alias(f"__c{j}")
-        )
-    coded = sliced.select("vec_id", "__cell", *code_exprs)
+    coded = varr.select("vec_id", enc("__v").alias("__e"))
     return coded.select(
         "vec_id",
-        F.col("__cell").alias("cell"),
-        F.posexplode(F.array(*[F.col(f"__c{j}") for j in range(m)]))
-        .alias("j", "code"),
+        F.col("__e.cell").alias("cell"),
+        F.posexplode("__e.codes").alias("j", "code"),
     ).select(
         "vec_id", "cell", F.col("j").cast("bigint").alias("j"), "code"
     )
@@ -2523,6 +2531,11 @@ def stream_index_maintenance(
     MERGEs rewrite only key-range-intersecting files.  Driven with
     Trigger.AvailableNow like every batch-drain face.
     """
+    # The frozen quantizers are re-read per micro-batch (the encode
+    # collects them into its numpy kernel — r17); materialize once so
+    # every batch's collect reads executor blocks, not the build plan.
+    cells = cells.localCheckpoint(eager=True)
+    books = books.localCheckpoint(eager=True)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         # O(1)-amortized idempotence probes on BOTH tables (VERDICT
@@ -2773,8 +2786,15 @@ def _kmeans_portable_assign(spark, sf_dir, *, n_cells: int = 8):
     ).localCheckpoint(eager=True)
     cents = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
     for _ in range(2):
-        cents = kmeans_portable_iterate(comps, cents, n_cells=n_cells)
-    cents = cents.localCheckpoint(eager=True)
+        # checkpoint the k x dim centroid relation after EVERY
+        # iteration (r17, guide §5): one Lloyd step consumes its input
+        # centroids twice (assignment + empty-cell fallback join), so
+        # a lazily-chained loop re-executes the previous iteration's
+        # corpus-sized aggregations once per consumer — the checkpoint
+        # is 512 rows, the saved recompute is two comps-sized aggs
+        cents = kmeans_portable_iterate(
+            comps, cents, n_cells=n_cells
+        ).localCheckpoint(eager=True)
     fin = _nearest_cells(comps, cents, n_cells=n_cells, packed=True)
     return cents, fin
 
