@@ -1371,7 +1371,17 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    corpus_v = corpus.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    # Materialize the vectorized corpus once (r17, guide §5): KMeans
+    # .fit caches only its internal instances RDD, so model.transform
+    # re-executed the scan + cast + array_to_vector subtree.  Projected
+    # narrow; the ivf_pq_topk precedent (Change 5).
+    corpus_v = (
+        corpus.withColumn(
+            "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+        )
+        .select(id_col, vec_col, "__v")
+        .localCheckpoint(eager=True)
+    )
     # a coarse quantizer only needs rough cells — a few Lloyd rounds;
     # extra iterations buy recall nothing once cells are stable-ish
     km = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="__v", predictionCol="__cell")
