@@ -57,6 +57,10 @@ from pyspark.sql import functions as F
 from artemia_airflow_spark.operators.cdc import merge_upsert
 
 _VERSION_DIGITS = 20
+# merge() touched-file probe: below this live-file count the probe is a
+# single per-file conditional aggregate (plan width = file count); above
+# it, the broadcast range join keeps the plan constant-width (r17).
+_MERGE_PROBE_AGG_MAX_FILES = 128
 
 
 class CommitConflict(RuntimeError):
@@ -1091,8 +1095,29 @@ class TxTable:
             if m["key_min"] is not None
         ]
         unstatted = [m for m in live if m["key_min"] is None]
-        change_keys = changes.select(key).distinct()
-        if stats_rows:
+        if not stats_rows:
+            touched = set()
+        elif len(stats_rows) <= _MERGE_PROBE_AGG_MAX_FILES:
+            # Bounded file count: one map-side conditional aggregate per
+            # candidate file replaces the range theta-join + two
+            # distinct exchanges + collect (r17 merge-path profile:
+            # 0.43s -> 0.08s per warm probe).  max() over booleans
+            # ignores NULL keys, matching the join's NULL comparison
+            # semantics; the width guard keeps the plan narrow.
+            conds = [
+                F.max(
+                    (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
+                ).alias(f"__f{i}")
+                for i, (_, lo, hi) in enumerate(stats_rows)
+            ]
+            hit = changes.select(key).agg(*conds).collect()[0]
+            touched = {
+                stats_rows[i][0]
+                for i in range(len(stats_rows))
+                if hit[i]
+            }
+        else:
+            change_keys = changes.select(key).distinct()
             stats_df = self.spark.createDataFrame(
                 stats_rows, f"path string, key_min {_key_ddl(changes, key)}, "
                             f"key_max {_key_ddl(changes, key)}"
@@ -1109,8 +1134,6 @@ class TxTable:
                 .distinct()
                 .collect()
             }
-        else:
-            touched = set()
         touched |= {m["path"] for m in unstatted}  # no stats -> conservative
 
         from pyspark.sql.types import StructType
