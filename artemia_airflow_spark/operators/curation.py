@@ -2540,11 +2540,15 @@ def corpus_survivors(
     ev = scrub_web_noise(
         spread_for_compute(eval_df.select(id_col, text_col)), text_col
     )
+    # filter AFTER the stage materialization (r17): a filter on
+    # lang_pred substitutes the whole scrub+argmax-of-structs chain
+    # into the pushed predicate, which evaluates interpreted next to
+    # the projection (measured 2.8 s vs 0.2 s at sf0.1 on 5k docs);
+    # materializing lang_pred as a stage column makes the gate a
+    # column read off the stage store.  Survivors are identical.
     s_lid = _stage(
-        language_id(s_scrub, text_col)
-        .filter(F.col("lang_pred") != "und").drop("lang_pred"),
-        "scrub+langid",
-    )
+        language_id(s_scrub, text_col), "scrub+langid"
+    ).filter(F.col("lang_pred") != "und").drop("lang_pred")
     sc = classifier_scores(
         s_lid.withColumn("__is_t", F.col(lang_col) == target_lang),
         text_col, id_col, "__is_t",
