@@ -593,9 +593,41 @@ def q_dedup_ngram(spark, sf_dir):
     d = scan(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
 
+# connected_components driver tier: below this edge count the exact
+# union-find runs on the driver (<= ~32 MB of int64 pairs collected —
+# the same bounded-collect budget as the Bloom bitmap tier); above it,
+# the distributed loop.  LSH dedup graphs at corpus scale blow far past
+# this, so production runs take the loop (r17).
+_CC_DRIVER_TIER_MAX_EDGES = 2_000_000
+
+
+def _cc_driver_labels(src, dst):
+    """Exact connected components over int64 numpy edge arrays:
+    alternating min-scatter propagation + full pointer jumping on a
+    dense index relabeling — O(log n) sweeps, each a few vectorized
+    passes.  Returns (nodes, labels) with label = component-min node
+    id (np.unique sorts, so the min dense index IS the min id)."""
+    both = np.concatenate([src, dst])
+    nodes, inv = np.unique(both, return_inverse=True)
+    s, d = inv[: len(src)], inv[len(src):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, s, lab[d])
+        np.minimum.at(lab, d, lab[s])
+        while True:
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, old):
+            break
+    return nodes, nodes[lab]
+
+
 def connected_components(
     edges: DataFrame, *, max_iters: int = 5,
-    checkpoint_dir: str | None = None,
+    checkpoint_dir: str | None = None, driver_tier: bool = True,
 ) -> DataFrame:
     """Iterative min-label propagation + pointer jumping over an edge
     list ``(src, dst)``; returns ``(node, label)`` for every node with
@@ -620,6 +652,33 @@ def connected_components(
     spark = edges.sparkSession
     edges = edges.select("src", "dst").cache()
     n_edges = edges.count()  # materialize once; reused every iteration
+    # Driver tier (r17, guide §1.2 "the distributed algorithm" — by
+    # making it conditional): a graph this small is pure scheduling
+    # overhead as a distributed loop (5 rounds x 4-stage plans for a
+    # few thousand rows); the exact numpy union-find computes the
+    # identical component-min labels in milliseconds.  Hard-capped
+    # bounded collect (the Bloom-bitmap convention); checkpoint_dir
+    # callers asked for executor-loss durability, so they keep the
+    # loop; tests pin driver_tier == loop equality.
+    if (
+        driver_tier
+        and checkpoint_dir is None
+        and n_edges <= _CC_DRIVER_TIER_MAX_EDGES
+    ):
+        node_t = edges.schema["src"].dataType.simpleString()
+        pdf = edges.toPandas()
+        edges.unpersist()
+        if len(pdf) == 0:
+            return spark.createDataFrame(
+                [], f"node {node_t}, label {node_t}"
+            )
+        nodes, labels_np = _cc_driver_labels(
+            pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64)
+        )
+        return spark.createDataFrame(
+            pd.DataFrame({"node": nodes, "label": labels_np}),
+            f"node {node_t}, label {node_t}",
+        )
     # Scale-adaptive loop parallelism (r17, guide §2.2/§2.5): the loop
     # relations are edge-sized, and the edge count is KNOWN here — so
     # derive the per-round partition count from it instead of running

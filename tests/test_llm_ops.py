@@ -165,9 +165,42 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(19)] + [(100, 101)], "src: long, dst: long"
     )
-    labels = {r.node: r.label for r in connected_components(edges).collect()}
+    # driver_tier=False: this test pins the DISTRIBUTED loop's
+    # convergence budget (the driver tier would mask it on a graph
+    # this small — r17)
+    labels = {
+        r.node: r.label
+        for r in connected_components(edges, driver_tier=False).collect()
+    }
     assert all(labels[i] == 0 for i in range(20))
     assert labels[100] == labels[101] == 100
+
+
+def test_connected_components_driver_tier_matches_loop(spark):
+    """The r17 small-graph driver tier (numpy union-find under the
+    bounded-collect cap) must produce EXACTLY the distributed loop's
+    labels — same nodes, same component-min labels — on a graph mixing
+    a long chain, a star, a triangle with a self-edge, and an isolated
+    pair."""
+    from artemia_airflow_spark.operators.dedup import connected_components
+
+    rows = (
+        [(i, i + 1) for i in range(30, 45)]         # chain
+        + [(7, x) for x in (9, 11, 13, 5)]          # star (min=5 via leaf)
+        + [(60, 61), (61, 62), (62, 60), (60, 60)]  # triangle + self-edge
+        + [(200, 100)]                               # reversed isolated pair
+    )
+    edges = spark.createDataFrame(rows, "src: long, dst: long")
+    fast = {
+        r.node: r.label for r in connected_components(edges).collect()
+    }
+    slow = {
+        r.node: r.label
+        for r in connected_components(edges, driver_tier=False).collect()
+    }
+    assert fast == slow
+    assert fast[44] == 30 and fast[7] == 5 and fast[62] == 60
+    assert fast[200] == fast[100] == 100
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
