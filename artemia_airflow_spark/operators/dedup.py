@@ -648,6 +648,14 @@ def connected_components(
     single-JVM); pass a fault-tolerant path to switch every round to
     a RELIABLE checkpoint so a 1000-executor run survives executor
     loss mid-loop (see :func:`truncate_lineage`).
+
+    ``driver_tier`` (r17): integral-keyed, NULL-free graphs at or
+    under ``_CC_DRIVER_TIER_MAX_EDGES`` edges run an exact numpy
+    union-find on the driver instead of the loop — identical labels
+    (test-pinned), milliseconds instead of per-round scheduling.
+    Hard-capped bounded collect; ``checkpoint_dir`` callers and
+    larger graphs always take the loop.  Pass ``False`` to force the
+    loop (loop-convergence tests do).
     """
     spark = edges.sparkSession
     edges = edges.select("src", "dst").cache()
@@ -660,25 +668,35 @@ def connected_components(
     # bounded collect (the Bloom-bitmap convention); checkpoint_dir
     # callers asked for executor-loss durability, so they keep the
     # loop; tests pin driver_tier == loop equality.
+    node_t = edges.schema["src"].dataType.simpleString()
     if (
         driver_tier
         and checkpoint_dir is None
         and n_edges <= _CC_DRIVER_TIER_MAX_EDGES
+        # integral node ids only: the numpy kernel is int64; string or
+        # other orderable key types stay on the distributed loop, which
+        # handles them natively (review r17)
+        and node_t in ("bigint", "int", "smallint", "tinyint")
     ):
-        node_t = edges.schema["src"].dataType.simpleString()
         pdf = edges.toPandas()
-        edges.unpersist()
         if len(pdf) == 0:
+            edges.unpersist()
             return spark.createDataFrame(
                 [], f"node {node_t}, label {node_t}"
             )
-        nodes, labels_np = _cc_driver_labels(
-            pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64)
-        )
-        return spark.createDataFrame(
-            pd.DataFrame({"node": nodes, "label": labels_np}),
-            f"node {node_t}, label {node_t}",
-        )
+        if not (pdf["src"].isna().any() or pdf["dst"].isna().any()):
+            # NULL endpoints would NaN->INT64_MIN under the int64 cast
+            # and silently win every min sweep (review r17) — graphs
+            # carrying them fall through to the loop instead
+            edges.unpersist()
+            nodes, labels_np = _cc_driver_labels(
+                pdf["src"].to_numpy(np.int64),
+                pdf["dst"].to_numpy(np.int64),
+            )
+            return spark.createDataFrame(
+                pd.DataFrame({"node": nodes, "label": labels_np}),
+                f"node {node_t}, label {node_t}",
+            )
     # Scale-adaptive loop parallelism (r17, guide §2.2/§2.5): the loop
     # relations are edge-sized, and the edge count is KNOWN here — so
     # derive the per-round partition count from it instead of running
@@ -733,7 +751,7 @@ def connected_components(
     # matters there).  Runtime conf is session-shared — a concurrent
     # query in another thread could briefly observe the pinned values
     # (perf-only; restored in the finally).
-    small = n_edges <= 2_000_000
+    small = n_edges <= _CC_DRIVER_TIER_MAX_EDGES
     conf = spark.conf
     old_aqe = conf.get("spark.sql.adaptive.enabled")
     old_sp = conf.get("spark.sql.shuffle.partitions")
@@ -1626,12 +1644,12 @@ def q_dedup_clusters_portable(spark, sf_dir):
     attest exact membership) of the duplicate graph whose edges are
     bucket-star pairs (member -> bucket-min) from the md5-portable
     MinHash bands.  Star edges produce the same components as full
-    within-bucket cliques at linear edge count.  The Spark side runs
-    the REAL iterative engine (pointer-jumping min-label propagation,
-    O(log diameter) rounds); DuckDB reproduces it with a recursive
-    transitive-closure CTE — the first time the engine's iterative
-    algorithm family is attested value-for-value by an independent
-    engine rather than rows-only."""
+    within-bucket cliques at linear edge count.  The Spark side routes
+    through :func:`connected_components` — the exact driver union-find
+    under the bounded-collect cap, the pointer-jumping min-label loop
+    above it (tier equality test-pinned); DuckDB reproduces the
+    component-min labels with a recursive transitive-closure CTE,
+    attesting whichever tier ran value-for-value."""
     ensure_engine_conf(spark)
     d = scan(spark, sf_dir, "documents")
     banded = _minhash_portable_bands(d, "text", "doc_id")
@@ -1682,9 +1700,11 @@ def q_dedup_representatives(spark, sf_dir):
     Docs in no cluster survive as their own representative (left join
     + coalesce, so the survivor set is a real curation output, not
     just cluster metadata).  Built on the md5-portable MinHash bands +
-    the REAL iterative CC engine; DuckDB replays banding, the
-    recursive transitive closure, and the per-cluster argmax — id and
-    char sums attest exact survivor membership.
+    :func:`connected_components` (driver union-find under the
+    bounded-collect cap, the iterative loop above it — tier equality
+    test-pinned); DuckDB replays banding, the recursive transitive
+    closure, and the per-cluster argmax — id and char sums attest
+    exact survivor membership.
 
     Scale shape: banding is the one fact shuffle, CC iterates over
     LSH-bounded star edges only, the representative pick is one window

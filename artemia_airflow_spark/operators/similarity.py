@@ -1373,20 +1373,25 @@ def ivf_topk(
 
     # Materialize the vectorized corpus once (r17, guide §5): KMeans
     # .fit caches only its internal instances RDD, so model.transform
-    # re-executed the scan + cast + array_to_vector subtree.  Projected
-    # narrow; the ivf_pq_topk precedent (Change 5).
+    # re-executed the scan + cast + array_to_vector subtree.  Only
+    # (id, __v) is pinned — the rerank column is derived back via
+    # vector_to_array (exact: float->double widening then a lossless
+    # vector roundtrip; cosine_similarity folds in double either way),
+    # so the checkpoint does not hold the embedding bytes twice.
     corpus_v = (
         corpus.withColumn(
             "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
         )
-        .select(id_col, vec_col, "__v")
+        .select(id_col, "__v")
         .localCheckpoint(eager=True)
     )
     # a coarse quantizer only needs rough cells — a few Lloyd rounds;
     # extra iterations buy recall nothing once cells are stable-ish
     km = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="__v", predictionCol="__cell")
     model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).select(id_col, vec_col, "__cell")
+    assigned = model.transform(corpus_v).select(
+        id_col, vector_to_array("__v").alias(vec_col), "__cell"
+    )
 
     # probe -> its n_probe_cells nearest centroids: broadcast the
     # centroid matrix (model.clusterCenters() is already driver-side,
