@@ -1177,9 +1177,35 @@ def _ivf_pq_portable_frames(spark, sf_dir):
     return comps, corp, probe
 
 
+def _ivf_pq_portable_model(
+    cells: DataFrame, books: DataFrame,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the bounded frozen quantizers into the (CC, BK) numpy
+    int64 matrices the encode kernel consumes — split out (r17b) so a
+    multi-encode run (the streaming loop encodes every micro-batch,
+    the upsert face encodes three slices) collects the model ONCE and
+    threads it through, instead of paying two collect jobs per encode
+    call.  CC is (n_cells, dim); BK is (m, n_codes, sub)."""
+    cell_rows = cells.collect()
+    book_rows = books.collect()
+    dim = 1 + max(r["d"] for r in cell_rows)
+    n_cells = 1 + max(r["cell"] for r in cell_rows)
+    m = 1 + max(r["j"] for r in book_rows)
+    n_codes = 1 + max(r["c"] for r in book_rows)
+    sub = dim // m
+    CC = np.zeros((n_cells, dim), dtype=np.int64)
+    for r in cell_rows:
+        CC[r["cell"], r["d"]] = int(r["cc6"])
+    BK = np.zeros((m, n_codes, sub), dtype=np.int64)
+    for r in book_rows:
+        BK[r["j"], r["c"], r["u"]] = int(r["c6"])
+    return CC, BK
+
+
 def _ivf_pq_portable_encode(
     corp: DataFrame, cells: DataFrame, books: DataFrame, *,
     n_codes: int = 16, n_cells: int = 8,
+    model: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """ENCODE phase of the portable IVF-PQ twin — route each vector to
     its nearest frozen cell and PQ-encode the residual against the
@@ -1212,20 +1238,67 @@ def _ivf_pq_portable_encode(
     (embedding_comps' posexplode guarantees this); |dist * k| stays
     < 2^53, far inside exact int64.
     """
+    if model is None:
+        model = _ivf_pq_portable_model(cells, books)
+
+    # ONE exchange: exploded contract -> per-vector component array
+    # (struct sort orders by d, so the array is dim-ordered)
+    varr = (
+        corp.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "v6"))).alias("__p"))
+        .select(
+            "vec_id",
+            F.expr("transform(__p, s -> s.v6)").alias("__v"),
+        )
+    )
+    return _ivf_pq_portable_encode_varr(varr, model)
+
+
+def _ivf_pq_portable_encode_vecs(
+    df: DataFrame, cells: DataFrame, books: DataFrame, *,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    model: tuple[np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """Array-input adapter of the portable encode (r17b): when the
+    caller already holds per-vector rows (a micro-batch of (id, vec)
+    changes, a corpus of embedding arrays), the exploded-contract path
+    pays a posexplode AND the regroup exchange just to reconstruct the
+    array it started from.  This adapter computes the e6 components
+    map-side — ``transform(vec, x -> CAST(floor(double(x) * 1e6 + 0.5)
+    AS BIGINT))``, exactly :func:`embedding_comps`' per-position v6,
+    order-preserved — and feeds the SAME numpy kernel, so the encode
+    has ZERO exchanges and stays one code path (value-neutrality:
+    posexplode + groupBy/array_sort is the identity on the array, and
+    NULL/empty vectors are filtered to match posexplode's
+    no-rows-for-empty behavior)."""
+    if model is None:
+        model = _ivf_pq_portable_model(cells, books)
+    varr = (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                vec_col,
+                lambda x: F.floor(x.cast("double") * 1_000_000
+                                  + F.lit(0.5)).cast("bigint"),
+            ).alias("__v"),
+        )
+    )
+    return _ivf_pq_portable_encode_varr(varr, model)
+
+
+def _ivf_pq_portable_encode_varr(
+    varr: DataFrame, model: tuple[np.ndarray, np.ndarray],
+) -> DataFrame:
+    """THE encode kernel both input adapters share: (vec_id, __v) rows
+    with dim-ordered e6 component arrays -> (vec_id, cell, j, code).
+    Pure int64 squared-L2 + packed ``min(dist*k + idx) % k`` argmin in
+    one Arrow-vectorized batch — see :func:`_ivf_pq_portable_encode`
+    for the arithmetic contract."""
     from pyspark.sql.functions import pandas_udf
 
-    m = _IVF_PQ_PORTABLE_M
-    cell_rows = cells.collect()
-    book_rows = books.collect()
-    dim = 1 + max(r["d"] for r in cell_rows)
-    sub = dim // m
-    CC = np.zeros((n_cells, dim), dtype=np.int64)
-    for r in cell_rows:
-        CC[r["cell"], r["d"]] = int(r["cc6"])
-    BK = np.zeros((m, n_codes, sub), dtype=np.int64)
-    for r in book_rows:
-        BK[r["j"], r["c"], r["u"]] = int(r["c6"])
-    bc = corp.sparkSession.sparkContext.broadcast((CC, BK))
+    CC, BK = model
+    bc = varr.sparkSession.sparkContext.broadcast((CC, BK))
 
     @pandas_udf("struct<cell: bigint, codes: array<bigint>>")
     def enc(vecs: pd.Series) -> pd.DataFrame:
@@ -1250,16 +1323,6 @@ def _ivf_pq_portable_encode(
             ).min(1) % nc
         return pd.DataFrame({"cell": cell, "codes": list(codes)})
 
-    # ONE exchange: exploded contract -> per-vector component array
-    # (struct sort orders by d, so the array is dim-ordered)
-    varr = (
-        corp.groupBy("vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("d", "v6"))).alias("__p"))
-        .select(
-            "vec_id",
-            F.expr("transform(__p, s -> s.v6)").alias("__v"),
-        )
-    )
     coded = varr.select("vec_id", enc("__v").alias("__e"))
     return coded.select(
         "vec_id",
@@ -1270,20 +1333,29 @@ def _ivf_pq_portable_encode(
     )
 
 
+def _ivf_pq_portable_quantizers(spark):
+    """The frozen (cells, books) model relations of the portable
+    IVF-PQ twin — formula-generated, corpus-independent.  Split from
+    :func:`_ivf_pq_portable_build` (r17b): the maintenance faces
+    (upsert/stream) need ONLY the quantizers, and building the
+    discarded corpus encode cost them two collect jobs + a broadcast
+    per run."""
+    m, n_codes, sub, n_cells = _IVF_PQ_PORTABLE_M, 16, 8, 8
+    cells = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
+    books = pq_portable_codebooks_df(
+        spark, m_subspaces=m, n_codes=n_codes, sub_dim=sub, salt=99991
+    )
+    return cells, books
+
+
 def _ivf_pq_portable_build(spark, corp):
     """INDEX-BUILD phase of the portable IVF-PQ twin: returns
     (cells, books, codes) for a (vec_id, d, v6) corpus — the coarse
     dictionary, the residual codebooks, and the per-vector
     (vec_id, cell, j, code) rows that ARE the index artifact (the only
     corpus-sized output; cells/books are bounded model metadata)."""
-    m, n_codes, sub, n_cells = _IVF_PQ_PORTABLE_M, 16, 8, 8
-    cells = ivf_portable_centroids_df(spark, n_cells=n_cells, dim=64)
-    books = pq_portable_codebooks_df(
-        spark, m_subspaces=m, n_codes=n_codes, sub_dim=sub, salt=99991
-    )
-    codes = _ivf_pq_portable_encode(
-        corp, cells, books, n_codes=n_codes, n_cells=n_cells
-    )
+    cells, books = _ivf_pq_portable_quantizers(spark)
+    codes = _ivf_pq_portable_encode(corp, cells, books)
     return cells, books, codes
 
 
@@ -2284,9 +2356,11 @@ def q_sim_index_persisted(spark, sf_dir):
 
 
 def index_upsert(
-    table, increment_comps: DataFrame, cells: DataFrame, books: DataFrame,
-    *, delete_ids: DataFrame | None = None,
-    n_codes: int = 16, n_cells: int = 8, meta: dict | None = None,
+    table, increment_comps: DataFrame | None, cells: DataFrame,
+    books: DataFrame, *, delete_ids: DataFrame | None = None,
+    increment_vecs: DataFrame | None = None, id_col: str = "vec_id",
+    vec_col: str = "embedding", n_codes: int = 16, n_cells: int = 8,
+    model: tuple | None = None, meta: dict | None = None,
 ) -> int:
     """Incremental ANN index maintenance (r14, VERDICT r13 #5 — the
     production "index follows the corpus" loop composing B125 + B102):
@@ -2297,9 +2371,15 @@ def index_upsert(
     both, so a reader never observes a half-applied increment.
 
     ``increment_comps`` is a (vec_id, d, v6) relation (the changed
-    vectors' components); ``delete_ids`` a (vec_id) relation.  A
-    vec_id must not appear in both — standard MERGE precondition (the
-    key would carry two verdicts).  Returns the new table version.
+    vectors' components); alternatively pass ``increment_vecs`` — the
+    per-vector (id, vec-array) rows — and the encode runs through the
+    zero-exchange array adapter (r17b; same kernel, identical values,
+    exactly one of the two must be given).  ``delete_ids`` a (vec_id)
+    relation.  A vec_id must not appear in both — standard MERGE
+    precondition (the key would carry two verdicts).  ``model`` is an
+    optional precollected :func:`_ivf_pq_portable_model` pair so a
+    multi-upsert run (the streaming loop) collects the quantizers
+    once, not per batch.  Returns the new table version.
 
     Correctness contract: encoding reuses the rebuild's ONE code path
     (:func:`_ivf_pq_portable_encode`), so a maintained index is
@@ -2317,9 +2397,21 @@ def index_upsert(
     increment touches O(increment) files, never O(index).
     """
     m = _IVF_PQ_PORTABLE_M
-    codes = _ivf_pq_portable_encode(
-        increment_comps, cells, books, n_codes=n_codes, n_cells=n_cells
-    )
+    if (increment_comps is None) == (increment_vecs is None):
+        raise ValueError(
+            "index_upsert: pass exactly one of increment_comps / "
+            "increment_vecs"
+        )
+    if increment_vecs is not None:
+        codes = _ivf_pq_portable_encode_vecs(
+            increment_vecs, cells, books,
+            id_col=id_col, vec_col=vec_col, model=model,
+        )
+    else:
+        codes = _ivf_pq_portable_encode(
+            increment_comps, cells, books, n_codes=n_codes,
+            n_cells=n_cells, model=model,
+        )
     changes = codes.select(
         (F.col("vec_id") * m + F.col("j")).alias("k"),
         "vec_id", "cell", "j", "code",
@@ -2372,12 +2464,16 @@ def q_index_upsert_portable(spark, sf_dir):
     ensure_engine_conf(spark)
     m = _IVF_PQ_PORTABLE_M
     comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
-    cells, books, _ = _ivf_pq_portable_build(spark, corp)
+    # quantizers only — the corpus-wide encode of the build helper is
+    # unused here (r17b); collect the kernel model once for the three
+    # encode calls below
+    cells, books = _ivf_pq_portable_quantizers(spark)
+    model = _ivf_pq_portable_model(cells, books)
     keep = corp.filter(F.col("vec_id") % 3 != 0)
     incr = corp.filter(F.col("vec_id") % 3 == 0)
     # stale state: keep-part encoded correctly; increment-part present
     # with WRONG codes; probe vectors indexed although they are queries
-    good = _ivf_pq_portable_encode(keep, cells, books)
+    good = _ivf_pq_portable_encode(keep, cells, books, model=model)
     stale = (
         incr.select("vec_id").distinct()
         .select(
@@ -2389,7 +2485,7 @@ def q_index_upsert_portable(spark, sf_dir):
                 F.lit(0).cast("bigint").alias("code"))
     )
     ghosts = _ivf_pq_portable_encode(
-        comps.filter(F.col("vec_id") < 5), cells, books
+        comps.filter(F.col("vec_id") < 5), cells, books, model=model
     )
     initial = good.unionByName(stale).unionByName(ghosts).select(
         (F.col("vec_id") * m + F.col("j")).alias("k"),
@@ -2400,7 +2496,7 @@ def q_index_upsert_portable(spark, sf_dir):
     )
     t = TxTable.create(spark, initial, root, key_col="k")
     index_upsert(
-        t, incr, cells, books,
+        t, incr, cells, books, model=model,
         delete_ids=comps.filter(F.col("vec_id") < 5)
         .select("vec_id").distinct(),
     )
@@ -2546,11 +2642,11 @@ def stream_index_maintenance(
     MERGEs rewrite only key-range-intersecting files.  Driven with
     Trigger.AvailableNow like every batch-drain face.
     """
-    # The frozen quantizers are re-read per micro-batch (the encode
-    # collects them into its numpy kernel — r17); materialize once so
-    # every batch's collect reads executor blocks, not the build plan.
-    cells = cells.localCheckpoint(eager=True)
-    books = books.localCheckpoint(eager=True)
+    # Collect the frozen quantizers into the encode kernel's numpy
+    # model ONCE for the whole drain (r17b): the r17 shape checkpointed
+    # the relations but still paid two collect jobs per micro-batch
+    # inside the encode.
+    model = _ivf_pq_portable_model(cells, books)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         # O(1)-amortized idempotence probes on BOTH tables (VERDICT
@@ -2570,16 +2666,20 @@ def stream_index_maintenance(
             corpus_table.merge(batch_df, delete_col=delete_col, meta=stamp)
         if not index_table.has_stream_batch(sink_id, batch_id):
             tomb = F.coalesce(F.col(delete_col), F.lit(False))
-            incr = embedding_comps(
-                batch_df.filter(~tomb), id_col=id_col, vec_col=vec_col
-            ).withColumnRenamed(id_col, "vec_id")
             dels = (
                 batch_df.filter(tomb)
                 .select(F.col(id_col).alias("vec_id"))
             )
+            # array-input encode (r17b): the batch already holds
+            # per-vector rows, so the exploded contract's posexplode +
+            # regroup exchange is pure round-trip — the array adapter
+            # feeds the same kernel with zero exchanges per batch.
             index_upsert(
-                index_table, incr, cells, books, delete_ids=dels,
-                n_codes=n_codes, n_cells=n_cells, meta=stamp,
+                index_table, None, cells, books,
+                increment_vecs=batch_df.filter(~tomb),
+                id_col=id_col, vec_col=vec_col, delete_ids=dels,
+                n_codes=n_codes, n_cells=n_cells, model=model,
+                meta=stamp,
             )
 
     q = (
@@ -2617,7 +2717,9 @@ def q_index_stream_portable(spark, sf_dir):
 
     ensure_engine_conf(spark)
     comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
-    cells, books, _ = _ivf_pq_portable_build(spark, corp)
+    # quantizers only — the build helper's corpus-wide encode is
+    # unused here (r17b)
+    cells, books = _ivf_pq_portable_quantizers(spark)
 
     emb = scan(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -2641,10 +2743,13 @@ def q_index_stream_portable(spark, sf_dir):
         key_col="vec_id",
     )
     m = _IVF_PQ_PORTABLE_M
-    stale_comps = embedding_comps(
-        stale_corpus, id_col="vec_id", vec_col="embedding"
-    )
-    initial = _ivf_pq_portable_encode(stale_comps, cells, books).select(
+    # array-input encode (r17b): stale_corpus already holds per-vector
+    # embedding arrays, so the exploded-contract round-trip (posexplode
+    # -> corpus-sized regroup exchange) is removed from the initial
+    # index build; same kernel, identical values.
+    initial = _ivf_pq_portable_encode_vecs(
+        stale_corpus, cells, books
+    ).select(
         (F.col("vec_id") * m + F.col("j")).alias("k"),
         "vec_id", "cell", "j", "code",
     )
