@@ -310,7 +310,13 @@ def q_retrieval_rrf(spark, sf_dir):
         d, qterms, text_col="text", id_col="doc_id",
         query_id_col="query_id", term_col="term", k=50,
     ).select("query_id", "doc_id", "rank")
-    comps = embedding_comps(emb, id_col="vec_id", vec_col="embedding")
+    # materialize the exploded components once (r17b): the exact-rerank
+    # vector arm consumes comps from four lineage branches and the
+    # posexplode re-ran per branch (6 embeddings scans in the static
+    # plan)
+    comps = embedding_comps(
+        emb, id_col="vec_id", vec_col="embedding"
+    ).localCheckpoint(eager=True)
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id")
     )
@@ -534,15 +540,24 @@ def q_retrieval_mmr(spark, sf_dir):
     the oracle's unrolled CTE chain replays the same recurrence."""
     ensure_engine_conf(spark)
     emb = scan(spark, sf_dir, "embeddings")
-    comps = embedding_comps(emb, id_col="vec_id", vec_col="embedding")
+    # materialize the exploded components ONCE (r17b, guide §3.3/§5):
+    # this face consumes comps from SIX lineage branches (the rerank's
+    # norms/dots/probe sides, ci, cj, norms) and Spark re-expands
+    # common subplans — the static plan held 22 embeddings scans
+    comps = embedding_comps(
+        emb, id_col="vec_id", vec_col="embedding"
+    ).localCheckpoint(eager=True)
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id")
     )
     corpus_ids = emb.filter(F.col("vec_id") >= 3).select("vec_id")
     cand_all = corpus_ids.crossJoin(F.broadcast(probes))
+    # the bounded top-20 relevance relation feeds THREE consumers (both
+    # sides of the candidate-pair self-join + the MMR rel input);
+    # without the cut the whole windowed rerank re-executes per branch
     rel = _portable_exact_rerank(comps, cand_all, k=20).select(
         "probe_id", "vec_id", F.col("cos_e6").alias("rel_e6")
-    )
+    ).localCheckpoint(eager=True)
     pair_ids = rel.select("probe_id", F.col("vec_id").alias("i")).join(
         rel.select("probe_id", F.col("vec_id").alias("j")), "probe_id"
     ).filter(F.col("i") != F.col("j"))

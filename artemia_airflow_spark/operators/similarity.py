@@ -3072,7 +3072,14 @@ def centroid_drift_matrix(
         .groupBy("__lbl")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    cents = sums.join(F.broadcast(counts), "__lbl")
+    # materialize the bounded (labels x dims) centroid stats once
+    # (r17b, guide §3.3/§5): BOTH sides of the pair self-join consume
+    # cents, and Spark re-expands common subplans — without the cut the
+    # corpus-sized component-sum aggregate executed twice (6 embeddings
+    # scans in the static plan)
+    cents = sums.join(F.broadcast(counts), "__lbl").localCheckpoint(
+        eager=True
+    )
     a = cents.select(
         F.col("__lbl").alias("label_a"), "d",
         F.col("s").alias("sa"), F.col("n").alias("na"),
