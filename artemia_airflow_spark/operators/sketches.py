@@ -621,21 +621,45 @@ def cms_state(
     codegen count, not in hashing (measured: the occurrence-hashing
     shape grew ~7x wall for 10x data; this shape re-hashes nothing).
     """
+    val = F.col(value_col).cast("string")
+    per_value = (
+        df.filter(val.isNotNull())
+        .groupBy(*list(group_cols or []), val.alias("__val"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return cms_state_from_counts(
+        per_value, "__val", "__c", group_cols,
+        depth=depth, bucket_hex=bucket_hex,
+    )
+
+
+def cms_state_from_counts(
+    counts: DataFrame,
+    value_col: str,
+    count_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    depth: int = 4,
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """CMS state from a PRE-AGGREGATED (value, count) relation — the
+    seam under :func:`cms_state` (r17b): counter additivity makes the
+    result cell-identical to inserting the raw occurrences, so a caller
+    that already holds per-value counts (the heavy-hitters face shares
+    ONE token-count aggregate between its exact top-k and the sketch)
+    skips a second corpus tokenize pass."""
     group_cols = list(group_cols or [])
     width = 16 ** bucket_hex
     if depth < 1 or width < 2:
         raise ValueError("depth must be >= 1 and bucket_hex >= 1")
     val = F.col(value_col).cast("string")
-    per_value = (
-        df.filter(val.isNotNull())
-        .groupBy(*group_cols, val.alias("__val"))
-        .agg(F.count(F.lit(1)).alias("__c"))
+    per_value = counts.filter(val.isNotNull()).select(
+        *group_cols,
+        F.col(count_col).alias("__c"),
+        _cms_bucket_rows(val, depth, bucket_hex),
     )
     return (
-        per_value.select(
-            *group_cols, "__c", _cms_bucket_rows(F.col("__val"), depth, bucket_hex)
-        )
-        .groupBy(*group_cols, "j", "bucket")
+        per_value.groupBy(*group_cols, "j", "bucket")
         .agg(F.sum("__c").alias("cnt"))
     )
 
@@ -754,13 +778,22 @@ def _register_cms() -> None:
         ensure_engine_conf(spark)
         d = scan(spark, sf_dir, "documents")
         toks = tokenize(d, "text")
-        sketch = cms_state(toks, "token", depth=4, bucket_hex=2)
-        top = (
-            toks.groupBy("token")
+        # ONE corpus tokenize pass (r17b): the sketch's per-value
+        # pre-count and the exact top-20 are the SAME token-count
+        # aggregate, but as separate lineage branches the tokenize ran
+        # twice (counter additivity makes the sketch built from counts
+        # cell-identical — cms_state_from_counts).  The checkpoint is
+        # vocabulary-sized, not corpus-sized.
+        tok_counts = (
+            toks.filter(F.col("token").isNotNull())
+            .groupBy("token")
             .agg(F.count(F.lit(1)).alias("exact_cnt"))
-            .orderBy(F.col("exact_cnt").desc(), "token")
-            .limit(20)
+            .localCheckpoint(eager=True)
         )
+        sketch = cms_state_from_counts(
+            tok_counts, "token", "exact_cnt", depth=4, bucket_hex=2
+        )
+        top = tok_counts.orderBy(F.col("exact_cnt").desc(), "token").limit(20)
         est = cms_estimate(sketch, top.select("token"), "token", depth=4, bucket_hex=2)
         return top.join(est, "token").select("token", "exact_cnt", "cms_est")
 

@@ -700,6 +700,31 @@ def test_cms_never_underestimates_and_is_tight_on_fixture(spark):
         assert r.cms_est - r.exact <= bound, (r.token, r.cms_est - r.exact, bound)
 
 
+def test_cms_state_from_counts_equals_occurrences(spark):
+    """The pre-aggregated-counts seam (r17b) is cell-identical to
+    inserting raw occurrences — counter additivity, pinned so the
+    heavy-hitters face's shared token-count aggregate can never drift
+    from the occurrence-insert definition."""
+    from pyspark.sql import functions as F
+
+    from artemia_airflow_spark.catalog import scan
+    from artemia_airflow_spark.operators.sketches import (
+        cms_state,
+        cms_state_from_counts,
+    )
+    from tests.conftest import SF_ORACLE
+
+    d = scan(spark, SF_ORACLE, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    occ = sorted(tuple(r) for r in cms_state(toks, "token").collect())
+    pre = sorted(
+        tuple(r)
+        for r in cms_state_from_counts(counts, "token", "c").collect()
+    )
+    assert occ == pre
+
+
 def test_cms_merge_equals_whole(spark):
     """Counter additivity: cms(A) ⊕ cms(B) must equal cms(A ∪ B)
     cell-for-cell — the property that makes per-shard builds safe."""
