@@ -2121,6 +2121,13 @@ def cross_source_matrix(
         )),
     ).otherwise(F.col("bv"))
     banded = banded.withColumn("bv", guarded_bv).drop("__bn")
+    # materialize the banded relation once (r17b, guide §3.3/§5): BOTH
+    # sides of the bucket self-join consume it, and runtime exchange
+    # reuse does NOT fire here (checked on the executed plan — the
+    # window/guard projection breaks exchange identity), so the whole
+    # scan + tokenize + MinHash subtree executed twice.  The
+    # checkpoint is (id, b, bv) ints — 4 rows/doc, no text.
+    banded = banded.localCheckpoint(eager=True)
     a, x = banded.alias("a"), banded.alias("x")
     pairs = (
         a.join(x, ["b", "bv"])

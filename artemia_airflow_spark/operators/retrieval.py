@@ -69,7 +69,18 @@ def bm25_topk(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__term"),
     )
-    tf_base = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize the (doc, term, tf) relation once (r17b, guide
+    # §3.3/§5): dfreq and the dl window both consume it, and the hoped-
+    # for runtime exchange reuse does NOT fire (checked on the executed
+    # plan — the two branches' post-aggregate shapes differ), so the
+    # corpus tokenize + aggregate ran twice.  At scale this relation IS
+    # the BM25 index artifact — materializing it once per build is the
+    # standard shape (a stage store on a cluster).  LAZY checkpoint:
+    # the first consumer's job materializes it in-flight (no separate
+    # eager job), the second reads the persisted blocks.
+    tf_base = toks.groupBy(id_col, "__term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     # doc frequency from the tf relation (one row per (doc, term)
     # already) — a separate toks.distinct() would re-tokenize the
     # whole corpus with a DIFFERENT partial aggregate, defeating
