@@ -20,7 +20,7 @@ smaller and broadcast-joins under AQE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from artemia_airflow_spark.catalog import scan
@@ -41,7 +41,13 @@ def merge_upsert(
 
     Both inputs must share the schema (minus ``delete_col``).  The key
     must be unique on each side — standard MERGE precondition; enforce
-    upstream with exact dedup (operators/dedup.py) when in doubt.
+    upstream with exact dedup (operators/dedup.py) when in doubt.  A
+    duplicate key on the CHANGES side fails loudly via an in-plan
+    guard (r17b review: the full-outer join would otherwise fan the
+    duplicate out into conflicting output rows — silent corruption; a
+    key would carry two verdicts).  The guard's count window partitions
+    by the join key, so it rides the exchange the full-outer join
+    needs anyway — zero extra shuffles.
     """
     data_cols = [c for c in target.columns if c != key]
     ch = changes
@@ -55,6 +61,21 @@ def merge_upsert(
     c_ = ch.select(
         key, "__del", *[F.col(c).alias(f"__c_{c}") for c in data_cols]
     )
+    # the guard rides __del (always read downstream), the
+    # cross_source_matrix raise_error precedent
+    wk = Window.partitionBy(key)
+    c_ = c_.withColumn("__kn", F.count(F.lit(1)).over(wk)).withColumn(
+        "__del",
+        F.when(
+            F.col("__kn") > 1,
+            F.raise_error(F.concat(
+                F.lit("merge_upsert: duplicate change rows for key "),
+                F.col(key).cast("string"),
+                F.lit(" — at most one change row per key (dedupe the"
+                      " increment upstream)"),
+            )),
+        ).otherwise(F.col("__del")),
+    ).drop("__kn")
     joined = t.join(c_, key, "full_outer")
     # change row present and not a delete -> change values win;
     # change row absent -> keep target; delete -> drop

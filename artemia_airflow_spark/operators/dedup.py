@@ -2126,8 +2126,11 @@ def cross_source_matrix(
     # reuse does NOT fire here (checked on the executed plan — the
     # window/guard projection breaks exchange identity), so the whole
     # scan + tokenize + MinHash subtree executed twice.  The
-    # checkpoint is (id, b, bv) ints — 4 rows/doc, no text.
-    banded = banded.localCheckpoint(eager=True)
+    # checkpoint is (id, b, bv) ints — 4 rows/doc, no text.  LAZY
+    # (review finding): a library operator must stay a lazy relation —
+    # an eager cut would run the corpus job (and fire the max_bucket
+    # guard) at plan-construction time, not at the caller's action.
+    banded = banded.localCheckpoint(eager=False)
     a, x = banded.alias("a"), banded.alias("x")
     pairs = (
         a.join(x, ["b", "bv"])

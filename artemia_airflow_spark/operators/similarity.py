@@ -1202,6 +1202,30 @@ def _ivf_pq_portable_model(
     return CC, BK
 
 
+def _pq_model_value(model):
+    """Unwrap a model that may be a raw (CC, BK) tuple or a pyspark
+    Broadcast of one (r17b review: the streaming loop broadcasts the
+    model ONCE per drain instead of leaking one broadcast per
+    micro-batch encode)."""
+    from pyspark.broadcast import Broadcast
+
+    return model.value if isinstance(model, Broadcast) else model
+
+
+def _validate_pq_model(model, *, n_cells: int, n_codes: int) -> None:
+    """The encode kernel derives every shape from the collected model,
+    so the declared n_cells/n_codes keywords must AGREE or fail loud
+    (r17b review: silently ignoring them would mask a caller whose
+    quantizer relations disagree with its declared geometry)."""
+    CC, BK = _pq_model_value(model)
+    if CC.shape[0] != n_cells or BK.shape[1] != n_codes:
+        raise ValueError(
+            f"portable PQ model geometry mismatch: relations carry "
+            f"n_cells={CC.shape[0]}, n_codes={BK.shape[1]} but the "
+            f"caller declared n_cells={n_cells}, n_codes={n_codes}"
+        )
+
+
 def _ivf_pq_portable_encode(
     corp: DataFrame, cells: DataFrame, books: DataFrame, *,
     n_codes: int = 16, n_cells: int = 8,
@@ -1240,6 +1264,7 @@ def _ivf_pq_portable_encode(
     """
     if model is None:
         model = _ivf_pq_portable_model(cells, books)
+    _validate_pq_model(model, n_cells=n_cells, n_codes=n_codes)
 
     # ONE exchange: exploded contract -> per-vector component array
     # (struct sort orders by d, so the array is dim-ordered)
@@ -1295,10 +1320,13 @@ def _ivf_pq_portable_encode_varr(
     Pure int64 squared-L2 + packed ``min(dist*k + idx) % k`` argmin in
     one Arrow-vectorized batch — see :func:`_ivf_pq_portable_encode`
     for the arithmetic contract."""
+    from pyspark.broadcast import Broadcast
     from pyspark.sql.functions import pandas_udf
 
-    CC, BK = model
-    bc = varr.sparkSession.sparkContext.broadcast((CC, BK))
+    if isinstance(model, Broadcast):
+        bc = model
+    else:
+        bc = varr.sparkSession.sparkContext.broadcast(tuple(model))
 
     @pandas_udf("struct<cell: bigint, codes: array<bigint>>")
     def enc(vecs: pd.Series) -> pd.DataFrame:
@@ -2402,6 +2430,9 @@ def index_upsert(
             "index_upsert: pass exactly one of increment_comps / "
             "increment_vecs"
         )
+    if model is None:
+        model = _ivf_pq_portable_model(cells, books)
+    _validate_pq_model(model, n_cells=n_cells, n_codes=n_codes)
     if increment_vecs is not None:
         codes = _ivf_pq_portable_encode_vecs(
             increment_vecs, cells, books,
@@ -2465,10 +2496,12 @@ def q_index_upsert_portable(spark, sf_dir):
     m = _IVF_PQ_PORTABLE_M
     comps, corp, probe = _ivf_pq_portable_frames(spark, sf_dir)
     # quantizers only — the corpus-wide encode of the build helper is
-    # unused here (r17b); collect the kernel model once for the three
-    # encode calls below
+    # unused here (r17b); collect + broadcast the kernel model once
+    # for the three encode calls below
     cells, books = _ivf_pq_portable_quantizers(spark)
-    model = _ivf_pq_portable_model(cells, books)
+    model = spark.sparkContext.broadcast(
+        _ivf_pq_portable_model(cells, books)
+    )
     keep = corp.filter(F.col("vec_id") % 3 != 0)
     incr = corp.filter(F.col("vec_id") % 3 == 0)
     # stale state: keep-part encoded correctly; increment-part present
@@ -2642,11 +2675,14 @@ def stream_index_maintenance(
     MERGEs rewrite only key-range-intersecting files.  Driven with
     Trigger.AvailableNow like every batch-drain face.
     """
-    # Collect the frozen quantizers into the encode kernel's numpy
-    # model ONCE for the whole drain (r17b): the r17 shape checkpointed
-    # the relations but still paid two collect jobs per micro-batch
-    # inside the encode.
-    model = _ivf_pq_portable_model(cells, books)
+    # Collect AND broadcast the frozen quantizers ONCE for the whole
+    # drain (r17b): the r17 shape checkpointed the relations but still
+    # paid two collect jobs per micro-batch inside the encode, and a
+    # per-encode broadcast would leak one broadcast per micro-batch
+    # (review finding) — broadcasts are never unpersisted.
+    model = cells.sparkSession.sparkContext.broadcast(
+        _ivf_pq_portable_model(cells, books)
+    )
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         # O(1)-amortized idempotence probes on BOTH tables (VERDICT
@@ -3076,9 +3112,11 @@ def centroid_drift_matrix(
     # (r17b, guide §3.3/§5): BOTH sides of the pair self-join consume
     # cents, and Spark re-expands common subplans — without the cut the
     # corpus-sized component-sum aggregate executed twice (6 embeddings
-    # scans in the static plan)
+    # scans in the static plan).  LAZY (review finding): a library
+    # operator must stay a lazy relation — the first action
+    # materializes it in-flight, not the constructor.
     cents = sums.join(F.broadcast(counts), "__lbl").localCheckpoint(
-        eager=True
+        eager=False
     )
     a = cents.select(
         F.col("__lbl").alias("label_a"), "d",

@@ -140,6 +140,23 @@ def test_merge_upsert_matches_dict_reference(spark, target_map, change_map):
     assert got == want
 
 
+def test_merge_upsert_duplicate_change_key_fails_loud(spark):
+    """A duplicate key on the changes side violates the MERGE
+    precondition (one key, two verdicts); the in-plan guard (r17b)
+    must raise at action time instead of silently fanning the
+    duplicate through the full-outer join."""
+    import pytest
+
+    from artemia_airflow_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame([(1, 10)], "k: long, v: long")
+    changes = spark.createDataFrame(
+        [(1, 11, False), (1, 12, False)], "k: long, v: long, d: boolean"
+    )
+    with pytest.raises(Exception, match="duplicate change rows"):
+        merge_upsert(target, changes, "k", delete_col="d").collect()
+
+
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
