@@ -287,7 +287,8 @@ def q_mix_temperature(spark, sf_dir):
 
 
 def substring_fingerprints(
-    df: DataFrame, text_col: str, id_col: str, *, k: int = 25, w: int = 16
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 25, w: int = 16,
+    spread: bool = True,
 ) -> DataFrame:
     """Winnowed exact-substring fingerprints: (id, gram) rows where
     ``gram`` is a verbatim ``k``-char substring selected by winnowing
@@ -343,7 +344,19 @@ def substring_fingerprints(
             yield pd.DataFrame({id_col: ids, "gram": grams})
 
     id_field = df.schema[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    # spread before the CPU-bound kernel (r18, guide §2.5): a
+    # single-file scan arrives as ONE partition and the winnowing
+    # kernel ran on one core (q_dedup_substring's whole fingerprint
+    # pass was serial); round-robin repartition of the two input
+    # columns is cheap relative to the hashing.  No-op at scale and
+    # value-neutral — winnowing is per-document, partition-independent.
+    # ``spread=False`` for structurally tiny inputs (the decontamination
+    # eval split) where the repartition exchange costs more than the
+    # serial kernel (measured +0.4s at sf0.1).
+    narrow = df.select(id_col, text_col)
+    if spread:
+        narrow = spread_for_compute(narrow)
+    return narrow.mapInPandas(
         kernel, f"{id_col} {id_field.dataType.simpleString()}, gram string"
     )
 
@@ -392,12 +405,16 @@ def decontaminate_substrings(
     string.  Returns ``train`` plus a boolean ``substr_contaminated``.
     """
     eval_grams = (
-        substring_fingerprints(eval_df, text_col, id_col, k=k, w=w)
+        # eval benchmarks are structurally bounded (MBs) — the spread
+        # repartition costs more than the serial kernel here (r18 A/B)
+        substring_fingerprints(eval_df, text_col, id_col, k=k, w=w, spread=False)
         .select("gram")
         .distinct()
     )
     hits = (
-        substring_fingerprints(spread_for_compute(train), text_col, id_col, k=k, w=w)
+        # the spread moved inside substring_fingerprints (r18) — every
+        # caller's kernel pass now parallelizes, not just this one
+        substring_fingerprints(train, text_col, id_col, k=k, w=w)
         .join(F.broadcast(eval_grams), "gram", "left_semi")
         .select(id_col)
         .distinct()

@@ -475,6 +475,8 @@ def media_phash(media: DataFrame, *, kernel: str = "byte-simhash") -> DataFrame:
     fingerprints, never media."""
     import numpy as np
 
+    from artemia_airflow_spark.functions.core import spread_for_compute
+
     if kernel not in ("byte-simhash", "dct"):
         raise ValueError(f"media_phash: unknown kernel {kernel!r}")
 
@@ -496,9 +498,8 @@ def media_phash(media: DataFrame, *, kernel: str = "byte-simhash") -> DataFrame:
                 win = np.lib.stride_tricks.sliding_window_view(b, 8)[::4]
                 hs = np.fromiter(
                     (
-                        zlib.crc32(w.tobytes())
-                        | (zlib.crc32(w.tobytes() + b"#s") << 32)
-                        for w in win
+                        zlib.crc32(wb) | (zlib.crc32(wb + b"#s") << 32)
+                        for wb in (w.tobytes() for w in win)
                     ),
                     dtype="uint64",
                     count=len(win),
@@ -509,12 +510,25 @@ def media_phash(media: DataFrame, *, kernel: str = "byte-simhash") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_meta"].map(lambda m: m["media_type"]),
+                    "media_type": pdf["media_type"],
                     "phash": out,
                 }
             )
 
-    return media.mapInPandas(batches, PHASH_SCHEMA)
+    # Narrow the Arrow crossing to exactly what the kernel reads (guide
+    # §4.1 — mapInPandas ships every input column): flatten media_type
+    # out of the metadata struct JVM-side (was a per-row Python .map
+    # over the struct) and spread the single-file scan across cores
+    # before the CPU-bound kernel (guide §2.5; the portable twin's r17
+    # treatment).  Values are untouched: same kernel, same inputs.
+    narrow = spread_for_compute(
+        media.select(
+            "doc_id",
+            F.col("media_meta.media_type").alias("media_type"),
+            "payload",
+        )
+    )
+    return narrow.mapInPandas(batches, PHASH_SCHEMA)
 
 
 def media_neardup_pairs(
@@ -554,6 +568,12 @@ def media_neardup_pairs(
         F.col("b.band").alias("band"),
         F.col("b.band_val").alias("band_val"),
     )
+    # both sides of the band self-join consume this relation, and Spark
+    # does not dedupe common subplans — materialize the tiny (4
+    # rows/doc) banded fingerprints so the pHash kernel executes once,
+    # not twice (r18; the portable twin and ngram_jaccard_pairs got the
+    # same treatment in r17)
+    cand = cand.localCheckpoint(eager=True)
     a, b = cand.alias("a"), cand.alias("b")
     pairs = (
         a.join(

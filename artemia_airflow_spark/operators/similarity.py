@@ -2657,14 +2657,15 @@ def stream_index_maintenance(
     #5 — composes B99 exactly-once stream maintenance with B152
     incremental index maintenance): each micro-batch of a keyed change
     stream (``id_col``, ``vec_col``, ``delete_col`` tombstone flag)
-    first MERGEs into the corpus TxTable, then upserts the persisted
-    IVF-PQ index with the SAME increment — so after every drained
-    batch the index serves exactly the corpus the table holds.
+    MERGEs into the corpus TxTable and upserts the persisted IVF-PQ
+    index with the SAME increment (two independent job chains, run
+    concurrently per batch) — so after every drained batch the index
+    serves exactly the corpus the table holds.
 
     Exactly-once across BOTH tables: each commit carries the
     (sink_id, batch_id) idempotence stamp, checked per table — a crash
-    between the corpus commit and the index commit redelivers the
-    batch, the corpus skip-checks it, and the index applies it, which
+    between (or during) the two commits redelivers the batch, the
+    committed table skip-checks it, and the other applies it, which
     converges because :func:`index_upsert` re-application is
     content-neutral (MERGE re-upserts same-key rows to the same
     values).  Dedupe to at most one row per key within a batch
@@ -2698,25 +2699,46 @@ def stream_index_maintenance(
         # per consumer.
         batch_df = batch_df.localCheckpoint(eager=True)
         stamp = {"sink_id": sink_id, "batch_id": int(batch_id)}
-        if not corpus_table.has_stream_batch(sink_id, batch_id):
-            corpus_table.merge(batch_df, delete_col=delete_col, meta=stamp)
-        if not index_table.has_stream_batch(sink_id, batch_id):
-            tomb = F.coalesce(F.col(delete_col), F.lit(False))
-            dels = (
-                batch_df.filter(tomb)
-                .select(F.col(id_col).alias("vec_id"))
-            )
-            # array-input encode (r17b): the batch already holds
-            # per-vector rows, so the exploded contract's posexplode +
-            # regroup exchange is pure round-trip — the array adapter
-            # feeds the same kernel with zero exchanges per batch.
-            index_upsert(
-                index_table, None, cells, books,
-                increment_vecs=batch_df.filter(~tomb),
-                id_col=id_col, vec_col=vec_col, delete_ids=dels,
-                n_codes=n_codes, n_cells=n_cells, model=model,
-                meta=stamp,
-            )
+
+        def commit_corpus() -> None:
+            if not corpus_table.has_stream_batch(sink_id, batch_id):
+                corpus_table.merge(
+                    batch_df, delete_col=delete_col, meta=stamp
+                )
+
+        def commit_index() -> None:
+            if not index_table.has_stream_batch(sink_id, batch_id):
+                tomb = F.coalesce(F.col(delete_col), F.lit(False))
+                dels = (
+                    batch_df.filter(tomb)
+                    .select(F.col(id_col).alias("vec_id"))
+                )
+                # array-input encode (r17b): the batch already holds
+                # per-vector rows, so the exploded contract's
+                # posexplode + regroup exchange is pure round-trip —
+                # the array adapter feeds the same kernel with zero
+                # exchanges per batch.
+                index_upsert(
+                    index_table, None, cells, books,
+                    increment_vecs=batch_df.filter(~tomb),
+                    id_col=id_col, vec_col=vec_col, delete_ids=dels,
+                    n_codes=n_codes, n_cells=n_cells, model=model,
+                    meta=stamp,
+                )
+
+        # The two table commits of ONE micro-batch are independent job
+        # chains over the same checkpointed batch (different tables,
+        # per-table idempotence stamps — crash-redelivery convergence is
+        # per table and does not depend on commit order), so overlap
+        # them (guide §2.6): the index chain's encode/probe/write
+        # back-fills the cores the corpus MERGE's straggler tail leaves
+        # idle instead of waiting for it.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [pool.submit(commit_corpus), pool.submit(commit_index)]
+            for fut in futures:
+                fut.result()
 
     q = (
         stream_df.writeStream.foreachBatch(commit_batch)
@@ -2774,27 +2796,34 @@ def q_index_stream_portable(spark, sf_dir):
     ).unionByName(emb.filter(F.col("vec_id") < 5))
 
     root = process_scratch_dir("aas_index_stream_")
-    corpus_t = TxTable.create(
-        spark, stale_corpus, os.path.join(root, "corpus"),
-        key_col="vec_id",
-    )
     m = _IVF_PQ_PORTABLE_M
-    # array-input encode (r17b): stale_corpus already holds per-vector
-    # embedding arrays, so the exploded-contract round-trip (posexplode
-    # -> corpus-sized regroup exchange) is removed from the initial
-    # index build; same kernel, identical values.
-    initial = _ivf_pq_portable_encode_vecs(
-        stale_corpus, cells, books
-    ).select(
-        (F.col("vec_id") * m + F.col("j")).alias("k"),
-        "vec_id", "cell", "j", "code",
-    )
-    index_t = TxTable.create(
-        spark, initial, os.path.join(root, "index"), key_col="k"
-    )
+
+    def create_corpus():
+        return TxTable.create(
+            spark, stale_corpus, os.path.join(root, "corpus"),
+            key_col="vec_id",
+        )
+
+    def create_index():
+        # array-input encode (r17b): stale_corpus already holds
+        # per-vector embedding arrays, so the exploded-contract
+        # round-trip (posexplode -> corpus-sized regroup exchange) is
+        # removed from the initial index build; same kernel, identical
+        # values.
+        initial = _ivf_pq_portable_encode_vecs(
+            stale_corpus, cells, books
+        ).select(
+            (F.col("vec_id") * m + F.col("j")).alias("k"),
+            "vec_id", "cell", "j", "code",
+        )
+        return TxTable.create(
+            spark, initial, os.path.join(root, "index"), key_col="k"
+        )
 
     # the change stream: corrections for the zeroed third (split into
-    # two files -> two micro-batches) + tombstones for the ghosts
+    # two files -> two micro-batches) + tombstones for the ghosts.
+    # The three batches carry pairwise-disjoint key sets (vec%6==0,
+    # vec%6==3, vec<5), so drain order is value-neutral on both tables.
     src = os.path.join(root, "changes")
     corrections = truth.filter(F.col("vec_id") % 3 == 0).select(
         "vec_id", "embedding", F.lit(False).alias("is_del")
@@ -2802,11 +2831,33 @@ def q_index_stream_portable(spark, sf_dir):
     tombs = emb.filter(F.col("vec_id") < 5).select(
         "vec_id", "embedding", F.lit(True).alias("is_del")
     )
-    corrections.filter(F.col("vec_id") % 2 == 0).coalesce(1)\
-        .write.parquet(os.path.join(src, "b1"))
-    corrections.filter(F.col("vec_id") % 2 == 1).coalesce(1)\
-        .write.parquet(os.path.join(src, "b2"))
-    tombs.coalesce(1).write.parquet(os.path.join(src, "b3"))
+    change_files = [
+        (corrections.filter(F.col("vec_id") % 2 == 0), "b1"),
+        (corrections.filter(F.col("vec_id") % 2 == 1), "b2"),
+        (tombs, "b3"),
+    ]
+
+    # The two table creations and the three change-file writes are five
+    # independent job chains (the creates both derive from stale_corpus,
+    # the writes from truth/emb; no chain reads another's output) —
+    # overlap them (guide §2.6) instead of paying five sequential
+    # fixed-overhead jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_corpus = pool.submit(create_corpus)
+        fut_index = pool.submit(create_index)
+        fut_writes = [
+            pool.submit(
+                lambda df=df, name=name: df.coalesce(1)
+                .write.parquet(os.path.join(src, name))
+            )
+            for df, name in change_files
+        ]
+        corpus_t = fut_corpus.result()
+        index_t = fut_index.result()
+        for fut in fut_writes:
+            fut.result()
 
     ch_schema = corrections.schema
     stream = (

@@ -44,6 +44,62 @@ SKIP = {
 }
 
 
+def emit_report(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    sf_val,
+    regressions: dict,
+    watch: dict,
+    out_path: str,
+    missing: list[str] | None = None,
+    stdout=None,
+    stderr=None,
+) -> None:
+    """Write the full record to `out_path` and the one-line JSON to stdout.
+
+    Ordering contract (VERDICT r17 item 1): the one-line JSON is the
+    LAST thing emitted on a merged stdout+stderr capture.  The driver
+    parses the final output line as JSON; r16's PERF comparison was
+    lost because the stderr REGRESSIONS line used to be printed AFTER
+    the stdout JSON and a merged-stream capture ended with it.  So:
+    file first, then the (optional) stderr regression note, flushed,
+    then the stdout JSON, flushed — nothing after.
+    """
+    stdout = stdout if stdout is not None else sys.stdout
+    stderr = stderr if stderr is not None else sys.stderr
+
+    full = {
+        "metric": "sum_sec_all_declared_queries",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": timings,
+        "baseline_round": 1,
+        "regressions_vs_baseline": regressions,
+        "watch_ratio_only": watch,
+        "errors": errors,
+        "queries_missing_from_baseline": missing or [],
+    }
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    if regressions:
+        stderr.write("REGRESSIONS vs r1 baseline: " + json.dumps(regressions) + "\n")
+        stderr.flush()
+
+    out = {
+        "metric": "sum_sec_all_declared_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+    }
+    if errors:
+        out["errors"] = sorted(errors)
+    stdout.write(json.dumps(out, separators=(",", ":")) + "\n")
+    stdout.flush()
+
+
 def main() -> None:
     from artemia_airflow_spark.session import build_session
 
@@ -155,18 +211,6 @@ def main() -> None:
     # Full-precision record + regression table -> file (judge-readable);
     # stdout gets ONE short JSON line only (driver tail-capture is
     # limited — r1's long line was truncated and parsed: null).
-    full = {
-        "metric": "sum_sec_all_declared_queries",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "sf": sf_val,
-        "queries": timings,
-        "baseline_round": 1,
-        "regressions_vs_baseline": regressions,
-        "watch_ratio_only": watch,
-        "errors": errors,
-        "queries_missing_from_baseline": sorted(set(timings) - set(baseline)),
-    }
     # BENCH_FULL.json is the DRIVER's artifact (VERDICT r11 "wrong" #3:
     # builder quiet-window reruns kept overwriting the normative
     # record).  Local adjudication runs must set SPARK_GRAFT_BENCH_OUT
@@ -175,22 +219,15 @@ def main() -> None:
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "BENCH_FULL.json")
     )
-    with open(out_path, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
-
-    out = {
-        "metric": "sum_sec_all_declared_queries",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "sf": sf_val,
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-    }
-    if errors:
-        out["errors"] = sorted(errors)
-    sys.stdout.write(json.dumps(out, separators=(",", ":")) + "\n")
-    sys.stdout.flush()
-    if regressions:
-        sys.stderr.write("REGRESSIONS vs r1 baseline: " + json.dumps(regressions) + "\n")
+    emit_report(
+        timings,
+        errors,
+        sf_val,
+        regressions,
+        watch,
+        out_path,
+        missing=sorted(set(timings) - set(baseline)),
+    )
 
 
 if __name__ == "__main__":

@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for declared queries into plans/r17/.
+"""Capture .explain("formatted") for declared queries into plans/r18/.
 
 Usage: python scripts/capture_plans.py before q_a q_b ...
        python scripts/capture_plans.py after  q_a q_b ...
 
-Writes plans/r17/<query>_<tag>.txt.  Plan capture is driver-side only
+Writes plans/r18/<query>_<tag>.txt.  Plan capture is driver-side only
 (no job runs), so it is safe to run while other Spark work is active.
 """
 from __future__ import annotations
@@ -16,7 +16,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(REPO, "plans", "r17")
+OUT = os.path.join(REPO, "plans", "r18")
 
 
 def main() -> None:
