@@ -60,7 +60,8 @@ def word_ngrams(text_col, n: int) -> "F.Column":
 
 
 def decontaminate(
-    train: DataFrame, eval_df: DataFrame, text_col: str, id_col: str, *, n: int = 4
+    train: DataFrame, eval_df: DataFrame, text_col: str, id_col: str, *,
+    n: int = 4, eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word ``n``-gram with the evaluation set.
@@ -73,11 +74,20 @@ def decontaminate(
     shuffled semi-join on ``xxhash64(gram)`` (8-byte keys, not gram
     strings).
 
+    ``eval_grams`` optionally supplies the DISTINCT eval gram relation
+    pre-built (it must equal ``eval_df``'s ``n``-gram set — e.g. the
+    same expression materialized early on another driver thread, the
+    guide-§2.6 overlap seam used by :func:`corpus_survivors`); with it
+    ``eval_df`` is not consumed.  Values are identical either way.
+
     Returns ``train`` plus a boolean ``contaminated`` column.
     """
-    eval_grams = (
-        eval_df.select(F.explode(word_ngrams(text_col, n)).alias("gram")).distinct()
-    )
+    if eval_grams is None:
+        eval_grams = (
+            eval_df.select(
+                F.explode(word_ngrams(text_col, n)).alias("gram")
+            ).distinct()
+        )
     hits = (
         spread_for_compute(train)
         .select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
@@ -2543,6 +2553,8 @@ def corpus_survivors(
     from artemia_airflow_spark.operators.selection import classifier_scores
     from artemia_airflow_spark.operators.text import language_id
 
+    from concurrent.futures import ThreadPoolExecutor
+
     _stage = stage_fn(audit)
     # spread the single fact scan before the regex/tokenize front
     # stages (r17, guide §2.5): a local single-file scan arrives as
@@ -2557,31 +2569,60 @@ def corpus_survivors(
     ev = scrub_web_noise(
         spread_for_compute(eval_df.select(id_col, text_col)), text_col
     )
-    # filter AFTER the stage materialization (r17): a filter on
-    # lang_pred substitutes the whole scrub+argmax-of-structs chain
-    # into the pushed predicate, which evaluates interpreted next to
-    # the projection (measured 2.8 s vs 0.2 s at sf0.1 on 5k docs);
-    # materializing lang_pred as a stage column makes the gate a
-    # column read off the stage store.  Survivors are identical.
-    s_lid = _stage(
-        language_id(s_scrub, text_col), "scrub+langid"
-    ).filter(F.col("lang_pred") != "und").drop("lang_pred")
-    sc = classifier_scores(
-        s_lid.withColumn("__is_t", F.col(lang_col) == target_lang),
-        text_col, id_col, "__is_t",
-    )
-    s_cls = _stage(
-        s_lid.join(
+    # the eval-side branch — scrub + 4-gram explode + DISTINCT — shares
+    # no data dependency with ANY train gate (it joins in only at the
+    # decontaminate stage), so materialize it on a second driver thread
+    # while the train chain's stage jobs run (guide §2.6, r18): the
+    # eval jobs back-fill cores the serial train stages leave idle
+    # instead of extending the decontaminate stage's critical path.
+    n_dec = 4
+    ev_grams = ev.select(
+        F.explode(word_ngrams(text_col, n_dec)).alias("gram")
+    ).distinct()
+    if audit is not None:
+        audit.append((
+            "eval-grams",
+            ev_grams._jdf.queryExecution().explainString(
+                ev_grams.sparkSession._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("extended")),
+        ))
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_grams = pool.submit(
+            lambda df=ev_grams: df.localCheckpoint(eager=True)
+        )
+        # filter AFTER the stage materialization (r17): a filter on
+        # lang_pred substitutes the whole scrub+argmax-of-structs chain
+        # into the pushed predicate, which evaluates interpreted next to
+        # the projection (measured 2.8 s vs 0.2 s at sf0.1 on 5k docs);
+        # materializing lang_pred as a stage column makes the gate a
+        # column read off the stage store.  Survivors are identical.
+        s_lid = _stage(
+            language_id(s_scrub, text_col), "scrub+langid"
+        ).filter(F.col("lang_pred") != "und").drop("lang_pred")
+        sc = classifier_scores(
+            s_lid.withColumn("__is_t", F.col(lang_col) == target_lang),
+            text_col, id_col, "__is_t",
+        )
+        # the classifier gate is NOT stage-materialized (r18): the
+        # gated frame has exactly ONE consumer — the exact-dedup
+        # window — so a cut here pays a materialization job for no
+        # re-expansion protection (the stage-store design exists for
+        # stages that fan into 2-3 consumers; this one doesn't).  Both
+        # sides the gate reads ARE materialized: s_lid is the previous
+        # stage store and the classifier's tokenize-once relation is
+        # checkpointed inside classifier_scores (r17).
+        s_cls = s_lid.join(
             sc.filter(F.col("pred_target") == 1).select(id_col),
             id_col, "left_semi",
-        ),
-        "classifier-gate",
-    )
-    s_ex = _stage(exact_dedup(s_cls, text_col, id_col), "exact-dedup")
-    dups = minhash_portable_duplicates(s_ex, text_col, id_col)
-    s_near = _stage(s_ex.join(dups, id_col, "left_anti"), "near-dedup")
+        )
+        s_ex = _stage(exact_dedup(s_cls, text_col, id_col), "exact-dedup")
+        dups = minhash_portable_duplicates(s_ex, text_col, id_col)
+        s_near = _stage(s_ex.join(dups, id_col, "left_anti"), "near-dedup")
+        grams = fut_grams.result()
     return _stage(
-        decontaminate(s_near, ev, text_col, id_col, n=4)
+        decontaminate(
+            s_near, ev, text_col, id_col, n=n_dec, eval_grams=grams
+        )
         .filter(~F.col("contaminated")).drop("contaminated")
         .withColumn("__t", F.size(_tokens(text_col)).cast("bigint")),
         "decontaminate",

@@ -2389,6 +2389,7 @@ def index_upsert(
     increment_vecs: DataFrame | None = None, id_col: str = "vec_id",
     vec_col: str = "embedding", n_codes: int = 16, n_cells: int = 8,
     model: tuple | None = None, meta: dict | None = None,
+    changes: DataFrame | None = None,
 ) -> int:
     """Incremental ANN index maintenance (r14, VERDICT r13 #5 — the
     production "index follows the corpus" loop composing B125 + B102):
@@ -2407,7 +2408,12 @@ def index_upsert(
     precondition (the key would carry two verdicts).  ``model`` is an
     optional precollected :func:`_ivf_pq_portable_model` pair so a
     multi-upsert run (the streaming loop) collects the quantizers
-    once, not per batch.  Returns the new table version.
+    once, not per batch.  ``changes`` is an optional PRE-BUILT change
+    relation from :func:`index_upsert_changes` (the guide-§2.6 overlap
+    seam — build the changes on a second driver thread while an
+    independent job chain, e.g. the initial table create, runs); with
+    it the increment/delete arguments must be None.  Returns the new
+    table version.
 
     Correctness contract: encoding reuses the rebuild's ONE code path
     (:func:`_ivf_pq_portable_encode`), so a maintained index is
@@ -2423,6 +2429,46 @@ def index_upsert(
     rewrites only the index files whose key range intersects the
     increment's keys (TxTable file pruning) — an append-mostly
     increment touches O(increment) files, never O(index).
+    """
+    if changes is not None:
+        if (
+            increment_comps is not None
+            or increment_vecs is not None
+            or delete_ids is not None
+        ):
+            raise ValueError(
+                "index_upsert: `changes` is the complete pre-built "
+                "relation — increment_comps/increment_vecs/delete_ids "
+                "must be None with it (they are already folded in by "
+                "index_upsert_changes)"
+            )
+        return table.merge(changes, delete_col="__tomb", meta=meta)
+    changes = index_upsert_changes(
+        increment_comps, cells, books, delete_ids=delete_ids,
+        increment_vecs=increment_vecs, id_col=id_col, vec_col=vec_col,
+        n_codes=n_codes, n_cells=n_cells, model=model,
+    )
+    return table.merge(changes, delete_col="__tomb", meta=meta)
+
+
+def index_upsert_changes(
+    increment_comps: DataFrame | None, cells: DataFrame,
+    books: DataFrame, *, delete_ids: DataFrame | None = None,
+    increment_vecs: DataFrame | None = None, id_col: str = "vec_id",
+    vec_col: str = "embedding", n_codes: int = 16, n_cells: int = 8,
+    model: tuple | None = None,
+) -> DataFrame:
+    """Build and eagerly materialize the MERGE change relation of an
+    :func:`index_upsert` — encode the increment against the frozen
+    quantizers, fold in the tombstones, and localCheckpoint the
+    result.  This is :func:`index_upsert`'s own encode path, split out
+    as the guide-§2.6 overlap seam: the change relation depends only
+    on the increment and the quantizer model, never on the target
+    table, so a caller whose initial table CREATE is an independent
+    job chain can build the changes on a second driver thread while
+    the create runs, then commit with ``index_upsert(t, None, cells,
+    books, changes=...)``.  Values are identical by construction —
+    same kernel, same fold, same checkpoint — whichever entry is used.
     """
     m = _IVF_PQ_PORTABLE_M
     if (increment_comps is None) == (increment_vecs is None):
@@ -2471,8 +2517,7 @@ def index_upsert(
     # its changes twice — the touched-file key probe and the rewrite —
     # and without this the whole multi-exchange encode pipeline
     # re-executes per pass (2x per micro-batch in the streaming loop)
-    changes = changes.localCheckpoint(eager=True)
-    return table.merge(changes, delete_col="__tomb", meta=meta)
+    return changes.localCheckpoint(eager=True)
 
 
 @declared("q_index_upsert_portable", oracle=_IVF_PQ_PORTABLE_ORACLE)
@@ -2527,12 +2572,26 @@ def q_index_upsert_portable(spark, sf_dir):
     root = os.path.join(
         process_scratch_dir("aas_index_upsert_"), "index"
     )
-    t = TxTable.create(spark, initial, root, key_col="k")
-    index_upsert(
-        t, incr, cells, books, model=model,
-        delete_ids=comps.filter(F.col("vec_id") < 5)
-        .select("vec_id").distinct(),
-    )
+    # overlap the two independent setup chains (guide §2.6, r18): the
+    # stale-table CREATE and the increment's encode+checkpoint share
+    # no data dependency (the change relation needs only incr + the
+    # broadcast model), so building them on two driver threads lets
+    # the encode back-fill the cores the create's tail leaves idle;
+    # the MERGE itself still runs strictly after both.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_t = pool.submit(
+            TxTable.create, spark, initial, root, key_col="k"
+        )
+        fut_ch = pool.submit(
+            index_upsert_changes, incr, cells, books, model=model,
+            delete_ids=comps.filter(F.col("vec_id") < 5)
+            .select("vec_id").distinct(),
+        )
+        t = fut_t.result()
+        ch = fut_ch.result()
+    index_upsert(t, None, cells, books, changes=ch)
     loaded = t.snapshot().select("vec_id", "cell", "j", "code")
     return _ivf_pq_portable_query(comps, probe, cells, books, loaded)
 

@@ -1798,6 +1798,31 @@ def test_index_upsert_value_neutral_and_exactly_once(spark, tmp_path):
     )
     assert again == rebuild  # ...but content is exactly-once
 
+    # r18 overlap seam: the PRE-BUILT change relation
+    # (index_upsert_changes + changes=) must maintain the table to the
+    # identical rebuild state — same kernel, same tombstone fold —
+    # and the two entry forms are mutually exclusive.
+    from artemia_airflow_spark.operators.similarity import (
+        index_upsert_changes,
+    )
+
+    t2 = TxTable.create(
+        spark, initial, str(tmp_path / "idx2"), key_col="k"
+    )
+    ch = index_upsert_changes(
+        odds, cells, books, delete_ids=ghosts.select("vec_id").distinct()
+    )
+    index_upsert(t2, None, cells, books, changes=ch)
+    got2 = sorted(
+        tuple(r) for r in
+        t2.snapshot().select("vec_id", "cell", "j", "code").collect()
+    )
+    assert got2 == rebuild  # precomputed-changes entry == inline entry
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="changes"):
+        index_upsert(t2, odds, cells, books, changes=ch)
+
 
 def test_temporal_split_boundaries_and_embargo(spark):
     """Temporal split hand model over a 1000s span: with an 800-permille

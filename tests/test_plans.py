@@ -1001,14 +1001,16 @@ def test_curriculum_two_phase_unpartitioned_window_is_bin_grain(spark):
 
 
 def test_corpus_pipeline_no_stage_rescans_the_corpus(spark):
-    """q_corpus_pipeline (r16, VERDICT r15 #3): the composed capstone
-    materializes every stage (lineage truncation = the stage-store
-    design), so the raw corpus is scanned exactly ONCE for the train
-    side (the scrub+langid stage) and ONCE for the eval side (inside
-    the decontaminate stage); every other stage — classifier gate,
-    exact dedup, near-dup LSH, mix+split+pack — and the final manifest
-    plan read ONLY the previous stage's materialization, never the
-    parquet source again."""
+    """q_corpus_pipeline (r16, VERDICT r15 #3; stage list r18): the
+    composed capstone materializes every fan-out stage (lineage
+    truncation = the stage-store design), so the raw corpus is scanned
+    exactly ONCE for the train side (the scrub+langid stage) and ONCE
+    for the eval side (the eval-grams branch, materialized on a second
+    driver thread — guide §2.6); every other stage — exact dedup
+    (which now subsumes the single-consumer classifier gate, r18),
+    near-dup LSH, decontaminate, mix+split+pack — and the final
+    manifest plan read ONLY the previous stage's materialization,
+    never the parquet source again."""
     from artemia_airflow_spark.catalog import scan as cat_scan
     from artemia_airflow_spark.operators.curation import corpus_pipeline
     from pyspark.sql import functions as F
@@ -1022,15 +1024,15 @@ def test_corpus_pipeline_no_stage_rescans_the_corpus(spark):
     )
     names = [n for n, _ in audit]
     assert names == [
-        "scrub+langid", "classifier-gate", "exact-dedup", "near-dedup",
+        "eval-grams", "scrub+langid", "exact-dedup", "near-dedup",
         "decontaminate", "mix+split+pack",
     ], names
     expected_scans = {
+        "eval-grams": 1,       # the ONE eval-side corpus scan
         "scrub+langid": 1,     # the ONE train-side corpus scan
-        "classifier-gate": 0,
-        "exact-dedup": 0,
+        "exact-dedup": 0,      # reads the scrub+langid stage store only
         "near-dedup": 0,
-        "decontaminate": 1,    # the ONE eval-side corpus scan
+        "decontaminate": 0,    # reads the materialized eval-grams branch
         "mix+split+pack": 0,
     }
     for name, plan in audit:
