@@ -2120,16 +2120,27 @@ def cross_source_matrix(
             ),
         )),
     ).otherwise(F.col("bv"))
-    banded = banded.withColumn("bv", guarded_bv).drop("__bn")
+    banded = banded.withColumn("bv", guarded_bv)
+    # singleton band buckets cannot form a pair (the self-join needs
+    # two distinct ids sharing one bucket), and the guard window just
+    # counted every bucket — drop them BEFORE materializing (r18,
+    # guide §2.3 "shuffle fewer bytes"): the checkpointed relation,
+    # the broadcast build, and both self-join sides shrink from
+    # bands x corpus rows to only the rows that can actually pair.
+    # Oversized buckets pass this filter (max_bucket >= 2), so the
+    # in-plan guard still fires on materialization, and the pair set
+    # is unchanged (a singleton contributes no (d1 < d2) row).
+    banded = banded.filter(F.col("__bn") >= 2).drop("__bn")
     # materialize the banded relation once (r17b, guide §3.3/§5): BOTH
     # sides of the bucket self-join consume it, and runtime exchange
     # reuse does NOT fire here (checked on the executed plan — the
     # window/guard projection breaks exchange identity), so the whole
     # scan + tokenize + MinHash subtree executed twice.  The
-    # checkpoint is (id, b, bv) ints — 4 rows/doc, no text.  LAZY
-    # (review finding): a library operator must stay a lazy relation —
-    # an eager cut would run the corpus job (and fire the max_bucket
-    # guard) at plan-construction time, not at the caller's action.
+    # checkpoint is (id, b, bv) ints — at most 4 rows/doc, no text.
+    # LAZY (review finding): a library operator must stay a lazy
+    # relation — an eager cut would run the corpus job (and fire the
+    # max_bucket guard) at plan-construction time, not at the
+    # caller's action.
     banded = banded.localCheckpoint(eager=False)
     a, x = banded.alias("a"), banded.alias("x")
     pairs = (
