@@ -1135,6 +1135,13 @@ def semantic_dedup(
     with_vec = df.withColumn(
         "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    # materialize the vectorized corpus ONCE before the fit (r18, the
+    # r17 IVF-fit precedent, guide §5): MLlib's Lloyd loop re-evaluates
+    # its input per pass and the model.transform below consumes it
+    # again — without the cut the scan + cast + array_to_vector chain
+    # runs maxIter+1 times.  fit() is already eager at this seam (the
+    # operator trains at construction), so an eager cut adds no job.
+    with_vec = with_vec.localCheckpoint(eager=True)
     km = KMeans(
         k=n_cells, seed=seed, maxIter=8, featuresCol="__v", predictionCol="__cell"
     )
